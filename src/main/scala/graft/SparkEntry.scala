@@ -1,13 +1,54 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreQueries, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * first-class LLM-pipeline operator); [[oracleSql]] holds the DuckDB
+  * equivalent the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.anomaly(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sarkac core (SURVEY §2.2-2.8)
+    "q_extract_long" -> (CoreQueries.extractLong _),
+    "q_window_stats" -> (CoreQueries.windowStats _),
+    "q_window_stats_bucketed" -> (CoreQueries.windowStatsBucketed _),
+    "q_freq_count" -> (CoreQueries.freqCount _),
+    "q_anomaly" -> (CoreQueries.anomaly _),
+    "q_anomaly_cooldown" -> (CoreQueries.anomalyCooldown _),
+    "q_set_diff" -> (CoreQueries.setDiff _),
+    "q_global_count" -> (CoreQueries.globalCount _),
+    // relational coverage / bench headliners
+    "q1_agg" -> (RelationalQueries.q1Agg _),
+    "q_join_revenue" -> (RelationalQueries.joinRevenue _),
+    "q_topk_orders" -> (RelationalQueries.topkOrders _),
+    "q_semi_anti" -> (RelationalQueries.semiAnti _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_extract_long" -> CoreQueries.extractLongSql,
+    "q_window_stats" -> CoreQueries.windowStatsSql,
+    "q_window_stats_bucketed" -> CoreQueries.windowStatsBucketedSql,
+    "q_freq_count" -> CoreQueries.freqCountSql,
+    "q_anomaly" -> CoreQueries.anomalySql,
+    "q_anomaly_cooldown" -> CoreQueries.anomalyCooldownSql,
+    "q_set_diff" -> CoreQueries.setDiffSql,
+    "q_global_count" -> CoreQueries.globalCountSql,
+    "q1_agg" -> RelationalQueries.q1AggSql,
+    "q_join_revenue" -> RelationalQueries.joinRevenueSql,
+    "q_topk_orders" -> RelationalQueries.topkOrdersSql,
+    "q_semi_anti" -> RelationalQueries.semiAntiSql,
+  )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Dsl
+import graft.functions.SchemaFlatten
+
+/** Projection of wide event rows into the engine's long-format spine
+  * `(topic, path, value, produced)` — the Spark analog of the reference's
+  * sigma event store (reference: lib/db/model/SigmaModel.js:15-19, which
+  * keeps one row per observed numeric field sample).
+  *
+  * Design for scale: this is a single narrow projection (`explode` over a
+  * literal array of per-field structs) — no join, no shuffle, fully
+  * inside whole-stage codegen. Null extractions are dropped exactly like
+  * the reference's per-field null guard (lib/dsl/DSLHandler.js:156-164).
+  */
+object Extraction {
+
+  /** One tracked field: its dot path and the column expression that
+    * extracts it from the wide row.
+    */
+  final case class FieldCol(path: String, value: Column)
+
+  /** Project wide rows to long format. `topic`/`ts` name the topic and
+    * event-time columns; `fields` are the tracked extractions.
+    */
+  def longFormat(
+      df: DataFrame,
+      topic: Column,
+      ts: Column,
+      fields: Seq[FieldCol],
+      includeFrequency: Boolean = false,
+      carry: Seq[(String, Column)] = Nil,
+  ): DataFrame = {
+    val base = fields.map { f =>
+      struct(lit(f.path).as("path"), f.value.cast("double").as("value"))
+    }
+    // Virtual __topic_frequency = 1.0 per message turns count-per-window
+    // into rate tracking (reference: lib/dsl/DSLHandler.js:14-15,133-146).
+    val all =
+      if (includeFrequency)
+        base :+ struct(lit(Dsl.FrequencyField).as("path"), lit(1.0).as("value"))
+      else base
+    val carried = carry.map { case (n, c) => c.as(n) }
+    df.select(
+        Seq(topic.as("topic"), ts.as("produced"), explode(array(all: _*)).as("pv")) ++ carried: _*
+      )
+      .select(
+        Seq(col("topic"), col("pv.path").as("path"), col("pv.value").as("value"), col("produced")) ++
+          carry.map { case (n, _) => col(n) }: _*
+      )
+      .filter(col("value").isNotNull) // F3 null-extraction guard
+      .filter(col("topic").isNotNull) // F1 malformed-message guard
+  }
+
+  /** Long-format projection for a JSON-payload message relation shaped
+    * like the reference's normalized input `{topic, value: json, ts}`:
+    * each DSL path is extracted with `get_json_object` (codegen'd, no
+    * UDF) and cast to double.
+    */
+  def fromJsonMessages(
+      df: DataFrame,
+      topic: Column,
+      jsonValue: Column,
+      ts: Column,
+      paths: Seq[String],
+      includeFrequency: Boolean = false,
+  ): DataFrame =
+    longFormat(
+      df,
+      topic,
+      ts,
+      paths.map(p => FieldCol(p, SchemaFlatten.jsonByPath(jsonValue, p).cast("double"))),
+      includeFrequency,
+    )
+}

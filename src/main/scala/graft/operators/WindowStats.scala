@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Dsl
+import graft.functions.Exact._
+
+/** Trailing-window statistics: count / mean / population-stddev per
+  * (topic, path, windowSec) over a trailing wall-clock window anchored at
+  * an injected `now` (reference computes these as three separate MongoDB
+  * pipelines per key per scan, lib/db/model/SigmaModel.js:47-122; we do
+  * all keys x all windows x all three stats in ONE grouped pass).
+  *
+  * Scale notes:
+  *  - The multi-window fan-out is an `explode` over a literal window
+  *    array — a narrow op; the only shuffle is the single hash
+  *    aggregation on (topic, path, window_sec), with map-side partial
+  *    aggregation (sum/sumsq/count are algebraic).
+  *  - For very long windows over huge streams use
+  *    [[bucketedStats]]: pre-aggregate per time bucket first, so the
+  *    per-window merge touches O(buckets) rows instead of O(samples).
+  */
+object WindowStats {
+
+  /** Exact trailing-window stats anchored at `now` (a timestamp column,
+    * usually a literal): samples with `produced in [now - w, now]`.
+    * Output: topic, path, window_sec, cnt, mean, stddev_pop (mean/stddev
+    * rounded to 6 decimals for hash-stable comparison).
+    */
+  def trailingStats(samples: DataFrame, windows: Seq[Long], now: Column): DataFrame = {
+    val fanned = samples
+      .withColumn("window_sec", explode(array(windows.map(lit): _*)))
+      .filter(
+        unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L)
+      )
+      .filter(unix_micros(col("produced")) <= unix_micros(now))
+    finishStats(
+      fanned
+        .groupBy(col("topic"), col("path"), col("window_sec"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          exactSum(col("value")).as("sumv"),
+          exactSumSq(col("value")).as("sumsq"),
+        )
+    )
+  }
+
+  /** Scale path: two-level aggregation. Samples are first reduced to
+    * per-(topic, path, bucket) partial sums — the dominant shuffle now
+    * carries O(keys x buckets) rows regardless of input size — then each
+    * window sums the buckets it covers. Windows must be multiples of
+    * `bucketSec` and `now` must be bucket-aligned; window semantics are
+    * `produced in [now - w, now)`.
+    *
+    * This is the algebraic decomposition flagged in SURVEY.md §7.5.7: at
+    * 100 TB the raw explode-per-window would multiply shuffle volume by
+    * the window count, while partial sums are count/sum/sumsq and merge
+    * exactly (decimal addition is associative).
+    */
+  def bucketedStats(
+      samples: DataFrame,
+      windows: Seq[Long],
+      now: Column,
+      bucketSec: Long = 60L,
+  ): DataFrame = {
+    require(windows.forall(_ % bucketSec == 0), s"windows must be multiples of $bucketSec")
+    val nowUs = unix_micros(now)
+    val buckets = samples
+      .withColumn("bucket_us", (unix_micros(col("produced")) / lit(bucketSec * 1000000L)) * lit(bucketSec * 1000000L))
+      .filter(col("bucket_us") < nowUs)
+      .filter(col("bucket_us") >= nowUs - lit(windows.max * 1000000L))
+      .groupBy(col("topic"), col("path"), col("bucket_us"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("p_sum"),
+        sum(
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+            col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        ).as("p_sumsq"),
+      )
+    val merged = buckets
+      .withColumn("window_sec", explode(array(windows.map(lit): _*)))
+      .filter(col("bucket_us") >= nowUs - col("window_sec") * lit(1000000L))
+      .groupBy(col("topic"), col("path"), col("window_sec"))
+      .agg(
+        sum(col("p_cnt")).as("cnt"),
+        // trim to (18,6) before the double cast — see Exact.toDouble
+        sum(col("p_sum")).cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double").as("sumv"),
+        sum(col("p_sumsq")).cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double").as("sumsq"),
+      )
+    finishStats(merged)
+  }
+
+  /** Shared tail: derive mean/stddev_pop from exact sums and apply the
+    * reference's validity gates.
+    */
+  private def finishStats(agged: DataFrame): DataFrame =
+    agged
+      .withColumn("mean", col("sumv") / col("cnt"))
+      .withColumn("stddev_pop", popStddev(col("sumsq"), col("mean"), col("cnt")))
+      // F6 min-sample gate (lib/dsl/DSLHandler.js:244)
+      .filter(col("cnt") >= Dsl.MinSamples)
+      // F7 zero-stats gate (lib/dsl/DSLHandler.js:259-262) — note this
+      // intentionally reproduces the reference quirk of dropping
+      // legitimately-zero means.
+      .filter(col("mean") =!= 0.0 && col("stddev_pop") =!= 0.0)
+      .select(
+        col("topic"),
+        col("path"),
+        col("window_sec"),
+        col("cnt"),
+        round(col("mean"), 6).as("mean"),
+        round(col("stddev_pop"), 6).as("stddev_pop"),
+      )
+
+  /** Raw (ungated, unrounded) stats for internal reuse by the anomaly
+    * join, where the z-score must be computed from full-precision values.
+    */
+  def rawTrailingStats(samples: DataFrame, windows: Seq[Long], now: Column): DataFrame =
+    samples
+      .withColumn("window_sec", explode(array(windows.map(lit): _*)))
+      .filter(
+        unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L)
+      )
+      .filter(unix_micros(col("produced")) <= unix_micros(now))
+      .groupBy(col("topic"), col("path"), col("window_sec"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        exactSum(col("value")).as("sumv"),
+        exactSumSq(col("value")).as("sumsq"),
+      )
+      .withColumn("mean", col("sumv") / col("cnt"))
+      .withColumn("stddev_pop", popStddev(col("sumsq"), col("mean"), col("cnt")))
+      .filter(col("cnt") >= Dsl.MinSamples)
+      .filter(col("mean") =!= 0.0 && col("stddev_pop") =!= 0.0)
+      .select(col("topic"), col("path"), col("window_sec"), col("cnt"), col("mean"), col("stddev_pop"))
+}

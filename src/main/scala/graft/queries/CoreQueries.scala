@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Dsl
+import graft.operators.{Anomaly, Cooldown, Extraction, WindowStats}
+import graft.operators.Extraction.FieldCol
+import graft.functions.SchemaFlatten
+
+/** The sarkac-core query surface over the driver's `events` table, each
+  * paired with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Batch parity conventions (FIXTURES.md §C): `event_type` plays the
+  * Kafka topic; the tracked fields are the `value` column (path "value")
+  * and the JSON payload leaf `props.k` (path "props.k"); `now` is
+  * anchored at max(ts) so trailing windows are deterministic. All
+  * timestamps cross the oracle boundary as epoch micros (BIGINT), all
+  * derived doubles are either bit-exact (decimal-sum arithmetic, see
+  * graft.functions.Exact) or rounded to 6 decimals on both sides.
+  */
+object CoreQueries {
+
+  /** Windows exercised by the correctness gate: 1h / 12h / 1d / 1w
+    * (subset of the reference example's spread, example/example.js:30-36).
+    */
+  val Windows: Seq[Long] = Seq(3600L, 43200L, 86400L, 604800L)
+
+  private def windowsValues: String = Windows.map(w => s"($w)").mkString(",")
+
+  // ---- shared plan fragments ----------------------------------------
+
+  /** max(ts) of events collected once; a deterministic scalar anchor. */
+  def nowOf(events: DataFrame): Column = {
+    val t = events.agg(max(col("ts"))).head.getTimestamp(0)
+    lit(t)
+  }
+
+  /** The two tracked fields of the events table in long format. */
+  def eventSamples(events: DataFrame, carryId: Boolean = false): DataFrame =
+    Extraction.longFormat(
+      events,
+      topic = col("event_type"),
+      ts = col("ts"),
+      fields = Seq(
+        FieldCol("value", col("value")),
+        FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").cast("double")),
+      ),
+      carry = if (carryId) Seq("event_id" -> col("event_id")) else Nil,
+    )
+
+  /** Oracle fragment mirroring [[eventSamples]] + window fan-out. */
+  private val oracleSamples: String =
+    """
+    nw AS (SELECT epoch_us(max(ts)) AS now_us FROM events),
+    s AS (
+      SELECT event_id, event_type AS topic, 'value' AS path,
+             value, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      UNION ALL
+      SELECT event_id, event_type, 'props.k',
+             CAST(json_extract_string(props, '$.k') AS DOUBLE), epoch_us(ts)
+      FROM events
+      WHERE event_type IS NOT NULL
+        AND CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    )"""
+
+  private def oracleStatsCte: String =
+    s"""
+    WITH $oracleSamples,
+    f AS (
+      SELECT s.topic, s.path, CAST(w.window_sec AS BIGINT) AS window_sec, s.value
+      FROM s CROSS JOIN (VALUES $windowsValues) AS w(window_sec), nw
+      WHERE s.ts_us >= nw.now_us - CAST(w.window_sec AS BIGINT) * 1000000
+        AND s.ts_us <= nw.now_us
+    ),
+    a AS (
+      SELECT topic, path, window_sec, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM f GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT topic, path, window_sec, cnt,
+             sumv / cnt AS mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS stddev_pop
+      FROM a
+    ),
+    stats AS (
+      SELECT * FROM m WHERE cnt >= 3 AND mean <> 0 AND stddev_pop <> 0
+    )"""
+
+  // ---- q_window_stats ------------------------------------------------
+
+  /** A1+A2+A3: one-pass trailing-window count/mean/stddev_pop per
+    * (topic, path, window).
+    */
+  def windowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    WindowStats.trailingStats(eventSamples(ev), Windows, nowOf(ev))
+  }
+
+  val windowStatsSql: String =
+    s"""$oracleStatsCte
+    SELECT topic, path, window_sec, cnt,
+           round(mean, 6) AS mean, round(stddev_pop, 6) AS stddev_pop
+    FROM stats"""
+
+  // ---- q_window_stats_bucketed ---------------------------------------
+
+  /** Scale-path variant: minute-bucket partial aggregation then window
+    * merge, anchored at max(ts) floored to the minute; windows are
+    * [now_b - w, now_b). Exactly oracle-checkable because bucket
+    * boundaries align with the anchor.
+    */
+  def windowStatsBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val flooredUs = maxUs / 60000000L * 60000000L
+    WindowStats.bucketedStats(eventSamples(ev), Windows, timestamp_micros(lit(flooredUs)), 60L)
+  }
+
+  val windowStatsBucketedSql: String =
+    s"""
+    WITH $oracleSamples,
+    nwb AS (SELECT now_us / 60000000 * 60000000 AS now_us FROM nw),
+    f AS (
+      SELECT s.topic, s.path, CAST(w.window_sec AS BIGINT) AS window_sec, s.value
+      FROM s CROSS JOIN (VALUES $windowsValues) AS w(window_sec), nwb
+      WHERE s.ts_us >= nwb.now_us - CAST(w.window_sec AS BIGINT) * 1000000
+        AND s.ts_us < nwb.now_us
+    ),
+    a AS (
+      SELECT topic, path, window_sec, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM f GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT topic, path, window_sec, cnt,
+             sumv / cnt AS mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS stddev_pop
+      FROM a
+    )
+    SELECT topic, path, window_sec, cnt,
+           round(mean, 6) AS mean, round(stddev_pop, 6) AS stddev_pop
+    FROM m WHERE cnt >= 3 AND mean <> 0 AND stddev_pop <> 0"""
+
+  // ---- q_freq_count --------------------------------------------------
+
+  /** A3/A4 + P6: message-rate per (topic, window) — the count-per-window
+    * form of the reference's `__topic_frequency` machinery.
+    */
+  def freqCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val now = nowOf(ev)
+    ev.filter(col("event_type").isNotNull)
+      .withColumn("window_sec", explode(array(Windows.map(lit): _*)))
+      .filter(unix_micros(col("ts")) >= unix_micros(now) - col("window_sec") * lit(1000000L))
+      .filter(unix_micros(col("ts")) <= unix_micros(now))
+      .groupBy(col("event_type").as("topic"), col("window_sec"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("topic"), col("window_sec"), col("cnt"))
+  }
+
+  val freqCountSql: String =
+    s"""
+    WITH nw AS (SELECT epoch_us(max(ts)) AS now_us FROM events)
+    SELECT event_type AS topic, CAST(w.window_sec AS BIGINT) AS window_sec, count(*) AS cnt
+    FROM events CROSS JOIN (VALUES $windowsValues) AS w(window_sec), nw
+    WHERE event_type IS NOT NULL
+      AND epoch_us(ts) >= nw.now_us - CAST(w.window_sec AS BIGINT) * 1000000
+      AND epoch_us(ts) <= nw.now_us
+    GROUP BY 1, 2"""
+
+  // ---- q_anomaly -----------------------------------------------------
+
+  /** F4/F5 + §2.8 join: events inside each window judged against that
+    * window's stats; |z| > 1 flags an anomaly. Stats side is broadcast.
+    */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val now = nowOf(ev)
+    val samples = eventSamples(ev, carryId = true)
+    val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
+    Anomaly
+      .detect(samples, stats, now)
+      .select(
+        col("event_id"),
+        col("topic"),
+        col("path"),
+        col("window_sec"),
+        col("value"),
+        round(col("mean"), 6).as("mean"),
+        round(col("stddev_pop"), 6).as("stddev_pop"),
+        round(col("three_sigma"), 6).as("three_sigma"),
+      )
+  }
+
+  val anomalySql: String =
+    s"""$oracleStatsCte
+    SELECT s.event_id, s.topic, s.path, stats.window_sec, s.value,
+           round(stats.mean, 6) AS mean,
+           round(stats.stddev_pop, 6) AS stddev_pop,
+           round((s.value - stats.mean) / (3.0 * stats.stddev_pop), 6) AS three_sigma
+    FROM s JOIN stats ON s.topic = stats.topic AND s.path = stats.path, nw
+    WHERE s.ts_us >= nw.now_us - stats.window_sec * 1000000
+      AND s.ts_us <= nw.now_us
+      AND stats.stddev_pop <> 0
+      AND ((s.value - stats.mean) / (3.0 * stats.stddev_pop) > 1.0
+        OR (s.value - stats.mean) / (3.0 * stats.stddev_pop) < -1.0)"""
+
+  // ---- q_anomaly_cooldown --------------------------------------------
+
+  /** ST1: the 2-minute re-emit cooldown applied to the anomaly set.
+    * Sequential-per-key semantics (suppression measured from the last
+    * *emitted* anomaly) — oracle is a recursive CTE walking each key's
+    * ordered anomaly list.
+    */
+  def anomalyCooldown(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val now = nowOf(ev)
+    val samples = eventSamples(ev, carryId = true)
+    val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
+    val anomalies = Anomaly.detect(samples, stats, now)
+    Cooldown
+      .applyBatch(anomalies.select(
+        col("topic"), col("path"), col("window_sec"), col("produced"), col("value"), col("event_id")))
+      .select(col("event_id"), col("topic"), col("path"), col("window_sec"), col("value"))
+  }
+
+  val anomalyCooldownSql: String =
+    s"""${oracleStatsCte.replaceFirst("WITH", "WITH RECURSIVE")},
+    anom AS (
+      SELECT s.event_id, s.topic, s.path, stats.window_sec, s.value, s.ts_us,
+             row_number() OVER (PARTITION BY s.topic, s.path, stats.window_sec
+                                ORDER BY s.ts_us, s.value) AS rn
+      FROM s JOIN stats ON s.topic = stats.topic AND s.path = stats.path, nw
+      WHERE s.ts_us >= nw.now_us - stats.window_sec * 1000000
+        AND s.ts_us <= nw.now_us
+        AND stats.stddev_pop <> 0
+        AND abs((s.value - stats.mean) / (3.0 * stats.stddev_pop)) > 1.0
+    ),
+    emit(topic, path, window_sec, rn, ts_us) AS (
+      SELECT topic, path, window_sec, rn, ts_us FROM anom WHERE rn = 1
+      UNION ALL
+      SELECT a.topic, a.path, a.window_sec, min(a.rn), min_by(a.ts_us, a.rn)
+      FROM emit e JOIN anom a
+        ON a.topic = e.topic AND a.path = e.path AND a.window_sec = e.window_sec
+       AND a.rn > e.rn AND a.ts_us >= e.ts_us + 120000000
+      GROUP BY a.topic, a.path, a.window_sec
+    )
+    SELECT a.event_id, a.topic, a.path, a.window_sec, a.value
+    FROM anom a JOIN emit e
+      ON a.topic = e.topic AND a.path = e.path
+     AND a.window_sec = e.window_sec AND a.rn = e.rn"""
+
+  // ---- q_extract_long ------------------------------------------------
+
+  /** P1/P2/P3/F1/F3: the long-format projection itself (the engine
+    * spine), with event identity for comparison.
+    */
+  def extractLong(spark: SparkSession, sfDir: String): DataFrame =
+    eventSamples(Tables.events(spark, sfDir), carryId = true)
+      .select(col("event_id"), col("topic"), col("path"), col("value"),
+        unix_micros(col("produced")).as("ts_us"))
+
+  val extractLongSql: String =
+    s"""WITH $oracleSamples
+    SELECT event_id, topic, path, value, ts_us FROM s"""
+
+  // ---- q_set_diff ----------------------------------------------------
+
+  /** SO1 set difference (the discovery topic-diff re-expressed over
+    * data): (user, event_type) pairs seen in the first 12 hours but not
+    * in the following 12 hours.
+    */
+  def setDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val mnUs = ev.agg(min(unix_micros(col("ts")))).head.getLong(0)
+    val h12 = 43200000000L
+    val first = ev
+      .filter(unix_micros(col("ts")) < lit(mnUs + h12))
+      .select(col("user_id"), col("event_type"))
+    val second = ev
+      .filter(unix_micros(col("ts")) >= lit(mnUs + h12) && unix_micros(col("ts")) < lit(mnUs + 2 * h12))
+      .select(col("user_id"), col("event_type"))
+    first.except(second)
+  }
+
+  val setDiffSql: String =
+    """
+    WITH b AS (SELECT epoch_us(min(ts)) AS mn FROM events)
+    SELECT user_id, event_type FROM events, b WHERE epoch_us(ts) < b.mn + 43200000000
+    EXCEPT
+    SELECT user_id, event_type FROM events, b
+    WHERE epoch_us(ts) >= b.mn + 43200000000 AND epoch_us(ts) < b.mn + 86400000000"""
+
+  // ---- q_global_count ------------------------------------------------
+
+  /** A4: global event count. */
+  def globalCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).agg(count(lit(1)).as("n"))
+
+  val globalCountSql: String = "SELECT count(*) AS n FROM events"
+}
