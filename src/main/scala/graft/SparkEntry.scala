@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{CoreQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -32,6 +33,22 @@ object SparkEntry {
     "q_join_revenue" -> (RelationalQueries.joinRevenue _),
     "q_topk_orders" -> (RelationalQueries.topkOrders _),
     "q_semi_anti" -> (RelationalQueries.semiAnti _),
+    // LLM-data-pipeline: text analysis
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_token_count" -> (TextAnalysis.tokenCount _),
+    "q_quality" -> (TextAnalysis.quality _),
+    "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    // LLM-data-pipeline: dedup
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "q_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q_dedup_simhash" -> (Dedup.simhashPairs _),
+    // LLM-data-pipeline: similarity search
+    "q_ann_topk" -> (Similarity.annTopk _),
+    "q_ann_lsh" -> (Similarity.annLsh _),
+    "q_dedup_embed" -> (Similarity.embedDedup _),
+    // LLM-data-pipeline: multimodal plumbing
+    "q_multimodal" -> (Multimodal.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +67,17 @@ object SparkEntry {
     "q_join_revenue" -> RelationalQueries.joinRevenueSql,
     "q_topk_orders" -> RelationalQueries.topkOrdersSql,
     "q_semi_anti" -> RelationalQueries.semiAntiSql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
+    "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_quality" -> TextAnalysis.qualitySql,
+    "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_dedup_exact" -> Dedup.exactSql,
+    "q_dedup_ngram" -> Dedup.ngramJaccardSql,
+    "q_dedup_minhash" -> Dedup.minhashLshSql,
+    "q_dedup_simhash" -> Dedup.simhashPairsSql,
+    "q_ann_topk" -> Similarity.annTopkSql,
+    "q_ann_lsh" -> Similarity.annLshSql,
+    "q_dedup_embed" -> Similarity.embedDedupSql,
+    "q_multimodal" -> Multimodal.multimodalFeaturesSql,
   )
 }

@@ -1,0 +1,241 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Deduplication operators over the `documents` table: exact
+  * (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+  * (shingle -> minhash signature -> banded bucket join), and SimHash
+  * (near-dup bits + Hamming distance).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregation — the canonical 100 TB dedup.
+  *  - Jaccard candidates come from a shingle equi self-join (only pairs
+  *    sharing a shingle are materialized), not a cross join.
+  *  - MinHash keeps one 16-number signature per document and joins on
+  *    (band, band_hash) — candidate volume is O(near-dup pairs), the
+  *    standard LSH trade: at 1000 executors the band join is a plain
+  *    shuffle join on a short key.
+  *  - SimHash demonstrates the signature; its pairing here is a
+  *    straight a<b self-join for oracle parity (banding the 32-bit code
+  *    into 4 bytes would make it collision-bounded at scale, same
+  *    pattern as MinHash bands).
+  *
+  * All hashes are md5-derived 32-bit ints (identical in Spark and
+  * DuckDB), so every operator is exactly oracle-checkable.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1 for the minhash permutation field. */
+  val P: Long = 2147483647L
+
+  /** Fixed minhash permutation constants (a*h + b) % P. */
+  val MinhashAB: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1299709L, 67890L), (15485863L, 111111L), (32452843L, 222222L),
+    (49979687L, 333333L), (67867967L, 444444L), (86028121L, 555555L), (104395301L, 666666L),
+    (122949823L, 777777L), (141650939L, 888888L), (160481183L, 999999L), (179424673L, 1010101L),
+    (198491317L, 1111111L), (217645177L, 1212121L), (236887691L, 1313131L), (256203161L, 1414141L),
+  )
+
+  /** Words per shingle for the n-gram operators. */
+  val ShingleN = 5
+
+  /** md5-derived 32-bit hash (0 .. 2^32): first 8 hex digits of md5. */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  val h32Sql: String = "CAST(('0x' || substr(md5(%s), 1, 8)) AS BIGINT)"
+
+  /** Distinct word n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int = ShingleN): Column =
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  def shinglesSql(toksExpr: String, n: Int = ShingleN): String =
+    s"""CASE WHEN len($toksExpr) >= $n
+        THEN list_distinct([array_to_string(($toksExpr)[i:i+${n - 1}], ' ')
+                            for i in generate_series(1, len($toksExpr) - ${n - 1})])
+        ELSE [array_to_string($toksExpr, ' ')] END"""
+
+  // ---- q_dedup_exact -------------------------------------------------
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """
+    SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1"""
+
+  // ---- q_dedup_ngram -------------------------------------------------
+
+  /** N-gram Jaccard near-dup pairs: candidates = pairs sharing >= 1
+    * shingle (equi self-join), exact Jaccard from distinct-shingle
+    * counts, threshold 0.5.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(split(col("text"), " "))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh FROM t),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b, shared,
+           round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+    FROM pairs JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
+    WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5"""
+
+  // ---- q_dedup_minhash -----------------------------------------------
+
+  /** MinHash signature per document. 16 permutations over shingle
+    * hashes; exposed for [[minhashLsh]] and tests.
+    */
+  def signatures(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    // materialize the shingle-hash array once; the 16 permutations then
+    // share it instead of re-hashing per permutation
+    val hashed = docs.select(
+      col("doc_id"),
+      transform(shingles(toks), s => h32(s) % lit(P)).as("hs"),
+    )
+    val sig = array(MinhashAB.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+    hashed.select(col("doc_id"), sig.as("sig"))
+  }
+
+  private val sigSqlExpr: String = {
+    val hsExpr = s"[${h32Sql.format("s")} % ${P} for s in ${shinglesSql("string_split(text, ' ')")}]"
+    val perms = MinhashAB.map { case (a, b) => s"[$a, $b]" }.mkString(", ")
+    s"list_transform([$perms], ab -> list_min(list_transform($hsExpr, h -> (ab[1] * h + ab[2]) % ${P})))"
+  }
+
+  /** MinHash + LSH near-dup pairs: 4 bands x 4 rows; candidates share a
+    * band hash; similarity = matching signature positions / 16,
+    * threshold 0.5.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // signatures are consumed three times (band explode + two gather
+    // joins); persist the narrow (id, 16-long) relation so the md5 +
+    // permutation work runs once — at cluster scale this is where a
+    // signature table would be checkpointed to storage
+    val sigs = signatures(Tables.documents(spark, sfDir)).persist()
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+            element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4))).as("bh"))
+      }: _*)).as("bd"),
+    ).select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    // candidate pairs dedupe on narrow (id, id) rows; signatures are
+    // re-joined afterwards so the 16-long arrays never shuffle per band
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y), b => b))
+          .cast("double") / lit(16.0), 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  val minhashLshSql: String =
+    s"""
+    WITH sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM documents),
+    bands AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len([i for i in generate_series(1, 16) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 16.0, 6) AS est_jaccard
+    FROM cand
+    WHERE round(CAST(len([i for i in generate_series(1, 16) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 16.0, 6) >= 0.5"""
+
+  // ---- q_dedup_simhash -----------------------------------------------
+
+  /** 32-bit SimHash per document over token hashes. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    // materialize the token-hash array once; the 32 per-bit folds share it
+    val hashed = docs.select(
+      col("doc_id"),
+      transform(split(col("text"), " "), t => h32(t)).as("hs"),
+    )
+    val simhash = (0 until 32).map { k =>
+      val bitSum = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      when(bitSum > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance <= 6 of the 32-bit codes. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = simhashes(Tables.documents(spark, sfDir))
+    sh.as("a")
+      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"), col("hamming"))
+  }
+
+  val simhashPairsSql: String = {
+    val hsExpr = s"[${h32Sql.format("t")} for t in string_split(text, ' ')]"
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN list_sum([((h >> k) & 1) * 2 - 1 for h in $hsExpr]) > 0
+                                 THEN (1::BIGINT << k) ELSE 0 END
+                            for k in generate_series(0, 31)]) AS BIGINT) AS simhash
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+  }
+}

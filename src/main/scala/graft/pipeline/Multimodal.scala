@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Multimodal column plumbing: media (image/audio/video) rides through
+  * the pipeline as an opaque `BINARY` column plus typed metadata; decode
+  * / feature-extraction run as partition-iterator transforms (the Scala
+  * analog of `mapInPandas`: one batch per partition, vectorizable,
+  * nothing row-at-a-time on the driver).
+  *
+  * The actual codec is NOT available in this environment, so
+  * [[FakeCodec]] is a clearly-marked deterministic stand-in: it derives
+  * "decoded" properties purely from the bytes (length, first/last
+  * bytes, rolling checksum). The Spark-side plumbing — schema,
+  * partitioning, batch iteration, feature schema — is real and is what
+  * a production codec would plug into.
+  *
+  * Scale notes: media blobs are large; the media relation is carried
+  * (id, meta, bytes) with features projected into a narrow relation as
+  * early as possible so downstream shuffles never move the blobs.
+  * Partitioning by id keeps decode embarrassingly parallel.
+  */
+object Multimodal {
+
+  /** A media asset: opaque payload + typed metadata. */
+  final case class MediaAsset(
+      asset_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+  )
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      checksum: Long,
+      head_byte: Int,
+      frame_count: Int,
+      mean_luma: Double,
+  )
+
+  /** Deterministic stand-in for the media codec (no image/audio libs in
+    * this container). A real implementation would replace ONLY this
+    * object; everything else is production plumbing.
+    */
+  object FakeCodec {
+    /** "Decode" = derive stable pseudo-features from raw bytes. */
+    def decode(a: MediaAsset): MediaFeatures = {
+      val bytes = a.payload
+      var checksum = 0L
+      var lumaSum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        checksum = (checksum * 131 + (bytes(i) & 0xff)) % 1000000007L
+        lumaSum += (bytes(i) & 0xff)
+        i += 1
+      }
+      val frames =
+        if (a.media_type == "video") math.max(1, (a.duration_ms / 40L).toInt) // ~25fps
+        else 1
+      MediaFeatures(
+        asset_id = a.asset_id,
+        media_type = a.media_type,
+        n_bytes = bytes.length.toLong,
+        checksum = checksum,
+        head_byte = if (bytes.nonEmpty) bytes(0) & 0xff else -1,
+        frame_count = frames,
+        mean_luma = if (bytes.isEmpty) 0.0 else lumaSum.toDouble / bytes.length,
+      )
+    }
+
+    /** Frame sampling: pick every `stride`-th frame index. */
+    def sampleFrames(frameCount: Int, stride: Int): Seq[Int] =
+      0 until frameCount by stride
+  }
+
+  /** Decode stage: partition-iterator transform over the media relation
+    * (mapPartitions — the batch shape a vectorized codec needs).
+    */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(FakeCodec.decode))
+  }
+
+  /** Build a synthetic media relation from the documents table (text
+    * bytes as the opaque payload) — exercises the exact schema and
+    * partition flow real media would use.
+    */
+  def syntheticAssets(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 25L).as("duration_ms"),
+      )
+      .as[MediaAsset]
+  }
+
+  /** q_multimodal: full plumbing end-to-end — synthesize assets, decode
+    * via the partition-iterator stage, return the narrow feature
+    * relation. Oracle recomputes the same checksum/luma from the text
+    * bytes in SQL.
+    */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = extractFeatures(syntheticAssets(spark, sfDir))
+    feats.toDF().select(
+      col("asset_id"), col("media_type"), col("n_bytes"), col("checksum"),
+      col("head_byte"), col("frame_count"), round(col("mean_luma"), 6).as("mean_luma"))
+  }
+
+  /** DuckDB mirror: same rolling checksum over the UTF-8 bytes via a
+    * left fold (documents are ASCII so code units == bytes).
+    */
+  val multimodalFeaturesSql: String =
+    """
+    WITH t AS (
+      SELECT doc_id AS asset_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             text, n_chars,
+             [unicode(substr(text, i, 1)) for i in generate_series(1, length(text))] AS chars
+      FROM documents
+    ),
+    f AS (
+      SELECT asset_id, media_type,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(list_prepend(0::BIGINT, [CAST(c AS BIGINT) for c in chars]),
+                  (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS checksum,
+             CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS head_byte,
+             CASE WHEN asset_id % 3 = 2 THEN greatest(1, CAST((n_chars * 25) // 40 AS INT)) ELSE 1 END AS frame_count,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(list_sum([CAST(c AS BIGINT) for c in chars]) AS DOUBLE) / length(text)
+             END AS mean_luma
+      FROM t
+    )
+    SELECT asset_id, media_type, n_bytes, checksum, head_byte, frame_count,
+           round(mean_luma, 6) AS mean_luma
+    FROM f"""
+}

@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
+  * brute-force cosine top-k as the exact baseline and a sign-bucket LSH
+  * variant as the scale path.
+  *
+  * Scale design: brute force is O(queries x corpus) — correct but only
+  * viable for small query sets; the LSH variant buckets vectors by a
+  * 16-bit structured-sign code so candidate generation is an equi join
+  * on the code (at 100 TB: shuffle on short keys, candidates bounded per
+  * bucket; refine with exact cosine inside buckets — same
+  * candidates-then-verify shape as MinHash dedup).
+  *
+  * Cosine arithmetic: elements are cast float->double (exact), products
+  * summed by a sequential left fold in both engines, single final
+  * division — bit-identical cross-engine, then rounded to 6.
+  */
+object Similarity {
+
+  /** Dot product: native codegen'd Catalyst expression (tight loop, no
+    * per-element lambda); summation order matches a left fold so results
+    * are bit-identical to the oracle's list_reduce.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(a, b)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** DuckDB mirror of [[dot]]: products list then left fold. */
+  def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce([CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) for i in generate_series(1, $dim)], (x, y) -> x + y)"
+
+  def cosineSql(a: String, b: String, dim: Int = 64): String =
+    s"(${dotSql(a, b, dim)} / sqrt(${dotSql(a, a, dim)} * ${dotSql(b, b, dim)}))"
+
+  // ---- q_ann_topk ----------------------------------------------------
+
+  /** Brute-force cosine top-k: every 100th vector is a query; top 5
+    * neighbors by (rounded cosine desc, vec_id asc).
+    */
+  def annTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    // norms are precomputed per vector BEFORE the pairwise join — at
+    // scale this halves the per-pair flops and keeps the join payload
+    // narrow; the arithmetic (sqrt of the norm product) is unchanged.
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), dot(col("embedding"), col("embedding")).as("nsq"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val scored = queries.crossJoin(emb.select(col("vec_id"), col("embedding"), col("nsq")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("embedding")) / sqrt(col("q_nsq") * col("nsq")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  val annTopkSql: String =
+    s"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(${cosineSql("q.q_emb", "e.embedding")}, 6) AS cos
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, rk, vec_id, cos FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5"""
+
+  // ---- q_ann_lsh -----------------------------------------------------
+
+  /** Structured-sign LSH code: bit j (0..15) is the sign of
+    * v[j] - v[j+16] + v[j+32] - v[j+48] — a deterministic contrast
+    * "hyperplane" needing no stored random planes (and no
+    * transcendentals, keeping both engines bit-identical).
+    */
+  def signCode(v: Column): Column =
+    (0 until 16).map { j =>
+      val contrast = element_at(v, j + 1).cast("double") -
+        element_at(v, j + 17).cast("double") +
+        element_at(v, j + 33).cast("double") -
+        element_at(v, j + 49).cast("double")
+      when(contrast > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val signCodeSql: String =
+    """CAST(list_sum([
+         CASE WHEN CAST(v[j + 1] AS DOUBLE) - CAST(v[j + 17] AS DOUBLE)
+                   + CAST(v[j + 33] AS DOUBLE) - CAST(v[j + 49] AS DOUBLE) > 0
+              THEN (1::BIGINT << j) ELSE 0 END
+         for j in generate_series(0, 15)]) AS BIGINT)"""
+
+  /** LSH-bucketed similar pairs: the 16-bit sign code is split into 4
+    * bands of 4 bits; pairs sharing any band are candidates (equi join
+    * on (band, nibble) — no cross join), refined with exact cosine
+    * >= 0.3 and deduplicated. Output also reports code Hamming distance.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // codes/norms are consumed three times (band explode + two gather
+    // joins); persist so signCode/norm lambdas run once per vector
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+      .persist()
+    val banded = emb.select(
+      col("vec_id"), col("embedding"), col("code"), col("nsq"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
+      }: _*)).as("bd"),
+    ).select(col("vec_id"), col("embedding"), col("code"), col("nsq"),
+      col("bd.band").as("band"), col("bd.nib").as("nib"))
+    // dedupe candidate PAIRS as narrow (id, id) rows — a pair hit in k
+    // bands must not shuffle its 64-float payload k times — then gather
+    // the vectors back with two joins against the narrow base relation.
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(emb.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(emb.as("eb"), col("id_b") === col("eb.vec_id"))
+      .withColumn("cos",
+        round(dot(col("ea.embedding"), col("eb.embedding")) / sqrt(col("ea.nsq") * col("eb.nsq")), 6))
+      .filter(col("cos") >= 0.3)
+      .withColumn("hamming", bit_count(col("ea.code").bitwiseXOR(col("eb.code"))))
+      .select(col("id_a"), col("id_b"), col("cos"), col("hamming"))
+  }
+
+  val annLshSql: String =
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             ${signCodeSql.replace("v[", "embedding[")} AS code
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, embedding, code, b.band, (code >> (4 * b.band)) % 16 AS nib
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS emb_a, b.embedding AS emb_b,
+             a.code AS code_a, b.code AS code_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(${cosineSql("emb_a", "emb_b")}, 6) AS cos,
+           bit_count(xor(code_a, code_b)) AS hamming
+    FROM cand
+    WHERE round(${cosineSql("emb_a", "emb_b")}, 6) >= 0.3"""
+
+  // ---- q_dedup_embed -------------------------------------------------
+
+  /** Embedding-cosine near-dup pairs via the LSH candidate path:
+    * candidates share a code band, near-dups have cosine >= 0.4.
+    */
+  def embedDedup(spark: SparkSession, sfDir: String): DataFrame =
+    annLsh(spark, sfDir).filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+
+  val embedDedupSql: String =
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             ${signCodeSql.replace("v[", "embedding[")} AS code
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, embedding, code, b.band, (code >> (4 * b.band)) % 16 AS nib
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS emb_a, b.embedding AS emb_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(${cosineSql("emb_a", "emb_b")}, 6) AS cos
+    FROM cand
+    WHERE round(${cosineSql("emb_a", "emb_b")}, 6) >= 0.4"""
+}

@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, document
+  * fingerprinting. All are narrow per-row projections (no shuffle, full
+  * whole-stage codegen via `functions._` higher-order functions — no
+  * UDFs), so they scale linearly with input and parallelize trivially at
+  * 100 TB.
+  *
+  * Every operator has a DuckDB oracle with the same expression shape;
+  * all arithmetic is integer or single-division double, so results are
+  * bit-stable across engines.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  // Stopword marker lists for the n-gram/stopword language heuristic.
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EsStop = Seq("el", "la", "de", "que", "y", "los", "se")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "von", "nicht")
+  val FrStop = Seq("le", "les", "et", "des", "une", "est", "dans")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words: _*)))
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  // ---- q_lang_id -----------------------------------------------------
+
+  /** Stopword-marker language ID: count marker hits per language, pick
+    * the max with a fixed tie-break order (en > es > de > fr > unknown).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"),
+        col("lang").as("lang_label"),
+        hits(t, EnStop).as("n_en"),
+        hits(t, EsStop).as("n_es"),
+        hits(t, DeStop).as("n_de"),
+        hits(t, FrStop).as("n_fr"),
+      )
+      .withColumn(
+        "pred_lang",
+        when(col("n_en") + col("n_es") + col("n_de") + col("n_fr") === 0, lit("unknown"))
+          .when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de") && col("n_en") >= col("n_fr"), lit("en"))
+          .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_fr"), lit("es"))
+          .when(col("n_de") >= col("n_fr"), lit("de"))
+          .otherwise(lit("fr")),
+      )
+  }
+
+  val langIdSql: String =
+    s"""
+    WITH t AS (SELECT doc_id, lang AS lang_label, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, lang_label,
+             ${sqlHits(EnStop)} AS n_en,
+             ${sqlHits(EsStop)} AS n_es,
+             ${sqlHits(DeStop)} AS n_de,
+             ${sqlHits(FrStop)} AS n_fr
+      FROM t
+    )
+    SELECT doc_id, lang_label, n_en, n_es, n_de, n_fr,
+      CASE WHEN n_en + n_es + n_de + n_fr = 0 THEN 'unknown'
+           WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr THEN 'en'
+           WHEN n_es >= n_de AND n_es >= n_fr THEN 'es'
+           WHEN n_de >= n_fr THEN 'de'
+           ELSE 'fr' END AS pred_lang
+    FROM c"""
+
+  // ---- q_token_count -------------------------------------------------
+
+  /** Token counting: whitespace tokens, distinct tokens, regex word
+    * tokens (BPE-ish pre-tokenization: lowercase alpha runs), chars.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).as("n_word_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      col("n_chars"),
+    )
+  }
+
+  val tokenCountSql: String =
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           length(text) AS n_chars_measured,
+           n_chars
+    FROM documents"""
+
+  // ---- q_quality -----------------------------------------------------
+
+  /** Quality scoring: length/stopword/uniqueness ratios combined into a
+    * single [0, ~1] score. All ratios are single divisions of integer
+    * counts -> bit-identical doubles; the blended score is rounded to 6.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val allStop = EnStop ++ EsStop ++ DeStop ++ FrStop
+    val nStop = hits(t, allStop)
+    val nUniq = size(array_distinct(t))
+    val charLen = length(col("text"))
+    val stopRatio = nStop.cast("double") / nTok
+    val uniqRatio = nUniq.cast("double") / nTok
+    val avgTokLen = (charLen - (nTok - lit(1))).cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / lit(200.0), lit(1.0))
+    docs
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(uniqRatio, 6).as("uniq_ratio"),
+        round(avgTokLen, 6).as("avg_token_len"),
+        round(
+          lenScore * lit(0.4) + stopRatio * lit(0.3) + uniqRatio * lit(0.3),
+          6,
+        ).as("quality_score"),
+      )
+  }
+
+  val qualitySql: String = {
+    val allStop = (EnStop ++ EsStop ++ DeStop ++ FrStop).map(w => s"'$w'").mkString(",")
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_len FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ($allStop))) AS n_stop,
+             len(list_distinct(toks)) AS n_uniq,
+             char_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+           round(CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           round(least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.4
+                 + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                 + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3, 6) AS quality_score
+    FROM c"""
+  }
+
+  // ---- q_fingerprint -------------------------------------------------
+
+  /** Document fingerprinting: position-weighted rolling hash over token
+    * hashes (md5-derived 32-bit values), mod-reduced so the sum stays in
+    * int64. Identical integer arithmetic in both engines.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    // h(tok) = first 8 hex digits of md5 as uint32
+    val tokHashes = transform(t, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+    // weighted = (h % 1000003) * ((i % 64) + 1), i 0-based
+    val weighted = transform(tokHashes, (h, i) => (h % lit(1000003L)) * ((i % lit(64L)) + lit(1L)))
+    docs.select(
+      col("doc_id"),
+      aggregate(weighted, lit(0L), (acc, x) => acc + x).as("fingerprint"),
+      size(t).as("n_tokens"),
+    )
+  }
+
+  val fingerprintSql: String =
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(
+             list_transform(toks, (x, i) ->
+               (CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000003)
+               * (((i - 1) % 64) + 1))
+           ) AS BIGINT) AS fingerprint,
+           len(toks) AS n_tokens
+    FROM t"""
+}
