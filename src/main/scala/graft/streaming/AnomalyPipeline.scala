@@ -1,0 +1,218 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+import graft.core.{Dsl, Durations}
+import graft.operators.{Anomaly, Extraction, WindowStats}
+import graft.operators.Extraction.FieldCol
+
+/** The streaming shell: the reference's whole hot path
+  * (lib/Stream.js + lib/dsl/DSLHandler.js, SURVEY.md §3.1) re-expressed
+  * as one Structured Streaming pipeline driven through `foreachBatch`.
+  *
+  * Semantics preserved from the reference:
+  *  - **Snapshot staleness** (lib/dsl/DSLHandler.js:166-189): a batch's
+  *    rows are judged against the stats snapshot computed at the END of
+  *    the PREVIOUS trigger; the batch's own samples are folded into the
+  *    store before the next snapshot but do not dilute the stats they
+  *    are judged against.
+  *  - **Trailing wall-clock windows** anchored at batch time
+  *    (lib/db/model/SigmaModel.js:54): the injected `now` per batch.
+  *  - **Retention** = max window (lib/dsl/DSLHandler.js:91): the store
+  *    is pruned each trigger.
+  *  - **Cooldown** via keyed state ([[CooldownState]]).
+  *
+  * Scale notes: the event store kept per (topic, path) is the engine's
+  * shuffle spine; at cluster scale it would be a partitioned Delta/
+  * parquet table with the stats aggregation running partial->final.
+  * Here the store is an in-memory accumulated DataFrame with the same
+  * plan shape. The stats snapshot is tiny and broadcast into the
+  * per-batch join.
+  */
+class AnomalyPipeline(
+    spark: SparkSession,
+    dsl: Dsl,
+    cooldownMs: Long = Dsl.CooldownMs,
+) extends Serializable {
+
+  import spark.implicits._
+
+  /** Accumulated long-format sample store (the sigma relation). */
+  private val store = new AtomicReference[DataFrame](
+    spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
+      .toDF("topic", "path", "value", "produced"))
+
+  /** Stats snapshot from the previous trigger (the DSLHandler cache). */
+  private val snapshot = new AtomicReference[Option[DataFrame]](None)
+
+  /** Process counters mirroring lib/Sarkac.js:29-36. */
+  val counters = new Counters(spark)
+
+  /** Driver-held cooldown cache: (topic, path, window) -> last emitted
+    * event-time micros — the Spark analog of the reference's in-memory
+    * TTL cache (lib/dsl/DSLHandler.js:13). Anomalies are a rare filtered
+    * set, so the per-batch greedy runs on collected rows (the heavy
+    * filtering/aggregation stays distributed).
+    */
+  private val cooldownCache =
+    new AtomicReference[Map[(String, String, Long), Long]](Map.empty)
+
+  def currentStore: DataFrame = store.get()
+  def currentSnapshot: Option[DataFrame] = snapshot.get()
+
+  /** One micro-batch step: returns the emitted anomalies.
+    *
+    * `batch` must be normalized messages: (topic, value: json string,
+    * ts timestamp). `now` anchors the trailing windows (batch time).
+    */
+  def processBatch(batch: DataFrame, now: java.sql.Timestamp): Dataset[CooldownState.AnomalyEvent] = {
+    counters.analysedMessages.add(batch.count())
+
+    // 1. project to long format per the DSL (per-topic path sets)
+    val perTopic = dsl.topics.map { tc =>
+      Extraction.fromJsonMessages(
+        batch.filter(col("topic") === tc.topic),
+        col("topic"), col("value"), col("ts"),
+        tc.fields.map(_.path),
+        includeFrequency = true)
+    }
+    val samples =
+      if (perTopic.isEmpty)
+        spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
+          .toDF("topic", "path", "value", "produced")
+      else perTopic.reduce(_ union _)
+
+    // 2. judge against the PREVIOUS snapshot (staleness semantics)
+    val anomalies: Dataset[CooldownState.AnomalyEvent] = snapshot.get() match {
+      case None => spark.emptyDataset[CooldownState.AnomalyEvent]
+      case Some(stats) =>
+        Anomaly.detect(samples, stats, lit(now))
+          .select(
+            col("topic"), col("path"), col("window_sec"),
+            unix_micros(col("produced")).as("produced_us"),
+            col("value"), col("mean"), col("stddev_pop"), col("three_sigma"))
+          .as[CooldownState.AnomalyEvent]
+    }
+
+    // 3. fold batch into the store + retention prune (per-topic horizon)
+    val retention = dsl.topics.map(t => t.topic -> t.retentionSeconds).toMap
+    val maxRet = (retention.values ++ Seq(0L)).max
+    val newStore = store.get().union(samples)
+      .filter(unix_micros(col("produced")) >= unix_micros(lit(now)) - lit(maxRet * 1000000L))
+      .localCheckpoint(eager = true) // truncate lineage across triggers
+    store.set(newStore)
+
+    // 4. recompute the snapshot for the NEXT trigger
+    val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
+    if (windows.nonEmpty) {
+      val stats = WindowStats.rawTrailingStats(newStore, windows, lit(now))
+        .localCheckpoint(eager = true)
+      snapshot.set(Some(stats))
+    }
+    counters.scanRuns.add(1)
+
+    // 5. cooldown across triggers via the driver-held cache
+    val rows = anomalies.collect()
+    counters.anomaliesDetected.add(rows.length)
+    var cache = cooldownCache.get()
+    val emitted = rows
+      .groupBy(e => (e.topic, e.path, e.window_sec)).toSeq.sortBy(_._1)
+      .flatMap { case (key, es) =>
+        var last = cache.getOrElse(key, Long.MinValue)
+        val keep = es.sortBy(e => (e.produced_us, e.value)).filter { e =>
+          val ok = last == Long.MinValue || e.produced_us - last >= cooldownMs * 1000L
+          if (ok) last = e.produced_us
+          ok
+        }
+        cache = cache + (key -> last)
+        keep
+      }
+    cooldownCache.set(cache)
+    spark.createDataset(emitted)
+  }
+
+  /** Shape emitted anomalies like the reference's output record
+    * (lib/dsl/DSLHandler.js:217-227): id hash, humanWindow, etc.
+    */
+  def toAnomalyRecords(emitted: Dataset[CooldownState.AnomalyEvent]): DataFrame =
+    emitted.toDF()
+      .withColumn("id",
+        hash(col("topic"), col("path"), col("window_sec"), col("produced_us")))
+      .withColumn("humanWindow", AnomalyPipeline.humanWindowUdf(col("window_sec")))
+      .select(
+        col("id"), col("topic"), col("path"),
+        col("window_sec").as("window"), col("humanWindow"),
+        col("value"), col("mean").as("median"), // reference naming quirk
+        col("stddev_pop").as("stdDev"), col("three_sigma").as("threeSigma"),
+        timestamp_micros(col("produced_us")).as("produced"))
+}
+
+object AnomalyPipeline {
+
+  /** humanWindow stringify (lib/dsl/DSLHandler.js:221). */
+  val humanWindowUdf = udf((s: Long) => Durations.human(s))
+
+  /** Normalized-message schema (FIXTURES.md A1). */
+  val MessageSchema: StructType = new StructType()
+    .add("topic", "string").add("key", "string").add("value", "string")
+    .add("ts", TimestampType)
+
+  /** Kafka source wiring (S1): subscribe to the DSL topics and decode
+    * Buffers to strings — the beforeMessageProcessing hook
+    * (lib/Stream.js:43-65) as a declarative stage. Not exercised in
+    * tests (no broker in the environment); the decode stage itself is.
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: Seq[String]): DataFrame =
+    decodeKafka(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics.mkString(","))
+        .load())
+
+  /** The decode stage, usable on any Kafka-shaped relation (batch or
+    * stream): cast key/value to UTF-8 strings, keep topic + timestamp.
+    */
+  def decodeKafka(raw: DataFrame): DataFrame =
+    raw.selectExpr(
+      "topic",
+      "CAST(key AS STRING) AS key",
+      "CAST(value AS STRING) AS value",
+      "timestamp AS ts",
+    ).filter(col("topic").isNotNull && col("value").isNotNull) // F1
+
+  /** Kafka sink wiring (S4): anomaly records as JSON keyed by id. */
+  def kafkaSink(records: DataFrame, bootstrap: String, topic: String): DataStreamWriter[Row] =
+    records
+      .select(col("id").cast("string").as("key"), to_json(struct(records.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .trigger(Trigger.ProcessingTime("15 seconds")) // reference scan cadence
+
+  /** Full streaming query: source -> foreachBatch(processBatch) -> sink
+    * callback. The caller supplies the sink (memory table, parquet,
+    * Kafka) via `onBatch`.
+    */
+  def run(
+      pipeline: AnomalyPipeline,
+      source: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      clock: Option[DataFrame => java.sql.Timestamp] = None,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val df = batch.toDF()
+        val now = clock.map(_(df)).getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
+        val emitted = pipeline.processBatch(df, now)
+        onBatch(pipeline.toAnomalyRecords(emitted), batchId)
+      }
+      .start()
+}
