@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{CoreQueries, RelationalQueries}
+import graft.queries.{CoreQueries, RelationalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,10 @@ object SparkEntry {
     "q_dedup_embed" -> (Similarity.embedDedup _),
     // LLM-data-pipeline: multimodal plumbing
     "q_multimodal" -> (Multimodal.multimodalFeatures _),
+    // analytic extensions beyond the reference surface
+    "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
+    "q_rollup" -> (WindowQueries.rollupRevenue _),
+    "q_median" -> (WindowQueries.median _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +83,8 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,
     "q_multimodal" -> Multimodal.multimodalFeaturesSql,
+    "q_tumbling_stats" -> WindowQueries.tumblingStatsSql,
+    "q_rollup" -> WindowQueries.rollupRevenueSql,
+    "q_median" -> WindowQueries.medianSql,
   )
 }

@@ -47,6 +47,14 @@ object Dedup {
 
   val h32Sql: String = "CAST(('0x' || substr(md5(%s), 1, 8)) AS BIGINT)"
 
+  /** md5-derived 60-bit hash: first 15 hex digits of md5 (fits a signed
+    * long; collision-free in practice). Used to shrink join keys — an
+    * 8-byte shuffle key instead of a ~25-char shingle string.
+    */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val h60Sql: String = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
   /** Distinct word n-gram shingles of a token array. */
   def shingles(toks: Column, n: Int = ShingleN): Column =
     when(size(toks) >= n,
@@ -77,13 +85,18 @@ object Dedup {
   // ---- q_dedup_ngram -------------------------------------------------
 
   /** N-gram Jaccard near-dup pairs: candidates = pairs sharing >= 1
-    * shingle (equi self-join), exact Jaccard from distinct-shingle
-    * counts, threshold 0.5.
+    * shingle (equi self-join on the 60-bit shingle hash — an 8-byte
+    * shuffle key), exact Jaccard from distinct-shingle counts,
+    * threshold 0.5.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // consumed by both sides of the self-join and by the size relation:
+    // persist so tokenize+shingle+md5 runs once per document
     val sh = docs
-      .select(col("doc_id"), explode(shingles(split(col("text"), " "))).as("sh"))
+      .select(col("doc_id"), explode(shingles(split(col("text"), " "))).as("sh_str"))
+      .select(col("doc_id"), h60(col("sh_str")).as("sh"))
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -101,7 +114,8 @@ object Dedup {
   val ngramJaccardSql: String =
     s"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh FROM t),
+    sh0 AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh_str FROM t),
+    sh AS (SELECT doc_id, ${h60Sql.format("sh_str")} AS sh FROM sh0),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
