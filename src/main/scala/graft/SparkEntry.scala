@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{CoreQueries, RelationalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,6 +53,9 @@ object SparkEntry {
     "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
     "q_rollup" -> (WindowQueries.rollupRevenue _),
     "q_median" -> (WindowQueries.median _),
+    // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
+    // driver records the weaker rows-only check)
+    "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

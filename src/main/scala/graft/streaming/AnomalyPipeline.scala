@@ -205,6 +205,7 @@ object AnomalyPipeline {
       source: DataFrame,
       onBatch: (DataFrame, Long) => Unit,
       clock: Option[DataFrame => java.sql.Timestamp] = None,
+      outputHook: DataFrame => DataFrame = identity,
   ): org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
       .outputMode(OutputMode.Append())
@@ -212,7 +213,9 @@ object AnomalyPipeline {
         val df = batch.toDF()
         val now = clock.map(_(df)).getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
         val emitted = pipeline.processBatch(df, now)
-        onBatch(pipeline.toAnomalyRecords(emitted), batchId)
+        // beforeAnomalyProduction hook (reference: lib/Stream.js:72-107):
+        // user output-shaping stage applied before the sink
+        onBatch(outputHook(pipeline.toAnomalyRecords(emitted)), batchId)
       }
       .start()
 }

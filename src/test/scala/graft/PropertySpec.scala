@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Anomaly, WindowStats}
+
+/** Property-based invariants from SURVEY.md §5.2, driven by ScalaCheck
+  * generators with fixed seeds (deterministic across runs).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+  private def at(secAgo: Long) = new Timestamp(t0.getTime - secAgo * 1000)
+
+  /** Draw `n` deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int = 10): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAllSampled[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  test("constant streams never alarm regardless of mean shift (F7 gate)") {
+    // range within the engine's documented exact-decimal envelope
+    // (graft.functions.Exact: |sum of squares| < 1e12)
+    forAllSampled(Gen.zip(Gen.chooseNum(-1e4, 1e4), Gen.chooseNum(4, 30))) { case (level, n) =>
+      val df = (1 to n).map(i => ("t", "f", level, at(i.toLong)))
+        .toDF("topic", "path", "value", "produced")
+      val stats = WindowStats.rawTrailingStats(df, Seq(3600L), lit(t0))
+      assert(Anomaly.detect(df, stats, lit(t0)).isEmpty)
+    }
+  }
+
+  test("a far outlier among a steady baseline always alarms") {
+    forAllSampled(Gen.zip(Gen.chooseNum(1.0, 100.0), Gen.chooseNum(10, 25))) { case (base, n) =>
+      // baseline with small jitter + one point 100x the spread away
+      val steady = (1 to n).map(i => ("t", "f", base + (i % 3) * 0.1, at(i.toLong + 1)))
+      val outlier = ("t", "f", base + 1000.0, at(1L))
+      val df = (steady :+ outlier).toDF("topic", "path", "value", "produced")
+      val stats = WindowStats.rawTrailingStats(df, Seq(3600L), lit(t0))
+      val out = Anomaly.detect(df, stats, lit(t0)).collect()
+      assert(out.exists(_.getAs[Double]("value") == base + 1000.0))
+    }
+  }
+
+  test("multi-window monotonicity: counts never decrease as windows widen") {
+    forAllSampled(Gen.listOfN(30, Gen.chooseNum(1L, 7000L)), n = 5) { ages =>
+      {
+        val df = ages.zipWithIndex.map { case (a, i) => ("t", "f", i.toDouble, at(a)) }
+          .toDF("topic", "path", "value", "produced")
+        val windows = Seq(600L, 1800L, 3600L, 7200L)
+        val counts = df
+          .withColumn("window_sec", explode(array(windows.map(lit): _*)))
+          .filter(unix_micros(col("produced")) >= unix_micros(lit(t0)) - col("window_sec") * 1000000L)
+          .groupBy(col("window_sec")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ordered = windows.map(w => counts.getOrElse(w, 0L))
+        assert(ordered == ordered.sorted, s"counts not monotone: $ordered")
+      }
+    }
+  }
+
+  test("decimal-exact sums are invariant under repartitioning") {
+    forAllSampled(Gen.listOfN(50, Gen.chooseNum(-1e5, 1e5).map(v => math.round(v * 100) / 100.0)), n = 5) { vals =>
+      {
+        def sumOf(parts: Int): Double =
+          vals.toDF("v").repartition(parts)
+            .agg(graft.functions.Exact.exactSum(col("v"))).head.getDouble(0)
+        val s1 = sumOf(1)
+        val s8 = sumOf(8)
+        assert(java.lang.Double.doubleToLongBits(s1) == java.lang.Double.doubleToLongBits(s8),
+          s"partitioning changed the sum: $s1 vs $s8")
+      }
+    }
+  }
+}
