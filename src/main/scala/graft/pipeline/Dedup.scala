@@ -42,6 +42,9 @@ object Dedup {
   /** Words per shingle for the n-gram operators. */
   val ShingleN = 5
 
+  /** Polynomial base for n-gram rolling hashes over token hashes. */
+  val PolyB = 1000003L
+
   /** md5-derived 32-bit hash (0 .. 2^32): first 8 hex digits of md5. */
   def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
@@ -69,6 +72,36 @@ object Dedup {
                             for i in generate_series(1, len($toksExpr) - ${n - 1})])
         ELSE [array_to_string($toksExpr, ' ')] END"""
 
+  /** Distinct n-gram rolling hashes per document: tokens -> md5-derived
+    * 32-bit hashes mod P -> per-window polynomial fold (one native
+    * codegen pass, graft.functions.NGramPolyHash) -> distinct. The
+    * whole shingle never exists as a string.
+    */
+  def shingleHashes(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    val tokHashes = transform(split(col("text"), " "), t => h32(t) % lit(P))
+    docs.select(
+      col("doc_id"),
+      array_distinct(
+        graft.functions.SketchFunctions.ngramPolyHash(tokHashes, n, PolyB, P)).as("hs"),
+    )
+  }
+
+  /** DuckDB mirror of [[shingleHashes]]: per-window left fold
+    * `(acc * B + t) % P` over token hashes (short docs: one fold over
+    * the whole token list).
+    */
+  def shingleHashesSql(n: Int = ShingleN): String = {
+    val toks = "string_split(text, ' ')"
+    val th = s"[${h32Sql.format("t")} % ${P} for t in $toks]"
+    def fold(sliceExpr: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
+    s"""
+    SELECT doc_id, list_distinct(CASE WHEN len(th) >= $n
+      THEN [${fold(s"th[i:i+${n - 1}]")} for i in generate_series(1, len(th) - ${n - 1})]
+      ELSE [${fold("th")}] END) AS hs
+    FROM (SELECT doc_id, $th AS th FROM documents)"""
+  }
+
   // ---- q_dedup_exact -------------------------------------------------
 
   /** Exact dedup: group by content hash, keep the lowest doc_id. */
@@ -92,10 +125,9 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // consumed by both sides of the self-join and by the size relation:
-    // persist so tokenize+shingle+md5 runs once per document
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(split(col("text"), " "))).as("sh_str"))
-      .select(col("doc_id"), h60(col("sh_str")).as("sh"))
+    // persist so tokenize + rolling-hash runs once per document
+    val sh = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
       .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
@@ -113,9 +145,8 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh0 AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh_str FROM t),
-    sh AS (SELECT doc_id, ${h60Sql.format("sh_str")} AS sh FROM sh0),
+    WITH shdoc AS (${shingleHashesSql()}),
+    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -132,24 +163,15 @@ object Dedup {
   /** MinHash signature per document. 16 permutations over shingle
     * hashes; exposed for [[minhashLsh]] and tests.
     */
-  def signatures(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    // materialize the shingle-hash array once; the 16 permutations then
-    // share it instead of re-hashing per permutation
-    val hashed = docs.select(
-      col("doc_id"),
-      transform(shingles(toks), s => h32(s) % lit(P)).as("hs"),
-    )
-    val sig = array(MinhashAB.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P)))
-    }: _*)
-    hashed.select(col("doc_id"), sig.as("sig"))
-  }
+  def signatures(docs: DataFrame): DataFrame =
+    // shingle rolling-hash array (one native pass) -> all 16 permutation
+    // minima in ONE further native pass (graft.functions.MinHashSignature)
+    shingleHashes(docs).select(col("doc_id"),
+      graft.functions.SketchFunctions.minhashSignature(col("hs"), MinhashAB, P).as("sig"))
 
   private val sigSqlExpr: String = {
-    val hsExpr = s"[${h32Sql.format("s")} % ${P} for s in ${shinglesSql("string_split(text, ' ')")}]"
     val perms = MinhashAB.map { case (a, b) => s"[$a, $b]" }.mkString(", ")
-    s"list_transform([$perms], ab -> list_min(list_transform($hsExpr, h -> (ab[1] * h + ab[2]) % ${P})))"
+    s"list_transform([$perms], ab -> list_min(list_transform(hs, h -> (ab[1] * h + ab[2]) % ${P})))"
   }
 
   /** MinHash + LSH near-dup pairs: 4 bands x 4 rows; candidates share a
@@ -191,7 +213,8 @@ object Dedup {
 
   val minhashLshSql: String =
     s"""
-    WITH sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM documents),
+    WITH shdoc AS (${shingleHashesSql()}),
+    sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
     bands AS (
       SELECT doc_id, sig, b.band,
              md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
@@ -212,17 +235,15 @@ object Dedup {
 
   /** 32-bit SimHash per document over token hashes. */
   def simhashes(docs: DataFrame): DataFrame = {
-    // materialize the token-hash array once; the 32 per-bit folds share it
+    // token-hash array materialized once; all 32 bits computed in ONE
+    // native codegen pass (graft.functions.SimHash32) instead of 32
+    // interpreted aggregate() folds
     val hashed = docs.select(
       col("doc_id"),
       transform(split(col("text"), " "), t => h32(t)).as("hs"),
     )
-    val simhash = (0 until 32).map { k =>
-      val bitSum = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
-      when(bitSum > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.select(col("doc_id"), simhash.as("simhash"))
+    hashed.select(col("doc_id"),
+      graft.functions.SketchFunctions.simhash32(col("hs")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance <= 6 of the 32-bit codes. */
