@@ -33,6 +33,7 @@ object SparkEntry {
     "q_join_revenue" -> (RelationalQueries.joinRevenue _),
     "q_topk_orders" -> (RelationalQueries.topkOrders _),
     "q_semi_anti" -> (RelationalQueries.semiAnti _),
+    "q_salted_agg" -> (RelationalQueries.saltedAgg _),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_token_count" -> (TextAnalysis.tokenCount _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_join_revenue" -> RelationalQueries.joinRevenueSql,
     "q_topk_orders" -> RelationalQueries.topkOrdersSql,
     "q_semi_anti" -> RelationalQueries.semiAntiSql,
+    "q_salted_agg" -> RelationalQueries.saltedAggSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_quality" -> TextAnalysis.qualitySql,

@@ -102,6 +102,38 @@ object RelationalQueries {
       FROM orders
     ) WHERE rk <= 3"""
 
+  // ---- q_salted_agg: skew-safe two-phase aggregation -----------------
+
+  /** Skew mitigation demonstrated end-to-end: aggregate per
+    * (key, salt) first — spreading a hot key over 16 reducers — then
+    * merge the partials. Because the engine's sums are exact decimals
+    * (associative), the salted result is IDENTICAL to a plain groupBy,
+    * and the oracle is the plain GROUP BY. This is the manual form of
+    * what AQE's skew-join handling does for joins.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val salted = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(dec(col("l_quantity"))).as("p_qty"),
+      )
+    salted
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(col("p_cnt")).as("n_items"),
+        sum(col("p_qty")).cast(D).cast("double").as("sum_qty"),
+      )
+  }
+
+  val saltedAggSql: String =
+    """
+    SELECT l_suppkey, count(*) AS n_items,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_suppkey"""
+
   // ---- q_semi_anti: semi/anti join (F2-style gating) -----------------
 
   /** Customers with at least one urgent order (semi) counted per market
