@@ -23,6 +23,7 @@ object SparkEntry {
     "q_extract_long" -> (CoreQueries.extractLong _),
     "q_window_stats" -> (CoreQueries.windowStats _),
     "q_window_stats_bucketed" -> (CoreQueries.windowStatsBucketed _),
+    "q_dsl_stats" -> (CoreQueries.dslStats _),
     "q_freq_count" -> (CoreQueries.freqCount _),
     "q_anomaly" -> (CoreQueries.anomaly _),
     "q_anomaly_cooldown" -> (CoreQueries.anomalyCooldown _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_extract_long" -> CoreQueries.extractLongSql,
     "q_window_stats" -> CoreQueries.windowStatsSql,
     "q_window_stats_bucketed" -> CoreQueries.windowStatsBucketedSql,
+    "q_dsl_stats" -> CoreQueries.dslStatsSql,
     "q_freq_count" -> CoreQueries.freqCountSql,
     "q_anomaly" -> CoreQueries.anomalySql,
     "q_anomaly_cooldown" -> CoreQueries.anomalyCooldownSql,

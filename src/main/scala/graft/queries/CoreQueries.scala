@@ -146,6 +146,74 @@ object CoreQueries {
            round(mean, 6) AS mean, round(stddev_pop, 6) AS stddev_pop
     FROM m WHERE cnt >= 3 AND mean <> 0 AND stddev_pop <> 0"""
 
+  // ---- q_dsl_stats ---------------------------------------------------
+
+  /** DSL-driven stats: each field carries its own window set (the
+    * reference's per-field `windows` config, example/example.js:26-39) —
+    * "value" tracks 1h/1d, "props.k" tracks 12h/1w. The fan-out joins
+    * samples against a broadcast (path -> window) dimension instead of
+    * exploding a global window list.
+    */
+  val DslWindows: Map[String, Seq[Long]] = Map(
+    "value" -> Seq(3600L, 86400L),
+    "props.k" -> Seq(43200L, 604800L),
+  )
+
+  def dslStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val now = nowOf(ev)
+    val dim = DslWindows.toSeq.flatMap { case (p, ws) => ws.map(w => (p, w)) }
+      .toDF("path", "window_sec")
+    val fanned = eventSamples(ev)
+      .join(broadcast(dim), Seq("path"))
+      .filter(unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L))
+      .filter(unix_micros(col("produced")) <= unix_micros(now))
+    fanned
+      .groupBy(col("topic"), col("path"), col("window_sec"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        graft.functions.Exact.exactSum(col("value")).as("sumv"),
+        graft.functions.Exact.exactSumSq(col("value")).as("sumsq"),
+      )
+      .withColumn("mean", col("sumv") / col("cnt"))
+      .withColumn("stddev_pop",
+        graft.functions.Exact.popStddev(col("sumsq"), col("mean"), col("cnt")))
+      .filter(col("cnt") >= graft.core.Dsl.MinSamples)
+      .filter(col("mean") =!= 0.0 && col("stddev_pop") =!= 0.0)
+      .select(col("topic"), col("path"), col("window_sec"), col("cnt"),
+        round(col("mean"), 6).as("mean"), round(col("stddev_pop"), 6).as("stddev_pop"))
+  }
+
+  val dslStatsSql: String = {
+    val dimValues = DslWindows.toSeq
+      .flatMap { case (p, ws) => ws.map(w => s"('$p', $w)") }.mkString(", ")
+    s"""
+    WITH $oracleSamples,
+    dim AS (SELECT * FROM (VALUES $dimValues) AS d(path, window_sec)),
+    f AS (
+      SELECT s.topic, s.path, CAST(dim.window_sec AS BIGINT) AS window_sec, s.value
+      FROM s JOIN dim ON s.path = dim.path, nw
+      WHERE s.ts_us >= nw.now_us - CAST(dim.window_sec AS BIGINT) * 1000000
+        AND s.ts_us <= nw.now_us
+    ),
+    a AS (
+      SELECT topic, path, window_sec, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM f GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT topic, path, window_sec, cnt,
+             sumv / cnt AS mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS stddev_pop
+      FROM a
+    )
+    SELECT topic, path, window_sec, cnt,
+           round(mean, 6) AS mean, round(stddev_pop, 6) AS stddev_pop
+    FROM m WHERE cnt >= 3 AND mean <> 0 AND stddev_pop <> 0"""
+  }
+
   // ---- q_freq_count --------------------------------------------------
 
   /** A3/A4 + P6: message-rate per (topic, window) — the count-per-window

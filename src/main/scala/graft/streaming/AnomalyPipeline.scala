@@ -38,14 +38,25 @@ class AnomalyPipeline(
     spark: SparkSession,
     dsl: Dsl,
     cooldownMs: Long = Dsl.CooldownMs,
+    stateDir: Option[String] = None,
 ) extends Serializable {
 
   import spark.implicits._
 
-  /** Accumulated long-format sample store (the sigma relation). */
-  private val store = new AtomicReference[DataFrame](
-    spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
-      .toDF("topic", "path", "value", "produced"))
+  /** Accumulated long-format sample store (the sigma relation). When a
+    * `stateDir` is configured the store is persisted as parquet each
+    * trigger and reloaded on construction, making the pipeline
+    * restart-safe (the cluster-scale form is the same table in
+    * Delta/parquet with a checkpointed streaming query).
+    */
+  private val store = new AtomicReference[DataFrame]({
+    val empty = spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
+      .toDF("topic", "path", "value", "produced")
+    stateDir.map { d =>
+      try spark.read.parquet(s"$d/store")
+      catch { case _: Throwable => empty }
+    }.getOrElse(empty)
+  })
 
   /** Stats snapshot from the previous trigger (the DSLHandler cache). */
   private val snapshot = new AtomicReference[Option[DataFrame]](None)
@@ -60,7 +71,15 @@ class AnomalyPipeline(
     * filtering/aggregation stays distributed).
     */
   private val cooldownCache =
-    new AtomicReference[Map[(String, String, Long), Long]](Map.empty)
+    new AtomicReference[Map[(String, String, Long), Long]]({
+      stateDir.map { d =>
+        try spark.read.parquet(s"$d/cooldown")
+          .collect()
+          .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+          .toMap
+        catch { case _: Throwable => Map.empty[(String, String, Long), Long] }
+      }.getOrElse(Map.empty)
+    })
 
   def currentStore: DataFrame = store.get()
   def currentSnapshot: Option[DataFrame] = snapshot.get()
@@ -86,6 +105,15 @@ class AnomalyPipeline(
         spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
           .toDF("topic", "path", "value", "produced")
       else perTopic.reduce(_ union _)
+
+    // restart path: no in-memory snapshot but a restored store ->
+    // recompute stats from pre-batch data (exactly the "stats as of the
+    // previous trigger" staleness semantics)
+    if (snapshot.get().isEmpty && !store.get().isEmpty) {
+      val windows0 = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
+      if (windows0.nonEmpty)
+        snapshot.set(Some(WindowStats.rawTrailingStats(store.get(), windows0, lit(now))))
+    }
 
     // 2. judge against the PREVIOUS snapshot (staleness semantics)
     val anomalies: Dataset[CooldownState.AnomalyEvent] = snapshot.get() match {
@@ -133,6 +161,14 @@ class AnomalyPipeline(
         keep
       }
     cooldownCache.set(cache)
+
+    // 6. persist state for restart (store + cooldown cache)
+    stateDir.foreach { d =>
+      newStore.write.mode("overwrite").parquet(s"$d/store")
+      cache.toSeq.map { case ((t, p, w), us) => (t, p, w, us) }
+        .toDF("topic", "path", "window_sec", "last_emit_us")
+        .write.mode("overwrite").parquet(s"$d/cooldown")
+    }
     spark.createDataset(emitted)
   }
 

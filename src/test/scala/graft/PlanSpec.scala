@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Plan-shape regression guards: the properties SCALE.md promises must
+  * stay visible in the physical plans (pushdown, broadcast choices,
+  * bounded shuffle count) — a refactor that silently degrades a plan
+  * fails here, not in a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (p +: expanded).flatMap(_.collect(pf))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val s = plan("q1_agg").toString
+    assert(s.contains("PushedFilters") && s.contains("l_shipdate"),
+      "shipdate predicate not pushed to the scan")
+  }
+
+  test("q_anomaly joins the stats snapshot as a broadcast hash join") {
+    val joins = collectAll(plan("q_anomaly")) { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "stats snapshot join is not broadcast")
+  }
+
+  test("q_join_revenue broadcasts both dimension tables") {
+    val joins = collectAll(plan("q_join_revenue")) { case j: BroadcastHashJoinExec => j }
+    assert(joins.size >= 2, s"expected 2 broadcast dim joins, got ${joins.size}")
+  }
+
+  test("q_window_stats needs exactly one shuffle (single grouped pass)") {
+    val shuffles = collectAll(plan("q_window_stats")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"window stats should aggregate in one pass, got ${shuffles.size} shuffles")
+  }
+
+  test("only the intentional brute-force queries use nested-loop joins") {
+    val allowed = Set("q_ann_topk", "q_dedup_simhash")
+    SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
+      val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
+      assert(nlj.isEmpty, s"$name unexpectedly uses a nested-loop join")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Dsl
+
+/** Restart safety: a new pipeline instance pointed at the same stateDir
+  * must continue exactly where the old one stopped — same store (so the
+  * first post-restart batch is judged against restored history) and
+  * same cooldown cache (so suppression spans the restart).
+  *
+  * Spikes are sparse (90 s / 150 s / 210 s) — dense repeated spikes
+  * inflate the trailing stddev until z drops below 1 (absorption), which
+  * would make the assertions vacuous.
+  */
+class RestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  // 30 s spike seeds variance (an all-steady window is stddev-0-gated);
+  // it is never judged itself (trigger 1 has no snapshot yet)
+  private val spikeSecs = Set(30L, 90L, 150L, 210L)
+
+  private def script(fromSec: Long, toSec: Long): Seq[(String, String, String, Timestamp)] =
+    (fromSec until toSec by 5).map { s =>
+      val one = if (spikeSecs(s)) 150.5 else 15.5
+      ("test-topic", s"k$s", s"""{"sub":{"one":$one}}""", new Timestamp(t0 + s * 1000))
+    }
+
+  test("store, snapshot, and cooldown survive a pipeline restart") {
+    val dir = Files.createTempDirectory("graft_state").toFile.getAbsolutePath
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+
+    // instance 1: spike at 90 s emitted in trigger 2
+    val p1 = new AnomalyPipeline(spark, dsl, cooldownMs = 120000L, stateDir = Some(dir))
+    p1.processBatch(script(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000))
+    val out1 = p1.processBatch(script(60, 120).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 120000))
+      .collect()
+    assert(out1.map(_.produced_us).toSeq == Seq((t0 + 90000) * 1000L), "expected the 90 s spike emitted")
+    val storeRows = p1.currentStore.count()
+
+    // instance 2 (restart)
+    val p2 = new AnomalyPipeline(spark, dsl, cooldownMs = 120000L, stateDir = Some(dir))
+    assert(p2.currentStore.count() == storeRows, "store not restored from stateDir")
+
+    // spike at 150 s: detected against the restored snapshot, but only
+    // 60 s after the pre-restart emission -> suppressed IFF the cooldown
+    // cache survived the restart
+    val out2 = p2.processBatch(script(120, 180).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 180000))
+      .collect()
+    assert(out2.isEmpty, s"cooldown lost across restart: ${out2.toSeq}")
+
+    // spike at 210 s: exactly 120 s after the pre-restart emission ->
+    // emitted (proves detection works against restored state, not just
+    // that everything is suppressed)
+    val out3 = p2.processBatch(script(180, 240).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 240000))
+      .collect()
+    assert(out3.map(_.produced_us).toSeq == Seq((t0 + 210000) * 1000L),
+      s"expected the 210 s spike emitted after restart, got ${out3.toSeq}")
+  }
+}
