@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Dsl
+import graft.streaming.AnomalyPipeline
+
+/** Streaming-path throughput benchmark: pushes synthetic JSON messages
+  * through the full per-trigger pipeline (extract -> judge-vs-snapshot
+  * -> store fold -> stats recompute -> cooldown) and reports messages
+  * per second. The reference's operating envelope is low-thousands of
+  * messages per second per instance (BASELINE.md: single Node event
+  * loop, one Mongo insert per message x field, 3 aggregation
+  * round-trips per key per 15 s scan).
+  *
+  * Usage: runMain graft.StreamBench [messagesPerTrigger] [triggers]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val perTrigger = args.headOption.map(_.toInt).getOrElse(100000)
+    val triggers = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dsl = Dsl.parse(Map(
+      "topic-a" -> Map("sub.one" -> Seq("15m"), "two" -> Seq("15m")),
+      "topic-b" -> Map("rate" -> Seq("15m", "1h")),
+    ))
+    val pipeline = new AnomalyPipeline(spark, dsl, cooldownMs = Dsl.CooldownMs)
+
+    // one trigger = perTrigger messages spread over 15 s of event time
+    def batch(trigger: Int) = spark.range(perTrigger.toLong).map { i =>
+      val s = trigger * 15000L + (i * 15000L / perTrigger)
+      val topic = if (i % 2 == 0) "topic-a" else "topic-b"
+      val value =
+        if (i % 2 == 0) s"""{"sub":{"one":${15.0 + (i % 7)}},"two":${16.0 + (i % 5)}}"""
+        else s"""{"rate":${2.5 + (i % 11)}}"""
+      (topic, s"k$i", value, new Timestamp(t0 + s))
+    }.toDF("topic", "key", "value", "ts")
+
+    // warm-up trigger (session + codegen), not timed
+    pipeline.processBatch(batch(0), new Timestamp(t0 + 15000))
+
+    val start = System.nanoTime()
+    var anomalies = 0L
+    (1 to triggers).foreach { tr =>
+      anomalies += pipeline.processBatch(batch(tr), new Timestamp(t0 + (tr + 1) * 15000L)).count()
+    }
+    val sec = (System.nanoTime() - start) / 1e9
+    val msgs = perTrigger.toLong * triggers
+    println(
+      s"""{"metric":"stream_msgs_per_sec","value":${(msgs / sec).round},"unit":"msgs/sec","messages":$msgs,"triggers":$triggers,"seconds":$sec,"anomalies_emitted":$anomalies}""")
+    spark.stop()
+  }
+}

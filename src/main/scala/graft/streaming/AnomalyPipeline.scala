@@ -43,20 +43,35 @@ class AnomalyPipeline(
 
   import spark.implicits._
 
-  /** Accumulated long-format sample store (the sigma relation). When a
-    * `stateDir` is configured the store is persisted as parquet each
-    * trigger and reloaded on construction, making the pipeline
-    * restart-safe (the cluster-scale form is the same table in
-    * Delta/parquet with a checkpointed streaming query).
+  /** Accumulated long-format sample store (the sigma relation), kept as
+    * SEGMENTS: one cached chunk per trigger, each tagged with its max
+    * event time. Retention drops whole expired chunks instead of
+    * rewriting the full store every trigger (the previous
+    * full-localCheckpoint approach was O(store) per trigger — quadratic
+    * over a run). Chunk count is bounded by retention / trigger
+    * interval. This mirrors a segment/compaction-based event store; at
+    * cluster scale the chunks are partitions of a Delta/parquet table.
+    * With `stateDir` set the segments are additionally persisted for
+    * restart.
     */
-  private val store = new AtomicReference[DataFrame]({
-    val empty = spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
-      .toDF("topic", "path", "value", "produced")
-    stateDir.map { d =>
-      try spark.read.parquet(s"$d/store")
-      catch { case _: Throwable => empty }
-    }.getOrElse(empty)
+  private final case class Segment(maxTsUs: Long, df: DataFrame)
+
+  private val segments = new AtomicReference[Vector[Segment]]({
+    stateDir.flatMap { d =>
+      try {
+        val df = spark.read.parquet(s"$d/store").persist()
+        val mx = df.agg(max(unix_micros(col("produced")))).head
+        if (mx.isNullAt(0)) None else Some(Vector(Segment(mx.getLong(0), df)))
+      } catch { case _: Throwable => None }
+    }.getOrElse(Vector.empty)
   })
+
+  private def emptyStore: DataFrame =
+    spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
+      .toDF("topic", "path", "value", "produced")
+
+  private def unixMicrosOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
 
   /** Stats snapshot from the previous trigger (the DSLHandler cache). */
   private val snapshot = new AtomicReference[Option[DataFrame]](None)
@@ -81,7 +96,10 @@ class AnomalyPipeline(
       }.getOrElse(Map.empty)
     })
 
-  def currentStore: DataFrame = store.get()
+  def currentStore: DataFrame = {
+    val segs = segments.get()
+    if (segs.isEmpty) emptyStore else segs.map(_.df).reduce(_ union _)
+  }
   def currentSnapshot: Option[DataFrame] = snapshot.get()
 
   /** One micro-batch step: returns the emitted anomalies.
@@ -109,10 +127,10 @@ class AnomalyPipeline(
     // restart path: no in-memory snapshot but a restored store ->
     // recompute stats from pre-batch data (exactly the "stats as of the
     // previous trigger" staleness semantics)
-    if (snapshot.get().isEmpty && !store.get().isEmpty) {
+    if (snapshot.get().isEmpty && segments.get().nonEmpty) {
       val windows0 = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
       if (windows0.nonEmpty)
-        snapshot.set(Some(WindowStats.rawTrailingStats(store.get(), windows0, lit(now))))
+        snapshot.set(Some(WindowStats.rawTrailingStats(currentStore, windows0, lit(now))))
     }
 
     // 2. judge against the PREVIOUS snapshot (staleness semantics)
@@ -127,13 +145,22 @@ class AnomalyPipeline(
           .as[CooldownState.AnomalyEvent]
     }
 
-    // 3. fold batch into the store + retention prune (per-topic horizon)
-    val retention = dsl.topics.map(t => t.topic -> t.retentionSeconds).toMap
-    val maxRet = (retention.values ++ Seq(0L)).max
-    val newStore = store.get().union(samples)
-      .filter(unix_micros(col("produced")) >= unix_micros(lit(now)) - lit(maxRet * 1000000L))
-      .localCheckpoint(eager = true) // truncate lineage across triggers
-    store.set(newStore)
+    // 3. fold the batch in as a new cached segment; drop whole segments
+    // that fell entirely outside the retention horizon (their cache is
+    // released) — no rewrite of surviving data
+    val maxRet = (dsl.topics.map(_.retentionSeconds) ++ Seq(0L)).max
+    val horizonUs = unixMicrosOf(now) - maxRet * 1000000L
+    val seg = {
+      val df = samples.persist()
+      val mx = df.agg(max(unix_micros(col("produced")))).head
+      Segment(if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0), df)
+    }
+    val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
+    expired.foreach(_.df.unpersist())
+    segments.set(keep)
+    // segment rows older than the horizon are filtered at read time
+    val newStore = currentStore
+      .filter(unix_micros(col("produced")) >= lit(horizonUs))
 
     // 4. recompute the snapshot for the NEXT trigger
     val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
