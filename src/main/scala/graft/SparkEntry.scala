@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{CoreQueries, RelationalQueries, WindowQueries}
+import graft.queries.{CoreQueries, RelationalQueries, TemporalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,7 @@ object SparkEntry {
     "q_window_stats" -> (CoreQueries.windowStats _),
     "q_window_stats_bucketed" -> (CoreQueries.windowStatsBucketed _),
     "q_dsl_stats" -> (CoreQueries.dslStats _),
+    "q_discovered_stats" -> (CoreQueries.discoveredStats _),
     "q_freq_count" -> (CoreQueries.freqCount _),
     "q_anomaly" -> (CoreQueries.anomaly _),
     "q_anomaly_cooldown" -> (CoreQueries.anomalyCooldown _),
@@ -55,6 +56,10 @@ object SparkEntry {
     "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
     "q_rollup" -> (WindowQueries.rollupRevenue _),
     "q_median" -> (WindowQueries.median _),
+    // temporal operators
+    "q_asof_join" -> (TemporalQueries.asofJoin _),
+    "q_sessionize" -> (TemporalQueries.sessionize _),
+    "q_pivot_activity" -> (TemporalQueries.pivotActivity _),
     // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
     // driver records the weaker rows-only check)
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
@@ -68,6 +73,7 @@ object SparkEntry {
     "q_window_stats" -> CoreQueries.windowStatsSql,
     "q_window_stats_bucketed" -> CoreQueries.windowStatsBucketedSql,
     "q_dsl_stats" -> CoreQueries.dslStatsSql,
+    "q_discovered_stats" -> CoreQueries.discoveredStatsSql,
     "q_freq_count" -> CoreQueries.freqCountSql,
     "q_anomaly" -> CoreQueries.anomalySql,
     "q_anomaly_cooldown" -> CoreQueries.anomalyCooldownSql,
@@ -90,6 +96,9 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,
     "q_multimodal" -> Multimodal.multimodalFeaturesSql,
+    "q_asof_join" -> TemporalQueries.asofJoinSql,
+    "q_sessionize" -> TemporalQueries.sessionizeSql,
+    "q_pivot_activity" -> TemporalQueries.pivotActivitySql,
     "q_tumbling_stats" -> WindowQueries.tumblingStatsSql,
     "q_rollup" -> WindowQueries.rollupRevenueSql,
     "q_median" -> WindowQueries.medianSql,

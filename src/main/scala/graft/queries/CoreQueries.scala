@@ -214,6 +214,66 @@ object CoreQueries {
     FROM m WHERE cnt >= 3 AND mean <> 0 AND stddev_pop <> 0"""
   }
 
+  // ---- q_discovered_stats --------------------------------------------
+
+  /** End-to-end field discovery driving the stats engine: sample one
+    * message per topic (ST4), infer the JSON payload schema, flatten to
+    * numeric leaves (P2/P3), build the DSL with default windows (ST6),
+    * then compute the trailing stats the discovered DSL asks for. On
+    * the events table discovery deterministically finds the single
+    * numeric leaf `k` in props, so the oracle is the stats of path "k"
+    * over the default windows.
+    */
+  def discoveredStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val discovery = new graft.streaming.Discovery(
+      spark, graft.core.Dsl(Nil), defaultWindows = Seq("1d", "1w"))
+    discovery.discoverFields(
+      ev.select(col("event_type").as("topic"), col("props").as("value")))
+    val dsl = discovery.dsl
+    val now = nowOf(ev)
+    // project exactly the discovered paths, per topic
+    val samples = Extraction.fromJsonMessages(
+      ev.select(col("event_type").as("topic"), col("props").as("value"), col("ts")),
+      col("topic"), col("value"), col("ts"),
+      dsl.topics.flatMap(_.fields.map(_.path)).distinct)
+    val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
+    WindowStats.trailingStats(samples, windows, now)
+  }
+
+  val discoveredStatsSql: String =
+    s"""
+    WITH nw AS (SELECT epoch_us(max(ts)) AS now_us FROM events),
+    s AS (
+      SELECT event_type AS topic, 'k' AS path,
+             CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS value,
+             epoch_us(ts) AS ts_us
+      FROM events
+      WHERE event_type IS NOT NULL
+        AND CAST(json_extract_string(props, '$$.k') AS DOUBLE) IS NOT NULL
+    ),
+    f AS (
+      SELECT s.topic, s.path, CAST(w.window_sec AS BIGINT) AS window_sec, s.value
+      FROM s CROSS JOIN (VALUES (86400), (604800)) AS w(window_sec), nw
+      WHERE s.ts_us >= nw.now_us - CAST(w.window_sec AS BIGINT) * 1000000
+        AND s.ts_us <= nw.now_us
+    ),
+    a AS (
+      SELECT topic, path, window_sec, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM f GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT topic, path, window_sec, cnt,
+             sumv / cnt AS mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS stddev_pop
+      FROM a
+    )
+    SELECT topic, path, window_sec, cnt,
+           round(mean, 6) AS mean, round(stddev_pop, 6) AS stddev_pop
+    FROM m WHERE cnt >= 3 AND mean <> 0 AND stddev_pop <> 0"""
+
   // ---- q_freq_count --------------------------------------------------
 
   /** A3/A4 + P6: message-rate per (topic, window) — the count-per-window
