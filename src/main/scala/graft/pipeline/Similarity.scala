@@ -12,9 +12,9 @@ import graft.queries.Tables
   *
   * Scale design: brute force is O(queries x corpus) — correct but only
   * viable for small query sets; the LSH variant buckets vectors by a
-  * 16-bit structured-sign code so candidate generation is an equi join
-  * on the code (at 100 TB: shuffle on short keys, candidates bounded per
-  * bucket; refine with exact cosine inside buckets — same
+  * 32-bit structured-sign code so candidate generation is an equi join
+  * on short band keys (at 100 TB: shuffle on short keys, candidates
+  * bounded per bucket; refine with exact cosine inside buckets — same
   * candidates-then-verify shape as MinHash dedup).
   *
   * Cosine arithmetic: elements are cast float->double (exact), products
@@ -80,28 +80,43 @@ object Similarity {
 
   // ---- q_ann_lsh -----------------------------------------------------
 
-  /** Structured-sign LSH code: bit j (0..15) is the sign of
-    * v[j] - v[j+16] + v[j+32] - v[j+48] — a deterministic contrast
-    * "hyperplane" needing no stored random planes (and no
-    * transcendentals, keeping both engines bit-identical).
+  /** Structured-sign LSH code, 32 bits from two orthogonal contrast
+    * families — deterministic "hyperplanes" needing no stored random
+    * planes (and no transcendentals, keeping both engines
+    * bit-identical):
+    *   bit j      (0..15): sign of v[j] - v[j+16] + v[j+32] - v[j+48]
+    *   bit j+16   (0..15): sign of v[j] + v[j+16] - v[j+32] - v[j+48]
+    * 8 bands x 4 bits. Sign-LSH recall depends on similarity
+    * (P(bit agrees) = 1 - angle/pi); at cos >= 0.45 this configuration
+    * reaches ~0.9 recall while candidates stay a modest fraction of
+    * all pairs (see SimilarityRecallSpec).
     */
+  val CodeBits = 32
+  val Bands = 8
+
   def signCode(v: Column): Column =
-    (0 until 16).map { j =>
-      val contrast = element_at(v, j + 1).cast("double") -
-        element_at(v, j + 17).cast("double") +
-        element_at(v, j + 33).cast("double") -
-        element_at(v, j + 49).cast("double")
+    (0 until 32).map { j =>
+      val b = j % 16
+      val contrast =
+        if (j < 16)
+          element_at(v, b + 1).cast("double") - element_at(v, b + 17).cast("double") +
+            element_at(v, b + 33).cast("double") - element_at(v, b + 49).cast("double")
+        else
+          element_at(v, b + 1).cast("double") + element_at(v, b + 17).cast("double") -
+            element_at(v, b + 33).cast("double") - element_at(v, b + 49).cast("double")
       when(contrast > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   val signCodeSql: String =
     """CAST(list_sum([
-         CASE WHEN CAST(v[j + 1] AS DOUBLE) - CAST(v[j + 17] AS DOUBLE)
-                   + CAST(v[j + 33] AS DOUBLE) - CAST(v[j + 49] AS DOUBLE) > 0
+         CASE WHEN CAST(v[(j % 16) + 1] AS DOUBLE)
+                   + (CASE WHEN j < 16 THEN -1.0 ELSE 1.0 END) * CAST(v[(j % 16) + 17] AS DOUBLE)
+                   + (CASE WHEN j < 16 THEN 1.0 ELSE -1.0 END) * CAST(v[(j % 16) + 33] AS DOUBLE)
+                   - CAST(v[(j % 16) + 49] AS DOUBLE) > 0
               THEN (1::BIGINT << j) ELSE 0 END
-         for j in generate_series(0, 15)]) AS BIGINT)"""
+         for j in generate_series(0, 31)]) AS BIGINT)"""
 
-  /** LSH-bucketed similar pairs: the 16-bit sign code is split into 4
+  /** LSH-bucketed similar pairs: the 32-bit sign code is split into 8
     * bands of 4 bits; pairs sharing any band are candidates (equi join
     * on (band, nibble) — no cross join), refined with exact cosine
     * >= 0.3 and deduplicated. Output also reports code Hamming distance.
@@ -115,7 +130,7 @@ object Similarity {
       .persist()
     val banded = emb.select(
       col("vec_id"), col("embedding"), col("code"), col("nsq"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
       }: _*)).as("bd"),
     ).select(col("vec_id"), col("embedding"), col("code"), col("nsq"),
@@ -148,7 +163,7 @@ object Similarity {
     ),
     banded AS (
       SELECT vec_id, embedding, code, b.band, (code >> (4 * b.band)) % 16 AS nib
-      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -181,7 +196,7 @@ object Similarity {
     ),
     banded AS (
       SELECT vec_id, embedding, code, b.band, (code >> (4 * b.band)) % 16 AS nib
-      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -59,12 +59,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("sign code is deterministic and within 16 bits") {
+  test("sign code is deterministic and within 32 bits") {
     val v = (0 until 64).map(i => (i % 7 - 3).toFloat).toArray
     val df = Seq(Tuple1(v), Tuple1(v)).toDF("embedding")
     val codes = df.select(Similarity.signCode(col("embedding"))).collect().map(_.getLong(0))
     assert(codes(0) == codes(1))
-    assert(codes(0) >= 0 && codes(0) < 65536)
+    assert(codes(0) >= 0 && codes(0) < (1L << Similarity.CodeBits))
   }
 }
 

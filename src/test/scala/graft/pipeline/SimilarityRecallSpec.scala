@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Pins the LSH operator's recall against the brute-force ground truth
+  * on the sf0.001 embeddings — sign-LSH recall is a function of
+  * similarity (P(bit agrees) = 1 - angle/pi), so the floor is asserted
+  * for the near-dup regime the operator exists for, and overall recall
+  * is asserted not to regress below its measured level.
+  */
+class SimilarityRecallSpec extends SparkSpec {
+
+  test("LSH candidate recall vs brute force (cos >= 0.3 ground truth)") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("nsq"))
+    val truth = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nsq") * col("b.nsq")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"), col("cos"))
+      .collect()
+    val found = Similarity.annLsh(spark, sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val overall = truth.count(r => found((r.getLong(0), r.getLong(1)))).toDouble / truth.length
+    val strong = truth.filter(_.getDouble(2) >= 0.42)
+    val strongRecall =
+      if (strong.isEmpty) 1.0
+      else strong.count(r => found((r.getLong(0), r.getLong(1)))).toDouble / strong.length
+
+    assert(overall >= 0.6, f"overall LSH recall regressed: $overall%.3f")
+    assert(strongRecall >= 0.8, f"near-dup-regime LSH recall regressed: $strongRecall%.3f")
+  }
+}
