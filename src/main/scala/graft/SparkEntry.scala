@@ -52,6 +52,7 @@ object SparkEntry {
     "q_dedup_embed" -> (Similarity.embedDedup _),
     // LLM-data-pipeline: multimodal plumbing
     "q_multimodal" -> (Multimodal.multimodalFeatures _),
+    "q_multimodal_frames" -> (Multimodal.frameSample _),
     // analytic extensions beyond the reference surface
     "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
     "q_rollup" -> (WindowQueries.rollupRevenue _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,
     "q_multimodal" -> Multimodal.multimodalFeaturesSql,
+    "q_multimodal_frames" -> Multimodal.frameSampleSql,
     "q_asof_join" -> TemporalQueries.asofJoinSql,
     "q_sessionize" -> TemporalQueries.sessionizeSql,
     "q_pivot_activity" -> TemporalQueries.pivotActivitySql,

@@ -79,6 +79,22 @@ object Multimodal {
     /** Frame sampling: pick every `stride`-th frame index. */
     def sampleFrames(frameCount: Int, stride: Int): Seq[Int] =
       0 until frameCount by stride
+
+    /** Resize metadata: fit (w, h) inside (maxW, maxH) preserving
+      * aspect ratio with integer math (floor), never upscaling. A real
+      * codec would resize the payload; the metadata contract is what
+      * the pipeline schema carries.
+      */
+    def resizeDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+      if (w <= 0 || h <= 0) (0, 0)
+      else if (w <= maxW && h <= maxH) (w, h)
+      else {
+        // scale = min(maxW/w, maxH/h) in exact rational math
+        val byW = (w.toLong * maxH, h.toLong * maxW) // compare w/h vs maxW/maxH
+        if (byW._1 <= byW._2) (((w.toLong * maxH) / h).toInt, maxH)
+        else (maxW, ((h.toLong * maxW) / w).toInt)
+      }
+    }
   }
 
   /** Decode stage: partition-iterator transform over the media relation
@@ -119,6 +135,51 @@ object Multimodal {
       col("asset_id"), col("media_type"), col("n_bytes"), col("checksum"),
       col("head_byte"), col("frame_count"), round(col("mean_luma"), 6).as("mean_luma"))
   }
+
+  /** q_multimodal_frames: frame-sampling stage — every video asset
+    * exploded into its sampled frame indices (stride 10) plus the
+    * resize-metadata transform (fit into 320x240). Pure integer math,
+    * mirrored in SQL.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val assets = syntheticAssets(spark, sfDir).toDF()
+      .filter(col("media_type") === "video")
+      .withColumn("frame_count",
+        greatest(lit(1L), expr("duration_ms DIV 40")).cast("int"))
+    assets
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("frame_count") - 1, lit(10))))
+      .withColumn("resized_w",
+        when(col("width") <= 320 && col("height") <= 240, col("width"))
+          .when(col("width").cast("long") * 240 <= col("height").cast("long") * 320,
+            (col("width").cast("long") * 240 / col("height")).cast("int"))
+          .otherwise(lit(320)))
+      .withColumn("resized_h",
+        when(col("width") <= 320 && col("height") <= 240, col("height"))
+          .when(col("width").cast("long") * 240 <= col("height").cast("long") * 320, lit(240))
+          .otherwise((col("height").cast("long") * 320 / col("width")).cast("int")))
+      .select(col("asset_id"), col("frame_idx"), col("frame_count"),
+        col("width"), col("height"), col("resized_w"), col("resized_h"))
+  }
+
+  val frameSampleSql: String =
+    """
+    WITH v AS (
+      SELECT doc_id AS asset_id,
+             CAST(n_chars % 640 AS INT) AS width,
+             CAST(n_chars % 480 AS INT) AS height,
+             CAST(greatest(1, (n_chars * 25) // 40) AS INT) AS frame_count
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT asset_id, unnest(generate_series(0, frame_count - 1, 10)) AS frame_idx,
+           frame_count, width, height,
+           CASE WHEN width <= 320 AND height <= 240 THEN width
+                WHEN width * 240 <= height * 320 THEN CAST((width * 240) // height AS INT)
+                ELSE 320 END AS resized_w,
+           CASE WHEN width <= 320 AND height <= 240 THEN height
+                WHEN width * 240 <= height * 320 THEN 240
+                ELSE CAST((height * 320) // width AS INT) END AS resized_h
+    FROM v"""
 
   /** DuckDB mirror: same rolling checksum over the UTF-8 bytes via a
     * left fold (documents are ASCII so code units == bytes).
