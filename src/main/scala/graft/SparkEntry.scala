@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{CoreQueries, RelationalQueries, TemporalQueries, WindowQueries}
+import graft.queries.{AnalyticQueries, CoreQueries, RelationalQueries, TemporalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,11 @@ object SparkEntry {
     "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
     "q_rollup" -> (WindowQueries.rollupRevenue _),
     "q_median" -> (WindowQueries.median _),
+    // analytic coverage
+    "q_top_terms" -> (AnalyticQueries.topTerms _),
+    "q_distinct_users" -> (AnalyticQueries.distinctUsers _),
+    "q_corr" -> (AnalyticQueries.corr _),
+    "q_dedup_normalized" -> (AnalyticQueries.dedupNormalized _),
     // temporal operators
     "q_asof_join" -> (TemporalQueries.asofJoin _),
     "q_sessionize" -> (TemporalQueries.sessionize _),
@@ -98,6 +103,10 @@ object SparkEntry {
     "q_dedup_embed" -> Similarity.embedDedupSql,
     "q_multimodal" -> Multimodal.multimodalFeaturesSql,
     "q_multimodal_frames" -> Multimodal.frameSampleSql,
+    "q_top_terms" -> AnalyticQueries.topTermsSql,
+    "q_distinct_users" -> AnalyticQueries.distinctUsersSql,
+    "q_corr" -> AnalyticQueries.corrSql,
+    "q_dedup_normalized" -> AnalyticQueries.dedupNormalizedSql,
     "q_asof_join" -> TemporalQueries.asofJoinSql,
     "q_sessionize" -> TemporalQueries.sessionizeSql,
     "q_pivot_activity" -> TemporalQueries.pivotActivitySql,

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.SchemaFlatten
+
+/** Additional analytic coverage: top-k frequent terms, distinct
+  * aggregation (absent from the reference), bit-exact correlation from
+  * co-moment sums, and normalization-based dedup.
+  */
+object AnalyticQueries {
+
+  private val D = DecimalType(18, 6)
+
+  // ---- q_top_terms ---------------------------------------------------
+
+  /** Top-20 most frequent tokens across the corpus — the canonical
+    * explode -> count -> top-k shuffle, with deterministic ordering.
+    */
+  def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("term").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("term"), col("n"))
+  }
+
+  val topTermsSql: String =
+    """
+    SELECT rk, term, n FROM (
+      SELECT term, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rk
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) t
+      GROUP BY term
+    ) WHERE rk <= 20"""
+
+  // ---- q_distinct_users ----------------------------------------------
+
+  /** Distinct aggregation (the reference had none): exact distinct
+    * users and days-active per event type.
+    */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(col("event_type").as("topic"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(date_trunc("DAY", col("ts"))).as("n_active_days"),
+        count(lit(1)).as("n_events"),
+      )
+  }
+
+  val distinctUsersSql: String =
+    """
+    SELECT event_type AS topic,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT date_trunc('day', ts)) AS n_active_days,
+           count(*) AS n_events
+    FROM events GROUP BY 1"""
+
+  // ---- q_corr --------------------------------------------------------
+
+  /** Pearson correlation of (value, props.k) per topic, computed
+    * explicitly from exact decimal co-moment sums so both engines
+    * produce the identical double (built-in corr() implementations
+    * differ numerically between engines).
+    */
+  def corr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val k = SchemaFlatten.jsonByPath(col("props"), "k").cast("double")
+    val base = ev
+      .filter(col("event_type").isNotNull && col("value").isNotNull && k.isNotNull)
+      .select(col("event_type").as("topic"), col("value").cast(D).as("x"), k.cast(D).as("y"))
+    base.groupBy(col("topic"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(D).cast("double").as("sx"),
+        sum(col("y")).cast(D).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast(D).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast(D).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast(D).cast("double").as("sxy"),
+      )
+      .withColumn("corr_xy",
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          6))
+      .select(col("topic"), col("n"), round(col("sxy"), 6).as("sxy"), col("corr_xy"))
+  }
+
+  val corrSql: String =
+    """
+    WITH b AS (
+      SELECT event_type AS topic,
+             CAST(value AS DECIMAL(18,6)) AS x,
+             CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,6)) AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    ),
+    a AS (
+      SELECT topic, count(*) AS n,
+             CAST(CAST(sum(x) AS DECIMAL(18,6)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS DECIMAL(18,6)) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * x) AS DECIMAL(18,6)) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(y * y) AS DECIMAL(18,6)) AS DOUBLE) AS syy,
+             CAST(CAST(sum(x * y) AS DECIMAL(18,6)) AS DOUBLE) AS sxy
+      FROM b GROUP BY 1
+    )
+    SELECT topic, n, round(sxy, 6) AS sxy,
+           round((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
+    FROM a"""
+
+  // ---- q_dedup_normalized --------------------------------------------
+
+  /** Normalization-based exact dedup: lowercase + whitespace collapse
+    * before hashing, catching case/spacing-only duplicates.
+    */
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+    docs.groupBy(md5(norm).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val dedupNormalizedSql: String =
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_md5,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1"""
+}
