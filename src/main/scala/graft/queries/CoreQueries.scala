@@ -309,7 +309,9 @@ object CoreQueries {
   def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val now = nowOf(ev)
-    val samples = eventSamples(ev, carryId = true)
+    // samples feed both the stats aggregation and the detection join —
+    // persist so extraction (json parsing) runs once
+    val samples = eventSamples(ev, carryId = true).persist()
     val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
     Anomaly
       .detect(samples, stats, now)
@@ -348,7 +350,7 @@ object CoreQueries {
   def anomalyCooldown(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val now = nowOf(ev)
-    val samples = eventSamples(ev, carryId = true)
+    val samples = eventSamples(ev, carryId = true).persist()
     val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
     val anomalies = Anomaly.detect(samples, stats, now)
     Cooldown

@@ -38,6 +38,21 @@ class DedupSpec extends SparkSpec {
     val sh = df.select(Dedup.shingles(split(col("text"), " "))).head.getSeq[String](0)
     assert(sh == Seq("a b"))
   }
+
+  test("normalized dedup collapses case and whitespace variants") {
+    // the gate corpus has no such variants, so the replace-ALL semantics
+    // ('g' flag on the DuckDB side) are made load-bearing here
+    val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+    val df = Seq(
+      (1L, "Hello   World  again"),
+      (2L, "  hello world AGAIN".replace("AGAIN", "again")),
+      (3L, "different doc"),
+    ).toDF("doc_id", "text")
+    val groups = df.groupBy(md5(norm).as("h"))
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
