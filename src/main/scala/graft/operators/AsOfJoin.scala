@@ -33,21 +33,28 @@ object AsOfJoin {
       rightValue: String,
   ): DataFrame = {
     val payload = left.columns.filterNot(_ == key).toSeq
+    // the right value travels inside a struct: the struct is non-null
+    // for every right row even when the VALUE is null, so the carry
+    // matches the latest right ROW (a null value from the matched row
+    // stays null — same as a real ASOF join) instead of skipping back
+    // to an older non-null value
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTsUs))
-      .withColumn("__rval", lit(null).cast(right.schema(rightValue).dataType))
+      .withColumn("__rrow",
+        lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", right.schema(rightValue).dataType)))))
     val r = right.select(
       Seq(col(key), lit(0).as("__side"), col(rightTsUs).as("__ts"),
-        col(rightValue).as("__rval")): _*)
+        struct(col(rightValue).as("v")).as("__rrow")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__asof",
-        last(when(col("__side") === 0, col("__rval")), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(Seq(col(key)) ++ payload.map(col) :+ col("__asof").as(s"asof_$rightValue"): _*)
+      .select(Seq(col(key)) ++ payload.map(col) :+
+        col("__asof.v").as(s"asof_$rightValue"): _*)
   }
 }

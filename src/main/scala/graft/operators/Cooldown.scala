@@ -26,8 +26,16 @@ object Cooldown {
   def applyBatch(anomalies: DataFrame, cooldownMs: Long = graft.core.Dsl.CooldownMs): DataFrame = {
     val schema = anomalies.schema
     val tsIdx = schema.fieldIndex("produced")
-    val valIdx = if (schema.fieldNames.contains("value")) schema.fieldIndex("value") else tsIdx
+    val valIdx =
+      if (schema.fieldNames.contains("value")) Some(schema.fieldIndex("value")) else None
     implicit val enc: Encoder[Row] = Encoders.row(schema)
+    // event-time in MICROSECONDS to match the oracle and CooldownState
+    // (timestamps are micro-precise; millisecond truncation would emit
+    // where the oracle suppresses on sub-ms differences)
+    def micros(r: Row): Long = {
+      val t = r.getTimestamp(tsIdx)
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    }
     anomalies
       .groupByKey(r => (r.getString(schema.fieldIndex("topic")),
                         r.getString(schema.fieldIndex("path")),
@@ -35,12 +43,12 @@ object Cooldown {
         Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
       .flatMapGroups { (_, rows) =>
         val sorted = rows.toArray.sortBy { r =>
-          (r.getTimestamp(tsIdx).getTime, if (r.isNullAt(valIdx)) 0.0 else r.getDouble(valIdx))
+          (micros(r), valIdx.filterNot(r.isNullAt).map(r.getDouble).getOrElse(0.0))
         }
         var lastEmit = Long.MinValue
         sorted.iterator.filter { r =>
-          val t = r.getTimestamp(tsIdx).getTime
-          if (lastEmit == Long.MinValue || t - lastEmit >= cooldownMs) { lastEmit = t; true }
+          val t = micros(r)
+          if (lastEmit == Long.MinValue || t - lastEmit >= cooldownMs * 1000L) { lastEmit = t; true }
           else false
         }
       }

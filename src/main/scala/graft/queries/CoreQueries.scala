@@ -123,7 +123,7 @@ object CoreQueries {
   val windowStatsBucketedSql: String =
     s"""
     WITH $oracleSamples,
-    nwb AS (SELECT now_us / 60000000 * 60000000 AS now_us FROM nw),
+    nwb AS (SELECT (now_us // 60000000) * 60000000 AS now_us FROM nw),
     f AS (
       SELECT s.topic, s.path, CAST(w.window_sec AS BIGINT) AS window_sec, s.value
       FROM s CROSS JOIN (VALUES $windowsValues) AS w(window_sec), nwb

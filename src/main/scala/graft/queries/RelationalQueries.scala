@@ -27,7 +27,9 @@ object RelationalQueries {
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val discPrice = (dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))).cast(D)
-    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+    // to_timestamp resolves under the session timezone (UTC) — a
+    // java.sql.Timestamp literal would parse in the JVM default tz
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sumD(dec(col("l_quantity"))).as("sum_qty"),

@@ -59,7 +59,11 @@ class AnomalyPipeline(
   private val segments = new AtomicReference[Vector[Segment]]({
     stateDir.flatMap { d =>
       try {
-        val df = spark.read.parquet(s"$d/store").persist()
+        // localCheckpoint severs the lineage from the state path, so the
+        // per-trigger overwrite of $d/store never races a plan that is
+        // still reading it (and cache eviction can't silently recompute
+        // from newer file contents)
+        val df = spark.read.parquet(s"$d/store").localCheckpoint(eager = true)
         val mx = df.agg(max(unix_micros(col("produced")))).head
         if (mx.isNullAt(0)) None else Some(Vector(Segment(mx.getLong(0), df)))
       } catch { case _: Throwable => None }

@@ -21,16 +21,30 @@ class StatusServer(
 
   private var server: Option[HttpServer] = None
 
+  /** JSON string escape (same rules as Verify's oracle dump): quote,
+    * backslash, and control chars — topic/path names come from
+    * untrusted payloads and must not break the JSON.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def start(): Int = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/status", handler(() => jsonObject(
-      counters.snapshot.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" })))
+      counters.snapshot.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: $v" })))
     s.createContext("/topics", handler(() => jsonArray(
-      discovery.map(_.topics.toSeq.sorted).getOrElse(Nil).map(t => s""""$t""""))))
+      discovery.map(_.topics.toSeq.sorted).getOrElse(Nil).map(q))))
     s.createContext("/dsl", handler(() => jsonObject(
       discovery.map(_.dsl.topics).getOrElse(Nil).map { tc =>
-        s""""${tc.topic}": ${jsonObject(tc.fields.map(f =>
-          s""""${f.path}": [${f.windows.mkString(",")}]"""))}"""
+        s"${q(tc.topic)}: ${jsonObject(tc.fields.map(f =>
+          s"${q(f.path)}: [${f.windows.mkString(",")}]"))}"
       })))
     s.setExecutor(null)
     s.start()

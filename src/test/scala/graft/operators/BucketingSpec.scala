@@ -19,6 +19,9 @@ class BucketingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_bucketing").toFile
     dir.deleteOnExit()
     val warehouse = dir.getAbsolutePath
+    // isolated session: this spec disables broadcast joins, which must
+    // not leak into other suites sharing the JVM-wide session
+    val spark = this.spark.newSession()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
 
     try {
@@ -43,7 +46,6 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS o_b")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 }

@@ -112,6 +112,31 @@ class AnomalySpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attaches the most recent right value at or before each left time") {
+    val left = Seq((1L, 100L, "e1"), (1L, 250L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "ts_us", "tag")
+    val right = Seq((1L, 90L, 9.0), (1L, 200L, 20.0), (2L, 60L, 6.0))
+      .toDF("k", "rts_us", "rv")
+    val out = AsOfJoin.asOf(left, right, "k", "ts_us", "rts_us", "rv")
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Double]("asof_rv"))).toMap
+    assert(out("e1").contains(9.0))  // 90 <= 100
+    assert(out("e2").contains(20.0)) // 200 <= 250
+    assert(out("e3").isEmpty)        // right row at 60 is AFTER 50 -> null
+  }
+
+  test("a matched right row with a NULL value yields null, not an older value") {
+    val left = Seq((1L, 300L)).toDF("k", "ts_us")
+    val right = Seq((1L, 100L, Some(5.0)), (1L, 200L, Option.empty[Double]))
+      .toDF("k", "rts_us", "rv")
+    val out = AsOfJoin.asOf(left, right, "k", "ts_us", "rts_us", "rv").head
+    assert(out.isNullAt(out.fieldIndex("asof_rv")),
+      "the ts=200 null-valued row is the as-of match; must not skip back to 5.0")
+  }
+}
+
 class CooldownSpec extends SparkSpec {
   import spark.implicits._
 

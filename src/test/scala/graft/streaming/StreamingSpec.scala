@@ -177,6 +177,24 @@ class DiscoverySpec extends SparkSpec {
     assert(d.discoverFields(batch).isEmpty)
   }
 
+  test("re-discovery REPLACES a topic's earlier discovered fields") {
+    val d = new Discovery(spark, Dsl(Nil), defaultWindows = Seq("15m"))
+    d.discoverFields(Seq(("t", """{"a":1,"b":2}""")).toDF("topic", "value"))
+    assert(d.dsl.forTopic("t").get.fields.map(_.path).toSet == Set("a", "b"))
+    // schema changes: field a disappears, c appears -> stale 'a' must go
+    d.discoverFields(Seq(("t", """{"b":2,"c":3}""")).toDF("topic", "value"))
+    assert(d.dsl.forTopic("t").get.fields.map(_.path).toSet == Set("b", "c"))
+  }
+
+  test("discovered fields with zero valid windows are dropped (no empty-window crash)") {
+    val d = new Discovery(spark, Dsl(Nil),
+      beforeDiscoveryFieldConfig = (_, p) => if (p == "bad") Some(Seq("15min")) else None)
+    d.discoverFields(Seq(("t", """{"bad":1,"good":2}""")).toDF("topic", "value"))
+    val fields = d.dsl.forTopic("t").get.fields
+    assert(fields.map(_.path) == Seq("good"))
+    assert(d.dsl.forTopic("t").get.retentionSeconds == 900L) // no crash
+  }
+
   test("per-field window hook overrides the default (beforeDiscoveryFieldConfig)") {
     val d = new Discovery(spark, Dsl(Nil),
       beforeDiscoveryFieldConfig = (t, p) => if (p == "special") Some(Seq("1h")) else None)
