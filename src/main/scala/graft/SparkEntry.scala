@@ -28,6 +28,7 @@ object SparkEntry {
     "q_freq_count" -> (CoreQueries.freqCount _),
     "q_anomaly" -> (CoreQueries.anomaly _),
     "q_anomaly_cooldown" -> (CoreQueries.anomalyCooldown _),
+    "q_anomaly_records" -> (CoreQueries.anomalyRecords _),
     "q_set_diff" -> (CoreQueries.setDiff _),
     "q_global_count" -> (CoreQueries.globalCount _),
     // relational coverage / bench headliners
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_freq_count" -> CoreQueries.freqCountSql,
     "q_anomaly" -> CoreQueries.anomalySql,
     "q_anomaly_cooldown" -> CoreQueries.anomalyCooldownSql,
+    "q_anomaly_records" -> CoreQueries.anomalyRecordsSql,
     "q_set_diff" -> CoreQueries.setDiffSql,
     "q_global_count" -> CoreQueries.globalCountSql,
     "q1_agg" -> RelationalQueries.q1AggSql,

@@ -55,15 +55,18 @@ object SchemaFlatten {
     }
   }
 
+  /** Dot path -> JSONPath string: `arr.0` becomes `$.arr[0]`. */
+  def jsonPathOf(rawPath: String): String = {
+    val segs = rawPath.replace("[", ".").replace("]", "").split('.').filter(_.nonEmpty)
+    segs.map { seg =>
+      if (seg.forall(_.isDigit)) s"[$seg]" else s".$seg"
+    }.mkString("$", "", "")
+  }
+
   /** Dot-path extraction over a raw JSON string column using
     * `get_json_object` (stays inside codegen; no UDF). `arr.0` becomes
     * the JSONPath `$.arr[0]`.
     */
-  def jsonByPath(json: Column, rawPath: String): Column = {
-    val segs = rawPath.replace("[", ".").replace("]", "").split('.').filter(_.nonEmpty)
-    val jsonPath = segs.map { seg =>
-      if (seg.forall(_.isDigit)) s"[$seg]" else s".$seg"
-    }.mkString("$", "", "")
-    get_json_object(json, jsonPath)
-  }
+  def jsonByPath(json: Column, rawPath: String): Column =
+    get_json_object(json, jsonPathOf(rawPath))
 }

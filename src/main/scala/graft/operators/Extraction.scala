@@ -75,4 +75,48 @@ object Extraction {
       paths.map(p => FieldCol(p, SchemaFlatten.jsonByPath(jsonValue, p).cast("double"))),
       includeFrequency,
     )
+
+  /** Multi-topic long-format projection in ONE plan: instead of a
+    * filter+union branch per topic (plan size O(topics) — a
+    * plan-explosion at the reference's "every topic on the cluster"
+    * cardinality), the per-topic path sets become a broadcast
+    * (topic, path, json_path) dimension; messages join it on topic and
+    * the field is extracted with `get_json_object` on the joined
+    * JSONPath. Plan node count is independent of topic count; the inner
+    * join doubles as the F2 unconfigured-topic guard (reference:
+    * lib/dsl/DSLHandler.js:127-131). The virtual `__topic_frequency`
+    * row (P6) rides the same dimension with a constant 1.0 value.
+    */
+  def fromJsonMessagesMulti(
+      df: DataFrame,
+      topic: Column,
+      jsonValue: Column,
+      ts: Column,
+      topicPaths: Seq[(String, Seq[String])],
+      includeFrequency: Boolean = false,
+      carry: Seq[(String, Column)] = Nil,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = topicPaths.flatMap { case (t, ps) =>
+      val rows = ps.map(p => (t, p, SchemaFlatten.jsonPathOf(p)))
+      if (includeFrequency) rows :+ ((t, Dsl.FrequencyField, "")) else rows
+    }.toDF("topic", "path", "__json_path")
+    val carried = carry.map { case (n, c) => c.as(n) }
+    df.select(
+        Seq(topic.as("topic"), jsonValue.as("__json"), ts.as("produced")) ++ carried: _*
+      )
+      .filter(col("topic").isNotNull) // F1 malformed-message guard
+      .join(broadcast(dim), Seq("topic")) // F2 unconfigured-topic guard
+      .select(
+        Seq(
+          col("topic"), col("path"),
+          when(col("path") === lit(Dsl.FrequencyField), lit(1.0))
+            .otherwise(expr("get_json_object(__json, __json_path)").cast("double"))
+            .as("value"),
+          col("produced"),
+        ) ++ carry.map { case (n, _) => col(n) }: _*
+      )
+      .filter(col("value").isNotNull) // F3 null-extraction guard
+  }
 }

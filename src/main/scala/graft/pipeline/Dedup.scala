@@ -18,10 +18,10 @@ import graft.queries.Tables
   *    (band, band_hash) — candidate volume is O(near-dup pairs), the
   *    standard LSH trade: at 1000 executors the band join is a plain
   *    shuffle join on a short key.
-  *  - SimHash demonstrates the signature; its pairing here is a
-  *    straight a<b self-join for oracle parity (banding the 32-bit code
-  *    into 4 bytes would make it collision-bounded at scale, same
-  *    pattern as MinHash bands).
+  *  - SimHash pairs via HmSearch banding (7 bands over 32 bits —
+  *    pigeonhole-complete for Hamming radius 6), an equi join like the
+  *    MinHash bands; the all-pairs form survives only as a test-scale
+  *    cross-check.
   *
   * All hashes are md5-derived 32-bit ints (identical in Spark and
   * DuckDB), so every operator is exactly oracle-checkable.
@@ -246,8 +246,64 @@ object Dedup {
       graft.functions.SketchFunctions.simhash32(col("hs")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance <= 6 of the 32-bit codes. */
+  /** HmSearch band layout for Hamming radius 6 over 32 bits: 7 bands
+    * ((offset, width) pairs). With <= 6 differing bits across 7 bands,
+    * pigeonhole guarantees at least one band where the two codes agree
+    * exactly — so an equi-join on (band, band_value) finds every pair
+    * within the radius, no all-pairs comparison needed.
+    */
+  val SimhashBands: Seq[(Int, Int)] =
+    Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
+
+  /** SimHash near-dup pairs: Hamming distance <= 6 of the 32-bit codes.
+    *
+    * Scale plan: candidates come from an equi self-join on banded
+    * sub-codes ([[SimhashBands]]) — a plain shuffle join on a short
+    * (band, value) key whose candidate volume is O(near-dup pairs),
+    * same shape as the MinHash LSH band join. Candidate pairs are
+    * deduped as narrow (id, id) rows before the codes are re-joined for
+    * the exact `bit_count` verify. Output is identical to the all-pairs
+    * form ([[simhashPairsAllPairs]], kept as the test-scale
+    * cross-check); the oracle SQL is unchanged.
+    */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // band rows carry the full code, so the Hamming verify AND the
+    // duplicate-candidate elimination both happen inside the join stage
+    // with pure integer math on the pair's XOR: band j collides iff
+    // (xor >> off_j) & mask_j == 0, and a pair is kept only from its
+    // FIRST colliding band — so each pair survives exactly once with no
+    // distinct shuffle and no re-join to gather codes. Everything stays
+    // in whole-stage codegen (shifts/ands/bit_count, no array ops).
+    // Persisted because both sides of the self-join consume it (at
+    // cluster scale this is the checkpointed signature table).
+    val bands = simhashes(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("simhash"),
+        explode(array(SimhashBands.zipWithIndex.map { case ((off, w), i) =>
+          struct(lit(i).as("band"),
+            shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("bv"))
+        }: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+      .persist()
+    def firstCollidingBand(xor: Column): Column =
+      SimhashBands.zipWithIndex.foldRight(lit(-1)) { case (((off, w), i), els) =>
+        when(shiftright(xor, off).bitwiseAND(lit((1L << w) - 1)) === 0L, lit(i)).otherwise(els)
+      }
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("xor", col("a.simhash").bitwiseXOR(col("b.simhash")))
+      .filter(bit_count(col("xor")) <= 6 && col("a.band") === firstCollidingBand(col("xor")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
+        bit_count(col("xor")).as("hamming"))
+  }
+
+  /** All-pairs reference form of [[simhashPairs]] — O(n^2), test-scale
+    * only; proves the banded candidate set loses nothing (see
+    * DedupSpec).
+    */
+  def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = simhashes(Tables.documents(spark, sfDir))
     sh.as("a")
       .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))

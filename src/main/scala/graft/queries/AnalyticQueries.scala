@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -19,17 +18,28 @@ object AnalyticQueries {
 
   /** Top-20 most frequent tokens across the corpus — the canonical
     * explode -> count -> top-k shuffle, with deterministic ordering.
+    *
+    * Scale: `orderBy(...).limit(20)` plans `TakeOrderedAndProject`
+    * (per-partition top-k, then a 20-row merge on the driver) — no
+    * single-partition shuffle even with billions of distinct terms,
+    * unlike a `row_number` over an unpartitioned window which would
+    * move the whole vocabulary to one executor. The rank is then
+    * derived from the 20 surviving rows (already on the driver — that
+    * IS the TakeOrdered merge), so no WindowExec appears in the plan.
     */
   def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val counts = docs
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("term").asc)
-    counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 20)
-      .select(col("rk"), col("term"), col("n"))
+    val top = counts.orderBy(col("n").desc, col("term").asc).limit(20).collect()
+    top.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (term, n) => (-n, term) }
+      .zipWithIndex
+      .map { case ((term, n), i) => (i + 1, term, n) }
+      .toSeq.toDF("rk", "term", "n")
   }
 
   val topTermsSql: String =

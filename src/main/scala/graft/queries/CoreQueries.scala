@@ -385,6 +385,99 @@ object CoreQueries {
       ON a.topic = e.topic AND a.path = e.path
      AND a.window_sec = e.window_sec AND a.rn = e.rn"""
 
+  // ---- q_anomaly_records ---------------------------------------------
+
+  /** The full anomaly OUTPUT record contract (reference:
+    * lib/dsl/DSLHandler.js:217-227), hash-gated end to end: md5 id,
+    * humanWindow stringify, median/stdDev naming, and the raw
+    * triggering payload carried through detection as originalMessage —
+    * shaped by the same AnomalyPipeline.recordShape the streaming sink
+    * uses. Batch parity: the "message" is the props JSON payload.
+    */
+  def anomalyRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val now = nowOf(ev)
+    val samples = Extraction.longFormat(
+      ev,
+      topic = col("event_type"),
+      ts = col("ts"),
+      fields = Seq(
+        FieldCol("value", col("value")),
+        FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").cast("double")),
+      ),
+      carry = Seq("original_message" -> col("props")),
+    ).persist()
+    val stats = WindowStats.rawTrailingStats(
+      samples.select("topic", "path", "value", "produced"), Windows, now)
+    val rec = graft.streaming.AnomalyPipeline.recordShape(
+      Anomaly.detect(samples, stats, now)
+        .withColumn("produced_us", unix_micros(col("produced"))),
+      Windows)
+    rec.select(
+      col("id"), col("topic"), col("path"), col("window"), col("humanWindow"),
+      col("value"),
+      round(col("median"), 6).as("median"),
+      round(col("stdDev"), 6).as("stdDev"),
+      round(col("threeSigma"), 6).as("threeSigma"),
+      unix_micros(col("produced")).as("produced_us"),
+      col("originalMessage"))
+  }
+
+  val anomalyRecordsSql: String = {
+    val humanCase = Windows
+      .map(w => s"WHEN $w THEN '${graft.core.Durations.human(w)}'")
+      .mkString("CASE stats.window_sec ", " ", " END")
+    s"""
+    WITH nw AS (SELECT epoch_us(max(ts)) AS now_us FROM events),
+    s AS (
+      SELECT event_type AS topic, 'value' AS path,
+             value, epoch_us(ts) AS ts_us, props
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      UNION ALL
+      SELECT event_type, 'props.k',
+             CAST(json_extract_string(props, '$$.k') AS DOUBLE), epoch_us(ts), props
+      FROM events
+      WHERE event_type IS NOT NULL
+        AND CAST(json_extract_string(props, '$$.k') AS DOUBLE) IS NOT NULL
+    ),
+    f AS (
+      SELECT s.topic, s.path, CAST(w.window_sec AS BIGINT) AS window_sec, s.value
+      FROM s CROSS JOIN (VALUES $windowsValues) AS w(window_sec), nw
+      WHERE s.ts_us >= nw.now_us - CAST(w.window_sec AS BIGINT) * 1000000
+        AND s.ts_us <= nw.now_us
+    ),
+    a AS (
+      SELECT topic, path, window_sec, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM f GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT topic, path, window_sec, cnt,
+             sumv / cnt AS mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS stddev_pop
+      FROM a
+    ),
+    stats AS (
+      SELECT * FROM m WHERE cnt >= 3 AND mean <> 0 AND stddev_pop <> 0
+    )
+    SELECT md5(concat_ws('|', s.topic, s.path, stats.window_sec, s.ts_us)) AS id,
+           s.topic, s.path, stats.window_sec AS window,
+           $humanCase AS humanWindow,
+           s.value,
+           round(stats.mean, 6) AS median,
+           round(stats.stddev_pop, 6) AS stdDev,
+           round((s.value - stats.mean) / (3.0 * stats.stddev_pop), 6) AS threeSigma,
+           s.ts_us AS produced_us,
+           s.props AS originalMessage
+    FROM s JOIN stats ON s.topic = stats.topic AND s.path = stats.path, nw
+    WHERE s.ts_us >= nw.now_us - stats.window_sec * 1000000
+      AND s.ts_us <= nw.now_us
+      AND stats.stddev_pop <> 0
+      AND ((s.value - stats.mean) / (3.0 * stats.stddev_pop) > 1.0
+        OR (s.value - stats.mean) / (3.0 * stats.stddev_pop) < -1.0)"""
+  }
+
   // ---- q_extract_long ------------------------------------------------
 
   /** P1/P2/P3/F1/F3: the long-format projection itself (the engine

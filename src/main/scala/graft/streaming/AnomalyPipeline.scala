@@ -83,11 +83,14 @@ class AnomalyPipeline(
   /** Process counters mirroring lib/Sarkac.js:29-36. */
   val counters = new Counters(spark)
 
-  /** Driver-held cooldown cache: (topic, path, window) -> last emitted
-    * event-time micros — the Spark analog of the reference's in-memory
-    * TTL cache (lib/dsl/DSLHandler.js:13). Anomalies are a rare filtered
-    * set, so the per-batch greedy runs on collected rows (the heavy
-    * filtering/aggregation stays distributed).
+  /** Driver-held cooldown restart snapshot: (topic, path, window) ->
+    * last emitted event-time micros — the Spark analog of the
+    * reference's in-memory TTL cache (lib/dsl/DSLHandler.js:13). The
+    * per-batch greedy itself runs DISTRIBUTED (per-key flatMapGroups
+    * seeded by a broadcast of this map); the map is refreshed from a
+    * per-key max aggregate — one row per configured (topic, path,
+    * window), never the anomaly rows themselves — and persisted for
+    * restart.
     */
   private val cooldownCache =
     new AtomicReference[Map[(String, String, Long), Long]]({
@@ -114,19 +117,17 @@ class AnomalyPipeline(
   def processBatch(batch: DataFrame, now: java.sql.Timestamp): Dataset[CooldownState.AnomalyEvent] = {
     counters.analysedMessages.add(batch.count())
 
-    // 1. project to long format per the DSL (per-topic path sets)
-    val perTopic = dsl.topics.map { tc =>
-      Extraction.fromJsonMessages(
-        batch.filter(col("topic") === tc.topic),
-        col("topic"), col("value"), col("ts"),
-        tc.fields.map(_.path),
-        includeFrequency = true)
-    }
-    val samples =
-      if (perTopic.isEmpty)
-        spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
-          .toDF("topic", "path", "value", "produced")
-      else perTopic.reduce(_ union _)
+    // 1. single-pass long-format projection: one plan regardless of
+    // topic count (broadcast (topic, path) dim -> get_json_object on the
+    // joined path), carrying the raw payload for originalMessage.
+    // Persisted for the batch: it feeds the detection join AND the store
+    // segment, so json extraction runs once.
+    val extracted = Extraction.fromJsonMessagesMulti(
+        batch, col("topic"), col("value"), col("ts"),
+        dsl.topics.map(tc => tc.topic -> tc.fields.map(_.path)),
+        includeFrequency = true,
+        carry = Seq("original_message" -> col("value")))
+      .persist()
 
     // restart path: no in-memory snapshot but a restored store ->
     // recompute stats from pre-batch data (exactly the "stats as of the
@@ -137,25 +138,30 @@ class AnomalyPipeline(
         snapshot.set(Some(WindowStats.rawTrailingStats(currentStore, windows0, lit(now))))
     }
 
-    // 2. judge against the PREVIOUS snapshot (staleness semantics)
+    // 2. judge against the PREVIOUS snapshot (staleness semantics); the
+    // raw message rides through the detect join into the emitted record
+    // (reference embeds it per anomaly, lib/dsl/DSLHandler.js:217-227)
     val anomalies: Dataset[CooldownState.AnomalyEvent] = snapshot.get() match {
       case None => spark.emptyDataset[CooldownState.AnomalyEvent]
       case Some(stats) =>
-        Anomaly.detect(samples, stats, lit(now))
+        Anomaly.detect(extracted, stats, lit(now))
           .select(
             col("topic"), col("path"), col("window_sec"),
             unix_micros(col("produced")).as("produced_us"),
-            col("value"), col("mean"), col("stddev_pop"), col("three_sigma"))
+            col("value"), col("mean"), col("stddev_pop"), col("three_sigma"),
+            col("original_message"))
           .as[CooldownState.AnomalyEvent]
     }
 
-    // 3. fold the batch in as a new cached segment; drop whole segments
-    // that fell entirely outside the retention horizon (their cache is
-    // released) — no rewrite of surviving data
+    // 3. fold the batch in as a new cached segment (narrow: the raw
+    // payload is NOT stored — stats only need (topic, path, value,
+    // produced)); drop whole segments that fell entirely outside the
+    // retention horizon (their cache is released) — no rewrite of
+    // surviving data
     val maxRet = (dsl.topics.map(_.retentionSeconds) ++ Seq(0L)).max
     val horizonUs = unixMicrosOf(now) - maxRet * 1000000L
     val seg = {
-      val df = samples.persist()
+      val df = extracted.select("topic", "path", "value", "produced").persist()
       val mx = df.agg(max(unix_micros(col("produced")))).head
       Segment(if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0), df)
     }
@@ -175,22 +181,31 @@ class AnomalyPipeline(
     }
     counters.scanRuns.add(1)
 
-    // 5. cooldown across triggers via the driver-held cache
-    val rows = anomalies.collect()
-    counters.anomaliesDetected.add(rows.length)
-    var cache = cooldownCache.get()
-    val emitted = rows
-      .groupBy(e => (e.topic, e.path, e.window_sec)).toSeq.sortBy(_._1)
-      .flatMap { case (key, es) =>
-        var last = cache.getOrElse(key, Long.MinValue)
-        val keep = es.sortBy(e => (e.produced_us, e.value)).filter { e =>
-          val ok = last == Long.MinValue || e.produced_us - last >= cooldownMs * 1000L
-          if (ok) last = e.produced_us
-          ok
-        }
-        cache = cache + (key -> last)
-        keep
+    // 5. cooldown across triggers: the shared greedy
+    // (CooldownState.greedyEmit) runs DISTRIBUTED per (topic, path,
+    // window) group, seeded by a broadcast of the driver-held last-emit
+    // map — a regime shift that flags most of a batch stays on the
+    // executors. localCheckpoint severs the result from the transient
+    // foreachBatch source so callers can consume it after this method.
+    val detected = anomalies.persist()
+    counters.anomaliesDetected.add(detected.count())
+    val cacheB = spark.sparkContext.broadcast(cooldownCache.get())
+    val cd = cooldownMs
+    val emitted = detected
+      .groupByKey(e => (e.topic, e.path, e.window_sec))
+      .flatMapGroups { (key: (String, String, Long), rows: Iterator[CooldownState.AnomalyEvent]) =>
+        CooldownState.greedyEmit(cd, cacheB.value.getOrElse(key, Long.MinValue), rows).iterator
       }
+      .localCheckpoint(eager = true)
+    detected.unpersist()
+
+    // refresh the restart snapshot from the per-key last-emit aggregate:
+    // one row per configured key, config-bounded cardinality
+    var cache = cooldownCache.get()
+    emitted.groupBy(col("topic"), col("path"), col("window_sec"))
+      .agg(max(col("produced_us")).as("last_us"))
+      .collect()
+      .foreach(r => cache += ((r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)))
     cooldownCache.set(cache)
 
     // 6. persist state for restart (store + cooldown cache)
@@ -200,29 +215,48 @@ class AnomalyPipeline(
         .toDF("topic", "path", "window_sec", "last_emit_us")
         .write.mode("overwrite").parquet(s"$d/cooldown")
     }
-    spark.createDataset(emitted)
+    extracted.unpersist()
+    emitted
   }
 
   /** Shape emitted anomalies like the reference's output record
-    * (lib/dsl/DSLHandler.js:217-227): id hash, humanWindow, etc.
+    * (lib/dsl/DSLHandler.js:217-227): id hash, humanWindow,
+    * originalMessage, etc. The humanWindow map is built from the DSL's
+    * window set (a handful of literals) — no per-row UDF.
     */
   def toAnomalyRecords(emitted: Dataset[CooldownState.AnomalyEvent]): DataFrame =
-    emitted.toDF()
+    AnomalyPipeline.recordShape(
+      emitted.toDF(), dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct)
+}
+
+object AnomalyPipeline {
+
+  /** The reference's anomaly record contract (lib/dsl/DSLHandler.js:
+    * 217-227) over rows shaped like CooldownState.AnomalyEvent:
+    * deterministic md5 id (portable across engines, unlike murmur3),
+    * humanWindow via a literal (window_sec -> string) map built from the
+    * known window set (the reference calls juration per record;
+    * lib/dsl/DSLHandler.js:221), `median`/`stdDev` naming quirks kept,
+    * and the raw triggering payload as originalMessage.
+    */
+  def recordShape(events: DataFrame, windows: Seq[Long]): DataFrame = {
+    val humanCol =
+      if (windows.isEmpty) lit(null).cast("string")
+      else element_at(
+        map(windows.flatMap(w => Seq(lit(w), lit(Durations.human(w)))): _*),
+        col("window_sec"))
+    events
       .withColumn("id",
-        hash(col("topic"), col("path"), col("window_sec"), col("produced_us")))
-      .withColumn("humanWindow", AnomalyPipeline.humanWindowUdf(col("window_sec")))
+        md5(concat_ws("|", col("topic"), col("path"), col("window_sec"), col("produced_us"))))
+      .withColumn("humanWindow", humanCol)
       .select(
         col("id"), col("topic"), col("path"),
         col("window_sec").as("window"), col("humanWindow"),
         col("value"), col("mean").as("median"), // reference naming quirk
         col("stddev_pop").as("stdDev"), col("three_sigma").as("threeSigma"),
-        timestamp_micros(col("produced_us")).as("produced"))
-}
-
-object AnomalyPipeline {
-
-  /** humanWindow stringify (lib/dsl/DSLHandler.js:221). */
-  val humanWindowUdf = udf((s: Long) => Durations.human(s))
+        timestamp_micros(col("produced_us")).as("produced"),
+        col("original_message").as("originalMessage"))
+  }
 
   /** Normalized-message schema (FIXTURES.md A1). */
   val MessageSchema: StructType = new StructType()

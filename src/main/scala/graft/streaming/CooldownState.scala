@@ -26,28 +26,43 @@ object CooldownState {
       mean: Double,
       stddev_pop: Double,
       three_sigma: Double,
+      original_message: String = null,
   )
 
   final case class LastEmit(lastEmitUs: Long)
 
-  /** Per-key state update: sort the group's anomalies by event time and
-    * greedily emit those >= cooldown past the last emitted one. State
-    * persists across triggers, so suppression spans micro-batches.
+  /** The cooldown greedy itself, shared by the keyed-state streaming
+    * path ([[update]]) and the per-group distributed batch path
+    * (AnomalyPipeline.processBatch): sort by event time and emit rows
+    * >= `cooldownMs` past the last emitted one, starting from `last0`
+    * (`Long.MinValue` = no prior emission for the key).
     */
-  def update(
-      cooldownMs: Long,
-  )(key: (String, String, Long), rows: Iterator[AnomalyEvent], state: GroupState[LastEmit]): Iterator[AnomalyEvent] = {
+  def greedyEmit(
+      cooldownMs: Long, last0: Long, rows: Iterator[AnomalyEvent],
+  ): Array[AnomalyEvent] = {
     val sorted = rows.toArray.sortBy(e => (e.produced_us, e.value))
-    var last = state.getOption.map(_.lastEmitUs).getOrElse(Long.MinValue)
-    val out = Seq.newBuilder[AnomalyEvent]
+    var last = last0
+    val out = Array.newBuilder[AnomalyEvent]
     sorted.foreach { e =>
       if (last == Long.MinValue || e.produced_us - last >= cooldownMs * 1000L) {
         last = e.produced_us
         out += e
       }
     }
-    if (last != Long.MinValue) state.update(LastEmit(last))
-    out.result().iterator
+    out.result()
+  }
+
+  /** Per-key state update: greedy emit continuing from the stored
+    * last-emit. State persists across triggers, so suppression spans
+    * micro-batches.
+    */
+  def update(
+      cooldownMs: Long,
+  )(key: (String, String, Long), rows: Iterator[AnomalyEvent], state: GroupState[LastEmit]): Iterator[AnomalyEvent] = {
+    val emitted =
+      greedyEmit(cooldownMs, state.getOption.map(_.lastEmitUs).getOrElse(Long.MinValue), rows)
+    if (emitted.nonEmpty) state.update(LastEmit(emitted.last.produced_us))
+    emitted.iterator
   }
 
   /** Apply over a (possibly streaming) typed Dataset. */

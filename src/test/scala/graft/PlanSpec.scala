@@ -43,11 +43,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"window stats should aggregate in one pass, got ${shuffles.size} shuffles")
   }
 
-  test("only the intentional brute-force queries use nested-loop joins") {
-    val allowed = Set("q_ann_topk", "q_dedup_simhash")
+  test("only the intentional brute-force baseline uses nested-loop joins") {
+    // q_ann_topk is the declared exact-recall baseline; everything else
+    // (incl. q_dedup_simhash, now HmSearch-banded) must be equi-join only
+    val allowed = Set("q_ann_topk")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
       assert(nlj.isEmpty, s"$name unexpectedly uses a nested-loop join")
+    }
+  }
+
+  test("no query plans an unpartitioned window (single-partition shuffle)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.keys.filterNot(_ == "q_kmeans_anomaly").foreach { name =>
+      val bad = collectAll(plan(name)) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans a WindowExec with no partitioning")
     }
   }
 }

@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) != sh(3L))
   }
 
+  test("banded simhash pairing finds exactly the all-pairs set (pigeonhole completeness)") {
+    // 7 bands over 32 bits guarantee a band collision for Hamming <= 6;
+    // the banded equi join (the registered scale path) must therefore
+    // reproduce the O(n^2) reference join exactly on real data
+    val sf = "/root/testdata/sf0.001"
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = keyset(Dedup.simhashPairs(spark, sf))
+    val allPairs = keyset(Dedup.simhashPairsAllPairs(spark, sf))
+    assert(banded == allPairs, "banded candidate set diverged from all-pairs")
+    assert(banded.nonEmpty, "cross-check is vacuous: no near-dup pairs at this SF")
+  }
+
   test("shingles: short docs fall back to the whole text") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles(split(col("text"), " "))).head.getSeq[String](0)

@@ -78,7 +78,7 @@ class AnomalyPipelineSpec extends SparkSpec {
     assert(allEmits.nonEmpty)
   }
 
-  test("anomaly records carry the reference output shape") {
+  test("anomaly records carry the reference output shape incl. originalMessage") {
     val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
     val pipeline = new AnomalyPipeline(spark, dsl, cooldownMs = 0L)
     pipeline.processBatch(generatorScript(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000))
@@ -86,10 +86,47 @@ class AnomalyPipelineSpec extends SparkSpec {
       generatorScript(60, 120).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 120000))
     val rec = pipeline.toAnomalyRecords(out)
     assert(rec.columns.toSeq == Seq("id", "topic", "path", "window", "humanWindow",
-      "value", "median", "stdDev", "threeSigma", "produced"))
+      "value", "median", "stdDev", "threeSigma", "produced", "originalMessage"))
     val r = rec.filter(col("path") === "sub.one").head
     assert(r.getAs[String]("humanWindow") == "5m")
     assert(math.abs(r.getAs[Double]("threeSigma")) > 1.0)
+    // each record's raw payload is the message that triggered IT
+    // (reference embeds it per anomaly, lib/dsl/DSLHandler.js:217-227)
+    assert(rec.filter(col("originalMessage").isNull).count() == 0)
+    val mismatched = rec.filter(col("path") === "sub.one")
+      .filter(get_json_object(col("originalMessage"), "$.sub.one").cast("double") =!= col("value"))
+    assert(mismatched.count() == 0, "originalMessage is not the triggering payload")
+  }
+
+  test("originalMessage survives the cross-trigger cooldown path") {
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+    val pipeline = new AnomalyPipeline(spark, dsl, cooldownMs = 120000L)
+    pipeline.processBatch(generatorScript(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000))
+    val out2 = pipeline.processBatch(
+      generatorScript(60, 120).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 120000)).collect()
+    val spikes = out2.filter(e => e.path == "sub.one" && e.value == 150.5)
+    assert(spikes.nonEmpty)
+    assert(spikes.forall(e => e.original_message != null && e.original_message.contains("\"one\":150.5")))
+  }
+
+  test("plan size is independent of topic count (single-pass extraction)") {
+    // 100-topic DSL: the extraction plan must not fan out per topic
+    val manyTopics = (1 to 100).map(i => s"topic$i" -> Map("v" -> Seq("5m"))).toMap
+    val few = Dsl.parse(Map("a" -> Map("v" -> Seq("5m"))))
+    val many = Dsl.parse(manyTopics)
+    val batch = Seq(("topic1", "k", """{"v":1.5}""", new Timestamp(t0))).toDF("topic", "key", "value", "ts")
+    def planNodes(dsl: Dsl): Int =
+      graft.operators.Extraction.fromJsonMessagesMulti(
+        batch, col("topic"), col("value"), col("ts"),
+        dsl.topics.map(tc => tc.topic -> tc.fields.map(_.path)),
+        includeFrequency = true,
+      ).queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(many) == planNodes(few),
+      "extraction plan node count must not grow with topic count")
+    // and the 100-topic pipeline actually runs
+    val p = new AnomalyPipeline(spark, many, cooldownMs = 0L)
+    p.processBatch(batch, new Timestamp(t0 + 1000))
+    assert(p.currentStore.count() == 2L) // v sample + __topic_frequency
   }
 
   test("foreachBatch shell runs via MemoryStream end-to-end") {
