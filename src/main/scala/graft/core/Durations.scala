@@ -17,14 +17,21 @@ object Durations {
     "w" -> 604800L,
   )
 
-  private val Pattern = """^\s*(\d+)\s*([smhdw])\s*$""".r
+  private val Group = """\s*(\d+)\s*([smhdw])\s*""".r
 
-  /** "15m" -> Some(900); invalid strings -> None (the reference skips
-    * unparseable windows rather than failing: lib/dsl/DSLHandler.js:79-86).
+  /** "15m" -> Some(900); compound strings sum their parts like juration
+    * ("1m30s" -> 90, so `parseSeconds(human(x)) == x` round-trips);
+    * invalid strings -> None (the reference skips unparseable windows
+    * rather than failing: lib/dsl/DSLHandler.js:79-86).
     */
-  def parseSeconds(s: String): Option[Long] = s match {
-    case Pattern(n, u) => unitSeconds.get(u).map(_ * n.toLong)
-    case _             => None
+  def parseSeconds(s: String): Option[Long] = {
+    if (s == null) return None
+    val groups = Group.findAllMatchIn(s).toSeq
+    val matchedLen = groups.map(_.matched.length).sum
+    // every character must belong to a (number, unit) group — trailing
+    // garbage or a bare number rejects the whole string
+    if (groups.isEmpty || matchedLen != s.length) None
+    else Some(groups.map(m => m.group(1).toLong * unitSeconds(m.group(2))).sum)
   }
 
   /** Seconds -> human string, largest-exact-unit-first (juration-style

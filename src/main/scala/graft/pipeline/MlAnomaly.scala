@@ -2,10 +2,10 @@ package graft.pipeline
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.queries.Tables
 
 /** MLlib-based anomaly scoring: fit KMeans over the embeddings and
@@ -25,26 +25,37 @@ import graft.queries.Tables
   */
 object MlAnomaly {
 
-  /** (vec_id, cluster, round(dist, 3), label) with the top-N most
-    * distant vectors flagged.
+  /** (vec_id, cluster, round(dist, 3), label) with each vector scored
+    * by its nearest centroid.
+    *
+    * The scoring stage is fully codegen'd — no UDF, no MLlib transform:
+    * each centroid becomes a literal array and
+    * `dist_i^2 = |x|^2 - 2 x.c_i + |c_i|^2` uses the native
+    * [[graft.functions.VectorFunctions.dotProduct]] expression (|c_i|^2
+    * precomputed on the driver); the nearest cluster is `array_min`
+    * over (dist, idx) structs, which breaks ties on the lower index
+    * exactly like MLlib's first-minimum argmin.
     */
   def kmeansAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val raw = Tables.embeddings(spark, sfDir)
+    val fitInput = raw.select(col("vec_id"), col("label"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(8).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
-      .fit(emb)
-    val centers = model.clusterCenters
-    val distUdf = udf { (v: Vector, cluster: Int) =>
-      math.sqrt(centers(cluster).toArray.zip(v.toArray)
-        .map { case (c, x) => (c - x) * (c - x) }.sum)
-    }
-    val scored = model.transform(emb)
-      .withColumn("dist", distUdf(col("features"), col("prediction")))
-    scored.select(
-      col("vec_id"), col("label"),
-      col("prediction").as("cluster"),
-      round(col("dist"), 3).as("dist"),
-    )
+      .fit(fitInput)
+    val centers = model.clusterCenters.map(_.toArray)
+    val x = col("embedding").cast("array<double>")
+    val xx = VectorFunctions.dotProduct(x, x)
+    val candidates = array(centers.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      val dist2 = xx - lit(2.0) * VectorFunctions.dotProduct(x, typedLit(c.toSeq)) + lit(cc)
+      // sqrt(greatest(.., 0)): the expansion can go epsilon-negative
+      struct(sqrt(greatest(dist2, lit(0.0))).as("dist"), lit(i).as("cluster"))
+    }: _*)
+    raw.withColumn("best", array_min(candidates))
+      .select(
+        col("vec_id"), col("label"),
+        col("best.cluster").as("cluster"),
+        round(col("best.dist"), 3).as("dist"),
+      )
   }
 }

@@ -109,6 +109,47 @@ class AnomalyPipeline(
   }
   def currentSnapshot: Option[DataFrame] = snapshot.get()
 
+  /** Stored sample count (reference: Sarkac.getStats db.storedEvents,
+    * lib/Sarkac.js:101-109 — a Mongo collection count).
+    */
+  def storedEventCount: Long =
+    if (segments.get().isEmpty) 0L else currentStore.count()
+
+  /** Stats-cache read-back, one row per (topic, path, window) with the
+    * reference's {median, stdDev} value shape (the DSLHandler cache,
+    * lib/dsl/DSLHandler.js:264-267). The snapshot is tiny
+    * (config-bounded), so the collect is the natural cache dump.
+    */
+  def statsCache: Seq[(String, String, Long, Double, Double)] =
+    snapshot.get().toSeq.flatMap {
+      _.select(col("topic"), col("path"), col("window_sec"), col("mean"), col("stddev_pop"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    }
+
+  /** Cooldown (anomaly) cache read-back: last emitted event-time micros
+    * per key — the reference's in-memory anomaly TTL cache
+    * (lib/dsl/DSLHandler.js:200-210).
+    */
+  def cooldownSnapshot: Map[(String, String, Long), Long] = cooldownCache.get()
+
+  /** Truncate the event store (reference: DELETE /db/truncate clears
+    * the sigma collection, lib/HttpServer.js:87-89): releases all
+    * cached segments, clears the stats snapshot (it derives from the
+    * store and is rebuilt on the next trigger), and overwrites any
+    * persisted store state so a restart does not resurrect the data.
+    * The cooldown cache is kept, matching the reference (truncate does
+    * not reset anomaly suppression).
+    */
+  def truncate(): Unit = {
+    segments.get().foreach(_.df.unpersist())
+    segments.set(Vector.empty)
+    snapshot.set(None)
+    stateDir.foreach { d =>
+      emptyStore.write.mode("overwrite").parquet(s"$d/store")
+    }
+  }
+
   /** One micro-batch step: returns the emitted anomalies.
     *
     * `batch` must be normalized messages: (topic, value: json string,
@@ -275,6 +316,30 @@ object AnomalyPipeline {
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topics.mkString(","))
         .load())
+
+  /** Dynamic-subscription source (S2): the Spark-native analog of the
+    * reference's runtime `adjustSubscription` (lib/Stream.js:145-152).
+    * With `subscribePattern` the Kafka source re-evaluates the topic
+    * regex against the cluster metadata as batches are planned, so
+    * topics created after start are picked up WITHOUT a restart —
+    * exactly the discovery-driven growth the reference implements by
+    * mutating its consumer. Pair with [[Discovery.discoverTopics]] for
+    * the blacklist: excluded topics are dropped by the decode-stage
+    * filter since a regex cannot subtract a set.
+    */
+  def kafkaSourcePattern(
+      spark: SparkSession, bootstrap: String, pattern: String,
+      blacklist: Set[String] = Set.empty,
+  ): DataFrame = {
+    val decoded = decodeKafka(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribePattern", pattern)
+        .load())
+    if (blacklist.isEmpty) decoded
+    else decoded.filter(!col("topic").isin(blacklist.toSeq: _*))
+  }
 
   /** The decode stage, usable on any Kafka-shaped relation (batch or
     * stream): cast key/value to UTF-8 strings, keep topic + timestamp.

@@ -5,17 +5,28 @@ import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
-/** Thin HTTP observability endpoint (reference: lib/HttpServer.js —
-  * Express endpoints serving config/stats/discovery state). Serves the
-  * engine's counters and discovery state as JSON from the driver using
-  * the JDK's built-in HttpServer (no extra dependencies).
+/** HTTP observability surface mirroring the reference's endpoint set
+  * (reference: lib/HttpServer.js:34-89) from the driver, using the
+  * JDK's built-in HttpServer (no extra dependencies):
   *
-  * Endpoints: GET /status (counters), GET /topics (discovered topics),
-  * GET /dsl (active DSL), anything else -> 404.
+  *  - GET    /                   index of endpoints
+  *  - GET    /status             counters + stored-event count
+  *  - GET    /healthcheck        200 empty
+  *  - GET    /dsl                the active (static + discovered) DSL
+  *  - GET    /dsl/computed       per-(topic:path:window) {median, stdDev}
+  *                               stats cache (lib/dsl/DSLHandler.js:264)
+  *  - GET    /dsl/topics         DSL topic names
+  *  - GET    /discovery/topics   discovered topic set
+  *  - GET    /discovery/fields   discovered fields per topic
+  *  - GET    /discovery/hashes   per-topic schema hashes
+  *  - GET    /anomalies/cooldown cooldown cache read-back (last emit per key)
+  *  - DELETE /db/truncate        clear the event store
+  *  - anything else -> 404, wrong method -> 405.
   */
 class StatusServer(
     counters: Counters,
     discovery: Option[Discovery] = None,
+    pipeline: Option[AnomalyPipeline] = None,
     port: Int = 0, // 0 = ephemeral
 ) {
 
@@ -35,17 +46,87 @@ class StatusServer(
     case c => c.toString
   } + "\""
 
+  /** Render a finite double as a JSON number (NaN/Inf are not valid
+    * JSON — quote them like JS `JSON.stringify` would not, but the
+    * stats gates upstream make them unreachable in practice).
+    */
+  private def num(d: Double): String =
+    if (d.isNaN || d.isInfinite) q(d.toString) else d.toString
+
+  private val index: Seq[(String, String)] = Seq(
+    "Info" -> "graft",
+    "Self" -> "GET /",
+    "Status" -> "GET /status",
+    "Healthcheck" -> "GET /healthcheck",
+    "Loaded DSL" -> "GET /dsl",
+    "Computed DSL" -> "GET /dsl/computed",
+    "DSL Topics" -> "GET /dsl/topics",
+    "Discovered Topics" -> "GET /discovery/topics",
+    "Discovered Fields" -> "GET /discovery/fields",
+    "Discovered Hashes" -> "GET /discovery/hashes",
+    "Anomaly Cooldowns" -> "GET /anomalies/cooldown",
+    "Truncate Database" -> "DELETE /db/truncate",
+  )
+
   def start(): Int = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
-    s.createContext("/status", handler(() => jsonObject(
-      counters.snapshot.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: $v" })))
-    s.createContext("/topics", handler(() => jsonArray(
-      discovery.map(_.topics.toSeq.sorted).getOrElse(Nil).map(q))))
-    s.createContext("/dsl", handler(() => jsonObject(
-      discovery.map(_.dsl.topics).getOrElse(Nil).map { tc =>
-        s"${q(tc.topic)}: ${jsonObject(tc.fields.map(f =>
-          s"${q(f.path)}: [${f.windows.mkString(",")}]"))}"
-      })))
+    // "/" is the JDK fallback context: only the exact root serves the
+    // index; unknown paths 404 (the reference's express default)
+    s.createContext("/", exchange => route(exchange) {
+      case ("GET", "/") =>
+        (200, jsonObject(index.map { case (k, v) => s"${q(k)}: ${q(v)}" }))
+    })
+    s.createContext("/status", exchange => route(exchange) {
+      case ("GET", _) =>
+        val sarkac = jsonObject(
+          counters.snapshot.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: $v" })
+        val db = jsonObject(Seq(
+          s"${q("storedEvents")}: ${pipeline.map(_.storedEventCount).getOrElse(0L)}"))
+        (200, jsonObject(Seq(
+          s"${q("stream")}: null", // no broker wired in this environment
+          s"${q("db")}: $db",
+          s"${q("sarkac")}: $sarkac")))
+    })
+    s.createContext("/healthcheck", exchange => route(exchange) {
+      case ("GET", _) => (200, "")
+    })
+    s.createContext("/dsl", exchange => route(exchange) {
+      case ("GET", "/dsl") => (200, dslJson)
+      case ("GET", "/dsl/computed") =>
+        (200, jsonObject(
+          pipeline.map(_.statsCache).getOrElse(Nil)
+            .sortBy { case (t, p, w, _, _) => (t, p, w) }
+            .map { case (t, p, w, median, stdDev) =>
+              s"${q(s"$t:$p:$w")}: ${jsonObject(Seq(
+                s"${q("median")}: ${num(median)}", s"${q("stdDev")}: ${num(stdDev)}"))}"
+            }))
+      case ("GET", "/dsl/topics") =>
+        (200, jsonArray(
+          discovery.map(_.dsl.topicNames).getOrElse(Nil).sorted.map(q)))
+    })
+    s.createContext("/discovery", exchange => route(exchange) {
+      case ("GET", "/discovery/topics") =>
+        (200, jsonArray(discovery.map(_.topics.toSeq.sorted).getOrElse(Nil).map(q)))
+      case ("GET", "/discovery/fields") =>
+        (200, jsonObject(
+          discovery.map(_.discoveredFields.toSeq.sortBy(_._1)).getOrElse(Nil)
+            .map { case (t, ps) => s"${q(t)}: ${jsonArray(ps.map(q))}" }))
+      case ("GET", "/discovery/hashes") =>
+        (200, jsonObject(
+          discovery.map(_.hashes.toSeq.sortBy(_._1)).getOrElse(Nil)
+            .map { case (t, h) => s"${q(t)}: $h" }))
+    })
+    s.createContext("/anomalies/cooldown", exchange => route(exchange) {
+      case ("GET", _) =>
+        (200, jsonObject(
+          pipeline.map(_.cooldownSnapshot.toSeq.sortBy(_._1)).getOrElse(Nil)
+            .map { case ((t, p, w), us) => s"${q(s"$t:$p:$w")}: $us" }))
+    })
+    s.createContext("/db/truncate", exchange => route(exchange) {
+      case ("DELETE", _) =>
+        pipeline.foreach(_.truncate())
+        (200, jsonObject(Seq(s"${q("truncated")}: true")))
+    })
     s.setExecutor(null)
     s.start()
     server = Some(s)
@@ -57,17 +138,30 @@ class StatusServer(
   private def jsonObject(fields: Seq[String]): String = fields.mkString("{", ", ", "}")
   private def jsonArray(items: Seq[String]): String = items.mkString("[", ", ", "]")
 
-  private def handler(body: () => String): HttpHandler = new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = {
-      val (code, payload) =
-        if (ex.getRequestMethod == "GET") (200, body())
-        else (405, """{"error": "method not allowed"}""")
-      val bytes = payload.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      val os = ex.getResponseBody
-      os.write(bytes)
-      os.close()
-    }
+  /** Route one exchange: the partial function maps (method, path) to
+    * (status, body); an unmatched path 404s, a matched path with the
+    * wrong method 405s (checked by retrying the route with each common
+    * method).
+    */
+  private def route(ex: HttpExchange)(pf: PartialFunction[(String, String), (Int, String)]): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    val (code, payload) =
+      if (pf.isDefinedAt((method, path))) pf((method, path))
+      else if (Seq("GET", "POST", "PUT", "DELETE").exists(m => pf.isDefinedAt((m, path))))
+        (405, """{"error": "method not allowed"}""")
+      else (404, """{"error": "not found"}""")
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    val os = ex.getResponseBody
+    if (bytes.nonEmpty) os.write(bytes)
+    os.close()
   }
+
+  private def dslJson: String = jsonObject(
+    discovery.map(_.dsl.topics).getOrElse(Nil).map { tc =>
+      s"${q(tc.topic)}: ${jsonObject(tc.fields.map(f =>
+        s"${q(f.path)}: [${f.windows.mkString(",")}]"))}"
+    })
 }

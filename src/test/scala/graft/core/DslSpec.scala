@@ -26,6 +26,22 @@ class DurationsSpec extends AnyFunSuite {
     assert(Durations.human(90L) == "1m30s")
     assert(Durations.human(0L) == "0s")
   }
+
+  test("compound durations parse (juration) and parse(human(x)) round-trips") {
+    assert(Durations.parseSeconds("1m30s").contains(90L))
+    assert(Durations.parseSeconds("1w2d3h4m5s")
+      .contains(604800L + 2 * 86400L + 3 * 3600L + 4 * 60L + 5L))
+    assert(Durations.parseSeconds("1m 30s").contains(90L))
+    assert(Durations.parseSeconds("1m30").isEmpty)  // trailing bare number
+    assert(Durations.parseSeconds("30").isEmpty)    // bare number
+    assert(Durations.parseSeconds("1m30x").isEmpty) // bad trailing unit
+    // property: every emitted human string parses back to its input
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val x = 1L + (rnd.nextLong() % (2L * 604800L)).abs
+      assert(Durations.parseSeconds(Durations.human(x)).contains(x), s"round-trip failed for $x")
+    }
+  }
 }
 
 class DslSpec extends AnyFunSuite {
