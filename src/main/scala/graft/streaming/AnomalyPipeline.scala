@@ -304,6 +304,32 @@ object AnomalyPipeline {
     .add("topic", "string").add("key", "string").add("value", "string")
     .add("ts", TimestampType)
 
+  /** One normalized message, the unit the per-message hook sees. */
+  final case class Message(topic: String, key: String, value: String, ts: java.sql.Timestamp)
+
+  /** The reference's `beforeMessageProcessing` hook contract
+    * (lib/Stream.js:43-65) as a PER-MESSAGE stage, beyond the
+    * declarative decode filter: the user function may alter the
+    * message, return None to drop it, or throw — a throw counts one
+    * error (the reference emits "error" and resolves null) and drops
+    * the message. Runs distributed via `mapPartitions` on the typed
+    * Dataset; the hook must be serializable.
+    */
+  def withMessageHook(
+      batch: DataFrame,
+      hook: Message => Option[Message],
+      errors: org.apache.spark.util.LongAccumulator,
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("topic"), col("key"), col("value"), col("ts")).as[Message]
+      .mapPartitions(_.flatMap { m =>
+        try hook(m)
+        catch { case scala.util.control.NonFatal(_) => errors.add(1); None }
+      })
+      .toDF()
+  }
+
   /** Kafka source wiring (S1): subscribe to the DSL topics and decode
     * Buffers to strings — the beforeMessageProcessing hook
     * (lib/Stream.js:43-65) as a declarative stage. Not exercised in
@@ -372,11 +398,16 @@ object AnomalyPipeline {
       onBatch: (DataFrame, Long) => Unit,
       clock: Option[DataFrame => java.sql.Timestamp] = None,
       outputHook: DataFrame => DataFrame = identity,
+      messageHook: Option[Message => Option[Message]] = None,
   ): org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val df = batch.toDF()
+        // beforeMessageProcessing hook (reference: lib/Stream.js:43-65):
+        // per-message alter/drop/error stage ahead of everything else
+        val df = messageHook
+          .map(h => withMessageHook(batch.toDF(), h, pipeline.counters.errors))
+          .getOrElse(batch.toDF())
         val now = clock.map(_(df)).getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
         val emitted = pipeline.processBatch(df, now)
         // beforeAnomalyProduction hook (reference: lib/Stream.js:72-107):

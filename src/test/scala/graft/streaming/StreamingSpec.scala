@@ -129,6 +129,27 @@ class AnomalyPipelineSpec extends SparkSpec {
     assert(p.currentStore.count() == 2L) // v sample + __topic_frequency
   }
 
+  test("beforeMessageProcessing hook: alter, drop, and error per message (H1)") {
+    val counters = new Counters(spark)
+    val batch = Seq(
+      ("t", "k1", """{"v":1}""", new Timestamp(t0)),
+      ("t", "k2", """{"v":2}""", new Timestamp(t0)), // dropped by hook
+      ("t", "k3", """{"v":3}""", new Timestamp(t0)), // hook throws -> error + drop
+      ("t", "k4", """{"v":4}""", new Timestamp(t0)), // altered by hook
+    ).toDF("topic", "key", "value", "ts")
+    val hook: AnomalyPipeline.Message => Option[AnomalyPipeline.Message] = m =>
+      m.key match {
+        case "k2" => None
+        case "k3" => throw new IllegalStateException("bad message")
+        case "k4" => Some(m.copy(value = """{"v":40}"""))
+        case _    => Some(m)
+      }
+    val out = AnomalyPipeline.withMessageHook(batch, hook, counters.errors)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(out == Map("k1" -> """{"v":1}""", "k4" -> """{"v":40}"""))
+    assert(counters.errors.value == 1L)
+  }
+
   test("foreachBatch shell runs via MemoryStream end-to-end") {
     val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
     val pipeline = new AnomalyPipeline(spark, dsl, cooldownMs = 0L)
