@@ -92,8 +92,7 @@ class Discovery(
       .collect()
 
     val changed = samples.flatMap { case (topic, json) =>
-      val schema = inferSchema(json)
-      val paths = numericPaths(schema)
+      val paths = numericPathsOf(json)
       val h = listHash(paths)
       val prev = schemaHashes.get()
       if (prev.get(topic).contains(h) || paths.isEmpty) None
@@ -122,10 +121,38 @@ class Discovery(
     changed.keySet
   }
 
-  /** Schema inference for one JSON payload (the per-topic sample). */
+  /** Schema inference for one JSON payload (the per-topic sample).
+    * Exposed for callers that want the full Spark schema; the discovery
+    * loop itself uses [[numericPathsOf]], which needs no Spark job.
+    */
   def inferSchema(json: String): StructType = {
     import spark.implicits._
     spark.read.json(Seq(json).toDS()).schema
+  }
+
+  /** Numeric leaf dot paths straight from one JSON sample via a
+    * driver-side Jackson walk — the in-process analog of the
+    * reference's recursive object walk (lib/discovery/
+    * FieldIdentifier.js:9-57). Replaces a per-topic `spark.read.json`
+    * job: at the reference's "every topic on the cluster" cardinality
+    * that was O(topics) driver jobs per discovery scan. Semantics match
+    * [[numericPaths]] over an inferred schema: numbers are leaves,
+    * objects recurse to dot paths, arrays/strings/booleans/nulls are
+    * skipped; paths come back sorted (Spark's inference also
+    * canonicalizes field order) and malformed JSON yields no paths
+    * (the reference's malformed guard).
+    */
+  def numericPathsOf(json: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    def walk(prefix: String, n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      if (n.isNumber) Seq(prefix)
+      else if (n.isObject)
+        n.fields().asScala.toSeq.flatMap { e =>
+          walk(if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}", e.getValue)
+        }
+      else Nil
+    try walk("", Discovery.Mapper.readTree(json)).sorted
+    catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** Numeric leaf dot paths of a schema (P2/P3): nested structs flatten
@@ -135,4 +162,11 @@ class Discovery(
     SchemaFlatten.leaves(schema)
       .filter(_.dataType.isInstanceOf[NumericType])
       .map(_.path)
+}
+
+object Discovery {
+  /** Shared Jackson mapper for [[Discovery.numericPathsOf]] (Jackson
+    * ships with Spark; thread-safe after construction).
+    */
+  private[streaming] val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
