@@ -81,11 +81,15 @@ object Extraction {
     * plan-explosion at the reference's "every topic on the cluster"
     * cardinality), the per-topic path sets become a broadcast
     * (topic, path, json_path) dimension; messages join it on topic and
-    * the field is extracted with `get_json_object` on the joined
-    * JSONPath. Plan node count is independent of topic count; the inner
-    * join doubles as the F2 unconfigured-topic guard (reference:
-    * lib/dsl/DSLHandler.js:127-131). The virtual `__topic_frequency`
-    * row (P6) rides the same dimension with a constant 1.0 value.
+    * the field is extracted from a VARIANT on the joined JSONPath. Each
+    * message is parsed ONCE (`try_parse_json` before the join, not once
+    * per extracted field); per-path extraction is a cheap binary
+    * traversal (`try_variant_get`), and malformed payloads yield a null
+    * variant whose extractions all fall to the F3 filter. Plan node
+    * count is independent of topic count; the inner join doubles as the
+    * F2 unconfigured-topic guard (reference: lib/dsl/DSLHandler.js:
+    * 127-131). The virtual `__topic_frequency` row (P6) rides the same
+    * dimension with a constant 1.0 value.
     */
   def fromJsonMessagesMulti(
       df: DataFrame,
@@ -100,19 +104,20 @@ object Extraction {
     import spark.implicits._
     val dim = topicPaths.flatMap { case (t, ps) =>
       val rows = ps.map(p => (t, p, SchemaFlatten.jsonPathOf(p)))
-      if (includeFrequency) rows :+ ((t, Dsl.FrequencyField, "")) else rows
+      if (includeFrequency) rows :+ ((t, Dsl.FrequencyField, "$")) else rows
     }.toDF("topic", "path", "__json_path")
     val carried = carry.map { case (n, c) => c.as(n) }
     df.select(
         Seq(topic.as("topic"), jsonValue.as("__json"), ts.as("produced")) ++ carried: _*
       )
       .filter(col("topic").isNotNull) // F1 malformed-message guard
+      .withColumn("__var", expr("try_parse_json(__json)")) // ONE parse per message
       .join(broadcast(dim), Seq("topic")) // F2 unconfigured-topic guard
       .select(
         Seq(
           col("topic"), col("path"),
           when(col("path") === lit(Dsl.FrequencyField), lit(1.0))
-            .otherwise(expr("get_json_object(__json, __json_path)").cast("double"))
+            .otherwise(expr("try_variant_get(__var, __json_path, 'double')"))
             .as("value"),
           col("produced"),
         ) ++ carry.map { case (n, _) => col(n) }: _*
