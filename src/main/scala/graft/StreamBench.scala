@@ -15,12 +15,13 @@ import graft.streaming.AnomalyPipeline
   * loop, one Mongo insert per message x field, 3 aggregation
   * round-trips per key per 15 s scan).
   *
-  * Usage: runMain graft.StreamBench [messagesPerTrigger] [triggers]
+  * Usage: runMain graft.StreamBench [messagesPerTrigger] [triggers] [exact|bucketed]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val perTrigger = args.headOption.map(_.toInt).getOrElse(100000)
     val triggers = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val bucketed = args.drop(2).headOption.contains("bucketed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +37,8 @@ object StreamBench {
       "topic-a" -> Map("sub.one" -> Seq("15m"), "two" -> Seq("15m")),
       "topic-b" -> Map("rate" -> Seq("15m", "1h")),
     ))
-    val pipeline = new AnomalyPipeline(spark, dsl, cooldownMs = Dsl.CooldownMs)
+    val pipeline = new AnomalyPipeline(spark, dsl, cooldownMs = Dsl.CooldownMs,
+      statsBucketSec = if (bucketed) Some(60L) else None)
 
     // one trigger = perTrigger messages spread over 15 s of event time
     def batch(trigger: Int) = spark.range(perTrigger.toLong).map { i =>

@@ -63,13 +63,26 @@ object WindowStats {
       windows: Seq[Long],
       now: Column,
       bucketSec: Long = 60L,
-  ): DataFrame = {
-    require(windows.forall(_ % bucketSec == 0), s"windows must be multiples of $bucketSec")
-    val nowUs = unix_micros(now)
-    val buckets = samples
-      .withColumn("bucket_us", (unix_micros(col("produced")) / lit(bucketSec * 1000000L)) * lit(bucketSec * 1000000L))
-      .filter(col("bucket_us") < nowUs)
-      .filter(col("bucket_us") >= nowUs - lit(windows.max * 1000000L))
+  ): DataFrame =
+    finishStats(mergeAgg(bucketPartials(samples, bucketSec), windows, now))
+
+  /** Raw (unrounded, same validity gates) bucketed stats over
+    * pre-computed partials — the incremental streaming form: partials
+    * are built once per store segment ([[bucketPartials]]) and merged
+    * per trigger, so the per-trigger cost is O(keys x buckets in
+    * retention), independent of both batch size and raw store size.
+    */
+  def rawBucketedStats(buckets: DataFrame, windows: Seq[Long], now: Column): DataFrame =
+    rawFinish(mergeAgg(buckets, windows, now))
+
+  /** Per-(topic, path, bucket) partial sums of one sample relation.
+    * Exact-decimal partials: count/sum/sumsq merge associatively, so
+    * merging per-segment partials equals aggregating the raw union.
+    */
+  def bucketPartials(samples: DataFrame, bucketSec: Long = 60L): DataFrame =
+    samples
+      .withColumn("bucket_us",
+        (unix_micros(col("produced")) / lit(bucketSec * 1000000L)) * lit(bucketSec * 1000000L))
       .groupBy(col("topic"), col("path"), col("bucket_us"))
       .agg(
         count(lit(1)).as("p_cnt"),
@@ -79,32 +92,40 @@ object WindowStats {
             col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
         ).as("p_sumsq"),
       )
-    val merged = buckets
+
+  /** Window merge over bucket partials: `bucket_us in [now - w, now)`
+    * per exploded window, exact-decimal sums trimmed before the double
+    * cast (see Exact.toDouble).
+    */
+  private def mergeAgg(buckets: DataFrame, windows: Seq[Long], now: Column): DataFrame = {
+    val nowUs = unix_micros(now)
+    buckets
+      .filter(col("bucket_us") < nowUs)
+      .filter(col("bucket_us") >= nowUs - lit(windows.max * 1000000L))
       .withColumn("window_sec", explode(array(windows.map(lit): _*)))
       .filter(col("bucket_us") >= nowUs - col("window_sec") * lit(1000000L))
       .groupBy(col("topic"), col("path"), col("window_sec"))
       .agg(
         sum(col("p_cnt")).as("cnt"),
-        // trim to (18,6) before the double cast — see Exact.toDouble
         sum(col("p_sum")).cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double").as("sumv"),
         sum(col("p_sumsq")).cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double").as("sumsq"),
       )
-    finishStats(merged)
   }
 
   /** Shared tail: derive mean/stddev_pop from exact sums and apply the
-    * reference's validity gates.
+    * reference's validity gates (F6 min-sample, lib/dsl/DSLHandler.js:
+    * 244; F7 zero-stats quirk, lib/dsl/DSLHandler.js:259-262 — dropping
+    * legitimately-zero means is intentionally reproduced).
     */
-  private def finishStats(agged: DataFrame): DataFrame =
+  private def gatedStats(agged: DataFrame): DataFrame =
     agged
       .withColumn("mean", col("sumv") / col("cnt"))
       .withColumn("stddev_pop", popStddev(col("sumsq"), col("mean"), col("cnt")))
-      // F6 min-sample gate (lib/dsl/DSLHandler.js:244)
       .filter(col("cnt") >= Dsl.MinSamples)
-      // F7 zero-stats gate (lib/dsl/DSLHandler.js:259-262) — note this
-      // intentionally reproduces the reference quirk of dropping
-      // legitimately-zero means.
       .filter(col("mean") =!= 0.0 && col("stddev_pop") =!= 0.0)
+
+  private def finishStats(agged: DataFrame): DataFrame =
+    gatedStats(agged)
       .select(
         col("topic"),
         col("path"),
@@ -114,25 +135,26 @@ object WindowStats {
         round(col("stddev_pop"), 6).as("stddev_pop"),
       )
 
+  private def rawFinish(agged: DataFrame): DataFrame =
+    gatedStats(agged)
+      .select(col("topic"), col("path"), col("window_sec"), col("cnt"),
+        col("mean"), col("stddev_pop"))
+
   /** Raw (ungated, unrounded) stats for internal reuse by the anomaly
     * join, where the z-score must be computed from full-precision values.
     */
   def rawTrailingStats(samples: DataFrame, windows: Seq[Long], now: Column): DataFrame =
-    samples
-      .withColumn("window_sec", explode(array(windows.map(lit): _*)))
-      .filter(
-        unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L)
-      )
-      .filter(unix_micros(col("produced")) <= unix_micros(now))
-      .groupBy(col("topic"), col("path"), col("window_sec"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        exactSum(col("value")).as("sumv"),
-        exactSumSq(col("value")).as("sumsq"),
-      )
-      .withColumn("mean", col("sumv") / col("cnt"))
-      .withColumn("stddev_pop", popStddev(col("sumsq"), col("mean"), col("cnt")))
-      .filter(col("cnt") >= Dsl.MinSamples)
-      .filter(col("mean") =!= 0.0 && col("stddev_pop") =!= 0.0)
-      .select(col("topic"), col("path"), col("window_sec"), col("cnt"), col("mean"), col("stddev_pop"))
+    rawFinish(
+      samples
+        .withColumn("window_sec", explode(array(windows.map(lit): _*)))
+        .filter(
+          unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L)
+        )
+        .filter(unix_micros(col("produced")) <= unix_micros(now))
+        .groupBy(col("topic"), col("path"), col("window_sec"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          exactSum(col("value")).as("sumv"),
+          exactSumSq(col("value")).as("sumsq"),
+        ))
 }

@@ -39,7 +39,13 @@ class AnomalyPipeline(
     dsl: Dsl,
     cooldownMs: Long = Dsl.CooldownMs,
     stateDir: Option[String] = None,
+    statsBucketSec: Option[Long] = None,
 ) extends Serializable {
+
+  statsBucketSec.foreach { b =>
+    require(dsl.topics.flatMap(_.fields.flatMap(_.windows)).forall(_ % b == 0),
+      s"statsBucketSec=$b requires every DSL window to be a multiple of it")
+  }
 
   import spark.implicits._
 
@@ -54,7 +60,17 @@ class AnomalyPipeline(
     * With `stateDir` set the segments are additionally persisted for
     * restart.
     */
-  private final case class Segment(maxTsUs: Long, df: DataFrame)
+  private final case class Segment(maxTsUs: Long, df: DataFrame) {
+    def release(): Unit = df.unpersist()
+  }
+
+  /** Build a segment from a (persisted or checkpointed) chunk, reading
+    * its max event time (which materializes the cache).
+    */
+  private def mkSegment(df: DataFrame): Segment = {
+    val mx = df.agg(max(unix_micros(col("produced")))).head
+    Segment(if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0), df)
+  }
 
   private val segments = new AtomicReference[Vector[Segment]]({
     stateDir.flatMap { d =>
@@ -64,8 +80,8 @@ class AnomalyPipeline(
         // still reading it (and cache eviction can't silently recompute
         // from newer file contents)
         val df = spark.read.parquet(s"$d/store").localCheckpoint(eager = true)
-        val mx = df.agg(max(unix_micros(col("produced")))).head
-        if (mx.isNullAt(0)) None else Some(Vector(Segment(mx.getLong(0), df)))
+        val seg = mkSegment(df)
+        if (seg.maxTsUs == Long.MinValue) None else Some(Vector(seg))
       } catch { case _: Throwable => None }
     }.getOrElse(Vector.empty)
   })
@@ -79,6 +95,36 @@ class AnomalyPipeline(
 
   /** Stats snapshot from the previous trigger (the DSLHandler cache). */
   private val snapshot = new AtomicReference[Option[DataFrame]](None)
+
+  /** Bucketed-stats mode only: the COMPACTED per-(topic, path, bucket)
+    * partial-sum store — one localCheckpointed relation of bounded size
+    * (keys x buckets in retention), folded with each new batch's
+    * partials per trigger. Keeping it compacted (instead of one cached
+    * partial relation per segment) bounds the per-trigger merge to ONE
+    * small shuffle over bounded rows, not O(segments x partitions)
+    * tasks. Initialized lazily from the restored store on restart.
+    */
+  private val bucketState = new AtomicReference[Option[DataFrame]](None)
+
+  /** Fold fresh partials into the compacted store, pruning buckets past
+    * the retention horizon. Fold types are stable — p_sum DECIMAL(28,6),
+    * p_sumsq DECIMAL(38,12) — so repeated folding is value-identical to
+    * one-shot aggregation (decimal addition at fixed scale is
+    * associative; no intermediate rounding).
+    */
+  private def foldBuckets(fresh: DataFrame, horizonUs: Long, bucketSec: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val horizonBucketUs = horizonUs / (bucketSec * 1000000L) * (bucketSec * 1000000L)
+    bucketState.get().map(_.union(fresh)).getOrElse(fresh)
+      .filter(col("bucket_us") >= lit(horizonBucketUs))
+      .groupBy(col("topic"), col("path"), col("bucket_us"))
+      .agg(
+        sum(col("p_cnt")).as("p_cnt"),
+        sum(col("p_sum")).cast(DecimalType(28, 6)).as("p_sum"),
+        sum(col("p_sumsq")).cast(DecimalType(38, 12)).as("p_sumsq"),
+      )
+      .localCheckpoint(eager = true)
+  }
 
   /** Process counters mirroring lib/Sarkac.js:29-36. */
   val counters = new Counters(spark)
@@ -108,6 +154,33 @@ class AnomalyPipeline(
     if (segs.isEmpty) emptyStore else segs.map(_.df).reduce(_ union _)
   }
   def currentSnapshot: Option[DataFrame] = snapshot.get()
+
+  /** Stats over the live store, anchored at `now`: exact trailing form
+    * by default; with `statsBucketSec` set, a merge of the cached
+    * per-segment bucket partials anchored at the bucket-floored `now` —
+    * per-trigger cost O(keys x buckets in retention), independent of
+    * store row count (the documented 100x scale form, oracle-gated as
+    * `q_window_stats_bucketed`).
+    */
+  private def computeStats(windows: Seq[Long], now: java.sql.Timestamp, horizonUs: Long): DataFrame =
+    statsBucketSec match {
+      case Some(b) =>
+        val buckets = bucketState.get().getOrElse {
+          // restart (or first trigger): rebuild the compacted partials
+          // from the restored raw store in one pass
+          val init = WindowStats.bucketPartials(
+            currentStore.filter(unix_micros(col("produced")) >= lit(horizonUs)), b)
+            .localCheckpoint(eager = true)
+          bucketState.set(Some(init))
+          init
+        }
+        val nowBUs = unixMicrosOf(now) / (b * 1000000L) * (b * 1000000L)
+        WindowStats.rawBucketedStats(buckets, windows, timestamp_micros(lit(nowBUs)))
+      case None =>
+        WindowStats.rawTrailingStats(
+          currentStore.filter(unix_micros(col("produced")) >= lit(horizonUs)),
+          windows, lit(now))
+    }
 
   /** Stored sample count (reference: Sarkac.getStats db.storedEvents,
     * lib/Sarkac.js:101-109 — a Mongo collection count).
@@ -142,9 +215,10 @@ class AnomalyPipeline(
     * not reset anomaly suppression).
     */
   def truncate(): Unit = {
-    segments.get().foreach(_.df.unpersist())
+    segments.get().foreach(_.release())
     segments.set(Vector.empty)
     snapshot.set(None)
+    bucketState.set(None)
     stateDir.foreach { d =>
       emptyStore.write.mode("overwrite").parquet(s"$d/store")
     }
@@ -170,13 +244,16 @@ class AnomalyPipeline(
         carry = Seq("original_message" -> col("value")))
       .persist()
 
+    val maxRet = (dsl.topics.map(_.retentionSeconds) ++ Seq(0L)).max
+    val horizonUs = unixMicrosOf(now) - maxRet * 1000000L
+
     // restart path: no in-memory snapshot but a restored store ->
     // recompute stats from pre-batch data (exactly the "stats as of the
     // previous trigger" staleness semantics)
     if (snapshot.get().isEmpty && segments.get().nonEmpty) {
       val windows0 = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
       if (windows0.nonEmpty)
-        snapshot.set(Some(WindowStats.rawTrailingStats(currentStore, windows0, lit(now))))
+        snapshot.set(Some(computeStats(windows0, now, horizonUs)))
     }
 
     // 2. judge against the PREVIOUS snapshot (staleness semantics); the
@@ -197,26 +274,29 @@ class AnomalyPipeline(
     // 3. fold the batch in as a new cached segment (narrow: the raw
     // payload is NOT stored — stats only need (topic, path, value,
     // produced)); drop whole segments that fell entirely outside the
-    // retention horizon (their cache is released) — no rewrite of
-    // surviving data
-    val maxRet = (dsl.topics.map(_.retentionSeconds) ++ Seq(0L)).max
-    val horizonUs = unixMicrosOf(now) - maxRet * 1000000L
-    val seg = {
-      val df = extracted.select("topic", "path", "value", "produced").persist()
-      val mx = df.agg(max(unix_micros(col("produced")))).head
-      Segment(if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0), df)
-    }
+    // retention horizon (their caches are released) — no rewrite of
+    // surviving data. In bucketed mode the batch is additionally
+    // reduced to bucket partials ONCE and folded into the compacted
+    // partial store.
+    val seg = mkSegment(extracted.select("topic", "path", "value", "produced").persist())
     val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
-    expired.foreach(_.df.unpersist())
+    expired.foreach(_.release())
     segments.set(keep)
+    // (on restart the restart branch above has already rebuilt the
+    // compacted partials from the restored store, so the fold below
+    // never loses pre-restart history)
+    statsBucketSec.foreach { b =>
+      bucketState.set(Some(foldBuckets(WindowStats.bucketPartials(seg.df, b), horizonUs, b)))
+    }
     // segment rows older than the horizon are filtered at read time
     val newStore = currentStore
       .filter(unix_micros(col("produced")) >= lit(horizonUs))
 
-    // 4. recompute the snapshot for the NEXT trigger
+    // 4. recompute the snapshot for the NEXT trigger (bucketed mode:
+    // merge of cached per-segment partials, no raw re-scan)
     val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
     if (windows.nonEmpty) {
-      val stats = WindowStats.rawTrailingStats(newStore, windows, lit(now))
+      val stats = computeStats(windows, now, horizonUs)
         .localCheckpoint(eager = true)
       snapshot.set(Some(stats))
     }

@@ -129,6 +129,26 @@ class AnomalyPipelineSpec extends SparkSpec {
     assert(p.currentStore.count() == 2L) // v sample + __topic_frequency
   }
 
+  test("bucketed stats mode emits the same anomalies as exact mode (scale form)") {
+    // minute-aligned triggers + minute-multiple windows + samples in
+    // bucket interiors -> identical sample sets per window; decimal
+    // partial sums merge associatively -> identical stats -> identical
+    // emissions. This pins the incremental per-segment-partials path to
+    // the exact path end to end.
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"), "two" -> Seq("5m"))))
+    def runAll(p: AnomalyPipeline) =
+      (0 until 3).flatMap { tr =>
+        p.processBatch(
+          generatorScript(tr * 60L, (tr + 1) * 60L).toDF("topic", "key", "value", "ts"),
+          new Timestamp(t0 + (tr + 1) * 60000L)
+        ).collect().map(e => (e.topic, e.path, e.window_sec, e.produced_us, e.value))
+      }.toSet
+    val exact = runAll(new AnomalyPipeline(spark, dsl, cooldownMs = 0L))
+    val bucketed = runAll(new AnomalyPipeline(spark, dsl, cooldownMs = 0L, statsBucketSec = Some(60L)))
+    assert(exact.nonEmpty, "equivalence is vacuous: no anomalies emitted")
+    assert(bucketed == exact, "bucketed-mode emissions diverged from exact mode")
+  }
+
   test("beforeMessageProcessing hook: alter, drop, and error per message (H1)") {
     val counters = new Counters(spark)
     val batch = Seq(
