@@ -281,7 +281,25 @@ class AnomalyPipeline(
     val seg = mkSegment(extracted.select("topic", "path", "value", "produced").persist())
     val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
     expired.foreach(_.release())
-    segments.set(keep)
+    // LSM-style compaction (exact mode only): when retention outlives
+    // many triggers the segment vector (and with it the per-trigger
+    // union width and task count of every stats re-scan) grows
+    // linearly — merge into ONE checkpointed chunk past a threshold;
+    // amortized cost O(store / threshold) per trigger. In bucketed mode
+    // the raw store is COLD state (read only on restart; stats come
+    // from the compacted partials), so re-materializing it would be
+    // pure overhead — at cluster scale it is an appended Delta/parquet
+    // table either way.
+    val merged =
+      if (statsBucketSec.isEmpty && keep.size > AnomalyPipeline.CompactSegments) {
+        val all = keep.map(_.df).reduce(_ union _)
+          .filter(unix_micros(col("produced")) >= lit(horizonUs))
+          .localCheckpoint(eager = true)
+        val one = Segment(keep.map(_.maxTsUs).max, all)
+        keep.foreach(_.release())
+        Vector(one)
+      } else keep
+    segments.set(merged)
     // (on restart the restart branch above has already rebuilt the
     // compacted partials from the restored store, so the fold below
     // never loses pre-restart history)
@@ -351,6 +369,9 @@ class AnomalyPipeline(
 }
 
 object AnomalyPipeline {
+
+  /** Segment-count threshold that triggers store compaction. */
+  val CompactSegments = 12
 
   /** The reference's anomaly record contract (lib/dsl/DSLHandler.js:
     * 217-227) over rows shaped like CooldownState.AnomalyEvent:
