@@ -60,8 +60,15 @@ class AnomalyPipeline(
     * With `stateDir` set the segments are additionally persisted for
     * restart.
     */
-  private final case class Segment(maxTsUs: Long, df: DataFrame) {
-    def release(): Unit = df.unpersist()
+  /** One store segment: its cached chunk, max event time, and (with
+    * `stateDir`) the IMMUTABLE parquet directory persisting it. State
+    * I/O is per-segment: each trigger appends one O(batch) directory
+    * and deletes expired ones — never an O(store) rewrite (the
+    * overwrite-whole-store form would dominate every trigger once the
+    * retention horizon holds much more than a batch).
+    */
+  private final case class Segment(maxTsUs: Long, df: DataFrame, path: Option[String] = None) {
+    def release(): Unit = { df.unpersist(); path.foreach(AnomalyPipeline.deletePath(spark, _)) }
   }
 
   /** Build a segment from a (persisted or checkpointed) chunk, reading
@@ -75,13 +82,24 @@ class AnomalyPipeline(
   private val segments = new AtomicReference[Vector[Segment]]({
     stateDir.flatMap { d =>
       try {
-        // localCheckpoint severs the lineage from the state path, so the
-        // per-trigger overwrite of $d/store never races a plan that is
-        // still reading it (and cache eviction can't silently recompute
-        // from newer file contents)
-        val df = spark.read.parquet(s"$d/store").localCheckpoint(eager = true)
-        val seg = mkSegment(df)
-        if (seg.maxTsUs == Long.MinValue) None else Some(Vector(seg))
+        val storePath = new org.apache.hadoop.fs.Path(s"$d/store")
+        val fsys = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fsys.exists(storePath)) None
+        else {
+          // one subdirectory per persisted segment, named seg_<maxTsUs>_<n>;
+          // directories are immutable once written, so reads never race a
+          // rewrite and no checkpoint copy is needed
+          val segs = fsys.listStatus(storePath).filter(_.isDirectory).toVector.flatMap { st =>
+            st.getPath.getName.split('_') match {
+              case Array("seg", ts, _*) =>
+                try Some(Segment(ts.toLong, spark.read.parquet(st.getPath.toString).persist(),
+                  Some(st.getPath.toString)))
+                catch { case _: Throwable => None }
+              case _ => None
+            }
+          }
+          if (segs.isEmpty) None else Some(segs.sortBy(_.maxTsUs))
+        }
       } catch { case _: Throwable => None }
     }.getOrElse(Vector.empty)
   })
@@ -208,20 +226,17 @@ class AnomalyPipeline(
 
   /** Truncate the event store (reference: DELETE /db/truncate clears
     * the sigma collection, lib/HttpServer.js:87-89): releases all
-    * cached segments, clears the stats snapshot (it derives from the
-    * store and is rebuilt on the next trigger), and overwrites any
-    * persisted store state so a restart does not resurrect the data.
-    * The cooldown cache is kept, matching the reference (truncate does
-    * not reset anomaly suppression).
+    * cached segments (which also deletes their persisted directories,
+    * so a restart does not resurrect the data) and clears the stats
+    * snapshot and bucket partials (both derive from the store and are
+    * rebuilt on the next trigger). The cooldown cache is kept, matching
+    * the reference (truncate does not reset anomaly suppression).
     */
   def truncate(): Unit = {
     segments.get().foreach(_.release())
     segments.set(Vector.empty)
     snapshot.set(None)
     bucketState.set(None)
-    stateDir.foreach { d =>
-      emptyStore.write.mode("overwrite").parquet(s"$d/store")
-    }
   }
 
   /** One micro-batch step: returns the emitted anomalies.
@@ -278,25 +293,44 @@ class AnomalyPipeline(
     // surviving data. In bucketed mode the batch is additionally
     // reduced to bucket partials ONCE and folded into the compacted
     // partial store.
-    val seg = mkSegment(extracted.select("topic", "path", "value", "produced").persist())
+    val seg0 = mkSegment(extracted.select("topic", "path", "value", "produced").persist())
+    // persist the new segment as its own immutable parquet dir —
+    // O(batch) state I/O per trigger, never an O(store) rewrite
+    val seg = stateDir match {
+      case Some(d) if seg0.maxTsUs >= horizonUs =>
+        val p = s"$d/store/seg_${seg0.maxTsUs}_${counters.scanRuns.value}"
+        seg0.df.write.mode("overwrite").parquet(p)
+        seg0.copy(path = Some(p))
+      case _ => seg0
+    }
     val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
     expired.foreach(_.release())
     // LSM-style compaction (exact mode only): when retention outlives
     // many triggers the segment vector (and with it the per-trigger
     // union width and task count of every stats re-scan) grows
     // linearly — merge into ONE checkpointed chunk past a threshold;
-    // amortized cost O(store / threshold) per trigger. In bucketed mode
-    // the raw store is COLD state (read only on restart; stats come
-    // from the compacted partials), so re-materializing it would be
-    // pure overhead — at cluster scale it is an appended Delta/parquet
-    // table either way.
+    // amortized cost O(store / threshold) per trigger. The compacted
+    // dir is written before the inputs are deleted (a crash in between
+    // double-restores those rows — a manifest, i.e. Delta, is the
+    // production answer; same exposure as any non-transactional store).
+    // In bucketed mode the raw store is COLD state (read only on
+    // restart; stats come from the compacted partials), so
+    // re-materializing it would be pure overhead — at cluster scale it
+    // is an appended Delta/parquet table either way.
     val merged =
       if (statsBucketSec.isEmpty && keep.size > AnomalyPipeline.CompactSegments) {
         val all = keep.map(_.df).reduce(_ union _)
           .filter(unix_micros(col("produced")) >= lit(horizonUs))
           .localCheckpoint(eager = true)
-        val one = Segment(keep.map(_.maxTsUs).max, all)
-        keep.foreach(_.release())
+        val maxTs = keep.map(_.maxTsUs).max
+        val one = stateDir match {
+          case Some(d) =>
+            val p = s"$d/store/seg_${maxTs}_c${counters.scanRuns.value}"
+            all.write.mode("overwrite").parquet(p)
+            Segment(maxTs, all, Some(p))
+          case None => Segment(maxTs, all)
+        }
+        keep.foreach(_.release()) // releases caches AND deletes input dirs
         Vector(one)
       } else keep
     segments.set(merged)
@@ -306,10 +340,6 @@ class AnomalyPipeline(
     statsBucketSec.foreach { b =>
       bucketState.set(Some(foldBuckets(WindowStats.bucketPartials(seg.df, b), horizonUs, b)))
     }
-    // segment rows older than the horizon are filtered at read time
-    val newStore = currentStore
-      .filter(unix_micros(col("produced")) >= lit(horizonUs))
-
     // 4. recompute the snapshot for the NEXT trigger (bucketed mode:
     // merge of cached per-segment partials, no raw re-scan)
     val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
@@ -347,9 +377,10 @@ class AnomalyPipeline(
       .foreach(r => cache += ((r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)))
     cooldownCache.set(cache)
 
-    // 6. persist state for restart (store + cooldown cache)
+    // 6. persist the cooldown cache for restart (the store was already
+    // persisted segment-wise in step 3; this relation is one row per
+    // configured key)
     stateDir.foreach { d =>
-      newStore.write.mode("overwrite").parquet(s"$d/store")
       cache.toSeq.map { case ((t, p, w), us) => (t, p, w, us) }
         .toDF("topic", "path", "window_sec", "last_emit_us")
         .write.mode("overwrite").parquet(s"$d/cooldown")
@@ -372,6 +403,13 @@ object AnomalyPipeline {
 
   /** Segment-count threshold that triggers store compaction. */
   val CompactSegments = 12
+
+  /** Recursively delete one persisted-segment directory. */
+  private[streaming] def deletePath(spark: SparkSession, p: String): Unit =
+    try {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The reference's anomaly record contract (lib/dsl/DSLHandler.js:
     * 217-227) over rows shaped like CooldownState.AnomalyEvent:

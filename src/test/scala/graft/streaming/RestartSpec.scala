@@ -62,4 +62,40 @@ class RestartSpec extends SparkSpec {
     assert(out3.map(_.produced_us).toSeq == Seq((t0 + 210000) * 1000L),
       s"expected the 210 s spike emitted after restart, got ${out3.toSeq}")
   }
+
+  test("restart works in bucketed stats mode (partials rebuilt from the restored store)") {
+    val dir = Files.createTempDirectory("graft_state_b").toFile.getAbsolutePath
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+    def mk() = new AnomalyPipeline(spark, dsl, cooldownMs = 120000L,
+      stateDir = Some(dir), statsBucketSec = Some(60L))
+    val p1 = mk()
+    p1.processBatch(script(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000))
+    val out1 = p1.processBatch(script(60, 120).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 120000))
+      .collect()
+    assert(out1.map(_.produced_us).toSeq == Seq((t0 + 90000) * 1000L))
+    val p2 = mk()
+    val out2 = p2.processBatch(script(120, 180).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 180000))
+      .collect()
+    assert(out2.isEmpty, s"cooldown lost across bucketed-mode restart: ${out2.toSeq}")
+    val out3 = p2.processBatch(script(180, 240).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 240000))
+      .collect()
+    assert(out3.map(_.produced_us).toSeq == Seq((t0 + 210000) * 1000L),
+      s"bucketed-mode detection broken after restart: ${out3.toSeq}")
+  }
+
+  test("segment compaction preserves store contents and the persisted layout") {
+    val dir = Files.createTempDirectory("graft_state_c").toFile.getAbsolutePath
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+    val p1 = new AnomalyPipeline(spark, dsl, cooldownMs = 0L, stateDir = Some(dir))
+    // 14 one-message triggers, all within retention -> compaction fires
+    // past 12 segments (CompactSegments) without losing any rows
+    (0 until 14).foreach { tr =>
+      p1.processBatch(script(tr * 5, tr * 5 + 5).toDF("topic", "key", "value", "ts"),
+        new Timestamp(t0 + (tr + 1) * 5000))
+    }
+    // 1 message/trigger x (sub.one + __topic_frequency) = 2 samples
+    assert(p1.currentStore.count() == 28L)
+    val p2 = new AnomalyPipeline(spark, dsl, cooldownMs = 0L, stateDir = Some(dir))
+    assert(p2.currentStore.count() == 28L, "compacted store not restored intact")
+  }
 }
