@@ -47,6 +47,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
+    "q_dedup_components" -> (Dedup.components _),
     // LLM-data-pipeline: similarity search
     "q_ann_topk" -> (Similarity.annTopk _),
     "q_ann_lsh" -> (Similarity.annLsh _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
+    "q_dedup_components" -> Dedup.componentsSql,
     "q_ann_topk" -> Similarity.annTopkSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,

@@ -299,6 +299,83 @@ object Dedup {
         bit_count(col("xor")).as("hamming"))
   }
 
+  // ---- q_dedup_components --------------------------------------------
+
+  /** Near-dup CLUSTER resolution — the completion step every dedup
+    * pipeline needs after pair generation: connected components over
+    * the n-gram Jaccard pair graph, labeling each document with the
+    * smallest doc_id in its component (the canonical keeper) plus the
+    * component size.
+    *
+    * Algorithm: iterative min-label propagation (the standard
+    * MapReduce/Pregel connected-components formulation) — each round
+    * every node takes the min of its own label and its neighbors'
+    * labels; converges in O(component diameter) rounds. Each round is
+    * one equi-join + one aggregation (shuffle-partitionable at any
+    * scale); `localCheckpoint` severs the growing lineage per round —
+    * without it iterative plans recompile from scratch each iteration.
+    * Near-dup components have tiny diameters (dup clusters are dense),
+    * so rounds stay single-digit even at 100 TB.
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(eager = true)
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("lab", "old"), "id")
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster_root"), col("cluster_size"))
+  }
+
+  val componentsSql: String =
+    s"""
+    WITH RECURSIVE shdoc AS (${shingleHashesSql()}),
+    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
+    cnd AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
+      WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_root FROM reach GROUP BY 1)
+    SELECT c.doc_id, c.cluster_root, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
+    ) s ON c.cluster_root = s.cluster_root"""
+
   /** All-pairs reference form of [[simhashPairs]] — O(n^2), test-scale
     * only; proves the banded candidate set loses nothing (see
     * DedupSpec).

@@ -47,6 +47,23 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty, "cross-check is vacuous: no near-dup pairs at this SF")
   }
 
+  test("connected components: minimal roots, closed clusters, every pair co-clustered") {
+    val sf = "/root/testdata/sf0.001"
+    val comp = Dedup.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(comp.nonEmpty)
+    comp.foreach { case (id, (root, size)) =>
+      assert(root <= id, s"root $root above member $id")
+      assert(comp(root)._1 == root, "cluster root must be its own root")
+      assert(size >= 2, "every clustered doc has at least one neighbor")
+    }
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+    pairs.foreach { r =>
+      assert(comp(r.getLong(0))._1 == comp(r.getLong(1))._1,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+  }
+
   test("shingles: short docs fall back to the whole text") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles(split(col("text"), " "))).head.getSeq[String](0)
