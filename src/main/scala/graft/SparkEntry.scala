@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.{AnalyticQueries, CoreQueries, RelationalQueries, TemporalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,6 +42,8 @@ object SparkEntry {
     "q_token_count" -> (TextAnalysis.tokenCount _),
     "q_quality" -> (TextAnalysis.quality _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_repetition" -> (TextAnalysis.repetition _),
+    "q_sample_mix" -> (Sampling.sampleMix _),
     // LLM-data-pipeline: dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
@@ -97,6 +99,8 @@ object SparkEntry {
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_sample_mix" -> Sampling.sampleMixSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,

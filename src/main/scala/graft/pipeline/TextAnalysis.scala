@@ -194,4 +194,68 @@ object TextAnalysis {
            ) AS BIGINT) AS fingerprint,
            len(toks) AS n_tokens
     FROM t"""
+
+  // ---- q_repetition --------------------------------------------------
+
+  /** Gopher-style repetition filtering: per-document max-term-frequency
+    * ratio and duplicate-bigram fraction, with a keep flag under fixed
+    * thresholds (Rae et al. 2021 "Scaling Language Models" §A1.1 uses
+    * exactly these two families of repetition rules to drop
+    * boilerplate/spam before LLM training).
+    *
+    * Scale: term stats are explode -> two hash aggregations keyed by
+    * doc (map-side partials); bigram stats are a narrow per-row
+    * projection. Thresholds compare the ROUNDED ratios so the flag is
+    * bit-stable across engines.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val termStats = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tf"), sum(col("c")).as("n_toks"))
+    val bigramStats = toks.select(
+      col("doc_id"),
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("doc_id"), size(col("bg")).as("n_bg"), size(array_distinct(col("bg"))).as("n_bg_d"))
+    termStats.join(bigramStats, "doc_id")
+      .withColumn("top_tf_ratio", round(col("max_tf").cast("double") / col("n_toks"), 6))
+      .withColumn("dup_bigram_ratio",
+        round(when(col("n_bg") > 0,
+          lit(1.0) - col("n_bg_d").cast("double") / col("n_bg")).otherwise(0.0), 6))
+      .withColumn("keep",
+        when(col("top_tf_ratio") <= 0.1 && col("dup_bigram_ratio") <= 0.03, 1).otherwise(0))
+      .select(col("doc_id"), col("n_toks"), col("top_tf_ratio"),
+        col("dup_bigram_ratio"), col("keep"))
+  }
+
+  val repetitionSql: String =
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tc AS (
+      SELECT doc_id, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term
+    ),
+    m AS (SELECT doc_id, max(c) AS max_tf, CAST(sum(c) AS BIGINT) AS n_toks FROM tc GROUP BY 1),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+               THEN [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)]
+               ELSE [] END AS bg
+      FROM t
+    ),
+    b AS (SELECT doc_id, len(bg) AS n_bg, len(list_distinct(bg)) AS n_bg_d FROM bg),
+    r AS (
+      SELECT m.doc_id, n_toks,
+             round(CAST(max_tf AS DOUBLE) / n_toks, 6) AS top_tf_ratio,
+             round(CASE WHEN n_bg > 0
+               THEN 1.0 - CAST(n_bg_d AS DOUBLE) / n_bg ELSE 0.0 END, 6) AS dup_bigram_ratio
+      FROM m JOIN b ON m.doc_id = b.doc_id
+    )
+    SELECT doc_id, n_toks, top_tf_ratio, dup_bigram_ratio,
+           CASE WHEN top_tf_ratio <= 0.1 AND dup_bigram_ratio <= 0.03 THEN 1 ELSE 0 END AS keep
+    FROM r"""
 }
