@@ -47,4 +47,57 @@ object Sampling {
     )
     SELECT doc_id, source, bucket FROM g WHERE bucket < rate_pm"""
   }
+
+  // ---- q_token_pack --------------------------------------------------
+
+  /** Token budget per packed chunk. */
+  val PackBudget = 2048L
+
+  /** Hash shards per source — the parallelism knob (see below). */
+  val PackShards = 8
+
+  /** q_token_pack: sequence packing — assign documents to fixed
+    * token-budget chunks, the step that turns a curated corpus into
+    * training shards. Packing is sequential by definition (a chunk is a
+    * running sum), so the scalable form shards each source by a
+    * deterministic doc-id hash and packs WITHIN (source, shard): the
+    * window is partitioned on (source, shard) — thousands of
+    * independent partitions at scale, never a global single-partition
+    * window — and each doc's chunk index is
+    * floor(exclusive-prefix-token-sum / budget). Deterministic:
+    * ordering is (doc_id), shard is md5-derived.
+    */
+  def tokenPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      (Dedup.h32(concat(lit("shard|"), col("doc_id").cast("string"))) % PackShards).as("shard"))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk",
+        floor((col("cum") - col("n_tokens")).cast("double") / lit(PackBudget.toDouble)).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"), col("chunk"))
+  }
+
+  val tokenPackSql: String =
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ${Dedup.h32Sql.format("'shard|' || doc_id")} % $PackShards AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget.0) AS BIGINT) AS chunk
+    FROM c"""
 }
