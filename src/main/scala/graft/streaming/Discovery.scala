@@ -31,6 +31,7 @@ class Discovery(
     blacklist: Set[String] = Set.empty,
     defaultWindows: Seq[String] = Dsl.DefaultFieldWindows,
     beforeDiscoveryFieldConfig: (String, String) => Option[Seq[String]] = (_, _) => None,
+    counters: Option[Counters] = None,
 ) {
 
   private val knownTopics = new AtomicReference[Set[String]](Set.empty)
@@ -66,6 +67,7 @@ class Discovery(
     val known = knownTopics.get()
     val diff = TopicDiff(created = current -- known, deleted = known -- current)
     knownTopics.set(current)
+    counters.foreach(_.topicUpdates.add(diff.created.size.toLong + diff.deleted.size.toLong))
     diff
   }
 
@@ -118,6 +120,7 @@ class Discovery(
       discoveredAccum.set(accum)
       currentDsl.set(staticDsl.mergeDiscovered(Dsl(accum.toSeq.sortBy(_._1).map(_._2))))
     }
+    counters.foreach(_.fieldUpdates.add(changed.size.toLong))
     changed.keySet
   }
 

@@ -83,6 +83,46 @@ class RestartSpec extends SparkSpec {
       s"bucketed-mode detection broken after restart: ${out3.toSeq}")
   }
 
+  test("discovery-driven DSL growth: new field tracked after pipeline rebuild, state preserved") {
+    // the reference adjusts its subscription + DSL when discovery finds
+    // new fields (lib/Stream.js:145-152, DSLHandler.js:316-343); here a
+    // new pipeline generation built from the grown DSL continues from
+    // the SAME stateDir — pre-growth history and cooldown carry over
+    val dir = Files.createTempDirectory("graft_state_d").toFile.getAbsolutePath
+    val staticDsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+    def msgs(fromSec: Long, toSec: Long): Seq[(String, String, String, Timestamp)] =
+      (fromSec until toSec by 5).map { s =>
+        val one = if (spikeSecs(s)) 150.5 else 15.5
+        val extra = if (s == 150L) -500.0 else 3.0
+        ("test-topic", s"k$s", s"""{"sub":{"one":$one},"extra":$extra}""", new Timestamp(t0 + s * 1000))
+      }
+    val p1 = new AnomalyPipeline(spark, staticDsl, cooldownMs = 120000L, stateDir = Some(dir))
+    p1.processBatch(msgs(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000))
+    val out1 = p1.processBatch(msgs(60, 120).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 120000)).collect()
+    assert(out1.map(_.produced_us).toSeq == Seq((t0 + 90000) * 1000L))
+
+    // discovery scans the live messages and grows the DSL (static wins)
+    val disc = new Discovery(spark, staticDsl, defaultWindows = Seq("5m"))
+    disc.discoverFields(msgs(60, 120).toDF("topic", "key", "value", "ts").select(col("topic"), col("value")))
+    val grown = disc.dsl
+    assert(grown.forTopic("test-topic").get.fields.map(_.path).toSet == Set("sub.one", "extra"))
+
+    // generation 2 from the grown DSL, same state: sub.one history and
+    // cooldown survive; 150 s spike suppressed (30 s after last emit)
+    val p2 = new AnomalyPipeline(spark, grown, cooldownMs = 120000L, stateDir = Some(dir))
+    val out2 = p2.processBatch(msgs(120, 180).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 180000)).collect()
+    assert(!out2.exists(_.path == "sub.one"), s"cooldown lost across DSL growth: ${out2.toSeq}")
+    // extra has no pre-growth history -> cannot alarm on its first window
+    assert(!out2.exists(_.path == "extra"))
+    // next trigger: extra now has history (steady 3.0 + the -500 spike
+    // gave variance) and a fresh outlier at 210 s? extra stays steady,
+    // so assert instead that sub.one's 210 s spike is emitted — full
+    // detection works on the grown pipeline against carried state
+    val out3 = p2.processBatch(msgs(180, 240).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 240000)).collect()
+    assert(out3.exists(e => e.path == "sub.one" && e.produced_us == (t0 + 210000) * 1000L),
+      s"grown pipeline lost detection: ${out3.toSeq}")
+  }
+
   test("segment compaction preserves store contents and the persisted layout") {
     val dir = Files.createTempDirectory("graft_state_c").toFile.getAbsolutePath
     val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))

@@ -236,6 +236,15 @@ class DiscoverySpec extends SparkSpec {
     assert(diff2.created == Set("c") && diff2.deleted == Set("a"))
   }
 
+  test("discovery bumps topic/field counters (Sarkac stats parity)") {
+    val counters = new Counters(spark)
+    val d = new Discovery(spark, Dsl(Nil), counters = Some(counters))
+    d.discoverTopics(() => Seq("a", "b"))
+    assert(counters.topicUpdates.value == 2L)
+    d.discoverFields(Seq(("a", """{"x":1}""")).toDF("topic", "value"))
+    assert(counters.fieldUpdates.value == 1L)
+  }
+
   test("field discovery: numeric leaves only, schema-hash change detection, static wins") {
     val statc = Dsl.parse(Map("t" -> Map("two" -> Seq("1h"))))
     val d = new Discovery(spark, statc, defaultWindows = Seq("15m"))
