@@ -35,7 +35,11 @@ object Extraction {
       carry: Seq[(String, Column)] = Nil,
   ): DataFrame = {
     val base = fields.map { f =>
-      struct(lit(f.path).as("path"), f.value.cast("double").as("value"))
+      // try_cast: a non-numeric extraction nulls (and is dropped by the
+      // F3 guard below) instead of throwing under ANSI mode — the
+      // reference's per-field null/undefined skip (lib/dsl/
+      // DSLHandler.js:156-164) never aborts the stream on bad data
+      struct(lit(f.path).as("path"), f.value.try_cast("double").as("value"))
     }
     // Virtual __topic_frequency = 1.0 per message turns count-per-window
     // into rate tracking (reference: lib/dsl/DSLHandler.js:14-15,133-146).
@@ -72,7 +76,7 @@ object Extraction {
       df,
       topic,
       ts,
-      paths.map(p => FieldCol(p, SchemaFlatten.jsonByPath(jsonValue, p).cast("double"))),
+      paths.map(p => FieldCol(p, SchemaFlatten.jsonByPath(jsonValue, p).try_cast("double"))),
       includeFrequency,
     )
 

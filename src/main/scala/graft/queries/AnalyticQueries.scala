@@ -85,7 +85,7 @@ object AnalyticQueries {
     */
   def corr(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val k = SchemaFlatten.jsonByPath(col("props"), "k").cast("double")
+    val k = SchemaFlatten.jsonByPath(col("props"), "k").try_cast("double")
     val base = ev
       .filter(col("event_type").isNotNull && col("value").isNotNull && k.isNotNull)
       .select(col("event_type").as("topic"), col("value").cast(D).as("x"), k.cast(D).as("y"))

@@ -44,7 +44,7 @@ object CoreQueries {
       ts = col("ts"),
       fields = Seq(
         FieldCol("value", col("value")),
-        FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").cast("double")),
+        FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").try_cast("double")),
       ),
       carry = if (carryId) Seq("event_id" -> col("event_id")) else Nil,
     )
@@ -403,7 +403,7 @@ object CoreQueries {
       ts = col("ts"),
       fields = Seq(
         FieldCol("value", col("value")),
-        FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").cast("double")),
+        FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").try_cast("double")),
       ),
       carry = Seq("original_message" -> col("props")),
     ).persist()

@@ -38,6 +38,27 @@ class ExtractionSpec extends SparkSpec {
     val got = out.collect().map(r => (r.getString(1), r.getDouble(2))).toSet
     assert(got == Set(("sub.one", 15.5), ("arr[1]", 8.0))) // missing path dropped
   }
+
+  test("non-numeric leaves drop the sample instead of throwing under ANSI (F3)") {
+    // Spark 4 defaults to ANSI mode, where CAST('abc' AS DOUBLE) throws;
+    // the reference's per-field guard (lib/dsl/DSLHandler.js:156-164)
+    // skips bad values and never aborts — extraction must use try_cast
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "test environment should run with ANSI on (Spark 4 default)")
+    val df = Seq(
+      ("t", """{"k":1.5}"""),
+      ("t", """{"k":"not-a-number"}"""),
+      ("t", """{"k":null}"""),
+      ("t", """not json at all"""),
+    ).toDF("topic", "payload").withColumn("ts", lit(ts("2024-01-01 00:00:00")))
+    val out = Extraction.fromJsonMessages(
+      df, col("topic"), col("payload"), col("ts"), Seq("k")).collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.5))
+    // multi-topic variant is try-based end to end as well
+    val outM = Extraction.fromJsonMessagesMulti(
+      df, col("topic"), col("payload"), col("ts"), Seq("t" -> Seq("k"))).collect()
+    assert(outM.map(_.getDouble(2)).toSeq == Seq(1.5))
+  }
 }
 
 class WindowStatsSpec extends SparkSpec {
