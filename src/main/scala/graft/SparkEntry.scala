@@ -45,6 +45,7 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_sample_mix" -> (Sampling.sampleMix _),
     "q_token_pack" -> (Sampling.tokenPack _),
+    "q_decontaminate" -> (Sampling.decontaminate _),
     // LLM-data-pipeline: dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_sample_mix" -> Sampling.sampleMixSql,
     "q_token_pack" -> Sampling.tokenPackSql,
+    "q_decontaminate" -> Sampling.decontaminateSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,

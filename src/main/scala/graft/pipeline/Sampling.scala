@@ -83,6 +83,65 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"), col("chunk"))
   }
 
+  // ---- q_decontaminate -----------------------------------------------
+
+  /** Words per decontamination shingle (8-grams are the common
+    * benchmark-overlap unit, e.g. GPT-3 appendix C / PaLM).
+    */
+  val DecontamN = 8
+
+  /** q_decontaminate: train/eval overlap removal — flag training
+    * documents sharing any [[DecontamN]]-gram with the held-out eval
+    * split. The eval split is hash-gated (1-in-25 of docs,
+    * deterministic); grams ride the existing 60-bit rolling-hash
+    * machinery so the shuffle key is 8 bytes.
+    *
+    * Scale: the eval gram set is small relative to the corpus (eval
+    * sets always are), so the overlap test is a BROADCAST left-semi
+    * join against distinct eval gram hashes — the training side never
+    * shuffles; per-doc hit counts are one hash aggregation.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval =
+      Dedup.h32(concat(lit("eval|"), col("doc_id").cast("string"))) % 25 === 0
+    val tagged = docs.select(col("doc_id"), isEval.as("is_eval"))
+    val g = Dedup.shingleHashes(docs, n = DecontamN)
+      .join(tagged, "doc_id")
+      .select(col("doc_id"), col("is_eval"), explode(col("hs")).as("h"))
+    val evalGrams = g.filter(col("is_eval")).select(col("h")).distinct()
+    val hits = g.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    tagged.filter(!col("is_eval"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
+  }
+
+  val decontaminateSql: String =
+    s"""
+    WITH shdoc AS (${Dedup.shingleHashesSql(DecontamN)}),
+    tag AS (
+      SELECT doc_id,
+             ${Dedup.h32Sql.format("'eval|' || doc_id")} % 25 = 0 AS is_eval
+      FROM documents
+    ),
+    g AS (
+      SELECT s.doc_id, t.is_eval, unnest(hs) AS h
+      FROM shdoc s JOIN tag t ON s.doc_id = t.doc_id
+    ),
+    eg AS (SELECT DISTINCT h FROM g WHERE is_eval),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM g WHERE NOT is_eval AND h IN (SELECT h FROM eg) GROUP BY 1
+    )
+    SELECT t.doc_id, coalesce(n_hits, 0) AS n_hits,
+           CASE WHEN coalesce(n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM tag t LEFT JOIN hits ON t.doc_id = hits.doc_id
+    WHERE NOT t.is_eval"""
+
   val tokenPackSql: String =
     s"""
     WITH t AS (
