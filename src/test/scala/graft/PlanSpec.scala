@@ -43,6 +43,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"window stats should aggregate in one pass, got ${shuffles.size} shuffles")
   }
 
+  test("sampling/decontamination join their small sides as broadcasts") {
+    // the fact side must never shuffle for a dimension/eval-set lookup
+    Seq("q_sample_mix", "q_decontaminate").foreach { name =>
+      val joins = collectAll(plan(name)) { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"$name does not broadcast its small side")
+    }
+  }
+
   test("only the intentional brute-force baseline uses nested-loop joins") {
     // q_ann_topk is the declared exact-recall baseline; everything else
     // (incl. q_dedup_simhash, now HmSearch-banded) must be equi-join only
