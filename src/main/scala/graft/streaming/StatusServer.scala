@@ -20,6 +20,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *  - GET    /discovery/fields   discovered fields per topic
   *  - GET    /discovery/hashes   per-topic schema hashes
   *  - GET    /anomalies/cooldown cooldown cache read-back (last emit per key)
+  *  - GET    /metrics            Prometheus text exposition (extension)
   *  - DELETE /db/truncate        clear the event store
   *  - anything else -> 404, wrong method -> 405.
   */
@@ -65,6 +66,7 @@ class StatusServer(
     "Discovered Fields" -> "GET /discovery/fields",
     "Discovered Hashes" -> "GET /discovery/hashes",
     "Anomaly Cooldowns" -> "GET /anomalies/cooldown",
+    "Prometheus Metrics" -> "GET /metrics",
     "Truncate Database" -> "DELETE /db/truncate",
   )
 
@@ -116,6 +118,19 @@ class StatusServer(
           discovery.map(_.hashes.toSeq.sortBy(_._1)).getOrElse(Nil)
             .map { case (t, h) => s"${q(t)}: $h" }))
     })
+    s.createContext("/metrics", exchange => route(exchange) {
+      case ("GET", _) =>
+        // Prometheus text exposition (beyond the reference surface):
+        // counters as monotonic totals plus the stored-event gauge
+        val counterLines = counters.snapshot.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          val name = "graft_" + k.replaceAll("([A-Z])", "_$1").toLowerCase + "_total"
+          Seq(s"# TYPE $name counter", s"$name $v")
+        }
+        val gauge = Seq(
+          "# TYPE graft_stored_events gauge",
+          s"graft_stored_events ${pipeline.map(_.storedEventCount).getOrElse(0L)}")
+        (200, (counterLines ++ gauge).mkString("", "\n", "\n"))
+    })
     s.createContext("/anomalies/cooldown", exchange => route(exchange) {
       case ("GET", _) =>
         (200, jsonObject(
@@ -152,7 +167,10 @@ class StatusServer(
         (405, """{"error": "method not allowed"}""")
       else (404, """{"error": "not found"}""")
     val bytes = payload.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
+    val contentType =
+      if (ex.getRequestURI.getPath == "/metrics") "text/plain; version=0.0.4"
+      else "application/json"
+    ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
     val os = ex.getResponseBody
     if (bytes.nonEmpty) os.write(bytes)

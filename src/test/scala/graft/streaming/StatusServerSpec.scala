@@ -77,6 +77,10 @@ class StatusServerSpec extends SparkSpec {
       // inside the 120 s cooldown, so last-emit stays at 60 s
       val (c8, cooldown) = send(port, "/anomalies/cooldown")
       assert(c8 == 200 && cooldown.contains(s"\"test-topic:sub.one:300\": ${(t0 + 60000) * 1000L}"))
+      // Prometheus metrics (extension endpoint)
+      val (cm, metrics) = send(port, "/metrics")
+      assert(cm == 200 && metrics.contains("graft_analysed_messages_total 7"))
+      assert(metrics.contains(s"graft_stored_events ${pipeline.storedEventCount}"))
       // unknown path 404s; wrong method 405s
       assert(send(port, "/nope")._1 == 404)
       assert(send(port, "/status", "POST")._1 == 405)
