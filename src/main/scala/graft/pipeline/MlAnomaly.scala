@@ -45,7 +45,7 @@ object MlAnomaly {
     val centers = model.clusterCenters.map(_.toArray)
     val x = col("embedding").cast("array<double>")
     val xx = VectorFunctions.dotProduct(x, x)
-    val candidates = array(centers.zipWithIndex.map { case (c, i) =>
+    val candidates = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cc = c.map(v => v * v).sum
       val dist2 = xx - lit(2.0) * VectorFunctions.dotProduct(x, typedLit(c.toSeq)) + lit(cc)
       // sqrt(greatest(.., 0)): the expansion can go epsilon-negative

@@ -32,7 +32,7 @@ object CoreQueries {
 
   /** max(ts) of events collected once; a deterministic scalar anchor. */
   def nowOf(events: DataFrame): Column = {
-    val t = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val t = events.agg(max(col("ts"))).head().getTimestamp(0)
     lit(t)
   }
 
@@ -115,7 +115,7 @@ object CoreQueries {
     */
   def windowStatsBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val flooredUs = maxUs / 60000000L * 60000000L
     WindowStats.bucketedStats(eventSamples(ev), Windows, timestamp_micros(lit(flooredUs)), 60L)
   }
@@ -500,7 +500,7 @@ object CoreQueries {
     */
   def setDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val mnUs = ev.agg(min(unix_micros(col("ts")))).head.getLong(0)
+    val mnUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
     val h12 = 43200000000L
     val first = ev
       .filter(unix_micros(col("ts")) < lit(mnUs + h12))

@@ -75,7 +75,7 @@ class AnomalyPipeline(
     * its max event time (which materializes the cache).
     */
   private def mkSegment(df: DataFrame): Segment = {
-    val mx = df.agg(max(unix_micros(col("produced")))).head
+    val mx = df.agg(max(unix_micros(col("produced")))).head()
     Segment(if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0), df)
   }
 
@@ -520,7 +520,8 @@ object AnomalyPipeline {
   /** Kafka sink wiring (S4): anomaly records as JSON keyed by id. */
   def kafkaSink(records: DataFrame, bootstrap: String, topic: String): DataStreamWriter[Row] =
     records
-      .select(col("id").cast("string").as("key"), to_json(struct(records.columns.map(col): _*)).as("value"))
+      .select(col("id").cast("string").as("key"),
+        to_json(struct(records.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)

@@ -150,7 +150,7 @@ class Discovery(
     def walk(prefix: String, n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
       if (n.isNumber) Seq(prefix)
       else if (n.isObject)
-        n.fields().asScala.toSeq.flatMap { e =>
+        n.properties().asScala.toSeq.flatMap { e =>
           walk(if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}", e.getValue)
         }
       else Nil

@@ -51,7 +51,7 @@ object StreamDemo {
         rows.foreach(r => println(s"  $r"))
       },
       clock = Some(df => new Timestamp(
-        df.agg(max(col("ts"))).head.getTimestamp(0).getTime + 1000)),
+        df.agg(max(col("ts"))).head().getTimestamp(0).getTime + 1000)),
     )
 
     // one trigger per simulated minute
