@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** SQL-surface registration of the native expressions (the
+  * SparkSessionExtensions route; here wired at runtime via
+  * GraftFunctions.register on the shared test session).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft_* functions usable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    // codegen dot product
+    val dot = spark.sql(
+      "SELECT graft_dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot == 32.0)
+    // simhash of identical token-hash arrays matches the Scala API
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val arr = Seq((1L, Seq(7L, 8L, 9L))).toDF("id", "hs")
+    val viaScala = arr.select(SketchFunctions.simhash32(col("hs"))).head().getLong(0)
+    val viaSql = spark.sql("SELECT graft_simhash32(array(7L, 8L, 9L)) AS s").head().getLong(0)
+    assert(viaSql == viaScala)
+    // rolling n-gram hash agrees with the Scala API too
+    val viaScala2 = arr.select(
+      SketchFunctions.ngramPolyHash(col("hs"), 2, 1000003L, 2147483647L)).head().getSeq[Long](0)
+    val viaSql2 = spark.sql(
+      "SELECT graft_ngram_poly_hash(array(7L, 8L, 9L), 2, 1000003L, 2147483647L) AS g")
+      .head().getSeq[Long](0)
+    assert(viaSql2 == viaScala2)
+    // registration is idempotent
+    GraftFunctions.register(spark)
+  }
+}
