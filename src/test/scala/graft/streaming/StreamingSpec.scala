@@ -129,6 +129,23 @@ class AnomalyPipelineSpec extends SparkSpec {
     assert(p.currentStore.count() == 2L) // v sample + __topic_frequency
   }
 
+  test("empty batches and empty DSLs are harmless (no crash, no emission)") {
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+    val p = new AnomalyPipeline(spark, dsl, cooldownMs = 0L)
+    val empty = Seq.empty[(String, String, String, Timestamp)].toDF("topic", "key", "value", "ts")
+    assert(p.processBatch(empty, new Timestamp(t0 + 60000)).isEmpty)
+    // real data after an empty trigger still works
+    p.processBatch(generatorScript(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000))
+    val out = p.processBatch(
+      generatorScript(60, 120).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 120000))
+    assert(out.count() > 0)
+    // a DSL with no topics never emits and never throws
+    val pEmpty = new AnomalyPipeline(spark, Dsl(Nil), cooldownMs = 0L)
+    assert(pEmpty.processBatch(
+      generatorScript(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000)).isEmpty)
+    assert(pEmpty.storedEventCount == 0L)
+  }
+
   test("bucketed stats mode emits the same anomalies as exact mode (scale form)") {
     // minute-aligned triggers + minute-multiple windows + samples in
     // bucket interiors -> identical sample sets per window; decimal
