@@ -15,13 +15,14 @@ import graft.streaming.AnomalyPipeline
   * loop, one Mongo insert per message x field, 3 aggregation
   * round-trips per key per 15 s scan).
   *
-  * Usage: runMain graft.StreamBench [messagesPerTrigger] [triggers] [exact|bucketed]
+  * Usage: runMain graft.StreamBench [messagesPerTrigger] [triggers] [exact|bucketed] [nTopics]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val perTrigger = args.headOption.map(_.toInt).getOrElse(100000)
     val triggers = args.drop(1).headOption.map(_.toInt).getOrElse(5)
     val bucketed = args.drop(2).headOption.contains("bucketed")
+    val nTopics = args.drop(3).headOption.map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,20 +34,29 @@ object StreamBench {
     import spark.implicits._
 
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val dsl = Dsl.parse(Map(
-      "topic-a" -> Map("sub.one" -> Seq("15m"), "two" -> Seq("15m")),
-      "topic-b" -> Map("rate" -> Seq("15m", "1h")),
-    ))
+    // nTopics > 0: a WIDE DSL (nTopics x 2 fields) to exercise the
+    // topic-count-independent single-pass extraction under load
+    val dsl =
+      if (nTopics > 0)
+        Dsl.parse((0 until nTopics).map(i =>
+          s"topic-$i" -> Map("sub.one" -> Seq("15m"), "two" -> Seq("15m"))).toMap)
+      else Dsl.parse(Map(
+        "topic-a" -> Map("sub.one" -> Seq("15m"), "two" -> Seq("15m")),
+        "topic-b" -> Map("rate" -> Seq("15m", "1h")),
+      ))
     val pipeline = new AnomalyPipeline(spark, dsl, cooldownMs = Dsl.CooldownMs,
       statsBucketSec = if (bucketed) Some(60L) else None)
 
     // one trigger = perTrigger messages spread over 15 s of event time
     def batch(trigger: Int) = spark.range(perTrigger.toLong).map { i =>
       val s = trigger * 15000L + (i * 15000L / perTrigger)
-      val topic = if (i % 2 == 0) "topic-a" else "topic-b"
-      val value =
-        if (i % 2 == 0) s"""{"sub":{"one":${15.0 + (i % 7)}},"two":${16.0 + (i % 5)}}"""
-        else s"""{"rate":${2.5 + (i % 11)}}"""
+      val (topic, value) =
+        if (nTopics > 0)
+          (s"topic-${i % nTopics}",
+            s"""{"sub":{"one":${15.0 + (i % 7)}},"two":${16.0 + (i % 5)}}""")
+        else if (i % 2 == 0)
+          ("topic-a", s"""{"sub":{"one":${15.0 + (i % 7)}},"two":${16.0 + (i % 5)}}""")
+        else ("topic-b", s"""{"rate":${2.5 + (i % 11)}}""")
       (topic, s"k$i", value, new Timestamp(t0 + s))
     }.toDF("topic", "key", "value", "ts")
 
