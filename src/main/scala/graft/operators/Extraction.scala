@@ -120,8 +120,12 @@ object Extraction {
       .select(
         Seq(
           col("topic"), col("path"),
+          // extract as STRING then try_cast: a direct 'double' variant
+          // cast would coerce JSON booleans to 1.0/0.0, diverging from
+          // the batch path (get_json_object + try_cast -> null) and the
+          // reference's numbers-only guard
           when(col("path") === lit(Dsl.FrequencyField), lit(1.0))
-            .otherwise(expr("try_variant_get(__var, __json_path, 'double')"))
+            .otherwise(expr("try_variant_get(__var, __json_path, 'string')").try_cast("double"))
             .as("value"),
           col("produced"),
         ) ++ carry.map { case (n, _) => col(n) }: _*

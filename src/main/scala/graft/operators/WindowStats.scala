@@ -63,14 +63,20 @@ object WindowStats {
       windows: Seq[Long],
       now: Column,
       bucketSec: Long = 60L,
-  ): DataFrame =
+  ): DataFrame = {
+    // misaligned windows silently over-cover (the straddling bucket is
+    // included whole) — fail fast instead
+    require(windows.forall(_ % bucketSec == 0), s"windows must be multiples of $bucketSec")
     finishStats(mergeAgg(bucketPartials(samples, bucketSec), windows, now))
+  }
 
   /** Raw (unrounded, same validity gates) bucketed stats over
     * pre-computed partials — the incremental streaming form: partials
     * are built once per store segment ([[bucketPartials]]) and merged
     * per trigger, so the per-trigger cost is O(keys x buckets in
     * retention), independent of both batch size and raw store size.
+    * The caller guarantees window/bucket alignment (AnomalyPipeline
+    * enforces it at construction).
     */
   def rawBucketedStats(buckets: DataFrame, windows: Seq[Long], now: Column): DataFrame =
     rawFinish(mergeAgg(buckets, windows, now))

@@ -67,16 +67,25 @@ class AnomalyPipeline(
     * overwrite-whole-store form would dominate every trigger once the
     * retention horizon holds much more than a batch).
     */
-  private final case class Segment(maxTsUs: Long, df: DataFrame, path: Option[String] = None) {
+  private final case class Segment(maxTsUs: Long, df: DataFrame, rows: Long, path: Option[String] = None) {
     def release(): Unit = { df.unpersist(); path.foreach(AnomalyPipeline.deletePath(spark, _)) }
   }
 
+  /** Serializes store mutations (trigger thread) against the HTTP
+    * surface (truncate, counts) — segment release deletes caches and
+    * parquet dirs, so a racing reader must never observe a released
+    * segment.
+    */
+  private val storeLock = new Object
+
   /** Build a segment from a (persisted or checkpointed) chunk, reading
-    * its max event time (which materializes the cache).
+    * its max event time and row count (which materializes the cache;
+    * the cached count also makes storedEventCount a driver-side sum
+    * instead of a per-scrape Spark job).
     */
   private def mkSegment(df: DataFrame): Segment = {
-    val mx = df.agg(max(unix_micros(col("produced")))).head()
-    Segment(if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0), df)
+    val agg = df.agg(max(unix_micros(col("produced"))), count(lit(1))).head()
+    Segment(if (agg.isNullAt(0)) Long.MinValue else agg.getLong(0), df, agg.getLong(1))
   }
 
   private val segments = new AtomicReference[Vector[Segment]]({
@@ -86,15 +95,17 @@ class AnomalyPipeline(
         val fsys = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fsys.exists(storePath)) None
         else {
-          // one subdirectory per persisted segment, named seg_<maxTsUs>_<n>;
-          // directories are immutable once written, so reads never race a
-          // rewrite and no checkpoint copy is needed
+          // one subdirectory per persisted segment, named
+          // seg_<maxTsUs>_<unique>; directories are immutable once
+          // written, so reads never race a rewrite and no checkpoint
+          // copy is needed
           val segs = fsys.listStatus(storePath).filter(_.isDirectory).toVector.flatMap { st =>
             st.getPath.getName.split('_') match {
               case Array("seg", ts, _*) =>
-                try Some(Segment(ts.toLong, spark.read.parquet(st.getPath.toString).persist(),
-                  Some(st.getPath.toString)))
-                catch { case _: Throwable => None }
+                try {
+                  val df = spark.read.parquet(st.getPath.toString).persist()
+                  Some(Segment(ts.toLong, df, df.count(), Some(st.getPath.toString)))
+                } catch { case _: Throwable => None }
               case _ => None
             }
           }
@@ -103,6 +114,14 @@ class AnomalyPipeline(
       } catch { case _: Throwable => None }
     }.getOrElse(Vector.empty)
   })
+
+  /** Collision-proof persisted-segment directory name: the max
+    * event-time alone can repeat across restarts (coarse timestamps) and
+    * the trigger counter resets, so a random suffix prevents a new
+    * segment from silently overwriting a restored one's directory.
+    */
+  private def segDirName(maxTsUs: Long): String =
+    s"seg_${maxTsUs}_${java.util.UUID.randomUUID().toString.take(8)}"
 
   private def emptyStore: DataFrame =
     spark.emptyDataset[(String, String, Double, java.sql.Timestamp)]
@@ -185,9 +204,14 @@ class AnomalyPipeline(
       case Some(b) =>
         val buckets = bucketState.get().getOrElse {
           // restart (or first trigger): rebuild the compacted partials
-          // from the restored raw store in one pass
+          // from the restored raw store in one pass. The prune uses the
+          // BUCKET-FLOORED horizon (same rule as foldBuckets) so the
+          // horizon-straddling bucket keeps its full sums — a plain
+          // horizonUs row filter would truncate that bucket and make
+          // post-restart stats diverge from a continuous run.
+          val horizonBucketUs = horizonUs / (b * 1000000L) * (b * 1000000L)
           val init = WindowStats.bucketPartials(
-            currentStore.filter(unix_micros(col("produced")) >= lit(horizonUs)), b)
+            currentStore.filter(unix_micros(col("produced")) >= lit(horizonBucketUs)), b)
             .localCheckpoint(eager = true)
           bucketState.set(Some(init))
           init
@@ -201,10 +225,12 @@ class AnomalyPipeline(
     }
 
   /** Stored sample count (reference: Sarkac.getStats db.storedEvents,
-    * lib/Sarkac.js:101-109 — a Mongo collection count).
+    * lib/Sarkac.js:101-109 — a Mongo collection count). A driver-side
+    * sum of cached per-segment counts — no Spark job per HTTP scrape.
     */
-  def storedEventCount: Long =
-    if (segments.get().isEmpty) 0L else currentStore.count()
+  def storedEventCount: Long = storeLock.synchronized {
+    segments.get().map(_.rows).sum
+  }
 
   /** Stats-cache read-back, one row per (topic, path, window) with the
     * reference's {median, stdDev} value shape (the DSLHandler cache,
@@ -232,7 +258,7 @@ class AnomalyPipeline(
     * rebuilt on the next trigger). The cooldown cache is kept, matching
     * the reference (truncate does not reset anomaly suppression).
     */
-  def truncate(): Unit = {
+  def truncate(): Unit = storeLock.synchronized {
     segments.get().foreach(_.release())
     segments.set(Vector.empty)
     snapshot.set(None)
@@ -298,11 +324,12 @@ class AnomalyPipeline(
     // O(batch) state I/O per trigger, never an O(store) rewrite
     val seg = stateDir match {
       case Some(d) if seg0.maxTsUs >= horizonUs =>
-        val p = s"$d/store/seg_${seg0.maxTsUs}_${counters.scanRuns.value}"
-        seg0.df.write.mode("overwrite").parquet(p)
+        val p = s"$d/store/${segDirName(seg0.maxTsUs)}"
+        seg0.df.write.mode("error").parquet(p)
         seg0.copy(path = Some(p))
       case _ => seg0
     }
+    storeLock.synchronized {
     val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
     expired.foreach(_.release())
     // LSM-style compaction (exact mode only): when retention outlives
@@ -323,17 +350,19 @@ class AnomalyPipeline(
           .filter(unix_micros(col("produced")) >= lit(horizonUs))
           .localCheckpoint(eager = true)
         val maxTs = keep.map(_.maxTsUs).max
+        val nRows = all.count()
         val one = stateDir match {
           case Some(d) =>
-            val p = s"$d/store/seg_${maxTs}_c${counters.scanRuns.value}"
-            all.write.mode("overwrite").parquet(p)
-            Segment(maxTs, all, Some(p))
-          case None => Segment(maxTs, all)
+            val p = s"$d/store/${segDirName(maxTs)}"
+            all.write.mode("error").parquet(p)
+            Segment(maxTs, all, nRows, Some(p))
+          case None => Segment(maxTs, all, nRows)
         }
         keep.foreach(_.release()) // releases caches AND deletes input dirs
         Vector(one)
       } else keep
     segments.set(merged)
+    } // storeLock
     // (on restart the restart branch above has already rebuilt the
     // compacted partials from the restored store, so the fold below
     // never loses pre-restart history)

@@ -59,6 +59,24 @@ class ExtractionSpec extends SparkSpec {
       df, col("topic"), col("payload"), col("ts"), Seq("t" -> Seq("k"))).collect()
     assert(outM.map(_.getDouble(2)).toSeq == Seq(1.5))
   }
+
+  test("boolean leaves are dropped identically by both extraction paths") {
+    // a variant 'double' cast would coerce true -> 1.0; the numbers-only
+    // guard (reference DSLHandler.js:156-164) must hold in BOTH paths
+    val df = Seq(
+      ("t", """{"k":true}"""),
+      ("t", """{"k":false}"""),
+      ("t", """{"k":2.5}"""),
+    ).toDF("topic", "payload").withColumn("ts", lit(ts("2024-01-01 00:00:00")))
+    val single = Extraction.fromJsonMessages(
+      df, col("topic"), col("payload"), col("ts"), Seq("k"))
+      .collect().map(_.getDouble(2)).toSeq
+    val multi = Extraction.fromJsonMessagesMulti(
+      df, col("topic"), col("payload"), col("ts"), Seq("t" -> Seq("k")))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(single == Seq(2.5))
+    assert(multi == single, "streaming extraction diverged from batch on boolean leaves")
+  }
 }
 
 class WindowStatsSpec extends SparkSpec {

@@ -66,7 +66,9 @@ class KafkaIntegrationSpec extends SparkSpec {
         .option("kafka.bootstrap.servers", bs).option("topic", inTopic).save()
       q.processAllAvailable()
     } finally q.stop()
-    assert(emitted.sum >= 0L) // round trip completed through the broker
+    // the second batch is judged against the first's stats, whose 30s
+    // spikes give the window variance — it must actually emit
+    assert(emitted.sum > 0L, s"no anomalies emitted through the broker: $emitted")
   }
 
   test("pattern subscription source builds against a real broker (S2)") {
