@@ -341,6 +341,15 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // labels is localCheckpointed (severed from edges); the result below
+    // derives from labels alone, so the edge cache can be freed here
+    edges.unpersist()
+    // a silent cap-out would return WRONG cluster_root labels — fail
+    // instead (near-dup components are dense; a diameter > 50 means the
+    // pair graph is not a dup graph and the caller should know)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge after $rounds rounds ($changed labels still changing)")
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")
       .select(col("id").as("doc_id"), col("lab").as("cluster_root"), col("cluster_size"))

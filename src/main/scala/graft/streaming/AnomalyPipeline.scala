@@ -78,6 +78,25 @@ class AnomalyPipeline(
     */
   private val storeLock = new Object
 
+  /** Bumped by every truncate. A trigger captures the epoch at its
+    * start and re-checks it before publishing results (segments,
+    * snapshot, bucket partials) — a truncate that landed mid-trigger
+    * must not be overwritten by that trigger's pre-truncate state.
+    */
+  private[streaming] val truncateEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** True while a micro-batch is between its boundary and its final
+    * publish; [[truncate]] consults it to defer segment release.
+    */
+  private[streaming] val triggerActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Set when a truncate arrived mid-trigger: the segment release is
+    * deferred to the next trigger boundary (the in-flight jobs still
+    * read those caches/dirs; deleting them under the job would fail
+    * the batch with FileNotFoundException).
+    */
+  private[streaming] val pendingTruncate = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Build a segment from a (persisted or checkpointed) chunk, reading
     * its max event time and row count (which materializes the cache;
     * the cached count also makes storedEventCount a driver-side sum
@@ -87,6 +106,52 @@ class AnomalyPipeline(
     val agg = df.agg(max(unix_micros(col("produced"))), count(lit(1))).head()
     Segment(if (agg.isNullAt(0)) Long.MinValue else agg.getLong(0), df, agg.getLong(1))
   }
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[AnomalyPipeline])
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(d: String) = new org.apache.hadoop.fs.Path(s"$d/store/_MANIFEST")
+
+  /** Commit the live segment set: `store/_MANIFEST` lists the dir names
+    * that are part of the store. Written (tmp + rename) AFTER new dirs
+    * exist and BEFORE superseded ones are deleted — the commit point
+    * that makes compaction crash-safe: a crash between the merged-dir
+    * write and the input deletion no longer double-restores those rows,
+    * because restore trusts only manifest-listed dirs and removes the
+    * rest as orphans.
+    */
+  private def writeManifest(d: String, live: Vector[Segment]): Unit =
+    try {
+      val mf = manifestPath(d)
+      val fs = hadoopFs(mf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$d/store/_MANIFEST.tmp")
+      val out = fs.create(tmp, true)
+      out.write(live.flatMap(_.path)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      fs.delete(mf, false)
+      if (!fs.rename(tmp, mf))
+        log.warn(s"segment manifest rename failed for $mf; restore will fall back to directory listing")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"segment manifest write failed: $e; restore will fall back to directory listing")
+    }
+
+  /** Names listed in the store manifest, if one exists. */
+  private def readManifest(d: String): Option[Set[String]] =
+    try {
+      val mf = manifestPath(d)
+      val fs = hadoopFs(mf)
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private val segments = new AtomicReference[Vector[Segment]]({
     stateDir.flatMap { d =>
@@ -98,8 +163,27 @@ class AnomalyPipeline(
           // one subdirectory per persisted segment, named
           // seg_<maxTsUs>_<unique>; directories are immutable once
           // written, so reads never race a rewrite and no checkpoint
-          // copy is needed
-          val segs = fsys.listStatus(storePath).filter(_.isDirectory).toVector.flatMap { st =>
+          // copy is needed. The manifest is the commit record: dirs it
+          // does not list are leftovers of a crash mid-commit (e.g.
+          // compaction wrote its merged dir but died before deleting
+          // the inputs) and must NOT be restored — doing so would
+          // double-count their rows.
+          val manifest = readManifest(d)
+          val dirs = fsys.listStatus(storePath).filter(_.isDirectory).toVector
+            .filter(_.getPath.getName.startsWith("seg_"))
+          val (live, orphans) = manifest match {
+            case Some(names) => dirs.partition(st => names(st.getPath.getName))
+            case None =>
+              if (dirs.nonEmpty)
+                log.warn(s"no segment manifest under $storePath; restoring all " +
+                  s"${dirs.size} segment dirs (rows may repeat if a crash interrupted compaction)")
+              (dirs, Vector.empty)
+          }
+          orphans.foreach { st =>
+            log.warn(s"removing uncommitted segment dir ${st.getPath} (crash leftover)")
+            try fsys.delete(st.getPath, true) catch { case _: Throwable => () }
+          }
+          val segs = live.flatMap { st =>
             st.getPath.getName.split('_') match {
               case Array("seg", ts, _*) =>
                 try {
@@ -259,10 +343,22 @@ class AnomalyPipeline(
     * the reference (truncate does not reset anomaly suppression).
     */
   def truncate(): Unit = storeLock.synchronized {
-    segments.get().foreach(_.release())
-    segments.set(Vector.empty)
+    truncateEpoch.incrementAndGet()
     snapshot.set(None)
     bucketState.set(None)
+    // commit the empty store immediately (a crash before the deferred
+    // release must not resurrect pre-truncate data on restart) ...
+    stateDir.foreach(writeManifest(_, Vector.empty))
+    if (triggerActive.get()) {
+      // ... but defer the cache/dir release itself: the in-flight
+      // trigger's jobs still scan these segments, and yanking them
+      // mid-job fails the batch. The epoch bump above stops that batch
+      // from re-publishing its pre-truncate results.
+      pendingTruncate.set(true)
+    } else {
+      segments.get().foreach(_.release())
+      segments.set(Vector.empty)
+    }
   }
 
   /** One micro-batch step: returns the emitted anomalies.
@@ -271,6 +367,26 @@ class AnomalyPipeline(
     * ts timestamp). `now` anchors the trailing windows (batch time).
     */
   def processBatch(batch: DataFrame, now: java.sql.Timestamp): Dataset[CooldownState.AnomalyEvent] = {
+    // trigger boundary: apply a truncate that arrived mid-previous-
+    // trigger (its segment release was deferred — no job is in flight
+    // now), then mark this trigger active and capture the truncate
+    // epoch; store/snapshot publishes below re-check it so a truncate
+    // landing mid-trigger is never overwritten by pre-truncate state.
+    val epoch0 = storeLock.synchronized {
+      if (pendingTruncate.getAndSet(false)) {
+        segments.get().foreach(_.release())
+        segments.set(Vector.empty)
+      }
+      triggerActive.set(true)
+      truncateEpoch.get()
+    }
+    try processBatchInner(batch, now, epoch0)
+    finally triggerActive.set(false)
+  }
+
+  private def processBatchInner(
+      batch: DataFrame, now: java.sql.Timestamp, epoch0: Long,
+  ): Dataset[CooldownState.AnomalyEvent] = {
     counters.analysedMessages.add(batch.count())
 
     // 1. single-pass long-format projection: one plan regardless of
@@ -293,8 +409,13 @@ class AnomalyPipeline(
     // previous trigger" staleness semantics)
     if (snapshot.get().isEmpty && segments.get().nonEmpty) {
       val windows0 = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
+      // eagerly checkpointed (mirrors step 4): the lazy plan would scan
+      // the restored segments only at step 5's count, AFTER step 3 may
+      // have released them (horizon expiry or compaction) — a recompute
+      // would then read deleted parquet dirs and kill the first
+      // post-restart micro-batch
       if (windows0.nonEmpty)
-        snapshot.set(Some(computeStats(windows0, now, horizonUs)))
+        snapshot.set(Some(computeStats(windows0, now, horizonUs).localCheckpoint(eager = true)))
     }
 
     // 2. judge against the PREVIOUS snapshot (staleness semantics); the
@@ -330,52 +451,65 @@ class AnomalyPipeline(
       case _ => seg0
     }
     storeLock.synchronized {
-    val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
-    expired.foreach(_.release())
-    // LSM-style compaction (exact mode only): when retention outlives
-    // many triggers the segment vector (and with it the per-trigger
-    // union width and task count of every stats re-scan) grows
-    // linearly — merge into ONE checkpointed chunk past a threshold;
-    // amortized cost O(store / threshold) per trigger. The compacted
-    // dir is written before the inputs are deleted (a crash in between
-    // double-restores those rows — a manifest, i.e. Delta, is the
-    // production answer; same exposure as any non-transactional store).
-    // In bucketed mode the raw store is COLD state (read only on
-    // restart; stats come from the compacted partials), so
-    // re-materializing it would be pure overhead — at cluster scale it
-    // is an appended Delta/parquet table either way.
-    val merged =
-      if (statsBucketSec.isEmpty && keep.size > AnomalyPipeline.CompactSegments) {
-        val all = keep.map(_.df).reduce(_ union _)
-          .filter(unix_micros(col("produced")) >= lit(horizonUs))
-          .localCheckpoint(eager = true)
-        val maxTs = keep.map(_.maxTsUs).max
-        val nRows = all.count()
-        val one = stateDir match {
-          case Some(d) =>
-            val p = s"$d/store/${segDirName(maxTs)}"
-            all.write.mode("error").parquet(p)
-            Segment(maxTs, all, nRows, Some(p))
-          case None => Segment(maxTs, all, nRows)
-        }
-        keep.foreach(_.release()) // releases caches AND deletes input dirs
-        Vector(one)
-      } else keep
-    segments.set(merged)
+      if (truncateEpoch.get() != epoch0) {
+        // a truncate landed mid-trigger: this batch's segment is
+        // pre-truncate data — drop it instead of publishing it
+        seg.release()
+      } else {
+        val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
+        // LSM-style compaction (exact mode only): when retention
+        // outlives many triggers the segment vector (and with it the
+        // per-trigger union width and task count of every stats
+        // re-scan) grows linearly — merge into ONE checkpointed chunk
+        // past a threshold; amortized cost O(store / threshold) per
+        // trigger. In bucketed mode the raw store is COLD state (read
+        // only on restart; stats come from the compacted partials), so
+        // re-materializing it would be pure overhead — at cluster
+        // scale it is an appended Delta/parquet table either way.
+        val (merged, superseded) =
+          if (statsBucketSec.isEmpty && keep.size > AnomalyPipeline.CompactSegments) {
+            val all = keep.map(_.df).reduce(_ union _)
+              .filter(unix_micros(col("produced")) >= lit(horizonUs))
+              .localCheckpoint(eager = true)
+            val maxTs = keep.map(_.maxTsUs).max
+            val nRows = all.count()
+            val one = stateDir match {
+              case Some(d) =>
+                val p = s"$d/store/${segDirName(maxTs)}"
+                all.write.mode("error").parquet(p)
+                Segment(maxTs, all, nRows, Some(p))
+              case None => Segment(maxTs, all, nRows)
+            }
+            (Vector(one), expired ++ keep)
+          } else (keep, expired)
+        // commit point: the manifest names the new live set BEFORE any
+        // superseded dir is deleted, so a crash anywhere around
+        // compaction restores exactly the committed set (dirs written
+        // but not listed are removed as orphans on restart — no
+        // double-restored rows)
+        stateDir.foreach(writeManifest(_, merged))
+        superseded.foreach(_.release())
+        segments.set(merged)
+      }
     } // storeLock
     // (on restart the restart branch above has already rebuilt the
     // compacted partials from the restored store, so the fold below
     // never loses pre-restart history)
-    statsBucketSec.foreach { b =>
-      bucketState.set(Some(foldBuckets(WindowStats.bucketPartials(seg.df, b), horizonUs, b)))
+    if (truncateEpoch.get() == epoch0) statsBucketSec.foreach { b =>
+      val folded = foldBuckets(WindowStats.bucketPartials(seg.df, b), horizonUs, b)
+      storeLock.synchronized {
+        if (truncateEpoch.get() == epoch0) bucketState.set(Some(folded))
+      }
     }
     // 4. recompute the snapshot for the NEXT trigger (bucketed mode:
     // merge of cached per-segment partials, no raw re-scan)
     val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
-    if (windows.nonEmpty) {
+    if (windows.nonEmpty && truncateEpoch.get() == epoch0) {
       val stats = computeStats(windows, now, horizonUs)
         .localCheckpoint(eager = true)
-      snapshot.set(Some(stats))
+      storeLock.synchronized {
+        if (truncateEpoch.get() == epoch0) snapshot.set(Some(stats))
+      }
     }
     counters.scanRuns.add(1)
 
@@ -396,6 +530,9 @@ class AnomalyPipeline(
       }
       .localCheckpoint(eager = true)
     detected.unpersist()
+    // the greedy has run (emitted is materialized) — release the
+    // broadcast instead of leaking one per trigger over a long run
+    cacheB.destroy()
 
     // refresh the restart snapshot from the per-key last-emit aggregate:
     // one row per configured key, config-bounded cardinality
