@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
 import graft.queries.{AnalyticQueries, CoreQueries, RelationalQueries, TemporalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,6 +43,9 @@ object SparkEntry {
     "q_quality" -> (TextAnalysis.quality _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_repetition" -> (TextAnalysis.repetition _),
+    "q_tfidf" -> (TextAnalysis.tfidf _),
+    "q_chunk" -> (TextAnalysis.chunk _),
+    "q_anonymize" -> (Privacy.anonymize _),
     "q_sample_mix" -> (Sampling.sampleMix _),
     "q_token_pack" -> (Sampling.tokenPack _),
     "q_decontaminate" -> (Sampling.decontaminate _),
@@ -52,6 +55,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_components" -> (Dedup.components _),
+    "q_dedup_incremental" -> (Dedup.incremental _),
     // LLM-data-pipeline: similarity search
     "q_ann_topk" -> (Similarity.annTopk _),
     "q_ann_lsh" -> (Similarity.annLsh _),
@@ -102,6 +106,9 @@ object SparkEntry {
     "q_quality" -> TextAnalysis.qualitySql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_tfidf" -> TextAnalysis.tfidfSql,
+    "q_chunk" -> TextAnalysis.chunkSql,
+    "q_anonymize" -> Privacy.anonymizeSql,
     "q_sample_mix" -> Sampling.sampleMixSql,
     "q_token_pack" -> Sampling.tokenPackSql,
     "q_decontaminate" -> Sampling.decontaminateSql,
@@ -110,6 +117,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_components" -> Dedup.componentsSql,
+    "q_dedup_incremental" -> Dedup.incrementalSql,
     "q_ann_topk" -> Similarity.annTopkSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,

@@ -299,6 +299,47 @@ object Dedup {
         bit_count(col("xor")).as("hamming"))
   }
 
+  // ---- q_dedup_incremental -------------------------------------------
+
+  /** Incremental dedup — the shape every CONTINUOUSLY-INGESTING corpus
+    * needs: an incoming batch checked against the existing corpus's
+    * content hashes, not against itself. Incoming docs (deterministic
+    * hash-split: doc_id % 5 == 0, scale-invariant) are left-joined to
+    * the corpus fingerprint table (md5 -> lowest holder id); a miss is
+    * new content, a hit reports which corpus document already holds it.
+    *
+    * Scale: the corpus side collapses to one row per distinct hash
+    * BEFORE the join (hash aggregation with map-side partials), and the
+    * join is a plain equi join on the 32-hex key — at 100 TB the
+    * fingerprint table is a persisted/bucketed table keyed by hash and
+    * the incoming batch shuffles only its (id, hash) pairs, never text.
+    */
+  def incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("dup_of"))
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .join(corpus, Seq("content_md5"), "left")
+      .select(
+        col("doc_id"), col("content_md5"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("is_new"),
+        col("dup_of"))
+  }
+
+  val incrementalSql: String =
+    """
+    WITH corpus AS (
+      SELECT md5(text) AS content_md5, min(doc_id) AS dup_of
+      FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+    )
+    SELECT d.doc_id, md5(d.text) AS content_md5,
+           CASE WHEN c.dup_of IS NULL THEN 1 ELSE 0 END AS is_new,
+           c.dup_of
+    FROM documents d LEFT JOIN corpus c ON md5(d.text) = c.content_md5
+    WHERE d.doc_id % 5 = 0"""
+
   // ---- q_dedup_components --------------------------------------------
 
   /** Near-dup CLUSTER resolution — the completion step every dedup

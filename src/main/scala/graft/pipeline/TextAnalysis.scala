@@ -258,4 +258,111 @@ object TextAnalysis {
     SELECT doc_id, n_toks, top_tf_ratio, dup_bigram_ratio,
            CASE WHEN top_tf_ratio <= 0.1 AND dup_bigram_ratio <= 0.03 THEN 1 ELSE 0 END AS keep
     FROM r"""
+
+  // ---- q_tfidf -------------------------------------------------------
+
+  /** TF-IDF top terms per document — the standard corpus-weighting step
+    * behind keyword extraction and quality-weighted sampling. The score
+    * is deliberately LOG-FREE: (tf / n_toks) * (N / df) — transcendental
+    * log is not correctly rounded per IEEE-754 and differs across libm
+    * implementations, while the two divisions and the product here are,
+    * so the score is bit-identical in any engine. The ranking (and with
+    * it the emitted top-3 set) is therefore deterministic.
+    *
+    * Scale: tf is one hash aggregation on (doc, term); df reuses that
+    * relation with a second aggregation on term; the tf-df join is a
+    * plain shuffle equi join on the term key (vocabulary-sized — far
+    * too big to broadcast at 100 TB, and never needs to be); the top-3
+    * window is partitioned BY DOCUMENT, so no single-partition sort
+    * exists anywhere.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nToks = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_toks"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(nToks, "doc_id")
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs)) // single-row corpus count
+      .withColumn("tfidf",
+        round((col("tf").cast("double") / col("n_toks"))
+          * (col("n_docs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  val tfidfSql: String =
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    nt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks FROM tf GROUP BY 1),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round((CAST(tf.tf AS DOUBLE) / nt.n_toks)
+                   * (CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN nt ON tf.doc_id = nt.doc_id JOIN df ON tf.term = df.term, nd
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, term, tf, df, tfidf FROM rk WHERE rk <= 3"""
+
+  // ---- q_chunk -------------------------------------------------------
+
+  /** Chunk size (tokens) and stride for [[chunk]]. Stride < size gives
+    * the 8-token overlap RAG/embedding pipelines use so no boundary
+    * context is lost between consecutive chunks.
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — the document→passage step of
+    * every embedding/RAG ingestion pipeline: windows of [[ChunkSize]]
+    * tokens every [[ChunkStride]], each identified by an md5 of its
+    * joined tokens (so downstream chunk-level dedup is an exact
+    * hash-groupBy). A document shorter than one window yields exactly
+    * one (possibly short) chunk.
+    *
+    * Scale: pure per-row explode of a computed start sequence — narrow,
+    * no shuffle, output size n_tokens/stride per doc; chunk rows carry
+    * only (ids, count, hash), never the text twice.
+    */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / lit(ChunkStride)).cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start"), lit(ChunkSize)).as("ck"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("ck")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ck"))).as("chunk_md5"))
+  }
+
+  val chunkSql: String =
+    s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $ChunkStride)) AS start FROM t),
+    ck AS (
+      SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+             toks[start : start + ${ChunkSize - 1}] AS ck
+      FROM st
+    )
+    SELECT doc_id, chunk_idx, len(ck) AS n_chunk_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_md5
+    FROM ck"""
 }

@@ -53,10 +53,23 @@ class PlanSpec extends SparkSpec {
 
   test("only the intentional brute-force baseline uses nested-loop joins") {
     // q_ann_topk is the declared exact-recall baseline; everything else
-    // (incl. q_dedup_simhash, now HmSearch-banded) must be equi-join only
+    // (incl. q_dedup_simhash, now HmSearch-banded) must be equi-join only.
+    // A cross join is exempt when its broadcast side is a global (no-key)
+    // aggregate: that side is one row by construction, so the "nested
+    // loop" is a scalar attach — O(n), not all-pairs.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def singleRowSide(p: SparkPlan): Boolean =
+      p.collectFirst { case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a }.isDefined
     val allowed = Set("q_ann_topk")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
+        .filterNot { j =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            case _ => j.left
+          }
+          singleRowSide(build)
+        }
       assert(nlj.isEmpty, s"$name unexpectedly uses a nested-loop join")
     }
   }

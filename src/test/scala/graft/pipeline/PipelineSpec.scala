@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.functions.VectorFunctions
+import graft.queries.Tables
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -162,5 +163,100 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scored(1L)._1 > scored(1L)._2)
     assert(scored(2L)._2 > scored(2L)._1)
     assert(scored(3L) == ((0, 0)))
+  }
+}
+
+class TfidfChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf: rare term outranks common term within a document") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.tfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactly <=3 rows per doc, ranks 1..k contiguous, scores non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val byRk = rs.sortBy(_.getInt(1))
+      assert(byRk.map(_.getInt(1)).toSeq == (1 to byRk.length))
+      val scores = byRk.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $doc not sorted")
+    }
+  }
+
+  test("tfidf score is (tf/n_toks)*(N/df) on a hand-checked corpus") {
+    // 2 docs: "a a b" and "b c". term a: doc1 tf=2, df=1 -> (2/3)*(2/1)=4/3
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.tfidf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(5)).toMap
+    assert(math.abs(out((1L, "a")) - 1.333333) < 1e-6)
+    assert(math.abs(out((1L, "b")) - (1.0 / 3 * 1.0)) < 1e-6) // (1/3)*(2/2)
+    assert(math.abs(out((2L, "c")) - (1.0 / 2 * 2.0)) < 1e-6)
+  }
+
+  test("chunk: stride windows overlap and cover every token exactly") {
+    val n = 80 // -> starts 1,25,49,73: sizes 32,32,32,8
+    val docs = Seq((1L, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.chunk(spark, dir).collect().sortBy(_.getLong(1))
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(32, 32, 32, 8))
+    // distinct hashes (windows differ), and a short doc yields one chunk
+    assert(out.map(_.getString(3)).distinct.length == 4)
+    val short = Seq((2L, "only four tokens here")).toDF("doc_id", "text")
+    short.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val one = TextAnalysis.chunk(spark, dir).collect()
+    assert(one.length == 1 && one.head.getInt(2) == 4)
+  }
+}
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("anonymize: pseudonym is stable per user and redaction counts match spans") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Privacy.anonymize(spark, sf)
+    // same user_id always maps to the same user_key (join-stable pseudonym)
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    val joined = out.join(ev, "event_id")
+      .groupBy(col("user_id")).agg(countDistinct(col("user_key")).as("nk"))
+    assert(joined.filter(col("nk") =!= 1).count() == 0)
+    // no digit or email survives redaction
+    val leaky = out.filter(col("props_redacted").rlike("[0-9]|@")).count()
+    assert(leaky == 0)
+  }
+
+  test("anonymize: email redacted before numerics so digits are not double-counted") {
+    val df = Seq((1L, 7L, "click", "reach me at bob99@mail.com or call 555 1234"))
+      .toDF("event_id", "user_id", "event_type", "props")
+    val dir = java.nio.file.Files.createTempDirectory("anon").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Privacy.anonymize(spark, dir).head
+    assert(r.getAs[Int]("n_email_redactions") == 1)
+    assert(r.getAs[Int]("n_num_redactions") == 2) // 555 and 1234, NOT bob99's 99
+    assert(r.getAs[String]("props_redacted") == "reach me at <EMAIL> or call <NUM> <NUM>")
+  }
+}
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  test("incremental: hits point at the corpus holder, misses are genuinely new") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.incremental(spark, sf).persist()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h")).persist()
+    val corpusHashes = docs.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("holder"))
+    // every non-new row's dup_of is the minimal corpus holder of that hash
+    val hits = out.filter(col("is_new") === 0)
+      .join(corpusHashes, out("content_md5") === corpusHashes("h"))
+    assert(hits.filter(col("dup_of") =!= col("holder")).count() == 0)
+    // every new row's hash is absent from the corpus
+    val misses = out.filter(col("is_new") === 1)
+      .join(corpusHashes, out("content_md5") === corpusHashes("h"), "left_semi")
+    assert(misses.count() == 0)
+    assert(out.count() == docs.filter(col("doc_id") % 5 === 0).count())
+    out.unpersist(); docs.unpersist()
   }
 }
