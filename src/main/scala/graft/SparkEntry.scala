@@ -42,23 +42,29 @@ object SparkEntry {
     "q_token_count" -> (TextAnalysis.tokenCount _),
     "q_quality" -> (TextAnalysis.quality _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_winnow" -> (TextAnalysis.winnow _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
+    "q_diversity" -> (TextAnalysis.diversity _),
     "q_chunk" -> (TextAnalysis.chunk _),
     "q_anonymize" -> (Privacy.anonymize _),
     "q_sample_mix" -> (Sampling.sampleMix _),
+    "q_domain_mix" -> (Sampling.domainMix _),
     "q_token_pack" -> (Sampling.tokenPack _),
     "q_decontaminate" -> (Sampling.decontaminate _),
     // LLM-data-pipeline: dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "q_containment" -> (Dedup.containment _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_components" -> (Dedup.components _),
     "q_dedup_incremental" -> (Dedup.incremental _),
+    "q_bloom_dedup" -> (Dedup.bloomDedup _),
     // LLM-data-pipeline: similarity search
     "q_ann_topk" -> (Similarity.annTopk _),
     "q_ann_lsh" -> (Similarity.annLsh _),
+    "q_ann_ivf" -> (Similarity.annIvf _),
     "q_dedup_embed" -> (Similarity.embedDedup _),
     // LLM-data-pipeline: multimodal plumbing
     "q_multimodal" -> (Multimodal.multimodalFeatures _),
@@ -105,19 +111,24 @@ object SparkEntry {
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_winnow" -> TextAnalysis.winnowSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
+    "q_diversity" -> TextAnalysis.diversitySql,
     "q_chunk" -> TextAnalysis.chunkSql,
     "q_anonymize" -> Privacy.anonymizeSql,
     "q_sample_mix" -> Sampling.sampleMixSql,
+    "q_domain_mix" -> Sampling.domainMixSql,
     "q_token_pack" -> Sampling.tokenPackSql,
     "q_decontaminate" -> Sampling.decontaminateSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
+    "q_containment" -> Dedup.containmentSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_components" -> Dedup.componentsSql,
     "q_dedup_incremental" -> Dedup.incrementalSql,
+    "q_bloom_dedup" -> Dedup.bloomDedupSql,
     "q_ann_topk" -> Similarity.annTopkSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,

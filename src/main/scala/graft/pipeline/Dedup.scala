@@ -158,6 +158,63 @@ object Dedup {
     FROM pairs JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
     WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5"""
 
+  // ---- q_containment -------------------------------------------------
+
+  /** Containment threshold: |A∩B| / |A| ≥ 0.8 flags A as mostly inside
+    * B even when symmetric Jaccard is low (quote/subset duplication —
+    * a small doc embedded in a much larger one).
+    */
+  val ContainmentMin = 0.8
+
+  /** Asymmetric n-gram containment — the dedup signal Jaccard misses:
+    * a short document quoted inside a long one has tiny Jaccard but
+    * containment ≈ 1. Directional pairs (doc_a contained in doc_b,
+    * a ≠ b) over the same distinct shingle-hash relation as
+    * [[ngramJaccard]].
+    *
+    * Scale: identical shape to the Jaccard path — equi self-join on
+    * the 60-bit shingle hash (never all-pairs), count-aggregated to
+    * narrow (id, id, shared) rows before the per-doc size joins; the
+    * asymmetry only changes the join predicate (≠ instead of <) and
+    * the denominator.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+      .persist()
+    try {
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      val out = pairs
+        .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
+        .withColumn("containment",
+          round(col("shared").cast("double") / col("n_sh"), 6))
+        .filter(col("containment") >= ContainmentMin)
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("n_sh").as("n_sh_a"), col("containment"))
+      out.localCheckpoint(eager = true)
+    } finally sh.unpersist()
+  }
+
+  val containmentSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b, shared, n_sh AS n_sh_a,
+           round(CAST(shared AS DOUBLE) / n_sh, 6) AS containment
+    FROM pairs JOIN sz ON doc_a = sz.doc_id
+    WHERE round(CAST(shared AS DOUBLE) / n_sh, 6) >= $ContainmentMin"""
+
   // ---- q_dedup_minhash -----------------------------------------------
 
   /** MinHash signature per document. 16 permutations over shingle
@@ -297,6 +354,72 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
         bit_count(col("xor")).as("hamming"))
+  }
+
+  // ---- q_bloom_dedup -------------------------------------------------
+
+  /** Bloom false-positive rate; sized so the prefilter discards ~99% of
+    * genuinely-new rows without touching the corpus join.
+    */
+  val BloomFpp = 0.01
+
+  /** Bloom-prefiltered passage dedup — the membership-test shape for
+    * checking incoming content against a corpus whose fingerprint table
+    * is too big to broadcast as a hash relation. The unit is the CHUNK
+    * (TextAnalysis.chunk's 32/24 token windows): whole-document exact
+    * dups are rare in a curated corpus, but shared passages are not,
+    * and chunk-level membership is what RAG/pretraining ingestion
+    * actually tests. A Bloom filter over the corpus chunk hashes (built
+    * distributed via `DataFrameStatFunctions.bloomFilter`'s tree
+    * aggregation — a few MB regardless of corpus size) is broadcast and
+    * applied as a narrow filter on the batch side; only probable hits
+    * reach the exact equi join that removes false positives. Output is
+    * EXACTLY the plain inner join (Bloom has no false negatives), so
+    * the oracle is unchanged SQL — the filter is purely a scale device:
+    * at 100 TB it turns a full batch shuffle into a shuffle of the
+    * ~duplicate subset.
+    */
+  def bloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextAnalysis.chunk(spark, sfDir)
+    val corpus = chunks.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_holders"))
+      .persist()
+    try {
+      val expected = corpus.count() // one tree-agg job; also sizes the filter
+      val bf = corpus.stat.bloomFilter("chunk_md5", math.max(expected, 1L), BloomFpp)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
+      val out = chunks.filter(col("doc_id") % 5 === 0)
+        .filter(mightContain(col("chunk_md5"))) // narrow prefilter, no shuffle
+        .join(corpus, Seq("chunk_md5")) // exact confirm kills false positives
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"),
+          col("dup_of"), col("n_holders"))
+      val materialized = out.localCheckpoint(eager = true)
+      bfB.destroy()
+      materialized
+    } finally corpus.unpersist()
+  }
+
+  val bloomDedupSql: String = {
+    // same chunk relation as TextAnalysis.chunkSql, split into corpus
+    // and batch sides by the same hash split as q_dedup_incremental
+    val (sz, st) = (TextAnalysis.ChunkSize, TextAnalysis.ChunkStride)
+    s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    starts AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $st)) AS start FROM t),
+    chunks AS (
+      SELECT doc_id, CAST((start - 1) // $st AS BIGINT) AS chunk_idx,
+             md5(array_to_string(toks[start : start + ${sz - 1}], ' ')) AS chunk_md5
+      FROM starts
+    ),
+    corpus AS (
+      SELECT chunk_md5, min(doc_id) AS dup_of, count(*) AS n_holders
+      FROM chunks WHERE doc_id % 5 <> 0 GROUP BY 1
+    )
+    SELECT c.doc_id, c.chunk_idx, c.chunk_md5, dup_of, n_holders
+    FROM chunks c JOIN corpus USING (chunk_md5)
+    WHERE c.doc_id % 5 = 0"""
   }
 
   // ---- q_dedup_incremental -------------------------------------------

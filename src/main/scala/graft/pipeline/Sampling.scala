@@ -159,4 +159,55 @@ object Sampling {
     SELECT doc_id, source, shard, n_tokens,
            CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget.0) AS BIGINT) AS chunk
     FROM c"""
+
+  // ---- q_domain_mix --------------------------------------------------
+
+  /** Max corpus share any one source may hold, in per-mille of total
+    * tokens. 100‰ = the "no domain above 10%" balancing rule common in
+    * pretraining-mixture construction.
+    */
+  val DomainCapPerMille = 100
+
+  /** Domain balancing with DATA-DERIVED rates (vs [[sampleMix]]'s
+    * static mixture): measure each source's token share of the corpus
+    * and emit the down-sampling rate that caps every source at
+    * [[DomainCapPerMille]] of the total. All rate arithmetic is integer
+    * (ratio in per-mille via `div`), so the output is engine-exact; the
+    * one double column (`token_share`) is a single IEEE division.
+    *
+    * Scale: one hash aggregation (map-side partials) down to one row
+    * per source, then a single-row broadcast attach of the corpus
+    * total — the fact table is read once and never shuffled wider than
+    * (source, counts).
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val perSrc = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val total = perSrc.agg(sum(col("n_tokens")).as("total_tokens"))
+    perSrc.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("keep_pm",
+        least(lit(1000L), expr(s"($DomainCapPerMille * 10 * total_tokens) div n_tokens")))
+      .withColumn("kept_tokens_cap", expr("(n_tokens * keep_pm) div 1000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("keep_pm"), col("kept_tokens_cap"))
+  }
+
+  val domainMixSql: String =
+    s"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+           least(1000, ($DomainCapPerMille * 10 * total_tokens) // n_tokens) AS keep_pm,
+           (n_tokens * least(1000, ($DomainCapPerMille * 10 * total_tokens) // n_tokens)) // 1000
+             AS kept_tokens_cap
+    FROM s, t"""
 }

@@ -207,4 +207,63 @@ object Similarity {
     SELECT id_a, id_b, round(${cosineSql("emb_a", "emb_b")}, 6) AS cos
     FROM cand
     WHERE round(${cosineSql("emb_a", "emb_b")}, 6) >= 0.4"""
+
+  // ---- q_ann_ivf -----------------------------------------------------
+
+  /** IVF coarse-quantizer cells and probe width. 16 cells / probe 4 at
+    * gate scale; at 100 TB, k grows to √n cells and probe stays small —
+    * the standard IVF recall/cost dial.
+    */
+  val IvfCells = 16
+  val IvfProbe = 4
+  val IvfTopK = 5
+
+  /** IVF (inverted-file) ANN — the second scale path beside LSH: a
+    * KMeans coarse quantizer (fixed seed, fit Spark-parallel) assigns
+    * every vector to its nearest centroid cell; a query probes only its
+    * [[IvfProbe]] nearest cells and ranks candidates by exact cosine.
+    *
+    * Assignment and probing are fully codegen'd: each centroid is a
+    * literal array, distances use the native DotProduct expression,
+    * argmin/arg-top-p are `array_min`/`array_sort` over (dist, cell)
+    * structs — no UDF, no MLlib transform in the scoring path, and the
+    * only shuffle is the (cell)-keyed candidate join.
+    *
+    * The KMeans fit is not SQL-expressible, so like q_kmeans_anomaly
+    * this registers WITHOUT an oracle (rows-only gate);
+    * SimilarityRecallSpec pins its recall against the exact
+    * brute-force baseline instead.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features")
+      .fit(emb.select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
+    val centers = model.clusterCenters.map(_.toArray)
+    val x = col("embedding").cast("array<double>")
+    def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
+      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
+    }: _*)
+    val assigned = emb
+      .withColumn("cell", array_min(cellDists).getField("cell"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, IvfProbe)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(assigned, "cell") // equi join on the cell key — the only shuffle
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("embedding")) / sqrt(col("q_nsq") * col("nsq")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+  }
 }

@@ -365,4 +365,131 @@ object TextAnalysis {
     SELECT doc_id, chunk_idx, len(ck) AS n_chunk_tokens,
            md5(array_to_string(ck, ' ')) AS chunk_md5
     FROM ck"""
+
+  // ---- q_diversity ---------------------------------------------------
+
+  /** Lexical-diversity scoring — the entropy-style quality signal, made
+    * engine-exact: Shannon entropy needs a transcendental log whose
+    * last bit differs across libm builds, so the score here is GINI
+    * IMPURITY (1 − Σ pᵢ²), which needs only integer tf sums and one
+    * IEEE division — bit-identical everywhere. Low gini + low
+    * type-token ratio = degenerate/repetitive text (the same documents
+    * entropy would flag).
+    *
+    * Scale: one (doc, term) hash aggregation then one per-doc
+    * aggregation — map-side partials both times, output one row per
+    * document, nothing broadcast, no windows.
+    */
+  def diversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id")).agg(
+        sum(col("tf")).as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("sum_sq"))
+      .select(
+        col("doc_id"), col("n_toks"), col("n_distinct"),
+        (lit(1.0) - col("sum_sq").cast("double") / (col("n_toks") * col("n_toks")))
+          .as("gini"),
+        (col("n_distinct").cast("double") / col("n_toks")).as("ttr"))
+  }
+
+  val diversitySql: String =
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_toks,
+           count(*) AS n_distinct,
+           1.0 - CAST(sum(tf * tf) AS DOUBLE)
+                 / (CAST(sum(tf) AS BIGINT) * CAST(sum(tf) AS BIGINT)) AS gini,
+           CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS ttr
+    FROM tf GROUP BY 1"""
+
+  // ---- q_winnow ------------------------------------------------------
+
+  /** Winnowing k-gram size and window width (Schleimer et al., MOSS):
+    * guarantees any shared run of ≥ WinnowK + WinnowW − 1 tokens leaves
+    * at least one common selected fingerprint, at ~2/(W+1) selection
+    * density.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Winnowing fingerprints — local-minimum selection over positional
+    * k-gram rolling hashes: each width-[[WinnowW]] window of
+    * consecutive gram hashes contributes its minimum, and the distinct
+    * selected set is the document's robust fingerprint (≈ 1/W the size
+    * of the full shingle set, with a positional match guarantee plain
+    * sampling lacks). Emitted per document as count + an md5 digest of
+    * the sorted selected hashes, so the oracle hash-checks every
+    * selected value without exploding rows.
+    *
+    * Scale: per-row array math inside whole-stage codegen (the gram
+    * hashes come from the native NGramPolyHash expression) — no
+    * shuffle, no window functions; at 100 TB this is the cheap map
+    * stage that feeds a (fp, doc) equi join 4× smaller than full
+    * shingling.
+    */
+  /** Positional k-gram rolling hashes of a text column (NOT distinct —
+    * winnowing needs order).
+    */
+  def winnowGrams(text: Column): Column =
+    graft.functions.SketchFunctions.ngramPolyHash(
+      transform(tokens(text), t => Dedup.h32(t) % lit(Dedup.P)),
+      WinnowK, Dedup.PolyB, Dedup.P)
+
+  /** The distinct selected fingerprint set of a gram-hash array:
+    * min of each width-[[WinnowW]] window.
+    */
+  def winnowSelect(hs: Column): Column =
+    array_distinct(
+      when(size(hs) >= WinnowW,
+        transform(sequence(lit(1), size(hs) - lit(WinnowW - 1)),
+          i => array_min(slice(hs, i, lit(WinnowW)))))
+        .otherwise(array(array_min(hs))))
+
+  /** Selected winnowing fingerprints straight from text (spec surface). */
+  def winnowFps(text: Column): Column = winnowSelect(winnowGrams(text))
+
+  def winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.select(col("doc_id"), winnowGrams(col("text")).as("hs"))
+      .withColumn("n_grams", size(col("hs")))
+      .withColumn("fps", winnowSelect(col("hs")))
+      .select(
+        col("doc_id"), col("n_grams"),
+        size(col("fps")).as("n_fps"),
+        md5(concat_ws(",", transform(array_sort(col("fps")), _.cast("string"))))
+          .as("winnow_md5"))
+  }
+
+  val winnowSql: String = {
+    val toks = "string_split(text, ' ')"
+    val th = s"[${Dedup.h32Sql.format("t")} % ${Dedup.P} for t in $toks]"
+    def fold(sliceExpr: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${Dedup.PolyB} + x) % ${Dedup.P})"
+    s"""
+    WITH t AS (SELECT doc_id, $th AS th FROM documents),
+    g AS (
+      SELECT doc_id, CASE WHEN len(th) >= $WinnowK
+        THEN [${fold(s"th[i:i+${WinnowK - 1}]")} for i in generate_series(1, len(th) - ${WinnowK - 1})]
+        ELSE [${fold("th")}] END AS hs
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             list_distinct(CASE WHEN len(hs) >= $WinnowW
+               THEN [list_min(hs[i:i+${WinnowW - 1}]) for i in generate_series(1, len(hs) - ${WinnowW - 1})]
+               ELSE [list_min(hs)] END) AS fps
+      FROM g
+    )
+    SELECT doc_id, n_grams, len(fps) AS n_fps,
+           md5(array_to_string(list_sort(fps), ',')) AS winnow_md5
+    FROM w"""
+  }
 }

@@ -260,3 +260,92 @@ class IncrementalDedupSpec extends SparkSpec {
     out.unpersist(); docs.unpersist()
   }
 }
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domain mix: rates cap every source at the configured share") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Sampling.domainMix(spark, sf).collect()
+    assert(rows.length == 20)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("kept_tokens_cap")
+      // post-sampling share stays within the cap (+1‰ integer slack)
+      assert(kept * 1000 <= (Sampling.DomainCapPerMille + 1).toLong * total,
+        s"source ${r.getString(0)} exceeds the domain cap after sampling")
+      val pm = r.getAs[Long]("keep_pm")
+      assert(pm >= 1 && pm <= 1000)
+    }
+    // at least one oversized source is actually down-sampled
+    assert(rows.exists(_.getAs[Long]("keep_pm") < 1000) || total == 0 ||
+      rows.forall(r => r.getAs[Long]("n_tokens") * 10 <= total),
+      "no source needed capping yet none was capped")
+  }
+
+  test("diversity: repetitive text scores lower gini and ttr than varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight"),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("div").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.diversity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("gini"), r.getAs[Double]("ttr"))).toMap
+    assert(m(1L)._1 == 0.0 && m(1L)._2 == 0.125)
+    assert(m(2L)._1 == 0.875 && m(2L)._2 == 1.0) // 1 - 8*(1/64)
+  }
+
+  test("containment: a doc quoted inside a larger one is flagged even at low jaccard") {
+    val small = (1 to 20).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (100 to 220).map(i => s"x$i").mkString(" ")
+    val other = (300 to 340).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), "contained quote not flagged")
+    assert(!out.contains((2L, 1L)), "containment must be directional")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnow: shared runs leave a common fingerprint; digest is order-insensitive") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (20 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, (50 to 70).map(i => s"b$i").mkString(" ") + " " + shared),
+      (3L, "tiny doc"),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.winnow(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // short doc: one gram, one fingerprint
+    assert(out(3L).getAs[Int]("n_grams") == 1 && out(3L).getAs[Int]("n_fps") == 1)
+    // selection density ~ 2/(W+1), far below the gram count
+    assert(out(1L).getAs[Int]("n_fps") < out(1L).getAs[Int]("n_grams"))
+    // the guarantee itself is positional: verify via the raw selected sets
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowFps(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 10-token run left no common fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
+  test("bloom dedup equals the exact join (no false negatives, FPs removed)") {
+    val sf = "/root/testdata/sf0.001"
+    val viaBloom = Dedup.bloomDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val chunks = TextAnalysis.chunk(spark, sf).persist()
+    val corpus = chunks.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("chunk_md5")).agg(min(col("doc_id")).as("dup_of"))
+    val exact = chunks.filter(col("doc_id") % 5 === 0)
+      .join(corpus, "chunk_md5")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    chunks.unpersist()
+    assert(viaBloom == exact)
+    assert(exact.nonEmpty, "cross-check vacuous: no shared chunks at this SF")
+  }
+}

@@ -39,3 +39,24 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(strongRecall >= 0.8, f"near-dup-regime LSH recall regressed: $strongRecall%.3f")
   }
 }
+
+/** IVF recall: the probed-cells candidate search must recover most of
+  * the exact brute-force top-5 — probing 4/16 cells trades bounded work
+  * for recall, and this pins where that trade lands on real data.
+  */
+class IvfRecallSpec extends SparkSpec {
+
+  test("IVF top-5 recall vs brute-force top-5") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame, q: String, v: String) =
+      df.select(col(q), col(v)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.annTopk(spark, sf), "q_id", "vec_id")
+    val ivf = pairs(Similarity.annIvf(spark, sf), "q_id", "vec_id")
+    assert(ivf.nonEmpty, "IVF returned no neighbors")
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.6, f"IVF recall regressed: $recall%.3f")
+    // every query keeps a full top-k (probed cells are never empty at k=5)
+    val perQuery = Similarity.annIvf(spark, sf).groupBy(col("q_id")).count().collect()
+    assert(perQuery.forall(_.getLong(1) == Similarity.IvfTopK.toLong))
+  }
+}
