@@ -72,6 +72,7 @@ object SparkEntry {
     // analytic extensions beyond the reference surface
     "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
     "q_rollup" -> (WindowQueries.rollupRevenue _),
+    "q_cube" -> (WindowQueries.cubeActivity _),
     "q_median" -> (WindowQueries.median _),
     // analytic coverage
     "q_top_terms" -> (AnalyticQueries.topTerms _),
@@ -82,6 +83,8 @@ object SparkEntry {
     "q_asof_join" -> (TemporalQueries.asofJoin _),
     "q_sessionize" -> (TemporalQueries.sessionize _),
     "q_pivot_activity" -> (TemporalQueries.pivotActivity _),
+    "q_funnel" -> (TemporalQueries.funnel _),
+    "q_cohort" -> (TemporalQueries.cohort _),
     // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
     // driver records the weaker rows-only check)
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
@@ -141,8 +144,11 @@ object SparkEntry {
     "q_asof_join" -> TemporalQueries.asofJoinSql,
     "q_sessionize" -> TemporalQueries.sessionizeSql,
     "q_pivot_activity" -> TemporalQueries.pivotActivitySql,
+    "q_funnel" -> TemporalQueries.funnelSql,
+    "q_cohort" -> TemporalQueries.cohortSql,
     "q_tumbling_stats" -> WindowQueries.tumblingStatsSql,
     "q_rollup" -> WindowQueries.rollupRevenueSql,
+    "q_cube" -> WindowQueries.cubeActivitySql,
     "q_median" -> WindowQueries.medianSql,
   )
 }

@@ -240,9 +240,13 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(20)
+    // quantizer fit on a deterministic 1/3 sample, few iterations — a
+    // coarse quantizer needs rough cells, not convergence; this is also
+    // the only viable shape at 100 TB (sample-fit, full-assign)
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features")
-      .fit(emb.select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
+      .fit(emb.filter(col("vec_id") % 3 === 0)
+        .select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
     val centers = model.clusterCenters.map(_.toArray)
     val x = col("embedding").cast("array<double>")
     def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>

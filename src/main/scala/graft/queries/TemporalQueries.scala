@@ -113,4 +113,97 @@ object TemporalQueries {
            count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
            count(*) FILTER (WHERE event_type = 'view') AS n_view
     FROM events GROUP BY user_id"""
+
+  // ---- q_funnel ------------------------------------------------------
+
+  /** The ordered conversion funnel. */
+  val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Sequential conversion funnel view → click → purchase: a user
+    * converts at step k only with an event of type k strictly after
+    * their step-(k−1) conversion time. Emits one row per step with the
+    * surviving user count.
+    *
+    * Scale: one conditional aggregation per step, all shuffling on
+    * `user_id` — after the first exchange every later groupBy/join
+    * reuses the hash partitioning (Catalyst elides the extra
+    * exchanges), so depth-k funnels cost one shuffle plus k co-located
+    * passes, never k shuffles. Timestamps compare as integer
+    * epoch-micros.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .persist()
+    try {
+      // step 1: earliest qualifying event per user; steps 2..k: earliest
+      // event of the step type strictly after the previous step's time
+      var reached = ev.filter(col("event_type") === FunnelSteps.head)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
+      val counts = Seq.newBuilder[(Int, String, Long)]
+      counts += ((1, FunnelSteps.head, reached.count()))
+      FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
+        reached = ev.filter(col("event_type") === step)
+          .join(reached.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+          .filter(col("ts_us") > col("prev_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
+        counts += ((i + 1, step, reached.count()))
+      }
+      counts.result().toDF("step", "event_type", "n_users")
+    } finally ev.unpersist()
+  }
+
+  val funnelSql: String =
+    """
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t GROUP BY 1
+    )
+    SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+
+  // ---- q_cohort ------------------------------------------------------
+
+  /** Cohort retention: users grouped by first-seen epoch-day, activity
+    * counted per whole-week offset from that cohort day — the classic
+    * retention triangle. All calendar math is integer epoch arithmetic
+    * (day = micros div 86 400 000 000), so the result is engine-exact
+    * with no timezone/date-function parity risk.
+    *
+    * Scale: first-seen is one user-keyed aggregation; the activity join
+    * is user-keyed equi (co-partitioned with it); the final
+    * (cohort, offset) aggregation is tiny. Nothing broadcasts the big
+    * side, nothing windows.
+    */
+  def cohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        expr("(day - cohort_day) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val cohortSql: String =
+    """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT cohort_day, (d.day - cohort_day) // 7 AS week_offset,
+           count(DISTINCT d.user_id) AS n_users
+    FROM d JOIN f ON d.user_id = f.user_id
+    GROUP BY 1, 2"""
 }

@@ -75,6 +75,48 @@ object WindowQueries {
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
+  // ---- q_cube --------------------------------------------------------
+
+  /** Cube aggregation over the event stream: all 2² grouping
+    * combinations of (event_type, epoch-weekday) in one pass —
+    * weekday as integer epoch-day mod 7 so the calendar math is
+    * engine-exact (no locale/week-start parity risk). Sums go through
+    * the DECIMAL(18,6) trim for cross-engine bit equality.
+    *
+    * Scale: Spark expands the cube into grouping sets inside a single
+    * hash aggregation with map-side partials — 4× the group cardinality
+    * of the base agg (still tiny), one shuffle.
+    */
+  def cubeActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("weekday"),
+        col("value"))
+    ev.cube(col("event_type"), col("weekday"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double").as("sum_value"),
+      )
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("weekday"), lit(-1L)).as("weekday"),
+        col("n"), col("sum_value"))
+  }
+
+  val cubeActivitySql: String =
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(weekday, -1) AS weekday,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS weekday, value
+      FROM events WHERE event_type IS NOT NULL
+    )
+    GROUP BY CUBE (event_type, weekday)"""
+
   // ---- q_median ------------------------------------------------------
 
   /** Exact interpolated median (percentile_cont semantics) of `value`

@@ -1,0 +1,69 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics specs for the funnel / cohort / cube analytics operators
+  * on hand-built event fixtures (the oracle gate checks real data; these
+  * pin the tricky orderings the gate corpus may not contain).
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String)]): String = {
+    // (event_id, event_type, ts_us, user) -> events.parquet fixture
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    rows.map { case (id, tpe, tsUs, user) =>
+      (id, new Timestamp(tsUs / 1000), user.hashCode.toLong, tpe, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: steps are strictly sequential per user") {
+    val M = 60000000L // one minute in micros
+    val dir = writeEvents(Seq(
+      // full conversion in order
+      (1L, "view", 1 * M, "a"), (2L, "click", 2 * M, "a"), (3L, "purchase", 3 * M, "a"),
+      // click BEFORE first view: drops at step 2
+      (4L, "click", 1 * M, "b"), (5L, "view", 2 * M, "b"), (6L, "purchase", 3 * M, "b"),
+      // view only
+      (7L, "view", 1 * M, "c"),
+      // purchase before click: drops at step 3
+      (8L, "view", 1 * M, "d"), (9L, "purchase", 2 * M, "d"), (10L, "click", 3 * M, "d"),
+    ))
+    val out = TemporalQueries.funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // step 2 = {a, d} (b's click precedes its first view); step 3 = {a}
+    // (d's purchase precedes its click)
+    assert(out == Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("cohort: offsets count whole weeks from each user's first day") {
+    val D = 86400000000L
+    val dir = writeEvents(Seq(
+      (1L, "view", 0 * D, "a"), (2L, "view", 6 * D, "a"), (3L, "view", 7 * D, "a"),
+      (4L, "view", 3 * D, "b"), (5L, "view", 11 * D, "b"),
+    ))
+    val out = TemporalQueries.cohort(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a: cohort day 0 -> offsets 0 (days 0,6) and 1 (day 7)
+    // b: cohort day 3 -> offsets 0 (day 3) and 1 (day 11)
+    assert(out == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (3L, 0L) -> 1L, (3L, 1L) -> 1L))
+  }
+
+  test("cube: every grouping combination present and consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = WindowQueries.cubeActivity(spark, sf).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val grand = byKey(("<all>", -1L))
+    val typeTotals = byKey.collect { case ((t, -1L), n) if t != "<all>" => n }.sum
+    val dayTotals = byKey.collect { case ((t, d), n) if t == "<all>" && d != -1L => n }.sum
+    val cellTotals = byKey.collect { case ((t, d), n) if t != "<all>" && d != -1L => n }.sum
+    assert(Seq(typeTotals, dayTotals, cellTotals).forall(_ == grand),
+      "cube margins disagree with the grand total")
+  }
+}
