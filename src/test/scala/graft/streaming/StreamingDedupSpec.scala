@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch 0: a row whose event time equals the query's
+  // initial watermark (0) would be discarded as late
+  private def ts(min: Long) = new Timestamp((60 + min) * 60000L)
+
+  test("watermarked stream dedup drops in-horizon dups, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingDedup.dedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), "ts", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha", ts(0)), (2L, "beta", ts(1)))
+      q.processAllAvailable()
+      // same content inside the watermark horizon: suppressed
+      mem.addData((3L, "alpha", ts(2)), (4L, "gamma", ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 4L), s"unexpected emission set $got")
+      // dedup state must be watermark-bounded, not corpus-sized
+      val progress = q.lastProgress
+      assert(progress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-vs-corpus anti join emits only unseen content, no state operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("alpha", "beta").toDF("text")
+      .select(md5(col("text")).as("content_md5"))
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.newContentStream(
+      mem.toDF().toDF("doc_id", "text"), "text", corpus)
+    val q = out.writeStream.format("memory").queryName("new_content")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "delta"), (3L, "beta"), (4L, "epsilon"))
+      q.processAllAvailable()
+      val got = spark.table("new_content").select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(2L, 4L))
+      // stream-static joins are stateless: no state store in the progress
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+}
