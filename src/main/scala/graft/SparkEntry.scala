@@ -83,6 +83,7 @@ object SparkEntry {
     "q_asof_join" -> (TemporalQueries.asofJoin _),
     "q_sessionize" -> (TemporalQueries.sessionize _),
     "q_pivot_activity" -> (TemporalQueries.pivotActivity _),
+    "q_unpivot" -> (TemporalQueries.unpivotActivity _),
     "q_funnel" -> (TemporalQueries.funnel _),
     "q_cohort" -> (TemporalQueries.cohort _),
     // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_asof_join" -> TemporalQueries.asofJoinSql,
     "q_sessionize" -> TemporalQueries.sessionizeSql,
     "q_pivot_activity" -> TemporalQueries.pivotActivitySql,
+    "q_unpivot" -> TemporalQueries.unpivotActivitySql,
     "q_funnel" -> TemporalQueries.funnelSql,
     "q_cohort" -> TemporalQueries.cohortSql,
     "q_tumbling_stats" -> WindowQueries.tumblingStatsSql,

@@ -114,6 +114,35 @@ object TemporalQueries {
            count(*) FILTER (WHERE event_type = 'view') AS n_view
     FROM events GROUP BY user_id"""
 
+  // ---- q_unpivot -----------------------------------------------------
+
+  /** Melt (unpivot) of the wide activity matrix back to long form —
+    * the schema-normalization inverse of [[pivotActivity]], including
+    * explicit zero rows (a user × type grid). Uses the native
+    * `Dataset.unpivot` (Spark's UNPIVOT/MELT relational operator).
+    *
+    * Scale: unpivot is a narrow per-row expand (rows × 5, no shuffle
+    * beyond the pivot's own aggregation); the oracle mirrors it as the
+    * user × type grid with a left join.
+    */
+  def unpivotActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = pivotActivity(spark, sfDir)
+    wide.unpivot(
+        Array(col("user_id")),
+        Array(col("n_click"), col("n_error"), col("n_purchase"),
+          col("n_signup"), col("n_view")),
+        "event_type", "n")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+  }
+
+  val unpivotActivitySql: String =
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+    c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+    SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+    FROM u CROSS JOIN t LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type"""
+
   // ---- q_funnel ------------------------------------------------------
 
   /** The ordered conversion funnel. */
