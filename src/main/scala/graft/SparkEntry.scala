@@ -65,6 +65,7 @@ object SparkEntry {
     "q_ann_topk" -> (Similarity.annTopk _),
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_ann_ivf" -> (Similarity.annIvf _),
+    "q_embed_centroid" -> (Similarity.embedCentroid _),
     "q_dedup_embed" -> (Similarity.embedDedup _),
     // LLM-data-pipeline: multimodal plumbing
     "q_multimodal" -> (Multimodal.multimodalFeatures _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q_top_terms" -> (AnalyticQueries.topTerms _),
     "q_distinct_users" -> (AnalyticQueries.distinctUsers _),
     "q_corr" -> (AnalyticQueries.corr _),
+    "q_histogram" -> (AnalyticQueries.histogram _),
     "q_dedup_normalized" -> (AnalyticQueries.dedupNormalized _),
     // temporal operators
     "q_asof_join" -> (TemporalQueries.asofJoin _),
@@ -134,6 +136,7 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.incrementalSql,
     "q_bloom_dedup" -> Dedup.bloomDedupSql,
     "q_ann_topk" -> Similarity.annTopkSql,
+    "q_embed_centroid" -> Similarity.embedCentroidSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,
     "q_multimodal" -> Multimodal.multimodalFeaturesSql,
@@ -141,6 +144,7 @@ object SparkEntry {
     "q_top_terms" -> AnalyticQueries.topTermsSql,
     "q_distinct_users" -> AnalyticQueries.distinctUsersSql,
     "q_corr" -> AnalyticQueries.corrSql,
+    "q_histogram" -> AnalyticQueries.histogramSql,
     "q_dedup_normalized" -> AnalyticQueries.dedupNormalizedSql,
     "q_asof_join" -> TemporalQueries.asofJoinSql,
     "q_sessionize" -> TemporalQueries.sessionizeSql,

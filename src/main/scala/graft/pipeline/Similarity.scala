@@ -208,6 +208,49 @@ object Similarity {
     FROM cand
     WHERE round(${cosineSql("emb_a", "emb_b")}, 6) >= 0.4"""
 
+  // ---- q_embed_centroid ----------------------------------------------
+
+  /** Per-label embedding centroids — the class-prototype computation
+    * behind centroid classifiers, cluster summaries, and
+    * domain-embedding monitoring. Element-wise mean per (label, dim):
+    * vectors are position-exploded to (label, dim, value) and averaged
+    * with the exact-decimal sum trim, so every one of the 64 centroid
+    * components hash-matches the oracle bit for bit.
+    *
+    * Scale: posexplode is narrow (64 rows per vector of 8 bytes each —
+    * far smaller than shuffling whole vectors); the (label, dim)
+    * aggregation has map-side partials and cardinality labels×64.
+    * At 100 TB this is the canonical mean-vector shape; re-assembling
+    * the array (collect_list ordered by dim) happens on the tiny
+    * result only.
+    */
+  def embedCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+          / count(lit(1))).as("mean_v"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"), col("mean_v"))
+  }
+
+  val embedCentroidSql: String =
+    """
+    WITH x AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+      FROM embeddings
+    )
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+           -- REAL must widen to DOUBLE before the decimal round: DuckDB's
+           -- direct REAL->DECIMAL goes via the float's shortest decimal
+           -- repr, Spark's via the exact binary value — 1-ulp scale-6
+           -- mismatches otherwise
+           CAST(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+             / count(*) AS mean_v
+    FROM x GROUP BY 1, 2"""
+
   // ---- q_ann_ivf -----------------------------------------------------
 
   /** IVF coarse-quantizer cells and probe width. 16 cells / probe 4 at
@@ -240,13 +283,19 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-    // quantizer fit on a deterministic 1/3 sample, few iterations — a
-    // coarse quantizer needs rough cells, not convergence; this is also
-    // the only viable shape at 100 TB (sample-fit, full-assign)
-    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features")
-      .fit(emb.filter(col("vec_id") % 3 === 0)
-        .select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
+    // quantizer fit on a deterministic 1/3 sample, few iterations,
+    // random init (k-means|| init costs extra full passes a coarse
+    // quantizer doesn't need), input cached across iterations — a
+    // quantizer needs rough cells, not convergence; sample-fit is also
+    // the only viable shape at 100 TB
+    val fitInput = emb.filter(col("vec_id") % 3 === 0)
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .persist()
+    val model = try {
+      new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(8)
+        .setInitMode("random").setFeaturesCol("features")
+        .fit(fitInput)
+    } finally fitInput.unpersist()
     val centers = model.clusterCenters.map(_.toArray)
     val x = col("embedding").cast("array<double>")
     def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>

@@ -131,6 +131,43 @@ object AnalyticQueries {
                  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
     FROM a"""
 
+  // ---- q_histogram ---------------------------------------------------
+
+  /** Histogram bucket width and cap (values land in [0, 500]). */
+  val HistWidth = 25.0
+  val HistMaxBucket = 19L
+
+  /** Fixed-width value histograms per event type — the distribution
+    * profile behind monitoring dashboards and drift detection. Bucket
+    * index is `floor(value / width)` clamped to a top bucket: one
+    * double division + floor, identical IEEE arithmetic in both
+    * engines.
+    *
+    * Scale: a single hash aggregation on (type, bucket) with map-side
+    * partials — cardinality types × 20, no window, no sort until the
+    * tiny result.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy(
+        col("event_type"),
+        least(floor(col("value") / lit(HistWidth)).cast("long"), lit(HistMaxBucket))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", col("bucket") * lit(HistWidth))
+  }
+
+  val histogramSql: String =
+    s"""
+    SELECT event_type,
+           least(CAST(floor(value / $HistWidth) AS BIGINT), $HistMaxBucket) AS bucket,
+           count(*) AS n,
+           least(CAST(floor(value / $HistWidth) AS BIGINT), $HistMaxBucket) * $HistWidth AS bucket_lo
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2"""
+
   // ---- q_dedup_normalized --------------------------------------------
 
   /** Normalization-based exact dedup: lowercase + whitespace collapse

@@ -67,3 +67,37 @@ class AnalyticsOpsSpec extends SparkSpec {
       "cube margins disagree with the grand total")
   }
 }
+
+/** Edge semantics for the histogram and embedding-centroid operators. */
+class ProfileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram: boundary values open a new bucket, outliers clamp to the top") {
+    val dir = java.nio.file.Files.createTempDirectory("hist").toString
+    Seq(
+      (1L, new Timestamp(0L), 1L, "t", 0.0, "{}"),
+      (2L, new Timestamp(0L), 1L, "t", 24.999, "{}"),
+      (3L, new Timestamp(0L), 1L, "t", 25.0, "{}"),
+      (4L, new Timestamp(0L), 1L, "t", 9999.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticQueries.histogram(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L, AnalyticQueries.HistMaxBucket -> 1L))
+  }
+
+  test("embed centroid: element-wise mean per label on hand-checked vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("cent").toString
+    Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.pipeline.Similarity.embedCentroid(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      (0, 0L) -> ((2L, 2.0)), (0, 1L) -> ((2L, 4.0)),
+      (1, 0L) -> ((1L, 10.0)), (1, 1L) -> ((1L, 20.0))))
+  }
+}
