@@ -51,6 +51,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("single-pass aggregation queries shuffle exactly once") {
+    Seq("q_cube", "q_histogram", "q_embed_centroid").foreach { name =>
+      val shuffles = collectAll(plan(name)) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1, s"$name should be one grouped pass, got ${shuffles.size} shuffles")
+    }
+    // diversity is two chained aggs (doc,term) -> (doc): exactly two
+    val div = collectAll(plan("q_diversity")) { case e: ShuffleExchangeExec => e }
+    assert(div.size == 2, s"q_diversity should be two chained aggs, got ${div.size} shuffles")
+  }
+
   test("only the intentional brute-force baseline uses nested-loop joins") {
     // q_ann_topk is the declared exact-recall baseline; everything else
     // (incl. q_dedup_simhash, now HmSearch-banded) must be equi-join only.
