@@ -122,26 +122,41 @@ object Dedup {
     * shuffle key), exact Jaccard from distinct-shingle counts,
     * threshold 0.5.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared candidate scaffolding for the shingle-hash pair family:
+    * persisted (doc, shingle-hash) explode (tokenize + rolling-hash
+    * runs once per document), per-doc sizes, and the equi self-join
+    * pair counts under `pred` — `finish` turns (pairs, sizes) into the
+    * operator's result, which is materialized (localCheckpoint) before
+    * the shingle cache is released.
+    */
+  private def shinglePairScaffold(spark: SparkSession, sfDir: String)(
+      pred: (Column, Column) => Column)(
+      finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // consumed by both sides of the self-join and by the size relation:
-    // persist so tokenize + rolling-hash runs once per document
     val sh = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("sh"))
       .persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
-      .withColumn("jaccard",
-        round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+    try {
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && pred(col("a.doc_id"), col("b.doc_id")))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      finish(pairs, sizes).localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    shinglePairScaffold(spark, sfDir)(_ < _) { (pairs, sizes) =>
+      pairs
+        .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+    }
 
   val ngramJaccardSql: String =
     s"""
@@ -178,27 +193,16 @@ object Dedup {
     * asymmetry only changes the join predicate (≠ instead of <) and
     * the denominator.
     */
-  def containment(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val sh = shingleHashes(docs)
-      .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .persist()
-    try {
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      val out = pairs
+  def containment(spark: SparkSession, sfDir: String): DataFrame =
+    shinglePairScaffold(spark, sfDir)(_ =!= _) { (pairs, sizes) =>
+      pairs
         .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
         .withColumn("containment",
           round(col("shared").cast("double") / col("n_sh"), 6))
         .filter(col("containment") >= ContainmentMin)
         .select(col("doc_a"), col("doc_b"), col("shared"),
           col("n_sh").as("n_sh_a"), col("containment"))
-      out.localCheckpoint(eager = true)
-    } finally sh.unpersist()
-  }
+    }
 
   val containmentSql: String =
     s"""
@@ -390,29 +394,22 @@ object Dedup {
       val bf = corpus.stat.bloomFilter("chunk_md5", math.max(expected, 1L), BloomFpp)
       val bfB = spark.sparkContext.broadcast(bf)
       val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
-      val out = chunks.filter(col("doc_id") % 5 === 0)
-        .filter(mightContain(col("chunk_md5"))) // narrow prefilter, no shuffle
-        .join(corpus, Seq("chunk_md5")) // exact confirm kills false positives
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"),
-          col("dup_of"), col("n_holders"))
-      val materialized = out.localCheckpoint(eager = true)
-      bfB.destroy()
-      materialized
+      try {
+        chunks.filter(col("doc_id") % 5 === 0)
+          .filter(mightContain(col("chunk_md5"))) // narrow prefilter, no shuffle
+          .join(corpus, Seq("chunk_md5")) // exact confirm kills false positives
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"),
+            col("dup_of"), col("n_holders"))
+          .localCheckpoint(eager = true)
+      } finally bfB.destroy()
     } finally corpus.unpersist()
   }
 
-  val bloomDedupSql: String = {
-    // same chunk relation as TextAnalysis.chunkSql, split into corpus
-    // and batch sides by the same hash split as q_dedup_incremental
-    val (sz, st) = (TextAnalysis.ChunkSize, TextAnalysis.ChunkStride)
+  val bloomDedupSql: String =
+    // the chunk relation is TextAnalysis.chunkSql VERBATIM (nested CTE)
+    // so the oracle can never drift from the Spark side's chunk() call
     s"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    starts AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $st)) AS start FROM t),
-    chunks AS (
-      SELECT doc_id, CAST((start - 1) // $st AS BIGINT) AS chunk_idx,
-             md5(array_to_string(toks[start : start + ${sz - 1}], ' ')) AS chunk_md5
-      FROM starts
-    ),
+    WITH chunks AS (${TextAnalysis.chunkSql}),
     corpus AS (
       SELECT chunk_md5, min(doc_id) AS dup_of, count(*) AS n_holders
       FROM chunks WHERE doc_id % 5 <> 0 GROUP BY 1
@@ -420,7 +417,6 @@ object Dedup {
     SELECT c.doc_id, c.chunk_idx, c.chunk_md5, dup_of, n_holders
     FROM chunks c JOIN corpus USING (chunk_md5)
     WHERE c.doc_id % 5 = 0"""
-  }
 
   // ---- q_dedup_incremental -------------------------------------------
 

@@ -190,7 +190,7 @@ object Sampling {
       .withColumn("token_share",
         col("n_tokens").cast("double") / col("total_tokens"))
       .withColumn("keep_pm",
-        least(lit(1000L), expr(s"($DomainCapPerMille * 10 * total_tokens) div n_tokens")))
+        least(lit(1000L), expr(s"($DomainCapPerMille * total_tokens) div n_tokens")))
       .withColumn("kept_tokens_cap", expr("(n_tokens * keep_pm) div 1000"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("token_share"), col("keep_pm"), col("kept_tokens_cap"))
@@ -206,8 +206,8 @@ object Sampling {
     t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM s)
     SELECT source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
-           least(1000, ($DomainCapPerMille * 10 * total_tokens) // n_tokens) AS keep_pm,
-           (n_tokens * least(1000, ($DomainCapPerMille * 10 * total_tokens) // n_tokens)) // 1000
+           least(1000, ($DomainCapPerMille * total_tokens) // n_tokens) AS keep_pm,
+           (n_tokens * least(1000, ($DomainCapPerMille * total_tokens) // n_tokens)) // 1000
              AS kept_tokens_cap
     FROM s, t"""
 }

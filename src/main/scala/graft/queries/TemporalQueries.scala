@@ -141,7 +141,9 @@ object TemporalQueries {
     t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
     c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
     SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
-    FROM u CROSS JOIN t LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type"""
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON u.user_id IS NOT DISTINCT FROM c.user_id
+               AND t.event_type = c.event_type"""
 
   // ---- q_funnel ------------------------------------------------------
 
@@ -168,17 +170,25 @@ object TemporalQueries {
     try {
       // step 1: earliest qualifying event per user; steps 2..k: earliest
       // event of the step type strictly after the previous step's time
+      // each step persists its reached set so step k+1 (and its count)
+      // never recomputes the chain — O(k) joins, not O(k²)
       var reached = ev.filter(col("event_type") === FunnelSteps.head)
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
+        .persist()
       val counts = Seq.newBuilder[(Int, String, Long)]
       counts += ((1, FunnelSteps.head, reached.count()))
-      FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
-        reached = ev.filter(col("event_type") === step)
-          .join(reached.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
-          .filter(col("ts_us") > col("prev_ts"))
-          .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
-        counts += ((i + 1, step, reached.count()))
-      }
+      try {
+        FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
+          val next = ev.filter(col("event_type") === step)
+            .join(reached.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+            .filter(col("ts_us") > col("prev_ts"))
+            .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
+            .persist()
+          counts += ((i + 1, step, next.count()))
+          reached.unpersist()
+          reached = next
+        }
+      } finally reached.unpersist()
       counts.result().toDF("step", "event_type", "n_users")
     } finally ev.unpersist()
   }

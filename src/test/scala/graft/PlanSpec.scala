@@ -68,8 +68,24 @@ class PlanSpec extends SparkSpec {
     // aggregate: that side is one row by construction, so the "nested
     // loop" is a scalar attach — O(n), not all-pairs.
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    def singleRowSide(p: SparkPlan): Boolean =
-      p.collectFirst { case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a }.isDefined
+    import org.apache.spark.sql.execution.{InputAdapter, ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // the exempting aggregate must be the build side's ROOT (modulo
+    // wrapper nodes) — a global aggregate buried under a join deeper in
+    // the subtree must NOT exempt an all-pairs NLJ above it
+    @scala.annotation.tailrec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case e: BroadcastExchangeExec => unwrap(e.child)
+      case p: ProjectExec => unwrap(p.child)
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other
+    }
+    def singleRowSide(p: SparkPlan): Boolean = unwrap(p) match {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case _ => false
+    }
     val allowed = Set("q_ann_topk")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }

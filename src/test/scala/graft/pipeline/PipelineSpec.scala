@@ -264,23 +264,33 @@ class IncrementalDedupSpec extends SparkSpec {
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
-  test("domain mix: rates cap every source at the configured share") {
-    val sf = "/root/testdata/sf0.001"
-    val rows = Sampling.domainMix(spark, sf).collect()
-    assert(rows.length == 20)
-    val total = rows.map(_.getAs[Long]("n_tokens")).sum
-    rows.foreach { r =>
+  test("domain mix: an oversized source is down-sampled to the cap") {
+    // the gate corpus has no source above 10%, so the cap must be
+    // exercised on a skewed fixture: src_big holds ~60% of tokens
+    val docs = (
+      (1 to 60).map(i => (i.toLong, (1 to 10).map(j => s"b$i-$j").mkString(" "), "src_big")) ++
+      (61 to 100).map(i => (i.toLong, (1 to 10).map(j => s"s$i-$j").mkString(" "), s"src_${i % 4}"))
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("dmix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Sampling.domainMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val total = rows.values.map(_.getAs[Long]("n_tokens")).sum
+    assert(total == 1000L)
+    // 600/1000 tokens -> rate = 100 * 1000 / 600 = 166 per-mille
+    val big = rows("src_big")
+    assert(big.getAs[Long]("keep_pm") == 166L, "oversized source not down-sampled")
+    assert(big.getAs[Long]("kept_tokens_cap") == 600L * 166 / 1000)
+    // post-sampling share stays within the cap (+1 permille integer slack)
+    rows.values.foreach { r =>
       val kept = r.getAs[Long]("kept_tokens_cap")
-      // post-sampling share stays within the cap (+1‰ integer slack)
       assert(kept * 1000 <= (Sampling.DomainCapPerMille + 1).toLong * total,
         s"source ${r.getString(0)} exceeds the domain cap after sampling")
-      val pm = r.getAs[Long]("keep_pm")
-      assert(pm >= 1 && pm <= 1000)
     }
-    // at least one oversized source is actually down-sampled
-    assert(rows.exists(_.getAs[Long]("keep_pm") < 1000) || total == 0 ||
-      rows.forall(r => r.getAs[Long]("n_tokens") * 10 <= total),
-      "no source needed capping yet none was capped")
+    // small sources keep everything
+    assert(rows("src_1").getAs[Long]("keep_pm") == 1000L)
+    // and the real corpus still yields one row per source
+    assert(Sampling.domainMix(spark, "/root/testdata/sf0.001").collect().length == 20)
   }
 
   test("diversity: repetitive text scores lower gini and ttr than varied text") {
