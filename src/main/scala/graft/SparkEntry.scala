@@ -37,6 +37,7 @@ object SparkEntry {
     "q_topk_orders" -> (RelationalQueries.topkOrders _),
     "q_semi_anti" -> (RelationalQueries.semiAnti _),
     "q_salted_agg" -> (RelationalQueries.saltedAgg _),
+    "q_salted_join" -> (RelationalQueries.saltedJoin _),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_token_count" -> (TextAnalysis.tokenCount _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_topk_orders" -> RelationalQueries.topkOrdersSql,
     "q_semi_anti" -> RelationalQueries.semiAntiSql,
     "q_salted_agg" -> RelationalQueries.saltedAggSql,
+    "q_salted_join" -> RelationalQueries.saltedJoinSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_quality" -> TextAnalysis.qualitySql,

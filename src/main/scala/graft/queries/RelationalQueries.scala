@@ -136,6 +136,41 @@ object RelationalQueries {
       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY l_suppkey"""
 
+  // ---- q_salted_join: skew-safe replicated-dimension join ------------
+
+  /** Salt fan-out for the skewed join. */
+  val JoinSalt = 8
+
+  /** Skew-safe JOIN demonstrated end-to-end (the join-side counterpart
+    * of [[saltedAgg]]): the fact side salts each row by a hash residue
+    * and the dimension side is REPLICATED once per salt value, so a hot
+    * supplier key spreads over [[JoinSalt]] reducers instead of one.
+    * The join result is provably identical to the unsalted join (each
+    * fact row matches exactly the one replica carrying its salt), so
+    * the oracle is the plain join + aggregate. This is the manual form
+    * of AQE's skew-join splitting, usable when AQE cannot see the skew
+    * (first shuffle, or stateful streaming joins).
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(JoinSalt.toLong)))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(JoinSalt - 1L))))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast(D).cast("double").as("sum_qty"))
+  }
+
+  val saltedJoinSql: String =
+    """
+    SELECT s_nationkey, count(*) AS n_items,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1"""
+
   // ---- q_semi_anti: semi/anti join (F2-style gating) -----------------
 
   /** Customers with at least one urgent order (semi) counted per market

@@ -101,3 +101,25 @@ class ProfileOpsSpec extends SparkSpec {
       (1, 0L) -> ((1L, 10.0)), (1, 1L) -> ((1L, 20.0))))
   }
 }
+
+/** The salted join must be provably identical to the plain join. */
+class SaltedJoinSpec extends SparkSpec {
+
+  test("replicated-dimension salted join equals the unsalted join") {
+    val sf = "/root/testdata/sf0.001"
+    val salted = RelationalQueries.saltedJoin(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = Tables.lineitem(spark, sf)
+    val sup = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Exact.exactSum(col("l_quantity")), 6).as("q"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (n, q)) =>
+      assert(plain(k)._1 == n, s"count diverged for nation $k")
+      assert(math.abs(plain(k)._2 - q) < 1e-6, s"sum diverged for nation $k")
+    }
+  }
+}
