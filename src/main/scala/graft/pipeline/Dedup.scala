@@ -126,8 +126,13 @@ object Dedup {
     * persisted (doc, shingle-hash) explode (tokenize + rolling-hash
     * runs once per document), per-doc sizes, and the equi self-join
     * pair counts under `pred` — `finish` turns (pairs, sizes) into the
-    * operator's result, which is materialized (localCheckpoint) before
-    * the shingle cache is released.
+    * operator's LAZY result. Laziness is deliberate: the plan guards
+    * (PlanSpec's equi-join-only rule, PlanAudit) must see the real join
+    * tree, and an eager localCheckpoint would both hide it behind an
+    * RDD scan and execute the pair join at plan-inspection time. The
+    * shingle cache therefore lives as long as the plan — Bench/Verify
+    * release it via clearCache after each query, matching the session
+    * cache discipline from the round-2 review.
     */
   private def shinglePairScaffold(spark: SparkSession, sfDir: String)(
       pred: (Column, Column) => Column)(
@@ -136,15 +141,13 @@ object Dedup {
     val sh = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("sh"))
       .persist()
-    try {
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && pred(col("a.doc_id"), col("b.doc_id")))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      finish(pairs, sizes).localCheckpoint(eager = true)
-    } finally sh.unpersist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && pred(col("a.doc_id"), col("b.doc_id")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    finish(pairs, sizes)
   }
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
@@ -394,6 +397,9 @@ object Dedup {
       val bf = corpus.stat.bloomFilter("chunk_md5", math.max(expected, 1L), BloomFpp)
       val bfB = spark.sparkContext.broadcast(bf)
       val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
+      // eager materialization is REQUIRED here (unlike the lazy shingle
+      // scaffold): the broadcast Bloom filter is destroyed on exit, so a
+      // lazy plan would evaluate the prefilter against a dead broadcast
       try {
         chunks.filter(col("doc_id") % 5 === 0)
           .filter(mightContain(col("chunk_md5"))) // narrow prefilter, no shuffle

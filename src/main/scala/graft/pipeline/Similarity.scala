@@ -230,8 +230,7 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(
         count(lit(1)).as("n"),
-        (sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+        (graft.functions.Exact.exactSum(col("v").cast("double"))
           / count(lit(1))).as("mean_v"))
       .select(col("label"), col("dim").cast("long").as("dim"), col("n"), col("mean_v"))
   }

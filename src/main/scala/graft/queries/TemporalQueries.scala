@@ -176,8 +176,8 @@ object TemporalQueries {
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
         .persist()
       val counts = Seq.newBuilder[(Int, String, Long)]
-      counts += ((1, FunnelSteps.head, reached.count()))
       try {
+        counts += ((1, FunnelSteps.head, reached.count()))
         FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
           val next = ev.filter(col("event_type") === step)
             .join(reached.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")

@@ -96,8 +96,7 @@ object WindowQueries {
     ev.cube(col("event_type"), col("weekday"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double").as("sum_value"),
+        graft.functions.Exact.exactSum(col("value")).as("sum_value"),
       )
       .select(
         coalesce(col("event_type"), lit("<all>")).as("event_type"),

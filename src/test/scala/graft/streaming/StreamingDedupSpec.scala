@@ -30,9 +30,13 @@ class StreamingDedupSpec extends SparkSpec {
       val got = spark.table("dedup_out").select(col("doc_id")).collect()
         .map(_.getLong(0)).toSet
       assert(got == Set(1L, 2L, 4L), s"unexpected emission set $got")
-      // dedup state must be watermark-bounded, not corpus-sized
-      val progress = q.lastProgress
-      assert(progress.stateOperators.nonEmpty)
+      // dedup state must be watermark-bounded, not corpus-sized: the
+      // store holds at most the distinct in-horizon keys (3), and a
+      // regression to plain dropDuplicates would show every key forever
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty)
+      assert(state.head.numRowsTotal <= 3L,
+        s"dedup state ${state.head.numRowsTotal} rows exceeds in-horizon distinct keys")
     } finally q.stop()
   }
 
