@@ -60,6 +60,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_components" -> (Dedup.components _),
+    "q_dup_degree" -> (Dedup.dupDegree _),
     "q_dedup_incremental" -> (Dedup.incremental _),
     "q_bloom_dedup" -> (Dedup.bloomDedup _),
     // LLM-data-pipeline: similarity search
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_components" -> Dedup.componentsSql,
+    "q_dup_degree" -> Dedup.dupDegreeSql,
     "q_dedup_incremental" -> Dedup.incrementalSql,
     "q_bloom_dedup" -> Dedup.bloomDedupSql,
     "q_ann_topk" -> Similarity.annTopkSql,

@@ -551,6 +551,48 @@ object Dedup {
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
 
+  // ---- q_dup_degree --------------------------------------------------
+
+  /** Degree profile of the near-dup graph — the health metric dedup
+    * pipelines monitor: how many documents have 1, 2, … near-dup
+    * neighbors. A heavy tail (template/boilerplate hubs) changes the
+    * dedup strategy (cluster-collapse vs pairwise-drop), so this is the
+    * diagnostic run before choosing one.
+    *
+    * Scale: rides the same candidate scaffold as [[ngramJaccard]];
+    * after pair generation it is two tiny hash aggregations (per-doc
+    * degree, then per-degree count).
+    */
+  def dupDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val degrees = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    degrees.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  val dupDegreeSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
+    cnd AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
+      WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
+    ),
+    deg AS (
+      SELECT doc_id, count(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY 1
+    )
+    SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1"""
+
   /** All-pairs reference form of [[simhashPairs]] — O(n^2), test-scale
     * only; proves the banded candidate set loses nothing (see
     * DedupSpec).
