@@ -70,3 +70,29 @@ class MessageSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class CorpusSinkSpec extends SparkSpec {
+
+  test("partitioned corpus write: pruned dirs, bounded files, faithful read-back") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("corpus").toString + "/docs"
+    CorpusSink.write(docs, out, maxRecordsPerFile = 10L)
+    // one directory per source value (partition pruning surface)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("source=")).toSet
+    assert(dirs.size == 20, s"expected 20 source partitions, got ${dirs.size}")
+    // maxRecordsPerFile: a 25-doc source must split into >= 3 files
+    val oneDir = new java.io.File(out, dirs.head)
+    val files = oneDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 3, s"maxRecordsPerFile not honored: $files files")
+    // faithful read-back (partition column round-trips)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val a = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val b = back.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(a == b)
+  }
+}
