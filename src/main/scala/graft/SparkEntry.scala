@@ -51,6 +51,7 @@ object SparkEntry {
     "q_anonymize" -> (Privacy.anonymize _),
     "q_sample_mix" -> (Sampling.sampleMix _),
     "q_domain_mix" -> (Sampling.domainMix _),
+    "q_split" -> (Sampling.hashSplit _),
     "q_token_pack" -> (Sampling.tokenPack _),
     "q_decontaminate" -> (Sampling.decontaminate _),
     // LLM-data-pipeline: dedup
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_anonymize" -> Privacy.anonymizeSql,
     "q_sample_mix" -> Sampling.sampleMixSql,
     "q_domain_mix" -> Sampling.domainMixSql,
+    "q_split" -> Sampling.splitSql,
     "q_token_pack" -> Sampling.tokenPackSql,
     "q_decontaminate" -> Sampling.decontaminateSql,
     "q_dedup_exact" -> Dedup.exactSql,

@@ -210,4 +210,47 @@ object Sampling {
            (n_tokens * least(1000, ($DomainCapPerMille * total_tokens) // n_tokens)) // 1000
              AS kept_tokens_cap
     FROM s, t"""
+
+  // ---- q_split -------------------------------------------------------
+
+  /** Train/val/test percentages (98/1/1). */
+  val SplitPct: Seq[(String, Int, Int)] = Seq(("train", 0, 98), ("val", 98, 99), ("test", 99, 100))
+
+  /** Deterministic corpus split: every document lands in train/val/test
+    * by an md5-derived hash residue — reproducible across runs, engines,
+    * and cluster sizes, and STABLE under corpus growth (a doc's split
+    * never changes when other docs arrive, unlike randomSplit). Emits
+    * the per-(source, split) doc/token counts a dataset card reports.
+    *
+    * Scale: one narrow hash projection + one (source, split) hash
+    * aggregation with map-side partials.
+    */
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bucket = Dedup.h32(concat(lit("split|"), col("doc_id").cast("string"))) % 100
+    val splitCol = SplitPct.foldRight(lit(null: String)) { case ((name, lo, hi), acc) =>
+      when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
+    }
+    docs
+      .select(col("source"), splitCol.as("split"),
+        size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  val splitSql: String = {
+    val cases = SplitPct.map { case (n, lo, hi) =>
+      s"WHEN b >= $lo AND b < $hi THEN '$n'" }.mkString(" ")
+    s"""
+    WITH g AS (
+      SELECT source,
+             CASE $cases END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM (SELECT source, text,
+              ${Dedup.h32Sql.format("'split|' || doc_id")} % 100 AS b
+            FROM documents)
+    )
+    SELECT source, split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM g GROUP BY 1, 2"""
+  }
 }

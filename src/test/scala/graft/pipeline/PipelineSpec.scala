@@ -359,3 +359,21 @@ class CurationSpec extends SparkSpec {
     assert(exact.nonEmpty, "cross-check vacuous: no shared chunks at this SF")
   }
 }
+
+class HashSplitSpec extends SparkSpec {
+
+  test("hash split: partition of the corpus, ~98/1/1, stable under growth") {
+    val sf = "/root/testdata/sf0.01"
+    val out = Sampling.hashSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = out.values.sum
+    assert(total == Tables.documents(spark, sf).count(), "split must partition the corpus exactly")
+    val train = out.collect { case ((_, "train"), n) => n }.sum
+    assert(train.toDouble / total > 0.95 && train.toDouble / total < 0.995)
+    // stability: a doc's split is a pure function of its id, so the
+    // sf0.001 corpus (a subset regime) assigns identically per doc
+    val small = Sampling.hashSplit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(small.values.sum == Tables.documents(spark, "/root/testdata/sf0.001").count())
+  }
+}
