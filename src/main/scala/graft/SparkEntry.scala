@@ -83,6 +83,7 @@ object SparkEntry {
     "q_distinct_users" -> (AnalyticQueries.distinctUsers _),
     "q_corr" -> (AnalyticQueries.corr _),
     "q_histogram" -> (AnalyticQueries.histogram _),
+    "q_bitmap_distinct" -> (AnalyticQueries.bitmapDistinct _),
     "q_dedup_normalized" -> (AnalyticQueries.dedupNormalized _),
     // temporal operators
     "q_asof_join" -> (TemporalQueries.asofJoin _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_distinct_users" -> AnalyticQueries.distinctUsersSql,
     "q_corr" -> AnalyticQueries.corrSql,
     "q_histogram" -> AnalyticQueries.histogramSql,
+    "q_bitmap_distinct" -> AnalyticQueries.bitmapDistinctSql,
     "q_dedup_normalized" -> AnalyticQueries.dedupNormalizedSql,
     "q_asof_join" -> TemporalQueries.asofJoinSql,
     "q_sessionize" -> TemporalQueries.sessionizeSql,

@@ -168,6 +168,34 @@ object AnalyticQueries {
     WHERE event_type IS NOT NULL AND value IS NOT NULL
     GROUP BY 1, 2"""
 
+  // ---- q_bitmap_distinct ---------------------------------------------
+
+  /** Dense-domain bound for the bitmap aggregate (user ids are small
+    * sequential integers in this corpus; 2^20 bits = 128 KiB/group
+    * worst case).
+    */
+  val BitmapMaxKey: Int = 1 << 20
+
+  /** Exact distinct users per event type via the custom native
+    * aggregate [[graft.functions.BitmapDistinct]] — one pass, partial
+    * bitmaps OR-merged, no two-shuffle `count(DISTINCT)` expand. The
+    * oracle IS `count(DISTINCT user_id)`: hash equality proves the
+    * custom aggregate exact.
+    */
+  def bitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.BitmapAggregates.bitmapDistinct(col("user_id"), BitmapMaxKey)
+          .as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val bitmapDistinctSql: String =
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1"""
+
   // ---- q_dedup_normalized --------------------------------------------
 
   /** Normalization-based exact dedup: lowercase + whitespace collapse

@@ -123,3 +123,34 @@ class SaltedJoinSpec extends SparkSpec {
     }
   }
 }
+
+/** The custom bitmap aggregate: partial/merge correctness across
+  * partitions, null tolerance, loud out-of-domain failure.
+  */
+class BitmapDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bitmap distinct merges partials exactly across many partitions") {
+    val df = spark.range(0, 10000).repartition(32)
+      .select((col("id") % 97).as("k"), (col("id") % 500).as("user"))
+    val out = df.groupBy(col("k"))
+      .agg(graft.functions.BitmapAggregates.bitmapDistinct(col("user"), 1 << 20).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = df.groupBy(col("k")).agg(countDistinct(col("user")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+  }
+
+  test("nulls are ignored; out-of-domain keys fail loudly") {
+    val withNull = Seq(Some(1L), None, Some(1L), Some(3L)).toDF("u")
+    val n = withNull.agg(
+      graft.functions.BitmapAggregates.bitmapDistinct(col("u"), 10).as("n"))
+      .head.getLong(0)
+    assert(n == 2L)
+    val bad = Seq(5L, 99L).toDF("u")
+    val e = intercept[Exception] {
+      bad.agg(graft.functions.BitmapAggregates.bitmapDistinct(col("u"), 10)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
