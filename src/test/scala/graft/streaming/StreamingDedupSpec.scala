@@ -60,3 +60,48 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Restart durability: dedup state must survive a query restart from
+  * its checkpoint — a dup that arrived before the stop is still
+  * suppressed after, from a NEW query object over the same checkpoint.
+  */
+class StreamingDedupRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+
+  test("dedup state survives checkpointed restart; dup still suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def start(mem: MemoryStream[(Long, String, java.sql.Timestamp)]) =
+      StreamingDedup.dedupStream(
+          mem.toDF().toDF("doc_id", "text", "ts"), "ts", "text", "30 minutes")
+        .writeStream
+        // memory sink cannot recover a checkpoint; foreachBatch can
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select(col("doc_id")).collect().foreach(r => emitted.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val mem1 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q1 = start(mem1)
+    mem1.addData((1L, "alpha", ts(0)), (2L, "beta", ts(1)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.contains(1L) && emitted.contains(2L))
+
+    // NEW query object over the same checkpoint and source (MemoryStream
+    // offsets must stay aligned with the offset log); only new data
+    // arrives — the restored state store must still remember alpha
+    mem1.addData((3L, "alpha", ts(5)), (4L, "gamma", ts(6)))
+    val q2 = start(mem1)
+    try {
+      q2.processAllAvailable()
+      assert(!emitted.contains(3L),
+        "restarted dedup re-emitted a pre-restart duplicate — state lost")
+      assert(emitted.contains(4L), "restarted dedup suppressed genuinely new content")
+    } finally q2.stop()
+  }
+}
