@@ -90,6 +90,8 @@ object SparkEntry {
     "q_sessionize" -> (TemporalQueries.sessionize _),
     "q_pivot_activity" -> (TemporalQueries.pivotActivity _),
     "q_unpivot" -> (TemporalQueries.unpivotActivity _),
+    "q_rolling_avg" -> (TemporalQueries.rollingAvg _),
+    "q_range_join" -> (TemporalQueries.rangeJoin _),
     "q_funnel" -> (TemporalQueries.funnel _),
     "q_cohort" -> (TemporalQueries.cohort _),
     // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
@@ -158,6 +160,8 @@ object SparkEntry {
     "q_sessionize" -> TemporalQueries.sessionizeSql,
     "q_pivot_activity" -> TemporalQueries.pivotActivitySql,
     "q_unpivot" -> TemporalQueries.unpivotActivitySql,
+    "q_rolling_avg" -> TemporalQueries.rollingAvgSql,
+    "q_range_join" -> TemporalQueries.rangeJoinSql,
     "q_funnel" -> TemporalQueries.funnelSql,
     "q_cohort" -> TemporalQueries.cohortSql,
     "q_tumbling_stats" -> WindowQueries.tumblingStatsSql,

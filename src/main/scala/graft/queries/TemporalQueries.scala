@@ -114,6 +114,83 @@ object TemporalQueries {
            count(*) FILTER (WHERE event_type = 'view') AS n_view
     FROM events GROUP BY user_id"""
 
+  // ---- q_rolling_avg -------------------------------------------------
+
+  /** Trailing row-frame window: per user, the mean of the last 5 event
+    * values (current row inclusive) in time order — the rolling-feature
+    * shape behind behavioral features and rate limiters. Sums run in
+    * exact decimals over the frame, so the mean is engine-exact.
+    *
+    * Scale: the window is partitioned BY USER — thousands of
+    * independent partitions, never a global sort; frame evaluation is
+    * incremental within each partition.
+    */
+  def rollingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-4, Window.currentRow)
+    ev.select(
+      col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      count(lit(1)).over(w).as("n_window"),
+      (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).over(w)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+        / count(lit(1)).over(w)).as("rolling_mean"))
+  }
+
+  val rollingAvgSql: String =
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_window,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6)) AS DOUBLE)
+             / count(*) OVER w AS rolling_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+
+  // ---- q_range_join --------------------------------------------------
+
+  /** Time-bin width for the interval-join decomposition (1 hour in
+    * micros).
+    */
+  val RangeBinUs = 3600000000L
+
+  /** Interval (range) join, decomposed for scale: count each user's
+    * non-error events that fall INSIDE one of that user's error-bounded
+    * intervals [error_ts, error_ts + 1h]. A naive inequality join is a
+    * nested loop; the scalable form bins time — intervals explode to
+    * the hour-bins they cover (≤ 2 here), events map to their single
+    * bin, candidates come from an EQUI join on (user, bin), and the
+    * exact inequality filters candidates. Same answer, shuffle-join
+    * plan (the standard interval-join decomposition; DuckDB's native
+    * inequality join is the oracle).
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + RangeBinUs)
+      .withColumn("bin", explode(sequence(
+        expr(s"lo div $RangeBinUs"), expr(s"hi div $RangeBinUs"))))
+    val probes = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bin", expr(s"ts_us div $RangeBinUs"))
+    probes.join(intervals, Seq("user_id", "bin")) // equi join on (user, bin)
+      .filter(col("ts_us") >= col("lo") && col("ts_us") < col("hi")) // exact range
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_id")).as("n_in_error_hour"))
+  }
+
+  val rangeJoinSql: String =
+    s"""
+    SELECT e.user_id, count(DISTINCT e.event_id) AS n_in_error_hour
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type <> 'error') e
+    JOIN (SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + $RangeBinUs AS hi
+          FROM events WHERE event_type = 'error') i
+      ON e.user_id = i.user_id AND e.ts_us >= i.lo AND e.ts_us < i.hi
+    GROUP BY 1"""
+
   // ---- q_unpivot -----------------------------------------------------
 
   /** Melt (unpivot) of the wide activity matrix back to long form —

@@ -154,3 +154,26 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 }
+
+/** The binned range join must equal the naive inequality join. */
+class RangeJoinSpec extends SparkSpec {
+
+  test("bin-decomposed interval join equals the nested-loop reference") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TemporalQueries.rangeJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val probes = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val ivals = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("iu"), unix_micros(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + TemporalQueries.RangeBinUs)
+    val naive = probes.join(ivals,
+        probes("user_id") === col("iu") &&
+          col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+      .groupBy(col("user_id")).agg(countDistinct(col("event_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "binned decomposition diverged from the inequality join")
+    assert(got.nonEmpty)
+  }
+}
