@@ -161,20 +161,32 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
     }
 
-  val ngramJaccardSql: String =
-    s"""
-    WITH shdoc AS (${shingleHashesSql()}),
+  /** Shared oracle CTE chain for the shingle-pair family (mirrors
+    * [[shinglePairScaffold]]): shdoc/sh/cnd/sz plus the thresholded
+    * `pairs` relation with its Jaccard score. One definition — the
+    * Jaccard threshold and rounding live HERE only, so q_dedup_ngram,
+    * q_dedup_components, and q_dup_degree can never drift apart.
+    */
+  def shinglePairCtesSql(n: Int = ShingleN): String =
+    s"""shdoc AS (${shingleHashesSql(n)}),
     sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
-    pairs AS (
+    cnd AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
-    SELECT doc_a, doc_b, shared,
-           round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
-    FROM pairs JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
-    WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5"""
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b, shared,
+             round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+      FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
+      WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
+    )"""
+
+  val ngramJaccardSql: String =
+    s"""
+    WITH ${shinglePairCtesSql()}
+    SELECT doc_a, doc_b, shared, jaccard FROM pairs"""
 
   // ---- q_containment -------------------------------------------------
 
@@ -523,19 +535,7 @@ object Dedup {
 
   val componentsSql: String =
     s"""
-    WITH RECURSIVE shdoc AS (${shingleHashesSql()}),
-    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
-    cnd AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
-      WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
-    ),
+    WITH RECURSIVE ${shinglePairCtesSql()},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -573,19 +573,7 @@ object Dedup {
 
   val dupDegreeSql: String =
     s"""
-    WITH shdoc AS (${shingleHashesSql()}),
-    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
-    cnd AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
-      WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
-    ),
+    WITH ${shinglePairCtesSql()},
     deg AS (
       SELECT doc_id, count(*) AS degree FROM (
         SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
@@ -225,14 +225,18 @@ object Sampling {
     * Scale: one narrow hash projection + one (source, split) hash
     * aggregation with map-side partials.
     */
-  def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val bucket = Dedup.h32(concat(lit("split|"), col("doc_id").cast("string"))) % 100
-    val splitCol = SplitPct.foldRight(lit(null: String)) { case ((name, lo, hi), acc) =>
+  /** The split a document belongs to — a pure function of doc_id. */
+  def splitAssign(docId: Column): Column = {
+    val bucket = Dedup.h32(concat(lit("split|"), docId.cast("string"))) % 100
+    SplitPct.foldRight(lit(null: String)) { case ((name, lo, hi), acc) =>
       when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
     }
+  }
+
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
     docs
-      .select(col("source"), splitCol.as("split"),
+      .select(col("source"), splitAssign(col("doc_id")).as("split"),
         size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n_tokens"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))

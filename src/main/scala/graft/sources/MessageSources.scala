@@ -49,10 +49,12 @@ object MessageSources {
       .option("header", "true").option("escape", "\"").csv(path))
 
   /** Streaming JSON-lines source — drop-in for the Kafka source in
-    * `AnomalyPipeline.run` (file-arrival replay).
+    * `AnomalyPipeline.run` (file-arrival replay). Pass reader options
+    * (e.g. maxFilesPerTrigger to rate-limit a backfill) via `options`.
     */
-  def jsonlStream(spark: SparkSession, path: String): DataFrame =
-    guard(spark.readStream.schema(MessageSchema).json(path))
+  def jsonlStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    guard(spark.readStream.schema(MessageSchema).options(options).json(path))
 
   /** The driver's `events` parquet re-expressed as messages:
     * topic = event_type, key = user_id, value = a JSON payload carrying
@@ -63,7 +65,8 @@ object MessageSources {
     guard(Tables.events(spark, sfDir).select(
       col("event_type").as("topic"),
       col("user_id").cast("string").as("key"),
-      concat(lit("""{"value":"""), col("value").cast("string"),
+      concat(lit("""{"value":"""),
+        coalesce(col("value").cast("string"), lit("null")),
         lit(""","props":"""), coalesce(col("props"), lit("null")),
         lit("}")).as("value"),
       col("ts"),

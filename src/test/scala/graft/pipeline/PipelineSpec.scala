@@ -370,10 +370,17 @@ class HashSplitSpec extends SparkSpec {
     assert(total == Tables.documents(spark, sf).count(), "split must partition the corpus exactly")
     val train = out.collect { case ((_, "train"), n) => n }.sum
     assert(train.toDouble / total > 0.95 && train.toDouble / total < 0.995)
-    // stability: a doc's split is a pure function of its id, so the
-    // sf0.001 corpus (a subset regime) assigns identically per doc
-    val small = Sampling.hashSplit(spark, "/root/testdata/sf0.001").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(small.values.sum == Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // stability: a doc's split is a pure function of its id — the SAME
+    // doc_id must land in the same split in any corpus regime
+    def assign(dir: String) = Tables.documents(spark, dir)
+      .select(col("doc_id"), Sampling.splitAssign(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = assign(sf)
+    val smallA = assign("/root/testdata/sf0.001")
+    val shared = big.keySet & smallA.keySet
+    assert(shared.nonEmpty, "stability check vacuous: no shared doc ids")
+    shared.foreach { id =>
+      assert(big(id) == smallA(id), s"doc $id changed split across corpus regimes")
+    }
   }
 }
