@@ -77,4 +77,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("winnowing guarantee: any shared run of >= k+w-1 tokens leaves a common fingerprint") {
+    import graft.pipeline.TextAnalysis
+    val minRun = TextAnalysis.WinnowK + TextAnalysis.WinnowW - 1 // 6 tokens
+    val word = Gen.chooseNum(0, 40).map(i => s"w$i")
+    val gen = Gen.zip(
+      Gen.listOfN(25, word), // prefix of doc A
+      Gen.listOfN(minRun + 3, word), // the shared run (above the floor)
+      Gen.listOfN(25, word), // suffix of doc B
+    )
+    forAllSampled(gen, n = 6) { case (pre, shared, post) =>
+      import spark.implicits._
+      val a = (pre ++ shared).mkString(" ")
+      val b = (shared ++ post).mkString(" ")
+      val fps = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+        .select(col("doc_id"), TextAnalysis.winnowFps(col("text")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert((fps(1L) & fps(2L)).nonEmpty,
+        s"no common fingerprint despite a ${shared.length}-token shared run")
+    }
+  }
+
+  test("containment is directional and total on generated quote embeddings") {
+    import graft.pipeline.{Dedup => D}
+    // a quoted doc inside filler: the quote must be flagged contained
+    val filler = Gen.chooseNum(100, 140).map(i => s"f$i")
+    val gen = Gen.zip(Gen.chooseNum(10, 20), Gen.listOfN(60, filler))
+    forAllSampled(gen, n = 4) { case (quoteLen, fill) =>
+      import spark.implicits._
+      val quote = (1 to quoteLen).map(i => s"q$i").mkString(" ")
+      val host = (fill.take(30) :+ quote).mkString(" ") + " " + fill.drop(30).mkString(" ")
+      val dir = java.nio.file.Files.createTempDirectory("cprop").toString
+      Seq((1L, quote), (2L, host)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = D.containment(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out.contains((1L, 2L)), s"quote of $quoteLen tokens not flagged as contained")
+      assert(!out.contains((2L, 1L)), "host flagged as contained in its quote")
+    }
+  }
 }
