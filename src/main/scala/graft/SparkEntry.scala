@@ -44,6 +44,7 @@ object SparkEntry {
     "q_quality" -> (TextAnalysis.quality _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_winnow" -> (TextAnalysis.winnow _),
+    "q_bigram_lm" -> (TextAnalysis.bigramLm _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
     "q_diversity" -> (TextAnalysis.diversity _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q_quality" -> TextAnalysis.qualitySql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_winnow" -> TextAnalysis.winnowSql,
+    "q_bigram_lm" -> TextAnalysis.bigramLmSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_diversity" -> TextAnalysis.diversitySql,

@@ -410,6 +410,60 @@ object TextAnalysis {
            CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS ttr
     FROM tf GROUP BY 1"""
 
+  // ---- q_bigram_lm ---------------------------------------------------
+
+  /** Minimum bigram count to keep (prunes the hapax tail). */
+  val BigramMinCount = 3L
+
+  /** Corpus bigram statistics — the n-gram language-model table behind
+    * classic quality filters and contamination checks: for every bigram
+    * seen ≥ [[BigramMinCount]] times, its count and the exact
+    * conditional probability P(w2 | w1) = count(w1 w2) / count(w1 ·)
+    * (one integer-count division — engine-exact, no log smoothing).
+    *
+    * Scale: consecutive-pair explode is narrow; bigram and unigram-
+    * context counts are two hash aggregations; the final join is equi
+    * on w1 (vocabulary-sized, never broadcast). The min-count prune
+    * happens BEFORE the join, so the joined relation is the kept head,
+    * not the hapax tail.
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      // guard: Spark's sequence(1, 0) DESCENDS instead of being empty,
+      // so a single-token doc must be dropped before the pair transform
+      // (DuckDB's generate_series(1, 0) is empty — same result)
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+      .filter(col("n_bigram") >= BigramMinCount)
+    val ctx = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_context"))
+    bgCounts.join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_context"),
+        (col("n_bigram").cast("double") / col("n_context")).as("p_cond"))
+  }
+
+  val bigramLmSql: String =
+    s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)
+    ),
+    bc AS (
+      SELECT w1, w2, count(*) AS n_bigram FROM bg GROUP BY 1, 2
+      HAVING count(*) >= $BigramMinCount
+    ),
+    cx AS (SELECT w1, count(*) AS n_context FROM bg GROUP BY 1)
+    SELECT bc.w1, bc.w2, n_bigram, n_context,
+           CAST(n_bigram AS DOUBLE) / n_context AS p_cond
+    FROM bc JOIN cx ON bc.w1 = cx.w1"""
+
   // ---- q_winnow ------------------------------------------------------
 
   /** Winnowing k-gram size and window width (Schleimer et al., MOSS):
