@@ -439,6 +439,10 @@ object TextAnalysis {
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
         .as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
+      // consumed by both the bigram and the context aggregation: persist
+      // so the scan + tokenize + pair explode runs once (released by the
+      // caller's clearCache discipline, like the shingle scaffold)
+      .persist()
     val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
       .filter(col("n_bigram") >= BigramMinCount)

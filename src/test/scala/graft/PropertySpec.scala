@@ -113,6 +113,8 @@ class PropertySpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val out = D.containment(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // release the scaffold's shingle cache per sample (caller contract)
+      spark.catalog.clearCache()
       assert(out.contains((1L, 2L)), s"quote of $quoteLen tokens not flagged as contained")
       assert(!out.contains((2L, 1L)), "host flagged as contained in its quote")
     }

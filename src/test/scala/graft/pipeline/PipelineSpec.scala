@@ -388,25 +388,21 @@ class HashSplitSpec extends SparkSpec {
 class BigramLmSpec extends SparkSpec {
   import spark.implicits._
 
-  test("bigram conditional probabilities are exact counts over contexts") {
-    // "a b a b a c": bigrams (a,b)x2 (b,a)x2 (a,c)x1; context a=3, b=2
-    val docs = Seq((1L, "a b a b a c"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+  test("bigram prune drops rare pairs but contexts still count them") {
+    // 2 copies of "a b a b a c" plus a single-token doc:
+    //   bigrams (a,b)=4 (b,a)=4 (a,c)=2; contexts a=6, b=4
+    // min-count 3 prunes (a,c) — but a's CONTEXT must stay 6 (the prune
+    // happens before the join, not to the context counts), so
+    // P(b|a)=4/6, not 4/4
+    val docs = Seq((1L, "a b a b a c"), (2L, "a b a b a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("bg").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val withMin1 = {
-      // exercise at min-count 1 by padding the corpus: repeat doc 1 thrice
-      val padded = Seq((1L, "a b a b a c"), (2L, "a b a b a c"), (3L, "a b a b a c"))
-        .toDF("doc_id", "text")
-      padded.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      TextAnalysis.bigramLm(spark, dir).collect()
-        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(4))).toMap
-    }
-    // per doc: (a,b)=2 (b,a)=2 (a,c)=1 -> x3 docs: 6, 6, 3; context a=9, b=6
-    assert(withMin1(("a", "b")) == ((6L, 6.0 / 9)))
-    assert(withMin1(("b", "a")) == ((6L, 1.0)))
-    assert(withMin1(("a", "c")) == ((3L, 3.0 / 9)))
-    // probabilities per context sum to 1 when nothing is pruned
-    val byCtx = withMin1.toSeq.groupBy(_._1._1).map { case (w1, xs) => w1 -> xs.map(_._2._2).sum }
-    byCtx.foreach { case (w1, p) => assert(math.abs(p - 1.0) < 1e-12, s"context $w1 sums to $p") }
+    val out = TextAnalysis.bigramLm(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a")), s"prune wrong: ${out.keySet}")
+    assert(out(("a", "b")) == ((4L, 6L, 4.0 / 6)))
+    assert(out(("b", "a")) == ((4L, 4L, 1.0)))
   }
 }
