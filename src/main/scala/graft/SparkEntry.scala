@@ -95,6 +95,18 @@ object SparkEntry {
     "q_range_join" -> (TemporalQueries.rangeJoin _),
     "q_funnel" -> (TemporalQueries.funnel _),
     "q_cohort" -> (TemporalQueries.cohort _),
+    // robust statistics + drift detection
+    "q_mad_anomaly" -> (graft.queries.DriftQueries.madAnomaly _),
+    "q_ewma" -> (graft.queries.DriftQueries.ewma _),
+    // mergeable sketches
+    "q_kmv_distinct" -> (graft.queries.SketchQueries.kmvDistinct _),
+    // table maintenance (CDC + layout)
+    "q_snapshot_diff" -> (graft.pipeline.TableOps.snapshotDiff _),
+    "q_zorder" -> (graft.pipeline.TableOps.zorder _),
+    // perceptual-hash multimodal near-dup + fuzzy refinement + grouped top-k
+    "q_phash_pairs" -> (Multimodal.phashPairs _),
+    "q_fuzzy_pairs" -> (Dedup.fuzzyPairs _),
+    "q_top_terms_grouped" -> (AnalyticQueries.topTermsGrouped _),
     // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
     // driver records the weaker rows-only check)
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
@@ -170,5 +182,13 @@ object SparkEntry {
     "q_rollup" -> WindowQueries.rollupRevenueSql,
     "q_cube" -> WindowQueries.cubeActivitySql,
     "q_median" -> WindowQueries.medianSql,
+    "q_mad_anomaly" -> graft.queries.DriftQueries.madAnomalySql,
+    "q_ewma" -> graft.queries.DriftQueries.ewmaSql,
+    "q_kmv_distinct" -> graft.queries.SketchQueries.kmvDistinctSql,
+    "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,
+    "q_zorder" -> graft.pipeline.TableOps.zorderSql,
+    "q_phash_pairs" -> Multimodal.phashPairsSql,
+    "q_fuzzy_pairs" -> Dedup.fuzzyPairsSql,
+    "q_top_terms_grouped" -> AnalyticQueries.topTermsGroupedSql,
   )
 }

@@ -611,4 +611,56 @@ object Dedup {
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
   }
+
+  // ---- q_fuzzy_pairs -------------------------------------------------
+
+  /** Edit-distance similarity floor for fuzzy-duplicate pairs. */
+  val FuzzyMin = 0.8
+
+  /** Edit-distance fuzzy-duplicate refinement: candidate pairs from the
+    * shingle-hash equi self-join (the same scaffold as Jaccard /
+    * containment), VERIFIED by exact Levenshtein distance — the
+    * character-level measure that catches small in-place edits n-gram
+    * set overlap scores coarsely. `sim = 1 − lev / max(len)`; pairs at
+    * sim ≥ 0.8 are flagged `keep`.
+    *
+    * Scale: Levenshtein is O(len²) per pair — affordable precisely
+    * because it runs only on the LSH-style candidate set (O(near-dup
+    * pairs)), never all pairs; the texts are gathered per candidate by
+    * two narrow id joins, so full documents shuffle only for
+    * candidates.
+    */
+  def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    shinglePairScaffold(spark, sfDir)(_ < _) { (pairs, _) =>
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      pairs
+        .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+        .withColumn("lev", levenshtein(col("da.text"), col("db.text")))
+        .withColumn("sim",
+          round(lit(1.0) - col("lev").cast("double") /
+            greatest(length(col("da.text")), length(col("db.text"))), 6))
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("lev"), col("sim"),
+          (col("sim") >= FuzzyMin).as("keep"))
+    }
+
+  val fuzzyPairsSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
+    cnd AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b, c.shared,
+             CAST(levenshtein(da.text, db.text) AS INT) AS lev,
+             round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+                   greatest(length(da.text), length(db.text)), 6) AS sim
+      FROM cnd c
+      JOIN documents da ON c.doc_a = da.doc_id
+      JOIN documents db ON c.doc_b = db.doc_id
+    )
+    SELECT doc_a, doc_b, shared, lev, sim, sim >= $FuzzyMin AS keep FROM j"""
 }

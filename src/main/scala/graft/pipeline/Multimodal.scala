@@ -181,6 +181,82 @@ object Multimodal {
                 ELSE CAST((height * 320) // width AS INT) END AS resized_h
     FROM v"""
 
+  // ---- q_phash_pairs -------------------------------------------------
+
+  /** Max Hamming distance for perceptual near-duplicates. */
+  val PhashRadius = 2
+
+  /** 16-bit perceptual hash (aHash) per asset: sample 16 evenly spaced
+    * "pixels" from the payload (deterministic stand-in for a decoded
+    * thumbnail — a real codec swaps ONLY the pixel extraction), set bit
+    * j when pixel j is above the mean (`pix·16 > sum` keeps it in
+    * integer math). Identical structure to production image aHash:
+    * downsample → threshold against mean → bit string.
+    */
+  def phashCodes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .withColumn("pix",
+        expr("transform(sequence(0, 15), j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 16, 1)))"))
+      .withColumn("psum", expr("aggregate(pix, 0, (a, x) -> a + x)"))
+      .withColumn("phash",
+        expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+                 (acc, j) -> acc + CASE WHEN element_at(pix, j + 1) * 16 > psum
+                                        THEN shiftleft(CAST(1 AS BIGINT), j)
+                                        ELSE CAST(0 AS BIGINT) END)"""))
+      .select(col("doc_id").as("asset_id"), col("phash"))
+
+  /** q_phash_pairs: perceptual-hash near-duplicate pairs at Hamming
+    * radius ≤ 2 — image dedup without decoding twice.
+    *
+    * Scale: pigeonhole banding like the SimHash path — the 16-bit code
+    * splits into 3 bands (6+5+5 bits); two codes within Hamming 2
+    * agree exactly on ≥ 1 band, so candidates come from an equi
+    * self-join on (band, band_value), refined by `bit_count(xor)`.
+    * Never an all-pairs join; the oracle uses the all-pairs form as
+    * the semantic definition (same output set).
+    */
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = phashCodes(spark, sfDir)
+    val bands = codes.select(
+      col("asset_id"), col("phash"),
+      explode(array(
+        struct(lit(0).as("band"), (col("phash") % 64).as("bv")),
+        struct(lit(1).as("band"), (shiftright(col("phash"), 6) % 32).as("bv")),
+        struct(lit(2).as("band"), (shiftright(col("phash"), 11) % 32).as("bv")),
+      )).as("bd"))
+      .select(col("asset_id"), col("phash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(
+        col("a.asset_id").as("asset_a"),
+        col("b.asset_id").as("asset_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashRadius)
+  }
+
+  val phashPairsSql: String =
+    s"""
+    WITH px AS (
+      SELECT doc_id AS asset_id,
+             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 16), 1))
+              for j in generate_series(0, 15)] AS pix
+      FROM documents WHERE length(text) > 0
+    ),
+    code AS (
+      SELECT asset_id,
+             CAST(list_sum([CASE WHEN pix[j + 1] * 16 > list_sum(pix) THEN 1 << j ELSE 0 END
+                            for j in generate_series(0, 15)]) AS BIGINT) AS phash
+      FROM px
+    )
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM code a JOIN code b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= $PhashRadius"""
+
   /** DuckDB mirror: same rolling checksum over the UTF-8 bytes via a
     * left fold (documents are ASCII so code units == bytes).
     */

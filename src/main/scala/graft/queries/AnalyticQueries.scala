@@ -53,6 +53,42 @@ object AnalyticQueries {
       GROUP BY term
     ) WHERE rk <= 20"""
 
+  // ---- q_top_terms_grouped -------------------------------------------
+
+  /** Per-group ranks kept by the grouped top-k. */
+  val TopPerSource = 5
+
+  /** Top-5 terms per source via a PARTITIONED window — the grouped
+    * counterpart to [[topTerms]]'s global TakeOrdered. Here the window
+    * is keyed by `source`, so ranking parallelizes across groups; at
+    * extreme per-group vocabularies the same two-phase trick as the KMV
+    * sketch (per-salt partial top-k, then merge) applies, but a
+    * partitioned window is the right default shape.
+    */
+  def topTermsGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("n").desc, col("term").asc)))
+      .filter(col("rk") <= TopPerSource)
+      .select(col("source"), col("rk"), col("term"), col("n"))
+  }
+
+  val topTermsGroupedSql: String =
+    s"""
+    SELECT source, rk, term, n FROM (
+      SELECT source, term, count(*) AS n,
+             row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, term ASC) AS rk
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents) t
+      GROUP BY source, term
+    ) WHERE rk <= $TopPerSource"""
+
   // ---- q_distinct_users ----------------------------------------------
 
   /** Distinct aggregation (the reference had none): exact distinct

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches. [[graft.functions.BitmapDistinct]]
+  * covers the dense-integer-domain case exactly; the KMV
+  * (k-minimum-values) sketch here covers arbitrary domains with a
+  * bounded-size summary — the deterministic cousin of HyperLogLog
+  * (Bar-Yossef et al. 2002): keep the k smallest uniform hashes ever
+  * seen; the k-th smallest estimates the density, so
+  * `distinct ≈ (k−1)·2^60 / kth_hash`. Unlike HLL the sketch is
+  * exactly reproducible from the data (md5 hashing, no randomness), so
+  * the whole operator is oracle-checkable.
+  */
+object SketchQueries {
+
+  /** Sketch size (minimum hashes kept per group). */
+  val KmvK = 64
+
+  /** Salt fan-out for the partial-sketch phase. */
+  val KmvSalt = 32
+
+  /** 2^60 as an exact double (the hash domain size). */
+  private val Domain = 1152921504606846976.0
+
+  // ---- q_kmv_distinct ------------------------------------------------
+
+  /** KMV distinct-count estimate of user-days per topic, alongside the
+    * exact count for calibration.
+    *
+    * Scale: KMV sketches are mergeable — union the hash sets, keep the
+    * k smallest. The plan exploits that: per-(topic, salt) partial
+    * top-k first (32-way fan-out, each bucket keeps ≤ 64 hashes), then
+    * the global top-k per topic over ≤ 64·32 survivors — a window over
+    * ~2k rows per topic, never over the full distinct set. That is the
+    * same partial-then-merge shape a 1000-executor cluster needs; the
+    * unpartitioned alternative (rank ALL distinct hashes per topic)
+    * would move every distinct value of a topic to one task.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("event_type").isNotNull)
+    val day = expr("unix_micros(ts) div 86400000000")
+    val hv = conv(
+      substring(md5(concat(col("user_id").cast("string"), lit(":"), day.cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val h = ev.select(col("event_type").as("topic"), hv.as("hv"))
+      .dropDuplicates("topic", "hv")
+    // phase 1: partial sketches per (topic, salt)
+    val partial = h
+      .withColumn("salt", pmod(col("hv"), lit(KmvSalt)))
+      .groupBy(col("topic"), col("salt"))
+      .agg(slice(array_sort(collect_list(col("hv"))), 1, KmvK).as("top"))
+      .select(col("topic"), explode(col("top")).as("hv"))
+    // phase 2: merge — global k smallest per topic over the survivors
+    val ranked = partial
+      .withColumn("rn", row_number().over(Window.partitionBy(col("topic")).orderBy(col("hv"))))
+      .filter(col("rn") <= KmvK)
+    val kth = ranked.groupBy(col("topic"))
+      .agg(max(col("hv")).as("kth_hash"), count(lit(1)).as("nk"))
+    val exact = h.groupBy(col("topic")).agg(count(lit(1)).as("n_exact"))
+    exact.as("e").join(broadcast(kth).as("k"), col("e.topic") === col("k.topic"))
+      .select(
+        col("e.topic").as("topic"),
+        col("e.n_exact").as("n_exact"),
+        col("k.kth_hash").as("kth_hash"),
+        round(
+          when(col("k.nk") < KmvK, col("k.nk").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(Domain) / col("k.kth_hash").cast("double")),
+          6).as("kmv_estimate"),
+      )
+  }
+
+  val kmvDistinctSql: String =
+    s"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS topic,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                   CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    r AS (SELECT topic, hv, row_number() OVER (PARTITION BY topic ORDER BY hv) AS rn FROM h),
+    kth AS (SELECT topic, max(hv) AS kth_hash, count(*) AS nk FROM r WHERE rn <= $KmvK GROUP BY 1),
+    ex AS (SELECT topic, count(*) AS n_exact FROM h GROUP BY 1)
+    SELECT e.topic, e.n_exact, k.kth_hash,
+           round(CASE WHEN k.nk < $KmvK THEN CAST(k.nk AS DOUBLE)
+                      ELSE ${KmvK - 1}.0 * $Domain / CAST(k.kth_hash AS DOUBLE) END, 6) AS kmv_estimate
+    FROM ex e JOIN kth k ON e.topic = k.topic"""
+}
