@@ -186,22 +186,25 @@ object Multimodal {
   /** Max Hamming distance for perceptual near-duplicates. */
   val PhashRadius = 2
 
-  /** 16-bit perceptual hash (aHash) per asset: sample 16 evenly spaced
+  /** 32-bit perceptual hash (aHash) per asset: sample 32 evenly spaced
     * "pixels" from the payload (deterministic stand-in for a decoded
     * thumbnail — a real codec swaps ONLY the pixel extraction), set bit
-    * j when pixel j is above the mean (`pix·16 > sum` keeps it in
+    * j when pixel j is above the mean (`pix·32 > sum` keeps it in
     * integer math). Identical structure to production image aHash:
-    * downsample → threshold against mean → bit string.
+    * downsample → threshold against mean → bit string. Code width is a
+    * scale lever: a narrower code saturates with corpus growth (pair
+    * volume grows quadratically in the per-code collision rate);
+    * production systems use 64-bit pHash — same plan, wider bands.
     */
   def phashCodes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .filter(length(col("text")) > 0)
       .withColumn("pix",
-        expr("transform(sequence(0, 15), j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 16, 1)))"))
+        expr("transform(sequence(0, 31), j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 32, 1)))"))
       .withColumn("psum", expr("aggregate(pix, 0, (a, x) -> a + x)"))
       .withColumn("phash",
-        expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT),
-                 (acc, j) -> acc + CASE WHEN element_at(pix, j + 1) * 16 > psum
+        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+                 (acc, j) -> acc + CASE WHEN element_at(pix, j + 1) * 32 > psum
                                         THEN shiftleft(CAST(1 AS BIGINT), j)
                                         ELSE CAST(0 AS BIGINT) END)"""))
       .select(col("doc_id").as("asset_id"), col("phash"))
@@ -209,21 +212,30 @@ object Multimodal {
   /** q_phash_pairs: perceptual-hash near-duplicate pairs at Hamming
     * radius ≤ 2 — image dedup without decoding twice.
     *
-    * Scale: pigeonhole banding like the SimHash path — the 16-bit code
-    * splits into 3 bands (6+5+5 bits); two codes within Hamming 2
+    * Scale: pigeonhole banding like the SimHash path — the 32-bit code
+    * splits into 3 bands (11+11+10 bits); two codes within Hamming 2
     * agree exactly on ≥ 1 band, so candidates come from an equi
     * self-join on (band, band_value), refined by `bit_count(xor)`.
     * Never an all-pairs join; the oracle uses the all-pairs form as
-    * the semantic definition (same output set).
+    * the semantic definition (same output set). Band values inherit
+    * aHash's skew (structurally similar payloads share band values —
+    * those buckets are where the near-dups live), so candidate volume
+    * is output-driven; widening the code is the pressure valve.
     */
   def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val codes = phashCodes(spark, sfDir)
+    // persist the narrow (id, code) relation: without the cache
+    // boundary, CollapseProject inlines the pixel transform + sum into
+    // the fold lambda and the pushed-down null filters, re-evaluating
+    // the whole quadratic expression on BOTH join sides (measured 60 s
+    // at sf0.1 vs ~1 s cached) — same discipline as shinglePairScaffold;
+    // Bench/Verify release it via clearCache after the query
+    val codes = phashCodes(spark, sfDir).persist()
     val bands = codes.select(
       col("asset_id"), col("phash"),
       explode(array(
-        struct(lit(0).as("band"), (col("phash") % 64).as("bv")),
-        struct(lit(1).as("band"), (shiftright(col("phash"), 6) % 32).as("bv")),
-        struct(lit(2).as("band"), (shiftright(col("phash"), 11) % 32).as("bv")),
+        struct(lit(0).as("band"), (col("phash") % 2048).as("bv")),
+        struct(lit(1).as("band"), (shiftright(col("phash"), 11) % 2048).as("bv")),
+        struct(lit(2).as("band"), (shiftright(col("phash"), 22) % 1024).as("bv")),
       )).as("bd"))
       .select(col("asset_id"), col("phash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
     bands.as("a")
@@ -242,14 +254,14 @@ object Multimodal {
     s"""
     WITH px AS (
       SELECT doc_id AS asset_id,
-             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 16), 1))
-              for j in generate_series(0, 15)] AS pix
+             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 32), 1))
+              for j in generate_series(0, 31)] AS pix
       FROM documents WHERE length(text) > 0
     ),
     code AS (
       SELECT asset_id,
-             CAST(list_sum([CASE WHEN pix[j + 1] * 16 > list_sum(pix) THEN 1 << j ELSE 0 END
-                            for j in generate_series(0, 15)]) AS BIGINT) AS phash
+             CAST(list_sum([CASE WHEN pix[j + 1] * 32 > list_sum(pix) THEN 1::BIGINT << j ELSE 0 END
+                            for j in generate_series(0, 31)]) AS BIGINT) AS phash
       FROM px
     )
     SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
