@@ -8,6 +8,8 @@ object Verify {
     // args: sfDir outDir [queryName...] — trailing names restrict the
     // dump to those queries (local iteration); the driver passes two.
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

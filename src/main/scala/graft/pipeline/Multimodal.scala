@@ -227,7 +227,7 @@ object Multimodal {
     // boundary, CollapseProject inlines the pixel transform + sum into
     // the fold lambda and the pushed-down null filters, re-evaluating
     // the whole quadratic expression on BOTH join sides (measured 60 s
-    // at sf0.1 vs ~1 s cached) — same discipline as shinglePairScaffold;
+    // at sf0.1 vs 2 s warm cached) — same discipline as shinglePairScaffold;
     // Bench/Verify release it via clearCache after the query
     val codes = phashCodes(spark, sfDir).persist()
     val bands = codes.select(

@@ -32,18 +32,22 @@ object TableOps {
     */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // presence markers classify insert/delete (NOT payload-hash
+    // nullness: a NULL payload is a legal row value, so insert/delete
+    // must key on which SIDE the key appeared, and update on null-safe
+    // hash inequality)
     val oldSnap = docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      .select(col("doc_id"), md5(col("text")).as("old_md5"), lit(true).as("in_old"))
     val newSnap = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"),
         md5(when(col("doc_id") % 12 === 0, upper(col("text"))).otherwise(col("text")))
-          .as("new_md5"))
+          .as("new_md5"), lit(true).as("in_new"))
     oldSnap.as("o").join(newSnap.as("n"), Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
-        when(col("old_md5").isNull, lit("insert"))
-          .when(col("new_md5").isNull, lit("delete"))
-          .when(col("old_md5") =!= col("new_md5"), lit("update"))
+        when(col("in_old").isNull, lit("insert"))
+          .when(col("in_new").isNull, lit("delete"))
+          .when(!(col("old_md5") <=> col("new_md5")), lit("update"))
           .otherwise(lit("unchanged")).as("change_type"),
         col("old_md5"),
         col("new_md5"),
@@ -63,7 +67,7 @@ object TableOps {
     SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
            CASE WHEN o.doc_id IS NULL THEN 'insert'
                 WHEN n.doc_id IS NULL THEN 'delete'
-                WHEN o.old_md5 <> n.new_md5 THEN 'update'
+                WHEN o.old_md5 IS DISTINCT FROM n.new_md5 THEN 'update'
                 ELSE 'unchanged' END AS change_type,
            o.old_md5, n.new_md5
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"""
@@ -89,8 +93,11 @@ object TableOps {
   def zorder(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val z = ev
+      // pmod on BOTH dims: a sign-preserving % would feed negative
+      // values into the bit interleave (garbage for pre-1970 ts or
+      // negative ids); the oracle mirrors with ((x % m) + m) % m
       .withColumn("ux", pmod(col("user_id"), lit(256)))
-      .withColumn("tx", expr("(unix_micros(ts) div 3600000000) % 256"))
+      .withColumn("tx", pmod(expr("unix_micros(ts) div 3600000000"), lit(256)))
       .withColumn("zval",
         expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT),
                  (acc, i) -> acc + shiftleft(shiftright(ux, i) & 1, 2 * i)
@@ -106,7 +113,9 @@ object TableOps {
   val zorderSql: String =
     """
     WITH b AS (
-      SELECT user_id % 256 AS ux, (epoch_us(ts) // 3600000000) % 256 AS tx FROM events
+      SELECT ((user_id % 256) + 256) % 256 AS ux,
+             (((epoch_us(ts) // 3600000000) % 256) + 256) % 256 AS tx
+      FROM events
     ),
     z AS (
       SELECT ux, tx,

@@ -113,6 +113,24 @@ class Round4OpsSpec extends SparkSpec {
       2L -> "delete", 4L -> "delete", 8L -> "delete", 10L -> "delete"))
   }
 
+  test("snapshotDiff: NULL payloads classify by side presence, not hash nullness") {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    Seq[(Long, String, String)](
+      (0L, null, "s"),  // both sides, both hashes NULL -> unchanged
+      (2L, null, "s"),  // old only -> delete (hash NULL is irrelevant)
+      (3L, null, "s"),  // new only -> insert
+      (6L, "x", "s"),   // both, same -> unchanged
+      (12L, "y", "s"),  // both, %12 rewrite -> update
+    ).map { case (id, text, src) =>
+      (id, text, "en", src, Option(text).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TableOps.snapshotDiff(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change_type")).toMap
+    assert(out == Map(0L -> "unchanged", 2L -> "delete", 3L -> "insert",
+      6L -> "unchanged", 12L -> "update"))
+  }
+
   // ---- q_zorder ------------------------------------------------------
 
   test("zorder: clusters are tight on BOTH dimensions (that's the point)") {
