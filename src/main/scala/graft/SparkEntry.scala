@@ -97,7 +97,9 @@ object SparkEntry {
     "q_cohort" -> (TemporalQueries.cohort _),
     // robust statistics + drift detection
     "q_mad_anomaly" -> (graft.queries.DriftQueries.madAnomaly _),
+    "q_seasonal_anomaly" -> (graft.queries.DriftQueries.seasonalAnomaly _),
     "q_ewma" -> (graft.queries.DriftQueries.ewma _),
+    "q_lm_score" -> (TextAnalysis.lmScore _),
     // mergeable sketches
     "q_kmv_distinct" -> (graft.queries.SketchQueries.kmvDistinct _),
     // table maintenance (CDC + layout)
@@ -183,7 +185,9 @@ object SparkEntry {
     "q_cube" -> WindowQueries.cubeActivitySql,
     "q_median" -> WindowQueries.medianSql,
     "q_mad_anomaly" -> graft.queries.DriftQueries.madAnomalySql,
+    "q_seasonal_anomaly" -> graft.queries.DriftQueries.seasonalAnomalySql,
     "q_ewma" -> graft.queries.DriftQueries.ewmaSql,
+    "q_lm_score" -> TextAnalysis.lmScoreSql,
     "q_kmv_distinct" -> graft.queries.SketchQueries.kmvDistinctSql,
     "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,
     "q_zorder" -> graft.pipeline.TableOps.zorderSql,

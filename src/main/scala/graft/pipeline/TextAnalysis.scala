@@ -21,6 +21,9 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Exact-sum decimal type (see graft.functions.Exact). */
+  private val D = org.apache.spark.sql.types.DecimalType(18, 6)
+
   // Stopword marker lists for the n-gram/stopword language heuristic.
   val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
   val EsStop = Seq("el", "la", "de", "que", "y", "los", "se")
@@ -467,6 +470,83 @@ object TextAnalysis {
     SELECT bc.w1, bc.w2, n_bigram, n_context,
            CAST(n_bigram AS DOUBLE) / n_context AS p_cond
     FROM bc JOIN cx ON bc.w1 = cx.w1"""
+
+  // ---- q_lm_score ----------------------------------------------------
+
+  /** LM-based document fluency score — the classic n-gram quality
+    * filter: every consecutive bigram of a document is looked up in
+    * the corpus LM ([[bigramLm]]); the score is the mean conditional
+    * probability over the document's bigrams (unseen bigrams — pruned
+    * hapax or out-of-model — contribute 0), and `coverage` is the
+    * fraction of bigrams the model knows. Low score + low coverage =
+    * boilerplate/garbled text; no log-space smoothing, so the whole
+    * computation stays engine-exact (probabilities round through
+    * DECIMAL(18,6) before the sum — double→decimal(·,6) ties are
+    * impossible, halves at scale 6 are never binary-representable).
+    *
+    * Scale: the pruned LM is vocabulary-shaped — an equi join on
+    * (w1, w2), left for unseen; the per-doc aggregation is one hash
+    * agg. The LM is NOT force-broadcast: at corpus scale it outgrows
+    * a broadcast and the shuffle join on the short (w1, w2) key is
+    * the right default (AQE upgrades it when the model is small).
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lm = bigramLm(spark, sfDir).select(col("w1"), col("w2"), col("p_cond"))
+    val docBigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2) // sequence(1,0) descends — same guard as bigramLm
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    docBigrams
+      .join(lm, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("p_cond")).as("n_known"),
+        sum(coalesce(col("p_cond"), lit(0.0)).cast(D)).cast(D).cast("double").as("psum"),
+      )
+      // NO round() on the quotients: psum is an exact 6-decimal value,
+      // so psum/n can land exactly on a decimal half (e.g. 0.378378/12
+      // = 0.0315315) where the engines' tie-rounding disagrees — the
+      // unrounded quotient of bit-identical inputs is itself
+      // bit-identical
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_known"),
+        (col("psum") / col("n_bigrams")).as("lm_score"),
+        (col("n_known").cast("double") / col("n_bigrams")).as("coverage"),
+      )
+  }
+
+  val lmScoreSql: String =
+    s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)
+    ),
+    bc AS (
+      SELECT w1, w2, count(*) AS n_bigram FROM (SELECT w1, w2 FROM bg) GROUP BY 1, 2
+      HAVING count(*) >= $BigramMinCount
+    ),
+    cx AS (SELECT w1, count(*) AS n_context FROM (SELECT w1, w2 FROM bg) GROUP BY 1),
+    lm AS (
+      SELECT bc.w1, bc.w2, CAST(n_bigram AS DOUBLE) / n_context AS p_cond
+      FROM bc JOIN cx ON bc.w1 = cx.w1
+    ),
+    j AS (
+      SELECT bg.doc_id, lm.p_cond
+      FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           count(p_cond) AS n_known,
+           CAST(CAST(sum(CAST(COALESCE(p_cond, 0.0) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+               / count(*) AS lm_score,
+           CAST(count(p_cond) AS DOUBLE) / count(*) AS coverage
+    FROM j GROUP BY 1"""
 
   // ---- q_winnow ------------------------------------------------------
 

@@ -84,6 +84,77 @@ object DriftQueries {
     WHERE e.value IS NOT NULL AND d.mad > 0
       AND abs(e.value - m.med) > $MadK * d.mad"""
 
+  // ---- q_seasonal_anomaly --------------------------------------------
+
+  /** Residual z-score threshold against the seasonal baseline. */
+  val SeasonalZ = 3.0
+
+  /** Seasonal-baseline anomaly detection: the global mean/stddev the
+    * reference z-scores against flags every rush hour as anomalous; a
+    * per-(topic, hour-of-day) baseline scores each event against its
+    * OWN season's statistics — the standard monitoring upgrade.
+    * Stats use the exact-decimal sum/sumsq shapes (graft.functions
+    * .Exact) and the reference's gates (≥ 3 samples, stddev ≠ 0).
+    *
+    * Scale: the baseline is topics × 24 rows — broadcast; the event
+    * side computes hour-of-day as a codegen projection and never
+    * shuffles. Identical plan shape to `q_anomaly`, different
+    * dimension key.
+    */
+  def seasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Exact
+    val base = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type").as("topic"),
+        pmod(expr("unix_micros(ts) div 3600000000"), lit(24)).as("hod"), col("value"))
+    val stats = base.groupBy(col("topic"), col("hod"))
+      .agg(count(lit(1)).as("cnt"),
+        Exact.exactSum(col("value")).as("sumv"),
+        Exact.exactSumSq(col("value")).as("sumsq"))
+      .select(col("topic"), col("hod"), col("cnt"),
+        (col("sumv") / col("cnt")).as("mean"),
+        Exact.popStddev(col("sumsq"), col("sumv") / col("cnt"), col("cnt")).as("stddev"))
+      .filter(col("cnt") >= 3 && col("stddev") > 0)
+    base.as("e")
+      .join(broadcast(stats).as("s"),
+        col("e.topic") === col("s.topic") && col("e.hod") === col("s.hod"))
+      .filter(abs((col("e.value") - col("s.mean")) / col("s.stddev")) > lit(SeasonalZ))
+      .select(
+        col("e.event_id").as("event_id"),
+        col("e.topic").as("topic"),
+        col("e.hod").as("hod"),
+        col("e.value").as("value"),
+        round(col("s.mean"), 6).as("mean_hod"),
+        round(col("s.stddev"), 6).as("stddev_hod"),
+        round((col("e.value") - col("s.mean")) / col("s.stddev"), 6).as("z"),
+      )
+  }
+
+  val seasonalAnomalySql: String =
+    s"""
+    WITH b AS (
+      SELECT event_id, event_type AS topic,
+             (((epoch_us(ts) // 3600000000) % 24) + 24) % 24 AS hod, value
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT topic, hod, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM b GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT topic, hod, cnt, sumv / cnt AS mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS stddev
+      FROM m WHERE cnt >= 3
+    )
+    SELECT e.event_id, e.topic, e.hod, e.value,
+           round(s.mean, 6) AS mean_hod,
+           round(s.stddev, 6) AS stddev_hod,
+           round((e.value - s.mean) / s.stddev, 6) AS z
+    FROM b e JOIN s ON e.topic = s.topic AND e.hod = s.hod
+    WHERE s.stddev > 0 AND abs((e.value - s.mean) / s.stddev) > $SeasonalZ"""
+
   // ---- q_ewma --------------------------------------------------------
 
   /** EWMA smoothing factor — 1/4 is exactly representable in binary so

@@ -79,6 +79,32 @@ class Round4OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("ewma_last") == 7.0) // 8*0.75 + 4*0.25
   }
 
+  test("seasonalAnomaly: flags against the hour's own baseline, gates thin hours") {
+    val H = 3600000000L
+    val dir = writeEvents(
+      // hour 0: 15 zeros + one spike -> z = 3.87 for the spike only
+      (1L to 15L).map(i => (i, "t", i * 60000000L, 0.0)) ++ Seq(
+        (16L, "t", 16 * 60000000L, 10.0),
+        // hour 1: only two samples -> cnt < 3, gated even though extreme
+        (17L, "t", H + 1000000L, 0.0), (18L, "t", H + 2000000L, 1000.0)))
+    val out = DriftQueries.seasonalAnomaly(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("value") == 10.0 && out.head.getAs[Long]("hod") == 0L)
+    assert(out.head.getAs[Double]("z") > 3.8 && out.head.getAs[Double]("z") < 3.9)
+  }
+
+  test("lmScore: pruned bigrams score 0, known bigrams average their P(w2|w1)") {
+    val dir = writeDocs(Seq(
+      (1L, "x y x y x y", "s"), // (x,y) kept at count 3 with P=1; (y,x) pruned
+      (2L, "q r s", "s")))      // all bigrams hapax -> pruned -> score 0
+    val out = graft.pipeline.TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_known"),
+          r.getAs[Double]("lm_score"), r.getAs[Double]("coverage"))).toMap
+    assert(out(1L) == ((5L, 3L, 0.6, 0.6))) // 3 known xy bigrams at P=1.0 over 5
+    assert(out(2L) == ((2L, 0L, 0.0, 0.0)))
+  }
+
   // ---- q_kmv_distinct ------------------------------------------------
 
   test("kmvDistinct: below-k groups fall back to the exact count") {
