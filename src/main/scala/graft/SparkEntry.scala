@@ -100,6 +100,9 @@ object SparkEntry {
     "q_seasonal_anomaly" -> (graft.queries.DriftQueries.seasonalAnomaly _),
     "q_ewma" -> (graft.queries.DriftQueries.ewma _),
     "q_lm_score" -> (TextAnalysis.lmScore _),
+    "q_quality_deciles" -> (TextAnalysis.qualityDeciles _),
+    "q_source_quantiles" -> (WindowQueries.sourceQuantiles _),
+    "q_pagerank" -> (graft.pipeline.GraphOps.pagerank _),
     // mergeable sketches
     "q_kmv_distinct" -> (graft.queries.SketchQueries.kmvDistinct _),
     // table maintenance (CDC + layout)
@@ -188,6 +191,9 @@ object SparkEntry {
     "q_seasonal_anomaly" -> graft.queries.DriftQueries.seasonalAnomalySql,
     "q_ewma" -> graft.queries.DriftQueries.ewmaSql,
     "q_lm_score" -> TextAnalysis.lmScoreSql,
+    "q_quality_deciles" -> TextAnalysis.qualityDecilesSql,
+    "q_source_quantiles" -> WindowQueries.sourceQuantilesSql,
+    "q_pagerank" -> graft.pipeline.GraphOps.pagerankSql,
     "q_kmv_distinct" -> graft.queries.SketchQueries.kmvDistinctSql,
     "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,
     "q_zorder" -> graft.pipeline.TableOps.zorderSql,

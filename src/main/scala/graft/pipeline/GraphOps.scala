@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the near-duplicate pair graph.
+  * PageRank on the dup graph is the template-hub detector: a
+  * boilerplate page duplicated (with variations) across many documents
+  * becomes a high-rank hub of the pair graph, which ranking by plain
+  * degree misses when the copies also link each other.
+  *
+  * All arithmetic is INTEGER (rank carried in micro-units, floor
+  * division): no floating point exists anywhere in the iteration, so
+  * the result is bit-exact reproducible on any engine/partitioning —
+  * the oracle unrolls the same five iterations in SQL.
+  */
+object GraphOps {
+
+  /** Fixed iteration count (deterministic, no convergence test). */
+  val PrIterations = 5
+
+  /** One unit of rank in micro-units. */
+  val PrUnit = 1000000L
+
+  /** q_pagerank: five integer PageRank iterations (damping 0.85 as the
+    * exact rational 850/1000) over the undirected near-dup graph from
+    * [[Dedup.ngramJaccard]] pairs.
+    *
+    * Scale: per iteration — one equi join rank⋈edges on the node key,
+    * one hash aggregation of 8-byte contributions; the edge relation
+    * is persisted once and each round's rank relation is
+    * localCheckpointed (same discipline as [[Dedup.components]]) so
+    * the plan does not grow with iterations. Degrees and ranks are
+    * narrow; nothing wide ever shuffles. A fixed iteration count keeps
+    * wall-clock bounded and the result engine-exact.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOnPairs(Dedup.ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")))
+
+  /** The iteration core over an undirected pair relation (doc_a, doc_b)
+    * — exposed so specs can feed hand-built graphs with hand-computed
+    * expected micro-ranks.
+    */
+  def pagerankOnPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var rank = nodes.withColumn("rank_micro", lit(PrUnit))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to PrIterations) {
+      val contrib = edges.join(deg, "src")
+        .join(rank, edges("src") === rank("node"))
+        .select(col("dst"), expr("rank_micro div deg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (850 * coalesce(s, CAST(0 AS BIGINT))) div 1000 AS BIGINT)")
+            .as("rank_micro"))
+        .localCheckpoint(eager = true)
+    }
+    edges.unpersist()
+    rank.select(
+      col("node").as("doc_id"),
+      col("rank_micro"),
+      (col("rank_micro").cast("double") / lit(1000000.0)).as("rank"))
+  }
+
+  val pagerankSql: String = {
+    def iter(i: Int): String =
+      s"""r$i AS (
+      SELECT n.node,
+             CAST(150000 + (850 * COALESCE(s.s, 0)) // 1000 AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, CAST(sum(r.rank_micro // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
+        GROUP BY 1
+      ) s ON n.node = s.dst
+    )"""
+    s"""
+    WITH ${Dedup.shinglePairCtesSql()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(${PrUnit} AS BIGINT) AS rank_micro FROM nodes),
+    ${(1 to PrIterations).map(iter).mkString(",\n    ")}
+    SELECT node AS doc_id, rank_micro,
+           CAST(rank_micro AS DOUBLE) / 1000000.0 AS rank
+    FROM r$PrIterations"""
+  }
+}

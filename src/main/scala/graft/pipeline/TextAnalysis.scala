@@ -471,6 +471,47 @@ object TextAnalysis {
            CAST(n_bigram AS DOUBLE) / n_context AS p_cond
     FROM bc JOIN cx ON bc.w1 = cx.w1"""
 
+  // ---- q_quality_deciles ---------------------------------------------
+
+  /** Quality-decile assignment — the curation-threshold operator
+    * ("keep the top 30%"): nine interpolated decile boundaries of the
+    * quality score, then each document bucketed by value comparison.
+    *
+    * Scale: deliberately NOT `ntile` — a global ntile is an
+    * unpartitioned window (whole corpus through one task). Boundaries
+    * come from ONE scalar aggregation (percentile with an array of
+    * fractions), broadcast as a single row, and assignment is a
+    * codegen projection — value-based buckets (equal scores share a
+    * decile), which is what a reproducible curation threshold wants
+    * anyway. Boundaries are rounded to 6 before comparison so the
+    * engines' interpolation ulp drift cannot flip an assignment.
+    */
+  def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quality(spark, sfDir).select(col("doc_id"), col("quality_score"))
+    val bounds = q.agg(
+      percentile(col("quality_score"),
+        typedlit((1 to 9).map(_ / 10.0))).as("bs"))
+      .select(transform(col("bs"), b => round(b, 6)).as("bs"))
+    q.crossJoin(broadcast(bounds))
+      .select(
+        col("doc_id"),
+        col("quality_score"),
+        (lit(1) + size(filter(col("bs"), b => col("quality_score") > b))).as("decile"),
+      )
+  }
+
+  val qualityDecilesSql: String = {
+    val fracs = (1 to 9).map(i => s"0.${i}").mkString(", ")
+    s"""
+    WITH q AS (SELECT doc_id, quality_score FROM (${qualitySql}) qq),
+    b AS (
+      SELECT [round(x, 6) for x in quantile_cont(quality_score, [$fracs])] AS bs FROM q
+    )
+    SELECT doc_id, quality_score,
+           1 + len(list_filter(bs, x -> quality_score > x)) AS decile
+    FROM q CROSS JOIN b"""
+  }
+
   // ---- q_lm_score ----------------------------------------------------
 
   /** LM-based document fluency score — the classic n-gram quality

@@ -143,4 +143,36 @@ object WindowQueries {
     FROM events
     WHERE event_type IS NOT NULL AND value IS NOT NULL
     GROUP BY 1"""
+
+  // ---- q_source_quantiles --------------------------------------------
+
+  /** Grouped multi-quantile summary: the document-length distribution
+    * per source (q25/q50/q75/q95 of n_chars) — the profile a curation
+    * pipeline reads before setting per-source length filters. One hash
+    * aggregation computing all four exact interpolated quantiles in a
+    * single percentile pass; interpolated values rounded to 6.
+    */
+  def sourceQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_chars"), typedlit(Seq(0.25, 0.5, 0.75, 0.95))).as("qs"))
+      .select(
+        col("source"), col("n_docs"),
+        round(element_at(col("qs"), 1), 6).as("q25"),
+        round(element_at(col("qs"), 2), 6).as("q50"),
+        round(element_at(col("qs"), 3), 6).as("q75"),
+        round(element_at(col("qs"), 4), 6).as("q95"),
+      )
+  }
+
+  val sourceQuantilesSql: String =
+    """
+    SELECT source, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS q25,
+           round(quantile_cont(n_chars, 0.50), 6) AS q50,
+           round(quantile_cont(n_chars, 0.75), 6) AS q75,
+           round(quantile_cont(n_chars, 0.95), 6) AS q95
+    FROM documents GROUP BY 1"""
 }

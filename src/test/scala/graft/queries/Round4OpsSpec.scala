@@ -198,6 +198,49 @@ class Round4OpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("keep"))
   }
 
+  // ---- q_pagerank ----------------------------------------------------
+
+  test("pagerank: hand-computed integer ranks on a path graph") {
+    // path a-b-c: b is the hub; a and c exactly symmetric
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.pipeline.GraphOps.pagerankOnPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_micro")).toMap
+    // five integer iterations, floor division throughout (hand-derived)
+    assert(out == Map(1L -> 668336L, 2L -> 1663323L, 3L -> 668336L))
+  }
+
+  test("pagerank: corpus run is deterministic and mass-bounded") {
+    val rows = graft.pipeline.GraphOps.pagerank(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("rank_micro")).sum
+    // floor division only ever LOSES mass relative to n × 1e6
+    assert(total <= rows.length * 1000000L)
+    assert(rows.forall(_.getAs[Long]("rank_micro") >= 150000L))
+  }
+
+  // ---- q_quality_deciles / q_source_quantiles ------------------------
+
+  test("qualityDeciles: assignment is monotone in score, deciles within 1..10") {
+    val rows = graft.pipeline.TextAnalysis.qualityDeciles(spark, sf001).collect()
+      .map(r => (r.getAs[Double]("quality_score"), r.getAs[Int]("decile")))
+    assert(rows.forall { case (_, d) => d >= 1 && d <= 10 })
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, d1), (_, d2)) => assert(d1 <= d2)
+      case _ =>
+    }
+  }
+
+  test("sourceQuantiles: quantiles are ordered within every source") {
+    val rows = WindowQueries.sourceQuantiles(spark, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Double]("q25"), r.getAs[Double]("q50"),
+        r.getAs[Double]("q75"), r.getAs[Double]("q95"))
+      assert(a <= b && b <= c && c <= d)
+    }
+  }
+
   // ---- q_top_terms_grouped -------------------------------------------
 
   test("topTermsGrouped: per-source ranks, ties broken by term") {
