@@ -43,6 +43,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"window stats should aggregate in one pass, got ${shuffles.size} shuffles")
   }
 
+  test("anomaly-family stats relations join as broadcasts") {
+    // mad/seasonal baselines are per-topic(-hour) rows: the event side
+    // must never shuffle for scoring
+    Seq("q_mad_anomaly", "q_seasonal_anomaly").foreach { name =>
+      val joins = collectAll(plan(name)) { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"$name does not broadcast its stats side")
+    }
+  }
+
   test("sampling/decontamination join their small sides as broadcasts") {
     // the fact side must never shuffle for a dimension/eval-set lookup
     Seq("q_sample_mix", "q_decontaminate").foreach { name =>
