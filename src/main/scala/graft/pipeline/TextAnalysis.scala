@@ -487,7 +487,10 @@ object TextAnalysis {
     * engines' interpolation ulp drift cannot flip an assignment.
     */
   def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = quality(spark, sfDir).select(col("doc_id"), col("quality_score"))
+    // consumed twice (boundary agg + assignment): persist the narrow
+    // (id, score) relation so the corpus tokenizes once (released by
+    // the clearCache discipline)
+    val q = quality(spark, sfDir).select(col("doc_id"), col("quality_score")).persist()
     val bounds = q.agg(
       percentile(col("quality_score"),
         typedlit((1 to 9).map(_ / 10.0))).as("bs"))
@@ -533,7 +536,10 @@ object TextAnalysis {
     */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val lm = bigramLm(spark, sfDir).select(col("w1"), col("w2"), col("p_cond"))
+    // ONE tokenize + pair explode feeds both the LM aggregations and
+    // the per-doc scoring side (the oracle's single bg CTE) — calling
+    // bigramLm here would re-derive the pair relation without doc_id
+    // and tokenize the corpus twice
     val docBigrams = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2) // sequence(1,0) descends — same guard as bigramLm
@@ -541,6 +547,14 @@ object TextAnalysis {
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
+    val bgCounts = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+      .filter(col("n_bigram") >= BigramMinCount)
+    val ctx = docBigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_context"))
+    val lm = bgCounts.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        (col("n_bigram").cast("double") / col("n_context")).as("p_cond"))
     docBigrams
       .join(lm, Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))

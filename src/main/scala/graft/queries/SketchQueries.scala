@@ -22,8 +22,17 @@ object SketchQueries {
   /** Salt fan-out for the partial-sketch phase. */
   val KmvSalt = 32
 
-  /** 2^60 as an exact double (the hash domain size). */
-  private val Domain = 1152921504606846976.0
+  /** 2^60 as an exact double (the hash domain size). Shared with the
+    * streaming form ([[graft.streaming.KmvState]]).
+    */
+  val Domain = 1152921504606846976.0
+
+  /** Scalar KMV estimator — the single definition both the batch query
+    * and the streaming state use: below-k sketches are exact.
+    */
+  def kmvEstimateOf(nHeld: Int, kth: Long, k: Int = KmvK): Double =
+    if (nHeld < k) nHeld.toDouble
+    else (k - 1).toDouble * Domain / kth.toDouble
 
   // ---- q_kmv_distinct ------------------------------------------------
 

@@ -35,9 +35,6 @@ object KmvState {
   final case class Estimate(
       topic: String, n_seen: Long, n_held: Int, kth_hash: Long, estimate: Double)
 
-  /** 2^60 as an exact double — the batch estimator's domain constant. */
-  private val Domain = 1152921504606846976.0
-
   /** Merge new hashes into a held sketch (set union, keep k smallest). */
   def merge(held: Seq[Long], incoming: Iterator[Long], k: Int = SketchQueries.KmvK): Seq[Long] = {
     val set = scala.collection.mutable.SortedSet.empty[Long]
@@ -49,13 +46,12 @@ object KmvState {
     set.toSeq
   }
 
-  /** The batch estimator, verbatim: below-k sketches are exact. */
+  /** The batch estimator, shared via [[SketchQueries.kmvEstimateOf]] so
+    * the streamed estimate can never drift from the oracle-gated one.
+    */
   def estimate(topic: String, seen: Long, ks: Seq[Long], k: Int = SketchQueries.KmvK): Estimate = {
     val kth = if (ks.isEmpty) 0L else ks.last
-    val est =
-      if (ks.size < k) ks.size.toDouble
-      else (k - 1).toDouble * Domain / kth.toDouble
-    Estimate(topic, seen, ks.size, kth, est)
+    Estimate(topic, seen, ks.size, kth, SketchQueries.kmvEstimateOf(ks.size, kth, k))
   }
 
   def update(k: Int)(
