@@ -98,6 +98,7 @@ object SparkEntry {
     // robust statistics + drift detection
     "q_mad_anomaly" -> (graft.queries.DriftQueries.madAnomaly _),
     "q_seasonal_anomaly" -> (graft.queries.DriftQueries.seasonalAnomaly _),
+    "q_anomaly_ensemble" -> (graft.queries.DriftQueries.anomalyEnsemble _),
     "q_ewma" -> (graft.queries.DriftQueries.ewma _),
     "q_lm_score" -> (TextAnalysis.lmScore _),
     "q_quality_deciles" -> (TextAnalysis.qualityDeciles _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_median" -> WindowQueries.medianSql,
     "q_mad_anomaly" -> graft.queries.DriftQueries.madAnomalySql,
     "q_seasonal_anomaly" -> graft.queries.DriftQueries.seasonalAnomalySql,
+    "q_anomaly_ensemble" -> graft.queries.DriftQueries.anomalyEnsembleSql,
     "q_ewma" -> graft.queries.DriftQueries.ewmaSql,
     "q_lm_score" -> TextAnalysis.lmScoreSql,
     "q_quality_deciles" -> TextAnalysis.qualityDecilesSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Robust-statistics anomaly scoring and sequential drift detection —
@@ -154,6 +154,124 @@ object DriftQueries {
            round((e.value - s.mean) / s.stddev, 6) AS z
     FROM b e JOIN s ON e.topic = s.topic AND e.hod = s.hod
     WHERE s.stddev > 0 AND abs((e.value - s.mean) / s.stddev) > $SeasonalZ"""
+
+  // ---- q_anomaly_ensemble --------------------------------------------
+
+  /** Global z-score threshold for the ensemble's first detector. */
+  val EnsembleZ = 3.0
+
+  /** Detector consensus: every event scored by all three batch
+    * detectors — global per-topic z-score (the reference's statistic),
+    * median/MAD robust score, and the seasonal hour-of-day baseline —
+    * with per-method flags and an agreement count. One detector firing
+    * = investigate; all three = page someone. Gated rows (thin hours,
+    * zero MAD/stddev) contribute a false flag, not a dropped event.
+    *
+    * Scale: all three stats relations are tiny (topics, topics×24) →
+    * three broadcast left joins; the event side is scanned once for
+    * scoring and never shuffles. The stats passes share the events
+    * scan layout.
+    */
+  def anomalyEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Exact
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    val base = ev.select(col("event_id"), col("event_type").as("topic"),
+      pmod(expr("unix_micros(ts) div 3600000000"), lit(24)).as("hod"), col("value"))
+
+    def statsOf(keys: Column*): DataFrame =
+      base.groupBy(keys: _*)
+        .agg(count(lit(1)).as("cnt"),
+          Exact.exactSum(col("value")).as("sumv"),
+          Exact.exactSumSq(col("value")).as("sumsq"))
+        .select(keys ++ Seq(
+          (col("sumv") / col("cnt")).as("mean"),
+          Exact.popStddev(col("sumsq"), col("sumv") / col("cnt"), col("cnt")).as("stddev")): _*)
+        .filter(col("cnt") >= lit(3) && col("stddev") > 0)
+
+    val g = statsOf(col("topic")).withColumnRenamed("topic", "g_topic")
+      .withColumnRenamed("mean", "g_mean").withColumnRenamed("stddev", "g_stddev")
+    val s = statsOf(col("topic"), col("hod"))
+      .withColumnRenamed("topic", "s_topic").withColumnRenamed("hod", "s_hod")
+      .withColumnRenamed("mean", "s_mean").withColumnRenamed("stddev", "s_stddev")
+    val med = base.groupBy(col("topic").as("m_topic"))
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val mad = base.as("e")
+      .join(broadcast(med).as("m"), col("e.topic") === col("m.m_topic"))
+      .groupBy(col("m.m_topic").as("m_topic"), col("m.med").as("med"))
+      .agg(round(percentile(abs(col("e.value") - col("m.med")), lit(0.5)), 6).as("mad"))
+      .filter(col("mad") > 0)
+
+    base
+      .join(broadcast(g), col("topic") === col("g_topic"), "left")
+      .join(broadcast(s), col("topic") === col("s_topic") && col("hod") === col("s_hod"), "left")
+      .join(broadcast(mad), col("topic") === col("m_topic"), "left")
+      .select(
+        col("event_id"), col("topic"), col("hod"), col("value"),
+        coalesce(abs((col("value") - col("g_mean")) / col("g_stddev")) > lit(EnsembleZ),
+          lit(false)).as("flag_global"),
+        coalesce(abs(col("value") - col("med")) > lit(MadK) * col("mad"),
+          lit(false)).as("flag_mad"),
+        coalesce(abs((col("value") - col("s_mean")) / col("s_stddev")) > lit(SeasonalZ),
+          lit(false)).as("flag_seasonal"),
+      )
+      .withColumn("n_methods",
+        col("flag_global").cast("int") + col("flag_mad").cast("int") +
+          col("flag_seasonal").cast("int"))
+      .filter(col("n_methods") >= 1)
+  }
+
+  val anomalyEnsembleSql: String =
+    s"""
+    WITH b AS (
+      SELECT event_id, event_type AS topic,
+             (((epoch_us(ts) // 3600000000) % 24) + 24) % 24 AS hod, value
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    gm AS (
+      SELECT topic, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM b GROUP BY 1
+    ),
+    g AS (
+      SELECT topic, sumv / cnt AS g_mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS g_stddev
+      FROM gm WHERE cnt >= 3
+    ),
+    sm AS (
+      SELECT topic, hod, count(*) AS cnt,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumv,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumsq
+      FROM b GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT topic, hod, sumv / cnt AS s_mean,
+             sqrt(greatest(sumsq / cnt - (sumv / cnt) * (sumv / cnt), 0.0)) AS s_stddev
+      FROM sm WHERE cnt >= 3
+    ),
+    med AS (SELECT topic, round(quantile_cont(value, 0.5), 6) AS med FROM b GROUP BY 1),
+    mad AS (
+      SELECT e.topic, m.med,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM b e JOIN med m ON e.topic = m.topic
+      GROUP BY 1, 2
+      HAVING round(quantile_cont(abs(e.value - m.med), 0.5), 6) > 0
+    ),
+    f AS (
+      SELECT e.event_id, e.topic, e.hod, e.value,
+             COALESCE(g.g_stddev > 0 AND abs((e.value - g.g_mean) / g.g_stddev) > $EnsembleZ, FALSE) AS flag_global,
+             COALESCE(abs(e.value - d.med) > $MadK * d.mad, FALSE) AS flag_mad,
+             COALESCE(s.s_stddev > 0 AND abs((e.value - s.s_mean) / s.s_stddev) > $SeasonalZ, FALSE) AS flag_seasonal
+      FROM b e
+      LEFT JOIN g ON e.topic = g.topic
+      LEFT JOIN s ON e.topic = s.topic AND e.hod = s.hod
+      LEFT JOIN mad d ON e.topic = d.topic
+    )
+    SELECT event_id, topic, hod, value, flag_global, flag_mad, flag_seasonal,
+           CAST(flag_global AS INT) + CAST(flag_mad AS INT) + CAST(flag_seasonal AS INT) AS n_methods
+    FROM f
+    WHERE CAST(flag_global AS INT) + CAST(flag_mad AS INT) + CAST(flag_seasonal AS INT) >= 1"""
 
   // ---- q_ewma --------------------------------------------------------
 

@@ -105,6 +105,24 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0, 0.0)))
   }
 
+  test("anomalyEnsemble: per-method flags agree with the standalone detectors") {
+    val ens = DriftQueries.anomalyEnsemble(spark, sf001).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Boolean]("flag_mad"), r.getAs[Boolean]("flag_seasonal"),
+          r.getAs[Int]("n_methods"))).toMap
+    val madIds = DriftQueries.madAnomaly(spark, sf001).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    val seasIds = DriftQueries.seasonalAnomaly(spark, sf001).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(madIds.forall(id => ens.get(id).exists(_._1)), "mad rows must flag in ensemble")
+    assert(seasIds.forall(id => ens.get(id).exists(_._2)), "seasonal rows must flag in ensemble")
+    assert(ens.values.forall { case (m, s, n) =>
+      n >= 1 && n <= 3 && n >= (if (m) 1 else 0) + (if (s) 1 else 0) })
+    // and nothing flags mad/seasonal in the ensemble that the detectors missed
+    assert(ens.count(_._2._1) == madIds.size)
+    assert(ens.count(_._2._2) == seasIds.size)
+  }
+
   // ---- q_kmv_distinct ------------------------------------------------
 
   test("kmvDistinct: below-k groups fall back to the exact count") {
