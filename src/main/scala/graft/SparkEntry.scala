@@ -103,6 +103,7 @@ object SparkEntry {
     "q_lm_score" -> (TextAnalysis.lmScore _),
     "q_quality_deciles" -> (TextAnalysis.qualityDeciles _),
     "q_source_quantiles" -> (WindowQueries.sourceQuantiles _),
+    "q_profile" -> (graft.queries.ProfileQueries.profile _),
     "q_pagerank" -> (graft.pipeline.GraphOps.pagerank _),
     // mergeable sketches
     "q_kmv_distinct" -> (graft.queries.SketchQueries.kmvDistinct _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "q_lm_score" -> TextAnalysis.lmScoreSql,
     "q_quality_deciles" -> TextAnalysis.qualityDecilesSql,
     "q_source_quantiles" -> WindowQueries.sourceQuantilesSql,
+    "q_profile" -> graft.queries.ProfileQueries.profileSql,
     "q_pagerank" -> graft.pipeline.GraphOps.pagerankSql,
     "q_kmv_distinct" -> graft.queries.SketchQueries.kmvDistinctSql,
     "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,

@@ -48,6 +48,19 @@ object MessageSources {
     guard(spark.read.schema(MessageSchema)
       .option("header", "true").option("escape", "\"").csv(path))
 
+  /** ORC messages (same logical schema). ORC rides Spark's built-in
+    * datasource: columnar with min/max stripe statistics, so the F1
+    * guard's IsNotNull predicates push into stripe pruning — the
+    * right archival format for replay corpora that get re-read often.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    guard(spark.read.schema(MessageSchema).orc(path))
+
+  /** Streaming ORC source (file-arrival replay, like [[jsonlStream]]). */
+  def orcStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    guard(spark.readStream.schema(MessageSchema).options(options).orc(path))
+
   /** Streaming JSON-lines source — drop-in for the Kafka source in
     * `AnomalyPipeline.run` (file-arrival replay). Pass reader options
     * (e.g. maxFilesPerTrigger to rate-limit a backfill) via `options`.

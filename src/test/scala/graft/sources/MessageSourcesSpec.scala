@@ -40,6 +40,19 @@ class MessageSourcesSpec extends SparkSpec {
     assert(out.head.getString(2) == """{"v":7}""")
   }
 
+  test("orc source round-trips the message shape with the F1 guard") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orcsrc").toString
+    Seq(
+      ("t3", "k1", """{"v":9}""", new Timestamp(1704067200000L)),
+      (null.asInstanceOf[String], "k2", """{"v":2}""", new Timestamp(1704067201000L)),
+    ).toDF("topic", "key", "value", "ts").write.mode("overwrite").orc(dir)
+    val out = MessageSources.orc(spark, dir).collect()
+    assert(out.length == 1) // F1 drops the null-topic row
+    assert(out.head.getString(0) == "t3" && out.head.getString(2) == """{"v":9}""")
+  }
+
   test("eventsAsMessages feeds the extraction pipeline end-to-end") {
     val sf = "/root/testdata/sf0.001"
     val msgs = MessageSources.eventsAsMessages(spark, sf)

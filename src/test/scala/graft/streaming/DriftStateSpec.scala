@@ -68,6 +68,36 @@ class DriftStateSpec extends SparkSpec {
     }
   }
 
+  test("drift state survives checkpointed restart and keeps folding") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_ckpt").toString
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, DriftAcc]()
+    val mem = MemoryStream[ValueSample]
+    def start() = DriftState(mem.toDS(), _ => 6.0).writeStream
+      // memory sink cannot recover a checkpoint; foreachBatch can
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[DriftAcc], _: Long) =>
+        batch.collect().foreach(a => results.put(a.n, a))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    val vals = Seq(4.0, 8.0, 3.5, 9.25)
+    val q1 = start()
+    mem.addData(ValueSample("t", 1L, vals(0)), ValueSample("t", 2L, vals(1)))
+    q1.processAllAvailable()
+    q1.stop()
+    // NEW query over the same checkpoint + stream: the restored state
+    // must continue the fold, not restart it
+    mem.addData(ValueSample("t", 3L, vals(2)), ValueSample("t", 4L, vals(3)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val last = results.get(4L)
+      assert(last != null, "no emission with n=4 after restart — state lost or reset")
+      assert(last == batchFold(6.0, vals), "restarted fold diverged from the batch fold")
+    } finally q2.stop()
+  }
+
   test("per-key isolation: an untouched key's state does not move") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ValueSample]
