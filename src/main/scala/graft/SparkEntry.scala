@@ -104,6 +104,10 @@ object SparkEntry {
     "q_quality_deciles" -> (TextAnalysis.qualityDeciles _),
     "q_source_quantiles" -> (WindowQueries.sourceQuantiles _),
     "q_profile" -> (graft.queries.ProfileQueries.profile _),
+    "q_skew_report" -> (graft.queries.ProfileQueries.skewReport _),
+    "q_transitions" -> (TemporalQueries.transitions _),
+    "q_autocorr" -> (TemporalQueries.autocorr _),
+    "q_cms_topk" -> (graft.queries.SketchQueries.cmsTopk _),
     "q_pagerank" -> (graft.pipeline.GraphOps.pagerank _),
     // mergeable sketches
     "q_kmv_distinct" -> (graft.queries.SketchQueries.kmvDistinct _),
@@ -197,6 +201,10 @@ object SparkEntry {
     "q_quality_deciles" -> TextAnalysis.qualityDecilesSql,
     "q_source_quantiles" -> WindowQueries.sourceQuantilesSql,
     "q_profile" -> graft.queries.ProfileQueries.profileSql,
+    "q_skew_report" -> graft.queries.ProfileQueries.skewReportSql,
+    "q_transitions" -> TemporalQueries.transitionsSql,
+    "q_autocorr" -> TemporalQueries.autocorrSql,
+    "q_cms_topk" -> graft.queries.SketchQueries.cmsTopkSql,
     "q_pagerank" -> graft.pipeline.GraphOps.pagerankSql,
     "q_kmv_distinct" -> graft.queries.SketchQueries.kmvDistinctSql,
     "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,

@@ -103,4 +103,63 @@ object ProfileQueries {
              NULL, NULL, props__smin, props__smax,
              n_rows - props__cnt = 0, props__nd = n_rows FROM m
     )"""
+
+  // ---- q_skew_report -------------------------------------------------
+
+  /** Shuffle-key skew diagnostics: for each candidate partitioning
+    * column of the events table (user_id, event_type, day), the group
+    * count, the largest group, its share of all rows, the p99 group
+    * size, and the max/mean skew ratio — the report that decides
+    * whether a join key needs salting BEFORE the 100 TB job runs
+    * (`q_salted_join` / `q_salted_agg` are the remediation).
+    *
+    * Scale: ONE scan — each row explodes into (column, key) pairs and
+    * a single hash agg counts group sizes (map-side partials absorb
+    * the 3× fanout); the per-column report aggregates the group-size
+    * relation, which is orders of magnitude smaller than the input.
+    * The skew ratio and share are double quotients of exact BIGINTs;
+    * only the interpolated p99 is rounded.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val pairs = ev.select(explode(map(
+      lit("user_id"), coalesce(col("user_id").cast("string"), lit("<null>")),
+      lit("event_type"), coalesce(col("event_type"), lit("<null>")),
+      lit("day"), expr("unix_micros(ts) div 86400000000").cast("string"),
+    )).as(Seq("col_name", "key")))
+    val sizes = pairs.groupBy(col("col_name"), col("key")).agg(count(lit(1)).as("sz"))
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast("double")
+    sizes.groupBy(col("col_name")).agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_rows"),
+        max(col("sz")).as("max_sz"),
+        round(expr("percentile(sz, 0.99)"), 6).as("p99_sz"),
+      )
+      .select(col("col_name"), col("n_groups"), col("n_rows"), col("max_sz"), col("p99_sz"),
+        (d(col("max_sz")) / d(col("n_rows"))).as("top_share"),
+        (d(col("max_sz")) * d(col("n_groups")) / d(col("n_rows"))).as("skew_ratio"),
+        (d(col("max_sz")) * d(col("n_groups")) / d(col("n_rows")) > 4.0).as("skewed"))
+  }
+
+  val skewReportSql: String =
+    """
+    WITH pairs AS (
+      SELECT 'user_id' AS col_name, coalesce(CAST(user_id AS VARCHAR), '<null>') AS key FROM events
+      UNION ALL
+      SELECT 'event_type', coalesce(event_type, '<null>') FROM events
+      UNION ALL
+      SELECT 'day', CAST(epoch_us(ts) // 86400000000 AS VARCHAR) FROM events
+    ),
+    sizes AS (SELECT col_name, key, count(*) AS sz FROM pairs GROUP BY 1, 2),
+    agg AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(sz) AS BIGINT) AS n_rows, max(sz) AS max_sz,
+             round(quantile_cont(sz, 0.99), 6) AS p99_sz
+      FROM sizes GROUP BY 1
+    )
+    SELECT col_name, n_groups, n_rows, max_sz, p99_sz,
+           CAST(max_sz AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
+           CAST(max_sz AS DOUBLE) * CAST(n_groups AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio,
+           CAST(max_sz AS DOUBLE) * CAST(n_groups AS DOUBLE) / CAST(n_rows AS DOUBLE) > 4.0 AS skewed
+    FROM agg"""
 }

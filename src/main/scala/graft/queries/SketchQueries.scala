@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,4 +96,79 @@ object SketchQueries {
            round(CASE WHEN k.nk < $KmvK THEN CAST(k.nk AS DOUBLE)
                       ELSE ${KmvK - 1}.0 * $Domain / CAST(k.kth_hash AS DOUBLE) END, 6) AS kmv_estimate
     FROM ex e JOIN kth k ON e.topic = k.topic"""
+
+  // ---- q_cms_topk ----------------------------------------------------
+
+  /** Count-min sketch depth (independent hash rows). */
+  val CmsDepth = 4
+
+  /** Count-min sketch width (counters per row). */
+  val CmsWidth = 256
+
+  /** Count-min-sketch frequency estimates for the heaviest user_ids,
+    * next to the exact counts (Cormode & Muthukrishnan 2005). Like the
+    * KMV sketch the hashes are md5-derived, so the sketch is exactly
+    * reproducible and oracle-checkable; the `cms_ge_exact` column pins
+    * the CMS one-sided guarantee (estimate never undercounts).
+    *
+    * Scale: the sketch is a fixed $CmsDepth×$CmsWidth counter grid
+    * built by ONE hash aggregation (map-side partials collapse each
+    * partition to ≤ depth·width cells before the shuffle), and two CMS
+    * sketches merge by cell-wise addition — the shape that survives a
+    * 1000-executor fan-in. Point queries then join the candidates'
+    * (row, col) coordinates against the broadcast grid (≤ 1024 rows).
+    * Candidates here are the exact per-key counts (fine at test scale);
+    * at 100 TB the candidate set comes from a coarse pre-filter or a
+    * per-partition top-k, never from materializing every key.
+    */
+  def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+    val rows = (0 until CmsDepth).map(lit(_))
+    def cellOf(r: Column, key: Column): Column = pmod(
+      conv(substring(md5(concat(r.cast("string"), lit(":"), key.cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(CmsWidth.toLong))
+    // build: one pass, explode each event into its depth coordinates
+    val sketch = ev
+      .select(explode(array(rows.map(r => struct(r.as("r"), cellOf(r, col("user_id")).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cell"))
+    // point queries: candidate keys -> min over the depth cells
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val est = exact
+      .select(col("user_id"), col("n_exact"),
+        explode(array(rows.map(r => struct(r.as("r"), cellOf(r, col("user_id")).as("c"))): _*)).as("rc"))
+      .join(broadcast(sketch),
+        col("rc.r") === col("r") && col("rc.c") === col("c"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_exact")).as("n_exact"), min(col("cell")).as("cms_estimate"))
+    est
+      .select(col("user_id"), col("n_exact"), col("cms_estimate"),
+        (col("cms_estimate") >= col("n_exact")).as("cms_ge_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+      .limit(20)
+  }
+
+  val cmsTopkSql: String =
+    s"""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    coords AS (
+      SELECT ev.user_id, r.r,
+             ((CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(ev.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % $CmsWidth) + $CmsWidth) % $CmsWidth AS c
+      FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(r)
+    ),
+    sketch AS (SELECT r, c, count(*) AS cell FROM coords GROUP BY 1, 2),
+    exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
+    est AS (
+      SELECT e.user_id, max(e.n_exact) AS n_exact, min(s.cell) AS cms_estimate
+      FROM exact e
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(r)
+      JOIN sketch s ON s.r = r.r
+        AND s.c = ((CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % $CmsWidth) + $CmsWidth) % $CmsWidth
+      GROUP BY 1
+    )
+    SELECT user_id, n_exact, cms_estimate, cms_estimate >= n_exact AS cms_ge_exact
+    FROM est ORDER BY n_exact DESC, user_id ASC LIMIT 20"""
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -322,4 +322,129 @@ object TemporalQueries {
            count(DISTINCT d.user_id) AS n_users
     FROM d JOIN f ON d.user_id = f.user_id
     GROUP BY 1, 2"""
+
+  // ---- q_transitions -------------------------------------------------
+
+  /** First-order Markov transition matrix of event types: for each
+    * (prev → next) pair observed in a user's ordered event sequence,
+    * the count and the conditional probability P(next | prev).
+    *
+    * Scale: one window pass partitioned by user_id (millions of small
+    * partitions — the healthy kind), then a hash agg down to
+    * |event_types|² rows; the normalizing window over `prev` runs on
+    * that tiny aggregate, not on the raw events. The probability is a
+    * single BIGINT/BIGINT quotient — bit-identical across engines with
+    * no rounding.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev").isNotNull)
+    val counts = pairs.groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev"))
+    counts
+      .withColumn("n_prev", sum(col("n")).over(byPrev))
+      .select(col("prev"), col("next"), col("n"), col("n_prev"),
+        (col("n").cast("double") / col("n_prev").cast("double")).as("p"))
+  }
+
+  val transitionsSql: String =
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev, next, n,
+           CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS n_prev,
+           CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS DOUBLE) AS p
+    FROM c"""
+
+  // ---- q_autocorr ----------------------------------------------------
+
+  /** Lag-k autocorrelation (k = 1..3) of the metric value per topic,
+    * over the (ts, event_id)-ordered sequence — the signal a seasonal
+    * anomaly baseline is calibrated against.
+    *
+    * Exactness: values are carried as integer centi-units
+    * (`round(value·100)` — the data is 2-decimal), so every sufficient
+    * statistic (n, Σx, Σy, Σx², Σy², Σxy) is an order-independent
+    * BIGINT sum; Pearson's r is then ONE double expression over those
+    * exact integers, mirrored shape-for-shape in the oracle —
+    * bit-identical with no rounding. Envelope: centi-values ≤ 5.7e4,
+    * so Σx² fits BIGINT to ~2.9e9 rows per topic; beyond that, carry
+    * the sums as DECIMAL(38,0).
+    *
+    * Scale: one window pass per topic computes all three lags, one
+    * hash agg reduces to |topics|·3 rows. The per-topic ordered window
+    * is the inherent cost of lag features; at 100 TB the same pass
+    * runs per (topic, day) with boundary rows exchanged, as the
+    * sessionize operator documents.
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("topic"),
+        round(col("value") * lit(100)).cast("long").as("x"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val seq = Window.partitionBy(col("topic")).orderBy(col("ts_us"), col("event_id"))
+    val lagged = ev
+      .withColumn("xl", array((1 to 3).map(k =>
+        struct(lit(k).as("k"), lag(col("x"), k).over(seq).as("y"))): _*))
+      .select(col("topic"), col("x"), explode(col("xl")).as("ky"))
+      .filter(col("ky.y").isNotNull)
+      .select(col("topic"), col("ky.k").as("k"), col("x"), col("ky.y").as("y"))
+    val sums = lagged.groupBy(col("topic"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val varx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vary = d("n") * d("syy") - d("sy") * d("sy")
+    sums.select(col("topic"), col("k"), col("n"),
+      when(varx > 0 && vary > 0,
+        (d("n") * d("sxy") - d("sx") * d("sy")) / sqrt(varx * vary))
+        .as("r"))
+  }
+
+  val autocorrSql: String =
+    """
+    WITH base AS (
+      SELECT event_type AS topic, CAST(round(value * 100) AS BIGINT) AS x,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT topic, k.k, x,
+             CASE k.k WHEN 1 THEN lag(x, 1) OVER w WHEN 2 THEN lag(x, 2) OVER w
+                      ELSE lag(x, 3) OVER w END AS y
+      FROM base CROSS JOIN (VALUES (1), (2), (3)) AS k(k)
+      WINDOW w AS (PARTITION BY topic, k.k ORDER BY ts_us, event_id)
+    ),
+    sums AS (
+      SELECT topic, k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT topic, CAST(k AS INTEGER) AS k, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS r
+    FROM sums"""
 }
