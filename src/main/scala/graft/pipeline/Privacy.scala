@@ -60,4 +60,66 @@ object Privacy {
                           '$NumPattern', '<NUM>', 'g') AS props_redacted
     FROM events"""
   }
+
+  // ---- q_pii_scan ----------------------------------------------------
+
+  /** Phone-shaped tokens: `+1-555-123-4567` / `555 123 4567` styles. */
+  val PhonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Dotted-quad IPv4 addresses. */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Long digit runs — account numbers, SSN-like ids. */
+  val LongNumPattern = "[0-9]{6,}"
+
+  /** PII audit of the document corpus: per source, total match counts
+    * for each pattern class (email, phone, IPv4, long numeric id) and
+    * how many documents are clean — the release-gate report a corpus
+    * must pass before training export. The gate corpus is synthetic
+    * word-salad, so it certifies the all-clean case end-to-end;
+    * PrivacyOpsSpec plants real-shaped PII and pins detection,
+    * precedence, and redaction.
+    *
+    * Scale: narrow per-row regex counts inside whole-stage codegen
+    * (same family as [[anonymize]]), then one hash agg to |sources|
+    * rows. Patterns avoid lookaround so Java regex (Spark) and RE2
+    * (DuckDB) match identically.
+    */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val perDoc = docs.select(
+      col("source"),
+      regexp_count(col("text"), lit(EmailPattern)).as("e"),
+      regexp_count(col("text"), lit(PhonePattern)).as("p"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).as("i"),
+      regexp_count(col("text"), lit(LongNumPattern)).as("l"),
+    )
+    perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("e")).as("n_email"),
+      sum(col("p")).as("n_phone"),
+      sum(col("i")).as("n_ipv4"),
+      sum(col("l")).as("n_longnum"),
+      sum(when(col("e") + col("p") + col("i") + col("l") === 0, 1L).otherwise(0L))
+        .as("n_clean"),
+    )
+  }
+
+  val piiScanSql: String =
+    s"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '$EmailPattern')) AS e,
+             len(regexp_extract_all(text, '$PhonePattern')) AS p,
+             len(regexp_extract_all(text, '$Ipv4Pattern')) AS i,
+             len(regexp_extract_all(text, '$LongNumPattern')) AS l
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(e) AS BIGINT) AS n_email,
+           CAST(sum(p) AS BIGINT) AS n_phone,
+           CAST(sum(i) AS BIGINT) AS n_ipv4,
+           CAST(sum(l) AS BIGINT) AS n_longnum,
+           CAST(sum(CASE WHEN e + p + i + l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM d GROUP BY 1"""
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
@@ -127,4 +128,54 @@ object TableOps {
            min(ux) AS ux_lo, max(ux) AS ux_hi,
            min(tx) AS tx_lo, max(tx) AS tx_hi
     FROM z GROUP BY 1"""
+
+  // ---- q_compaction_plan ---------------------------------------------
+
+  /** Compaction bin target (bytes per output file). */
+  val CompactionTarget = 4000L
+
+  /** Small-file compaction planning: pack each source's documents
+    * (stand-ins for data files, sized by n_chars) into sequential bins
+    * of ~[[CompactionTarget]] bytes via a prefix-sum partitioner —
+    * `bin = floor(bytes_before / target)` — and report each planned
+    * output file's count, size, and id range. This is the maintenance
+    * pass that turns a million 100 KB files into target-sized ones so
+    * scan task counts stop exploding.
+    *
+    * Scale: one window pass per source (running sum, partitioned — no
+    * global window) and one hash agg. Pure integer math; the plan is
+    * deterministic, so retries and the oracle agree exactly. The
+    * prefix-sum rule bounds every bin by target + one file, the same
+    * guarantee a greedy sequential packer gives without being
+    * order-sensitive to parallel execution.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(bySrc))
+      .withColumn("bin", expr(s"(cum - n_chars) div $CompactionTarget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+      )
+  }
+
+  val compactionPlanSql: String =
+    s"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM documents
+    )
+    SELECT source, (cum - n_chars) // $CompactionTarget AS bin,
+           count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2"""
 }

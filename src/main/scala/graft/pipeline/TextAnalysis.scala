@@ -685,4 +685,53 @@ object TextAnalysis {
            md5(array_to_string(list_sort(fps), ',')) AS winnow_md5
     FROM w"""
   }
+
+  // ---- q_blocklist ---------------------------------------------------
+
+  /** Blocklisted terms (the toxicity-lexicon stand-in — in production
+    * this is a broadcast dictionary of thousands of terms).
+    */
+  val Blocklist: Seq[String] = Seq("slow", "error", "dup", "drop")
+
+  /** Per-document blocklist hit ratio above which a doc is flagged. */
+  val BlocklistThreshold = 0.08
+
+  /** Lexicon-based content filter: flag documents whose blocklisted-
+    * token ratio crosses the threshold — the word-list toxicity /
+    * boilerplate filter every corpus curation pipeline runs. Emits the
+    * flagged docs with counts so reviewers can audit the cut.
+    *
+    * Scale: one narrow projection — tokenize once, count hits with a
+    * higher-order `filter` against the (tiny, broadcast-literal)
+    * lexicon, no shuffle at all; the flagged subset is a pushed-down
+    * predicate on the computed ratio. With a realistic 10k-term
+    * lexicon the literal array becomes a broadcast join on exploded
+    * tokens (the `q_decontaminate` shape).
+    */
+  def blocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lex = array(Blocklist.map(lit(_)): _*)
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, w => array_contains(lex, w))).as("n_hits"))
+      .withColumn("hit_ratio", col("n_hits").cast("double") / col("n_tokens").cast("double"))
+      .filter(col("hit_ratio") >= BlocklistThreshold)
+  }
+
+  val blocklistSql: String = {
+    val lex = Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len([w for w in string_split(text, ' ') if list_contains($lex, w)]) AS n_hits
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, n_hits,
+           CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hit_ratio
+    FROM t
+    WHERE CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= $BlocklistThreshold"""
+  }
 }

@@ -447,4 +447,64 @@ object TemporalQueries {
                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
            END AS r
     FROM sums"""
+
+  // ---- q_resample ----------------------------------------------------
+
+  /** Resample bucket width in microseconds (15 minutes). */
+  val ResampleUs = 900000000L
+
+  /** Time-series resampling with gap fill: per topic, the 15-minute
+    * mean-value series over the topic's full span, with empty buckets
+    * materialized (`is_gap`) and their mean carried forward from the
+    * last observed bucket — the regular grid a forecasting or drift
+    * model trains on (ragged event streams are not a time series).
+    *
+    * Scale: the aggregation is one hash agg to |topics|·|buckets|
+    * rows; the dense grid is exploded from per-topic (min, max) spans
+    * — O(span/width) rows per topic, never a row per event — and the
+    * carry-forward window runs over that small grid, partitioned by
+    * topic. At 100 TB the agg dominates and is shuffle-minimal; the
+    * grid stays tiny (a year of 15-min buckets is 35k rows per topic).
+    */
+  def resample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Exact.exactSum
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("topic"),
+        expr(s"unix_micros(ts) div $ResampleUs").as("bucket"), col("value"))
+    val agg = ev.groupBy(col("topic"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(exactSum(col("value")) / count(lit(1)), 6).as("mean"))
+    val grid = agg.groupBy(col("topic"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("topic"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val carry = Window.partitionBy(col("topic")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("topic", "bucket"), "left")
+      .select(col("topic"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("mean"), ignoreNulls = true).over(carry).as("mean_filled"),
+        col("n").isNull.as("is_gap"))
+  }
+
+  val resampleSql: String =
+    s"""
+    WITH ev AS (
+      SELECT event_type AS topic, epoch_us(ts) // $ResampleUs AS bucket, value
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    agg AS (
+      SELECT topic, bucket, count(*) AS n,
+             round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / count(*), 6) AS mean
+      FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT topic, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+      FROM agg GROUP BY topic
+    )
+    SELECT g.topic, g.bucket,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           last_value(a.mean IGNORE NULLS) OVER (PARTITION BY g.topic ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_filled,
+           a.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN agg a ON g.topic = a.topic AND g.bucket = a.bucket"""
 }
