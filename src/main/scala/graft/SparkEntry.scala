@@ -118,6 +118,11 @@ object SparkEntry {
     "q_phash_pairs" -> (Multimodal.phashPairs _),
     "q_fuzzy_pairs" -> (Dedup.fuzzyPairs _),
     "q_top_terms_grouped" -> (AnalyticQueries.topTermsGrouped _),
+    // privacy audit + content filter + table maintenance + resampling
+    "q_pii_scan" -> (Privacy.piiScan _),
+    "q_blocklist" -> (TextAnalysis.blocklist _),
+    "q_compaction_plan" -> (graft.pipeline.TableOps.compactionPlan _),
+    "q_resample" -> (TemporalQueries.resample _),
     // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
     // driver records the weaker rows-only check)
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
@@ -212,5 +217,9 @@ object SparkEntry {
     "q_phash_pairs" -> Multimodal.phashPairsSql,
     "q_fuzzy_pairs" -> Dedup.fuzzyPairsSql,
     "q_top_terms_grouped" -> AnalyticQueries.topTermsGroupedSql,
+    "q_pii_scan" -> Privacy.piiScanSql,
+    "q_blocklist" -> TextAnalysis.blocklistSql,
+    "q_compaction_plan" -> graft.pipeline.TableOps.compactionPlanSql,
+    "q_resample" -> TemporalQueries.resampleSql,
   )
 }

@@ -472,8 +472,14 @@ object TemporalQueries {
       .filter(col("event_type").isNotNull && col("value").isNotNull)
       .select(col("event_type").as("topic"),
         expr(s"unix_micros(ts) div $ResampleUs").as("bucket"), col("value"))
+    // mean = decimal-exact sum / count, UNROUNDED: both operands are
+    // bit-identical across engines so the raw quotient already is, and
+    // round(…,6) would reintroduce the decimal-half tie-break trap.
+    // persist: the small (topic, bucket) agg feeds both the grid span
+    // and the join — without it the events scan+agg runs twice.
     val agg = ev.groupBy(col("topic"), col("bucket"))
-      .agg(count(lit(1)).as("n"), round(exactSum(col("value")) / count(lit(1)), 6).as("mean"))
+      .agg(count(lit(1)).as("n"), (exactSum(col("value")) / count(lit(1))).as("mean"))
+      .persist()
     val grid = agg.groupBy(col("topic"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col("topic"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
@@ -494,7 +500,7 @@ object TemporalQueries {
     ),
     agg AS (
       SELECT topic, bucket, count(*) AS n,
-             round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / count(*), 6) AS mean
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / count(*) AS mean
       FROM ev GROUP BY 1, 2
     ),
     grid AS (
