@@ -104,6 +104,7 @@ object SparkEntry {
     "q_quality_deciles" -> (TextAnalysis.qualityDeciles _),
     "q_source_quantiles" -> (WindowQueries.sourceQuantiles _),
     "q_profile" -> (graft.queries.ProfileQueries.profile _),
+    "q_profile_approx" -> (graft.queries.ProfileQueries.profileApprox _),
     "q_skew_report" -> (graft.queries.ProfileQueries.skewReport _),
     "q_transitions" -> (TemporalQueries.transitions _),
     "q_autocorr" -> (TemporalQueries.autocorr _),
@@ -123,8 +124,10 @@ object SparkEntry {
     "q_blocklist" -> (TextAnalysis.blocklist _),
     "q_compaction_plan" -> (graft.pipeline.TableOps.compactionPlan _),
     "q_resample" -> (TemporalQueries.resample _),
-    // MLlib model-based anomaly scoring (no SQL oracle: iterative fit;
-    // driver records the weaker rows-only check)
+    // MLlib model-based anomaly scoring. The iterative fit is not SQL-
+    // expressible, but the query freezes its fitted centroids and the
+    // oracleSql entry (added below once the fit has run) gates the
+    // scoring stage in DuckDB with those centroids as exact literals.
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
   )
 
@@ -206,6 +209,7 @@ object SparkEntry {
     "q_quality_deciles" -> TextAnalysis.qualityDecilesSql,
     "q_source_quantiles" -> WindowQueries.sourceQuantilesSql,
     "q_profile" -> graft.queries.ProfileQueries.profileSql,
+    "q_profile_approx" -> graft.queries.ProfileQueries.profileApproxSql,
     "q_skew_report" -> graft.queries.ProfileQueries.skewReportSql,
     "q_transitions" -> TemporalQueries.transitionsSql,
     "q_autocorr" -> TemporalQueries.autocorrSql,
@@ -221,5 +225,12 @@ object SparkEntry {
     "q_blocklist" -> TextAnalysis.blocklistSql,
     "q_compaction_plan" -> graft.pipeline.TableOps.compactionPlanSql,
     "q_resample" -> TemporalQueries.resampleSql,
-  )
+  ) ++
+    // frozen-centroid oracles: present once the corresponding query has
+    // run in this JVM (Verify runs every query before dumping
+    // oracle_sql.json, so the dump gates the scoring stages against the
+    // exact centroids that produced the parquet under compare); absent →
+    // the driver falls back to its rows-only check.
+    Similarity.annIvfOracleSql.map("q_ann_ivf" -> _) ++
+    MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _)
 }

@@ -14,9 +14,13 @@ import graft.queries.Tables
   * "Structured Streaming + MLlib anomaly detection" leg of the
   * BASELINE.json approach; complements the z-score statistical path).
   *
-  * The iterative fit is not SQL-expressible, so this query is
-  * registered WITHOUT an oracle (driver records the weaker rows-only
-  * check). Seed fixed for determinism within an engine.
+  * The iterative fit is not SQL-expressible, but the scoring given the
+  * fitted centroids is: the fit freezes its centers into
+  * [[kmeansAnomalyOracleSql]] as exact literals, so the
+  * distance-to-nearest-centroid scoring is fully oracle-gated in DuckDB
+  * (seed fixed, and `Verify` dumps oracle_sql.json only after running
+  * the query, so the SQL always carries the centroids of the very fit
+  * that produced the parquet under compare).
   *
   * Scale notes: KMeans fit is Spark-parallel (one pass per iteration,
   * tree-aggregated); scoring is a per-row map against broadcast
@@ -24,6 +28,42 @@ import graft.queries.Tables
   * the scoring stage here is exactly that shape.
   */
 object MlAnomaly {
+
+  /** Number of clusters in the anomaly-scoring fit. */
+  val K = 8
+
+  /** Centroids of the most recent [[kmeansAnomaly]] fit (see scaladoc
+    * above for the frozen-centroid oracle contract).
+    */
+  @volatile private var fitted: Option[IndexedSeq[Array[Double]]] = None
+
+  /** DuckDB oracle for q_kmeans_anomaly, available once
+    * [[kmeansAnomaly]] has run in this JVM (None → rows-only check).
+    * Mirrors the codegen'd scoring exactly: per-cluster
+    * `sqrt(greatest((xx - 2·x.c) + |c|², 0))` with the same left-fold
+    * dot products and the same (dist, cluster) argmin tie-break.
+    */
+  def kmeansAnomalyOracleSql: Option[String] = fitted.map { centers =>
+    import graft.pipeline.Similarity.{centroidValuesSql, dotCvSql, dotSql}
+    s"""
+    WITH cents(cluster, cc, cv) AS (VALUES
+      ${centroidValuesSql(centers)}),
+    e AS (
+      SELECT vec_id, label, embedding, ${dotSql("embedding", "embedding")} AS xx
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, label, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rk
+      FROM (
+        SELECT e.vec_id, e.label, c.cluster,
+               sqrt(greatest((e.xx - CAST(2 AS DOUBLE) * ${dotCvSql("e.embedding", "c.cv")}) + c.cc,
+                             CAST(0 AS DOUBLE))) AS dist
+        FROM e CROSS JOIN cents c
+      )
+    )
+    SELECT vec_id, label, cluster, round(dist, 3) AS dist FROM ranked WHERE rk = 1"""
+  }
 
   /** (vec_id, cluster, round(dist, 3), label) with each vector scored
     * by its nearest centroid.
@@ -40,9 +80,10 @@ object MlAnomaly {
     val raw = Tables.embeddings(spark, sfDir)
     val fitInput = raw.select(col("vec_id"), col("label"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
+    val model = new KMeans().setK(K).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
       .fit(fitInput)
     val centers = model.clusterCenters.map(_.toArray)
+    fitted = Some(centers.toIndexedSeq) // freeze for the SQL oracle
     val x = col("embedding").cast("array<double>")
     val xx = VectorFunctions.dotProduct(x, x)
     val candidates = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>

@@ -42,8 +42,18 @@ object Similarity {
 
   // ---- q_ann_topk ----------------------------------------------------
 
-  /** Brute-force cosine top-k: every 100th vector is a query; top 5
-    * neighbors by (rounded cosine desc, vec_id asc).
+  /** Query-side cap for the brute-force baseline: probes are the every-
+    * 100th vectors with vec_id below this, so the registered query is
+    * O(cap · n) — a bounded scan-and-rank, never O(n²) — at ANY corpus
+    * size. The uncapped all-pairs form survives only inside
+    * SimilarityRecallSpec as the recall cross-check.
+    */
+  val TopkQueryCap = 10000L
+
+  /** Brute-force cosine top-k: every 100th vector with
+    * vec_id < [[TopkQueryCap]] is a query (≤ 100 probes regardless of
+    * corpus size); top 5 neighbors by (rounded cosine desc, vec_id asc).
+    * This is the declared exact baseline that anchors LSH/IVF recall.
     */
   def annTopk(spark: SparkSession, sfDir: String): DataFrame = {
     // norms are precomputed per vector BEFORE the pairwise join — at
@@ -51,7 +61,7 @@ object Similarity {
     // narrow; the arithmetic (sqrt of the norm product) is unchanged.
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), dot(col("embedding"), col("embedding")).as("nsq"))
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
     val scored = queries.crossJoin(emb.select(col("vec_id"), col("embedding"), col("nsq")))
       .filter(col("vec_id") =!= col("q_id"))
@@ -66,7 +76,8 @@ object Similarity {
 
   val annTopkSql: String =
     s"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id % 100 = 0 AND vec_id < $TopkQueryCap),
     scored AS (
       SELECT q.q_id, e.vec_id,
              round(${cosineSql("q.q_emb", "e.embedding")}, 6) AS cos
@@ -250,6 +261,34 @@ object Similarity {
              / count(*) AS mean_v
     FROM x GROUP BY 1, 2"""
 
+  // ---- frozen-centroid oracle support ---------------------------------
+
+  /** Render a double so DuckDB parses back the EXACT same IEEE-754
+    * value: `Double.toString` is the shortest round-trip decimal repr
+    * and a VARCHAR→DOUBLE cast is correctly rounded, so the literal
+    * survives the SQL round trip bit-identically. (A bare SQL literal
+    * like `0.1` would parse as DECIMAL in DuckDB — different value.)
+    */
+  private[pipeline] def dlit(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** VALUES rows `(idx, cc, cv)` for a fitted centroid set: index,
+    * squared norm (computed by the SAME driver-side fold the Spark plan
+    * injects via `lit(cc)`), and the centroid as a DOUBLE list literal.
+    */
+  private[pipeline] def centroidValuesSql(centers: Seq[Array[Double]]): String =
+    centers.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      s"($i, ${dlit(cc)}, [${c.map(dlit).mkString(", ")}])"
+    }.mkString(",\n      ")
+
+  /** Dot product of a vector column against a `cv` list column from the
+    * centroid VALUES relation — the same products-then-left-fold shape
+    * as [[dotSql]], so it is bit-identical to the Spark side's
+    * `dotProduct(x, typedLit(c))`.
+    */
+  private[pipeline] def dotCvSql(vec: String, cv: String, dim: Int = 64): String =
+    s"list_reduce([CAST(($vec)[i] AS DOUBLE) * ($cv)[i] for i in generate_series(1, $dim)], (x, y) -> x + y)"
+
   // ---- q_ann_ivf -----------------------------------------------------
 
   /** IVF coarse-quantizer cells and probe width. 16 cells / probe 4 at
@@ -259,6 +298,55 @@ object Similarity {
   val IvfCells = 16
   val IvfProbe = 4
   val IvfTopK = 5
+
+  /** Centroids of the most recent [[annIvf]] fit. The KMeans FIT is not
+    * SQL-expressible, but the scoring given frozen centroids is — so the
+    * query caches its fitted centers here and [[annIvfOracleSql]] renders
+    * them as exact literals into a DuckDB mirror of the
+    * assignment+probe+rank stages. `Verify` runs every query BEFORE
+    * dumping oracle_sql.json, so the dumped SQL always scores with the
+    * very centroids that produced the parquet under compare (the fixed
+    * seed makes the fit deterministic within a run regardless).
+    */
+  @volatile private var ivfFitted: Option[IndexedSeq[Array[Double]]] = None
+
+  /** DuckDB oracle for q_ann_ivf, available once [[annIvf]] has run in
+    * this JVM (None → the driver falls back to its rows-only check).
+    */
+  def annIvfOracleSql: Option[String] = ivfFitted.map { centers =>
+    s"""
+    WITH cents(cell, cc, cv) AS (VALUES
+      ${centroidValuesSql(centers)}),
+    e AS (
+      SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, nsq, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, e.nsq, c.cell,
+               greatest((e.nsq - CAST(2 AS DOUBLE) * ${dotCvSql("e.embedding", "c.cv")}) + c.cc,
+                        CAST(0 AS DOUBLE)) AS d2
+        FROM e CROSS JOIN cents c
+      )
+    ),
+    assigned AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nsq AS q_nsq, cell
+      FROM ranked WHERE vec_id % 100 = 0 AND crk <= $IvfProbe
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             round(${dotSql("p.q_emb", "a.embedding")} / sqrt(p.q_nsq * a.nsq), 6) AS cos
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, rk, vec_id, cos FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= $IvfTopK"""
+  }
 
   /** IVF (inverted-file) ANN — the second scale path beside LSH: a
     * KMeans coarse quantizer (fixed seed, fit Spark-parallel) assigns
@@ -271,10 +359,11 @@ object Similarity {
     * structs — no UDF, no MLlib transform in the scoring path, and the
     * only shuffle is the (cell)-keyed candidate join.
     *
-    * The KMeans fit is not SQL-expressible, so like q_kmeans_anomaly
-    * this registers WITHOUT an oracle (rows-only gate);
-    * SimilarityRecallSpec pins its recall against the exact
-    * brute-force baseline instead.
+    * The KMeans fit itself is not SQL-expressible, but the scoring given
+    * the fitted centroids is: the fit freezes its centers into
+    * [[annIvfOracleSql]] as exact literals, so assignment + probing +
+    * ranking are fully oracle-gated in DuckDB (SimilarityRecallSpec pins
+    * the fit's recall against the exact brute-force baseline).
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -296,6 +385,7 @@ object Similarity {
         .fit(fitInput)
     } finally fitInput.unpersist()
     val centers = model.clusterCenters.map(_.toArray)
+    ivfFitted = Some(centers.toIndexedSeq) // freeze for the SQL oracle
     val x = col("embedding").cast("array<double>")
     def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cc = c.map(v => v * v).sum

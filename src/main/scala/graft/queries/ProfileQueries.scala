@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling / validation — the pre-training sanity report
@@ -18,8 +19,9 @@ object ProfileQueries {
     * one 30-slot aggregate row); the per-column report rows are then a
     * driver-side reshape of that single row. Never one pass per column
     * — the naive loop would scan 100 TB six times. `count(DISTINCT)`
-    * slots expand internally, the costliest part of the pass; swap in
-    * the KMV/bitmap sketches when approximate distincts suffice.
+    * slots expand internally, the costliest part of the pass — at scale
+    * use [[profileApprox]] (q_profile_approx), which swaps them for
+    * bounded KMV sketches; the exact form stays as calibration.
     */
   def profile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -103,6 +105,157 @@ object ProfileQueries {
              NULL, NULL, props__smin, props__smax,
              n_rows - props__cnt = 0, props__nd = n_rows FROM m
     )"""
+
+  // ---- q_profile_approx ----------------------------------------------
+
+  /** q_profile_approx: [[profile]] with the exact `count(DISTINCT)`
+    * slots — the costliest state in the exact pass — replaced by the
+    * in-repo KMV sketch ([[SketchQueries]]). This is the 100 TB form:
+    * the non-distinct metrics stay one wide single-scan aggregation,
+    * and distincts become bounded-size mergeable sketches (≤ [[
+    * SketchQueries.KmvK]] hashes per column) built with the same
+    * salted partial-then-merge shape as q_kmv_distinct, so no
+    * aggregation state grows with column cardinality.
+    *
+    * The KMV hashes are md5-derived (no randomness), so unlike an HLL
+    * swap this stays fully oracle-gated. Hash inputs are cross-engine
+    * exact string reprs: BIGINT columns cast to string, strings as-is,
+    * and the DOUBLE column via exact DECIMAL(18,6) micro-units (double
+    * → string differs between engines; integer micro-units do not —
+    * distinctness at 1e-6 resolution, a declared property of the
+    * approximate profile). ProfilingOpsSpec pins the estimates against
+    * the exact profile within KMV error bounds.
+    */
+  def profileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val numeric = Seq("event_id", "user_id", "value", "ts_us")
+    val strings = Seq("event_type", "props")
+    val aggs = (numeric ++ strings).flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt")) ++ (if (numeric.contains(c))
+        Seq(min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+      else
+        Seq(min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")))
+    }
+    val row = ev.agg(count(lit(1)).as("n_rows"), aggs: _*).collect().head
+    val n = row.getAs[Long]("n_rows")
+    val base = (numeric ++ strings).map { c =>
+      val cnt = row.getAs[Long](s"${c}__cnt")
+      def numAt(f: String): Option[Double] = {
+        val i = row.fieldIndex(f)
+        if (row.isNullAt(i)) None else Some(row.getDouble(i))
+      }
+      val (mn, mx) = if (numeric.contains(c))
+        (numAt(s"${c}__min"), numAt(s"${c}__max"))
+      else (None, None)
+      val (smn, smx) = if (strings.contains(c))
+        (Option(row.getAs[String](s"${c}__smin")), Option(row.getAs[String](s"${c}__smax")))
+      else (None, None)
+      (c, n, n - cnt, mn, mx, smn, smx, n - cnt == 0L)
+    }.toDF("col_name", "n_rows", "n_null",
+      "min_num", "max_num", "min_str", "max_str", "is_complete")
+
+    // KMV leg: one scan exploding each row into (column, repr) pairs,
+    // then the q_kmv_distinct partial-then-merge sketch per column
+    val repr = map(
+      lit("event_id"), col("event_id").cast("string"),
+      lit("user_id"), col("user_id").cast("string"),
+      lit("ts_us"), col("ts_us").cast("string"),
+      lit("event_type"), col("event_type"),
+      lit("props"), col("props"),
+      lit("value"), (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long").cast("string"),
+    )
+    val pairs = ev.select(explode(repr).as(Seq("col_name", "s")))
+      .filter(col("s").isNotNull)
+    val hv = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+    val h = pairs.select(col("col_name"), hv.as("hv")).dropDuplicates("col_name", "hv")
+    val partial = h
+      .withColumn("salt", pmod(col("hv"), lit(SketchQueries.KmvSalt)))
+      .groupBy(col("col_name"), col("salt"))
+      .agg(slice(array_sort(collect_list(col("hv"))), 1, SketchQueries.KmvK).as("top"))
+      .select(col("col_name"), explode(col("top")).as("hv"))
+    val ranked = partial
+      .withColumn("rn", row_number().over(Window.partitionBy(col("col_name")).orderBy(col("hv"))))
+      .filter(col("rn") <= SketchQueries.KmvK)
+    val kth = ranked.groupBy(col("col_name"))
+      .agg(max(col("hv")).as("kth_hash"), count(lit(1)).as("nk"))
+    base.join(broadcast(kth), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        round(
+          when(col("nk") < SketchQueries.KmvK, col("nk").cast("double"))
+            .otherwise(lit((SketchQueries.KmvK - 1).toDouble) * lit(SketchQueries.Domain)
+              / col("kth_hash").cast("double")),
+          6).as("n_distinct_kmv"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        col("is_complete"))
+  }
+
+  val profileApproxSql: String = {
+    import SketchQueries.{Domain, KmvK}
+    s"""
+    WITH pairs AS (
+      SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events WHERE user_id IS NOT NULL
+      UNION ALL
+      SELECT 'ts_us', CAST(epoch_us(ts) AS VARCHAR) FROM events WHERE ts IS NOT NULL
+      UNION ALL
+      SELECT 'event_type', event_type FROM events WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT 'props', props FROM events WHERE props IS NOT NULL
+      UNION ALL
+      SELECT 'value', CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR)
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT DISTINCT col_name, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM pairs),
+    r AS (SELECT col_name, hv, row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn FROM h),
+    kth AS (SELECT col_name, max(hv) AS kth_hash, count(*) AS nk FROM r WHERE rn <= $KmvK GROUP BY 1),
+    m AS (
+      SELECT count(*) AS n_rows,
+             count(event_id) AS event_id__cnt,
+             CAST(min(event_id) AS DOUBLE) AS event_id__min, CAST(max(event_id) AS DOUBLE) AS event_id__max,
+             count(user_id) AS user_id__cnt,
+             CAST(min(user_id) AS DOUBLE) AS user_id__min, CAST(max(user_id) AS DOUBLE) AS user_id__max,
+             count(value) AS value__cnt,
+             CAST(min(value) AS DOUBLE) AS value__min, CAST(max(value) AS DOUBLE) AS value__max,
+             count(epoch_us(ts)) AS ts_us__cnt,
+             CAST(min(epoch_us(ts)) AS DOUBLE) AS ts_us__min, CAST(max(epoch_us(ts)) AS DOUBLE) AS ts_us__max,
+             count(event_type) AS event_type__cnt,
+             min(event_type) AS event_type__smin, max(event_type) AS event_type__smax,
+             count(props) AS props__cnt,
+             min(props) AS props__smin, max(props) AS props__smax
+      FROM events
+    ),
+    percol AS (
+      SELECT 'event_id' AS col_name, n_rows, n_rows - event_id__cnt AS n_null,
+             event_id__min AS min_num, event_id__max AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+             n_rows - event_id__cnt = 0 AS is_complete
+      FROM m
+      UNION ALL
+      SELECT 'user_id', n_rows, n_rows - user_id__cnt,
+             user_id__min, user_id__max, NULL, NULL, n_rows - user_id__cnt = 0 FROM m
+      UNION ALL
+      SELECT 'value', n_rows, n_rows - value__cnt,
+             value__min, value__max, NULL, NULL, n_rows - value__cnt = 0 FROM m
+      UNION ALL
+      SELECT 'ts_us', n_rows, n_rows - ts_us__cnt,
+             ts_us__min, ts_us__max, NULL, NULL, n_rows - ts_us__cnt = 0 FROM m
+      UNION ALL
+      SELECT 'event_type', n_rows, n_rows - event_type__cnt,
+             NULL, NULL, event_type__smin, event_type__smax, n_rows - event_type__cnt = 0 FROM m
+      UNION ALL
+      SELECT 'props', n_rows, n_rows - props__cnt,
+             NULL, NULL, props__smin, props__smax, n_rows - props__cnt = 0 FROM m
+    )
+    SELECT p.col_name, p.n_rows, p.n_null,
+           round(CASE WHEN k.nk < $KmvK THEN CAST(k.nk AS DOUBLE)
+                      ELSE ${KmvK - 1}.0 * $Domain / CAST(k.kth_hash AS DOUBLE) END, 6) AS n_distinct_kmv,
+           p.min_num, p.max_num, p.min_str, p.max_str, p.is_complete
+    FROM percol p JOIN kth k ON p.col_name = k.col_name"""
+  }
 
   // ---- q_skew_report -------------------------------------------------
 

@@ -403,6 +403,16 @@ class AnomalyPipeline(
 
     val maxRet = (dsl.topics.map(_.retentionSeconds) ++ Seq(0L)).max
     val horizonUs = unixMicrosOf(now) - maxRet * 1000000L
+    // raw-store segment expiry must use the SAME horizon rule as the
+    // bucket-partial prune (bucket-floored in bucketed mode): dropping a
+    // segment at the exact horizon while the compacted partials keep the
+    // straddling bucket's full sums would leave the raw store unable to
+    // rebuild those sums on restart — post-restart stats would diverge
+    // from the continuous run (pinned by RestartSpec's equality test).
+    val segHorizonUs = statsBucketSec match {
+      case Some(b) => horizonUs / (b * 1000000L) * (b * 1000000L)
+      case None => horizonUs
+    }
 
     // restart path: no in-memory snapshot but a restored store ->
     // recompute stats from pre-batch data (exactly the "stats as of the
@@ -444,7 +454,7 @@ class AnomalyPipeline(
     // persist the new segment as its own immutable parquet dir —
     // O(batch) state I/O per trigger, never an O(store) rewrite
     val seg = stateDir match {
-      case Some(d) if seg0.maxTsUs >= horizonUs =>
+      case Some(d) if seg0.maxTsUs >= segHorizonUs =>
         val p = s"$d/store/${segDirName(seg0.maxTsUs)}"
         seg0.df.write.mode("error").parquet(p)
         seg0.copy(path = Some(p))
@@ -456,7 +466,7 @@ class AnomalyPipeline(
         // pre-truncate data — drop it instead of publishing it
         seg.release()
       } else {
-        val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= horizonUs)
+        val (keep, expired) = (segments.get() :+ seg).partition(_.maxTsUs >= segHorizonUs)
         // LSM-style compaction (exact mode only): when retention
         // outlives many triggers the segment vector (and with it the
         // per-trigger union width and task count of every stats

@@ -23,7 +23,7 @@ import graft.functions.SchemaFlatten
   *
   * The Kafka AdminClient topic scan (S3) is injected as a `() =>
   * Seq[String]` so the loop is testable without a broker; in production
-  * wire `AdminClient.listTopics`.
+  * pass [[KafkaTopicLister]], the AdminClient-backed implementation.
   */
 class Discovery(
     spark: SparkSession,
@@ -32,7 +32,10 @@ class Discovery(
     defaultWindows: Seq[String] = Dsl.DefaultFieldWindows,
     beforeDiscoveryFieldConfig: (String, String) => Option[Seq[String]] = (_, _) => None,
     counters: Option[Counters] = None,
+    maxTopicsPerScan: Int = Discovery.DefaultMaxTopicsPerScan,
 ) {
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Discovery])
 
   private val knownTopics = new AtomicReference[Set[String]](Set.empty)
   private val schemaHashes = new AtomicReference[Map[String, Int]](Map.empty)
@@ -85,13 +88,23 @@ class Discovery(
   def discoverFields(batch: DataFrame): Set[String] = {
     import spark.implicits._
     // first message per topic — dropDuplicates on topic is the
-    // distributed form of the reference's per-topic sampling gate
-    val samples = batch
+    // distributed form of the reference's per-topic sampling gate.
+    // The collect is bounded by TOPIC cardinality, not batch size, and
+    // additionally hard-capped at maxTopicsPerScan: a pathological
+    // million-topic cluster must not OOM the driver — overflow topics
+    // simply wait for a later scan (discovery is a convergent loop; the
+    // reference's per-interval sampling has the same eventual shape).
+    val raw = batch
       .filter(col("topic").isNotNull && col("value").isNotNull)
       .dropDuplicates("topic")
       .select(col("topic"), col("value"))
+      .limit(maxTopicsPerScan + 1)
       .as[(String, String)]
       .collect()
+    if (raw.length > maxTopicsPerScan)
+      log.warn(s"field discovery scan saw more than $maxTopicsPerScan topics; " +
+        "the overflow is deferred to a later scan (raise maxTopicsPerScan to widen)")
+    val samples = raw.take(maxTopicsPerScan)
 
     val changed = samples.flatMap { case (topic, json) =>
       val paths = numericPathsOf(json)
@@ -168,6 +181,13 @@ class Discovery(
 }
 
 object Discovery {
+  /** Driver-memory guard: at most this many (topic, sample) rows are
+    * collected per field-discovery scan; overflow topics are picked up
+    * by later scans. 10k samples ≈ a few MB — far below driver limits —
+    * while still converging a large cluster in a handful of scans.
+    */
+  val DefaultMaxTopicsPerScan: Int = 10000
+
   /** Shared Jackson mapper for [[Discovery.numericPathsOf]] (Jackson
     * ships with Spark; thread-safe after construction).
     */

@@ -79,6 +79,8 @@ class PrivacyOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("user_key")).toMap
     assert(keys(1L) == keys(2L))     // same user -> same pseudonym
     assert(keys(1L) != keys(3L))     // different user -> different pseudonym
-    assert(!keys(1L).contains("7"))  // not the raw id
+    // one-way: the key is a fixed-width hex digest, not the raw id (a
+    // digest may of course CONTAIN the digit 7 by coincidence)
+    assert(keys(1L) != "7" && keys(1L).matches("[0-9a-f]{32}"))
   }
 }

@@ -83,6 +83,43 @@ class RestartSpec extends SparkSpec {
       s"bucketed-mode detection broken after restart: ${out3.toSeq}")
   }
 
+  test("bucketed stats are value-identical across a restart on a horizon-straddling bucket") {
+    // the sharp case: the retention horizon (now - 5m) cuts MID-bucket,
+    // and the segment holding the straddling bucket's older rows has
+    // already aged past the exact horizon. Segment expiry must use the
+    // bucket-floored horizon (same rule as the partial prune) or the
+    // restart rebuild cannot reproduce the straddling bucket's sums and
+    // post-restart stats silently diverge from the continuous run.
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+    def mk(dir: String) = new AnomalyPipeline(spark, dsl, cooldownMs = 0L,
+      stateDir = Some(dir), statsBucketSec = Some(60L))
+    def msgs(fromSec: Long, toSec: Long): Seq[(String, String, String, Timestamp)] =
+      (fromSec until toSec by 5).map { s =>
+        ("test-topic", s"k$s", s"""{"sub":{"one":${s % 17 + 0.5}}}""", new Timestamp(t0 + s * 1000))
+      }
+    // 21 triggers of 30 s; the last (now = 630 s) has horizon 330 s —
+    // inside bucket [300, 360) — and segment [300, 330) is older than
+    // the exact horizon but inside the floored one
+    val script = (0 until 21).map { k =>
+      (msgs(k * 30L, (k + 1) * 30L), new Timestamp(t0 + (k + 1) * 30000L))
+    }
+    def run(dir: String, restartAfterFullScript: Boolean): Seq[(String, String, Long, Double, Double)] = {
+      val p1 = mk(dir)
+      script.foreach { case (b, now) => p1.processBatch(b.toDF("topic", "key", "value", "ts"), now) }
+      // one more trigger at now = 650 s (horizon 350 s, floor 300 s),
+      // run either on the same instance or on a restarted one
+      val p2 = if (restartAfterFullScript) mk(dir) else p1
+      p2.processBatch(msgs(630L, 648L).toDF("topic", "key", "value", "ts"),
+        new Timestamp(t0 + 650000L))
+      p2.statsCache.sorted
+    }
+    val continuous = run(Files.createTempDirectory("graft_beq_a").toFile.getAbsolutePath, restartAfterFullScript = false)
+    val restarted = run(Files.createTempDirectory("graft_beq_b").toFile.getAbsolutePath, restartAfterFullScript = true)
+    assert(continuous.nonEmpty, "no stats produced")
+    assert(restarted == continuous,
+      s"post-restart bucketed stats diverged:\n  continuous=$continuous\n  restarted =$restarted")
+  }
+
   test("discovery-driven DSL growth: new field tracked after pipeline rebuild, state preserved") {
     // the reference adjusts its subscription + DSL when discovery finds
     // new fields (lib/Stream.js:145-152, DSLHandler.js:316-343); here a

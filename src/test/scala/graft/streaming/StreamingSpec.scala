@@ -299,6 +299,18 @@ class DiscoverySpec extends SparkSpec {
     assert(d.dsl.forTopic("t").get.retentionSeconds == 900L) // no crash
   }
 
+  test("field discovery collect is hard-capped at maxTopicsPerScan (driver-bound guard)") {
+    val d = new Discovery(spark, Dsl(Nil), maxTopicsPerScan = 50)
+    // a pathological 10k-topic batch must not land 10k samples on the
+    // driver: one scan collects at most the cap, later scans continue
+    val batch = (0 until 10000).map(i => (s"t$i", s"""{"v":$i}""")).toDF("topic", "value")
+    val changed = d.discoverFields(batch)
+    assert(changed.size == 50, s"scan must cap at 50 topics, got ${changed.size}")
+    assert(d.discoveredFields.size == 50)
+    val changed2 = d.discoverFields(batch) // stays bounded on re-scan too
+    assert(changed2.size <= 50)
+  }
+
   test("per-field window hook overrides the default (beforeDiscoveryFieldConfig)") {
     val d = new Discovery(spark, Dsl(Nil),
       beforeDiscoveryFieldConfig = (t, p) => if (p == "special") Some(Seq("1h")) else None)
