@@ -124,6 +124,9 @@ object SparkEntry {
     "q_blocklist" -> (TextAnalysis.blocklist _),
     "q_compaction_plan" -> (graft.pipeline.TableOps.compactionPlan _),
     "q_resample" -> (TemporalQueries.resample _),
+    // deterministic per-stratum sampling + distribution-drift monitor
+    "q_stratified_sample" -> (Sampling.stratifiedSample _),
+    "q_dist_drift" -> (graft.queries.DriftQueries.distDrift _),
     // MLlib model-based anomaly scoring. The iterative fit is not SQL-
     // expressible, but the query freezes its fitted centroids and the
     // oracleSql entry (added below once the fit has run) gates the
@@ -225,6 +228,8 @@ object SparkEntry {
     "q_blocklist" -> TextAnalysis.blocklistSql,
     "q_compaction_plan" -> graft.pipeline.TableOps.compactionPlanSql,
     "q_resample" -> TemporalQueries.resampleSql,
+    "q_stratified_sample" -> Sampling.stratifiedSampleSql,
+    "q_dist_drift" -> graft.queries.DriftQueries.distDriftSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

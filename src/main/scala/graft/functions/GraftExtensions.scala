@@ -59,6 +59,14 @@ object GraftFunctions {
         NGramPolyHash(args.head,
           long(args(1), "n").toInt, long(args(2), "base"), long(args(3), "mod"))
       }),
+    // aggregate: the analyzer wraps a registered AggregateFunction in
+    // AggregateExpression itself, same as the built-in aggregates
+    ("graft_kmv_sketch",
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_sketch(hashCol, k)")
+        KmvSketch(args.head, long(args(1), "k").toInt)
+      }),
   )
 
   /** Register on an existing session (idempotent). */

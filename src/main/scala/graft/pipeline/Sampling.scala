@@ -257,4 +257,58 @@ object Sampling {
     SELECT source, split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
     FROM g GROUP BY 1, 2"""
   }
+
+  // ---- q_stratified_sample -------------------------------------------
+
+  /** Docs kept per stratum (source). */
+  val StratumK = 16
+
+  /** Salt fan-out for the partial bottom-k phase. */
+  val StratumSalt = 32
+
+  /** q_stratified_sample: exactly [[StratumK]] documents per source,
+    * chosen as the bottom-k by md5 hash — a deterministic uniform
+    * sample per stratum (eval sets, human-review batches, per-source
+    * debugging slices) that is reproducible across runs, engines, and
+    * cluster sizes, and STABLE under corpus growth: a doc leaves the
+    * sample only when a smaller-hash doc arrives, so consecutive
+    * pipeline runs re-review only the churn (a random `ORDER BY rand()
+    * LIMIT k` resamples everything every run).
+    *
+    * Scale: bottom-k is computed in two phases — a partial rank per
+    * (source, hash-salt) bucket bounds every sort partition to its
+    * salt's share, then the global rank per source runs over ≤ k·salt
+    * survivors. A hot stratum never funnels its full row set through
+    * one task (same discipline as q_kmv_distinct / grouped top-k).
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val hv = Dedup.h60(concat(lit("strat|"), col("doc_id").cast("string")))
+    val base = docs.select(col("source"), col("doc_id"), hv.as("hv"))
+    val partial = base
+      .withColumn("salt", pmod(col("hv"), lit(StratumSalt.toLong)))
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy(col("source"), col("salt")).orderBy(col("hv"), col("doc_id"))))
+      .filter(col("rn1") <= StratumK)
+    partial
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))).cast("long"))
+      .filter(col("rn") <= StratumK)
+      .select(col("source"), col("rn"), col("doc_id"), col("hv"))
+  }
+
+  val stratifiedSampleSql: String =
+    s"""
+    WITH h AS (
+      SELECT source, doc_id,
+             ${Dedup.h60Sql.format("'strat|' || doc_id")} AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT source, rn, doc_id, hv FROM r WHERE rn <= $StratumK"""
 }

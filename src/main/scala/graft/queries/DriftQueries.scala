@@ -347,4 +347,96 @@ object DriftQueries {
            round(list_reduce(list_prepend(0.0, l.vals),
                  (c, x) -> greatest(0.0, c + (x - m.mean))), 6) AS cusum
     FROM l JOIN m ON l.topic = m.topic"""
+
+  // ---- q_dist_drift ----------------------------------------------------
+
+  /** Histogram bin width (chars) for the distribution-drift report. */
+  val DriftBinChars = 200L
+
+  /** TVD flag threshold. */
+  val DriftTvdThreshold = 0.1
+
+  /** q_dist_drift: per-source distribution drift of document length vs
+    * the whole-corpus baseline — the train/serve-skew and
+    * batch-over-batch shift monitor a data pipeline runs before a
+    * mixture decision. Lengths are binned ([[DriftBinChars]] chars);
+    * each source's bin histogram is compared to the corpus histogram
+    * with two PURE-ARITHMETIC divergences (no `ln`, which is not
+    * bit-reproducible across engines — the repo-wide rule):
+    *
+    *  - `tvd`: total variation distance ½·Σ|p_i − q_i|
+    *  - `chi2`: Pearson's Σ (o_i − e_i)²/e_i against expected counts
+    *
+    * Bins the source never hits still contribute (|0 − q| and e): their
+    * mass is folded in CLOSED FORM as `1 − Σ_present q` — so no
+    * source×bin grid (and no cross join) is ever materialized.
+    *
+    * Scale: ONE scan of the corpus — the (source, bin) histogram is
+    * the only O(n) aggregation; the corpus histogram, per-source
+    * totals, and grand total all derive from that tiny persisted
+    * relation (sources × bins rows), so nothing else touches the
+    * input. Per-bin terms round through DECIMAL(18,6) before the sum
+    * (exact, associative — partition-order-free), the lmScore
+    * discipline.
+    */
+  def distDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = Tables.documents(spark, sfDir)
+      .select(col("source"), expr(s"n_chars div $DriftBinChars").as("bin"))
+    // the single O(n) pass; everything below re-aggregates this
+    // sources×bins relation, so persist to pin the one-scan shape
+    val bySrc = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n_s_bin"))
+      .persist()
+    val global = bySrc.groupBy(col("bin")).agg(sum(col("n_s_bin")).as("n_g"))
+      .crossJoin(broadcast(bySrc.agg(sum(col("n_s_bin")).as("n_total"))))
+    val totals = bySrc.groupBy(col("source")).agg(sum(col("n_s_bin")).as("n_s"))
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val j = bySrc
+      .join(broadcast(totals), "source")
+      .join(broadcast(global), "bin")
+      .withColumn("p", col("n_s_bin").cast("double") / col("n_s").cast("double"))
+      .withColumn("q", col("n_g").cast("double") / col("n_total").cast("double"))
+      .withColumn("e", col("q") * col("n_s").cast("double"))
+    j.groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(abs(col("p") - col("q")).cast(D)).cast(D).cast("double").as("sum_t"),
+        sum(((col("n_s_bin").cast("double") - col("e")) * (col("n_s_bin").cast("double") - col("e"))
+          / col("e")).cast(D)).cast(D).cast("double").as("sum_c"),
+        sum(col("q").cast(D)).cast(D).cast("double").as("q_present"),
+      )
+      .select(col("source"), col("n_docs"), col("n_bins"),
+        ((col("sum_t") + (lit(1.0) - col("q_present"))) / lit(2.0)).as("tvd"),
+        (col("sum_c") + col("n_docs").cast("double") * (lit(1.0) - col("q_present"))).as("chi2"),
+        ((col("sum_t") + (lit(1.0) - col("q_present"))) / lit(2.0) >= DriftTvdThreshold).as("drifted"))
+  }
+
+  val distDriftSql: String =
+    s"""
+    WITH b AS (SELECT source, n_chars // $DriftBinChars AS bin FROM documents),
+    s AS (SELECT source, bin, count(*) AS n_s_bin FROM b GROUP BY 1, 2),
+    g AS (SELECT bin, CAST(sum(n_s_bin) AS BIGINT) AS n_g FROM s GROUP BY 1),
+    t AS (SELECT CAST(sum(n_s_bin) AS BIGINT) AS n_total FROM s),
+    st AS (SELECT source, CAST(sum(n_s_bin) AS BIGINT) AS n_s FROM s GROUP BY 1),
+    j AS (
+      SELECT s.source, s.n_s_bin, st.n_s,
+             CAST(s.n_s_bin AS DOUBLE) / CAST(st.n_s AS DOUBLE) AS p,
+             CAST(g.n_g AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS q,
+             (CAST(g.n_g AS DOUBLE) / CAST(t.n_total AS DOUBLE)) * CAST(st.n_s AS DOUBLE) AS e
+      FROM s JOIN st USING (source) JOIN g USING (bin) CROSS JOIN t
+    ),
+    agg AS (
+      SELECT source, max(n_s) AS n_docs, count(*) AS n_bins,
+             CAST(CAST(sum(CAST(abs(p - q) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_t,
+             CAST(CAST(sum(CAST((CAST(n_s_bin AS DOUBLE) - e) * (CAST(n_s_bin AS DOUBLE) - e) / e
+               AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_c,
+             CAST(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS q_present
+      FROM j GROUP BY 1
+    )
+    SELECT source, n_docs, n_bins,
+           (sum_t + (CAST(1 AS DOUBLE) - q_present)) / CAST(2 AS DOUBLE) AS tvd,
+           sum_c + CAST(n_docs AS DOUBLE) * (CAST(1 AS DOUBLE) - q_present) AS chi2,
+           (sum_t + (CAST(1 AS DOUBLE) - q_present)) / CAST(2 AS DOUBLE)
+             >= CAST('$DriftTvdThreshold' AS DOUBLE) AS drifted
+    FROM agg"""
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling / validation — the pre-training sanity report
@@ -113,9 +112,10 @@ object ProfileQueries {
     * in-repo KMV sketch ([[SketchQueries]]). This is the 100 TB form:
     * the non-distinct metrics stay one wide single-scan aggregation,
     * and distincts become bounded-size mergeable sketches (≤ [[
-    * SketchQueries.KmvK]] hashes per column) built with the same
-    * salted partial-then-merge shape as q_kmv_distinct, so no
-    * aggregation state grows with column cardinality.
+    * SketchQueries.KmvK]] hashes per column) built by the native
+    * [[graft.functions.KmvSketch]] aggregate — O(k) state, map-side
+    * partials, merge = union + trim — so no aggregation state or
+    * shuffle payload grows with column cardinality.
     *
     * The KMV hashes are md5-derived (no randomness), so unlike an HLL
     * swap this stays fully oracle-gated. Hash inputs are cross-engine
@@ -158,7 +158,12 @@ object ProfileQueries {
       "min_num", "max_num", "min_str", "max_str", "is_complete")
 
     // KMV leg: one scan exploding each row into (column, repr) pairs,
-    // then the q_kmv_distinct partial-then-merge sketch per column
+    // aggregated by the NATIVE bounded-state kmv_sketch aggregate
+    // ([[graft.functions.KmvSketch]]): O(k) state per group, map-side
+    // partials, merge = union + trim — the shuffle moves ≤ k longs per
+    // (column, partition), never one row per distinct value (the
+    // dedup-then-rank formulation shuffled every distinct hash and was
+    // 2× SLOWER than the exact profile it was meant to relieve)
     val repr = map(
       lit("event_id"), col("event_id").cast("string"),
       lit("user_id"), col("user_id").cast("string"),
@@ -170,17 +175,13 @@ object ProfileQueries {
     val pairs = ev.select(explode(repr).as(Seq("col_name", "s")))
       .filter(col("s").isNotNull)
     val hv = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-    val h = pairs.select(col("col_name"), hv.as("hv")).dropDuplicates("col_name", "hv")
-    val partial = h
-      .withColumn("salt", pmod(col("hv"), lit(SketchQueries.KmvSalt)))
-      .groupBy(col("col_name"), col("salt"))
-      .agg(slice(array_sort(collect_list(col("hv"))), 1, SketchQueries.KmvK).as("top"))
-      .select(col("col_name"), explode(col("top")).as("hv"))
-    val ranked = partial
-      .withColumn("rn", row_number().over(Window.partitionBy(col("col_name")).orderBy(col("hv"))))
-      .filter(col("rn") <= SketchQueries.KmvK)
-    val kth = ranked.groupBy(col("col_name"))
-      .agg(max(col("hv")).as("kth_hash"), count(lit(1)).as("nk"))
+    val kth = pairs
+      .select(col("col_name"), hv.as("hv"))
+      .groupBy(col("col_name"))
+      .agg(graft.functions.KmvAggregates.kmvSketch(col("hv"), SketchQueries.KmvK).as("top"))
+      .select(col("col_name"),
+        element_at(col("top"), -1).as("kth_hash"),
+        size(col("top")).cast("long").as("nk"))
     base.join(broadcast(kth), Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_null"),
         round(

@@ -119,4 +119,20 @@ class PropertySpec extends SparkSpec {
       assert(!out.contains((2L, 1L)), "host flagged as contained in its quote")
     }
   }
+
+  test("kmv_sketch == sorted k smallest distinct, for any data and partitioning") {
+    import graft.functions.KmvAggregates.kmvSketch
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.chooseNum(0L, 40L)), // dense domain -> many dups
+      Gen.chooseNum(1, 8), // k
+      Gen.chooseNum(1, 7)) // partition count (exercises merge paths)
+    forAllSampled(gen) { case (vs, k, parts) =>
+      if (vs.nonEmpty) {
+        val got = vs.toDF("v").repartition(parts)
+          .agg(kmvSketch(col("v"), k)).head().getSeq[Long](0)
+        val want = vs.distinct.sorted.take(k)
+        assert(got == want, s"k=$k parts=$parts: $got vs $want")
+      }
+    }
+  }
 }

@@ -29,6 +29,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_ngram_poly_hash(array(7L, 8L, 9L), 2, 1000003L, 2147483647L) AS g")
       .head().getSeq[Long](0)
     assert(viaSql2 == viaScala2)
+    // the KMV aggregate works from SQL (analyzer wraps the registered
+    // AggregateFunction like a built-in aggregate)
+    val kmv = spark.sql(
+      "SELECT graft_kmv_sketch(v, 2) AS s FROM VALUES (9L), (1L), (5L), (1L) AS t(v)")
+      .head().getSeq[Long](0)
+    assert(kmv == Seq(1L, 5L))
     // registration is idempotent
     GraftFunctions.register(spark)
   }

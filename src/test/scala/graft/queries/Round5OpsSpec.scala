@@ -125,6 +125,63 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("hit_ratio") == 0.75)
   }
 
+  // ---- kmv_sketch aggregate --------------------------------------------
+
+  test("kmv_sketch keeps the k smallest DISTINCT values across partitions") {
+    import graft.functions.KmvAggregates.kmvSketch
+    val df = Seq(5L, 3L, 9L, 3L, 1L, 7L, 1L, 9L).toDF("v").repartition(4) // force merges
+    val top3 = df.agg(kmvSketch(col("v"), 3)).collect().head.getSeq[Long](0)
+    assert(top3 == Seq(1L, 3L, 5L), s"got $top3")
+    // below-k: every distinct value survives, ascending
+    val all = df.agg(kmvSketch(col("v"), 64)).collect().head.getSeq[Long](0)
+    assert(all == Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
+  // ---- q_stratified_sample ---------------------------------------------
+
+  test("stratified sample: exactly k per stratum (all docs when below k), deterministic") {
+    import graft.pipeline.Sampling
+    val dir = writeDocs(
+      (1L to 40L).map(i => (i, "big", "t", 10L)) ++
+        Seq((101L, "tiny", "t", 10L), (102L, "tiny", "t", 10L)))
+    def run() = Sampling.stratifiedSample(spark, dir).collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("rn"), r.getAs[Long]("doc_id"))).sorted.toSeq)
+      .toMap
+    val s1 = run()
+    assert(s1("big").size == Sampling.StratumK)
+    assert(s1("big").map(_._1) == (1L to Sampling.StratumK.toLong)) // dense ranks
+    assert(s1("tiny").size == 2, "below-k stratum keeps every doc")
+    assert(run() == s1, "hash-gated sample must be reproducible")
+  }
+
+  // ---- q_dist_drift ------------------------------------------------------
+
+  test("dist drift: identical distributions give zero TVD and chi2") {
+    val dir = writeDocs(
+      (1L to 10L).map(i => (i, "x", "t", 100L)) ++
+        (11L to 20L).map(i => (i, "y", "t", 150L))) // same bin (0) for all
+    val out = DriftQueries.distDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("tvd"), r.getAs[Double]("chi2"), r.getAs[Boolean]("drifted"))).toMap
+    assert(out("x") == ((0.0, 0.0, false)))
+    assert(out("y") == ((0.0, 0.0, false)))
+  }
+
+  test("dist drift: a shifted source is flagged, absent-bin mass folded in closed form") {
+    val dir = writeDocs(
+      (1L to 10L).map(i => (i, "x", "t", 100L)) ++ // bin 0
+        (11L to 20L).map(i => (i, "y", "t", 150L)) ++ // bin 0
+        (21L to 30L).map(i => (i, "z", "t", 900L))) // bin 4 -- shifted
+    val out = DriftQueries.distDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Double]("tvd"), r.getAs[Boolean]("drifted")))
+      .toMap
+    // z: p(bin4)=1 vs q=1/3 -> tvd = (|1-1/3| + (1-1/3))/2 = 2/3
+    assert(math.abs(out("z")._1 - 2.0 / 3) < 1e-3 && out("z")._2)
+    // x: p(bin0)=1 vs q=2/3 -> tvd = 1/3 (the z docs dragged the baseline)
+    assert(math.abs(out("x")._1 - 1.0 / 3) < 1e-3 && out("x")._2)
+  }
+
   // ---- q_compaction_plan -------------------------------------------------
 
   test("compaction plan: prefix-sum bins split per source at the target size") {
