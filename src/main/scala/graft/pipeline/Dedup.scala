@@ -551,6 +551,41 @@ object Dedup {
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
 
+  // ---- q_canonical_docs ----------------------------------------------
+
+  /** q_canonical_docs: duplicate-cluster RESOLUTION — the curation step
+    * after clustering decides which copy survives. Every clustered doc
+    * is labeled `keep` iff it is its cluster's canonical member: the
+    * longest text (near-dup clusters usually contain truncated copies;
+    * the longest is the most complete), doc_id as the deterministic
+    * tie-break. Docs outside any cluster are implicitly kept and not
+    * emitted (they need no resolution).
+    *
+    * Scale: [[components]]' label relation joined to a two-column doc
+    * projection; the argmax is a window PARTITIONED by cluster (cluster
+    * sizes are small by construction — they are near-dup groups), so no
+    * global sort and no skew risk beyond a pathological mega-cluster,
+    * which the components convergence guard already surfaces.
+    */
+  def canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = components(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_root"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    comps.join(docs, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_root"), col("cluster_size"),
+        col("n_chars"), col("keep"))
+  }
+
+  val canonicalSql: String =
+    s"""
+    SELECT c.doc_id, c.cluster_root, c.cluster_size, d.n_chars,
+           (row_number() OVER (PARTITION BY c.cluster_root
+              ORDER BY d.n_chars DESC, c.doc_id ASC)) = 1 AS keep
+    FROM ($componentsSql) c JOIN documents d ON c.doc_id = d.doc_id"""
+
   // ---- q_dup_degree --------------------------------------------------
 
   /** Degree profile of the near-dup graph — the health metric dedup

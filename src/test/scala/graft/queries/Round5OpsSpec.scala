@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.pipeline.{TableOps, TextAnalysis}
+import graft.pipeline.{Dedup, TableOps, TextAnalysis}
 
 /** Fixture specs for the round-5 registered operators (q_resample,
   * q_profile_approx, q_blocklist, q_compaction_plan) — the oracle gate
@@ -180,6 +180,23 @@ class Round5OpsSpec extends SparkSpec {
     assert(math.abs(out("z")._1 - 2.0 / 3) < 1e-3 && out("z")._2)
     // x: p(bin0)=1 vs q=2/3 -> tvd = 1/3 (the z docs dragged the baseline)
     assert(math.abs(out("x")._1 - 1.0 / 3) < 1e-3 && out("x")._2)
+  }
+
+  // ---- q_canonical_docs --------------------------------------------------
+
+  test("canonical docs: exactly one keep per cluster — longest member, doc_id tiebreak") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.canonical(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster_root")).foreach { case (root, ms) =>
+      val keeps = ms.filter(_.getAs[Boolean]("keep"))
+      assert(keeps.length == 1, s"cluster $root must keep exactly one doc")
+      val best = ms.map(r => (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id"))).min
+      val k = keeps.head
+      assert((-k.getAs[Long]("n_chars"), k.getAs[Long]("doc_id")) == best,
+        s"cluster $root kept a non-canonical member")
+      assert(ms.length.toLong == ms.head.getAs[Long]("cluster_size"))
+    }
   }
 
   // ---- q_compaction_plan -------------------------------------------------
