@@ -113,6 +113,7 @@ object SparkEntry {
     "q_pagerank" -> (graft.pipeline.GraphOps.pagerank _),
     // mergeable sketches
     "q_kmv_distinct" -> (graft.queries.SketchQueries.kmvDistinct _),
+    "q_quantile_sample" -> (graft.queries.SketchQueries.quantileSample _),
     // table maintenance (CDC + layout)
     "q_snapshot_diff" -> (graft.pipeline.TableOps.snapshotDiff _),
     "q_zorder" -> (graft.pipeline.TableOps.zorder _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "q_cms_topk" -> graft.queries.SketchQueries.cmsTopkSql,
     "q_pagerank" -> graft.pipeline.GraphOps.pagerankSql,
     "q_kmv_distinct" -> graft.queries.SketchQueries.kmvDistinctSql,
+    "q_quantile_sample" -> graft.queries.SketchQueries.quantileSampleSql,
     "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,
     "q_zorder" -> graft.pipeline.TableOps.zorderSql,
     "q_phash_pairs" -> Multimodal.phashPairsSql,

@@ -171,4 +171,88 @@ object SketchQueries {
     )
     SELECT user_id, n_exact, cms_estimate, cms_estimate >= n_exact AS cms_ge_exact
     FROM est ORDER BY n_exact DESC, user_id ASC LIMIT 20"""
+
+  // ---- q_quantile_sample -----------------------------------------------
+
+  /** Rows kept per topic in the quantile sample. */
+  val QuantileSampleK = 256
+
+  /** Salt fan-out for the sample's partial bottom-k phase. */
+  val QuantileSampleSalt = 32
+
+  /** q_quantile_sample: per-topic quantiles from a deterministic
+    * bottom-k hash sample, next to the exact quantiles for calibration
+    * — the bounded-state path for percentiles at scale. Exact
+    * `percentile()` needs every value of a group in one place (sort or
+    * full value buffer — the costliest aggregate after exact
+    * distinct); a bottom-k-by-md5 sample is a uniform [[
+    * QuantileSampleK]]-row subset that is mergeable (union, keep the k
+    * smallest hashes), reproducible (no randomness), and
+    * oracle-checkable, and its empirical quantiles converge at
+    * O(1/√k) like any uniform sample.
+    *
+    * Scale: the sample is built with the two-phase salted rank (per
+    * (topic, salt) partial bottom-k, then global bottom-k over ≤ k·32
+    * survivors) — a hot topic never funnels its full row set through
+    * one task. The exact leg exists for the oracle/calibration only;
+    * at 100 TB you run just the sample leg.
+    */
+  def quantileSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    val hv = conv(substring(md5(concat(lit("qs|"), col("event_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val base = ev.select(col("event_type").as("topic"), col("value"), hv.as("hv"))
+    val partial = base
+      .withColumn("salt", pmod(col("hv"), lit(QuantileSampleSalt.toLong)))
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy(col("topic"), col("salt")).orderBy(col("hv"))))
+      .filter(col("rn1") <= QuantileSampleK)
+    val sampled = partial
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("topic")).orderBy(col("hv"))))
+      .filter(col("rn") <= QuantileSampleK)
+      .groupBy(col("topic"))
+      .agg(
+        count(lit(1)).as("n_sample"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50_sample"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_sample"),
+      )
+    val exact = base.groupBy(col("topic"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_exact"),
+      )
+    exact.join(broadcast(sampled), "topic")
+      .select(col("topic"), col("n"), col("p50_exact"), col("p95_exact"),
+        col("n_sample"), col("p50_sample"), col("p95_sample"))
+  }
+
+  val quantileSampleSql: String =
+    s"""
+    WITH base AS (
+      SELECT event_type AS topic, value,
+             CAST(('0x' || substr(md5('qs|' || event_id), 1, 15)) AS BIGINT) AS hv
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT topic, value, row_number() OVER (PARTITION BY topic ORDER BY hv) AS rn
+      FROM base
+    ),
+    samp AS (
+      SELECT topic, count(*) AS n_sample,
+             round(quantile_cont(value, 0.5), 6) AS p50_sample,
+             round(quantile_cont(value, 0.95), 6) AS p95_sample
+      FROM r WHERE rn <= $QuantileSampleK GROUP BY 1
+    ),
+    ex AS (
+      SELECT topic, count(*) AS n,
+             round(quantile_cont(value, 0.5), 6) AS p50_exact,
+             round(quantile_cont(value, 0.95), 6) AS p95_exact
+      FROM base GROUP BY 1
+    )
+    SELECT e.topic, e.n, e.p50_exact, e.p95_exact,
+           s.n_sample, s.p50_sample, s.p95_sample
+    FROM ex e JOIN samp s ON e.topic = s.topic"""
 }

@@ -71,8 +71,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("only the intentional brute-force baseline uses nested-loop joins") {
-    // q_ann_topk is the declared exact-recall baseline; everything else
-    // (incl. q_dedup_simhash, now HmSearch-banded) must be equi-join only.
+    // q_ann_topk is the declared exact-recall baseline and its query
+    // side is hard-capped at <= 100 probes (vec_id < TopkQueryCap), so
+    // the one allowed NLJ is O(cap x N), bounded at any corpus size;
+    // everything else (incl. q_dedup_simhash, HmSearch-banded) must be
+    // equi-join only.
     // A cross join is exempt when its broadcast side is a global (no-key)
     // aggregate: that side is one row by construction, so the "nested
     // loop" is a scalar attach — O(n), not all-pairs.

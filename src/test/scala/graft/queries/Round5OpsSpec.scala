@@ -182,6 +182,26 @@ class Round5OpsSpec extends SparkSpec {
     assert(math.abs(out("x")._1 - 1.0 / 3) < 1e-3 && out("x")._2)
   }
 
+  // ---- q_quantile_sample -------------------------------------------------
+
+  test("quantile sample: bounded-k estimates track the exact quantiles") {
+    val rows = SketchQueries.quantileSample(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val ns = r.getAs[Long]("n_sample")
+      assert(ns == math.min(n, SketchQueries.QuantileSampleK.toLong),
+        s"sample must cap at k: $ns of $n")
+      val (p50e, p95e) = (r.getAs[Double]("p50_exact"), r.getAs[Double]("p95_exact"))
+      val (p50s, p95s) = (r.getAs[Double]("p50_sample"), r.getAs[Double]("p95_sample"))
+      // k=256 -> quantile std error ~ sqrt(p(1-p)/k); half the exact
+      // spread is a generous 4-sigma-ish envelope on this data
+      val spread = math.max(p95e - p50e, 1e-6)
+      assert(math.abs(p50s - p50e) <= 0.5 * spread, s"p50 off: $p50s vs $p50e (spread $spread)")
+      assert(math.abs(p95s - p95e) <= 0.5 * spread, s"p95 off: $p95s vs $p95e (spread $spread)")
+    }
+  }
+
   // ---- q_canonical_docs --------------------------------------------------
 
   test("canonical docs: exactly one keep per cluster — longest member, doc_id tiebreak") {
