@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract hygiene (no SparkSession needed): every registered
+  * query must carry a DuckDB oracle, except the two ML fits whose
+  * oracles are generated AFTER their fit runs (frozen-centroid
+  * mechanism — Verify runs queries before dumping oracle_sql.json, so
+  * the driver still gets both). A new operator landing in `queries`
+  * without an `oracleSql` entry fails here instead of silently
+  * degrading to the rows-only check.
+  */
+class EntryContractSpec extends AnyFunSuite {
+
+  test("every registered query has an oracle (ML fits: post-run generated)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.subsetOf(Set("q_ann_ivf", "q_kmeans_anomaly")),
+      s"registered queries without oracle SQL: ${missing.mkString(", ")}")
+  }
+
+  test("no oracle without a query (stale entries)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL for unregistered queries: ${orphans.mkString(", ")}")
+  }
+}
