@@ -124,6 +124,7 @@ object SparkEntry {
     // privacy audit + content filter + table maintenance + resampling
     "q_pii_scan" -> (Privacy.piiScan _),
     "q_blocklist" -> (TextAnalysis.blocklist _),
+    "q_filter_funnel" -> (TextAnalysis.filterFunnel _),
     "q_compaction_plan" -> (graft.pipeline.TableOps.compactionPlan _),
     "q_resample" -> (TemporalQueries.resample _),
     // deterministic per-stratum sampling + distribution-drift monitor
@@ -230,6 +231,7 @@ object SparkEntry {
     "q_top_terms_grouped" -> AnalyticQueries.topTermsGroupedSql,
     "q_pii_scan" -> Privacy.piiScanSql,
     "q_blocklist" -> TextAnalysis.blocklistSql,
+    "q_filter_funnel" -> TextAnalysis.filterFunnelSql,
     "q_compaction_plan" -> graft.pipeline.TableOps.compactionPlanSql,
     "q_resample" -> TemporalQueries.resampleSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,

@@ -734,4 +734,86 @@ object TextAnalysis {
     FROM t
     WHERE CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= $BlocklistThreshold"""
   }
+
+  // ---- q_filter_funnel -------------------------------------------------
+
+  /** Cascade thresholds: minimum tokens, minimum distinct-token ratio. */
+  val FunnelMinTokens = 10
+  val FunnelMinDistinctRatio = 0.3
+
+  /** q_filter_funnel: the curation cascade report — every document is
+    * attributed to the FIRST rule that drops it (too_short →
+    * too_repetitive → blocklisted → exact_dup), and the report shows
+    * per-rule drop counts plus the surviving count after each stage.
+    * This is the dashboard a pipeline owner reads before changing a
+    * threshold: rule order matters (a dup that is also short counts as
+    * short), and the funnel makes the interaction visible.
+    *
+    * Scale: ONE scan computes every per-doc flag (token counts,
+    * distinct ratio, lexicon hits, text hash); the exact-dup keeper is
+    * a hash agg on md5(text) joined back on the 16-byte key; the
+    * stage histogram is a 5-group aggregate and the cumulative
+    * survivors column is a driver-side reshape of that single tiny
+    * result (same discipline as q_profile — never a second scan, no
+    * unpartitioned window).
+    */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens(col("text"))
+    val lex = array(Blocklist.map(lit(_)): _*)
+    val flagged = docs.select(
+      col("doc_id"),
+      md5(col("text")).as("h"),
+      size(toks).as("nt"),
+      size(array_distinct(toks)).as("ndt"),
+      size(filter(toks, w => array_contains(lex, w))).as("n_hits"))
+    val keepers = flagged.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val stage = when(col("nt") < FunnelMinTokens, lit(1))
+      .when(col("ndt").cast("double") / col("nt").cast("double") < FunnelMinDistinctRatio, lit(2))
+      .when(col("n_hits").cast("double") / col("nt").cast("double") >= BlocklistThreshold, lit(3))
+      .when(col("doc_id") =!= col("keeper"), lit(4))
+      .otherwise(lit(0))
+    val counts = flagged.join(keepers, "h")
+      .select(stage.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val rules = Seq(1 -> "too_short", 2 -> "too_repetitive", 3 -> "blocklisted", 4 -> "exact_dup")
+    val rows = rules.scanLeft((0L, 0L, "", total)) { case ((_, _, _, remaining), (s, rule)) =>
+      val dropped = counts.getOrElse(s, 0L)
+      (s.toLong, dropped, rule, remaining - dropped)
+    }.drop(1).map { case (s, dropped, rule, remaining) => (s, rule, dropped, remaining) }
+    rows.toDF("stage", "rule", "n_dropped", "n_remaining")
+  }
+
+  val filterFunnelSql: String =
+    s"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS h,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS ndt,
+             len([w for w in string_split(text, ' ')
+                  if list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w)]) AS n_hits
+      FROM documents
+    ),
+    k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1),
+    staged AS (
+      SELECT CASE
+               WHEN nt < $FunnelMinTokens THEN 1
+               WHEN CAST(ndt AS DOUBLE) / CAST(nt AS DOUBLE) < $FunnelMinDistinctRatio THEN 2
+               WHEN CAST(n_hits AS DOUBLE) / CAST(nt AS DOUBLE) >= $BlocklistThreshold THEN 3
+               WHEN d.doc_id <> k.keeper THEN 4
+               ELSE 0 END AS stage
+      FROM d JOIN k USING (h)
+    ),
+    c AS (SELECT stage, count(*) AS n FROM staged GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM staged),
+    rules(stage, rule) AS (VALUES (1, 'too_short'), (2, 'too_repetitive'),
+                                  (3, 'blocklisted'), (4, 'exact_dup'))
+    SELECT CAST(r.stage AS BIGINT) AS stage, r.rule,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped,
+           CAST((SELECT t FROM tot)
+             - sum(coalesce(c.n, 0)) OVER (ORDER BY r.stage) AS BIGINT) AS n_remaining
+    FROM rules r LEFT JOIN c ON c.stage = r.stage"""
 }

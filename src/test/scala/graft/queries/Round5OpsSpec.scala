@@ -182,6 +182,27 @@ class Round5OpsSpec extends SparkSpec {
     assert(math.abs(out("x")._1 - 1.0 / 3) < 1e-3 && out("x")._2)
   }
 
+  // ---- q_filter_funnel -----------------------------------------------------
+
+  test("filter funnel: each doc attributed to its FIRST failing rule, cascade totals") {
+    val clean = (1 to 10).map(i => s"t$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, "s", "a b", 3L), // too_short (also repetitive — counts as short)
+      (2L, "s", Seq.fill(12)("x").mkString(" "), 23L), // too_repetitive (1/12 distinct)
+      (3L, "s", (Seq.fill(5)("error drop").mkString(" ") + " w1 w2"), 60L), // blocklisted
+      (4L, "s", clean, 40L), // survivor (keeper of the dup pair)
+      (5L, "s", clean, 40L), // exact_dup of 4
+    ))
+    val out = TextAnalysis.filterFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("stage"), r.getAs[Long]("n_dropped"), r.getAs[Long]("n_remaining")))
+      .toMap
+    assert(out("too_short") == ((1L, 1L, 4L)))
+    assert(out("too_repetitive") == ((2L, 1L, 3L)))
+    assert(out("blocklisted") == ((3L, 1L, 2L)))
+    assert(out("exact_dup") == ((4L, 1L, 1L)))
+  }
+
   // ---- q_quantile_sample -------------------------------------------------
 
   test("quantile sample: bounded-k estimates track the exact quantiles") {
