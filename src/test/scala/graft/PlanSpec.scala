@@ -68,6 +68,14 @@ class PlanSpec extends SparkSpec {
     // diversity is two chained aggs (doc,term) -> (doc): exactly two
     val div = collectAll(plan("q_diversity")) { case e: ShuffleExchangeExec => e }
     assert(div.size == 2, s"q_diversity should be two chained aggs, got ${div.size} shuffles")
+    // the KMV sketch leg of the approximate profile is ONE bounded-state
+    // aggregation: the registered plan must stay a single shuffle joined
+    // broadcast to the (driver-reshaped) exact-metrics side
+    val pa = plan("q_profile_approx")
+    val paSh = collectAll(pa) { case e: ShuffleExchangeExec => e }
+    assert(paSh.size <= 1, s"q_profile_approx sketch leg should be one pass, got ${paSh.size} shuffles")
+    assert(collectAll(pa) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "q_profile_approx must broadcast the tiny sketch relation")
   }
 
   test("only the intentional brute-force baseline uses nested-loop joins") {
