@@ -551,6 +551,61 @@ object Dedup {
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
 
+  // ---- q_source_overlap ------------------------------------------------
+
+  /** q_source_overlap: the inter-source duplication matrix — for every
+    * ordered source pair (a, b), the fraction of a's distinct shingles
+    * that also appear in b (directional containment at SOURCE
+    * granularity). This is the lineage diagnostic run before choosing
+    * a mixture: it shows which sources are re-crawls/mirrors of which
+    * (high a→b AND b→a), which embed which (high one way), and which
+    * are genuinely novel, so a source isn't double-weighted just
+    * because it appears under two names.
+    *
+    * Scale: distinct (source, shingle-hash) is one dedup shuffle on an
+    * (string, 8-byte) key; the self-join fans out per shingle by the
+    * number of sources containing it (≤ |sources|, a constant), and
+    * the output is the |sources|² matrix — tiny. The containment
+    * quotient stays unrounded: a ratio of exact BIGINTs is
+    * bit-identical cross-engine, and rounding could land on a decimal
+    * half where the engines' tie-breaks disagree.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ss = shingleHashes(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("hs")).as("sh"))
+      .distinct()
+      .persist()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = ss.as("a")
+      .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        (col("n_shared").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    ss AS (
+      SELECT DISTINCT d.source, s.sh
+      FROM (SELECT doc_id, unnest(hs) AS sh FROM shdoc) s
+      JOIN documents d USING (doc_id)
+    ),
+    sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      FROM ss a JOIN ss b ON a.sh = b.sh AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.n_shared, z.n_sh AS n_a,
+           CAST(s.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS containment
+    FROM shared s JOIN sz z ON s.src_a = z.source"""
+
   // ---- q_canonical_docs ----------------------------------------------
 
   /** q_canonical_docs: duplicate-cluster RESOLUTION — the curation step

@@ -223,6 +223,27 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_source_overlap ----------------------------------------------------
+
+  test("source overlap: directional containment, mirrors symmetric, novel sources absent") {
+    val text = (1 to 8).map(i => s"w$i").mkString(" ") // 4 shingles at n=5
+    val sup = text + " w9" // superset: 5 shingles, contains all 4 of text
+    val dir = writeDocs(Seq(
+      (1L, "a", text, 10L),
+      (2L, "b", sup, 12L), // b embeds a
+      (3L, "c", (1 to 8).map(i => s"z$i").mkString(" "), 10L), // novel
+    ))
+    val out = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Double]("containment")))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out(("a", "b")) == ((4L, 4L, 1.0)), "a fully contained in b")
+    assert(out(("b", "a")) == ((4L, 5L, 0.8)), "b only 4/5 contained in a")
+    assert(!out.keySet.exists { case (x, y) => x == "c" || y == "c" },
+      "the novel source must not appear in the overlap matrix")
+  }
+
   // ---- q_canonical_docs --------------------------------------------------
 
   test("canonical docs: exactly one keep per cluster — longest member, doc_id tiebreak") {
