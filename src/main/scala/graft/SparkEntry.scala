@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_components" -> (Dedup.components _),
     "q_canonical_docs" -> (Dedup.canonical _),
     "q_source_overlap" -> (Dedup.sourceOverlap _),
+    "q_ngram_novelty" -> (Dedup.ngramNovelty _),
     "q_dup_degree" -> (Dedup.dupDegree _),
     "q_dedup_incremental" -> (Dedup.incremental _),
     "q_bloom_dedup" -> (Dedup.bloomDedup _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "q_dedup_components" -> Dedup.componentsSql,
     "q_canonical_docs" -> Dedup.canonicalSql,
     "q_source_overlap" -> Dedup.sourceOverlapSql,
+    "q_ngram_novelty" -> Dedup.ngramNoveltySql,
     "q_dup_degree" -> Dedup.dupDegreeSql,
     "q_dedup_incremental" -> Dedup.incrementalSql,
     "q_bloom_dedup" -> Dedup.bloomDedupSql,

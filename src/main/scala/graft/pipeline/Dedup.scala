@@ -551,6 +551,49 @@ object Dedup {
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
 
+  // ---- q_ngram_novelty ---------------------------------------------------
+
+  /** q_ngram_novelty: per-document novelty — the fraction of a doc's
+    * distinct shingles that appear in NO other document. Low novelty =
+    * boilerplate/template/duplicated text even when no single pair
+    * crosses a dedup threshold (death by a thousand quotes); novelty
+    * near 1 marks the genuinely unique documents worth up-weighting.
+    * The complementary diagnostic to [[dupDegree]]: degree counts
+    * neighbors, novelty measures how much of the TEXT is shared.
+    *
+    * Scale: document frequency per shingle is one hash agg on the
+    * 8-byte shingle key; scoring joins the (doc, shingle) relation to
+    * that df relation on the same key — shuffle-partitioned alike, no
+    * broadcast needed (the df relation is vocabulary-sized). Quotient
+    * unrounded (exact bigint ratio).
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+      .persist()
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_novel"),
+      )
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_sh").cast("double")).as("novelty"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
+    df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+    SELECT s.doc_id, count(*) AS n_sh,
+           CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+    FROM sh s JOIN df f ON s.sh = f.sh
+    GROUP BY 1"""
+
   // ---- q_source_overlap ------------------------------------------------
 
   /** q_source_overlap: the inter-source duplication matrix — for every

@@ -223,6 +223,23 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_ngram_novelty -------------------------------------------------------
+
+  test("ngram novelty: unique docs score 1.0, a verbatim copy drags both to 0") {
+    val unique = (1 to 8).map(i => s"u$i").mkString(" ")
+    val copied = (1 to 8).map(i => s"c$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, "s", unique, 10L),
+      (2L, "s", copied, 10L),
+      (3L, "s", copied, 10L), // verbatim copy: every shingle of 2 and 3 has df=2
+    ))
+    val out = Dedup.ngramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
   // ---- q_source_overlap ----------------------------------------------------
 
   test("source overlap: directional containment, mirrors symmetric, novel sources absent") {
