@@ -39,10 +39,13 @@ case class KmvSketch(
 
   override def children: Seq[Expression] = Seq(child)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"kmv_sketch expects an integer hash, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"kmv_sketch needs k >= 1, got $k")
+    else child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"kmv_sketch expects an integer hash, got $t")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

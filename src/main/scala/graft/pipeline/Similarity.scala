@@ -376,14 +376,16 @@ object Similarity {
     // quantizer doesn't need), input cached across iterations — a
     // quantizer needs rough cells, not convergence; sample-fit is also
     // the only viable shape at 100 TB
-    // coalesce(4): the sample is tiny relative to the corpus, but each
-    // KMeans iteration launches one task per partition — at 32 shuffle
-    // partitions the fit was pure scheduling overhead. At 100 TB the
-    // same rule applies with a bigger constant: repartition the fit
-    // sample to O(sample/128MB) partitions, never the corpus's.
+    // repartition(4), NOT coalesce: each KMeans iteration launches one
+    // task per partition, so a sample spread over all 32 shuffle
+    // partitions is scheduling overhead — but coalesce would propagate
+    // UP and collapse the corpus scan itself to 4 tasks. The shuffle
+    // boundary keeps the scan at full parallelism and moves only the
+    // tiny sample. At 100 TB the same rule with a bigger constant:
+    // repartition the fit sample by ITS size, never the corpus's.
     val fitInput = emb.filter(col("vec_id") % 3 === 0)
       .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      .coalesce(4)
+      .repartition(4)
       .persist()
     val model = try {
       new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(8)

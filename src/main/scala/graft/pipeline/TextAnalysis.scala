@@ -762,22 +762,28 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
     val toks = tokens(col("text"))
     val lex = array(Blocklist.map(lit(_)): _*)
+    // persisted: both the keeper aggregate and the scoring join read
+    // this relation — without the pin Spark would re-scan documents and
+    // re-tokenize every flag twice (the one-scan claim above)
     val flagged = docs.select(
       col("doc_id"),
       md5(col("text")).as("h"),
       size(toks).as("nt"),
       size(array_distinct(toks)).as("ndt"),
       size(filter(toks, w => array_contains(lex, w))).as("n_hits"))
+      .persist()
     val keepers = flagged.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val stage = when(col("nt") < FunnelMinTokens, lit(1))
       .when(col("ndt").cast("double") / col("nt").cast("double") < FunnelMinDistinctRatio, lit(2))
       .when(col("n_hits").cast("double") / col("nt").cast("double") >= BlocklistThreshold, lit(3))
       .when(col("doc_id") =!= col("keeper"), lit(4))
       .otherwise(lit(0))
-    val counts = flagged.join(keepers, "h")
-      .select(stage.as("stage"))
-      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts =
+      try flagged.join(keepers, "h")
+        .select(stage.as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      finally flagged.unpersist()
     val total = counts.values.sum
     val rules = Seq(1 -> "too_short", 2 -> "too_repetitive", 3 -> "blocklisted", 4 -> "exact_dup")
     val rows = rules.scanLeft((0L, 0L, "", total)) { case ((_, _, _, remaining), (s, rule)) =>

@@ -182,13 +182,18 @@ object ProfileQueries {
       .select(col("col_name"),
         element_at(col("top"), -1).as("kth_hash"),
         size(col("top")).cast("long").as("nk"))
-    base.join(broadcast(kth), Seq("col_name"))
+    // LEFT join + coalesce-to-0: a fully-null column has no hashes and
+    // therefore no sketch row, but the profile must still REPORT it —
+    // the all-null column is exactly what a profile exists to surface
+    base.join(broadcast(kth), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_null"),
-        round(
-          when(col("nk") < SketchQueries.KmvK, col("nk").cast("double"))
-            .otherwise(lit((SketchQueries.KmvK - 1).toDouble) * lit(SketchQueries.Domain)
-              / col("kth_hash").cast("double")),
-          6).as("n_distinct_kmv"),
+        coalesce(
+          round(
+            when(col("nk") < SketchQueries.KmvK, col("nk").cast("double"))
+              .otherwise(lit((SketchQueries.KmvK - 1).toDouble) * lit(SketchQueries.Domain)
+                / col("kth_hash").cast("double")),
+            6),
+          lit(0.0)).as("n_distinct_kmv"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"),
         col("is_complete"))
   }
@@ -252,10 +257,11 @@ object ProfileQueries {
              NULL, NULL, props__smin, props__smax, n_rows - props__cnt = 0 FROM m
     )
     SELECT p.col_name, p.n_rows, p.n_null,
-           round(CASE WHEN k.nk < $KmvK THEN CAST(k.nk AS DOUBLE)
-                      ELSE ${KmvK - 1}.0 * $Domain / CAST(k.kth_hash AS DOUBLE) END, 6) AS n_distinct_kmv,
+           coalesce(round(CASE WHEN k.nk < $KmvK THEN CAST(k.nk AS DOUBLE)
+                      ELSE ${KmvK - 1}.0 * $Domain / CAST(k.kth_hash AS DOUBLE) END, 6),
+                    CAST(0 AS DOUBLE)) AS n_distinct_kmv,
            p.min_num, p.max_num, p.min_str, p.max_str, p.is_complete
-    FROM percol p JOIN kth k ON p.col_name = k.col_name"""
+    FROM percol p LEFT JOIN kth k ON p.col_name = k.col_name"""
   }
 
   // ---- q_skew_report -------------------------------------------------

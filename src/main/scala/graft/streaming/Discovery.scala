@@ -90,21 +90,33 @@ class Discovery(
     // first message per topic — dropDuplicates on topic is the
     // distributed form of the reference's per-topic sampling gate.
     // The collect is bounded by TOPIC cardinality, not batch size, and
-    // additionally hard-capped at maxTopicsPerScan: a pathological
-    // million-topic cluster must not OOM the driver — overflow topics
-    // simply wait for a later scan (discovery is a convergent loop; the
-    // reference's per-interval sampling has the same eventual shape).
-    val raw = batch
+    // additionally hard-capped at maxTopicsPerScan. UNKNOWN topics are
+    // taken ahead of the cap via an anti join against the known set —
+    // a bare limit would drain the same deterministic topic subset
+    // every scan and starve the rest forever; with the split, each
+    // scan admits up to cap NEW topics, so discovery provably advances
+    // (known topics are re-sampled separately, also capped, for
+    // schema-change detection).
+    val deduped = batch
       .filter(col("topic").isNotNull && col("value").isNotNull)
       .dropDuplicates("topic")
       .select(col("topic"), col("value"))
-      .limit(maxTopicsPerScan + 1)
-      .as[(String, String)]
-      .collect()
-    if (raw.length > maxTopicsPerScan)
-      log.warn(s"field discovery scan saw more than $maxTopicsPerScan topics; " +
-        "the overflow is deferred to a later scan (raise maxTopicsPerScan to widen)")
-    val samples = raw.take(maxTopicsPerScan)
+    val known = schemaHashes.get().keySet
+    val (freshSide, revisitSide) =
+      if (known.isEmpty) (deduped, None)
+      else {
+        val knownDf = broadcast(known.toSeq.toDF("topic"))
+        (deduped.join(knownDf, Seq("topic"), "left_anti"),
+          Some(deduped.join(knownDf, Seq("topic"), "left_semi")))
+      }
+    val fresh = freshSide.limit(maxTopicsPerScan + 1).as[(String, String)].collect()
+    if (fresh.length > maxTopicsPerScan)
+      log.warn(s"field discovery scan saw more than $maxTopicsPerScan new topics; " +
+        "the overflow is admitted by later scans (raise maxTopicsPerScan to widen)")
+    val revisit = revisitSide
+      .map(_.limit(maxTopicsPerScan).as[(String, String)].collect())
+      .getOrElse(Array.empty[(String, String)])
+    val samples = fresh.take(maxTopicsPerScan) ++ revisit
 
     val changed = samples.flatMap { case (topic, json) =>
       val paths = numericPathsOf(json)

@@ -109,6 +109,31 @@ class Round5OpsSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("profile_approx: a fully-null column stays in the report with estimate 0") {
+    // an all-null column produces NO hashes and therefore no sketch row;
+    // the report must still surface it (left join + 0 estimate), since
+    // the broken column is exactly what a profile is for
+    val dir = java.nio.file.Files.createTempDirectory("r5nullev").toString
+    (1L to 20L).map(i => (i, new Timestamp(i * 1000), Some(i % 3), "t", i * 1.5, None: Option[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ProfileQueries.profileApprox(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Double]("n_distinct_kmv"), r.getAs[Long]("n_null"), r.getAs[Boolean]("is_complete")))
+      .toMap
+    assert(out.size == 6, s"all 6 columns must be reported: ${out.keySet}")
+    assert(out("props") == ((0.0, 20L, false)), s"got ${out("props")}")
+    assert(out("event_id")._1 == 20.0) // below-k exact, sanity
+  }
+
+  test("kmv_sketch rejects k < 1 at analysis time") {
+    import graft.functions.KmvAggregates.kmvSketch
+    val df = Seq(1L, 2L).toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(kmvSketch(col("v"), 0)).collect()
+    }
+  }
+
   // ---- q_blocklist -----------------------------------------------------
 
   test("blocklist: flags docs at or above the hit-ratio threshold only") {

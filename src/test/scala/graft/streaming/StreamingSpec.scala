@@ -302,13 +302,17 @@ class DiscoverySpec extends SparkSpec {
   test("field discovery collect is hard-capped at maxTopicsPerScan (driver-bound guard)") {
     val d = new Discovery(spark, Dsl(Nil), maxTopicsPerScan = 50)
     // a pathological 10k-topic batch must not land 10k samples on the
-    // driver: one scan collects at most the cap, later scans continue
+    // driver: one scan collects at most the cap, and because NEW topics
+    // are anti-joined ahead of the cap, every further scan admits the
+    // NEXT batch of topics instead of re-draining the same subset
     val batch = (0 until 10000).map(i => (s"t$i", s"""{"v":$i}""")).toDF("topic", "value")
     val changed = d.discoverFields(batch)
     assert(changed.size == 50, s"scan must cap at 50 topics, got ${changed.size}")
     assert(d.discoveredFields.size == 50)
-    val changed2 = d.discoverFields(batch) // stays bounded on re-scan too
-    assert(changed2.size <= 50)
+    val changed2 = d.discoverFields(batch)
+    assert(changed2.size == 50, s"second scan must admit 50 MORE topics, got ${changed2.size}")
+    assert((changed2 & changed).isEmpty, "discovery re-admitted already-known topics as changed")
+    assert(d.discoveredFields.size == 100, "discovery must accumulate across scans")
   }
 
   test("per-field window hook overrides the default (beforeDiscoveryFieldConfig)") {
