@@ -8,11 +8,21 @@ import org.apache.spark.sql.SparkSession
   * A session warm-up (tiny scan + shuffle + codegen compile) runs before
   * any timing so the first measured query does not absorb JVM/session
   * startup; queries then run in name order for run-to-run comparability.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * reported per-query number is the MEDIAN: the sandbox the driver runs
+  * in is shared, and a single-shot timer recorded a phantom 1.29x
+  * "regression" in round 5 that an immediate re-run fully dissolved.
+  * The min is also recorded (closest to contention-free) per query in
+  * `queries_detail`. A query that throws is reported under `errors`
+  * with the exception message instead of being folded into a fake wall
+  * time — a broken query must never look like a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,28 +48,82 @@ object Bench {
       new KMeans().setK(2).setSeed(1L).setMaxIter(1).fit(tiny)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // scope each query's persisted intermediates to its own run: a
-      // session executing 45 queries back to back must not accumulate
-      // their caches until eviction pressure (also keeps each timing
-      // independent — no query reads a predecessor's leftover cache)
-      spark.catalog.clearCache()
-      name -> dt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < runs && !failed) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed = true
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        if (!failed) times += (System.nanoTime() - t0) / 1e9
+        // scope each query's persisted intermediates to its own run: a
+        // session executing ~100 queries back to back must not accumulate
+        // their caches until eviction pressure (also keeps each timing
+        // independent — no query reads a predecessor's leftover cache)
+        spark.catalog.clearCache()
+        i += 1
+      }
+      if (failed) None else Some(name -> times.toSeq)
+    }
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail = results.map { case (k, ts) =>
+      "\"" + k + "\":{\"median\":" + fmt(median(ts)) + ",\"min\":" + fmt(ts.min) +
+        ",\"runs\":[" + ts.map(fmt).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.sum
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
+      s""""queries":$qs,"queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
-    // also persist the full result set: the driver's stdout tail is
-    // capped, which truncated earlier rounds' per-query breakdown —
-    // the file is the durable record for round-over-round comparison
+    // Persist the full result set twice: the driver's stdout tail is
+    // capped (which truncated earlier rounds' per-query breakdown), and
+    // the un-suffixed latest file gets overwritten every run — so a
+    // per-round copy (bench_results_r{N}.json, N inferred from the
+    // committed BENCH_r*.json artifacts) is the durable record for
+    // round-over-round comparison.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] result file write failed: ${e.getMessage}") }
+    writeQuiet(out, json + "\n")
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound()).getOrElse("0")
+    if (!out.contains("_r")) {
+      val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+      writeQuiet(dir.resolve(s"bench_results_r$round.json").toString, json + "\n")
+    }
     spark.stop()
   }
+
+  /** Current round = highest committed BENCH_r{N}.json + 1 (those are
+    * written by the driver at the END of round N, so during round 6 the
+    * max on disk is 5).
+    */
+  private def inferRound(): Option[String] = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val here = java.nio.file.Paths.get(".").toAbsolutePath
+    val ns = java.nio.file.Files.list(here).toArray.toSeq.flatMap { p =>
+      p.asInstanceOf[java.nio.file.Path].getFileName.toString match {
+        case re(n) => Some(n.toInt)
+        case _ => None
+      }
+    }
+    if (ns.isEmpty) None else Some((ns.max + 1).toString)
+  }
+
+  private def writeQuiet(path: String, body: String): Unit =
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    catch { case e: Throwable => System.err.println(s"[bench] result file write failed: ${e.getMessage}") }
 }
