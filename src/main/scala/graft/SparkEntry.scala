@@ -129,6 +129,8 @@ object SparkEntry {
     "q_filter_funnel" -> (TextAnalysis.filterFunnel _),
     "q_compaction_plan" -> (graft.pipeline.TableOps.compactionPlan _),
     "q_resample" -> (TemporalQueries.resample _),
+    // exact repeated-passage extraction (suffix-style duplicate spans)
+    "q_dup_passages" -> (Dedup.dupPassages _),
     // deterministic per-stratum sampling + distribution-drift monitor
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_dist_drift" -> (graft.queries.DriftQueries.distDrift _),
@@ -238,6 +240,7 @@ object SparkEntry {
     "q_filter_funnel" -> TextAnalysis.filterFunnelSql,
     "q_compaction_plan" -> graft.pipeline.TableOps.compactionPlanSql,
     "q_resample" -> TemporalQueries.resampleSql,
+    "q_dup_passages" -> Dedup.dupPassagesSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_dist_drift" -> graft.queries.DriftQueries.distDriftSql,
   ) ++

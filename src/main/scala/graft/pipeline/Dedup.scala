@@ -796,4 +796,116 @@ object Dedup {
       JOIN documents db ON c.doc_b = db.doc_id
     )
     SELECT doc_a, doc_b, shared, lev, sim, sim >= $FuzzyMin AS keep FROM j"""
+
+  // ---- q_dup_passages ------------------------------------------------
+
+  /** Anchor k-gram width (tokens) for repeated-passage detection. */
+  val PassageK = 8
+
+  /** Minimum reported duplicated-span length (tokens). */
+  val PassageMinLen = 12
+
+  /** q_dup_passages: exact repeated-passage extraction — the maximal
+    * duplicated token spans (≥ [[PassageMinLen]] tokens) shared by any
+    * two documents. This is the dedup mode shingle Jaccard /
+    * containment / winnowing only approximate: it returns the actual
+    * repeated SPANS (where each copy starts and how long it runs), the
+    * batch stand-in for suffix-array duplicate-passage mining.
+    *
+    * Shape (candidates-then-verify, like the rest of the family):
+    *  1. anchors — every positioned k-gram ([[PassageK]] tokens) as its
+    *     rolling hash: `(doc_id, pos, g)`, one codegen pass per doc.
+    *  2. candidates — equi self-join on the 8-byte anchor hash
+    *     (`doc_a < doc_b`): matching positions `(pa, pb)`, never
+    *     all-pairs.
+    *  3. extend-and-merge — consecutive anchor matches lie on the same
+    *     diagonal `pa − pb`; gaps-and-islands over each (pair,
+    *     diagonal) merges runs into maximal spans of length
+    *     `max(pa) − min(pa) + k`.
+    *  4. verify — gather both token slices and demand literal equality,
+    *     so a rolling-hash collision can never fabricate a span; the
+    *     surviving `passage` column is the span text itself.
+    *
+    * Scale: the only shuffles are the anchor-hash join (key: 8-byte
+    * hash; fan-out bounded by duplication, exactly like the shingle
+    * scaffold), the (pair, diagonal)-PARTITIONED window (never global),
+    * and two narrow id joins to gather candidate slices — full texts
+    * move only for documents that actually share a span. The span
+    * relation feeds [[canonical]]-style resolution downstream: pairs
+    * with near-total coverage are cluster edges, partial spans are
+    * quote/boilerplate extraction targets.
+    */
+  def dupPassages(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= PassageK)
+      .persist() // anchor explode + both passage gathers read it
+    val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
+    val kg = toks
+      .select(col("doc_id"),
+        posexplode(graft.functions.SketchFunctions.ngramPolyHash(tokHashes, PassageK, PolyB, P)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+      .persist() // both sides of the anchor self-join
+    val m = kg.as("a")
+      .join(kg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val spans = m
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (max(col("pa")) - min(col("pa")) + lit(PassageK)).as("span_len"))
+      .filter(col("span_len") >= PassageMinLen)
+    spans
+      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toks.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .withColumn("passage",
+        concat_ws(" ", slice(col("ta.t"), col("start_a"), col("span_len"))))
+      .filter(col("passage") ===
+        concat_ws(" ", slice(col("tb.t"), col("start_b"), col("span_len"))))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_len"), col("passage"))
+  }
+
+  val dupPassagesSql: String = {
+    val k = PassageK
+    def fold(sliceExpr: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= $k
+    ),
+    th AS (SELECT doc_id, [${h32Sql.format("tk")} % ${P} for tk in t] AS th FROM toks),
+    kg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ${fold(s"th[i:i+${k - 1}]")} AS g
+      FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - ${k - 1})) AS i FROM th)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+             max(pa) - min(pa) + $k AS span_len
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+      HAVING max(pa) - min(pa) + $k >= $PassageMinLen
+    ),
+    v AS (
+      SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_len,
+             array_to_string(a.t[s.start_a : s.start_a + s.span_len - 1], ' ') AS passage,
+             array_to_string(b.t[s.start_b : s.start_b + s.span_len - 1], ' ') AS passage_b
+      FROM spans s JOIN toks a ON s.doc_a = a.doc_id JOIN toks b ON s.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, start_a, start_b, span_len, passage
+    FROM v WHERE passage = passage_b"""
+  }
 }

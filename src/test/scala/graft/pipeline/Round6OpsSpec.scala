@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Round-6 operators: exact repeated-passage extraction. */
+class DupPassagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("duppass").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // 20 tokens no filler shares, so the maximal span is exactly the plant
+  private val paragraph = (1 to 20).map(i => s"p$i").mkString(" ")
+
+  test("planted repeated paragraph is recovered exactly once, with exact offsets") {
+    // doc 1: 5 filler + paragraph + 4 filler; doc 2: 11 filler + paragraph
+    val d1 = ((1 to 5).map(i => s"a$i") ++ paragraph.split(" ") ++ (6 to 9).map(i => s"a$i")).mkString(" ")
+    val d2 = ((1 to 11).map(i => s"b$i") ++ paragraph.split(" ")).mkString(" ")
+    val out = Dedup.dupPassages(spark, writeDocs(Seq(1L -> d1, 2L -> d2))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("start_a") == 6L, "paragraph starts at token 6 of doc 1")
+    assert(r.getAs[Long]("start_b") == 12L, "paragraph starts at token 12 of doc 2")
+    assert(r.getAs[Long]("span_len") == 20L, "span is maximal: the whole plant, not one anchor")
+    assert(r.getAs[String]("passage") == paragraph)
+  }
+
+  test("shared spans below PassageMinLen tokens are suppressed") {
+    // a 10-token plant: >= PassageK anchors exist, but 10 < PassageMinLen
+    val plant = (1 to 10).map(i => s"q$i").mkString(" ")
+    val d1 = ((1 to 6).map(i => s"c$i") :+ plant).mkString(" ")
+    val d2 = ((1 to 6).map(i => s"d$i") :+ plant).mkString(" ")
+    assert(Dedup.PassageMinLen > 10 && Dedup.PassageK <= 10)
+    assert(Dedup.dupPassages(spark, writeDocs(Seq(1L -> d1, 2L -> d2))).count() == 0)
+  }
+
+  test("a paragraph shared by three documents yields all three pair spans") {
+    val docs = Seq(
+      1L -> ((1 to 4).map(i => s"x$i").mkString(" ") + " " + paragraph),
+      2L -> (paragraph + " " + (1 to 4).map(i => s"y$i").mkString(" ")),
+      3L -> ((1 to 2).map(i => s"z$i").mkString(" ") + " " + paragraph),
+    )
+    val out = Dedup.dupPassages(spark, writeDocs(docs)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("two disjoint repeated paragraphs in one pair produce two separate spans") {
+    val p2 = (1 to 15).map(i => s"r$i").mkString(" ")
+    val d1 = (paragraph.split(" ") ++ (1 to 7).map(i => s"e$i") ++ p2.split(" ")).mkString(" ")
+    val d2 = (p2.split(" ") ++ (1 to 9).map(i => s"g$i") ++ paragraph.split(" ")).mkString(" ")
+    val out = Dedup.dupPassages(spark, writeDocs(Seq(1L -> d1, 2L -> d2))).collect()
+    assert(out.map(_.getAs[String]("passage")).toSet == Set(paragraph, p2))
+    assert(out.map(_.getAs[Long]("span_len")).sorted.toSeq == Seq(15L, 20L))
+  }
+}
