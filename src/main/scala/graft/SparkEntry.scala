@@ -131,6 +131,9 @@ object SparkEntry {
     "q_resample" -> (TemporalQueries.resample _),
     // exact repeated-passage extraction (suffix-style duplicate spans)
     "q_dup_passages" -> (Dedup.dupPassages _),
+    // subword token counting: frozen-merge-table BPE, codegen replace chain
+    "q_token_count_bpe" -> (graft.pipeline.Bpe.tokenCountBpe _),
+    "q_token_pack_bpe" -> (graft.pipeline.Bpe.tokenPackBpe _),
     // deterministic per-stratum sampling + distribution-drift monitor
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_dist_drift" -> (graft.queries.DriftQueries.distDrift _),
@@ -250,5 +253,7 @@ object SparkEntry {
     // exact centroids that produced the parquet under compare); absent →
     // the driver falls back to its rows-only check.
     Similarity.annIvfOracleSql.map("q_ann_ivf" -> _) ++
-    MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _)
+    MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _) ++
+    graft.pipeline.Bpe.tokenCountBpeOracleSql.map("q_token_count_bpe" -> _) ++
+    graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _)
 }

@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Subword (BPE-style) token counting — the token-budget measure the
+  * whitespace/regex count in `q_token_count` approximates. Curation
+  * heuristics tolerate word counts; packing to a model's context budget
+  * does not, because real tokenizers split rare words into several
+  * subwords.
+  *
+  * Two stages, the frozen-fit pattern (cf. `Similarity`/`MlAnomaly`):
+  *
+  *  1. FIT (driver-side, once per dataset): classic BPE merge learning
+  *     — count adjacent symbol pairs over the word-frequency table
+  *     (weighted by word count), repeatedly merge the most frequent
+  *     pair; [[NumMerges]] rounds, deterministic tie-break (highest
+  *     count, then lexicographically smallest pair). The word-frequency
+  *     table is capped at [[MaxVocabWords]] rows — vocabulary-sized, so
+  *     the driver collect is bounded at any corpus scale (the same
+  *     bound real tokenizer training uses).
+  *  2. APPLY (distributed, pure codegen): each word is rendered as
+  *     individually wrapped symbols `(h)(e)(l)(l)(o)` and each merge
+  *     rank becomes one literal `replace("(a)(b)" -> "(ab)")`. String
+  *     replace is leftmost non-overlapping, and the wrapping makes a
+  *     match start only at a symbol boundary, so applying the ranks in
+  *     learned order reproduces BPE merge-all encoding without a UDF or
+  *     any per-row loop — the whole chain is a single whole-stage-
+  *     codegen projection, and merges can never cross the word boundary
+  *     because the space separator is never inside a wrapped symbol.
+  *     The token count is then just the number of '(' left.
+  *
+  * The merge table is frozen per dataset; [[tokenCountBpeOracleSql]]
+  * renders the SAME replace chain as DuckDB SQL with the learned ranks
+  * as literals, so the driver hash-gates the full apply stage (the
+  * centroid-oracle pattern). Application order is strict rank order
+  * (one full pass per rank) — the O(ranks) encoding variant; the spec
+  * pins hand-computed segmentations.
+  *
+  * Scale: fit cost is one word-frequency aggregation (shuffle on the
+  * word) + a driver loop over ≤ [[MaxVocabWords]] short words; apply is
+  * embarrassingly parallel projection — no joins, no shuffle, no state.
+  */
+object Bpe {
+
+  /** Number of merge ranks to learn. */
+  val NumMerges = 24
+
+  /** Driver-side word-frequency cap for the fit (vocabulary-sized). */
+  val MaxVocabWords = 1024
+
+  /** Learned merge tables, keyed by dataset dir — a fit for one dataset
+    * must never gate another's parquet (see also the single-dataset
+    * assertion in [[tokenCountBpeOracleSql]]).
+    */
+  private val fitted =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  /** Test seam: drop all frozen merge tables. */
+  private[pipeline] def resetFit(): Unit = fitted.clear()
+
+  def mergesFor(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    fitted.getOrElseUpdate(sfDir, learn(spark, sfDir))
+
+  /** Leftmost non-overlapping merge of adjacent pair `p` in `s` —
+    * reference implementation for the fit loop (and the semantics the
+    * wrapped string replace reproduces distributed).
+    */
+  private[pipeline] def mergePair(s: Vector[String], p: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == p._1 && s(i + 1) == p._2) {
+        out += (p._1 + p._2); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def learn(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
+    // word-frequency table: deterministic top-N by (count desc, word asc).
+    // Words containing the wrap characters are excluded from LEARNING so
+    // no merge rule can collide with the '(sym)' representation; such
+    // words still count at apply time (one token per character).
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("(") && !col("w").contains(")"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(MaxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var words: Seq[(Vector[String], Long)] =
+      wf.map { case (w, c) => (w.split("").filter(_.nonEmpty).toVector, c) }
+    val out = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < NumMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) { val p = (s(i), s(i + 1)); pc(p) = pc.getOrElse(p, 0L) + c; i += 1 }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        words = words.map { case (s, c) => (mergePair(s, best), c) }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Wrapped-symbol representation of one word: `(h)(e)(l)(l)(o)`. */
+  private def wrapChars(w: Column): Column =
+    concat_ws("", transform(filter(split(w, ""), c => c =!= lit("")),
+      c => concat(lit("("), c, lit(")"))))
+
+  /** BPE token count of one word under the learned ranks — the literal
+    * replace chain, then count the '(' that remain.
+    */
+  private def wordTokens(w: Column, merges: Seq[(String, String)]): Column = {
+    val merged = merges.foldLeft(wrapChars(w)) { case (s, (a, b)) =>
+      replace(s, lit(s"($a)($b)"), lit(s"(${a + b})"))
+    }
+    (length(merged) - length(replace(merged, lit("("), lit("")))).cast("long")
+  }
+
+  /** Per-document BPE token count expression over whitespace words. */
+  private def docTokens(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(transform(split(text, " "), w => wordTokens(w, merges)),
+      lit(0L), (acc, x) => acc + x)
+
+  // ---- q_token_count_bpe ---------------------------------------------
+
+  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ms = mergesFor(spark, sfDir)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_ws"),
+      docTokens(col("text"), ms).as("n_tokens_bpe"),
+    )
+  }
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** DuckDB mirror of [[wordTokens]]/[[docTokens]] with the learned
+    * ranks as literals; `w` names the lambda variable in scope.
+    */
+  private def docTokensSql(merges: Seq[(String, String)]): String = {
+    val wrapped = "array_to_string(list_transform(string_split(w, ''), c -> '(' || c || ')'), '')"
+    val chain = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s"replace($s, '${sqlLit(s"($a)($b)")}', '${sqlLit(s"(${a + b})")}')"
+    }
+    s"""CAST(list_sum(list_transform(string_split(text, ' '),
+        w -> length($chain) - length(replace($chain, '(', '')))) AS BIGINT)"""
+  }
+
+  /** Present once the fit has run in this JVM (Verify runs queries
+    * before dumping oracle_sql.json). Refuses to render if more than
+    * one dataset was fitted — the dumped SQL carries one merge table
+    * and must not gate another dataset's parquet.
+    */
+  def tokenCountBpeOracleSql: Option[String] = singleFit.map { ms =>
+    s"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           ${docTokensSql(ms)} AS n_tokens_bpe
+    FROM documents"""
+  }
+
+  private def singleFit: Option[Seq[(String, String)]] = {
+    val snap = fitted.readOnlySnapshot().toMap
+    require(snap.size <= 1,
+      s"BPE merges fitted for multiple datasets (${snap.keys.mkString(", ")}); " +
+        "a single oracle SQL dump cannot gate more than one")
+    snap.values.headOption
+  }
+
+  // ---- q_token_pack_bpe ----------------------------------------------
+
+  /** [[Sampling.tokenPack]] with the BPE count as the packing weight —
+    * greedy sequential fill to [[Sampling.PackBudget]] per (source,
+    * shard). Same partitioned-window shape; only the weight changes,
+    * which is the point: budget packing against the count a real
+    * tokenizer would produce, not the whitespace proxy.
+    */
+  def tokenPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ms = mergesFor(spark, sfDir)
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"),
+      docTokens(col("text"), ms).as("n_tokens"),
+      (Dedup.h32(concat(lit("shard|"), col("doc_id").cast("string"))) % Sampling.PackShards).as("shard"))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk",
+        floor((col("cum") - col("n_tokens")).cast("double") / lit(Sampling.PackBudget.toDouble)).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"), col("chunk"))
+  }
+
+  def tokenPackBpeOracleSql: Option[String] = singleFit.map { ms =>
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             ${docTokensSql(ms)} AS n_tokens,
+             ${Dedup.h32Sql.format("'shard|' || doc_id")} % ${Sampling.PackShards} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / ${Sampling.PackBudget}.0) AS BIGINT) AS chunk
+    FROM c"""
+  }
+}

@@ -58,3 +58,58 @@ class DupPassagesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("span_len")).sorted.toSeq == Seq(15L, 20L))
   }
 }
+
+/** BPE merge learning + codegen replace-chain application. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("mergePair is leftmost non-overlapping") {
+    assert(Bpe.mergePair(Vector("a", "a", "a"), ("a", "a")) == Vector("aa", "a"))
+    assert(Bpe.mergePair(Vector("a", "b", "a", "b"), ("a", "b")) == Vector("ab", "ab"))
+    assert(Bpe.mergePair(Vector("x", "a", "b"), ("a", "b")) == Vector("x", "ab"))
+  }
+
+  test("fit learns hand-checked merge ranks with deterministic tie-break") {
+    Bpe.resetFit()
+    try {
+      // words: aaab(2) ab(1) aab(1) xq(1) -> pair counts round 1:
+      // (a,a)=5 (a,b)=4 (x,q)=1; then (a,b)=3; then (aa,ab)=2; then the
+      // count-1 tie (aa,b) vs (x,q) resolves lexicographically.
+      val dir = writeDocs(Seq(1L -> "aaab aaab ab", 2L -> "aab xq"))
+      val ms = Bpe.mergesFor(spark, dir)
+      assert(ms == Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("aa", "b"), ("x", "q")))
+    } finally Bpe.resetFit()
+  }
+
+  test("token counts match hand-computed BPE segmentations") {
+    Bpe.resetFit()
+    try {
+      val dir = writeDocs(Seq(1L -> "aaab aaab ab", 2L -> "aab xq", 3L -> "aaa"))
+      val out = Bpe.tokenCountBpe(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out(1L) == ((3L, 3L)), "aaab/aaab/ab all merge to single tokens")
+      assert(out(2L) == ((2L, 2L)), "aab -> (aa)(b) -> (aab); xq -> (xq)")
+      // aaa: (a)(a)(a) -> (aa)(a) -> (aaa): with aaa in the corpus the
+      // count-1 tie resolves to (aa,a) before (aa,b), so aaa fully merges
+      assert(out(3L) == ((1L, 1L)))
+    } finally Bpe.resetFit()
+  }
+
+  test("oracle SQL refuses to render after fits on two datasets") {
+    Bpe.resetFit()
+    try {
+      val d1 = writeDocs(Seq(1L -> "aa bb"))
+      val d2 = writeDocs(Seq(1L -> "cc dd"))
+      Bpe.mergesFor(spark, d1)
+      assert(Bpe.tokenCountBpeOracleSql.nonEmpty)
+      Bpe.mergesFor(spark, d2)
+      intercept[IllegalArgumentException] { Bpe.tokenCountBpeOracleSql }
+    } finally Bpe.resetFit()
+  }
+}
