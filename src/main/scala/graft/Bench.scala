@@ -90,7 +90,6 @@ object Bench {
     val total = results.map { case (_, ts) => median(ts) }.sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
       s""""queries":$qs,"queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
     // Persist the full result set twice: the driver's stdout tail is
     // capped (which truncated earlier rounds' per-query breakdown), and
     // the un-suffixed latest file gets overwritten every run — so a
@@ -100,10 +99,30 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     writeQuiet(out, json + "\n")
     val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound()).getOrElse("0")
-    if (!out.contains("_r")) {
-      val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+    val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+    if (!out.contains("_r"))
       writeQuiet(dir.resolve(s"bench_results_r$round.json").toString, json + "\n")
+
+    // streaming hot-path throughput into the official per-round record
+    // (2-topic narrow and 100-topic wide DSL; ~20 s total) — previously
+    // these numbers lived only in SCALE.md prose, so a regression could
+    // hide until someone re-measured by hand. Runs before the contract
+    // line is printed: the driver parses Bench's ONE stdout JSON line,
+    // which must stay last. Opt out with SPARK_GRAFT_STREAM_BENCH=0.
+    if (!sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
+      val sJson = try {
+        val narrow = StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = 0)
+        val wide = StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = 100)
+        s"""{"topics_2":${narrow.json},"topics_100":${wide.json}}"""
+      } catch { case e: Throwable =>
+        s"""{"err":"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)
+          .replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}"}"""
+      }
+      writeQuiet(dir.resolve("stream_bench.json").toString, sJson + "\n")
+      writeQuiet(dir.resolve(s"stream_bench_r$round.json").toString, sJson + "\n")
     }
+
+    println(json)
     spark.stop()
   }
 

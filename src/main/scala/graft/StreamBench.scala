@@ -15,24 +15,31 @@ import graft.streaming.AnomalyPipeline
   * loop, one Mongo insert per message x field, 3 aggregation
   * round-trips per key per 15 s scan).
   *
+  * [[measure]] is the reusable core; `Bench` calls it at 2 and 100
+  * topics each round and persists `stream_bench.json`, so hot-path
+  * regressions show up in a committed per-round artifact instead of
+  * living only in SCALE.md prose.
+  *
   * Usage: runMain graft.StreamBench [messagesPerTrigger] [triggers] [exact|bucketed] [nTopics]
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val perTrigger = args.headOption.map(_.toInt).getOrElse(100000)
-    val triggers = args.drop(1).headOption.map(_.toInt).getOrElse(5)
-    val bucketed = args.drop(2).headOption.contains("bucketed")
-    val nTopics = args.drop(3).headOption.map(_.toInt).getOrElse(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
+  /** One measured configuration. `topics` is the effective topic count
+    * (the default DSL has 2).
+    */
+  case class Result(msgsPerSec: Long, messages: Long, seconds: Double,
+      anomalies: Long, topics: Int, bucketed: Boolean) {
+    def json: String =
+      s"""{"msgs_per_sec":$msgsPerSec,"messages":$messages,"seconds":${"%.3f".formatLocal(java.util.Locale.ROOT, seconds)},""" +
+        s""""anomalies_emitted":$anomalies,"topics":$topics,"bucketed":$bucketed}"""
+  }
+
+  /** Run the full per-trigger pipeline over synthetic messages; one
+    * untimed warm-up trigger, then `triggers` timed ones.
+    */
+  def measure(spark: SparkSession, perTrigger: Int, triggers: Int,
+      bucketed: Boolean, nTopics: Int): Result = {
+    import spark.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     // nTopics > 0: a WIDE DSL (nTopics x 2 fields) to exercise the
     // topic-count-independent single-pass extraction under load
@@ -70,8 +77,26 @@ object StreamBench {
     }
     val sec = (System.nanoTime() - start) / 1e9
     val msgs = perTrigger.toLong * triggers
+    Result((msgs / sec).round, msgs, sec, anomalies,
+      if (nTopics > 0) nTopics else 2, bucketed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val perTrigger = args.headOption.map(_.toInt).getOrElse(100000)
+    val triggers = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val bucketed = args.drop(2).headOption.contains("bucketed")
+    val nTopics = args.drop(3).headOption.map(_.toInt).getOrElse(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = measure(spark, perTrigger, triggers, bucketed, nTopics)
     println(
-      s"""{"metric":"stream_msgs_per_sec","value":${(msgs / sec).round},"unit":"msgs/sec","messages":$msgs,"triggers":$triggers,"seconds":$sec,"anomalies_emitted":$anomalies}""")
+      s"""{"metric":"stream_msgs_per_sec","value":${r.msgsPerSec},"unit":"msgs/sec","messages":${r.messages},"triggers":$triggers,"seconds":${r.seconds},"anomalies_emitted":${r.anomalies}}""")
     spark.stop()
   }
 }

@@ -569,6 +569,9 @@ object Dedup {
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // persisted for the life of the (lazy) plan — released by the
+    // session-level clearCache Verify/Bench run after each query, like
+    // every shingle-explode cache in this family (shinglePairScaffold)
     val sh = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("sh"))
       .persist()
@@ -615,6 +618,8 @@ object Dedup {
     */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // persisted for the plan's lifetime; released by the per-query
+    // clearCache in Verify/Bench (see ngramNovelty)
     val ss = shingleHashes(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("hs")).as("sh"))

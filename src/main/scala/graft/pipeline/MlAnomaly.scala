@@ -35,15 +35,23 @@ object MlAnomaly {
   /** Centroids of the most recent [[kmeansAnomaly]] fit (see scaladoc
     * above for the frozen-centroid oracle contract).
     */
-  @volatile private var fitted: Option[IndexedSeq[Array[Double]]] = None
+  private val fits =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Array[Double]]]
 
   /** DuckDB oracle for q_kmeans_anomaly, available once
     * [[kmeansAnomaly]] has run in this JVM (None → rows-only check).
     * Mirrors the codegen'd scoring exactly: per-cluster
     * `sqrt(greatest((xx - 2·x.c) + |c|², 0))` with the same left-fold
     * dot products and the same (dist, cluster) argmin tie-break.
+    * Keyed by dataset dir; refuses to render after fits on two datasets
+    * (one dump cannot gate two datasets' parquet).
     */
-  def kmeansAnomalyOracleSql: Option[String] = fitted.map { centers =>
+  def kmeansAnomalyOracleSql: Option[String] = {
+    val snap = fits.readOnlySnapshot().toMap
+    require(snap.size <= 1,
+      s"KMeans centroids fitted for multiple datasets (${snap.keys.mkString(", ")}); " +
+        "a single oracle SQL dump cannot gate more than one")
+    snap.values.headOption.map { centers =>
     import graft.pipeline.Similarity.{centroidValuesSql, dotCvSql, dotSql}
     s"""
     WITH cents(cluster, cc, cv) AS (VALUES
@@ -63,6 +71,7 @@ object MlAnomaly {
       )
     )
     SELECT vec_id, label, cluster, round(dist, 3) AS dist FROM ranked WHERE rk = 1"""
+    }
   }
 
   /** (vec_id, cluster, round(dist, 3), label) with each vector scored
@@ -83,7 +92,7 @@ object MlAnomaly {
     val model = new KMeans().setK(K).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
       .fit(fitInput)
     val centers = model.clusterCenters.map(_.toArray)
-    fitted = Some(centers.toIndexedSeq) // freeze for the SQL oracle
+    fits.put(sfDir, centers.toIndexedSeq) // freeze for the SQL oracle
     val x = col("embedding").cast("array<double>")
     val xx = VectorFunctions.dotProduct(x, x)
     val candidates = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>

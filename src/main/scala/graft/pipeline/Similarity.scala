@@ -308,12 +308,21 @@ object Similarity {
     * very centroids that produced the parquet under compare (the fixed
     * seed makes the fit deterministic within a run regardless).
     */
-  @volatile private var ivfFitted: Option[IndexedSeq[Array[Double]]] = None
+  private val ivfFits =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Array[Double]]]
 
   /** DuckDB oracle for q_ann_ivf, available once [[annIvf]] has run in
     * this JVM (None → the driver falls back to its rows-only check).
+    * The fit cache is keyed by dataset dir and this refuses to render
+    * after fits on two datasets — one dump must not gate another
+    * dataset's parquet (Verify's flow runs one dataset per JVM).
     */
-  def annIvfOracleSql: Option[String] = ivfFitted.map { centers =>
+  def annIvfOracleSql: Option[String] = {
+    val snap = ivfFits.readOnlySnapshot().toMap
+    require(snap.size <= 1,
+      s"IVF centroids fitted for multiple datasets (${snap.keys.mkString(", ")}); " +
+        "a single oracle SQL dump cannot gate more than one")
+    snap.values.headOption.map { centers =>
     s"""
     WITH cents(cell, cc, cv) AS (VALUES
       ${centroidValuesSql(centers)}),
@@ -346,6 +355,7 @@ object Similarity {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
       FROM scored
     ) WHERE rk <= $IvfTopK"""
+    }
   }
 
   /** IVF (inverted-file) ANN — the second scale path beside LSH: a
@@ -393,7 +403,7 @@ object Similarity {
         .fit(fitInput)
     } finally fitInput.unpersist()
     val centers = model.clusterCenters.map(_.toArray)
-    ivfFitted = Some(centers.toIndexedSeq) // freeze for the SQL oracle
+    ivfFits.put(sfDir, centers.toIndexedSeq) // freeze for the SQL oracle
     val x = col("embedding").cast("array<double>")
     def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cc = c.map(v => v * v).sum

@@ -262,13 +262,29 @@ class AnomalyPipeline(
   private val cooldownCache =
     new AtomicReference[Map[(String, String, Long), Long]]({
       stateDir.map { d =>
+        // restore only keys the CURRENT DSL configures: a snapshot
+        // written under an older, wider DSL must not carry stale keys
+        // past the configured-cardinality bound below
         try spark.read.parquet(s"$d/cooldown")
           .collect()
           .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+          .filter { case (k, _) => configuredKeys(k) }
           .toMap
         catch { case _: Throwable => Map.empty[(String, String, Long), Long] }
       }.getOrElse(Map.empty)
     })
+
+  /** The configured stat keys (topic, path, window) — the hard bound on
+    * everything the driver holds per key: the cooldown cache, its
+    * restart parquet, and the stats snapshot all have AT MOST this many
+    * rows. A DSL of T topics x F fields x W windows bounds driver state
+    * at T*F*W entries regardless of message volume; a bound violation
+    * throws (in [[processBatch]]) instead of growing until the driver
+    * OOMs.
+    */
+  lazy val configuredKeys: Set[(String, String, Long)] =
+    dsl.topics.iterator.flatMap(t =>
+      t.fields.iterator.flatMap(f => f.windows.iterator.map(w => (t.topic, f.path, w)))).toSet
 
   def currentStore: DataFrame = {
     val segs = segments.get()
@@ -551,6 +567,9 @@ class AnomalyPipeline(
       .agg(max(col("produced_us")).as("last_us"))
       .collect()
       .foreach(r => cache += ((r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)))
+    require(cache.size <= configuredKeys.size,
+      s"cooldown cache holds ${cache.size} keys but the DSL configures " +
+        s"${configuredKeys.size} — driver-held state must stay config-bounded")
     cooldownCache.set(cache)
 
     // 6. persist the cooldown cache for restart (the store was already

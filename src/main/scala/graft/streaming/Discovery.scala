@@ -122,10 +122,16 @@ class Discovery(
       val paths = numericPathsOf(json)
       val h = listHash(paths)
       val prev = schemaHashes.get()
-      if (prev.get(topic).contains(h) || paths.isEmpty) None
+      if (prev.get(topic).contains(h)) None
       else {
+        // record the hash even when no numeric path was found: the topic
+        // becomes 'known' (leaves the capped fresh lane — otherwise a
+        // population of path-less topics larger than maxTopicsPerScan
+        // could be re-drawn forever and starve genuinely new topics) and
+        // the revisit lane still catches a later schema change, which
+        // lands here with a different hash
         schemaHashes.set(prev + (topic -> h))
-        Some(topic -> paths)
+        if (paths.isEmpty) None else Some(topic -> paths)
       }
     }.toMap
 

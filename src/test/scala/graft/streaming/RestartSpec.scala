@@ -175,4 +175,27 @@ class RestartSpec extends SparkSpec {
     val p2 = new AnomalyPipeline(spark, dsl, cooldownMs = 0L, stateDir = Some(dir))
     assert(p2.currentStore.count() == 28L, "compacted store not restored intact")
   }
+
+  test("cooldown snapshot stays config-bounded and restore drops stale keys") {
+    // the driver-held restart snapshot is one row per configured
+    // (topic, path, window) — T*F*W, independent of message volume.
+    val dir = Files.createTempDirectory("graft_state_cb").toFile.getAbsolutePath
+    val dsl = Dsl.parse(Map("test-topic" -> Map("sub.one" -> Seq("5m"))))
+    val p1 = new AnomalyPipeline(spark, dsl, cooldownMs = 120000L, stateDir = Some(dir))
+    assert(p1.configuredKeys == Set(("test-topic", "sub.one", 300L)))
+    p1.processBatch(script(0, 60).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 60000))
+    p1.processBatch(script(60, 120).toDF("topic", "key", "value", "ts"), new Timestamp(t0 + 120000))
+    assert(p1.cooldownSnapshot.size == p1.configuredKeys.size,
+      "every configured key emitted once -> snapshot row count == configured-key count")
+    assert(spark.read.parquet(s"$dir/cooldown").count() == p1.configuredKeys.size)
+
+    // a snapshot written under a wider (older) DSL: the stale key must
+    // not survive the restore into a narrower configuration
+    Seq(("test-topic", "sub.one", 300L, 1L), ("gone-topic", "x.y", 60L, 2L))
+      .toDF("topic", "path", "window_sec", "last_emit_us")
+      .write.mode("overwrite").parquet(s"$dir/cooldown")
+    val p2 = new AnomalyPipeline(spark, dsl, cooldownMs = 120000L, stateDir = Some(dir))
+    assert(p2.cooldownSnapshot.keySet == Set(("test-topic", "sub.one", 300L)),
+      "restore must filter to configured keys")
+  }
 }
