@@ -131,6 +131,7 @@ object SparkEntry {
     "q_resample" -> (TemporalQueries.resample _),
     // exact repeated-passage extraction (suffix-style duplicate spans)
     "q_dup_passages" -> (Dedup.dupPassages _),
+    "q_dup_coverage" -> (Dedup.dupCoverage _),
     // subword token counting: frozen-merge-table BPE, codegen replace chain
     "q_token_count_bpe" -> (graft.pipeline.Bpe.tokenCountBpe _),
     "q_token_pack_bpe" -> (graft.pipeline.Bpe.tokenPackBpe _),
@@ -244,6 +245,7 @@ object SparkEntry {
     "q_compaction_plan" -> graft.pipeline.TableOps.compactionPlanSql,
     "q_resample" -> TemporalQueries.resampleSql,
     "q_dup_passages" -> Dedup.dupPassagesSql,
+    "q_dup_coverage" -> Dedup.dupCoverageSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_dist_drift" -> graft.queries.DriftQueries.distDriftSql,
   ) ++

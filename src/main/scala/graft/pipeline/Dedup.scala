@@ -875,12 +875,15 @@ object Dedup {
         col("span_len"), col("passage"))
   }
 
-  val dupPassagesSql: String = {
+  /** Shared oracle CTE chain for the passage family: anchors ->
+    * candidates -> diagonal merge -> slice-verified spans (`res` is the
+    * verified span relation [[dupPassages]] returns).
+    */
+  val dupPassagesCtesSql: String = {
     val k = PassageK
     def fold(sliceExpr: String) =
       s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
-    s"""
-    WITH toks AS (
+    s"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
       WHERE len(string_split(text, ' ')) >= $k
     ),
@@ -909,8 +912,95 @@ object Dedup {
              array_to_string(a.t[s.start_a : s.start_a + s.span_len - 1], ' ') AS passage,
              array_to_string(b.t[s.start_b : s.start_b + s.span_len - 1], ' ') AS passage_b
       FROM spans s JOIN toks a ON s.doc_a = a.doc_id JOIN toks b ON s.doc_b = b.doc_id
-    )
-    SELECT doc_a, doc_b, start_a, start_b, span_len, passage
-    FROM v WHERE passage = passage_b"""
+    ),
+    res AS (
+      SELECT doc_a, doc_b, start_a, start_b, span_len, passage
+      FROM v WHERE passage = passage_b
+    )"""
   }
+
+  val dupPassagesSql: String =
+    s"""
+    WITH $dupPassagesCtesSql
+    SELECT doc_a, doc_b, start_a, start_b, span_len, passage FROM res"""
+
+  // ---- q_dup_coverage ------------------------------------------------
+
+  /** q_dup_coverage: per-document duplicated-passage coverage — the
+    * fraction of each document's tokens lying inside at least one
+    * verified repeated span from [[dupPassages]]. The curation signal
+    * the span relation exists for: coverage ≈ 1 marks full-document
+    * duplicates, mid-range marks template/boilerplate carriers worth
+    * span-level surgery rather than whole-doc dropping, 0 is clean.
+    * Span intervals from BOTH sides of every pair are unioned per
+    * document with the classic merge (running max of interval end,
+    * island per gap), so overlapping spans from different partners are
+    * never double-counted.
+    *
+    * Scale: rides the passage scaffold; the merge windows are
+    * PARTITIONED by doc_id (interval counts per doc are small), and the
+    * final left join against the doc token counts is id-keyed.
+    */
+  def dupCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupPassages(spark, sfDir)
+    val iv = spans.select(col("doc_a").as("doc_id"), col("start_a").as("s"),
+        (col("start_a") + col("span_len") - 1).as("e"))
+      .unionAll(spans.select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len") - 1).as("e")))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val covered = iv
+      .withColumn("prev_e", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("is_e") - col("is_s") + 1).as("covered_tokens"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_coverage"))
+  }
+
+  val dupCoverageSql: String =
+    s"""
+    WITH $dupPassagesCtesSql,
+    iv AS (
+      SELECT doc_a AS doc_id, start_a AS s, start_a + span_len - 1 AS e FROM res
+      UNION ALL
+      SELECT doc_b, start_b, start_b + span_len - 1 FROM res
+    ),
+    mk AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM mk
+    ),
+    cov AS (
+      SELECT doc_id, sum(is_e - is_s + 1) AS covered_tokens FROM (
+        SELECT doc_id, island, min(s) AS is_s, max(e) AS is_e
+        FROM isl GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    alldocs AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT a.doc_id, a.n_tokens,
+           coalesce(c.covered_tokens, 0) AS covered_tokens,
+           CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS dup_coverage
+    FROM alldocs a LEFT JOIN cov c ON a.doc_id = c.doc_id"""
 }

@@ -49,6 +49,26 @@ class DupPassagesSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("dup coverage unions overlapping spans from different partners") {
+    // doc 1 shares the same 20-token paragraph with docs 2 and 3: the
+    // two identical intervals must union to 20 covered tokens, not 40.
+    // doc 4 shares nothing -> coverage 0 but still present in output.
+    val docs = Seq(
+      1L -> ((1 to 4).map(i => s"x$i").mkString(" ") + " " + paragraph), // 24 toks
+      2L -> (paragraph + " " + (1 to 4).map(i => s"y$i").mkString(" ")),
+      3L -> ((1 to 2).map(i => s"z$i").mkString(" ") + " " + paragraph),
+      4L -> (1 to 30).map(i => s"w$i").mkString(" "),
+    )
+    val out = Dedup.dupCoverage(spark, writeDocs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Double]("dup_coverage")))).toMap
+    assert(out(1L) == ((24L, 20L, 20.0 / 24.0)))
+    assert(out(2L) == ((24L, 20L, 20.0 / 24.0)))
+    assert(out(3L) == ((22L, 20L, 20.0 / 22.0)))
+    assert(out(4L) == ((30L, 0L, 0.0)))
+  }
+
   test("two disjoint repeated paragraphs in one pair produce two separate spans") {
     val p2 = (1 to 15).map(i => s"r$i").mkString(" ")
     val d1 = (paragraph.split(" ") ++ (1 to 7).map(i => s"e$i") ++ p2.split(" ")).mkString(" ")
