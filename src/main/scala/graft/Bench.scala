@@ -100,7 +100,8 @@ object Bench {
     writeQuiet(out, json + "\n")
     val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound()).getOrElse("0")
     val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
-    if (!out.contains("_r"))
+    // skip the per-round copy only when `out` is itself round-suffixed
+    if (!out.matches(".*_r\\d+\\.json$"))
       writeQuiet(dir.resolve(s"bench_results_r$round.json").toString, json + "\n")
 
     // streaming hot-path throughput into the official per-round record
