@@ -132,6 +132,7 @@ object SparkEntry {
     // exact repeated-passage extraction (suffix-style duplicate spans)
     "q_dup_passages" -> (Dedup.dupPassages _),
     "q_dup_coverage" -> (Dedup.dupCoverage _),
+    "q_strip_passages" -> (Dedup.stripPassages _),
     // subword token counting: frozen-merge-table BPE, codegen replace chain
     "q_token_count_bpe" -> (graft.pipeline.Bpe.tokenCountBpe _),
     "q_token_pack_bpe" -> (graft.pipeline.Bpe.tokenPackBpe _),
@@ -246,6 +247,7 @@ object SparkEntry {
     "q_resample" -> TemporalQueries.resampleSql,
     "q_dup_passages" -> Dedup.dupPassagesSql,
     "q_dup_coverage" -> Dedup.dupCoverageSql,
+    "q_strip_passages" -> Dedup.stripPassagesSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_dist_drift" -> graft.queries.DriftQueries.distDriftSql,
   ) ++

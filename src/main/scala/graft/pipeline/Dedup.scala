@@ -1003,4 +1003,105 @@ object Dedup {
            coalesce(c.covered_tokens, 0) AS covered_tokens,
            CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS dup_coverage
     FROM alldocs a LEFT JOIN cov c ON a.doc_id = c.doc_id"""
+
+  // ---- q_strip_passages ----------------------------------------------
+
+  /** q_strip_passages: span-level dedup REPAIR — every verified repeated
+    * span is removed from every copy except the lowest-doc_id one (the
+    * pair relation is oriented `doc_a < doc_b`, so the b-side intervals
+    * are the strip set). This is the passage-dedup counterpart of
+    * [[canonical]]: instead of dropping whole documents, only the
+    * repeated text goes, preserving each document's unique remainder —
+    * the standard span-surgery move for training corpora where
+    * boilerplate rides inside otherwise-novel documents.
+    *
+    * Shape: b-side intervals merge per doc (the [[dupCoverage]] island
+    * window), positions explode once, a range ANTI join drops covered
+    * positions, and the survivors re-assemble in position order.
+    * Documents without spans pass through untouched via the final left
+    * join.
+    *
+    * Scale: the anti join keys on doc_id (islands exist only for docs
+    * with spans — a small relation); re-assembly groups by doc_id with
+    * a deterministic position sort inside the aggregation. Everything
+    * is per-doc partitioned; no global sort, no driver loop.
+    */
+  def stripPassages(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupPassages(spark, sfDir)
+    val iv = spans.select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+      (col("start_b") + col("span_len") - 1).as("e"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("prev_e", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val docs = Tables.documents(spark, sfDir)
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+    val kept = pos.as("p")
+      .join(islands.as("v"),
+        col("p.doc_id") === col("v.doc_id") &&
+          col("p.pos") >= col("v.s") && col("p.pos") <= col("v.e"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("text_clean"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  val stripPassagesSql: String =
+    s"""
+    WITH $dupPassagesCtesSql,
+    iv AS (SELECT doc_b AS doc_id, start_b AS s, start_b + span_len - 1 AS e FROM res),
+    mk AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM mk
+    ),
+    merged AS (
+      SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2
+    ),
+    alldocs AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM alldocs)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM merged v
+        WHERE v.doc_id = p.doc_id AND p.pos >= v.s AND p.pos <= v.e)
+    ),
+    reassembled AS (
+      SELECT doc_id, count(*) AS n_tokens_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY 1
+    )
+    SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS n_tokens,
+           CAST(len(a.t) AS BIGINT) - coalesce(r.n_tokens_kept, 0) AS n_removed,
+           coalesce(r.text_clean, '') AS text_clean
+    FROM alldocs a LEFT JOIN reassembled r ON a.doc_id = r.doc_id"""
 }

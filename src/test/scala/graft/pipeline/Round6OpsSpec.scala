@@ -69,6 +69,25 @@ class DupPassagesSpec extends SparkSpec {
     assert(out(4L) == ((30L, 0L, 0.0)))
   }
 
+  test("strip removes each span from every copy except the lowest doc_id") {
+    val filler1 = (1 to 5).map(i => s"a$i")
+    val filler2 = (1 to 11).map(i => s"b$i")
+    val docs = Seq(
+      1L -> (filler1 ++ paragraph.split(" ")).mkString(" "), // keeper
+      2L -> (filler2 ++ paragraph.split(" ")).mkString(" "),
+      3L -> paragraph, // whole doc is the span -> stripped empty
+      4L -> paragraph,
+    )
+    val out = Dedup.stripPassages(spark, writeDocs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(out(1L) == ((25L, 0L, docs.head._2)), "lowest doc_id keeps its copy verbatim")
+    assert(out(2L) == ((31L, 20L, filler2.mkString(" "))), "unique remainder survives in order")
+    assert(out(3L) == ((20L, 20L, "")), "a full-span doc strips to empty")
+    assert(out(4L) == ((20L, 20L, "")))
+  }
+
   test("two disjoint repeated paragraphs in one pair produce two separate spans") {
     val p2 = (1 to 15).map(i => s"r$i").mkString(" ")
     val d1 = (paragraph.split(" ") ++ (1 to 7).map(i => s"e$i") ++ p2.split(" ")).mkString(" ")
