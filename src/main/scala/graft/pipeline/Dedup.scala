@@ -944,10 +944,15 @@ object Dedup {
   def dupCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = dupPassages(spark, sfDir)
-    val iv = spans.select(col("doc_a").as("doc_id"), col("start_a").as("s"),
-        (col("start_a") + col("span_len") - 1).as("e"))
-      .unionAll(spans.select(col("doc_b").as("doc_id"), col("start_b").as("s"),
-        (col("start_b") + col("span_len") - 1).as("e")))
+    // both sides of each span in ONE pass (a unionAll of two selects
+    // over `spans` would plan — and execute — the whole anchor-join/
+    // merge/verify subtree twice)
+    val iv = spans.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("start_a").as("s"),
+          (col("start_a") + col("span_len") - 1).as("e")),
+        struct(col("doc_b").as("doc_id"), col("start_b").as("s"),
+          (col("start_b") + col("span_len") - 1).as("e")))).as("iv"))
+      .select(col("iv.doc_id"), col("iv.s"), col("iv.e"))
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val covered = iv
       .withColumn("prev_e", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
