@@ -133,6 +133,7 @@ object SparkEntry {
     "q_dup_passages" -> (Dedup.dupPassages _),
     "q_dup_coverage" -> (Dedup.dupCoverage _),
     "q_strip_passages" -> (Dedup.stripPassages _),
+    "q_self_repeat" -> (Dedup.selfRepeat _),
     // subword token counting: frozen-merge-table BPE, codegen replace chain
     "q_token_count_bpe" -> (graft.pipeline.Bpe.tokenCountBpe _),
     "q_token_pack_bpe" -> (graft.pipeline.Bpe.tokenPackBpe _),
@@ -248,6 +249,7 @@ object SparkEntry {
     "q_dup_passages" -> Dedup.dupPassagesSql,
     "q_dup_coverage" -> Dedup.dupCoverageSql,
     "q_strip_passages" -> Dedup.stripPassagesSql,
+    "q_self_repeat" -> Dedup.selfRepeatSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_dist_drift" -> graft.queries.DriftQueries.distDriftSql,
   ) ++

@@ -924,6 +924,92 @@ object Dedup {
     WITH $dupPassagesCtesSql
     SELECT doc_a, doc_b, start_a, start_b, span_len, passage FROM res"""
 
+  // ---- q_self_repeat -------------------------------------------------
+
+  /** q_self_repeat: WITHIN-document repeated passages — the same
+    * anchor/diagonal machinery as [[dupPassages]] restricted to one
+    * document (`pa < pb`), catching copy-paste loops and repeated
+    * paragraphs inside a single document. This is exact span EVIDENCE
+    * for what `q_repetition`'s Gopher-style ratios only score: the
+    * output says which passage repeats, where both copies sit, and how
+    * long it runs. Overlapping copies (period < span length, e.g.
+    * degenerate "a a a …" runs) are legitimate and appear as
+    * `start_b − start_a < span_len`.
+    *
+    * Scale: identical to the cross-doc form — the anchor self-join adds
+    * the doc-equality conjunct, so the shuffle key is still the 8-byte
+    * anchor hash and candidate volume is O(repeated positions).
+    */
+  def selfRepeat(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= PassageK)
+      .persist()
+    val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
+    val kg = toks
+      .select(col("doc_id"),
+        posexplode(graft.functions.SketchFunctions.ngramPolyHash(tokHashes, PassageK, PolyB, P)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+      .persist()
+    val m = kg.as("a")
+      .join(kg.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") === col("b.doc_id") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val w = Window.partitionBy(col("doc_id"), col("diag")).orderBy(col("pa"))
+    val spans = m
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_id"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (max(col("pa")) - min(col("pa")) + lit(PassageK)).as("span_len"))
+      .filter(col("span_len") >= PassageMinLen)
+    spans
+      .join(toks, Seq("doc_id"))
+      .withColumn("passage",
+        concat_ws(" ", slice(col("t"), col("start_a"), col("span_len"))))
+      .filter(col("passage") ===
+        concat_ws(" ", slice(col("t"), col("start_b"), col("span_len"))))
+      .select(col("doc_id"), col("start_a"), col("start_b"), col("span_len"), col("passage"))
+  }
+
+  val selfRepeatSql: String = {
+    val k = PassageK
+    def fold(sliceExpr: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= $k
+    ),
+    th AS (SELECT doc_id, [${h32Sql.format("tk")} % ${P} for tk in t] AS th FROM toks),
+    kg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ${fold(s"th[i:i+${k - 1}]")} AS g
+      FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - ${k - 1})) AS i FROM th)
+    ),
+    m AS (
+      SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+      FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id = b.doc_id AND a.pos < b.pos
+    ),
+    runs AS (
+      SELECT doc_id, pa - pb AS diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY doc_id, pa - pb ORDER BY pa) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, min(pa) AS start_a, min(pb) AS start_b,
+             max(pa) - min(pa) + $k AS span_len
+      FROM runs GROUP BY doc_id, diag, grp
+      HAVING max(pa) - min(pa) + $k >= $PassageMinLen
+    )
+    SELECT s.doc_id, s.start_a, s.start_b, s.span_len,
+           array_to_string(t.t[s.start_a : s.start_a + s.span_len - 1], ' ') AS passage
+    FROM spans s JOIN toks t ON s.doc_id = t.doc_id
+    WHERE array_to_string(t.t[s.start_a : s.start_a + s.span_len - 1], ' ') =
+          array_to_string(t.t[s.start_b : s.start_b + s.span_len - 1], ' ')"""
+  }
+
   // ---- q_dup_coverage ------------------------------------------------
 
   /** q_dup_coverage: per-document duplicated-passage coverage — the

@@ -69,6 +69,78 @@ class DupPassagesSpec extends SparkSpec {
     assert(out(4L) == ((30L, 0L, 0.0)))
   }
 
+  test("self-repeat finds a planted within-doc copy with exact offsets") {
+    // paragraph at 3..22 and again at 28..47 of one document
+    val d = ((1 to 2).map(i => s"f$i") ++ paragraph.split(" ") ++
+      (3 to 7).map(i => s"f$i") ++ paragraph.split(" ")).mkString(" ")
+    val clean = (1 to 40).map(i => s"u$i").mkString(" ")
+    val out = Dedup.selfRepeat(spark, writeDocs(Seq(1L -> d, 2L -> clean))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 1L)
+    assert(r.getAs[Long]("start_a") == 3L && r.getAs[Long]("start_b") == 28L)
+    assert(r.getAs[Long]("span_len") == 20L)
+    assert(r.getAs[String]("passage") == paragraph)
+  }
+
+  test("self-repeat reports overlapping periodic copies (period < span length)") {
+    // period-6 text repeated 5x = 30 tokens: the diagonal -6 chain merges
+    // into one maximal span of 24 with start_b - start_a = 6 < span_len
+    val period = (1 to 6).map(i => s"c$i")
+    val d = Seq.fill(5)(period).flatten.mkString(" ")
+    val out = Dedup.selfRepeat(spark, writeDocs(Seq(1L -> d))).collect()
+    val best = out.maxBy(_.getAs[Long]("span_len"))
+    assert(best.getAs[Long]("start_a") == 1L && best.getAs[Long]("start_b") == 7L)
+    assert(best.getAs[Long]("span_len") == 24L)
+  }
+
+  test("cross-doc duplication does not leak into self-repeat") {
+    val d1 = ((1 to 3).map(i => s"g$i") ++ paragraph.split(" ")).mkString(" ")
+    val d2 = ((1 to 3).map(i => s"h$i") ++ paragraph.split(" ")).mkString(" ")
+    assert(Dedup.selfRepeat(spark, writeDocs(Seq(1L -> d1, 2L -> d2))).count() == 0)
+  }
+
+  test("randomized cross-check: spans match a brute-force reference") {
+    // brute force: for every doc pair and every diagonal, the maximal
+    // runs of positionwise-equal tokens, filtered to >= PassageMinLen
+    def reference(docs: Seq[(Long, Array[String])]): Set[(Long, Long, Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        diag <- -(tb.length - 1) to (ta.length - 1)
+      } {
+        // positions pa in doc a aligned with pb = pa - diag in doc b
+        var pa = math.max(0, diag)
+        val end = math.min(ta.length, tb.length + diag)
+        while (pa < end) {
+          if (ta(pa) == tb(pa - diag)) {
+            val s = pa
+            while (pa < end && ta(pa) == tb(pa - diag)) pa += 1
+            val len = pa - s
+            if (len >= Dedup.PassageMinLen)
+              out += ((ia, ib, s + 1L, s - diag + 1L, len.toLong))
+          } else pa += 1
+        }
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(20260813L)
+    // small vocab forces chance k-gram collisions AND planted dups
+    def word() = s"w${rnd.nextInt(12)}"
+    val base = Array.fill(30)(word())
+    val docs = (1L to 6L).map { id =>
+      val t =
+        if (id % 2 == 0) Array.fill(8)(word()) ++ base.slice(0, 15 + rnd.nextInt(15)) ++ Array.fill(5)(word())
+        else Array.fill(30)(word())
+      id -> t
+    }
+    val got = Dedup.dupPassages(spark, writeDocs(docs.map { case (id, t) => id -> t.mkString(" ") }))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("start_a"),
+        r.getAs[Long]("start_b"), r.getAs[Long]("span_len"))).toSet
+    assert(got == reference(docs), s"got ${got.size} spans vs reference ${reference(docs).size}")
+  }
+
   test("strip removes each span from every copy except the lowest doc_id") {
     val filler1 = (1 to 5).map(i => s"a$i")
     val filler2 = (1 to 11).map(i => s"b$i")
