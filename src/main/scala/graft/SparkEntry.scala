@@ -145,6 +145,8 @@ object SparkEntry {
     // oracleSql entry (added below once the fit has run) gates the
     // scoring stage in DuckDB with those centroids as exact literals.
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
+    // PCA projection (frozen-components oracle, like the centroids)
+    "q_pca_project" -> (Similarity.pcaProject _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,6 +262,7 @@ object SparkEntry {
     // the driver falls back to its rows-only check.
     Similarity.annIvfOracleSql.map("q_ann_ivf" -> _) ++
     MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _) ++
+    Similarity.pcaProjectOracleSql.map("q_pca_project" -> _) ++
     graft.pipeline.Bpe.tokenCountBpeOracleSql.map("q_token_count_bpe" -> _) ++
     graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _)
 }

@@ -426,4 +426,73 @@ object Similarity {
       .filter(col("rk") <= IvfTopK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
   }
+
+  // ---- q_pca_project -------------------------------------------------
+
+  /** Output dimensionality of the PCA projection. */
+  val PcaDims = 8
+
+  /** Fitted principal components, keyed by dataset dir: PcaDims vectors
+    * of input-dim doubles (the frozen-fit pattern — see [[ivfFits]]).
+    */
+  private val pcaFits =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Array[Double]]]
+
+  /** Test seam: the fitted components for one dataset. */
+  private[pipeline] def pcaComponents(sfDir: String): Option[IndexedSeq[Array[Double]]] =
+    pcaFits.get(sfDir)
+
+  /** q_pca_project: dimensionality reduction for the embedding column —
+    * the standard preprocessing step before an ANN index (smaller
+    * vectors, cheaper distance evaluations, denser cells for IVF). The
+    * MLlib PCA FIT is the only non-SQL step; the PROJECTION given
+    * frozen components is PcaDims literal dot products per row — pure
+    * whole-stage codegen via the native DotProduct expression, no UDF,
+    * no shuffle, and [[pcaProjectOracleSql]] renders the identical
+    * left-fold arithmetic so the stage is hash-gated like IVF/KMeans
+    * scoring (Spark ML PCA projects x·V without mean-centering; the
+    * oracle mirrors exactly that).
+    *
+    * Scale: fit cost is one covariance pass (Gram-matrix aggregation,
+    * the MLlib shape) — at 100 TB, fit on a sample like the IVF
+    * quantizer; apply is embarrassingly parallel projection.
+    */
+  def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val raw = Tables.embeddings(spark, sfDir)
+    val fitInput = raw.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new PCA().setK(PcaDims).setInputCol("features").setOutputCol("pca")
+      .fit(fitInput)
+    val pc = model.pc // column-major: numRows = input dim, numCols = PcaDims
+    val comps: IndexedSeq[Array[Double]] =
+      (0 until PcaDims).map(j => Array.tabulate(pc.numRows)(i => pc(i, j)))
+    pcaFits.put(sfDir, comps)
+    val x = col("embedding").cast("array<double>")
+    raw.select(col("vec_id") +: col("label").cast("long").as("label") +:
+      comps.zipWithIndex.map { case (v, j) =>
+        dot(x, typedLit(v.toSeq)).as(s"pc${j + 1}")
+      }: _*)
+  }
+
+  /** Present once [[pcaProject]] has run in this JVM; refuses to render
+    * after fits on two datasets (cf. [[annIvfOracleSql]]).
+    */
+  def pcaProjectOracleSql: Option[String] = {
+    val snap = pcaFits.readOnlySnapshot().toMap
+    require(snap.size <= 1,
+      s"PCA components fitted for multiple datasets (${snap.keys.mkString(", ")}); " +
+        "a single oracle SQL dump cannot gate more than one")
+    snap.values.headOption.map { comps =>
+      val cols = comps.zipWithIndex.map { case (v, j) =>
+        val lits = s"[${v.map(dlit).mkString(", ")}]"
+        s"${dotCvSql("embedding", lits, v.length)} AS pc${j + 1}"
+      }.mkString(",\n           ")
+      s"""
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           $cols
+    FROM embeddings"""
+    }
+  }
 }

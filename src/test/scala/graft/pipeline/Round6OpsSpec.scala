@@ -170,6 +170,45 @@ class DupPassagesSpec extends SparkSpec {
   }
 }
 
+/** PCA projection: fitted components + codegen projection semantics. */
+class PcaProjectSpec extends SparkSpec {
+
+  test("components are orthonormal and projections are the literal dot products") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Similarity.pcaProject(spark, sf)
+    val rows = out.collect()
+    val comps = Similarity.pcaComponents(sf).get
+    assert(comps.length == Similarity.PcaDims)
+    // orthonormal basis (PCA contract)
+    for (i <- comps.indices; j <- i until comps.length) {
+      val d = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"component $i not unit norm")
+      else assert(math.abs(d) < 1e-9, s"components $i,$j not orthogonal")
+    }
+    // projection = left-fold dot with the frozen components, bit-exact
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.take(20).foreach { r =>
+      val x = emb(r.getAs[Long]("vec_id"))
+      comps.zipWithIndex.foreach { case (c, k) =>
+        var acc = 0.0
+        var i = 0
+        while (i < x.length) { acc += x(i) * c(i); i += 1 }
+        assert(r.getAs[Double](s"pc${k + 1}") == acc, s"pc${k + 1} not the literal fold")
+      }
+    }
+    // variance concentrates in leading components (sanity of the fit)
+    val n = rows.length.toDouble
+    val vars = (1 to Similarity.PcaDims).map { k =>
+      val v = rows.map(_.getAs[Double](s"pc$k"))
+      val m = v.sum / n
+      v.map(x => (x - m) * (x - m)).sum / n
+    }
+    assert(vars.head == vars.max, "pc1 must carry the largest variance")
+  }
+}
+
 /** BPE merge learning + codegen replace-chain application. */
 class BpeSpec extends SparkSpec {
   import spark.implicits._
