@@ -137,6 +137,7 @@ object SparkEntry {
     // subword token counting: frozen-merge-table BPE, codegen replace chain
     "q_token_count_bpe" -> (graft.pipeline.Bpe.tokenCountBpe _),
     "q_token_pack_bpe" -> (graft.pipeline.Bpe.tokenPackBpe _),
+    "q_token_fertility" -> (graft.pipeline.Bpe.tokenFertility _),
     // deterministic per-stratum sampling + distribution-drift monitor
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_dist_drift" -> (graft.queries.DriftQueries.distDrift _),
@@ -264,5 +265,6 @@ object SparkEntry {
     MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _) ++
     Similarity.pcaProjectOracleSql.map("q_pca_project" -> _) ++
     graft.pipeline.Bpe.tokenCountBpeOracleSql.map("q_token_count_bpe" -> _) ++
-    graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _)
+    graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _) ++
+    graft.pipeline.Bpe.tokenFertilityOracleSql.map("q_token_fertility" -> _)
 }

@@ -203,6 +203,44 @@ object Bpe {
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"), col("chunk"))
   }
 
+  // ---- q_token_fertility ---------------------------------------------
+
+  /** q_token_fertility: per-source subword fertility — BPE tokens per
+    * whitespace word, the standard tokenizer-quality diagnostic: a
+    * source whose fertility is far above the corpus norm is poorly
+    * covered by the learned vocabulary (code, another language,
+    * noise) and will silently cost more context budget per word than
+    * its mixture weight suggests. One projection + one hash
+    * aggregation on `source`; the ratio of exact BIGINT sums stays
+    * unrounded (bit-identical cross-engine).
+    */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val ms = mergesFor(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        docTokens(col("text"), ms).as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_tokens_bpe"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens_bpe"),
+        (col("n_tokens_bpe").cast("double") / col("n_words").cast("double")).as("fertility"))
+  }
+
+  def tokenFertilityOracleSql: Option[String] = singleFit.map { ms =>
+    s"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             ${docTokensSql(ms)} AS bpe
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs, sum(ws) AS n_words, sum(bpe) AS n_tokens_bpe,
+           CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
+    FROM t GROUP BY 1"""
+  }
+
   def tokenPackBpeOracleSql: Option[String] = singleFit.map { ms =>
     s"""
     WITH t AS (

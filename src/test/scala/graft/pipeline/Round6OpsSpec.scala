@@ -251,6 +251,26 @@ class BpeSpec extends SparkSpec {
     } finally Bpe.resetFit()
   }
 
+  test("fertility aggregates the per-doc BPE counts by source") {
+    Bpe.resetFit()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("bpe_f").toString
+      Seq((1L, "aaab aaab ab", "s1"), (2L, "aab xq", "s1"), (3L, "aaa", "s2"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val perDoc = Bpe.tokenCountBpe(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val bySource = Bpe.tokenFertility(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+            r.getAs[Long]("n_tokens_bpe"), r.getAs[Double]("fertility")))).toMap
+      val (ws1, bpe1) = Seq(perDoc(1L), perDoc(2L)).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(bySource("s1") == ((2L, ws1, bpe1, bpe1.toDouble / ws1)))
+      val (ws2, bpe2) = perDoc(3L)
+      assert(bySource("s2") == ((1L, ws2, bpe2, bpe2.toDouble / ws2)))
+    } finally Bpe.resetFit()
+  }
+
   test("oracle SQL refuses to render after fits on two datasets") {
     Bpe.resetFit()
     try {
