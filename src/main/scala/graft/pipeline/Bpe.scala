@@ -22,15 +22,17 @@ import graft.queries.Tables
   *     the driver collect is bounded at any corpus scale (the same
   *     bound real tokenizer training uses).
   *  2. APPLY (distributed, pure codegen): each word is rendered as
-  *     individually wrapped symbols `(h)(e)(l)(l)(o)` and each merge
-  *     rank becomes one literal `replace("(a)(b)" -> "(ab)")`. String
-  *     replace is leftmost non-overlapping, and the wrapping makes a
-  *     match start only at a symbol boundary, so applying the ranks in
-  *     learned order reproduces BPE merge-all encoding without a UDF or
-  *     any per-row loop — the whole chain is a single whole-stage-
-  *     codegen projection, and merges can never cross the word boundary
-  *     because the space separator is never inside a wrapped symbol.
-  *     The token count is then just the number of '(' left.
+  *     individually wrapped symbols `⟨h⟩⟨e⟩⟨l⟩⟨l⟩⟨o⟩` (with the
+  *     [[WrapL]]/[[WrapR]] control-char sentinels as the brackets) and
+  *     each merge rank becomes one literal `replace("⟨a⟩⟨b⟩" -> "⟨ab⟩")`.
+  *     String replace is leftmost non-overlapping, and the wrapping
+  *     makes a match start only at a symbol boundary, so applying the
+  *     ranks in learned order reproduces BPE merge-all encoding without
+  *     a UDF or any per-row loop — the whole chain is a single
+  *     whole-stage-codegen projection, and merges can never cross the
+  *     word boundary because the space separator is never inside a
+  *     wrapped symbol. The token count is then just the number of
+  *     opening sentinels left.
   *
   * The merge table is frozen per dataset; [[tokenCountBpeOracleSql]]
   * renders the SAME replace chain as DuckDB SQL with the learned ranks
@@ -50,6 +52,16 @@ object Bpe {
 
   /** Driver-side word-frequency cap for the fit (vocabulary-sized). */
   val MaxVocabWords = 1024
+
+  /** Symbol wrap sentinels for the replace-chain representation —
+    * control characters no real text contains (a word that DID contain
+    * one would only perturb its own count, identically on both
+    * engines, since learning excludes such words). Printable parens
+    * were the obvious choice but would miscount words that legitimately
+    * contain parens.
+    */
+  val WrapL = "\u0001"
+  val WrapR = "\u0002"
 
   /** Learned merge tables, keyed by dataset dir — a fit for one dataset
     * must never gate another's parquet (see also the single-dataset
@@ -81,12 +93,12 @@ object Bpe {
 
   private def learn(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
     // word-frequency table: deterministic top-N by (count desc, word asc).
-    // Words containing the wrap characters are excluded from LEARNING so
-    // no merge rule can collide with the '(sym)' representation; such
+    // Words containing the wrap sentinels are excluded from LEARNING so
+    // no merge rule can collide with the wrapped representation; such
     // words still count at apply time (one token per character).
     val wf = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "" && !col("w").contains("(") && !col("w").contains(")"))
+      .filter(col("w") =!= "" && !col("w").contains(WrapL) && !col("w").contains(WrapR))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(MaxVocabWords)
@@ -113,19 +125,21 @@ object Bpe {
     out.result()
   }
 
-  /** Wrapped-symbol representation of one word: `(h)(e)(l)(l)(o)`. */
+  /** Wrapped-symbol representation of one word: `⟨h⟩⟨e⟩⟨l⟩⟨l⟩⟨o⟩`
+    * (with the control-char sentinels as the brackets).
+    */
   private def wrapChars(w: Column): Column =
     concat_ws("", transform(filter(split(w, ""), c => c =!= lit("")),
-      c => concat(lit("("), c, lit(")"))))
+      c => concat(lit(WrapL), c, lit(WrapR))))
 
   /** BPE token count of one word under the learned ranks — the literal
-    * replace chain, then count the '(' that remain.
+    * replace chain, then count the opening sentinels that remain.
     */
   private def wordTokens(w: Column, merges: Seq[(String, String)]): Column = {
     val merged = merges.foldLeft(wrapChars(w)) { case (s, (a, b)) =>
-      replace(s, lit(s"($a)($b)"), lit(s"(${a + b})"))
+      replace(s, lit(s"$WrapL$a$WrapR$WrapL$b$WrapR"), lit(s"$WrapL${a + b}$WrapR"))
     }
-    (length(merged) - length(replace(merged, lit("("), lit("")))).cast("long")
+    (length(merged) - length(replace(merged, lit(WrapL), lit("")))).cast("long")
   }
 
   /** Per-document BPE token count expression over whitespace words. */
@@ -150,12 +164,13 @@ object Bpe {
     * ranks as literals; `w` names the lambda variable in scope.
     */
   private def docTokensSql(merges: Seq[(String, String)]): String = {
-    val wrapped = "array_to_string(list_transform(string_split(w, ''), c -> '(' || c || ')'), '')"
+    val wrapped = s"array_to_string(list_transform(string_split(w, ''), " +
+      s"c -> '$WrapL' || c || '$WrapR'), '')"
     val chain = merges.foldLeft(wrapped) { case (s, (a, b)) =>
-      s"replace($s, '${sqlLit(s"($a)($b)")}', '${sqlLit(s"(${a + b})")}')"
+      s"replace($s, '${sqlLit(s"$WrapL$a$WrapR$WrapL$b$WrapR")}', '${sqlLit(s"$WrapL${a + b}$WrapR")}')"
     }
     s"""CAST(list_sum(list_transform(string_split(text, ' '),
-        w -> length($chain) - length(replace($chain, '(', '')))) AS BIGINT)"""
+        w -> length($chain) - length(replace($chain, '$WrapL', '')))) AS BIGINT)"""
   }
 
   /** Present once the fit has run in this JVM (Verify runs queries
