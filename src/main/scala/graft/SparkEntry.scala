@@ -148,6 +148,7 @@ object SparkEntry {
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
     // PCA projection (frozen-components oracle, like the centroids)
     "q_pca_project" -> (Similarity.pcaProject _),
+    "q_ann_pca" -> (Similarity.annPca _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,6 +265,7 @@ object SparkEntry {
     Similarity.annIvfOracleSql.map("q_ann_ivf" -> _) ++
     MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _) ++
     Similarity.pcaProjectOracleSql.map("q_pca_project" -> _) ++
+    Similarity.annPcaOracleSql.map("q_ann_pca" -> _) ++
     graft.pipeline.Bpe.tokenCountBpeOracleSql.map("q_token_count_bpe" -> _) ++
     graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _) ++
     graft.pipeline.Bpe.tokenFertilityOracleSql.map("q_token_fertility" -> _)

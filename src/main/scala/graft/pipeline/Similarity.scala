@@ -442,6 +442,11 @@ object Similarity {
   private[pipeline] def pcaComponents(sfDir: String): Option[IndexedSeq[Array[Double]]] =
     pcaFits.get(sfDir)
 
+  /** Test seam: drop all frozen PCA fits (multi-dataset specs must
+    * reset so the single-dataset oracle guard stays meaningful).
+    */
+  private[pipeline] def resetPcaFits(): Unit = pcaFits.clear()
+
   /** q_pca_project: dimensionality reduction for the embedding column —
     * the standard preprocessing step before an ANN index (smaller
     * vectors, cheaper distance evaluations, denser cells for IVF). The
@@ -474,6 +479,76 @@ object Similarity {
       comps.zipWithIndex.map { case (v, j) =>
         dot(x, typedLit(v.toSeq)).as(s"pc${j + 1}")
       }: _*)
+  }
+
+  // ---- q_ann_pca -----------------------------------------------------
+
+  /** q_ann_pca: brute-force cosine top-k IN THE PROJECTED SPACE — what
+    * [[pcaProject]] exists for: distance evaluations over
+    * [[PcaDims]]-double vectors instead of 64, an 8× flop/byte cut per
+    * candidate with recall pinned against the exact 64-dim baseline by
+    * AnnPcaRecallSpec. Same capped-probe contract as [[annTopk]]
+    * (every-100th vector, O(cap·n) never O(n²)); ranking by rounded
+    * projected cosine with the vec_id tie-break.
+    *
+    * Scale: one projection pass (pure codegen), then the capped
+    * scan-and-rank; at 100 TB this is the cheap re-rank layer under
+    * IVF/LSH candidate generation.
+    */
+  def annPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val proj = pcaProject(spark, sfDir)
+    val comps = pcaFits(sfDir)
+    val pcArr = array((1 to comps.length).map(j => col(s"pc$j")): _*)
+    val emb = proj.select(col("vec_id"), pcArr.as("p"))
+      .select(col("vec_id"), col("p"), dot(col("p"), col("p")).as("nsq"))
+    val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap)
+      .select(col("vec_id").as("q_id"), col("p").as("q_p"), col("nsq").as("q_nsq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    queries.crossJoin(emb)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("q_p"), col("p")) / sqrt(col("q_nsq") * col("nsq")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  def annPcaOracleSql: Option[String] = {
+    val snap = pcaFits.readOnlySnapshot().toMap
+    require(snap.size <= 1,
+      s"PCA components fitted for multiple datasets (${snap.keys.mkString(", ")}); " +
+        "a single oracle SQL dump cannot gate more than one")
+    snap.values.headOption.map { comps =>
+      val d = comps.length
+      val pcs = comps.zipWithIndex.map { case (v, j) =>
+        val lits = s"[${v.map(dlit).mkString(", ")}]"
+        s"${dotCvSql("embedding", lits, v.length)} AS pc${j + 1}"
+      }.mkString(",\n             ")
+      val pList = s"[${(1 to d).map(j => s"pc$j").mkString(", ")}]"
+      s"""
+    WITH proj AS (
+      SELECT vec_id,
+             $pcs
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, $pList AS p, ${dotSql(pList, pList, d)} AS nsq FROM proj
+    ),
+    q AS (
+      SELECT vec_id AS q_id, p AS q_p, nsq AS q_nsq FROM e
+      WHERE vec_id % 100 = 0 AND vec_id < $TopkQueryCap
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(${dotSql("q.q_p", "e.p", d)} / sqrt(q.q_nsq * e.nsq), 6) AS cos
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, rk, vec_id, cos FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5"""
+    }
   }
 
   /** Present once [[pcaProject]] has run in this JVM; refuses to render

@@ -106,7 +106,9 @@ class PlanSpec extends SparkSpec {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
       case _ => false
     }
-    val allowed = Set("q_ann_topk")
+    // q_ann_pca shares q_ann_topk's capped-probe contract (same <= 100
+    // query cap), just over the 8-dim projected vectors
+    val allowed = Set("q_ann_topk", "q_ann_pca")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot { j =>

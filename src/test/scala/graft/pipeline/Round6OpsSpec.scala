@@ -175,6 +175,7 @@ class PcaProjectSpec extends SparkSpec {
 
   test("components are orthonormal and projections are the literal dot products") {
     val sf = "/root/testdata/sf0.001"
+    try {
     val out = Similarity.pcaProject(spark, sf)
     val rows = out.collect()
     val comps = Similarity.pcaComponents(sf).get
@@ -206,6 +207,7 @@ class PcaProjectSpec extends SparkSpec {
       v.map(x => (x - m) * (x - m)).sum / n
     }
     assert(vars.head == vars.max, "pc1 must carry the largest variance")
+    } finally Similarity.resetPcaFits()
   }
 }
 
