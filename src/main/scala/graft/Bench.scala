@@ -84,8 +84,7 @@ object Bench {
         ",\"runs\":[" + ts.map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+      "\"" + k + "\":\"" + jsonSafe(m) + "\""
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts) }.sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
@@ -98,8 +97,8 @@ object Bench {
     // round-over-round comparison.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     writeQuiet(out, json + "\n")
-    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound()).getOrElse("0")
     val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound(dir)).getOrElse("0")
     // skip the per-round copy only when `out` is itself round-suffixed
     if (!out.matches(".*_r\\d+\\.json$"))
       writeQuiet(dir.resolve(s"bench_results_r$round.json").toString, json + "\n")
@@ -116,8 +115,7 @@ object Bench {
         val wide = StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = 100)
         s"""{"topics_2":${narrow.json},"topics_100":${wide.json}}"""
       } catch { case e: Throwable =>
-        s"""{"err":"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)
-          .replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}"}"""
+        s"""{"err":"${jsonSafe(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
       writeQuiet(dir.resolve("stream_bench.json").toString, sJson + "\n")
       writeQuiet(dir.resolve(s"stream_bench_r$round.json").toString, sJson + "\n")
@@ -129,19 +127,24 @@ object Bench {
 
   /** Current round = highest committed BENCH_r{N}.json + 1 (those are
     * written by the driver at the END of round N, so during round 6 the
-    * max on disk is 5).
+    * max on disk is 5). Scans `dir` — the directory the bench artifacts
+    * actually live in (the cwd can differ when the driver launches with
+    * an absolute SPARK_GRAFT_BENCH_OUT).
     */
-  private def inferRound(): Option[String] = {
+  private def inferRound(dir: java.nio.file.Path): Option[String] = {
     val re = "BENCH_r(\\d+)\\.json".r
-    val here = java.nio.file.Paths.get(".").toAbsolutePath
-    val ns = java.nio.file.Files.list(here).toArray.toSeq.flatMap { p =>
-      p.asInstanceOf[java.nio.file.Path].getFileName.toString match {
-        case re(n) => Some(n.toInt)
-        case _ => None
-      }
-    }
+    val stream = java.nio.file.Files.list(dir)
+    val ns =
+      try stream.toArray.toSeq.flatMap { p =>
+        p.asInstanceOf[java.nio.file.Path].getFileName.toString match {
+          case re(n) => Some(n.toInt)
+          case _ => None
+        }
+      } finally stream.close()
     if (ns.isEmpty) None else Some((ns.max + 1).toString)
   }
+
+  private def jsonSafe(s: String): String = JsonUtil.escape(s)
 
   private def writeQuiet(path: String, body: String): Unit =
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)

@@ -164,8 +164,16 @@ object Bpe {
     * ranks as literals; `w` names the lambda variable in scope.
     */
   private def docTokensSql(merges: Seq[(String, String)]): String = {
-    val wrapped = s"array_to_string(list_transform(string_split(w, ''), " +
-      s"c -> '$WrapL' || c || '$WrapR'), '')"
+    // list_filter mirrors the Spark side's empty-char filter: DuckDB's
+    // string_split('', '') returns [''] (one empty element), which
+    // unfiltered would wrap into a phantom 1-token word for every
+    // empty whitespace token (consecutive/leading/trailing spaces) —
+    // a cross-engine divergence on any corpus with such whitespace
+    // coalesce: DuckDB's array_to_string([]) is NULL, not '' — without
+    // it an empty word would poison the whole doc's list_sum to NULL
+    val wrapped = s"coalesce(array_to_string(list_transform(" +
+      s"list_filter(string_split(w, ''), c -> c <> ''), " +
+      s"c -> '$WrapL' || c || '$WrapR'), ''), '')"
     val chain = merges.foldLeft(wrapped) { case (s, (a, b)) =>
       s"replace($s, '${sqlLit(s"$WrapL$a$WrapR$WrapL$b$WrapR")}', '${sqlLit(s"$WrapL${a + b}$WrapR")}')"
     }

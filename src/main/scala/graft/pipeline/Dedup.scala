@@ -810,6 +810,41 @@ object Dedup {
   /** Minimum reported duplicated-span length (tokens). */
   val PassageMinLen = 12
 
+  /** Tokenized docs (persisted) and positioned k-gram anchor hashes
+    * (persisted) — the shared scaffold of the passage family
+    * ([[dupPassages]], [[selfRepeat]]).
+    */
+  private def passageAnchors(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= PassageK)
+      .persist() // anchor explode + anchor verify + passage gathers read it
+    val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
+    val kg = toks
+      .select(col("doc_id"),
+        posexplode(graft.functions.SketchFunctions.ngramPolyHash(tokHashes, PassageK, PolyB, P)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+      .persist() // both sides of the anchor self-join
+    (toks, kg)
+  }
+
+  /** Diagonal gaps-and-islands merge shared by the passage family:
+    * anchor matches `(grpCols..., pa, pb)` (all on the same diagonal
+    * key `pa − pb` within a group) merge into maximal spans
+    * `(grpCols..., start_a, start_b, span_len)` ≥ [[PassageMinLen]].
+    */
+  private def mergeDiagonalRuns(m: DataFrame, grpCols: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = grpCols.map(col) :+ col("diag")
+    val w = Window.partitionBy(keys: _*).orderBy(col("pa"))
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(keys :+ col("grp"): _*)
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (max(col("pa")) - min(col("pa")) + lit(PassageK)).as("span_len"))
+      .filter(col("span_len") >= PassageMinLen)
+  }
+
   /** q_dup_passages: exact repeated-passage extraction — the maximal
     * duplicated token spans (≥ [[PassageMinLen]] tokens) shared by any
     * two documents. This is the dedup mode shingle Jaccard /
@@ -822,49 +857,41 @@ object Dedup {
     *     rolling hash: `(doc_id, pos, g)`, one codegen pass per doc.
     *  2. candidates — equi self-join on the 8-byte anchor hash
     *     (`doc_a < doc_b`): matching positions `(pa, pb)`, never
-    *     all-pairs.
-    *  3. extend-and-merge — consecutive anchor matches lie on the same
-    *     diagonal `pa − pb`; gaps-and-islands over each (pair,
+    *     all-pairs — VERIFIED per anchor by literal token-slice
+    *     equality before any merging, so a rolling-hash collision can
+    *     neither fabricate a span NOR poison a diagonal run and erase
+    *     a genuine one (an unverified colliding anchor adjacent to a
+    *     real run would extend the island, fail a whole-span check,
+    *     and silently drop the true passage — the one-sided hole a
+    *     merged-span-only verify leaves open).
+    *  3. extend-and-merge — consecutive verified matches lie on the
+    *     same diagonal `pa − pb`; gaps-and-islands over each (pair,
     *     diagonal) merges runs into maximal spans of length
-    *     `max(pa) − min(pa) + k`.
-    *  4. verify — gather both token slices and demand literal equality,
-    *     so a rolling-hash collision can never fabricate a span; the
-    *     surviving `passage` column is the span text itself.
+    *     `max(pa) − min(pa) + k`, which are guaranteed equal because
+    *     every anchor window they cover compared equal.
+    *  4. gather — the span text from the a-side (with a redundant
+    *     whole-span equality filter kept as defense in depth).
     *
     * Scale: the only shuffles are the anchor-hash join (key: 8-byte
     * hash; fan-out bounded by duplication, exactly like the shingle
-    * scaffold), the (pair, diagonal)-PARTITIONED window (never global),
-    * and two narrow id joins to gather candidate slices — full texts
-    * move only for documents that actually share a span. The span
-    * relation feeds [[canonical]]-style resolution downstream: pairs
-    * with near-total coverage are cluster edges, partial spans are
-    * quote/boilerplate extraction targets.
+    * scaffold), the doc-keyed token-array joins for anchor
+    * verification (candidate-bounded), the (pair, diagonal)-
+    * PARTITIONED window (never global), and the final narrow id joins.
+    * The span relation feeds [[canonical]]-style resolution downstream:
+    * pairs with near-total coverage are cluster edges, partial spans
+    * are quote/boilerplate extraction targets.
     */
   def dupPassages(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= PassageK)
-      .persist() // anchor explode + both passage gathers read it
-    val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
-    val kg = toks
-      .select(col("doc_id"),
-        posexplode(graft.functions.SketchFunctions.ngramPolyHash(tokHashes, PassageK, PolyB, P)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
-      .persist() // both sides of the anchor self-join
+    val (toks, kg) = passageAnchors(spark, sfDir)
     val m = kg.as("a")
       .join(kg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(toks.as("ta"), col("a.doc_id") === col("ta.doc_id"))
+      .join(toks.as("tb"), col("b.doc_id") === col("tb.doc_id"))
+      .filter(slice(col("ta.t"), col("a.pos").cast("int"), lit(PassageK)) ===
+        slice(col("tb.t"), col("b.pos").cast("int"), lit(PassageK)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
-    val spans = m
-      .withColumn("diag", col("pa") - col("pb"))
-      .withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-        (max(col("pa")) - min(col("pa")) + lit(PassageK)).as("span_len"))
-      .filter(col("span_len") >= PassageMinLen)
-    spans
+    mergeDiagonalRuns(m, "doc_a", "doc_b")
       .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(toks.as("tb"), col("doc_b") === col("tb.doc_id"))
       .withColumn("passage",
@@ -875,26 +902,41 @@ object Dedup {
         col("span_len"), col("passage"))
   }
 
-  /** Shared oracle CTE chain for the passage family: anchors ->
-    * candidates -> diagonal merge -> slice-verified spans (`res` is the
-    * verified span relation [[dupPassages]] returns).
+  /** Per-window polynomial fold — the SQL mirror of NGramPolyHash,
+    * shared by every passage-family CTE chain.
     */
-  val dupPassagesCtesSql: String = {
+  private def passageFoldSql(sliceExpr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
+
+  /** toks/th/kg anchor CTEs shared by [[dupPassagesCtesSql]] and
+    * [[selfRepeatSql]] (mirrors [[passageAnchors]]).
+    */
+  private val passageAnchorCtesSql: String = {
     val k = PassageK
-    def fold(sliceExpr: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
     s"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
       WHERE len(string_split(text, ' ')) >= $k
     ),
     th AS (SELECT doc_id, [${h32Sql.format("tk")} % ${P} for tk in t] AS th FROM toks),
     kg AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, ${fold(s"th[i:i+${k - 1}]")} AS g
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ${passageFoldSql(s"th[i:i+${k - 1}]")} AS g
       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - ${k - 1})) AS i FROM th)
-    ),
+    )"""
+  }
+
+  /** Shared oracle CTE chain for the passage family: anchors ->
+    * per-anchor-verified candidates -> diagonal merge -> spans (`res`
+    * is the verified span relation [[dupPassages]] returns).
+    */
+  val dupPassagesCtesSql: String = {
+    val k = PassageK
+    s"""$passageAnchorCtesSql,
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
       FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id
+      JOIN toks ta ON ta.doc_id = a.doc_id
+      JOIN toks tb ON tb.doc_id = b.doc_id
+      WHERE ta.t[a.pos : a.pos + ${k - 1}] = tb.t[b.pos : b.pos + ${k - 1}]
     ),
     runs AS (
       SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
@@ -938,34 +980,20 @@ object Dedup {
     *
     * Scale: identical to the cross-doc form — the anchor self-join adds
     * the doc-equality conjunct, so the shuffle key is still the 8-byte
-    * anchor hash and candidate volume is O(repeated positions).
+    * anchor hash and candidate volume is O(repeated positions). Anchors
+    * are slice-verified before merging, same as [[dupPassages]].
     */
   def selfRepeat(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= PassageK)
-      .persist()
-    val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
-    val kg = toks
-      .select(col("doc_id"),
-        posexplode(graft.functions.SketchFunctions.ngramPolyHash(tokHashes, PassageK, PolyB, P)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
-      .persist()
+    val (toks, kg) = passageAnchors(spark, sfDir)
     val m = kg.as("a")
       .join(kg.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") === col("b.doc_id") &&
           col("a.pos") < col("b.pos"))
+      .join(toks.as("tv"), col("a.doc_id") === col("tv.doc_id"))
+      .filter(slice(col("tv.t"), col("a.pos").cast("int"), lit(PassageK)) ===
+        slice(col("tv.t"), col("b.pos").cast("int"), lit(PassageK)))
       .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pa"), col("b.pos").as("pb"))
-    val w = Window.partitionBy(col("doc_id"), col("diag")).orderBy(col("pa"))
-    val spans = m
-      .withColumn("diag", col("pa") - col("pb"))
-      .withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("doc_id"), col("diag"), col("grp"))
-      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-        (max(col("pa")) - min(col("pa")) + lit(PassageK)).as("span_len"))
-      .filter(col("span_len") >= PassageMinLen)
-    spans
+    mergeDiagonalRuns(m, "doc_id")
       .join(toks, Seq("doc_id"))
       .withColumn("passage",
         concat_ws(" ", slice(col("t"), col("start_a"), col("span_len"))))
@@ -976,21 +1004,13 @@ object Dedup {
 
   val selfRepeatSql: String = {
     val k = PassageK
-    def fold(sliceExpr: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
     s"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      WHERE len(string_split(text, ' ')) >= $k
-    ),
-    th AS (SELECT doc_id, [${h32Sql.format("tk")} % ${P} for tk in t] AS th FROM toks),
-    kg AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, ${fold(s"th[i:i+${k - 1}]")} AS g
-      FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - ${k - 1})) AS i FROM th)
-    ),
+    WITH $passageAnchorCtesSql,
     m AS (
       SELECT a.doc_id, a.pos AS pa, b.pos AS pb
       FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id = b.doc_id AND a.pos < b.pos
+      JOIN toks tv ON tv.doc_id = a.doc_id
+      WHERE tv.t[a.pos : a.pos + ${k - 1}] = tv.t[b.pos : b.pos + ${k - 1}]
     ),
     runs AS (
       SELECT doc_id, pa - pb AS diag, pa, pb,
@@ -1027,8 +1047,46 @@ object Dedup {
     * PARTITIONED by doc_id (interval counts per doc are small), and the
     * final left join against the doc token counts is id-keyed.
     */
-  def dupCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Classic interval union shared by [[dupCoverage]] and
+    * [[stripPassages]]: per-doc intervals `(doc_id, s, e)` merge into
+    * disjoint maximal islands `(doc_id, is_s, is_e)` via the running-max
+    * gaps-and-islands form (window PARTITIONED by doc_id — interval
+    * counts per doc are small, never a global sort).
+    */
+  private def mergeIslands(iv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    iv.withColumn("prev_e", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+  }
+
+  /** DuckDB mirror of [[mergeIslands]]: CTEs `mk`/`isl`/`merged` over
+    * an existing `iv(doc_id, s, e)` relation.
+    */
+  private val mergeIslandsCtesSql: String =
+    s"""mk AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM mk
+    ),
+    merged AS (
+      SELECT doc_id, island, min(s) AS is_s, max(e) AS is_e FROM isl GROUP BY 1, 2
+    )"""
+
+  def dupCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val spans = dupPassages(spark, sfDir)
     // both sides of each span in ONE pass (a unionAll of two selects
     // over `spans` would plan — and execute — the whole anchor-join/
@@ -1039,15 +1097,7 @@ object Dedup {
         struct(col("doc_b").as("doc_id"), col("start_b").as("s"),
           (col("start_b") + col("span_len") - 1).as("e")))).as("iv"))
       .select(col("iv.doc_id"), col("iv.s"), col("iv.e"))
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-    val covered = iv
-      .withColumn("prev_e", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("new_island",
-        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+    val covered = mergeIslands(iv)
       .groupBy(col("doc_id"))
       .agg(sum(col("is_e") - col("is_s") + 1).as("covered_tokens"))
     Tables.documents(spark, sfDir)
@@ -1067,24 +1117,9 @@ object Dedup {
       UNION ALL
       SELECT doc_b, start_b, start_b + span_len - 1 FROM res
     ),
-    mk AS (
-      SELECT doc_id, s, e,
-             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
-      FROM iv
-    ),
-    isl AS (
-      SELECT doc_id, s, e,
-             sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s, e
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      FROM mk
-    ),
+    $mergeIslandsCtesSql,
     cov AS (
-      SELECT doc_id, sum(is_e - is_s + 1) AS covered_tokens FROM (
-        SELECT doc_id, island, min(s) AS is_s, max(e) AS is_e
-        FROM isl GROUP BY 1, 2
-      ) GROUP BY 1
+      SELECT doc_id, sum(is_e - is_s + 1) AS covered_tokens FROM merged GROUP BY 1
     ),
     alldocs AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1118,19 +1153,11 @@ object Dedup {
     * is per-doc partitioned; no global sort, no driver loop.
     */
   def stripPassages(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = dupPassages(spark, sfDir)
     val iv = spans.select(col("doc_b").as("doc_id"), col("start_b").as("s"),
       (col("start_b") + col("span_len") - 1).as("e"))
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-    val islands = iv
-      .withColumn("prev_e", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("new_island",
-        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val islands = mergeIslands(iv)
+      .select(col("doc_id"), col("is_s").as("s"), col("is_e").as("e"))
     val docs = Tables.documents(spark, sfDir)
     val pos = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -1157,22 +1184,7 @@ object Dedup {
     s"""
     WITH $dupPassagesCtesSql,
     iv AS (SELECT doc_b AS doc_id, start_b AS s, start_b + span_len - 1 AS e FROM res),
-    mk AS (
-      SELECT doc_id, s, e,
-             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
-      FROM iv
-    ),
-    isl AS (
-      SELECT doc_id, s, e,
-             sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s, e
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      FROM mk
-    ),
-    merged AS (
-      SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2
-    ),
+    $mergeIslandsCtesSql,
     alldocs AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -1184,7 +1196,7 @@ object Dedup {
       SELECT p.doc_id, p.pos, p.tok FROM pos p
       WHERE NOT EXISTS (
         SELECT 1 FROM merged v
-        WHERE v.doc_id = p.doc_id AND p.pos >= v.s AND p.pos <= v.e)
+        WHERE v.doc_id = p.doc_id AND p.pos >= v.is_s AND p.pos <= v.is_e)
     ),
     reassembled AS (
       SELECT doc_id, count(*) AS n_tokens_kept,

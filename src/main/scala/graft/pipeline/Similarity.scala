@@ -463,17 +463,20 @@ object Similarity {
     * quantizer; apply is embarrassingly parallel projection.
     */
   def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.ml.feature.PCA
-    import org.apache.spark.ml.functions.array_to_vector
     val raw = Tables.embeddings(spark, sfDir)
-    val fitInput = raw.select(
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new PCA().setK(PcaDims).setInputCol("features").setOutputCol("pca")
-      .fit(fitInput)
-    val pc = model.pc // column-major: numRows = input dim, numCols = PcaDims
-    val comps: IndexedSeq[Array[Double]] =
+    // fit once per dataset (the Bpe.mergesFor pattern — deterministic,
+    // so caching changes nothing but work): without this, every
+    // invocation re-ran the full Gram-matrix pass + eigendecomposition,
+    // and q_ann_pca paid it a second time on top of q_pca_project
+    val comps = pcaFits.getOrElseUpdate(sfDir, {
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.array_to_vector
+      val fitInput = raw.select(
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      val pc = new PCA().setK(PcaDims).setInputCol("features").setOutputCol("pca")
+        .fit(fitInput).pc // column-major: numRows = input dim, numCols = PcaDims
       (0 until PcaDims).map(j => Array.tabulate(pc.numRows)(i => pc(i, j)))
-    pcaFits.put(sfDir, comps)
+    })
     val x = col("embedding").cast("array<double>")
     raw.select(col("vec_id") +: col("label").cast("long").as("label") +:
       comps.zipWithIndex.map { case (v, j) =>

@@ -253,6 +253,18 @@ class BpeSpec extends SparkSpec {
     } finally Bpe.resetFit()
   }
 
+  test("consecutive spaces produce empty words that count zero BPE tokens") {
+    Bpe.resetFit()
+    try {
+      // "a  b" splits to [a, '', b]: ws count 3, BPE count 2 — the empty
+      // word must contribute 0 (the DuckDB mirror filters the phantom
+      // empty char string_split('', '') produces)
+      val dir = writeDocs(Seq(1L -> "a  b"))
+      val out = Bpe.tokenCountBpe(spark, dir).collect().head
+      assert((out.getLong(1), out.getLong(2)) == ((3L, 2L)))
+    } finally Bpe.resetFit()
+  }
+
   test("fertility aggregates the per-doc BPE counts by source") {
     Bpe.resetFit()
     try {
