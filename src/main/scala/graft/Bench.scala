@@ -131,18 +131,25 @@ object Bench {
     * actually live in (the cwd can differ when the driver launches with
     * an absolute SPARK_GRAFT_BENCH_OUT).
     */
-  private def inferRound(dir: java.nio.file.Path): Option[String] = {
-    val re = "BENCH_r(\\d+)\\.json".r
-    val stream = java.nio.file.Files.list(dir)
-    val ns =
-      try stream.toArray.toSeq.flatMap { p =>
-        p.asInstanceOf[java.nio.file.Path].getFileName.toString match {
-          case re(n) => Some(n.toInt)
-          case _ => None
-        }
-      } finally stream.close()
-    if (ns.isEmpty) None else Some((ns.max + 1).toString)
-  }
+  private def inferRound(dir: java.nio.file.Path): Option[String] =
+    // any IO failure (e.g. a bench-out dir that does not exist) must
+    // degrade to the round-0 fallback, never crash the bench after all
+    // queries have already run and before the stdout contract line
+    try {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val stream = java.nio.file.Files.list(dir)
+      val ns =
+        try stream.toArray.toSeq.flatMap { p =>
+          p.asInstanceOf[java.nio.file.Path].getFileName.toString match {
+            case re(n) => Some(n.toInt)
+            case _ => None
+          }
+        } finally stream.close()
+      if (ns.isEmpty) None else Some((ns.max + 1).toString)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] round inference failed: ${e.getMessage}")
+      None
+    }
 
   private def jsonSafe(s: String): String = JsonUtil.escape(s)
 

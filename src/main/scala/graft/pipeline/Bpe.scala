@@ -194,13 +194,8 @@ object Bpe {
     FROM documents"""
   }
 
-  private def singleFit: Option[Seq[(String, String)]] = {
-    val snap = fitted.readOnlySnapshot().toMap
-    require(snap.size <= 1,
-      s"BPE merges fitted for multiple datasets (${snap.keys.mkString(", ")}); " +
-        "a single oracle SQL dump cannot gate more than one")
-    snap.values.headOption
-  }
+  private def singleFit: Option[Seq[(String, String)]] =
+    FrozenFit.single(fitted, "BPE merges")
 
   // ---- q_token_pack_bpe ----------------------------------------------
 
@@ -211,19 +206,8 @@ object Bpe {
     * tokenizer would produce, not the whitespace proxy.
     */
   def tokenPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ms = mergesFor(spark, sfDir)
-    val base = Tables.documents(spark, sfDir).select(
-      col("doc_id"), col("source"),
-      docTokens(col("text"), ms).as("n_tokens"),
-      (Dedup.h32(concat(lit("shard|"), col("doc_id").cast("string"))) % Sampling.PackShards).as("shard"))
-    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("chunk",
-        floor((col("cum") - col("n_tokens")).cast("double") / lit(Sampling.PackBudget.toDouble)).cast("long"))
-      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"), col("chunk"))
+    Sampling.packByWeight(Tables.documents(spark, sfDir), docTokens(col("text"), ms))
   }
 
   // ---- q_token_fertility ---------------------------------------------
@@ -264,22 +248,6 @@ object Bpe {
     FROM t GROUP BY 1"""
   }
 
-  def tokenPackBpeOracleSql: Option[String] = singleFit.map { ms =>
-    s"""
-    WITH t AS (
-      SELECT doc_id, source,
-             ${docTokensSql(ms)} AS n_tokens,
-             ${Dedup.h32Sql.format("'shard|' || doc_id")} % ${Sampling.PackShards} AS shard
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, source, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM t
-    )
-    SELECT doc_id, source, shard, n_tokens,
-           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / ${Sampling.PackBudget}.0) AS BIGINT) AS chunk
-    FROM c"""
-  }
+  def tokenPackBpeOracleSql: Option[String] =
+    singleFit.map(ms => Sampling.packByWeightSql(docTokensSql(ms)))
 }

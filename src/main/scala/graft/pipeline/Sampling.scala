@@ -67,12 +67,14 @@ object Sampling {
     * floor(exclusive-prefix-token-sum / budget). Deterministic:
     * ordering is (doc_id), shard is md5-derived.
     */
-  def tokenPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Greedy per-(source, shard) budget fill shared by q_token_pack and
+    * Bpe.tokenPackBpe — only the per-doc weight expression differs, so
+    * the shard hash, window spec, and chunk arithmetic live HERE once.
+    */
+  private[pipeline] def packByWeight(docs: DataFrame, weight: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
     val base = docs.select(
-      col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      col("doc_id"), col("source"), weight.as("n_tokens"),
       (Dedup.h32(concat(lit("shard|"), col("doc_id").cast("string"))) % PackShards).as("shard"))
     val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -82,6 +84,29 @@ object Sampling {
         floor((col("cum") - col("n_tokens")).cast("double") / lit(PackBudget.toDouble)).cast("long"))
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"), col("chunk"))
   }
+
+  /** DuckDB mirror of [[packByWeight]], parameterized the same way. */
+  private[pipeline] def packByWeightSql(weightSql: String): String =
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             $weightSql AS n_tokens,
+             ${Dedup.h32Sql.format("'shard|' || doc_id")} % $PackShards AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget.0) AS BIGINT) AS chunk
+    FROM c"""
+
+  def tokenPack(spark: SparkSession, sfDir: String): DataFrame =
+    packByWeight(Tables.documents(spark, sfDir),
+      size(split(col("text"), " ")).cast("long"))
 
   // ---- q_decontaminate -----------------------------------------------
 
@@ -143,22 +168,7 @@ object Sampling {
     WHERE NOT t.is_eval"""
 
   val tokenPackSql: String =
-    s"""
-    WITH t AS (
-      SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             ${Dedup.h32Sql.format("'shard|' || doc_id")} % $PackShards AS shard
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, source, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM t
-    )
-    SELECT doc_id, source, shard, n_tokens,
-           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget.0) AS BIGINT) AS chunk
-    FROM c"""
+    packByWeightSql("CAST(len(string_split(text, ' ')) AS BIGINT)")
 
   // ---- q_domain_mix --------------------------------------------------
 

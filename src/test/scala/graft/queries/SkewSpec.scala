@@ -48,21 +48,16 @@ class SkewSpec extends SparkSpec {
     * stage produced while running `action`.
     */
   private def shuffleSkewRatio(df: DataFrame): Double = {
+    // drain still-queued events from earlier jobs BEFORE registering,
+    // so the fresh listener cannot receive a predecessor's TaskEnd
+    // events and pollute this measurement
+    org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
     val l = new TaskRecords
     spark.sparkContext.addSparkListener(l)
     try {
       df.collect()
-      // listener delivery is async: poll until the heaviest stage stops
-      // growing (bounded wait)
-      var last = -1L
-      var stable = 0
-      var i = 0
-      while (stable < 2 && i < 50) {
-        Thread.sleep(100)
-        val total = l.snapshot().values.map(_.sum).sum
-        if (total == last) stable += 1 else { stable = 0; last = total }
-        i += 1
-      }
+      // and drain again so every TaskEnd of THIS job has been delivered
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
       val stages = l.snapshot().filter(_._2.sum > 0)
       assert(stages.nonEmpty, "no shuffle-read stage observed")
       val tasks = stages.maxBy(_._2.sum)._2
