@@ -38,6 +38,11 @@ object MlAnomaly {
   private val fits =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Array[Double]]]
 
+  /** Test seam: drop all frozen fits (multi-dataset specs must reset so
+    * the single-dataset oracle guard stays meaningful).
+    */
+  private[pipeline] def resetFits(): Unit = fits.clear()
+
   /** DuckDB oracle for q_kmeans_anomaly, available once
     * [[kmeansAnomaly]] has run in this JVM (None → rows-only check).
     * Mirrors the codegen'd scoring exactly: per-cluster

@@ -56,17 +56,6 @@ object Sampling {
   /** Hash shards per source — the parallelism knob (see below). */
   val PackShards = 8
 
-  /** q_token_pack: sequence packing — assign documents to fixed
-    * token-budget chunks, the step that turns a curated corpus into
-    * training shards. Packing is sequential by definition (a chunk is a
-    * running sum), so the scalable form shards each source by a
-    * deterministic doc-id hash and packs WITHIN (source, shard): the
-    * window is partitioned on (source, shard) — thousands of
-    * independent partitions at scale, never a global single-partition
-    * window — and each doc's chunk index is
-    * floor(exclusive-prefix-token-sum / budget). Deterministic:
-    * ordering is (doc_id), shard is md5-derived.
-    */
   /** Greedy per-(source, shard) budget fill shared by q_token_pack and
     * Bpe.tokenPackBpe — only the per-doc weight expression differs, so
     * the shard hash, window spec, and chunk arithmetic live HERE once.
@@ -104,6 +93,17 @@ object Sampling {
            CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget.0) AS BIGINT) AS chunk
     FROM c"""
 
+  /** q_token_pack: sequence packing — assign documents to fixed
+    * token-budget chunks, the step that turns a curated corpus into
+    * training shards. Packing is sequential by definition (a chunk is a
+    * running sum), so the scalable form shards each source by a
+    * deterministic doc-id hash and packs WITHIN (source, shard): the
+    * window is partitioned on (source, shard) — thousands of
+    * independent partitions at scale, never a global single-partition
+    * window — and each doc's chunk index is
+    * floor(exclusive-prefix-token-sum / budget). Deterministic:
+    * ordering is (doc_id), shard is md5-derived.
+    */
   def tokenPack(spark: SparkSession, sfDir: String): DataFrame =
     packByWeight(Tables.documents(spark, sfDir),
       size(split(col("text"), " ")).cast("long"))

@@ -447,6 +447,9 @@ object Similarity {
     */
   private[pipeline] def resetPcaFits(): Unit = pcaFits.clear()
 
+  /** Test seam: drop all frozen IVF fits (same contract). */
+  private[pipeline] def resetIvfFits(): Unit = ivfFits.clear()
+
   /** q_pca_project: dimensionality reduction for the embedding column —
     * the standard preprocessing step before an ANN index (smaller
     * vectors, cheaper distance evaluations, denser cells for IVF). The
