@@ -146,6 +146,8 @@ object SparkEntry {
     // oracleSql entry (added below once the fit has run) gates the
     // scoring stage in DuckDB with those centroids as exact literals.
     "q_kmeans_anomaly" -> (MlAnomaly.kmeansAnomaly _),
+    // end-to-end curation decision record (composition of the family)
+    "q_curate" -> (graft.pipeline.Curate.curate _),
     // PCA projection (frozen-components oracle, like the centroids)
     "q_pca_project" -> (Similarity.pcaProject _),
     "q_ann_pca" -> (Similarity.annPca _),
@@ -256,6 +258,7 @@ object SparkEntry {
     "q_self_repeat" -> Dedup.selfRepeatSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_dist_drift" -> graft.queries.DriftQueries.distDriftSql,
+    "q_curate" -> graft.pipeline.Curate.curateSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -170,6 +170,55 @@ class DupPassagesSpec extends SparkSpec {
   }
 }
 
+/** End-to-end curation decision record: first-failing-rule attribution
+  * across quality gates, exact dedup, eval holdout, decontamination,
+  * and split assignment.
+  */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+  private def isEval(id: Long): Boolean = h32(s"eval|$id") % 25 == 0
+
+  test("each rule attributes first-failure; survivors get a split") {
+    val evalId = (0L to 500L).find(isEval).get
+    val ids = (0L to 500L).filterNot(isEval)
+    val Seq(shortId, repId, blkId, dupA, dupB, contamId, cleanId) = ids.take(7)
+    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")        // eval doc content
+    val evalRun = (1 to 8).map(i => s"u$i").mkString(" ")      // its first 8-gram
+    val docs = Seq(
+      shortId -> "tiny doc here",                              // nt < 10
+      repId -> Seq.fill(12)("same").mkString(" "),             // ndt/nt = 1/12
+      blkId -> ((1 to 11).map(i => s"b$i").mkString(" ") + " error"), // 1/12 >= 0.08
+      dupA -> (1 to 15).map(i => s"d$i").mkString(" "),
+      dupB -> (1 to 15).map(i => s"d$i").mkString(" "),        // same text, higher id
+      evalId -> uniq,
+      contamId -> (evalRun + " " + (1 to 10).map(i => s"c$i").mkString(" ")),
+      cleanId -> (1 to 18).map(i => s"k$i").mkString(" "),
+    )
+    val dir = java.nio.file.Files.createTempDirectory("curate").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curate.curate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[String]("reason"), r.getAs[String]("split")))).toMap
+    assert(out.size == docs.size, "exactly one decision per document")
+    assert(out(shortId) == ((false, "too_short", null)))
+    assert(out(repId) == ((false, "too_repetitive", null)))
+    assert(out(blkId) == ((false, "blocklisted", null)))
+    assert(out(math.max(dupA, dupB)) == ((false, "exact_dup", null)))
+    assert(out(evalId) == ((false, "eval_holdout", null)))
+    assert(out(contamId) == ((false, "contaminated", null)))
+    val (keep, reason, split) = out(cleanId)
+    assert(keep && reason == "keep" && Set("train", "val", "test")(split))
+    val (keepA, reasonA, splitA) = out(math.min(dupA, dupB))
+    assert(keepA && reasonA == "keep" && splitA != null, "lower doc_id keeps its copy")
+  }
+}
+
 /** PCA projection: fitted components + codegen projection semantics. */
 class PcaProjectSpec extends SparkSpec {
 
