@@ -151,6 +151,11 @@ object SparkEntry {
     // PCA projection (frozen-components oracle, like the centroids)
     "q_pca_project" -> (Similarity.pcaProject _),
     "q_ann_pca" -> (Similarity.annPca _),
+    // source-local boilerplate + corpus vocabulary profile
+    "q_boilerplate" -> (Dedup.boilerplate _),
+    "q_vocab_stats" -> (TextAnalysis.vocabStats _),
+    // SemDeDup: cluster-scoped semantic dedup with prototype keeper rule
+    "q_semantic_dedup" -> (Similarity.semanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,6 +264,8 @@ object SparkEntry {
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_dist_drift" -> graft.queries.DriftQueries.distDriftSql,
     "q_curate" -> graft.pipeline.Curate.curateSql,
+    "q_boilerplate" -> Dedup.boilerplateSql,
+    "q_vocab_stats" -> TextAnalysis.vocabStatsSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping
@@ -266,6 +273,7 @@ object SparkEntry {
     // exact centroids that produced the parquet under compare); absent →
     // the driver falls back to its rows-only check.
     Similarity.annIvfOracleSql.map("q_ann_ivf" -> _) ++
+    Similarity.semanticDedupOracleSql.map("q_semantic_dedup" -> _) ++
     MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _) ++
     Similarity.pcaProjectOracleSql.map("q_pca_project" -> _) ++
     Similarity.annPcaOracleSql.map("q_ann_pca" -> _) ++

@@ -77,12 +77,13 @@ object Dedup {
     * codegen pass, graft.functions.NGramPolyHash) -> distinct. The
     * whole shingle never exists as a string.
     */
-  def shingleHashes(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+  def shingleHashes(docs: DataFrame, n: Int = ShingleN,
+                    keep: Seq[String] = Nil): DataFrame = {
     val tokHashes = transform(split(col("text"), " "), t => h32(t) % lit(P))
     docs.select(
-      col("doc_id"),
-      array_distinct(
-        graft.functions.SketchFunctions.ngramPolyHash(tokHashes, n, PolyB, P)).as("hs"),
+      col("doc_id") +: keep.map(col) :+
+        array_distinct(
+          graft.functions.SketchFunctions.ngramPolyHash(tokHashes, n, PolyB, P)).as("hs"): _*,
     )
   }
 
@@ -90,16 +91,17 @@ object Dedup {
     * `(acc * B + t) % P` over token hashes (short docs: one fold over
     * the whole token list).
     */
-  def shingleHashesSql(n: Int = ShingleN): String = {
+  def shingleHashesSql(n: Int = ShingleN, keep: Seq[String] = Nil): String = {
     val toks = "string_split(text, ' ')"
     val th = s"[${h32Sql.format("t")} % ${P} for t in $toks]"
+    val ks = keep.map(k => s", $k").mkString
     def fold(sliceExpr: String) =
       s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (acc, x) -> (acc * ${PolyB} + x) % ${P})"
     s"""
-    SELECT doc_id, list_distinct(CASE WHEN len(th) >= $n
+    SELECT doc_id$ks, list_distinct(CASE WHEN len(th) >= $n
       THEN [${fold(s"th[i:i+${n - 1}]")} for i in generate_series(1, len(th) - ${n - 1})]
       ELSE [${fold("th")}] END) AS hs
-    FROM (SELECT doc_id, $th AS th FROM documents)"""
+    FROM (SELECT doc_id$ks, $th AS th FROM documents)"""
   }
 
   // ---- q_dedup_exact -------------------------------------------------
@@ -653,6 +655,72 @@ object Dedup {
     SELECT s.src_a, s.src_b, s.n_shared, z.n_sh AS n_a,
            CAST(s.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS containment
     FROM shared s JOIN sz z ON s.src_a = z.source"""
+
+  // ---- q_boilerplate ---------------------------------------------------
+
+  /** Bigrams, not the 5-gram shingles: boilerplate chrome is short
+    * (menu items, footer phrases), so the shorter window is the signal.
+    */
+  val BoilerN = 2
+
+  /** q_boilerplate: per-document boilerplate ratio — the fraction of a
+    * doc's distinct word bigrams that are "source boilerplate": present
+    * in ≥30% (and at least 2) of the SAME source's documents. This is
+    * the CCNet/RefinedWeb repeated-line signal adapted to this corpus's
+    * single-line documents: template chrome, navigation, and legal
+    * footers repeat within a crawl source, so a high ratio marks a doc
+    * that is mostly chrome even when no whole-document pair crosses a
+    * dedup threshold. Complementary to [[ngramNovelty]]: novelty is
+    * corpus-global uniqueness, this is source-local commonness against
+    * an explicit prevalence threshold.
+    *
+    * The 30% gate is integer arithmetic (`df * 10 >= n_docs * 3`) so
+    * both engines compare exactly — no float multiply on the boundary.
+    *
+    * Scale: per-(source, bigram-hash) document frequency is one hash
+    * agg on an 8-byte-dominated key (the explode is per-doc DISTINCT,
+    * so count(*) IS document frequency); per-source doc counts are a
+    * |sources|-row broadcast; scoring re-joins the exploded relation on
+    * the same (source, sh) key it aggregated on, so the shuffle
+    * partitioning is reused. No all-pairs shape anywhere.
+    */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // persisted for the plan's lifetime; released by the per-query
+    // clearCache in Verify/Bench (see ngramNovelty)
+    val sh = shingleHashes(docs, BoilerN, keep = Seq("source"))
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("sh"))
+      .persist()
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val flagged = sh.groupBy(col("source"), col("sh")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("sh"),
+        (col("df") * 10 >= col("n_docs") * 3 && col("df") >= 2).as("is_boiler"))
+    sh.join(flagged, Seq("source", "sh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("is_boiler"), lit(1L)).otherwise(lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("source"), col("n_sh"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_sh").cast("double")).as("boiler_ratio"))
+  }
+
+  val boilerplateSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql(BoilerN, keep = Seq("source"))}),
+    sh AS (SELECT doc_id, source, unnest(hs) AS sh FROM shdoc),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    b AS (
+      SELECT f.source, f.sh, (f.df * 10 >= nd.n_docs * 3 AND f.df >= 2) AS is_boiler
+      FROM (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2) f
+      JOIN nd ON f.source = nd.source
+    )
+    SELECT s.doc_id, s.source, count(*) AS n_sh,
+           CAST(sum(CASE WHEN b.is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN b.is_boiler THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS boiler_ratio
+    FROM sh s JOIN b ON s.source = b.source AND s.sh = b.sh
+    GROUP BY 1, 2"""
 
   // ---- q_canonical_docs ----------------------------------------------
 

@@ -371,29 +371,30 @@ object Similarity {
     * ranking are fully oracle-gated in DuckDB (SimilarityRecallSpec pins
     * the fit's recall against the exact brute-force baseline).
     */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The memoized IVF quantizer fit, shared by [[annIvf]] and
+    * [[semanticDedup]]: quantizer fit on a deterministic 1/3 sample,
+    * few iterations, random init (k-means|| init costs extra full
+    * passes a coarse quantizer doesn't need), input cached across
+    * iterations — a quantizer needs rough cells, not convergence;
+    * sample-fit is also the only viable shape at 100 TB.
+    *
+    * repartition(4), NOT coalesce: each KMeans iteration launches one
+    * task per partition, so a sample spread over all 32 shuffle
+    * partitions is scheduling overhead — but coalesce would propagate
+    * UP and collapse the corpus scan itself to 4 tasks. The shuffle
+    * boundary keeps the scan at full parallelism and moves only the
+    * tiny sample. At 100 TB the same rule with a bigger constant:
+    * repartition the fit sample by ITS size, never the corpus's.
+    * Fit memoized per dataset (seed-fixed, deterministic — same as the
+    * PCA/BPE fits), so repeated invocations (Bench's median-of-3) time
+    * the scoring plan, not a redundant refit.
+    */
+  private def ivfCenters(spark: SparkSession, sfDir: String): IndexedSeq[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        dot(col("embedding"), col("embedding")).as("nsq"))
-    // quantizer fit on a deterministic 1/3 sample, few iterations,
-    // random init (k-means|| init costs extra full passes a coarse
-    // quantizer doesn't need), input cached across iterations — a
-    // quantizer needs rough cells, not convergence; sample-fit is also
-    // the only viable shape at 100 TB
-    // repartition(4), NOT coalesce: each KMeans iteration launches one
-    // task per partition, so a sample spread over all 32 shuffle
-    // partitions is scheduling overhead — but coalesce would propagate
-    // UP and collapse the corpus scan itself to 4 tasks. The shuffle
-    // boundary keeps the scan at full parallelism and moves only the
-    // tiny sample. At 100 TB the same rule with a bigger constant:
-    // repartition the fit sample by ITS size, never the corpus's.
-    // fit memoized per dataset (seed-fixed, deterministic — same as the
-    // PCA/BPE fits), so repeated invocations (Bench's median-of-3) time
-    // the scoring plan, not a redundant refit
-    val centers = ivfFits.getOrElseUpdate(sfDir, {
-      val fitInput = emb.filter(col("vec_id") % 3 === 0)
+    ivfFits.getOrElseUpdate(sfDir, {
+      val fitInput = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 3 === 0)
         .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
         .repartition(4)
         .persist()
@@ -404,6 +405,13 @@ object Similarity {
       } finally fitInput.unpersist()
       model.clusterCenters.map(_.toArray).toIndexedSeq
     })
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+    val centers = ivfCenters(spark, sfDir)
     val x = col("embedding").cast("array<double>")
     def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cc = c.map(v => v * v).sum
@@ -425,6 +433,131 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= IvfTopK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  // ---- q_semantic_dedup ----------------------------------------------
+
+  /** Cosine bar for a semantic duplicate — matches [[embedDedup]]'s
+    * near-dup threshold so the two operators' verdicts are comparable.
+    */
+  val SemDedupThreshold = 0.4
+
+  /** q_semantic_dedup: SemDeDup-style cluster-scoped semantic dedup
+    * (Abbas et al. 2023, "SemDeDup" — public arXiv 2303.09540): assign
+    * every embedding to its nearest frozen-KMeans cell, rank cell
+    * members by prototypicality (distance to centroid, vec_id
+    * tie-break), and DROP a vector when a better-ranked cell-mate is
+    * semantically equivalent (cosine >= [[SemDedupThreshold]]). The
+    * keeper rule is what distinguishes this from [[embedDedup]]'s flat
+    * pair list: each duplicate group resolves toward its most
+    * prototypical member, so the survivor set is diverse by
+    * construction.
+    *
+    * Scale: the quadratic danger in SemDeDup is the within-cluster
+    * all-pairs compare. This implementation never forms it — candidate
+    * pairs come from the SAME sign-LSH band buckets as [[annLsh]]
+    * (equi join on (band, nibble, cell)), deduplicated as narrow
+    * (id, id) rows BEFORE the 64-float payload gather, then
+    * cosine-verified. Assignment + ranking are codegen literal-centroid
+    * arithmetic and one cell-partitioned window (cells are bounded:
+    * corpus/|cells|); the only shuffles are the band key and the cell
+    * window. The KMeans fit is the memoized [[ivfCenters]] sample fit.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val centers = ivfCenters(spark, sfDir)
+    // codes/norms consumed by the band explode and two pair-side
+    // gathers; persist so signCode runs once per vector (annLsh's
+    // discipline). Released by the per-query clearCache in Verify/Bench.
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+    val x = col("embedding").cast("array<double>")
+    def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
+      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
+    }: _*)
+    val w = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
+    val ranked = emb
+      .withColumn("best", array_min(cellDists))
+      .select(col("vec_id"), col("embedding"), col("code"), col("nsq"),
+        col("best.cell").as("cell"), col("best.d2").as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .persist()
+    // narrow (band, nib, cell)-keyed self-join; pairs dedup'd as ids
+    // before the payload gather, exactly like annLsh
+    val bandedTagged = ranked.select(
+      col("vec_id"), col("cell"), col("rk"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
+      }: _*)).as("bd"))
+      .select(col("vec_id"), col("cell"), col("rk"),
+        col("bd.band").as("band"), col("bd.nib").as("nib"))
+    val cand = bandedTagged.as("a")
+      .join(bandedTagged.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.cell") === col("b.cell") && col("a.rk") < col("b.rk"))
+      .select(col("a.vec_id").as("id_keep"), col("b.vec_id").as("id_dup"))
+      .distinct()
+    val dropped = cand
+      .join(ranked.as("ea"), col("id_keep") === col("ea.vec_id"))
+      .join(ranked.as("eb"), col("id_dup") === col("eb.vec_id"))
+      .withColumn("cos",
+        round(dot(col("ea.embedding"), col("eb.embedding")) / sqrt(col("ea.nsq") * col("eb.nsq")), 6))
+      .filter(col("cos") >= SemDedupThreshold)
+      .select(col("id_dup")).distinct()
+    ranked
+      .join(dropped, col("vec_id") === col("id_dup"), "left")
+      .select(col("vec_id"), col("cell"), col("rk"), col("id_dup").isNull.as("kept"))
+  }
+
+  /** DuckDB oracle for q_semantic_dedup — same frozen-centroid contract
+    * as [[annIvfOracleSql]]: available once the IVF fit has run in this
+    * JVM, refuses to render after fits on two datasets.
+    */
+  def semanticDedupOracleSql: Option[String] = {
+    FrozenFit.single(ivfFits, "IVF centroids").map { centers =>
+      s"""
+    WITH cents(cell, cc, cv) AS (VALUES
+      ${centroidValuesSql(centers)}),
+    e AS (
+      SELECT vec_id, embedding,
+             ${signCodeSql.replace("v[", "embedding[")} AS code,
+             ${dotSql("embedding", "embedding")} AS nsq
+      FROM embeddings
+    ),
+    celled AS (
+      SELECT vec_id, embedding, code, nsq, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, e.code, e.nsq, c.cell,
+               greatest((e.nsq - CAST(2 AS DOUBLE) * ${dotCvSql("e.embedding", "c.cv")}) + c.cc,
+                        CAST(0 AS DOUBLE)) AS d2
+        FROM e CROSS JOIN cents c
+      )
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, code, nsq, cell, d2,
+             row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS rk
+      FROM celled WHERE crk = 1
+    ),
+    banded AS (
+      SELECT vec_id, cell, rk, embedding, nsq, b.band, (code >> (4 * b.band)) % 16 AS nib
+      FROM ranked CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_keep, b.vec_id AS id_dup,
+             a.embedding AS emb_a, b.embedding AS emb_b, a.nsq AS na, b.nsq AS nb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.nib = b.nib AND a.cell = b.cell AND a.rk < b.rk
+    ),
+    dropped AS (
+      SELECT DISTINCT id_dup FROM cand
+      WHERE round(${dotSql("emb_a", "emb_b")} / sqrt(na * nb), 6) >= $SemDedupThreshold
+    )
+    SELECT r.vec_id, r.cell, r.rk, (d.id_dup IS NULL) AS kept
+    FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.id_dup"""
+    }
   }
 
   // ---- q_pca_project -------------------------------------------------

@@ -413,6 +413,54 @@ object TextAnalysis {
            CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS ttr
     FROM tf GROUP BY 1"""
 
+  // ---- q_vocab_stats -------------------------------------------------
+
+  /** q_vocab_stats: per-SOURCE vocabulary profile — total token count,
+    * distinct type count, hapax-legomenon count (types occurring exactly
+    * once in the source), hapax mass (tokens belonging to hapax types),
+    * and type-token ratio. The corpus-level Zipf/Heaps diagnostic that
+    * [[diversity]]'s per-document TTR can't see: a source whose hapax
+    * share collapses round-over-round is exhausting its vocabulary
+    * (template expansion, synthetic text); one whose TTR is anomalously
+    * high may be noise/gibberish. Run per ingest batch to decide
+    * re-crawl vs down-weight.
+    *
+    * Scale: one (source, term) hash agg with map-side partials, then
+    * one |sources|-row rollup — the same two-level shape as
+    * [[diversity]], keyed by source instead of doc. Output is
+    * |sources| rows; nothing broadcast, no windows, no skew exposure
+    * beyond one source dominating the corpus (which AQE rebalances).
+    */
+  def vocabStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("source")).agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .select(
+        col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_share"))
+  }
+
+  val vocabStatsSql: String =
+    """
+    WITH tf AS (
+      SELECT source, term, count(*) AS tf
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS ttr,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_share
+    FROM tf GROUP BY 1"""
+
   // ---- q_bigram_lm ---------------------------------------------------
 
   /** Minimum bigram count to keep (prunes the hapax tail). */

@@ -346,3 +346,106 @@ class BpeSpec extends SparkSpec {
     } finally Bpe.resetFit()
   }
 }
+
+/** q_boilerplate + q_vocab_stats: planted fixtures with hand-computed
+  * expectations (the sf corpus is random text, so the 30% prevalence
+  * gate rarely trips there — these plants prove the gate itself).
+  */
+class VocabBoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeSourced(docs: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("chrome bigram present in every doc of a source is boilerplate; unique filler is not") {
+    // 10 web docs all open with the chrome "home login"; filler bigrams
+    // are unique per doc. Bigrams of doc i: (home login), (login u<i>),
+    // (u<i> v<i>) -> 3 distinct, exactly 1 boilerplate.
+    val web = (1L to 10L).map(i => (i, s"home login u$i v$i", "web"))
+    val out = Dedup.boilerplate(spark, writeSourced(web)).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sh") == 3L)
+      assert(r.getAs[Long]("n_boiler") == 1L)
+      assert(r.getAs[Double]("boiler_ratio") == 1.0 / 3.0)
+    }
+  }
+
+  test("prevalence is per-source: the same bigram below 30% elsewhere is clean there") {
+    // "home login" in 10/10 web docs (boiler) but only 2/10 book docs
+    // (2*10 < 10*3 -> clean), so book docs report zero boilerplate.
+    val web = (1L to 10L).map(i => (i, s"home login u$i v$i", "web"))
+    val books = (11L to 12L).map(i => (i, s"home login w$i x$i", "books")) ++
+      (13L to 20L).map(i => (i, s"plain w$i x$i y$i", "books"))
+    val out = Dedup.boilerplate(spark, writeSourced(web ++ books)).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boiler")).toMap
+    (1L to 10L).foreach(i => assert(byDoc(i) == 1L))
+    (11L to 20L).foreach(i => assert(byDoc(i) == 0L))
+  }
+
+  test("df >= 2 floor: in a tiny source one occurrence never counts as boilerplate") {
+    // 3 docs: a bigram in 1 doc has df*10=10 >= n_docs*3=9, but df<2.
+    val tiny = Seq((1L, "nav bar a1 b1", "t"), (2L, "c2 d2 e2", "t"), (3L, "f3 g3 h3", "t"))
+    val out = Dedup.boilerplate(spark, writeSourced(tiny)).collect()
+    assert(out.forall(_.getAs[Long]("n_boiler") == 0L))
+  }
+
+  test("vocab stats: hand-computed tokens/types/hapax per source") {
+    // s1: "a b a" + "b c" -> tf a:2 b:2 c:1 -> 5 tokens, 3 types, 1 hapax
+    // s2: "x x x" -> 3 tokens, 1 type, 0 hapax
+    val docs = Seq((1L, "a b a", "s1"), (2L, "b c", "s1"), (3L, "x x x", "s2"))
+    val out = TextAnalysis.vocabStats(spark, writeSourced(docs)).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"),
+          r.getAs[Double]("ttr"), r.getAs[Double]("hapax_share")))).toMap
+    assert(out("s1") == ((5L, 3L, 1L, 3.0 / 5.0, 1.0 / 3.0)))
+    assert(out("s2") == ((3L, 1L, 0L, 1.0 / 3.0, 0.0)))
+  }
+}
+
+/** q_semantic_dedup: planted identical-vector groups resolve to their
+  * most prototypical member; orthogonal groups never cross-drop.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("each identical triple keeps exactly its lowest-id member; orthogonal groups untouched") {
+    Similarity.resetIvfFits()
+    try {
+      // 20 groups x 3 identical one-hot vectors (64-dim). Within a group
+      // cosine = 1 (>= threshold, same cell, identical bands); across
+      // groups cosine = 0. d2-to-centroid ties within a group resolve by
+      // vec_id, so the keeper is the lowest vec_id of each triple.
+      val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+      val rows = for (g <- 0 until 20; j <- 0 until 3) yield {
+        val v = Array.fill(64)(0.0f); v(g) = 1.0f
+        (g * 3L + j, v.toSeq, s"g$g")
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.semanticDedup(spark, dir).collect()
+      assert(out.length == 60)
+      val kept = out.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).sorted
+      assert(kept.toSeq == (0 until 20).map(_ * 3L), "keeper = lowest vec_id per triple")
+      // a dropped member's keeper outranks it in the same cell
+      val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      (0 until 20).foreach { g =>
+        assert(cellOf(g * 3L) == cellOf(g * 3L + 1) && cellOf(g * 3L) == cellOf(g * 3L + 2))
+      }
+    } finally Similarity.resetIvfFits()
+  }
+
+  test("oracle renders only after the fit, with the fitted centroids inlined") {
+    Similarity.resetIvfFits()
+    try {
+      assert(Similarity.semanticDedupOracleSql.isEmpty, "no fit yet -> no oracle")
+      Similarity.semanticDedup(spark, "/root/testdata/sf0.001").count()
+      val sql = Similarity.semanticDedupOracleSql
+      assert(sql.nonEmpty && sql.get.contains("cents(cell, cc, cv)"))
+    } finally Similarity.resetIvfFits()
+  }
+}
