@@ -156,6 +156,11 @@ object SparkEntry {
     "q_vocab_stats" -> (TextAnalysis.vocabStats _),
     // SemDeDup: cluster-scoped semantic dedup with prototype keeper rule
     "q_semantic_dedup" -> (Similarity.semanticDedup _),
+    // product quantization: corpus encode pass + IVF+PQ (ADC) search
+    "q_pq_encode" -> (graft.pipeline.Pq.pqEncode _),
+    "q_ann_ivfpq" -> (graft.pipeline.Pq.annIvfPq _),
+    // fasttext-style frozen-weights quality classifier (curated-vs-rest)
+    "q_quality_classifier" -> (graft.pipeline.QualityClassifier.classify _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,5 +284,8 @@ object SparkEntry {
     Similarity.annPcaOracleSql.map("q_ann_pca" -> _) ++
     graft.pipeline.Bpe.tokenCountBpeOracleSql.map("q_token_count_bpe" -> _) ++
     graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _) ++
-    graft.pipeline.Bpe.tokenFertilityOracleSql.map("q_token_fertility" -> _)
+    graft.pipeline.Bpe.tokenFertilityOracleSql.map("q_token_fertility" -> _) ++
+    graft.pipeline.Pq.pqEncodeOracleSql.map("q_pq_encode" -> _) ++
+    graft.pipeline.Pq.annIvfPqOracleSql.map("q_ann_ivfpq" -> _) ++
+    graft.pipeline.QualityClassifier.classifyOracleSql.map("q_quality_classifier" -> _)
 }

@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** q_quality_classifier: fasttext-style linear quality classifier with
+  * frozen weights — the "curated corpus vs everything else" filter from
+  * the GPT-3/LLaMA data pipelines (positive class = a small set of
+  * trusted sources, negative = the rest; the trained scorer then ranks
+  * the whole corpus).
+  *
+  * Features are hashed bag-of-{unigram,bigram} buckets ([[Buckets]]
+  * wide, md5-derived 32-bit hash — the same Spark/DuckDB-identical
+  * hash as the dedup family), normalized by the feature count. The FIT
+  * is a driver-side full-batch logistic regression on a deterministic
+  * 1-in-[[FitModulus]] document sample whose per-doc bucket counts are
+  * computed IN Spark (explode → groupBy(doc, bucket) → count; the
+  * collect is bounded by sample_docs × [[Buckets]] rows). The fit is
+  * frozen per dataset and the SCORING — one codegen'd fold per
+  * document, zero joins, zero shuffles — is oracle-gated in DuckDB
+  * with the weights inlined as exact literals (the same frozen-fit
+  * mechanism as the KMeans/PCA/BPE oracles).
+  *
+  * Scale: scoring is embarrassingly parallel (map-only over the corpus
+  * — at 100 TB it pipelines into the scan with no exchange at all);
+  * the fit sample is the only collect and its size is controlled by
+  * the modulus (grow it with the corpus; the GPT-3-style classifier is
+  * always fit on a tiny labeled slice). The driver test corpus is
+  * uniform word salad by construction, so the learned weights sit near
+  * the base rate there — the planted-signal fixture in
+  * QualityClassifierSpec is what demonstrates separation; the driver
+  * oracle gates determinism and the scoring arithmetic.
+  *
+  * Output prob is left as the raw margin (rounded), not a sigmoid:
+  * `exp` is not bit-identical across libms, while the margin is a pure
+  * fold of products — bit-identical cross-engine. The sigmoid is
+  * monotone, so the margin carries the same ranking/decision.
+  */
+object QualityClassifier {
+
+  /** Hashed feature buckets. 64 keeps the oracle's inline weight list
+    * readable while far exceeding the synthetic corpus vocabulary; at
+    * 100 TB this grows to 1-4M buckets (fasttext's default 2M) with the
+    * identical plan — the weight array rides along as a literal/
+    * broadcast either way.
+    */
+  val Buckets = 64
+
+  /** Positive-class sources: the "curated corpus" stand-in. */
+  val PosSourceRegex = "^src[0-4]$"
+
+  /** 1-in-N deterministic fit sample (mirrors the IVF quantizer fit). */
+  val FitModulus = 3
+
+  val Iters = 300
+  val LearnRate = 2.0
+
+  /** Frozen fitted model per dataset dir. */
+  final case class Fitted(bias: Double, weights: IndexedSeq[Double])
+
+  private val fits =
+    scala.collection.concurrent.TrieMap.empty[String, Fitted]
+
+  /** Test seam: drop all frozen fits (multi-dataset specs must reset so
+    * the single-dataset oracle guard stays meaningful).
+    */
+  private[pipeline] def resetFits(): Unit = fits.clear()
+
+  /** Test seam: the fitted model for one dataset. */
+  private[pipeline] def fittedFor(sfDir: String): Option[Fitted] = fits.get(sfDir)
+
+  /** Unigrams ++ bigrams of the whitespace tokenization — the fasttext
+    * feature set (word + word-bigram hashes).
+    */
+  private def featureList(toks: Column): Column = {
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** DuckDB mirror of [[featureList]] over a token-list expression. */
+  private def featureListSql(tk: String): String =
+    s"""list_concat($tk, CASE WHEN len($tk) >= 2
+        THEN [($tk)[i] || ' ' || ($tk)[i+1] for i in generate_series(1, len($tk) - 1)]
+        ELSE CAST([] AS VARCHAR[]) END)"""
+
+  def weightsFor(spark: SparkSession, sfDir: String): Fitted =
+    fits.getOrElseUpdate(sfDir, learn(spark, sfDir))
+
+  /** Driver-side deterministic full-batch logistic regression: the
+    * per-doc (bucket, count) matrix comes back from one Spark
+    * aggregation; gradient descent runs [[Iters]] fixed iterations in a
+    * fixed doc order, so two fits on the same data produce
+    * bit-identical weights.
+    */
+  private def learn(spark: SparkSession, sfDir: String): Fitted = {
+    val rows = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % FitModulus === 0)
+      .select(col("doc_id"),
+        when(col("source").rlike(PosSourceRegex), 1.0).otherwise(0.0).as("y"),
+        explode(featureList(split(col("text"), " "))).as("f"))
+      .groupBy(col("doc_id"), col("y"),
+        (Dedup.h32(col("f")) % Buckets).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+
+    val xs = rows.groupBy(_.getAs[Long]("doc_id")).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val n = rs.map(_.getAs[Long]("cnt")).sum.toDouble
+      val v = new Array[Double](Buckets)
+      rs.foreach(r => v(r.getAs[Int]("bucket")) += r.getAs[Long]("cnt") / n)
+      (v, rs.head.getAs[Double]("y"))
+    }
+
+    var b = 0.0
+    val w = new Array[Double](Buckets)
+    var it = 0
+    while (it < Iters) {
+      var gb = 0.0
+      val gw = new Array[Double](Buckets)
+      xs.foreach { case (x, y) =>
+        var s = b
+        var j = 0
+        while (j < Buckets) { s += w(j) * x(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-math.max(-30.0, math.min(30.0, s))))
+        val d = p - y
+        gb += d
+        j = 0
+        while (j < Buckets) { gw(j) += d * x(j); j += 1 }
+      }
+      val m = xs.size.toDouble
+      b -= LearnRate * gb / m
+      var j = 0
+      while (j < Buckets) { w(j) -= LearnRate * gw(j) / m; j += 1 }
+      it += 1
+    }
+    Fitted(b, w.toIndexedSeq)
+  }
+
+  /** q_quality_classifier: per-document margin + decision under the
+    * frozen weights. Map-only: one fold over the feature list per row.
+    */
+  def classify(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = weightsFor(spark, sfDir)
+    val wlit = typedLit(m.weights)
+    val raw = lit(m.bias) +
+      aggregate(col("fs"), lit(0.0),
+        (acc, f) => acc + element_at(wlit, ((Dedup.h32(f) % Buckets) + 1).cast("int"))) /
+        size(col("fs")).cast("double")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        featureList(split(col("text"), " ")).as("fs"))
+      .select(col("doc_id"), col("source"), raw.as("raw"))
+      .select(col("doc_id"), col("source"),
+        round(col("raw"), 6).as("score"),
+        (col("raw") >= 0).cast("int").as("pred"))
+  }
+
+  /** DuckDB oracle, available once the fit has run in this JVM (None →
+    * rows-only check). Weights render as exact round-trip literals; the
+    * scoring fold mirrors Spark's `aggregate` element order, so the
+    * margin is bit-identical before the final round.
+    */
+  def classifyOracleSql: Option[String] =
+    FrozenFit.single(fits, "quality-classifier weights").map { m =>
+      val wlist = m.weights.map(Similarity.dlit).mkString("[", ", ", "]")
+      val bucket = s"(${Dedup.h32Sql.format("f")} % $Buckets) + 1"
+      s"""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    f AS (SELECT doc_id, source, ${featureListSql("tk")} AS fs FROM d),
+    s AS (
+      SELECT doc_id, source,
+             ${Similarity.dlit(m.bias)} +
+             (list_reduce(list_prepend(CAST(0 AS DOUBLE), [($wlist)[$bucket] for f in fs]),
+                          (x, y) -> x + y) / len(fs)) AS raw
+      FROM f)
+    SELECT doc_id, source, round(raw, 6) AS score, CAST(raw >= 0 AS INT) AS pred
+    FROM s"""
+    }
+}

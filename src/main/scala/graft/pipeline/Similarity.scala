@@ -317,8 +317,14 @@ object Similarity {
     * after fits on two datasets — one dump must not gate another
     * dataset's parquet (Verify's flow runs one dataset per JVM).
     */
+  /** The frozen coarse-quantizer centroids (single-dataset guard), also
+    * consumed by [[Pq]]'s IVF+PQ oracle.
+    */
+  private[pipeline] def ivfFrozen: Option[IndexedSeq[Array[Double]]] =
+    FrozenFit.single(ivfFits, "IVF centroids")
+
   def annIvfOracleSql: Option[String] = {
-    FrozenFit.single(ivfFits, "IVF centroids").map { centers =>
+    ivfFrozen.map { centers =>
     s"""
     WITH cents(cell, cc, cv) AS (VALUES
       ${centroidValuesSql(centers)}),
@@ -371,41 +377,35 @@ object Similarity {
     * ranking are fully oracle-gated in DuckDB (SimilarityRecallSpec pins
     * the fit's recall against the exact brute-force baseline).
     */
-  /** The memoized IVF quantizer fit, shared by [[annIvf]] and
-    * [[semanticDedup]]: quantizer fit on a deterministic 1/3 sample,
-    * few iterations, random init (k-means|| init costs extra full
-    * passes a coarse quantizer doesn't need), input cached across
-    * iterations — a quantizer needs rough cells, not convergence;
-    * sample-fit is also the only viable shape at 100 TB.
-    *
-    * repartition(4), NOT coalesce: each KMeans iteration launches one
-    * task per partition, so a sample spread over all 32 shuffle
-    * partitions is scheduling overhead — but coalesce would propagate
-    * UP and collapse the corpus scan itself to 4 tasks. The shuffle
-    * boundary keeps the scan at full parallelism and moves only the
-    * tiny sample. At 100 TB the same rule with a bigger constant:
-    * repartition the fit sample by ITS size, never the corpus's.
-    * Fit memoized per dataset (seed-fixed, deterministic — same as the
-    * PCA/BPE fits), so repeated invocations (Bench's median-of-3) time
-    * the scoring plan, not a redundant refit.
+  /** The memoized IVF quantizer fit, shared by [[annIvf]], [[Pq]] and
+    * [[semanticDedup]]: a deterministic 1/3 sample aggregated to
+    * distinct (point, count) rows in Spark, then [[KmeansFit]]'s
+    * deterministic weighted Lloyd on the driver — a quantizer needs
+    * rough cells, not convergence, and sample-fit is the only viable
+    * shape at 100 TB. Fit memoized per dataset (deterministic — same
+    * as the PCA/BPE fits), so repeated invocations (Bench's
+    * median-of-3) time the scoring plan, not a redundant refit.
     */
-  private def ivfCenters(spark: SparkSession, sfDir: String): IndexedSeq[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  private[pipeline] def ivfCenters(spark: SparkSession, sfDir: String): IndexedSeq[Array[Double]] =
     ivfFits.getOrElseUpdate(sfDir, {
-      val fitInput = Tables.embeddings(spark, sfDir)
+      // Spark does the heavy part (distinct + count over the sample);
+      // the driver runs [[KmeansFit]]'s deterministic weighted Lloyd
+      // over ≤ DistinctCap (point, count) rows. Density is preserved
+      // exactly (counts weight the means), the collect is bounded at
+      // any corpus size, and — unlike MLlib's block KMeans, which
+      // crashes when its random init draws the same point twice on
+      // duplicate-heavy data — the fit is total and bit-reproducible.
+      val pts = Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") % 3 === 0)
-        .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-        .repartition(4)
-        .persist()
-      val model = try {
-        new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(8)
-          .setInitMode("random").setFeaturesCol("features")
-          .fit(fitInput)
-      } finally fitInput.unpersist()
-      model.clusterCenters.map(_.toArray).toIndexedSeq
+        .select(col("embedding").cast("array<double>").as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, hash(col("a")).asc, col("a").asc)
+        .limit(KmeansFit.DistinctCap)
+        .collect()
+        .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
+        .toIndexedSeq
+      KmeansFit.fit(pts, IvfCells, KmeansFit.Iters)
     })
-  }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)

@@ -16,7 +16,8 @@ class EntryContractSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.subsetOf(Set("q_ann_ivf", "q_semantic_dedup", "q_kmeans_anomaly",
       "q_token_count_bpe", "q_token_pack_bpe", "q_token_fertility",
-      "q_pca_project", "q_ann_pca")),
+      "q_pca_project", "q_ann_pca",
+      "q_pq_encode", "q_ann_ivfpq", "q_quality_classifier")),
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
   }
 
