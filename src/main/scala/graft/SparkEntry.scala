@@ -161,6 +161,8 @@ object SparkEntry {
     "q_ann_ivfpq" -> (graft.pipeline.Pq.annIvfPq _),
     // fasttext-style frozen-weights quality classifier (curated-vs-rest)
     "q_quality_classifier" -> (graft.pipeline.QualityClassifier.classify _),
+    // Okapi BM25 corpus ranking against a fixed retrieval query
+    "q_bm25" -> (TextAnalysis.bm25 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,6 +273,7 @@ object SparkEntry {
     "q_curate" -> graft.pipeline.Curate.curateSql,
     "q_boilerplate" -> Dedup.boilerplateSql,
     "q_vocab_stats" -> TextAnalysis.vocabStatsSql,
+    "q_bm25" -> TextAnalysis.bm25Sql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -320,6 +320,99 @@ object TextAnalysis {
     )
     SELECT doc_id, rk, term, tf, df, tfidf FROM rk WHERE rk <= 3"""
 
+  // ---- q_bm25 --------------------------------------------------------
+
+  /** Fixed retrieval query for the BM25 scorer — corpus inspection and
+    * hard-example mining both reduce to "rank the corpus against a
+    * query", and a literal term list keeps the whole ranking
+    * SQL-expressible.
+    */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "window")
+
+  /** Standard Okapi constants; written as literals (never computed) so
+    * the Spark `lit` and the oracle's VARCHAR→DOUBLE cast parse the
+    * identical IEEE-754 value.
+    */
+  val Bm25K1 = 1.2
+  val Bm25K1Plus1 = 2.2
+  val Bm25B = 0.75
+  val Bm25OneMinusB = 0.25
+  val Bm25TopN = 50
+
+  /** q_bm25: Okapi BM25 ranking of the corpus against [[Bm25Query]] —
+    * the retrieval scorer a curation pipeline uses to inspect a corpus
+    * or mine hard examples. Log-free variant (the same discipline as
+    * [[tfidf]]): idf = (N − df + 0.5)/(df + 0.5) without the ln — the
+    * ranking keeps BM25's saturation and length normalization while
+    * every operation stays bit-identical cross-engine (ln is not).
+    *
+    * Scale: one scan computes per-doc term frequencies (no explode —
+    * the query has |q| terms, so tf is |q| codegen'd list filters); the
+    * corpus statistics (N, Σlen, df per term) are ONE global aggregate
+    * attached back as a broadcast single-row; ranking is a global
+    * top-N (TakeOrdered — no full sort). No shuffle touches the corpus
+    * beyond the one aggregate.
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).as("len") +:
+        Bm25Query.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      graft.functions.Exact.exactSum(col("len")).as("sumlen") +:
+        Bm25Query.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      .withColumn("avglen", col("sumlen") / col("n_docs"))
+    def term(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      val norm = lit(Bm25K1) *
+        (lit(Bm25OneMinusB) + lit(Bm25B) * (col("len").cast("double") / col("avglen")))
+      idf * ((tf * lit(Bm25K1Plus1)) / (tf + norm))
+    }
+    base
+      .filter(Bm25Query.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .crossJoin(broadcast(stats)) // single-row corpus statistics
+      .withColumn("score", round(Bm25Query.indices.map(term).reduceLeft(_ + _), 6))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopN)
+      .select(col("doc_id"), col("score"))
+  }
+
+  val bm25Sql: String = {
+    def d(v: Double) = s"CAST('$v' AS DOUBLE)"
+    val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n                ")
+    val dfCols = Bm25Query.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n                ")
+    def termSql(i: Int) =
+      s"""((CAST(s.n_docs - s.df$i AS DOUBLE) + ${d(0.5)}) / (CAST(s.df$i AS DOUBLE) + ${d(0.5)}))
+           * ((CAST(b.tf$i AS DOUBLE) * ${d(Bm25K1Plus1)})
+              / (CAST(b.tf$i AS DOUBLE) + ${d(Bm25K1)} * (${d(Bm25OneMinusB)} + ${d(Bm25B)} * (CAST(b.len AS DOUBLE) / s.avglen))))"""
+    val scoreSum = Bm25Query.indices.map(termSql).reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    base AS (SELECT doc_id, len(tk) AS len,
+                $tfCols
+             FROM d),
+    stats AS (SELECT count(*) AS n_docs,
+                CAST(CAST(SUM(CAST(len AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sumlen,
+                $dfCols
+              FROM base),
+    s AS (SELECT *, sumlen / n_docs AS avglen FROM stats)
+    SELECT doc_id, score FROM (
+      SELECT b.doc_id, round($scoreSum, 6) AS score
+      FROM base b CROSS JOIN s
+      WHERE ${Bm25Query.indices.map(i => s"b.tf$i").mkString(" + ")} > 0
+    )
+    ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopN"""
+  }
+
   // ---- q_chunk -------------------------------------------------------
 
   /** Chunk size (tokens) and stride for [[chunk]]. Stride < size gives

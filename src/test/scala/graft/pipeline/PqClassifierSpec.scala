@@ -105,6 +105,44 @@ class PqSpec extends SparkSpec {
   }
 }
 
+/** q_bm25: hand-checked Okapi scoring on a planted corpus — more query
+  * terms and shorter length outrank, zero-hit docs are excluded, and
+  * the score matches the formula computed with the same double ops.
+  */
+class Bm25Spec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("planted corpus: all-terms doc outranks single-term doc; zero-hit doc excluded; exact score") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    val docs = Seq(
+      (1L, "spark join window", "en"),               // all 3 terms, len 3
+      (2L, "spark a a a a a a a", "en"),             // 1 term, len 8
+      (3L, "b b b", "en"),                           // no terms -> excluded
+    )
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.bm25(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), s"ranking/exclusion wrong: ${out.toSeq}")
+    // exact score of doc 1, computed with the identical double operations
+    val nDocs = 3L
+    val avglen = (3.0 + 8.0 + 3.0) / nDocs
+    def term(tf: Double, df: Long, len: Double): Double = {
+      val idf = ((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)
+      val norm = TextAnalysis.Bm25K1 *
+        (TextAnalysis.Bm25OneMinusB + TextAnalysis.Bm25B * (len / avglen))
+      idf * ((tf * TextAnalysis.Bm25K1Plus1) / (tf + norm))
+    }
+    // spark: df per term over the corpus; doc 1 has tf=1 for each term
+    val expected1 = BigDecimal(
+      term(1.0, 2L, 3.0) + term(1.0, 1L, 3.0) + term(1.0, 1L, 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._2 == expected1, s"doc 1 score ${out.head._2} != $expected1")
+  }
+}
+
 /** q_quality_classifier: the frozen-weights linear scorer separates a
   * planted curated-vs-web corpus, fits deterministically, and gates its
   * oracle on the fit.
