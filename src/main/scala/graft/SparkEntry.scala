@@ -163,6 +163,8 @@ object SparkEntry {
     "q_quality_classifier" -> (graft.pipeline.QualityClassifier.classify _),
     // Okapi BM25 corpus ranking against a fixed retrieval query
     "q_bm25" -> (TextAnalysis.bm25 _),
+    // int8 scalar quantization (per-dim affine grid, SQ8)
+    "q_sq_encode" -> (graft.pipeline.Pq.sqEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -274,6 +276,7 @@ object SparkEntry {
     "q_boilerplate" -> Dedup.boilerplateSql,
     "q_vocab_stats" -> TextAnalysis.vocabStatsSql,
     "q_bm25" -> TextAnalysis.bm25Sql,
+    "q_sq_encode" -> graft.pipeline.Pq.sqEncodeSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

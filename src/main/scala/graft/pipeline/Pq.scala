@@ -195,6 +195,84 @@ object Pq {
       .select(col("q_id"), col("rk"), col("vec_id"), col("d2"))
   }
 
+  // ---- q_sq_encode ---------------------------------------------------
+
+  /** Embedding dimensionality (shared by the scalar quantizer). */
+  val Dim = M * Sub
+
+  /** q_sq_encode: int8 scalar quantization (the FAISS SQ8 workhorse —
+    * 4× compression with near-exact recall, the milder sibling of PQ):
+    * per-dimension [min, max] over the corpus defines an affine 256-bin
+    * grid; each element encodes as `floor((v−min)/range·256)` clamped
+    * to [0, 255], reconstructing at the bin midpoint. Output per vector:
+    * the code checksum and the exact reconstruction error (ordered
+    * fold, rounded 6) — the pair a pipeline monitors to decide whether
+    * SQ8 is lossless enough before switching the index over.
+    *
+    * Fully SQL-expressible (no frozen fit): the per-dim stats are two
+    * tiny aggregations (64-row then 1-row) broadcast back; the encode
+    * itself is map-only over the corpus. Constant dimensions (range 0)
+    * encode as 0 and reconstruct exactly.
+    */
+  def sqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+    val stats = emb
+      .select(posexplode(col("a")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("dm"))
+      .select(transform(col("dm"), s => s.getField("mn")).as("mins"),
+        transform(col("dm"), s => s.getField("mx")).as("maxs"))
+    def code(i: Column): Column = {
+      val v = element_at(col("a"), i)
+      val mn = element_at(col("mins"), i)
+      val rng = element_at(col("maxs"), i) - mn
+      when(rng === lit(0.0), lit(0L))
+        .otherwise(least(greatest(
+          floor(((v - mn) / rng) * lit(256.0)).cast("long"), lit(0L)), lit(255L)))
+    }
+    def errTerm(i: Column): Column = {
+      val v = element_at(col("a"), i)
+      val mn = element_at(col("mins"), i)
+      val rng = element_at(col("maxs"), i) - mn
+      val recon = mn + ((code(i).cast("double") + lit(0.5)) / lit(256.0)) * rng
+      (v - recon) * (v - recon)
+    }
+    emb.crossJoin(broadcast(stats)) // single-row per-dim grid
+      .select(col("vec_id"),
+        aggregate(sequence(lit(1), lit(Dim)), lit(0L), (acc, i) => acc + code(i))
+          .as("code_sum"),
+        round(aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) => acc + errTerm(i)), 6)
+          .as("err"))
+  }
+
+  val sqEncodeSql: String = {
+    val codeSql =
+      """CASE WHEN rng = 0 THEN 0
+         ELSE least(greatest(CAST(floor(((v - mn) / rng) * CAST(256 AS DOUBLE)) AS BIGINT), 0), 255) END"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    per AS (
+      SELECT e.vec_id, t.d, CAST(e.embedding[t.d] AS DOUBLE) AS v
+      FROM e CROSS JOIN generate_series(1, $Dim) t(d)
+    ),
+    dm AS (SELECT d, min(v) AS mn, max(v) AS mx, max(v) - min(v) AS rng FROM per GROUP BY d),
+    coded AS (
+      SELECT p.vec_id, p.d, p.v, dm.mn, dm.rng, $codeSql AS c
+      FROM per p JOIN dm ON dm.d = p.d
+    ),
+    terms AS (
+      SELECT vec_id, d, c,
+             (v - (mn + ((CAST(c AS DOUBLE) + CAST('0.5' AS DOUBLE)) / CAST(256 AS DOUBLE)) * rng))
+               * (v - (mn + ((CAST(c AS DOUBLE) + CAST('0.5' AS DOUBLE)) / CAST(256 AS DOUBLE)) * rng)) AS et
+      FROM coded
+    )
+    SELECT vec_id,
+           CAST(list_reduce(list_prepend(0::BIGINT, list(c ORDER BY d)), (x, y) -> x + y) AS BIGINT) AS code_sum,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(et ORDER BY d)), (x, y) -> x + y), 6) AS err
+    FROM terms GROUP BY vec_id"""
+  }
+
   // ---- frozen-codebook oracles ---------------------------------------
 
   /** VALUES rows `(m, code, scc, scv)` for the fitted codebooks. */

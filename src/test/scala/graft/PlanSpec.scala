@@ -78,6 +78,23 @@ class PlanSpec extends SparkSpec {
       "q_profile_approx must broadcast the tiny sketch relation")
   }
 
+  test("map-only operators plan zero shuffles; bm25 shuffles only its stats aggregate") {
+    // the SCALE.md claim for these is "pipelines into the scan": encode
+    // and classifier scoring must never exchange the corpus
+    Seq("q_pq_encode", "q_quality_classifier").foreach { name =>
+      val shuffles = collectAll(plan(name)) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"$name should be map-only, got ${shuffles.size} shuffles")
+    }
+    // bm25: one global stats aggregate (its only exchange) broadcast
+    // back; ranking is TakeOrdered, not a sort shuffle
+    val sh = collectAll(plan("q_bm25")) { case e: ShuffleExchangeExec => e }
+    assert(sh.size <= 1, s"q_bm25 should shuffle only the stats aggregate, got ${sh.size}")
+    // sq_encode: the corpus side is map-only; only the tiny per-dim
+    // stats relation shuffles (per-dim agg + 1-row reshape)
+    val sq = collectAll(plan("q_sq_encode")) { case e: ShuffleExchangeExec => e }
+    assert(sq.size <= 2, s"q_sq_encode should shuffle only its stats aggregates, got ${sq.size}")
+  }
+
   test("only the intentional brute-force baseline uses nested-loop joins") {
     // q_ann_topk is the declared exact-recall baseline and its query
     // side is hard-capped at <= 100 probes (vec_id < TopkQueryCap), so

@@ -105,6 +105,35 @@ class PqSpec extends SparkSpec {
   }
 }
 
+/** q_sq_encode: hand-computed codes and reconstruction error on a grid
+  * fixture; constant dimensions encode as 0 and reconstruct exactly.
+  */
+class SqEncodeSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed SQ8 codes, checksum, and midpoint reconstruction error") {
+    val dir = java.nio.file.Files.createTempDirectory("sq").toString
+    // dims 1..32 span [0,1] across the corpus; dims 33..64 are constant
+    // 0.7 (range 0 -> code 0, zero error contribution)
+    def vec(v: Float) = (Array.fill(32)(v) ++ Array.fill(32)(0.7f)).toSeq
+    Seq((1L, vec(0.0f), "a"), (2L, vec(1.0f), "b"), (3L, vec(0.5f), "c"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Pq.sqEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code_sum"), r.getAs[Double]("err")))).toMap
+    // codes on the varying dims: 0.0 -> 0, 1.0 -> clamp(256) = 255,
+    // 0.5 -> floor(128) = 128; error per varying dim = (0.5/256)^2
+    // for v=0.0 and v=1.0 (midpoint recon 0.001953125 away), same for
+    // 0.5 (recon 128.5/256) -> 32 * 3.814697265625e-6 = 1.220703125e-4
+    val errExpected = BigDecimal(32 * 3.814697265625e-6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((0L, errExpected)), s"v=0.0: ${out(1L)}")
+    assert(out(2L) == ((255L * 32, errExpected)), s"v=1.0: ${out(2L)}")
+    assert(out(3L) == ((128L * 32, errExpected)), s"v=0.5: ${out(3L)}")
+  }
+}
+
 /** q_bm25: hand-checked Okapi scoring on a planted corpus — more query
   * terms and shorter length outrank, zero-hit docs are excluded, and
   * the score matches the formula computed with the same double ops.
