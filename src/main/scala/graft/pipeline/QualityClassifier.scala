@@ -117,6 +117,10 @@ object QualityClassifier {
 
     var b = 0.0
     val w = new Array[Double](Buckets)
+    // empty fit sample (corpus smaller than the modulus): all-zero
+    // weights — every doc scores the 0 margin — rather than NaN from
+    // the 0-denominator gradient step
+    if (xs.isEmpty) return Fitted(b, w.toIndexedSeq)
     var it = 0
     while (it < Iters) {
       var gb = 0.0
