@@ -1,5 +1,8 @@
 package graft.pipeline
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
 /** Deterministic weighted k-means for the quantizer fits (IVF coarse
   * cells, PQ subspace codebooks).
   *
@@ -25,6 +28,22 @@ object KmeansFit {
   val DistinctCap = 4096
 
   val Iters = 8
+
+  /** The one owner of the sampling contract: distinct + count over the
+    * sample relation's `key` column (an array<double>), canonical
+    * (count desc, hash asc, point asc) order, [[DistinctCap]] collect,
+    * then [[fit]]. Both the IVF coarse fit and each PQ subspace fit go
+    * through here so cap/order/weighting can never desynchronize.
+    */
+  def fitFromDistinctSample(sample: DataFrame, key: Column, k: Int): IndexedSeq[Array[Double]] = {
+    val pts = sample.groupBy(key.as("p")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, hash(col("p")).asc, col("p").asc)
+      .limit(DistinctCap)
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
+      .toIndexedSeq
+    fit(pts, k, Iters)
+  }
 
   def fit(pts: IndexedSeq[(Array[Double], Long)], k: Int, iters: Int): IndexedSeq[Array[Double]] = {
     val kk = math.min(k, pts.size)

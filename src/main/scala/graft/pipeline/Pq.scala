@@ -89,15 +89,8 @@ object Pq {
         .select((0 until M).map(m => slice(x, m * Sub + 1, Sub).as(s"a$m")): _*)
         .persist()
       try {
-        (0 until M).map { m =>
-          val pts = sliced.groupBy(col(s"a$m")).agg(count(lit(1)).as("n"))
-            .orderBy(col("n").desc, hash(col(s"a$m")).asc, col(s"a$m").asc)
-            .limit(KmeansFit.DistinctCap)
-            .collect()
-            .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
-            .toIndexedSeq
-          KmeansFit.fit(pts, K, KmeansFit.Iters)
-        }
+        (0 until M).map(m =>
+          KmeansFit.fitFromDistinctSample(sliced.select(col(s"a$m")), col(s"a$m"), K))
       } finally sliced.unpersist()
     })
 
@@ -125,8 +118,15 @@ object Pq {
     */
   def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val cb = codebooks(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    // empty fit sample (corpus smaller than the modulus): an empty
+    // codebook cannot form the argmin expression — the encode of an
+    // effectively-empty corpus is the empty relation, same schema
+    if (cb.exists(_.isEmpty))
+      return emb.filter(lit(false)).select(col("vec_id") +:
+        (0 until M).map(m => lit(0).as(s"c$m")) :+ lit(0.0).as("err"): _*)
     val picks = (0 until M).map(m => subCode(cb(m), m).as(s"p$m"))
-    Tables.embeddings(spark, sfDir)
+    emb
       .select(col("vec_id") +: picks: _*)
       .select(col("vec_id") +:
         (0 until M).map(m => col(s"p$m.code").as(s"c$m")) :+
@@ -152,6 +152,12 @@ object Pq {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("nsq"))
+    // empty fits (corpus smaller than the sampling modulus): no cells /
+    // codebooks to form the argmin expressions — the search over an
+    // effectively-empty corpus is the empty relation, same schema
+    if (coarse.isEmpty || cb.exists(_.isEmpty))
+      return emb.filter(lit(false)).select(col("vec_id").as("q_id"),
+        lit(0).as("rk"), col("vec_id"), lit(0.0).as("d2"))
     def cellDists = array(coarse.zipWithIndex.map { case (c, i) =>
       val cc = c.map(v => v * v).sum
       val d2 = col("nsq") - lit(2.0) * Similarity.dot(x, typedLit(c.toSeq)) + lit(cc)
@@ -235,13 +241,15 @@ object Pq {
       val v = element_at(col("a"), i)
       val mn = element_at(col("mins"), i)
       val rng = element_at(col("maxs"), i) - mn
-      val recon = mn + ((code(i).cast("double") + lit(0.5)) / lit(256.0)) * rng
+      val recon = mn + ((element_at(col("codes"), i).cast("double") + lit(0.5)) / lit(256.0)) * rng
       (v - recon) * (v - recon)
     }
     emb.crossJoin(broadcast(stats)) // single-row per-dim grid
+      // codes materialize once per row; the checksum and the error fold
+      // both read the array instead of re-deriving each bin
+      .withColumn("codes", transform(sequence(lit(1), lit(Dim)), i => code(i)))
       .select(col("vec_id"),
-        aggregate(sequence(lit(1), lit(Dim)), lit(0L), (acc, i) => acc + code(i))
-          .as("code_sum"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
         round(aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) => acc + errTerm(i)), 6)
           .as("err"))
   }

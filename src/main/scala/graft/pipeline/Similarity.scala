@@ -299,30 +299,31 @@ object Similarity {
   val IvfProbe = 4
   val IvfTopK = 5
 
-  /** Centroids of the most recent [[annIvf]] fit. The KMeans FIT is not
-    * SQL-expressible, but the scoring given frozen centroids is — so the
-    * query caches its fitted centers here and [[annIvfOracleSql]] renders
-    * them as exact literals into a DuckDB mirror of the
-    * assignment+probe+rank stages. `Verify` runs every query BEFORE
-    * dumping oracle_sql.json, so the dumped SQL always scores with the
-    * very centroids that produced the parquet under compare (the fixed
-    * seed makes the fit deterministic within a run regardless).
+  /** Centroids of the most recent [[annIvf]] fit. The iterative FIT is
+    * not SQL-expressible, but the scoring given frozen centroids is —
+    * so the query caches its fitted centers here and
+    * [[annIvfOracleSql]] renders them as exact literals into a DuckDB
+    * mirror of the assignment+probe+rank stages. `Verify` runs every
+    * query BEFORE dumping oracle_sql.json, so the dumped SQL always
+    * scores with the very centroids that produced the parquet under
+    * compare (the [[KmeansFit]] fit is bit-deterministic within a run
+    * regardless).
     */
   private val ivfFits =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Array[Double]]]
 
-  /** DuckDB oracle for q_ann_ivf, available once [[annIvf]] has run in
-    * this JVM (None → the driver falls back to its rows-only check).
-    * The fit cache is keyed by dataset dir and this refuses to render
-    * after fits on two datasets — one dump must not gate another
-    * dataset's parquet (Verify's flow runs one dataset per JVM).
-    */
-  /** The frozen coarse-quantizer centroids (single-dataset guard), also
-    * consumed by [[Pq]]'s IVF+PQ oracle.
+  /** The frozen coarse-quantizer centroids, also consumed by [[Pq]]'s
+    * IVF+PQ oracle. The fit cache is keyed by dataset dir and this
+    * refuses to render after fits on two datasets — one dump must not
+    * gate another dataset's parquet (Verify's flow runs one dataset
+    * per JVM).
     */
   private[pipeline] def ivfFrozen: Option[IndexedSeq[Array[Double]]] =
     FrozenFit.single(ivfFits, "IVF centroids")
 
+  /** DuckDB oracle for q_ann_ivf, available once [[annIvf]] has run in
+    * this JVM (None → the driver falls back to its rows-only check).
+    */
   def annIvfOracleSql: Option[String] = {
     ivfFrozen.map { centers =>
     s"""
@@ -361,18 +362,19 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN — the second scale path beside LSH: a
-    * KMeans coarse quantizer (fixed seed, fit Spark-parallel) assigns
-    * every vector to its nearest centroid cell; a query probes only its
-    * [[IvfProbe]] nearest cells and ranks candidates by exact cosine.
+    * coarse quantizer ([[KmeansFit]] over the distinct-aggregated
+    * sample) assigns every vector to its nearest centroid cell; a
+    * query probes only its [[IvfProbe]] nearest cells and ranks
+    * candidates by exact cosine.
     *
     * Assignment and probing are fully codegen'd: each centroid is a
     * literal array, distances use the native DotProduct expression,
     * argmin/arg-top-p are `array_min`/`array_sort` over (dist, cell)
-    * structs — no UDF, no MLlib transform in the scoring path, and the
+    * structs — no UDF, no model transform in the scoring path, and the
     * only shuffle is the (cell)-keyed candidate join.
     *
-    * The KMeans fit itself is not SQL-expressible, but the scoring given
-    * the fitted centroids is: the fit freezes its centers into
+    * The iterative fit itself is not SQL-expressible, but the scoring
+    * given the fitted centroids is: the fit freezes its centers into
     * [[annIvfOracleSql]] as exact literals, so assignment + probing +
     * ranking are fully oracle-gated in DuckDB (SimilarityRecallSpec pins
     * the fit's recall against the exact brute-force baseline).
@@ -395,16 +397,11 @@ object Similarity {
       // any corpus size, and — unlike MLlib's block KMeans, which
       // crashes when its random init draws the same point twice on
       // duplicate-heavy data — the fit is total and bit-reproducible.
-      val pts = Tables.embeddings(spark, sfDir)
-        .filter(col("vec_id") % 3 === 0)
-        .select(col("embedding").cast("array<double>").as("a"))
-        .groupBy(col("a")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, hash(col("a")).asc, col("a").asc)
-        .limit(KmeansFit.DistinctCap)
-        .collect()
-        .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
-        .toIndexedSeq
-      KmeansFit.fit(pts, IvfCells, KmeansFit.Iters)
+      KmeansFit.fitFromDistinctSample(
+        Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 3 === 0)
+          .select(col("embedding").cast("array<double>").as("a")),
+        col("a"), IvfCells)
     })
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {

@@ -43,6 +43,7 @@ class PqSpec extends SparkSpec {
 
   test("ADC ranks a query's exact clones first") {
     Pq.resetFits()
+    Similarity.resetIvfFits() // annIvfPq also fits the shared coarse quantizer
     try {
       val dir = java.nio.file.Files.createTempDirectory("pqadc").toString
       // vec 0/100/200 are identical; 100 is a query (vec_id % 100 == 0).
@@ -62,11 +63,12 @@ class PqSpec extends SparkSpec {
       assert(q100.take(2).map(_._1).toSet == Set(0L, 200L),
         s"clones not ranked first: ${q100.toSeq}")
       assert(q100.take(2).forall(_._2 == 0.0), "exact refine distance of a clone must be 0")
-    } finally Pq.resetFits()
+    } finally { Pq.resetFits(); Similarity.resetIvfFits() }
   }
 
   test("IVF+PQ top-5 recall vs exact-L2 top-5 on the driver corpus") {
     Pq.resetFits()
+    Similarity.resetIvfFits()
     try {
       val sf = "/root/testdata/sf0.001"
       val emb = graft.queries.Tables.embeddings(spark, sf)
@@ -89,7 +91,7 @@ class PqSpec extends SparkSpec {
       assert(got.nonEmpty)
       val recall = (truth & got).size.toDouble / truth.size
       assert(recall >= 0.4, f"IVF+PQ recall regressed: $recall%.3f")
-    } finally Pq.resetFits()
+    } finally { Pq.resetFits(); Similarity.resetIvfFits() }
   }
 
   test("oracles render only after the fits, with codebooks inlined") {
