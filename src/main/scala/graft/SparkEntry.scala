@@ -165,6 +165,8 @@ object SparkEntry {
     "q_bm25" -> (TextAnalysis.bm25 _),
     // int8 scalar quantization (per-dim affine grid, SQ8)
     "q_sq_encode" -> (graft.pipeline.Pq.sqEncode _),
+    // contrastive hard-negative mining over the IVF cells
+    "q_hard_negatives" -> (Similarity.hardNegatives _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -291,6 +293,7 @@ object SparkEntry {
     graft.pipeline.Bpe.tokenCountBpeOracleSql.map("q_token_count_bpe" -> _) ++
     graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _) ++
     graft.pipeline.Bpe.tokenFertilityOracleSql.map("q_token_fertility" -> _) ++
+    Similarity.hardNegativesOracleSql.map("q_hard_negatives" -> _) ++
     graft.pipeline.Pq.pqEncodeOracleSql.map("q_pq_encode" -> _) ++
     graft.pipeline.Pq.annIvfPqOracleSql.map("q_ann_ivfpq" -> _) ++
     graft.pipeline.QualityClassifier.classifyOracleSql.map("q_quality_classifier" -> _)

@@ -432,6 +432,88 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
   }
 
+  // ---- q_hard_negatives ----------------------------------------------
+
+  /** q_hard_negatives: contrastive-training negative mining — for each
+    * query embedding, the most similar vectors carrying a DIFFERENT
+    * label (the "hard negatives" an embedding-model trainer pairs with
+    * each anchor). Identical machinery to [[annIvf]] — frozen coarse
+    * cells, probe the [[IvfProbe]] nearest, exact cosine rank — plus
+    * the label-mismatch predicate on the candidate join; the label
+    * rides the same narrow candidate row, so the plan shape (one
+    * cell-keyed equi join + per-query window) is unchanged at any
+    * corpus size.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+    val centers = ivfCenters(spark, sfDir)
+    val x = col("embedding").cast("array<double>")
+    def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
+      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
+    }: _*)
+    val assigned = emb
+      .withColumn("cell", array_min(cellDists).getField("cell"))
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding"), col("nsq"))
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, IvfProbe)))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(assigned, "cell") // equi join on the cell key — the only shuffle
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("embedding")) / sqrt(col("q_nsq") * col("nsq")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("q_id"), col("q_label"), col("rk"), col("vec_id"),
+        col("label"), col("cos"))
+  }
+
+  /** DuckDB oracle for q_hard_negatives (post-fit; None → rows-only):
+    * [[annIvfOracleSql]]'s pipeline with labels carried through and the
+    * mismatch predicate on the candidate join.
+    */
+  def hardNegativesOracleSql: Option[String] =
+    ivfFrozen.map { centers =>
+      s"""
+    WITH cents(cell, cc, cv) AS (VALUES
+      ${centroidValuesSql(centers)}),
+    e AS (
+      SELECT vec_id, label, embedding, ${dotSql("embedding", "embedding")} AS nsq
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, label, embedding, nsq, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crk
+      FROM (
+        SELECT e.vec_id, e.label, e.embedding, e.nsq, c.cell,
+               greatest((e.nsq - CAST(2 AS DOUBLE) * ${dotCvSql("e.embedding", "c.cv")}) + c.cc,
+                        CAST(0 AS DOUBLE)) AS d2
+        FROM e CROSS JOIN cents c
+      )
+    ),
+    assigned AS (SELECT vec_id, label, embedding, nsq, cell FROM ranked WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nsq AS q_nsq, cell
+      FROM ranked WHERE vec_id % 100 = 0 AND crk <= $IvfProbe
+    ),
+    scored AS (
+      SELECT p.q_id, p.q_label, a.vec_id, a.label,
+             round(${dotSql("p.q_emb", "a.embedding")} / sqrt(p.q_nsq * a.nsq), 6) AS cos
+      FROM probes p JOIN assigned a
+        ON p.cell = a.cell AND a.vec_id <> p.q_id AND a.label <> p.q_label
+    )
+    SELECT q_id, q_label, rk, vec_id, label, cos FROM (
+      SELECT q_id, q_label, vec_id, label, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= $IvfTopK"""
+    }
+
   // ---- q_semantic_dedup ----------------------------------------------
 
   /** Cosine bar for a semantic duplicate — matches [[embedDedup]]'s

@@ -17,7 +17,8 @@ class EntryContractSpec extends AnyFunSuite {
     assert(missing.subsetOf(Set("q_ann_ivf", "q_semantic_dedup", "q_kmeans_anomaly",
       "q_token_count_bpe", "q_token_pack_bpe", "q_token_fertility",
       "q_pca_project", "q_ann_pca",
-      "q_pq_encode", "q_ann_ivfpq", "q_quality_classifier")),
+      "q_pq_encode", "q_ann_ivfpq", "q_quality_classifier",
+      "q_hard_negatives")),
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
   }
 

@@ -107,6 +107,46 @@ class PqSpec extends SparkSpec {
   }
 }
 
+/** q_hard_negatives: the top negative for a query is its planted
+  * identical clone carrying the other label; same-label vectors never
+  * appear in the output.
+  */
+class HardNegativesSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("identical other-label clone ranks first; same-label candidates are excluded") {
+    Similarity.resetIvfFits()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("hardneg").toString
+      // 20 one-hot groups of 3 identical vectors; members 0,1 labeled A,
+      // member 2 labeled B. Query = vec 0 (the only vec_id % 100 == 0).
+      val rows = for (g <- 0 until 20; j <- 0 until 3) yield {
+        val v = Array.fill(64)(0.0f); v(g) = 1.0f
+        (g * 3L + j, v.toSeq, if (j == 2) "B" else "A")
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.hardNegatives(spark, dir).collect()
+      val q0 = out.filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Int]("rk"))
+      assert(q0.nonEmpty, "query 0 returned no negatives")
+      assert(q0.head.getAs[Long]("vec_id") == 2L && q0.head.getAs[Double]("cos") == 1.0,
+        s"hardest negative should be the identical B-labeled clone: ${q0.toSeq}")
+      assert(out.forall(r => r.getAs[String]("label") != r.getAs[String]("q_label")),
+        "a same-label candidate leaked into the negatives")
+    } finally Similarity.resetIvfFits()
+  }
+
+  test("oracle renders only after the fit, with the label predicate") {
+    Similarity.resetIvfFits()
+    try {
+      assert(Similarity.hardNegativesOracleSql.isEmpty, "no fit yet -> no oracle")
+      Similarity.hardNegatives(spark, "/root/testdata/sf0.001").count()
+      val sql = Similarity.hardNegativesOracleSql
+      assert(sql.nonEmpty && sql.get.contains("a.label <> p.q_label"))
+    } finally Similarity.resetIvfFits()
+  }
+}
+
 /** q_sq_encode: hand-computed codes and reconstruction error on a grid
   * fixture; constant dimensions encode as 0 and reconstruct exactly.
   */
