@@ -167,6 +167,12 @@ object SparkEntry {
     "q_sq_encode" -> (graft.pipeline.Pq.sqEncode _),
     // contrastive hard-negative mining over the IVF cells
     "q_hard_negatives" -> (Similarity.hardNegatives _),
+    // HyperLogLog distinct sketch (register-max mergeable form)
+    "q_hll_distinct" -> (graft.queries.SketchQueries.hllDistinct _),
+    // hybrid lexical+dense retrieval fused by reciprocal rank fusion
+    "q_rrf_fusion" -> (graft.pipeline.Retrieval.rrfFusion _),
+    // dedup-aware (leakage-safe) train/val/test split
+    "q_split_leakage" -> (Sampling.splitLeakage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,6 +285,9 @@ object SparkEntry {
     "q_vocab_stats" -> TextAnalysis.vocabStatsSql,
     "q_bm25" -> TextAnalysis.bm25Sql,
     "q_sq_encode" -> graft.pipeline.Pq.sqEncodeSql,
+    "q_hll_distinct" -> graft.queries.SketchQueries.hllDistinctSql,
+    "q_rrf_fusion" -> graft.pipeline.Retrieval.rrfFusionSql,
+    "q_split_leakage" -> Sampling.splitLeakageSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

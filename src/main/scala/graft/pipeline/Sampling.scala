@@ -268,6 +268,65 @@ object Sampling {
     FROM g GROUP BY 1, 2"""
   }
 
+  // ---- q_split_leakage -----------------------------------------------
+
+  /** q_split_leakage: dedup-aware train/val/test assignment — the split
+    * is a pure function of the document's NORMALIZED-TEXT hash (the
+    * same key as q_dedup_normalized), so every copy of a duplicated
+    * document lands in the same split by construction. This is the
+    * leakage guarantee an eval pipeline needs: a doc-id-hashed split
+    * ([[hashSplit]]) can put two byte-identical documents on opposite
+    * sides of the train/test boundary and silently inflate eval scores;
+    * a group-keyed split cannot. Emits the per-doc assignment with its
+    * dup group (min doc_id of the group) and copy count, so downstream
+    * both dedups and splits off one relation.
+    *
+    * Scale: one narrow hash projection, then ONE shuffle on the
+    * normalized hash (a partitioned window computing the group min /
+    * count) — the same single-exchange shape as q_dedup_normalized;
+    * the split CASE is a codegen'd residue test. Stability: a doc's
+    * split never changes when unrelated docs arrive, and adding a COPY
+    * of an existing doc cannot move the group (the group hash, not
+    * membership, decides).
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val g = md5(regexp_replace(lower(trim(col("text"))), " +", " "))
+    val w = Window.partitionBy(col("g"))
+    val bucket = Dedup.h32(concat(lit("gsplit|"), col("g"))) % 100
+    val split = SplitPct.foldRight(lit(null: String)) { case ((name, lo, hi), acc) =>
+      when(col("b") >= lo && col("b") < hi, lit(name)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), g.as("g"))
+      .select(col("doc_id"), col("g"),
+        min(col("doc_id")).over(w).as("dup_group"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("b", bucket)
+      .select(col("doc_id"), col("dup_group"), col("n_copies"), split.as("split"))
+  }
+
+  val splitLeakageSql: String = {
+    val cases = SplitPct.map { case (n, lo, hi) =>
+      s"WHEN b >= $lo AND b < $hi THEN '$n'" }.mkString(" ")
+    s"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS g
+      FROM documents
+    ),
+    grp AS (
+      SELECT doc_id, g,
+             min(doc_id) OVER (PARTITION BY g) AS dup_group,
+             count(*) OVER (PARTITION BY g) AS n_copies
+      FROM n
+    )
+    SELECT doc_id, dup_group, n_copies,
+           CASE $cases END AS split
+    FROM (SELECT *, ${Dedup.h32Sql.format("'gsplit|' || g")} % 100 AS b FROM grp)"""
+  }
+
   // ---- q_stratified_sample -------------------------------------------
 
   /** Docs kept per stratum (source). */

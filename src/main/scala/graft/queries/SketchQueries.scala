@@ -172,6 +172,134 @@ object SketchQueries {
     SELECT user_id, n_exact, cms_estimate, cms_estimate >= n_exact AS cms_ge_exact
     FROM est ORDER BY n_exact DESC, user_id ASC LIMIT 20"""
 
+  // ---- q_hll_distinct --------------------------------------------------
+
+  /** HLL register count (m). 256 registers → ~6.5% standard error. */
+  val HllM = 256
+
+  /** Bits of hash remaining after the 8 register bits (60 − 8). A rank
+    * can therefore be 1..53 (53 = the all-zero remainder).
+    */
+  val HllMaxRank = 53
+
+  /** 2^53 — the harmonic contribution of an empty register when the
+    * harmonic sum is kept as the exact integer Σ 2^(53 − M_j).
+    */
+  val HllEmptyTerm = 9007199254740992L
+
+  /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) over two
+    * key populations of `events` — `user_id` (small cardinality: the
+    * linear-counting branch) and the `user:day` composite (the harmonic
+    * branch) — next to exact counts for calibration. Complements the KMV
+    * sketch ([[kmvDistinct]]): HLL is the industry-standard fixed-memory
+    * register array (m integers, here 256), KMV the k-smallest-hash set.
+    *
+    * Determinism discipline: hashes are md5-derived (no randomness); the
+    * register rank is `53 − length(bin(w))` (exact integer both
+    * engines — `bin` prints no leading zeros in Spark or DuckDB); and
+    * the harmonic sum Σ 2^(−M_j) is carried as the EXACT bigint
+    * numerator Σ 2^(53 − M_j) ≤ 256·2^53 < 2^63, so the only floating
+    * ops are one literal-constant multiply chain and one division (plus
+    * `ln` on the linear-counting branch, rounded to 4 decimals) —
+    * bit-stable cross-engine.
+    *
+    * Scale: the sketch is ONE hash aggregation to ≤ m rows per group
+    * (map-side partials collapse each partition to ≤ m registers before
+    * the shuffle), and two HLL sketches merge by register-wise max —
+    * the canonical 1000-executor fan-in shape. The exact-distinct leg
+    * exists for the oracle anchor only; at 100 TB you run the registers
+    * leg alone.
+    */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+    val day = expr("unix_micros(ts) div 86400000000")
+    val keys = ev.select(explode(array(
+      struct(lit("user_id").as("col_name"), col("user_id").cast("string").as("k")),
+      struct(lit("user_day").as("col_name"),
+        concat(col("user_id").cast("string"), lit(":"), day.cast("string")).as("k")),
+    )).as("ck")).select(col("ck.col_name").as("col_name"), col("ck.k").as("k"))
+    val hv = conv(substring(md5(concat(lit("hll|"), col("k"))), 1, 15), 16, 10).cast("long")
+    val hashed = keys.select(col("col_name"), hv.as("hv"))
+    val regs = hashed
+      .select(col("col_name"), pmod(col("hv"), lit(HllM.toLong)).as("reg"),
+        expr(s"hv div $HllM").as("w"))
+      .select(col("col_name"), col("reg"),
+        when(col("w") === 0, lit(HllMaxRank))
+          .otherwise(lit(HllMaxRank) - length(bin(col("w")))).as("rank"))
+      .groupBy(col("col_name"), col("reg"))
+      .agg(max(col("rank")).as("mj"))
+    val sketch = regs
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).cast("long").as("n_hit"),
+        sum(expr(s"shiftleft(1L, $HllMaxRank - mj)")).as("num_hit"),
+      )
+      .select(col("col_name"), col("n_hit"),
+        (col("num_hit") + (lit(HllM.toLong) - col("n_hit")) * lit(HllEmptyTerm))
+          .as("harmonic_num"),
+        (lit(HllM.toLong) - col("n_hit")).as("zeros"))
+    // alpha_256 · m² · 2^53 — written as ONE literal expression so both
+    // engines parse and fold the identical IEEE-754 value
+    val rawNum = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0)
+    val est = sketch
+      .withColumn("raw", rawNum / col("harmonic_num").cast("double"))
+      .withColumn("hll_estimate",
+        round(
+          when(col("raw") <= lit(2.5 * HllM) && col("zeros") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
+            .otherwise(col("raw")),
+          4))
+    val exact = hashed.groupBy(col("col_name"))
+      .agg(count_distinct(col("hv")).as("n_exact"))
+    exact.join(broadcast(est), "col_name")
+      .select(col("col_name"), col("n_exact"), col("n_hit"),
+        col("harmonic_num"), col("hll_estimate"))
+  }
+
+  val hllDistinctSql: String =
+    s"""
+    WITH keys AS (
+      SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE user_id IS NOT NULL
+      UNION ALL
+      SELECT 'user_day' AS col_name,
+             CAST(user_id AS VARCHAR) || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS k
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    hashed AS (
+      SELECT col_name,
+             CAST(('0x' || substr(md5('hll|' || k), 1, 15)) AS BIGINT) AS hv
+      FROM keys
+    ),
+    regs AS (
+      SELECT col_name, hv % $HllM AS reg,
+             max(CASE WHEN hv // $HllM = 0 THEN $HllMaxRank
+                      ELSE $HllMaxRank - length(bin(hv // $HllM)) END) AS mj
+      FROM hashed GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT col_name, count(*) AS n_hit,
+             CAST(SUM(1::BIGINT << ($HllMaxRank - mj)) AS BIGINT)
+               + ($HllM - count(*)) * $HllEmptyTerm AS harmonic_num,
+             $HllM - count(*) AS zeros
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT col_name, n_hit, harmonic_num, zeros,
+             CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / CAST('256.0' AS DOUBLE))
+               * CAST('65536.0' AS DOUBLE) * CAST('9007199254740992.0' AS DOUBLE)
+               / CAST(harmonic_num AS DOUBLE) AS raw
+      FROM sk
+    ),
+    ex AS (SELECT col_name, count(DISTINCT hv) AS n_exact FROM hashed GROUP BY 1)
+    SELECT e.col_name, x.n_exact, CAST(e.n_hit AS BIGINT) AS n_hit,
+           e.harmonic_num,
+           round(CASE WHEN e.raw <= CAST('${2.5 * HllM}' AS DOUBLE) AND e.zeros > 0
+                      THEN CAST('256.0' AS DOUBLE) * ln(CAST('256.0' AS DOUBLE) / CAST(e.zeros AS DOUBLE))
+                      ELSE e.raw END, 4) AS hll_estimate
+    FROM est e JOIN ex x ON e.col_name = x.col_name"""
+
   // ---- q_quantile_sample -----------------------------------------------
 
   /** Rows kept per topic in the quantile sample. */

@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Round-7 operators: HyperLogLog distinct sketch, reciprocal-rank
+  * hybrid retrieval fusion, leakage-safe split. The driver oracle
+  * proves cross-engine parity; these pin the semantics on hand-built
+  * fixtures (both HLL branches, fusion arithmetic, the no-straddle
+  * guarantee).
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- fixtures ------------------------------------------------------
+
+  private def writeEvents(users: Seq[Long]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("hllev").toString
+    users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, new Timestamp(1000000L + i), u, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def writeCorpus(docs: Seq[(Long, String)], vecs: Seq[(Long, Array[Float])]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("rrf").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // ---- q_hll_distinct ------------------------------------------------
+
+  test("hll: small cardinality takes the linear-counting branch and lands near exact") {
+    // 4 distinct users, each seen many times -> at most 4 registers hit
+    val dir = writeEvents((1 to 40).map(i => (i % 4 + 1).toLong))
+    val rows = graft.queries.SketchQueries.hllDistinct(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val u = rows("user_id")
+    assert(u.getAs[Long]("n_exact") == 4L)
+    val nHit = u.getAs[Long]("n_hit")
+    assert(nHit >= 1L && nHit <= 4L)
+    val zeros = 256L - nHit
+    val expected = 256.0 * math.log(256.0 / zeros)
+    assert(math.abs(u.getAs[Double]("hll_estimate") - expected) < 1e-3,
+      "small-range estimate must be the linear-counting formula")
+    assert(math.abs(u.getAs[Double]("hll_estimate") - 4.0) < 1.0,
+      "linear counting is near-exact at tiny cardinality")
+  }
+
+  test("hll: large cardinality takes the harmonic branch within the ~6.5% band") {
+    // 20000 distinct users -> every register hit with overwhelming
+    // probability -> zeros = 0 -> raw harmonic estimate
+    val dir = writeEvents((1L to 20000L).toSeq)
+    val rows = graft.queries.SketchQueries.hllDistinct(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val u = rows("user_id")
+    assert(u.getAs[Long]("n_exact") == 20000L)
+    assert(u.getAs[Long]("n_hit") == 256L, "all registers hit at 20k distinct")
+    val est = u.getAs[Double]("hll_estimate")
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15,
+      s"harmonic estimate $est should be within ~2 standard errors of 20000")
+    // the harmonic numerator is the exact integer SUM 2^(53 - M_j):
+    // bounded by 256 * 2^53 and strictly below it when any register hit
+    assert(u.getAs[Long]("harmonic_num") < 256L * graft.queries.SketchQueries.HllEmptyTerm)
+  }
+
+  test("hll: duplicate keys never move the sketch (insert-only register max)") {
+    val once = graft.queries.SketchQueries
+      .hllDistinct(spark, writeEvents(Seq(1L, 2L, 3L))).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("harmonic_num")).toMap
+    val dup = graft.queries.SketchQueries
+      .hllDistinct(spark, writeEvents(Seq(1L, 2L, 3L, 1L, 2L, 3L, 3L, 3L))).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("harmonic_num")).toMap
+    assert(once("user_id") == dup("user_id"),
+      "register state is a function of the distinct key set only")
+  }
+
+  // ---- q_rrf_fusion --------------------------------------------------
+
+  // 64-dim unit-ish vectors: e(i) has 1.0 at position i
+  private def basis(i: Int, scale: Float = 1.0f): Array[Float] = {
+    val v = Array.fill(64)(0.0f); v(i) = scale; v
+  }
+
+  test("rrf: a doc ranked 1 by both systems tops the fusion with 2/(k+1)") {
+    // doc 1 contains every BM25 query term; others contain one or none.
+    // vec 1 is parallel to the probe (vec 0); vec 2 orthogonal-ish.
+    val docs = Seq(
+      1L -> "spark join window spark join window",
+      2L -> "spark filler filler filler",
+      3L -> "nothing relevant here at all",
+    )
+    val vecs = Seq(
+      0L -> basis(0), // probe
+      1L -> basis(0, 2.0f), // cos = 1 with probe
+      2L -> { val v = basis(0); v(1) = 3.0f; v }, // cos ~ 0.316
+      3L -> basis(5), // cos = 0
+    )
+    val out = Retrieval.rrfFusion(spark, writeCorpus(docs, vecs)).collect()
+    val top = out.head
+    assert(top.getAs[Long]("doc_id") == 1L)
+    assert(top.getAs[Long]("lex_rank") == 1L && top.getAs[Long]("dense_rank") == 1L)
+    val k = Retrieval.RrfK
+    assert(math.abs(top.getAs[Double]("rrf_score") -
+      BigDecimal(2.0 / (k + 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("rrf: a doc present in only one list gets the single reciprocal term") {
+    val docs = Seq(
+      1L -> "spark join window",
+      2L -> "irrelevant text entirely", // no BM25 hit
+    )
+    val vecs = Seq(0L -> basis(0), 1L -> basis(3), 2L -> basis(0, 5.0f))
+    val out = Retrieval.rrfFusion(spark, writeCorpus(docs, vecs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 2: dense rank 1 (cos 1), absent from lex
+    val r2 = out(2L)
+    assert(r2.isNullAt(r2.fieldIndex("lex_rank")))
+    assert(r2.getAs[Long]("dense_rank") == 1L)
+    val expected = 1.0 / (Retrieval.RrfK + 1)
+    assert(math.abs(r2.getAs[Double]("rrf_score") - math.rint(expected * 1e6) / 1e6) < 1e-9)
+  }
+
+  // ---- q_split_leakage -----------------------------------------------
+
+  test("split_leakage: every normalized-duplicate group lands in exactly one split") {
+    // 300 distinct paragraphs, each duplicated twice more with case and
+    // whitespace noise -> 900 docs, 300 groups of 3
+    val docs = (0 until 300).flatMap { g =>
+      val para = s"unique paragraph $g about topic ${g % 7} with payload ${g * 37}"
+      Seq(
+        (g * 3 + 0).toLong -> para,
+        (g * 3 + 1).toLong -> para.toUpperCase,
+        (g * 3 + 2).toLong -> ("  " + para.replace(" ", "   ") + " "),
+      )
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lsplit").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Sampling.splitLeakage(spark, dir).collect()
+    assert(out.length == 900)
+    val byGroup = out.groupBy(_.getAs[Long]("dup_group"))
+    assert(byGroup.size == 300, "one group per distinct normalized text")
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.length == 3 && rows.forall(_.getAs[Long]("n_copies") == 3L))
+      assert(rows.map(_.getAs[String]("split")).toSet.size == 1,
+        s"group $g straddles splits — leakage")
+      assert(g == rows.map(_.getAs[Long]("doc_id")).min, "dup_group is the min doc_id")
+    }
+    val splits = out.map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "val", "test"),
+      s"all three splits populated at 300 groups, got $splits")
+  }
+
+  test("split_leakage: assignment is stable under unrelated corpus growth") {
+    val base = (0 until 50).map(i => i.toLong -> s"stable doc $i body ${i * 13}")
+    val dirA = java.nio.file.Files.createTempDirectory("lsA").toString
+    base.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val a = Sampling.splitLeakage(spark, dirA).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val dirB = java.nio.file.Files.createTempDirectory("lsB").toString
+    (base ++ (100 until 150).map(i => i.toLong -> s"new doc $i arrives ${i * 7}"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    val b = Sampling.splitLeakage(spark, dirB).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    base.foreach { case (id, _) =>
+      assert(a(id) == b(id), s"doc $id moved splits when unrelated docs arrived")
+    }
+  }
+}
