@@ -54,8 +54,18 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
+    // those queries (and suppresses the per-round artifact copies and the
+    // stream bench below, so a partial run never overwrites a round
+    // record). Unset for driver runs — full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
@@ -99,8 +109,9 @@ object Bench {
     writeQuiet(out, json + "\n")
     val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
     val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound(dir)).getOrElse("0")
-    // skip the per-round copy only when `out` is itself round-suffixed
-    if (!out.matches(".*_r\\d+\\.json$"))
+    // skip the per-round copy when `out` is itself round-suffixed or
+    // this is a partial (BENCH_ONLY) run
+    if (only.isEmpty && !out.matches(".*_r\\d+\\.json$"))
       writeQuiet(dir.resolve(s"bench_results_r$round.json").toString, json + "\n")
 
     // streaming hot-path throughput into the official per-round record
@@ -109,7 +120,7 @@ object Bench {
     // hide until someone re-measured by hand. Runs before the contract
     // line is printed: the driver parses Bench's ONE stdout JSON line,
     // which must stay last. Opt out with SPARK_GRAFT_STREAM_BENCH=0.
-    if (!sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
+    if (only.isEmpty && !sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
       val sJson = try {
         // median-of-3 like the query timers: a single contended run
         // must not become the round's official throughput record (one

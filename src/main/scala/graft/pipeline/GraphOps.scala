@@ -42,16 +42,26 @@ object GraphOps {
     * expected micro-ranks.
     */
   def pagerankOnPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    val raw = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+    // every loop-invariant relation is built ONCE: degrees are joined
+    // into the edge list up front (the old shape re-joined edges⋈deg —
+    // and recomputed deg's aggregation — inside every iteration), and
+    // the result is hash-partitioned by src before caching so each
+    // iteration's rank join shuffles only the narrow rank relation,
+    // never the edges
+    val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = raw.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
       .persist()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
     var rank = nodes.withColumn("rank_micro", lit(PrUnit))
       .localCheckpoint(eager = true)
-    for (_ <- 1 to PrIterations) {
-      val contrib = edges.join(deg, "src")
+    for (i <- 1 to PrIterations) {
+      val contrib = edges
         .join(rank, edges("src") === rank("node"))
         .select(col("dst"), expr("rank_micro div deg").as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
@@ -59,7 +69,11 @@ object GraphOps {
         .select(col("node"),
           expr("CAST(150000 + (850 * coalesce(s, CAST(0 AS BIGINT))) div 1000 AS BIGINT)")
             .as("rank_micro"))
-        .localCheckpoint(eager = true)
+      // truncate lineage every third round: plan depth stays bounded (the
+      // scale requirement) without paying an eager materialization
+      // barrier per iteration (each barrier is a full job submission —
+      // at 5 iterations the barriers, not the joins, dominated wall time)
+      if (i % 3 == 0) rank = rank.localCheckpoint(eager = true)
     }
     edges.unpersist()
     rank.select(
