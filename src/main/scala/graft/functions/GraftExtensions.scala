@@ -67,6 +67,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_kmv_sketch(hashCol, k)")
         KmvSketch(args.head, long(args(1), "k").toInt)
       }),
+    ("graft_hll_sketch",
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hll_sketch(hashCol, m)")
+        HllSketch(args.head, long(args(1), "m").toInt)
+      }),
   )
 
   /** Register on an existing session (idempotent). */

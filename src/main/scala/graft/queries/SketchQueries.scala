@@ -220,24 +220,22 @@ object SketchQueries {
     )).as("ck")).select(col("ck.col_name").as("col_name"), col("ck.k").as("k"))
     val hv = conv(substring(md5(concat(lit("hll|"), col("k"))), 1, 15), 16, 10).cast("long")
     val hashed = keys.select(col("col_name"), hv.as("hv"))
-    val regs = hashed
-      .select(col("col_name"), pmod(col("hv"), lit(HllM.toLong)).as("reg"),
-        expr(s"hv div $HllM").as("w"))
-      .select(col("col_name"), col("reg"),
-        when(col("w") === 0, lit(HllMaxRank))
-          .otherwise(lit(HllMaxRank) - length(bin(col("w")))).as("rank"))
-      .groupBy(col("col_name"), col("reg"))
-      .agg(max(col("rank")).as("mj"))
-    val sketch = regs
+    // ONE bounded-state aggregation via the native mergeable register
+    // array ([[graft.functions.HllSketch]]: O(m) state, map-side
+    // partials, register-wise-max merge — the shuffle carries 2 sketch
+    // rows, not 2·m register rows). Empty registers eval to rank 0, so
+    // the exact-integer harmonic numerator Σ 2^(maxRank − M_j) is a
+    // single array fold — every empty register contributes 2^53
+    // ([[HllEmptyTerm]]) automatically.
+    val sketch = hashed
       .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).cast("long").as("n_hit"),
-        sum(expr(s"shiftleft(1L, $HllMaxRank - mj)")).as("num_hit"),
-      )
-      .select(col("col_name"), col("n_hit"),
-        (col("num_hit") + (lit(HllM.toLong) - col("n_hit")) * lit(HllEmptyTerm))
-          .as("harmonic_num"),
-        (lit(HllM.toLong) - col("n_hit")).as("zeros"))
+      .agg(graft.functions.HllAggregates.hllSketch(col("hv"), HllM).as("regs"))
+      .select(col("col_name"),
+        expr("CAST(size(filter(regs, r -> r > 0)) AS BIGINT)").as("n_hit"),
+        expr(s"aggregate(regs, CAST(0 AS BIGINT), " +
+          s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), $HllMaxRank - r))")
+          .as("harmonic_num"))
+      .withColumn("zeros", lit(HllM.toLong) - col("n_hit"))
     // alpha_256 · m² · 2^53 — written as ONE literal expression so both
     // engines parse and fold the identical IEEE-754 value
     val rawNum = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *

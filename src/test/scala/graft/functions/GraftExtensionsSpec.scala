@@ -35,6 +35,14 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_kmv_sketch(v, 2) AS s FROM VALUES (9L), (1L), (5L), (1L) AS t(v)")
       .head().getSeq[Long](0)
     assert(kmv == Seq(1L, 5L))
+    // the HLL register aggregate works from SQL; hand-computed registers
+    // for m=4 (maxRank = 60-2+1 = 59): hv=0 -> reg0 rank59; hv=5 ->
+    // reg1 w=1 rank58; hv=21 -> reg1 w=5 rank56 (max keeps 58);
+    // hv=7 -> reg3 w=1 rank58; reg2 never hit -> 0
+    val hll = spark.sql(
+      "SELECT graft_hll_sketch(v, 4) AS s FROM VALUES (0L), (5L), (21L), (7L) AS t(v)")
+      .head().getSeq[Int](0)
+    assert(hll == Seq(59, 58, 0, 58))
     // registration is idempotent
     GraftFunctions.register(spark)
   }

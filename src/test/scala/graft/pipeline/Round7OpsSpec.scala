@@ -69,6 +69,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(u.getAs[Long]("harmonic_num") < 256L * graft.queries.SketchQueries.HllEmptyTerm)
   }
 
+  test("hll: native register aggregate equals the SQL-composable register relation") {
+    import org.apache.spark.sql.functions._
+    val Q = graft.queries.SketchQueries
+    // random-ish 60-bit hashes via the query's own md5 derivation
+    val hashed = (1 to 500).map(i => s"key$i").toDF("k")
+      .select(conv(substring(md5(concat(lit("hll|"), col("k"))), 1, 15), 16, 10)
+        .cast("long").as("hv"))
+    val native = hashed
+      .agg(graft.functions.HllAggregates.hllSketch(col("hv"), Q.HllM).as("regs"))
+      .head().getSeq[Int](0)
+    val composed = hashed
+      .select(pmod(col("hv"), lit(Q.HllM.toLong)).as("reg"), expr(s"hv div ${Q.HllM}").as("w"))
+      .select(col("reg"),
+        when(col("w") === 0, lit(Q.HllMaxRank))
+          .otherwise(lit(Q.HllMaxRank) - length(bin(col("w")))).as("rank"))
+      .groupBy(col("reg")).agg(max(col("rank")).as("mj"))
+      .collect().map(r => r.getLong(0).toInt -> r.getAs[Int]("mj")).toMap
+    assert(native.length == Q.HllM)
+    native.zipWithIndex.foreach { case (mj, reg) =>
+      assert(mj == composed.getOrElse(reg, 0),
+        s"register $reg: native $mj vs composed ${composed.getOrElse(reg, 0)}")
+    }
+  }
+
   test("hll: duplicate keys never move the sketch (insert-only register max)") {
     val once = graft.queries.SketchQueries
       .hllDistinct(spark, writeEvents(Seq(1L, 2L, 3L))).collect()
