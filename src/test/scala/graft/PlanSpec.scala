@@ -139,6 +139,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-7 additions keep their declared plan shapes") {
+    // q_hll_distinct: the sketch leg is ONE bounded-state aggregation
+    // (native register array) joined broadcast to the exact leg — two
+    // aggs (sketch + exact-distinct's two-phase) but the est relation
+    // (2 rows) must attach as a broadcast hash join
+    val hll = plan("q_hll_distinct")
+    assert(collectAll(hll) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "q_hll_distinct must broadcast the tiny sketch relation")
+    // q_split_leakage: exactly one exchange — the partitioned window on
+    // the normalized hash; the split CASE adds no shuffle
+    val sl = collectAll(plan("q_split_leakage")) { case e: ShuffleExchangeExec => e }
+    assert(sl.size == 1, s"q_split_leakage should shuffle once (group window), got ${sl.size}")
+    // q_rrf_fusion: both rank lists are bounded single-row aggregates
+    // exploded back out — the plan must contain no WindowExec at all
+    // (rank-without-window is the point of the rankOf shape)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val rrf = collectAll(plan("q_rrf_fusion")) { case w: WindowExec => w }
+    assert(rrf.isEmpty, s"q_rrf_fusion should have no window operator, got ${rrf.size}")
+  }
+
   test("no query plans an unpartitioned window (single-partition shuffle)") {
     import org.apache.spark.sql.execution.window.WindowExec
     SparkEntry.queries.keys.filterNot(_ == "q_kmeans_anomaly").foreach { name =>
