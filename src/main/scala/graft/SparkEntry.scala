@@ -173,6 +173,8 @@ object SparkEntry {
     "q_rrf_fusion" -> (graft.pipeline.Retrieval.rrfFusion _),
     // dedup-aware (leakage-safe) train/val/test split
     "q_split_leakage" -> (Sampling.splitLeakage _),
+    // DSIR-style hashed-ngram importance weighting + keep boundary
+    "q_importance_weight" -> (graft.pipeline.Importance.importanceWeight _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -288,6 +290,7 @@ object SparkEntry {
     "q_hll_distinct" -> graft.queries.SketchQueries.hllDistinctSql,
     "q_rrf_fusion" -> graft.pipeline.Retrieval.rrfFusionSql,
     "q_split_leakage" -> Sampling.splitLeakageSql,
+    "q_importance_weight" -> graft.pipeline.Importance.importanceWeightSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

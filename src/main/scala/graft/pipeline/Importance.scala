@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** DSIR-style data selection via hashed-n-gram importance weights (Xie
+  * et al. 2023, arXiv 2302.03169): score every document by how much
+  * more likely its tokens are under a TARGET (curated) unigram model
+  * than under the RAW-corpus model, then keep the top quantile. This is
+  * the importance-resampling step of a pretraining curation pipeline —
+  * the quality classifier's distribution-matching sibling (classifier:
+  * discriminative margin; DSIR: generative likelihood ratio).
+  *
+  * Engine-exact discipline: both models are add-1-smoothed hashed
+  * unigram bucket counts ([[Buckets]] wide, the dedup family's
+  * md5-derived 32-bit hash). The per-document score is the MEAN
+  * per-token likelihood ratio, accumulated by an ORDERED fold over the
+  * token array (`aggregate` / `list_reduce` — the [[TextAnalysis]]
+  * LM-scoring discipline): no unordered float summation exists, so the
+  * result is bit-identical cross-engine without logs (the log-ratio
+  * formulation would need `ln`, which is not bit-stable; the mean ratio
+  * carries the same ordering signal for selection).
+  *
+  * Scale: two global bucket-count aggregations (map-side partials to
+  * ≤ [[Buckets]] rows each) reshaped to ONE dense-array row apiece and
+  * broadcast; scoring is then a map-only fold per document (zero
+  * joins, zero shuffles over the corpus); the keep boundary is one
+  * scalar percentile row broadcast back (the q_quality_deciles shape).
+  * At 100 TB: two scans + one boundary pass, nothing corpus-sized ever
+  * shuffles.
+  */
+object Importance {
+
+  /** Hashed unigram buckets (matches the classifier's width). */
+  val Buckets = 64
+
+  /** Target = the curated-source stand-in the classifier also uses. */
+  val TargetSourceRegex: String = QualityClassifier.PosSourceRegex
+
+  /** Documents at or above this weight quantile are kept. */
+  val KeepQuantile = 0.75
+
+  /** ONE dense-array row of smoothed bucket counts: explode tokens,
+    * hash to buckets, count, reshape the ≤ [[Buckets]] count rows into
+    * a length-[[Buckets]] array (missing buckets → 0) via a map lookup
+    * — the root stays a global aggregate, so the downstream crossJoin
+    * is the exempt single-row scalar attach.
+    */
+  private def denseCounts(docs: DataFrame, name: String): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy((Dedup.h32(col("t")) % Buckets).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(transform(sequence(lit(0), lit(Buckets - 1)),
+        b => coalesce(element_at(col("m"), b), lit(0L))).as(name))
+
+  def importanceWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tArr = denseCounts(docs.filter(col("source").rlike(TargetSourceRegex)), "tcnt")
+    val rArr = denseCounts(docs, "rcnt")
+    val scored = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .crossJoin(broadcast(tArr))
+      .crossJoin(broadcast(rArr))
+      .withColumn("nt", expr("aggregate(tcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
+      .withColumn("nr", expr("aggregate(rcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
+      // per-bucket smoothed likelihood ratio, precomputed once per row
+      // group (constant across the corpus — the same arithmetic the
+      // oracle inlines per token; identical operands → identical IEEE)
+      .withColumn("ratio", expr(s"""
+        transform(sequence(0, ${Buckets - 1}), b ->
+          (CAST(element_at(tcnt, b + 1) + 1 AS DOUBLE) / CAST(nt + $Buckets AS DOUBLE))
+          / (CAST(element_at(rcnt, b + 1) + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE)))"""))
+      .withColumn("dsir_weight", round(expr(s"""
+        aggregate(tk, CAST(0.0 AS DOUBLE), (acc, t) ->
+          acc + element_at(ratio,
+            CAST((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $Buckets) + 1 AS INT)))
+        / size(tk)"""), 6))
+    val bnd = scored.agg(
+      round(expr(s"percentile(dsir_weight, $KeepQuantile)"), 6).as("keep_bnd"))
+    scored
+      .crossJoin(broadcast(bnd))
+      .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tokens"),
+        col("dsir_weight"), col("keep_bnd"),
+        (col("dsir_weight") >= col("keep_bnd")).as("kept"))
+  }
+
+  val importanceWeightSql: String = {
+    val h = Dedup.h32Sql.format("t")
+    def ratio(t: String): String =
+      s"""(CAST(tcnt[(($h % $Buckets) + 1)] + 1 AS DOUBLE) / CAST(nt + $Buckets AS DOUBLE))
+          / (CAST(rcnt[(($h % $Buckets) + 1)] + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE))"""
+    s"""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    ttok AS (SELECT ((${Dedup.h32Sql.format("t")}) % $Buckets) AS bucket
+             FROM (SELECT unnest(tk) AS t FROM d
+                   WHERE regexp_matches(source, '$TargetSourceRegex'))),
+    tc AS (SELECT bucket, count(*) AS cnt FROM ttok GROUP BY 1),
+    tarr AS (SELECT list(coalesce(c.cnt, 0) ORDER BY g.b) AS tcnt
+             FROM generate_series(0, ${Buckets - 1}) AS g(b)
+             LEFT JOIN tc c ON c.bucket = g.b),
+    rtok AS (SELECT ((${Dedup.h32Sql.format("t")}) % $Buckets) AS bucket
+             FROM (SELECT unnest(tk) AS t FROM d)),
+    rc AS (SELECT bucket, count(*) AS cnt FROM rtok GROUP BY 1),
+    rarr AS (SELECT list(coalesce(c.cnt, 0) ORDER BY g.b) AS rcnt
+             FROM generate_series(0, ${Buckets - 1}) AS g(b)
+             LEFT JOIN rc c ON c.bucket = g.b),
+    sc AS (
+      SELECT d.doc_id, d.source, len(tk) AS n_tokens,
+             round(list_reduce([${ratio("t")} for t in tk], (x, y) -> x + y)
+                   / len(tk), 6) AS dsir_weight
+      FROM d
+      CROSS JOIN (SELECT tcnt, CAST(list_reduce(tcnt, (x, y) -> x + y) AS BIGINT) AS nt FROM tarr) ta
+      CROSS JOIN (SELECT rcnt, CAST(list_reduce(rcnt, (x, y) -> x + y) AS BIGINT) AS nr FROM rarr) ra
+    ),
+    b AS (SELECT round(quantile_cont(dsir_weight, $KeepQuantile), 6) AS keep_bnd FROM sc)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           dsir_weight, keep_bnd, dsir_weight >= keep_bnd AS kept
+    FROM sc CROSS JOIN b"""
+  }
+}

@@ -150,6 +150,49 @@ class Round7OpsSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("rrf_score") - math.rint(expected * 1e6) / 1e6) < 1e-9)
   }
 
+  // ---- q_importance_weight -------------------------------------------
+
+  test("importance: target-like documents outweigh raw-only documents") {
+    // target (src0) speaks vocabulary A; the raw-only majority (src9)
+    // speaks vocabulary B. A-documents must score a higher likelihood
+    // ratio than B-documents, and the 75% keep boundary must separate
+    // them (10 A-docs vs 30 B-docs -> keeping the top quartile keeps
+    // exactly the A-docs).
+    val a = "alpha beta gamma delta alpha beta"
+    val b = "zeta eta theta iota kappa lambda"
+    val docs =
+      (0 until 10).map(i => (i.toLong, a, "src0")) ++
+        (10 until 40).map(i => (i.toLong, b, "src9"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Importance.importanceWeight(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dsir_weight"), r.getAs[Boolean]("kept"))).toMap
+    val aW = out(0L)._1
+    val bW = out(20L)._1
+    assert(aW > bW, s"target-vocabulary weight $aW must exceed raw-only $bW")
+    assert(aW > 1.0, "target-like doc is MORE likely under the target model")
+    (0L until 10L).foreach(i => assert(out(i)._2, s"A-doc $i should be kept"))
+    (10L until 40L).foreach(i => assert(!out(i)._2, s"B-doc $i should not be kept"))
+  }
+
+  test("importance: the weight is a function of the text only, not the doc's own source") {
+    // two byte-identical documents, one inside the target set and one
+    // outside, must score the same weight (the source decides which
+    // MODEL a doc's tokens train, never how the doc itself is scored)
+    val dir = java.nio.file.Files.createTempDirectory("dsir2").toString
+    Seq(
+      (0L, "alpha beta alpha beta", "src0"),
+      (1L, "alpha beta alpha beta", "src9"),
+      (2L, "filler words here now", "src9"),
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Importance.importanceWeight(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_weight")).toMap
+    assert(out(0L) == out(1L))
+  }
+
   // ---- q_split_leakage -----------------------------------------------
 
   test("split_leakage: every normalized-duplicate group lands in exactly one split") {
