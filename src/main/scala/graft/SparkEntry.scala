@@ -175,6 +175,8 @@ object SparkEntry {
     "q_split_leakage" -> (Sampling.splitLeakage _),
     // DSIR-style hashed-ngram importance weighting + keep boundary
     "q_importance_weight" -> (graft.pipeline.Importance.importanceWeight _),
+    // per-label embedding outliers (mislabel/corrupt-vector detector)
+    "q_embed_outliers" -> (Similarity.embedOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -291,6 +293,7 @@ object SparkEntry {
     "q_rrf_fusion" -> graft.pipeline.Retrieval.rrfFusionSql,
     "q_split_leakage" -> Sampling.splitLeakageSql,
     "q_importance_weight" -> graft.pipeline.Importance.importanceWeightSql,
+    "q_embed_outliers" -> Similarity.embedOutliersSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -261,6 +261,91 @@ object Similarity {
              / count(*) AS mean_v
     FROM x GROUP BY 1, 2"""
 
+  // ---- q_embed_outliers ----------------------------------------------
+
+  /** Outlier boundary quantile of the per-label distance distribution. */
+  val OutlierQuantile = 0.975
+
+  /** Per-label embedding outliers — the mislabeled-example / corrupt-
+    * vector detector an embedding-pipeline QA step runs: squared L2
+    * distance of every vector to its OWN label's centroid, flagged when
+    * it exceeds the label's [[OutlierQuantile]] distance quantile (a
+    * distribution-free boundary — centroid distances are not normal, so
+    * a quantile rule beats mean+k·σ, and it avoids the
+    * `sumsq/n − mean²` cancellation that is not bit-stable at scale 6).
+    *
+    * Determinism: centroids come from [[embedCentroid]]'s exact-decimal
+    * per-(label, dim) means, reassembled into tiny per-label arrays;
+    * the distance is an ORDERED fold over dims (the dot-product
+    * discipline — no unordered float sum); the mean uses the
+    * exact-decimal sum and the boundary is the exact interpolated
+    * percentile (the q_quantile_sample parity precedent).
+    *
+    * Scale: centroid relation is labels×64 (broadcast); distance is
+    * map-only over the corpus after that broadcast join; the stats leg
+    * is one labels-cardinality aggregation broadcast back. Nothing
+    * corpus-sized shuffles. (At 100 TB the exact percentile swaps for
+    * the bottom-k-sample quantile of q_quantile_sample — same rule,
+    * bounded state.)
+    */
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = embedCentroid(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean_v")))).as("cs"))
+      .select(col("label"), transform(col("cs"), c => c("mean_v")).as("cent"))
+    val dist = emb.join(broadcast(cents), "label")
+      .withColumn("dist_sq", round(expr(
+        """aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE), (acc, i) ->
+             acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(cent, i))
+                 * (CAST(element_at(embedding, i) AS DOUBLE) - element_at(cent, i)))"""), 6))
+      .select(col("vec_id"), col("label"), col("dist_sq"))
+    val stats = dist.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.Exact.exactSum(col("dist_sq")).as("sumd"),
+        expr(s"percentile(dist_sq, $OutlierQuantile)").as("q_bnd"))
+      .withColumn("mean_d", col("sumd") / col("n"))
+    dist.join(broadcast(stats.select(col("label"), col("mean_d"), col("q_bnd"))), "label")
+      .select(col("vec_id"), col("label"), col("dist_sq"),
+        round(col("mean_d"), 6).as("mean_dist"),
+        round(col("q_bnd"), 6).as("q_dist"),
+        (col("dist_sq") > col("q_bnd")).as("is_outlier"))
+  }
+
+  val embedOutliersSql: String =
+    """
+    WITH x AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, i,
+             CAST(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+               / count(*) AS mean_v
+      FROM x GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, list(mean_v ORDER BY i) AS cent FROM c GROUP BY 1),
+    d AS (
+      SELECT e.vec_id, e.label,
+             round(list_reduce(
+               [(CAST(e.embedding[i] AS DOUBLE) - cent[i]) * (CAST(e.embedding[i] AS DOUBLE) - cent[i])
+                for i in generate_series(1, len(e.embedding))],
+               (x, y) -> x + y), 6) AS dist_sq
+      FROM embeddings e JOIN cent ON e.label = cent.label
+    ),
+    st AS (
+      SELECT label,
+             CAST(CAST(SUM(CAST(dist_sq AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+               / count(*) AS mean_d,
+             quantile_cont(dist_sq, """ + OutlierQuantile + """) AS q_bnd
+      FROM d GROUP BY 1
+    )
+    SELECT d.vec_id, d.label, d.dist_sq,
+           round(st.mean_d, 6) AS mean_dist, round(st.q_bnd, 6) AS q_dist,
+           d.dist_sq > st.q_bnd AS is_outlier
+    FROM d JOIN st ON d.label = st.label"""
+
   // ---- frozen-centroid oracle support ---------------------------------
 
   /** Render a double so DuckDB parses back the EXACT same IEEE-754

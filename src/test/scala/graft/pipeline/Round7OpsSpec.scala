@@ -150,6 +150,28 @@ class Round7OpsSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("rrf_score") - math.rint(expected * 1e6) / 1e6) < 1e-9)
   }
 
+  // ---- q_embed_outliers ----------------------------------------------
+
+  test("embed_outliers: a planted corrupt vector is the label's flagged outlier") {
+    // 40 well-behaved label-0 vectors clustered near e0 (tiny per-vector
+    // jitter) + ONE corrupt vector pointing elsewhere at 10x magnitude;
+    // the 97.5% quantile boundary flags exactly the corrupt one
+    val good = (0 until 40).map { i =>
+      val v = basis(0); v(1) = 0.01f * (i % 5); (i.toLong, v)
+    }
+    val corrupt = { val v = basis(7, 10.0f); (99L, v) }
+    val dir = java.nio.file.Files.createTempDirectory("eout").toString
+    (good :+ corrupt).map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embedOutliers(spark, dir).collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("vec_id"))
+    assert(flagged.toSeq == Seq(99L), s"expected only the corrupt vector, got ${flagged.toSeq}")
+    val corruptRow = out.find(_.getAs[Long]("vec_id") == 99L).get
+    val goodRow = out.find(_.getAs[Long]("vec_id") == 0L).get
+    assert(corruptRow.getAs[Double]("dist_sq") > 50 * goodRow.getAs[Double]("dist_sq"))
+  }
+
   // ---- q_importance_weight -------------------------------------------
 
   test("importance: target-like documents outweigh raw-only documents") {
