@@ -11,21 +11,33 @@ import graft.queries.Tables
   * assignment. This is the composition proof for the curation family:
   * quality gates (`q_filter_funnel`'s rules), exact dedup
   * (`q_dedup_exact`'s keeper), eval holdout + decontamination
-  * (`q_decontaminate`), and the deterministic split (`q_split`), all in
-  * one relation — the manifest a training-data pipeline actually ships.
+  * (`q_decontaminate`), DSIR importance selection
+  * (`q_importance_weight`'s bottom decile), and the LEAKAGE-SAFE split
+  * (`q_split_leakage`'s normalized-hash keying), all in one relation —
+  * the manifest a training-data pipeline actually ships.
   *
   * Rule order (first failure wins, matching the funnel's attribution):
   * too_short → too_repetitive → blocklisted → exact_dup →
   * eval_holdout (routed to eval, not training) → contaminated →
-  * keep (+ train/val/test split).
+  * low_importance → keep (+ train/val/test split).
+  *
+  * Round-7 leakage hardening: the eval-holdout gate AND the split are
+  * keyed on the NORMALIZED-TEXT hash (q_split_leakage's group key),
+  * not doc_id — so near-identical copies that survive exact dedup
+  * (case/whitespace variants) can never land on both sides of the
+  * train/eval boundary.
   *
   * Scale: one flag scan over documents (the funnel relation), one
   * md5-keyed keeper aggregate, the decontamination broadcast-semi
-  * join reused from [[Sampling.decontaminate]], and hash-derived
-  * eval/split gates — no new shuffle shapes beyond the operators it
-  * composes.
+  * join reused from [[Sampling.decontaminate]], the importance
+  * relation's map-only scoring with two broadcast model rows, one
+  * scalar decile row, and hash-derived eval/split gates — no new
+  * shuffle shapes beyond the operators it composes.
   */
 object Curate {
+
+  /** Documents below this importance-weight quantile are dropped. */
+  val LowImportanceQuantile = 0.1
 
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
@@ -35,14 +47,18 @@ object Curate {
     val flagged = docs.select(
       col("doc_id"),
       md5(col("text")).as("h"),
+      md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("g"),
       size(toks).as("nt"),
       size(array_distinct(toks)).as("ndt"),
       size(filter(toks, w => array_contains(lex, w))).as("n_blk"))
     val keepers = flagged.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val contam = Sampling.decontaminate(spark, sfDir)
       .select(col("doc_id"), col("contaminated"))
-    val isEval =
-      Dedup.h32(concat(lit("eval|"), col("doc_id").cast("string"))) % 25 === 0
+    val imp = graft.pipeline.Importance.importanceWeight(spark, sfDir)
+      .select(col("doc_id"), col("dsir_weight"))
+    val lowBnd = imp.agg(
+      round(expr(s"percentile(dsir_weight, $LowImportanceQuantile)"), 6).as("low_bnd"))
+    val isEval = Dedup.h32(concat(lit("eval|"), col("g"))) % 25 === 0
     val reason = when(col("nt") < FunnelMinTokens, lit("too_short"))
       .when(col("ndt").cast("double") / col("nt").cast("double") < FunnelMinDistinctRatio,
         lit("too_repetitive"))
@@ -51,23 +67,27 @@ object Curate {
       .when(col("doc_id") =!= col("keeper"), lit("exact_dup"))
       .when(col("is_eval"), lit("eval_holdout"))
       .when(coalesce(col("contaminated"), lit(0)) === 1, lit("contaminated"))
+      .when(col("dsir_weight") < col("low_bnd"), lit("low_importance"))
       .otherwise(lit("keep"))
     flagged
       .join(keepers, "h")
       .withColumn("is_eval", isEval)
       .join(contam, Seq("doc_id"), "left")
+      .join(imp, "doc_id")
+      .crossJoin(broadcast(lowBnd))
       .withColumn("reason", reason)
       .select(col("doc_id"),
         (col("reason") === "keep").as("keep"),
         col("reason"),
-        when(col("reason") === "keep", Sampling.splitAssign(col("doc_id")))
+        when(col("reason") === "keep",
+          Sampling.splitOfBucket(Dedup.h32(concat(lit("gsplit|"), col("g"))) % 100))
           .otherwise(lit(null: String)).as("split"))
   }
 
   val curateSql: String = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
     val splitCases = Sampling.SplitPct.map { case (n, lo, hi) =>
-      s"WHEN b >= $lo AND b < $hi THEN '$n'" }.mkString(" ")
+      s"WHEN gb >= $lo AND gb < $hi THEN '$n'" }.mkString(" ")
     s"""
     WITH d AS (
       SELECT doc_id, md5(text) AS h,
@@ -75,14 +95,16 @@ object Curate {
              len(list_distinct(string_split(text, ' '))) AS ndt,
              len([w for w in string_split(text, ' ')
                   if list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w)]) AS n_blk,
-             ${Dedup.h32Sql.format("'eval|' || doc_id")} % 25 = 0 AS is_eval,
-             ${Dedup.h32Sql.format("'split|' || doc_id")} % 100 AS b
+             ${Dedup.h32Sql.format("'eval|' || md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))")} % 25 = 0 AS is_eval,
+             ${Dedup.h32Sql.format("'gsplit|' || md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))")} % 100 AS gb
       FROM documents
     ),
     k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1),
     c AS (SELECT doc_id, contaminated FROM (${Sampling.decontaminateSql})),
+    imp AS (SELECT doc_id, dsir_weight FROM (${Importance.importanceWeightSql})),
+    lb AS (SELECT round(quantile_cont(dsir_weight, $LowImportanceQuantile), 6) AS low_bnd FROM imp),
     r AS (
-      SELECT d.doc_id, d.b,
+      SELECT d.doc_id, d.gb,
              CASE
                WHEN d.nt < $FunnelMinTokens THEN 'too_short'
                WHEN CAST(d.ndt AS DOUBLE) / CAST(d.nt AS DOUBLE) < $FunnelMinDistinctRatio
@@ -92,9 +114,11 @@ object Curate {
                WHEN d.doc_id <> k.keeper THEN 'exact_dup'
                WHEN d.is_eval THEN 'eval_holdout'
                WHEN coalesce(c.contaminated, 0) = 1 THEN 'contaminated'
+               WHEN i.dsir_weight < lb.low_bnd THEN 'low_importance'
                ELSE 'keep'
              END AS reason
       FROM d JOIN k ON d.h = k.h LEFT JOIN c ON d.doc_id = c.doc_id
+      JOIN imp i ON d.doc_id = i.doc_id CROSS JOIN lb
     )
     SELECT doc_id, reason = 'keep' AS keep, reason,
            CASE WHEN reason = 'keep' THEN (CASE $splitCases END) ELSE NULL END AS split

@@ -117,9 +117,12 @@ object Sampling {
 
   /** q_decontaminate: train/eval overlap removal — flag training
     * documents sharing any [[DecontamN]]-gram with the held-out eval
-    * split. The eval split is hash-gated (1-in-25 of docs,
-    * deterministic); grams ride the existing 60-bit rolling-hash
-    * machinery so the shuffle key is 8 bytes.
+    * split. The eval split is hash-gated 1-in-25, deterministic, and
+    * keyed on the NORMALIZED-TEXT hash (round 7 — the q_split_leakage
+    * key): normalized copies of a document co-assign, so a case or
+    * whitespace variant of an eval document can never remain on the
+    * training side of the boundary. Grams ride the existing 60-bit
+    * rolling-hash machinery so the shuffle key is 8 bytes.
     *
     * Scale: the eval gram set is small relative to the corpus (eval
     * sets always are), so the overlap test is a BROADCAST left-semi
@@ -129,7 +132,8 @@ object Sampling {
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isEval =
-      Dedup.h32(concat(lit("eval|"), col("doc_id").cast("string"))) % 25 === 0
+      Dedup.h32(concat(lit("eval|"),
+        md5(regexp_replace(lower(trim(col("text"))), " +", " ")))) % 25 === 0
     val tagged = docs.select(col("doc_id"), isEval.as("is_eval"))
     val g = Dedup.shingleHashes(docs, n = DecontamN)
       .join(tagged, "doc_id")
@@ -150,7 +154,7 @@ object Sampling {
     WITH shdoc AS (${Dedup.shingleHashesSql(DecontamN)}),
     tag AS (
       SELECT doc_id,
-             ${Dedup.h32Sql.format("'eval|' || doc_id")} % 25 = 0 AS is_eval
+             ${Dedup.h32Sql.format("'eval|' || md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))")} % 25 = 0 AS is_eval
       FROM documents
     ),
     g AS (
@@ -235,13 +239,17 @@ object Sampling {
     * Scale: one narrow hash projection + one (source, split) hash
     * aggregation with map-side partials.
     */
-  /** The split a document belongs to — a pure function of doc_id. */
-  def splitAssign(docId: Column): Column = {
-    val bucket = Dedup.h32(concat(lit("split|"), docId.cast("string"))) % 100
+  /** Split name for a 0..99 hash residue (shared by every split
+    * flavor: doc-id-keyed, group-keyed, curate's gate).
+    */
+  def splitOfBucket(bucket: Column): Column =
     SplitPct.foldRight(lit(null: String)) { case ((name, lo, hi), acc) =>
       when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
     }
-  }
+
+  /** The split a document belongs to — a pure function of doc_id. */
+  def splitAssign(docId: Column): Column =
+    splitOfBucket(Dedup.h32(concat(lit("split|"), docId.cast("string"))) % 100)
 
   def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -295,16 +303,14 @@ object Sampling {
     val g = md5(regexp_replace(lower(trim(col("text"))), " +", " "))
     val w = Window.partitionBy(col("g"))
     val bucket = Dedup.h32(concat(lit("gsplit|"), col("g"))) % 100
-    val split = SplitPct.foldRight(lit(null: String)) { case ((name, lo, hi), acc) =>
-      when(col("b") >= lo && col("b") < hi, lit(name)).otherwise(acc)
-    }
     docs
       .select(col("doc_id"), g.as("g"))
       .select(col("doc_id"), col("g"),
         min(col("doc_id")).over(w).as("dup_group"),
         count(lit(1)).over(w).as("n_copies"))
       .withColumn("b", bucket)
-      .select(col("doc_id"), col("dup_group"), col("n_copies"), split.as("split"))
+      .select(col("doc_id"), col("dup_group"), col("n_copies"),
+        splitOfBucket(col("b")).as("split"))
   }
 
   val splitLeakageSql: String = {

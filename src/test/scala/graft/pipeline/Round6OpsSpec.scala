@@ -177,31 +177,54 @@ class DupPassagesSpec extends SparkSpec {
 class CurateSpec extends SparkSpec {
   import spark.implicits._
 
-  private def h32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
-  }
-  private def isEval(id: Long): Boolean = h32(s"eval|$id") % 25 == 0
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  /** The round-7 eval gate: keyed on the normalized-text hash (the
+    * fixture texts are already normalized — lowercase, single spaces).
+    */
+  private def isEvalText(t: String): Boolean =
+    h32(s"eval|${md5hex(t)}") % 25 == 0
+
+  /** First variant of a salted text family that is NOT eval-gated. */
+  private def nonEval(mk: Int => String): String =
+    (0 to 1000).iterator.map(mk).filterNot(isEvalText).next()
 
   test("each rule attributes first-failure; survivors get a split") {
-    val evalId = (0L to 500L).find(isEval).get
-    val ids = (0L to 500L).filterNot(isEval)
-    val Seq(shortId, repId, blkId, dupA, dupB, contamId, cleanId) = ids.take(7)
-    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")        // eval doc content
-    val evalRun = (1 to 8).map(i => s"u$i").mkString(" ")      // its first 8-gram
+    // the eval doc is found by TEXT (the gate is content-keyed now):
+    // search a salted family for a variant that hash-gates to eval
+    val uniq = (0 to 10000).iterator
+      .map(j => (1 to 20).map(i => s"u$i$j").mkString(" "))
+      .find(isEvalText).get
+    val evalRun = uniq.split(" ").take(8).mkString(" ") // its first 8-gram
+    val shortT = nonEval(j => if (j == 0) "tiny doc here" else s"tiny doc here$j")
+    val repT = nonEval(j => Seq.fill(12)(s"same$j").mkString(" "))
+    val blkT = nonEval(j => (1 to 11).map(i => s"b$i$j").mkString(" ") + " error")
+    val dupT = nonEval(j => (1 to 15).map(i => s"d$i$j").mkString(" "))
+    val contamT = nonEval(j => evalRun + " " + (1 to 10).map(i => s"c$i$j").mkString(" "))
+    val cleanT = nonEval(j => (1 to 18).map(i => s"k$i$j").mkString(" "))
+    val Seq(shortId, repId, blkId, dupA, dupB, evalId, contamId, cleanId) =
+      (0L to 7L).toSeq
     val docs = Seq(
-      shortId -> "tiny doc here",                              // nt < 10
-      repId -> Seq.fill(12)("same").mkString(" "),             // ndt/nt = 1/12
-      blkId -> ((1 to 11).map(i => s"b$i").mkString(" ") + " error"), // 1/12 >= 0.08
-      dupA -> (1 to 15).map(i => s"d$i").mkString(" "),
-      dupB -> (1 to 15).map(i => s"d$i").mkString(" "),        // same text, higher id
+      shortId -> shortT,   // nt < 10
+      repId -> repT,       // ndt/nt = 1/12
+      blkId -> blkT,       // 1/12 >= 0.08
+      dupA -> dupT,
+      dupB -> dupT,        // same text, higher id
       evalId -> uniq,
-      contamId -> (evalRun + " " + (1 to 10).map(i => s"c$i").mkString(" ")),
-      cleanId -> (1 to 18).map(i => s"k$i").mkString(" "),
+      contamId -> contamT,
+      cleanId -> cleanT,
     )
     val dir = java.nio.file.Files.createTempDirectory("curate").toString
-    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // a single source: target and raw importance models coincide, so
+    // every weight is exactly 1.0 and the low_importance gate (strict
+    // <) never fires in this fixture
+    docs.map { case (id, t) => (id, t, "src0") }
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Curate.curate(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("keep"), r.getAs[String]("reason"), r.getAs[String]("split")))).toMap
@@ -209,13 +232,31 @@ class CurateSpec extends SparkSpec {
     assert(out(shortId) == ((false, "too_short", null)))
     assert(out(repId) == ((false, "too_repetitive", null)))
     assert(out(blkId) == ((false, "blocklisted", null)))
-    assert(out(math.max(dupA, dupB)) == ((false, "exact_dup", null)))
+    assert(out(dupB) == ((false, "exact_dup", null)))
     assert(out(evalId) == ((false, "eval_holdout", null)))
     assert(out(contamId) == ((false, "contaminated", null)))
     val (keep, reason, split) = out(cleanId)
     assert(keep && reason == "keep" && Set("train", "val", "test")(split))
-    val (keepA, reasonA, splitA) = out(math.min(dupA, dupB))
+    val (keepA, reasonA, splitA) = out(dupA)
     assert(keepA && reasonA == "keep" && splitA != null, "lower doc_id keeps its copy")
+  }
+
+  test("a case variant of an eval document is held out with it, never kept for training") {
+    // the pre-round-7 doc-id-keyed gate could put the variant in
+    // training; the normalized-hash gate cannot
+    val uniq = (0 to 10000).iterator
+      .map(j => (1 to 20).map(i => s"v$i$j").mkString(" "))
+      .find(isEvalText).get
+    val filler = nonEval(j => (1 to 18).map(i => s"f$i$j").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("curate2").toString
+    Seq((0L, uniq, "src0"), (1L, uniq.toUpperCase, "src0"), (2L, filler, "src0"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curate.curate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(out(0L) == "eval_holdout")
+    assert(out(1L) == "eval_holdout", "normalized copy must follow its group to eval")
+    assert(out(2L) == "keep")
   }
 }
 
