@@ -187,6 +187,42 @@ object SketchQueries {
     */
   val HllEmptyTerm = 9007199254740992L
 
+  /** Register index of a 60-bit hash (low log2(m) bits). */
+  def hllRegisterOf(hv: Long, m: Int = HllM): Int = (hv % m).toInt
+
+  /** Register rank of a 60-bit hash (rank of its high-bit remainder) —
+    * the scalar twin of both the SQL `53 − length(bin(w))` and the
+    * native aggregate's `numberOfLeadingZeros` form.
+    */
+  def hllRankOf(hv: Long, m: Int = HllM): Int = {
+    val w = hv / m
+    if (w == 0L) HllMaxRank
+    else HllMaxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+  }
+
+  /** Scalar HLL estimator over a register array — the single definition
+    * the batch query mirrors in SQL and the streaming state
+    * ([[graft.streaming.HllState]]) calls directly, so the streamed
+    * estimate can never drift from the oracle-gated one. Returns
+    * (n_hit, harmonic_num, estimate rounded to 4).
+    */
+  def hllEstimateOf(regs: IndexedSeq[Int]): (Long, Long, Double) = {
+    val m = regs.length
+    var nHit = 0L
+    var num = 0L
+    regs.foreach { r =>
+      if (r > 0) nHit += 1
+      num += 1L << (HllMaxRank - r)
+    }
+    val zeros = m - nHit
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 / num.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) 256.0 * math.log(256.0 / zeros)
+      else raw
+    (nHit, num,
+      BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) over two
     * key populations of `events` — `user_id` (small cardinality: the
     * linear-counting branch) and the `user:day` composite (the harmonic
