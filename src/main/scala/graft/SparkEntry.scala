@@ -177,6 +177,8 @@ object SparkEntry {
     "q_importance_weight" -> (graft.pipeline.Importance.importanceWeight _),
     // per-label embedding outliers (mislabel/corrupt-vector detector)
     "q_embed_outliers" -> (Similarity.embedOutliers _),
+    // one-row dataset card rolling up the curation dispositions
+    "q_dataset_card" -> (graft.pipeline.DatasetCard.datasetCard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -294,6 +296,7 @@ object SparkEntry {
     "q_split_leakage" -> Sampling.splitLeakageSql,
     "q_importance_weight" -> graft.pipeline.Importance.importanceWeightSql,
     "q_embed_outliers" -> Similarity.embedOutliersSql,
+    "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -215,6 +215,23 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(0L) == out(1L))
   }
 
+  // ---- q_dataset_card ------------------------------------------------
+
+  test("dataset_card: dispositions partition the corpus and splits partition the kept set") {
+    val sf = "/root/testdata/sf0.001"
+    val r = DatasetCard.datasetCard(spark, sf).head()
+    val nDocs = r.getAs[Long]("n_docs")
+    val reasons = Seq("n_too_short", "n_too_repetitive", "n_blocklisted",
+      "n_exact_dup", "n_eval_holdout", "n_contaminated", "n_low_importance")
+      .map(r.getAs[Long](_)).sum
+    assert(nDocs == r.getAs[Long]("n_keep") + reasons,
+      "every document gets exactly one disposition")
+    assert(r.getAs[Long]("n_keep") ==
+      r.getAs[Long]("n_train") + r.getAs[Long]("n_val") + r.getAs[Long]("n_test"),
+      "splits partition the kept documents")
+    assert(r.getAs[Long]("n_tokens") > nDocs, "token volume present")
+  }
+
   // ---- q_split_leakage -----------------------------------------------
 
   test("split_leakage: every normalized-duplicate group lands in exactly one split") {
