@@ -179,6 +179,8 @@ object SparkEntry {
     "q_embed_outliers" -> (Similarity.embedOutliers _),
     // one-row dataset card rolling up the curation dispositions
     "q_dataset_card" -> (graft.pipeline.DatasetCard.datasetCard _),
+    // ANN index-quality eval: per-probe recall of IVF vs exact truth
+    "q_ann_recall" -> (Similarity.annRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -304,6 +306,7 @@ object SparkEntry {
     // exact centroids that produced the parquet under compare); absent →
     // the driver falls back to its rows-only check.
     Similarity.annIvfOracleSql.map("q_ann_ivf" -> _) ++
+    Similarity.annRecallOracleSql.map("q_ann_recall" -> _) ++
     Similarity.semanticDedupOracleSql.map("q_semantic_dedup" -> _) ++
     MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _) ++
     Similarity.pcaProjectOracleSql.map("q_pca_project" -> _) ++

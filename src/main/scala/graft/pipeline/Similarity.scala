@@ -517,6 +517,46 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
   }
 
+  // ---- q_ann_recall --------------------------------------------------
+
+  /** q_ann_recall: the index-quality measurement a pipeline runs before
+    * trusting an ANN index — per-probe recall@[[IvfTopK]] of the IVF
+    * search ([[annIvf]]) against the exact brute-force truth
+    * ([[annTopk]]), as a first-class relation (the spec-level recall
+    * floors pin the fits; this surfaces the same number where a
+    * monitoring job can read it).
+    *
+    * Scale: both legs are the already-bounded probe queries (≤ 100
+    * probes each at any corpus size), so the recall join touches ≤
+    * probes·k rows — constant-size work after the legs. Probes are
+    * [[annTopk]]'s capped set (the IVF leg's extras drop in the join).
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = annTopk(spark, sfDir).select(col("q_id"), col("vec_id"))
+    val approx = annIvf(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(IvfTopK.toDouble)).as("recall"))
+  }
+
+  /** DuckDB oracle for q_ann_recall (post-fit; None → rows-only): the
+    * exact-baseline CTE joined to the frozen-centroid IVF pipeline.
+    */
+  def annRecallOracleSql: Option[String] =
+    annIvfOracleSql.map { ivfSql =>
+      s"""
+    WITH ex AS (SELECT q_id, vec_id FROM ($annTopkSql)),
+    ap AS (SELECT q_id, vec_id FROM ($ivfSql))
+    SELECT ex.q_id,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $IvfTopK.0 AS recall
+    FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+    GROUP BY 1"""
+    }
+
   // ---- q_hard_negatives ----------------------------------------------
 
   /** q_hard_negatives: contrastive-training negative mining — for each

@@ -215,6 +215,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(0L) == out(1L))
   }
 
+  // ---- q_ann_recall --------------------------------------------------
+
+  test("ann_recall: per-probe recall agrees with a hand-join of the two legs") {
+    val sf = "/root/testdata/sf0.001"
+    val truth = Similarity.annTopk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val approx = Similarity.annIvf(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val out = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(out.keySet == truth.keySet, "one recall row per exact-leg probe")
+    out.foreach { case (q, (hits, rec)) =>
+      val expect = truth(q).intersect(approx.getOrElse(q, Set.empty)).size
+      assert(hits == expect, s"probe $q hits")
+      assert(rec == expect / 5.0, s"probe $q recall")
+      assert(hits >= 0 && hits <= 5)
+    }
+    val mean = out.values.map(_._2).sum / out.size
+    assert(mean >= 0.3, s"mean IVF recall $mean collapsed below the pinned floor")
+  }
+
   // ---- q_dataset_card ------------------------------------------------
 
   test("dataset_card: dispositions partition the corpus and splits partition the kept set") {
