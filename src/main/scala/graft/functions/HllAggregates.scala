@@ -57,8 +57,12 @@ case class HllSketch(
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   private def insert(buffer: Array[Byte], hv: Long): Unit = {
-    val reg = (hv % m).toInt // hv is a 60-bit non-negative hash
-    val w = hv / m
+    // floorMod/floorDiv keep the function total for out-of-contract
+    // NEGATIVE inputs (the registered SQL function accepts any long):
+    // a negative hash yields w < 0 -> rank <= 0 -> no register update,
+    // instead of a negative array index
+    val reg = java.lang.Math.floorMod(hv, m.toLong).toInt
+    val w = java.lang.Math.floorDiv(hv, m.toLong)
     val rank =
       if (w == 0L) maxRank
       else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))

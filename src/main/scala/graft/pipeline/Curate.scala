@@ -47,15 +47,20 @@ object Curate {
     val flagged = docs.select(
       col("doc_id"),
       md5(col("text")).as("h"),
-      md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("g"),
+      Dedup.normTextMd5(col("text")).as("g"),
       size(toks).as("nt"),
       size(array_distinct(toks)).as("ndt"),
       size(filter(toks, w => array_contains(lex, w))).as("n_blk"))
     val keepers = flagged.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val contam = Sampling.decontaminate(spark, sfDir)
       .select(col("doc_id"), col("contaminated"))
-    val imp = graft.pipeline.Importance.importanceWeight(spark, sfDir)
+    // boundary-free scored relation, persisted: referenced twice below
+    // (the decile aggregate and the per-doc join) — without the cache
+    // the whole DSIR scoring subplan runs once per reference; released
+    // by the per-query clearCache like the dedup family's scaffolds
+    val imp = graft.pipeline.Importance.scoredWeights(spark, sfDir)
       .select(col("doc_id"), col("dsir_weight"))
+      .persist()
     val lowBnd = imp.agg(
       round(expr(s"percentile(dsir_weight, $LowImportanceQuantile)"), 6).as("low_bnd"))
     val isEval = Dedup.h32(concat(lit("eval|"), col("g"))) % 25 === 0
@@ -95,8 +100,8 @@ object Curate {
              len(list_distinct(string_split(text, ' '))) AS ndt,
              len([w for w in string_split(text, ' ')
                   if list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w)]) AS n_blk,
-             ${Dedup.h32Sql.format("'eval|' || md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))")} % 25 = 0 AS is_eval,
-             ${Dedup.h32Sql.format("'gsplit|' || md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))")} % 100 AS gb
+             ${Dedup.h32Sql.format(s"'eval|' || ${Dedup.normTextMd5Sql.format("text")}")} % 25 = 0 AS is_eval,
+             ${Dedup.h32Sql.format(s"'gsplit|' || ${Dedup.normTextMd5Sql.format("text")}")} % 100 AS gb
       FROM documents
     ),
     k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1),

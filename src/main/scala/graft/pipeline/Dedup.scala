@@ -58,6 +58,20 @@ object Dedup {
 
   val h60Sql: String = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
+  /** THE normalized-text group key (lowercase, trimmed, runs of spaces
+    * collapsed, md5'd) — the single boundary definition shared by
+    * normalized dedup, the leakage-safe split, and the eval-holdout
+    * gates of decontamination and the curation record. Every consumer
+    * MUST use this helper (Scala) / [[normTextMd5Sql]] (DuckDB): if the
+    * definitions drift, those operators silently key on different
+    * groups and the no-straddle guarantee dissolves.
+    */
+  def normTextMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+
+  /** DuckDB twin of [[normTextMd5]] (format with the column name). */
+  val normTextMd5Sql: String = "md5(regexp_replace(lower(trim(%s)), ' +', ' ', 'g'))"
+
   /** Distinct word n-gram shingles of a token array. */
   def shingles(toks: Column, n: Int = ShingleN): Column =
     when(size(toks) >= n,

@@ -75,6 +75,11 @@ object GraphOps {
       // at 5 iterations the barriers, not the joins, dominated wall time)
       if (i % 3 == 0) rank = rank.localCheckpoint(eager = true)
     }
+    // materialize the tail iterations BEFORE dropping the edge cache:
+    // the returned plan is lazy, so an un-checkpointed final rank would
+    // recompute the raw->degree->join edge pipeline uncached at every
+    // downstream action
+    if (PrIterations % 3 != 0) rank = rank.localCheckpoint(eager = true)
     edges.unpersist()
     rank.select(
       col("node").as("doc_id"),

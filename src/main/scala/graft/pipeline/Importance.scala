@@ -57,11 +57,15 @@ object Importance {
       .select(transform(sequence(lit(0), lit(Buckets - 1)),
         b => coalesce(element_at(col("m"), b), lit(0L))).as(name))
 
-  def importanceWeight(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The boundary-free scored relation (doc_id, source, tk,
+    * dsir_weight) — exposed so composers (q_curate) that need only the
+    * weights don't drag the keep-boundary percentile pass along.
+    */
+  def scoredWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tArr = denseCounts(docs.filter(col("source").rlike(TargetSourceRegex)), "tcnt")
     val rArr = denseCounts(docs, "rcnt")
-    val scored = docs
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .crossJoin(broadcast(tArr))
       .crossJoin(broadcast(rArr))
@@ -79,6 +83,11 @@ object Importance {
           acc + element_at(ratio,
             CAST((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $Buckets) + 1 AS INT)))
         / size(tk)"""), 6))
+      .select(col("doc_id"), col("source"), col("tk"), col("dsir_weight"))
+  }
+
+  def importanceWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoredWeights(spark, sfDir)
     val bnd = scored.agg(
       round(expr(s"percentile(dsir_weight, $KeepQuantile)"), 6).as("keep_bnd"))
     scored

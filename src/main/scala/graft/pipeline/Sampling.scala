@@ -132,8 +132,7 @@ object Sampling {
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isEval =
-      Dedup.h32(concat(lit("eval|"),
-        md5(regexp_replace(lower(trim(col("text"))), " +", " ")))) % 25 === 0
+      Dedup.h32(concat(lit("eval|"), Dedup.normTextMd5(col("text")))) % 25 === 0
     val tagged = docs.select(col("doc_id"), isEval.as("is_eval"))
     val g = Dedup.shingleHashes(docs, n = DecontamN)
       .join(tagged, "doc_id")
@@ -154,7 +153,7 @@ object Sampling {
     WITH shdoc AS (${Dedup.shingleHashesSql(DecontamN)}),
     tag AS (
       SELECT doc_id,
-             ${Dedup.h32Sql.format("'eval|' || md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))")} % 25 = 0 AS is_eval
+             ${Dedup.h32Sql.format(s"'eval|' || ${Dedup.normTextMd5Sql.format("text")}")} % 25 = 0 AS is_eval
       FROM documents
     ),
     g AS (
@@ -300,7 +299,7 @@ object Sampling {
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val g = md5(regexp_replace(lower(trim(col("text"))), " +", " "))
+    val g = Dedup.normTextMd5(col("text"))
     val w = Window.partitionBy(col("g"))
     val bucket = Dedup.h32(concat(lit("gsplit|"), col("g"))) % 100
     docs
@@ -319,7 +318,7 @@ object Sampling {
     s"""
     WITH n AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS g
+             ${Dedup.normTextMd5Sql.format("text")} AS g
       FROM documents
     ),
     grp AS (

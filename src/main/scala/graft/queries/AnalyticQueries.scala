@@ -239,14 +239,13 @@ object AnalyticQueries {
     */
   def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
-    docs.groupBy(md5(norm).as("norm_md5"))
+    docs.groupBy(graft.pipeline.Dedup.normTextMd5(col("text")).as("norm_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
   val dedupNormalizedSql: String =
-    """
-    SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_md5,
+    s"""
+    SELECT ${graft.pipeline.Dedup.normTextMd5Sql.format("text")} AS norm_md5,
            min(doc_id) AS keep_doc_id, count(*) AS n_copies
     FROM documents GROUP BY 1"""
 }

@@ -187,37 +187,53 @@ object SketchQueries {
     */
   val HllEmptyTerm = 9007199254740992L
 
-  /** Register index of a 60-bit hash (low log2(m) bits). */
-  def hllRegisterOf(hv: Long, m: Int = HllM): Int = (hv % m).toInt
+  /** Rank of the all-zero remainder for register count m (60-bit hash,
+    * log2(m) register bits). m=256 → 53 ([[HllMaxRank]]).
+    */
+  def hllMaxRankOf(m: Int): Int = {
+    require(m >= 2 && (m & (m - 1)) == 0, s"register count must be a power of two, got $m")
+    60 - Integer.numberOfTrailingZeros(m) + 1
+  }
+
+  /** Register index of a 60-bit hash (low log2(m) bits; floorMod keeps
+    * it total for out-of-contract negative inputs).
+    */
+  def hllRegisterOf(hv: Long, m: Int = HllM): Int =
+    java.lang.Math.floorMod(hv, m.toLong).toInt
 
   /** Register rank of a 60-bit hash (rank of its high-bit remainder) —
     * the scalar twin of both the SQL `53 − length(bin(w))` and the
-    * native aggregate's `numberOfLeadingZeros` form.
+    * native aggregate's `numberOfLeadingZeros` form, for ANY
+    * power-of-two m (the constants derive from m).
     */
   def hllRankOf(hv: Long, m: Int = HllM): Int = {
-    val w = hv / m
-    if (w == 0L) HllMaxRank
-    else HllMaxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    val maxRank = hllMaxRankOf(m)
+    val w = java.lang.Math.floorDiv(hv, m.toLong)
+    if (w == 0L) maxRank
+    else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
   }
 
-  /** Scalar HLL estimator over a register array — the single definition
-    * the batch query mirrors in SQL and the streaming state
-    * ([[graft.streaming.HllState]]) calls directly, so the streamed
-    * estimate can never drift from the oracle-gated one. Returns
+  /** Scalar HLL estimator over a register array (m = regs.length, any
+    * power of two): every constant — maxRank, α_m, m², 2^maxRank —
+    * derives from m, and at m=256 the arithmetic is operation-for-
+    * operation identical to the SQL the batch query mirrors (the
+    * HllStateSpec equality pins that on the gate corpus). Returns
     * (n_hit, harmonic_num, estimate rounded to 4).
     */
   def hllEstimateOf(regs: IndexedSeq[Int]): (Long, Long, Double) = {
     val m = regs.length
+    val maxRank = hllMaxRankOf(m)
     var nHit = 0L
     var num = 0L
     regs.foreach { r =>
       if (r > 0) nHit += 1
-      num += 1L << (HllMaxRank - r)
+      num += 1L << (maxRank - r)
     }
     val zeros = m - nHit
-    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 / num.toDouble
+    val md = m.toDouble
+    val raw = 0.7213 / (1.0 + 1.079 / md) * (md * md) * (1L << maxRank).toDouble / num.toDouble
     val est =
-      if (raw <= 2.5 * m && zeros > 0) 256.0 * math.log(256.0 / zeros)
+      if (raw <= 2.5 * md && zeros > 0) md * math.log(md / zeros)
       else raw
     (nHit, num,
       BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -14,8 +14,11 @@ import graft.queries.SketchQueries
   * input (HllStateSpec asserts this against the oracle-gated batch
   * query). State is m bytes per key forever (even smaller than the KMV
   * state's k longs); the estimate refreshes every trigger via the
-  * SHARED scalar estimator [[SketchQueries.hllEstimateOf]], so the
-  * streamed number can never drift from the oracle-gated batch one.
+  * scalar estimator [[SketchQueries.hllEstimateOf]], whose arithmetic
+  * mirrors the batch query's SQL operation for operation — HllStateSpec
+  * pins streamed == batch on the gate corpus (the batch leg must stay
+  * SQL-expressed for its DuckDB oracle, so the estimator is
+  * duplicated-and-tested rather than literally shared).
   */
 object HllState {
 

@@ -124,8 +124,10 @@ class PlanSpec extends SparkSpec {
       case _ => false
     }
     // q_ann_pca shares q_ann_topk's capped-probe contract (same <= 100
-    // query cap), just over the 8-dim projected vectors
-    val allowed = Set("q_ann_topk", "q_ann_pca")
+    // query cap), just over the 8-dim projected vectors; q_ann_recall
+    // embeds q_ann_topk verbatim as its exact-truth leg, so it carries
+    // the same declared capped NLJ
+    val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot { j =>
