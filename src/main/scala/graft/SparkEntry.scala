@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.{Dedup, MlAnomaly, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Filters, MlAnomaly, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
 import graft.queries.{AnalyticQueries, CoreQueries, RelationalQueries, TemporalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -46,12 +46,14 @@ object SparkEntry {
     "q_winnow" -> (TextAnalysis.winnow _),
     "q_bigram_lm" -> (TextAnalysis.bigramLm _),
     "q_repetition" -> (TextAnalysis.repetition _),
+    "q_gopher_filters" -> (Filters.gopherFilters _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
     "q_diversity" -> (TextAnalysis.diversity _),
     "q_chunk" -> (TextAnalysis.chunk _),
     "q_anonymize" -> (Privacy.anonymize _),
     "q_sample_mix" -> (Sampling.sampleMix _),
     "q_domain_mix" -> (Sampling.domainMix _),
+    "q_mix_weights" -> (Sampling.mixWeights _),
     "q_split" -> (Sampling.hashSplit _),
     "q_token_pack" -> (Sampling.tokenPack _),
     "q_decontaminate" -> (Sampling.decontaminate _),
@@ -211,12 +213,14 @@ object SparkEntry {
     "q_winnow" -> TextAnalysis.winnowSql,
     "q_bigram_lm" -> TextAnalysis.bigramLmSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_gopher_filters" -> Filters.gopherFiltersSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_diversity" -> TextAnalysis.diversitySql,
     "q_chunk" -> TextAnalysis.chunkSql,
     "q_anonymize" -> Privacy.anonymizeSql,
     "q_sample_mix" -> Sampling.sampleMixSql,
     "q_domain_mix" -> Sampling.domainMixSql,
+    "q_mix_weights" -> Sampling.mixWeightsSql,
     "q_split" -> Sampling.splitSql,
     "q_token_pack" -> Sampling.tokenPackSql,
     "q_decontaminate" -> Sampling.decontaminateSql,

@@ -385,4 +385,76 @@ object Sampling {
       FROM h
     )
     SELECT source, rn, doc_id, hv FROM r WHERE rn <= $StratumK"""
+
+  // ---- q_mix_weights -------------------------------------------------
+
+  /** Token budget the mixture draws against (1M at gate scale; the
+    * arithmetic is the same at a 15T-token production budget).
+    */
+  val MixBudgetTokens = 1000000L
+
+  /** Temperature-scaled language mixture: sampling weight per language
+    * proportional to `n_tokens^alpha` with `alpha = 0.5` — the
+    * low-resource up-weighting used for multilingual pretraining
+    * corpora (mC4/XLM-R style: raw proportions starve small languages;
+    * a sub-linear exponent flattens the mixture).
+    *
+    * `alpha = 0.5` is deliberately the square root: IEEE-754 `sqrt` is
+    * correctly rounded in both engines (an arbitrary `pow(x, 0.3)` is
+    * not), and we take `floor(sqrt(n))` into INTEGER weight arithmetic
+    * (per-mille via integer div), so every output is engine-exact.
+    * The only double columns are single divisions.
+    *
+    * Scale: one hash aggregation to one row per language (map-side
+    * partials), then a single-row broadcast attach of the totals — the
+    * corpus is read once and never shuffled wider than (lang, counts).
+    */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val perLang = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("isqrt_tokens", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("isqrt_tokens")).as("total_isqrt"))
+    perLang.crossJoin(broadcast(totals))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("token_share"),
+        col("isqrt_tokens"),
+        expr("(1000000 * isqrt_tokens) div total_isqrt").as("weight_ppm"),
+        expr(s"($MixBudgetTokens * isqrt_tokens) div total_isqrt").as("drawn_tokens"),
+        round(expr(s"($MixBudgetTokens * isqrt_tokens) div total_isqrt").cast("double")
+          / col("n_tokens"), 6).as("eff_epochs"),
+      )
+  }
+
+  val mixWeightsSql: String =
+    s"""
+    WITH s AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isqrt_tokens
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(isqrt_tokens) AS BIGINT) AS total_isqrt
+      FROM w
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+           isqrt_tokens,
+           (1000000 * isqrt_tokens) // total_isqrt AS weight_ppm,
+           ($MixBudgetTokens * isqrt_tokens) // total_isqrt AS drawn_tokens,
+           round(CAST(($MixBudgetTokens * isqrt_tokens) // total_isqrt AS DOUBLE)
+                 / n_tokens, 6) AS eff_epochs
+    FROM w, t"""
 }

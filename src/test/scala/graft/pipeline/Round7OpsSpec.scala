@@ -301,4 +301,70 @@ class Round7OpsSpec extends SparkSpec {
       assert(a(id) == b(id), s"doc $id moved splits when unrelated docs arrived")
     }
   }
+
+  // ---- q_gopher_filters ----------------------------------------------
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("gopher: a clean document passes every rule") {
+    val clean = "the a of " + Seq.fill(57)("word").mkString(" ") // 60 words, 3 markers
+    val dir = writeDocs(Seq(1L -> clean))
+    val r = Filters.gopherFilters(spark, dir).collect().head
+    assert(r.getAs[Long]("n_words") == 60L)
+    assert(r.getAs[Boolean]("keep"), s"clean doc must keep: $r")
+    assert(r.getAs[Long]("n_fail") == 0L)
+    assert(r.getAs[Long]("stop_hits") == 3L)
+  }
+
+  test("gopher: each rule fires on its designed violation") {
+    val dir = writeDocs(Seq(
+      // too short + no stop markers -> f_words, f_stop
+      1L -> "just ten little words right here in this tiny doc",
+      // symbol spam -> f_symbol (markers present, 60 words)
+      2L -> ("the a of " + Seq.fill(57)("#tag").mkString(" ")),
+      // digits only -> f_alpha (+ f_words short list is avoided: 60 words)
+      3L -> (Seq.fill(60)("12345").mkString(" ")),
+      // bullet lines -> f_bullet (each line "- w", 60 lines)
+      4L -> (Seq.fill(60)("- the a of word word").mkString("\n")),
+      // mean word length too long -> f_word_len
+      5L -> ("the a of " + Seq.fill(57)("pneumonoultramicroscopic").mkString(" ")),
+    ))
+    val rows = Filters.gopherFilters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!rows(1L).getAs[Boolean]("f_words") && !rows(1L).getAs[Boolean]("f_stop"))
+    assert(rows(1L).getAs[Long]("n_fail") == 2L)
+    assert(!rows(2L).getAs[Boolean]("f_symbol") && rows(2L).getAs[Boolean]("f_alpha"))
+    assert(!rows(3L).getAs[Boolean]("f_alpha"))
+    assert(!rows(4L).getAs[Boolean]("f_bullet"),
+      s"all-bullet doc must fail the bullet rule: ${rows(4L)}")
+    assert(!rows(5L).getAs[Boolean]("f_word_len"))
+    assert(rows.values.forall(r => !r.getAs[Boolean]("keep")))
+  }
+
+  // ---- q_mix_weights -------------------------------------------------
+
+  test("mix_weights: sqrt temperature flattens the language mixture exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("mixw").toString
+    // aa: 10 docs x 10 tokens = 100; bb: 20 docs x 20 tokens = 400
+    val docs =
+      (0 until 10).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "), "aa")) ++
+        (0 until 20).map(i => (100L + i, Seq.fill(20)("w").mkString(" "), "bb"))
+    docs.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Sampling.mixWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val aa = rows("aa"); val bb = rows("bb")
+    assert(aa.getAs[Long]("n_tokens") == 100L && bb.getAs[Long]("n_tokens") == 400L)
+    assert(aa.getAs[Long]("isqrt_tokens") == 10L && bb.getAs[Long]("isqrt_tokens") == 20L)
+    // raw shares 0.2/0.8 -> sqrt-tempered 1/3 / 2/3 (integer ppm)
+    assert(aa.getAs[Double]("token_share") == 0.2 && bb.getAs[Double]("token_share") == 0.8)
+    assert(aa.getAs[Long]("weight_ppm") == 333333L && bb.getAs[Long]("weight_ppm") == 666666L)
+    assert(aa.getAs[Long]("drawn_tokens") == 333333L)
+    // low-resource lang is over-sampled (epochs > high-resource's)
+    assert(aa.getAs[Double]("eff_epochs") > bb.getAs[Double]("eff_epochs"))
+    assert(aa.getAs[Double]("eff_epochs") == 3333.33)
+  }
 }
