@@ -118,6 +118,7 @@ object SparkEntry {
     // mergeable sketches
     "q_kmv_distinct" -> (graft.queries.SketchQueries.kmvDistinct _),
     "q_quantile_sample" -> (graft.queries.SketchQueries.quantileSample _),
+    "q_approx_quantiles" -> (graft.queries.SketchQueries.approxQuantiles _),
     // table maintenance (CDC + layout)
     "q_snapshot_diff" -> (graft.pipeline.TableOps.snapshotDiff _),
     "q_zorder" -> (graft.pipeline.TableOps.zorder _),
@@ -276,6 +277,7 @@ object SparkEntry {
     "q_pagerank" -> graft.pipeline.GraphOps.pagerankSql,
     "q_kmv_distinct" -> graft.queries.SketchQueries.kmvDistinctSql,
     "q_quantile_sample" -> graft.queries.SketchQueries.quantileSampleSql,
+    "q_approx_quantiles" -> graft.queries.SketchQueries.approxQuantilesSql,
     "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,
     "q_zorder" -> graft.pipeline.TableOps.zorderSql,
     "q_phash_pairs" -> Multimodal.phashPairsSql,

@@ -433,4 +433,104 @@ object SketchQueries {
     SELECT e.topic, e.n, e.p50_exact, e.p95_exact,
            s.n_sample, s.p50_sample, s.p95_sample
     FROM ex e JOIN samp s ON e.topic = s.topic"""
+
+  // ---- q_approx_quantiles ----------------------------------------------
+
+  /** Histogram bin width. A power of two, so `value / 4` is an exact
+    * IEEE scaling and `floor` is engine-identical.
+    */
+  val HistBinWidth = 4.0
+
+  /** Quantile points the histogram is read at. */
+  val HistPs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** q_approx_quantiles: per-topic quantiles from a FIXED-BIN histogram
+    * — the constant-state percentile sketch (the shape of
+    * Prometheus/OTel histograms and of t-digest's role, made
+    * deterministic: fixed bucket boundaries instead of data-adaptive
+    * ones, so the sketch is exactly reproducible and oracle-checkable).
+    * Bin counts are a plain hash aggregation — mergeable partials,
+    * state O(range/width) per topic regardless of row count — and the
+    * quantile is read back by linear interpolation inside the bin the
+    * target rank falls in: `est = lo + w·(rank − cum_below)/cnt`.
+    *
+    * The exact leg (`percentile`) rides the SAME single scan/shuffle as
+    * the count, for calibration: `err` is the rounded difference — the
+    * sketch's measured accuracy at this width. At 100 TB you keep only
+    * the histogram leg.
+    *
+    * Scale: one shuffle keyed (topic, bin) for the sketch, one keyed
+    * topic for n/exact; the rank pick is a broadcast join of a ≤
+    * topics×|ps| relation against a ≤ topics×bins relation; the cum-sum
+    * window is PARTITIONED by topic (never a global sort).
+    */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("topic"), col("value"))
+    val binned = ev
+      .groupBy(col("topic"), floor(col("value") / lit(HistBinWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("topic")).orderBy(col("bin"))))
+    val nBins = binned.groupBy(col("topic")).agg(count(lit(1)).as("n_bins"))
+    val pStructs = HistPs.map { p =>
+      struct(lit(p).as("p"),
+        round(expr(s"percentile(value, $p)"), 6).as("exact"))
+    }
+    val ranks = ev.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"), array(pStructs: _*).as("pe"))
+      .select(col("topic"), col("n"), explode(col("pe")).as("pe"))
+      .select(col("topic"), col("n"), col("pe.p").as("p"), col("pe.exact").as("exact"))
+      .withColumn("rank", col("p") * col("n"))
+    val est = round(
+      col("bin") * lit(HistBinWidth) +
+        lit(HistBinWidth) * (col("rank") - (col("cum") - col("cnt"))) / col("cnt"), 6)
+    ranks
+      .join(binned, Seq("topic"))
+      .filter(col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+      .join(broadcast(nBins), Seq("topic"))
+      .select(col("topic"), col("p"), col("n"), col("n_bins"),
+        est.as("est"), col("exact"),
+        round(est - col("exact"), 6).as("err"))
+  }
+
+  val approxQuantilesSql: String = {
+    // one aggregate leg per p (quantile_cont needs a constant
+    // parameter), p emitted as an explicit DOUBLE (a bare 0.5 literal
+    // would be DECIMAL in DuckDB -> decimal rank arithmetic != Spark)
+    val rLegs = HistPs.map { p =>
+      s"""SELECT topic, count(*) AS n, CAST('$p' AS DOUBLE) AS p,
+             round(quantile_cont(value, $p), 6) AS exact
+      FROM base GROUP BY topic"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH base AS (
+      SELECT event_type AS topic, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT topic, CAST(floor(value / $HistBinWidth) AS BIGINT) AS bin, count(*) AS cnt
+      FROM base GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT topic, bin, cnt,
+             sum(cnt) OVER (PARTITION BY topic ORDER BY bin) AS cum
+      FROM b
+    ),
+    nb AS (SELECT topic, count(*) AS n_bins FROM b GROUP BY 1),
+    r AS (
+      $rLegs
+    ),
+    k AS (SELECT topic, n, p, exact, p * n AS rank FROM r)
+    SELECT k.topic, k.p, k.n, nb.n_bins,
+           round(c.bin * $HistBinWidth
+                 + $HistBinWidth * (k.rank - (c.cum - c.cnt)) / c.cnt, 6) AS est,
+           k.exact,
+           round((round(c.bin * $HistBinWidth
+                 + $HistBinWidth * (k.rank - (c.cum - c.cnt)) / c.cnt, 6)) - k.exact, 6) AS err
+    FROM k
+    JOIN c ON k.topic = c.topic AND c.cum >= k.rank AND c.cum - c.cnt < k.rank
+    JOIN nb ON k.topic = nb.topic"""
+  }
 }

@@ -367,4 +367,41 @@ class Round7OpsSpec extends SparkSpec {
     assert(aa.getAs[Double]("eff_epochs") > bb.getAs[Double]("eff_epochs"))
     assert(aa.getAs[Double]("eff_epochs") == 3333.33)
   }
+
+  // ---- q_approx_quantiles --------------------------------------------
+
+  test("approx_quantiles: histogram interpolation matches the hand computation") {
+    val dir = java.nio.file.Files.createTempDirectory("aq").toString
+    // one topic, values 0..15 once each -> 4 bins of width 4, cnt 4 each
+    (0 until 16).map(i => (i.toLong, new Timestamp(1000L + i), 1L, "t", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.SketchQueries.approxQuantiles(spark, dir).collect()
+      .map(r => r.getAs[Double]("p") -> r).toMap
+    assert(rows.keySet == Set(0.5, 0.9, 0.99))
+    val p50 = rows(0.5)
+    assert(p50.getAs[Long]("n") == 16L && p50.getAs[Long]("n_bins") == 4L)
+    // rank 8 falls in bin 1 (cum 8, below 4): est = 4 + 4*(8-4)/4 = 8
+    assert(p50.getAs[Double]("est") == 8.0)
+    // exact type-7 median of 0..15 = 7.5 -> err exactly 0.5
+    assert(p50.getAs[Double]("exact") == 7.5 && p50.getAs[Double]("err") == 0.5)
+    // rank 14.4 in bin 3: est = 12 + 4*(14.4-12)/4 = 14.4; exact 13.5
+    assert(rows(0.9).getAs[Double]("est") == 14.4)
+    assert(rows(0.9).getAs[Double]("exact") == 13.5)
+  }
+
+  test("approx_quantiles: bin state stays bounded under heavy duplication") {
+    val dir = java.nio.file.Files.createTempDirectory("aqdup").toString
+    // 10k rows but only two distinct values -> 1 bin; est lands in it
+    (0 until 10000).map(i => (i.toLong, new Timestamp(1000L + i), 1L, "hot",
+      if (i % 2 == 0) 1.0 else 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.SketchQueries.approxQuantiles(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("n_bins") == 1L),
+      "10k duplicated rows must collapse to a single histogram bin")
+    assert(rows.forall { r =>
+      val e = r.getAs[Double]("est"); e >= 0.0 && e <= 4.0
+    })
+  }
 }
