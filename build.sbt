@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's ONE stdout JSON line; sbt's
+// "[success] Total time: ..." trailer otherwise lands after it and the
+// parse has failed every round (BENCH_r1-r6 all "parsed: null"). Spark
+// logs go to stderr (log4j2 default), so with the trailer suppressed
+// the bench JSON is the final stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -139,8 +139,13 @@ object Bench {
       writeQuiet(dir.resolve(s"stream_bench_r$round.json").toString, sJson + "\n")
     }
 
-    println(json)
+    // stop BEFORE printing: the contract line must be the final stdout
+    // line (driver tail-parse), so nothing — not even a stray shutdown
+    // message — may follow it. Spark logs target stderr, and build.sbt
+    // suppresses sbt's [success] trailer (showSuccess := false).
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 
   /** Current round = highest committed BENCH_r{N}.json + 1 (those are

@@ -243,7 +243,9 @@ object Bpe {
              ${docTokensSql(ms)} AS bpe
       FROM documents
     )
-    SELECT source, count(*) AS n_docs, sum(ws) AS n_words, sum(bpe) AS n_tokens_bpe,
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS BIGINT) AS n_tokens_bpe,
            CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
     FROM t GROUP BY 1"""
   }

@@ -1201,7 +1201,12 @@ object Dedup {
     ),
     $mergeIslandsCtesSql,
     cov AS (
-      SELECT doc_id, sum(is_e - is_s + 1) AS covered_tokens FROM merged GROUP BY 1
+      -- CAST: DuckDB sum(BIGINT) returns HUGEINT, which the driver's
+      -- pandas conversion renders as float64 — hash-diverging from the
+      -- Spark side's int64 even when every value is identical (the
+      -- round-6 q_dup_coverage "parity bug" was exactly this)
+      SELECT doc_id, CAST(sum(is_e - is_s + 1) AS BIGINT) AS covered_tokens
+      FROM merged GROUP BY 1
     ),
     alldocs AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -65,19 +65,29 @@ object Importance {
     val docs = Tables.documents(spark, sfDir)
     val tArr = denseCounts(docs.filter(col("source").rlike(TargetSourceRegex)), "tcnt")
     val rArr = denseCounts(docs, "rcnt")
-    docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
-      .crossJoin(broadcast(tArr))
-      .crossJoin(broadcast(rArr))
+    // The per-bucket smoothed likelihood ratio is computed ENTIRELY on
+    // the single-row model side, BELOW the broadcast crossJoin. If the
+    // ratio/nt/nr projections sat above the join (with the corpus rows),
+    // CollapseProject would inline the two 64-element `aggregate` folds
+    // and the 64-element `transform` into the per-token scoring lambda —
+    // ~64×128 expression evaluations per TOKEN instead of one
+    // element_at, the round-6 q_curate 96 s pathology. A projection
+    // cannot be collapsed across a Join, so `ratio` reaches the scoring
+    // lambda as a bound attribute and is evaluated exactly once.
+    // Same operands in the same order as before → identical IEEE
+    // doubles → the DuckDB oracle hash is unchanged.
+    val model = tArr
+      .crossJoin(rArr)
       .withColumn("nt", expr("aggregate(tcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
       .withColumn("nr", expr("aggregate(rcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
-      // per-bucket smoothed likelihood ratio, precomputed once per row
-      // group (constant across the corpus — the same arithmetic the
-      // oracle inlines per token; identical operands → identical IEEE)
-      .withColumn("ratio", expr(s"""
+      .select(expr(s"""
         transform(sequence(0, ${Buckets - 1}), b ->
           (CAST(element_at(tcnt, b + 1) + 1 AS DOUBLE) / CAST(nt + $Buckets AS DOUBLE))
-          / (CAST(element_at(rcnt, b + 1) + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE)))"""))
+          / (CAST(element_at(rcnt, b + 1) + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE)))""")
+        .as("ratio"))
+    docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .crossJoin(broadcast(model))
       .withColumn("dsir_weight", round(expr(s"""
         aggregate(tk, CAST(0.0 AS DOUBLE), (acc, t) ->
           acc + element_at(ratio,

@@ -1,33 +1,48 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loading for the driver test data (TESTDATA.md).
   *
-  * The driver parquet stores timestamps as TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects; we read them as nano longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to micros
-  * timestamps (the data is micro-precise: every nano value is a
-  * multiple of 1000).
+  * The driver regenerates the parquet between rounds and the physical
+  * timestamp encoding has changed before (TIMESTAMP(NANOS) in rounds
+  * 1-5, `timestamp[us]` without timezone — i.e. TIMESTAMP_NTZ to
+  * Spark 4 — from round 6). Every query downstream assumes plain
+  * session-UTC `TIMESTAMP`, so `load` normalizes the declared
+  * timestamp columns from ANY physical encoding it may meet:
+  *
+  *   - `LongType` — legacy nanos-as-long read (`nanosAsLong`);
+  *     nano values are micro-precise, so `DIV 1000` is exact.
+  *   - `TimestampNTZType` — cast to `TIMESTAMP`; the session zone is
+  *     UTC in every entry point, so the wall-clock values match what
+  *     DuckDB reads from the same file.
+  *   - `TimestampType` — already the target type, pass through.
   */
 object Tables {
 
-  private val nanoTimestampCols: Map[String, Seq[String]] = Map(
+  private val timestampCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"),
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"),
   )
 
+  /** Normalize one column to session-UTC TIMESTAMP regardless of how the
+    * parquet file physically stored it. Exposed for TablesSpec.
+    */
+  private[graft] def normalizeTimestamp(d: DataFrame, c: String): DataFrame =
+    if (!d.columns.contains(c)) d
+    else d.schema(c).dataType match {
+      case LongType => d.withColumn(c, expr(s"timestamp_micros($c DIV 1000)"))
+      case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+      case _ => d
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanoTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c) && d.schema(c).dataType == LongType)
-        d.withColumn(c, expr(s"timestamp_micros($c DIV 1000)"))
-      else d
-    }
+    timestampCols.getOrElse(name, Nil).foldLeft(df)(normalizeTimestamp)
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")

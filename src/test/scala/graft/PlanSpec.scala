@@ -119,8 +119,11 @@ class PlanSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
       case other => other
     }
+    // recursive: a cross of single-row relations (e.g. the DSIR model
+    // row = global tcnt agg × global rcnt agg) is itself single-row
     def singleRowSide(p: SparkPlan): Boolean = unwrap(p) match {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case j: BroadcastNestedLoopJoinExec => singleRowSide(j.left) && singleRowSide(j.right)
       case _ => false
     }
     // q_ann_pca shares q_ann_topk's capped-probe contract (same <= 100
@@ -159,6 +162,30 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     val rrf = collectAll(plan("q_rrf_fusion")) { case w: WindowExec => w }
     assert(rrf.isEmpty, s"q_rrf_fusion should have no window operator, got ${rrf.size}")
+  }
+
+  test("DSIR scoring lambda binds the ratio array as an attribute (no inlined model folds)") {
+    // Round-6 pathology: CollapseProject inlined the constant ratio/nt/nr
+    // expressions into the per-token aggregate lambda, multiplying
+    // per-token work ~8000x (q_curate 96 s at sf0.1). The fix computes
+    // them below the broadcast join; this pins that the optimized plan's
+    // dsir_weight expression references the bound `ratio` attribute and
+    // never the raw model count arrays (which would mean the folds were
+    // inlined again).
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val opt = graft.pipeline.Importance.scoredWeights(spark, sf)
+      .queryExecution.optimizedPlan
+    val dsir = opt.collect { case p: Project => p.projectList }.flatten
+      .filter(_.name == "dsir_weight")
+    assert(dsir.nonEmpty, "dsir_weight projection not found in optimized plan")
+    dsir.foreach { a =>
+      val s = a.toString
+      assert(!s.contains("tcnt") && !s.contains("rcnt"),
+        "per-token scoring lambda references the model count arrays — " +
+          "the ratio fold was inlined into the per-token path again")
+      assert(s.contains("ratio"),
+        "scoring lambda should look up the precomputed ratio attribute")
+    }
   }
 
   test("no query plans an unpartitioned window (single-partition shuffle)") {
