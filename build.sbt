@@ -17,6 +17,11 @@ run / fork := true
 // logs go to stderr (log4j2 default), so with the trailer suppressed
 // the bench JSON is the final stdout line.
 Global / showSuccess := false
+// ... and without this, sbt routes the forked JVM's stdout through its
+// logger, prefixing every line with "[info] " — which also corrupts
+// the JSON contract line.
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
