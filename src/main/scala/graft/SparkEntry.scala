@@ -57,6 +57,9 @@ object SparkEntry {
     "q_split" -> (Sampling.hashSplit _),
     "q_token_pack" -> (Sampling.tokenPack _),
     "q_decontaminate" -> (Sampling.decontaminate _),
+    "q_decontaminate_fuzzy" -> (Sampling.decontaminateFuzzy _),
+    "q_eval_overlap_report" -> (Sampling.evalOverlapReport _),
+    "q_importance_resample" -> (graft.pipeline.Importance.importanceResample _),
     // LLM-data-pipeline: dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
@@ -225,6 +228,9 @@ object SparkEntry {
     "q_split" -> Sampling.splitSql,
     "q_token_pack" -> Sampling.tokenPackSql,
     "q_decontaminate" -> Sampling.decontaminateSql,
+    "q_decontaminate_fuzzy" -> Sampling.decontaminateFuzzySql,
+    "q_eval_overlap_report" -> Sampling.evalOverlapReportSql,
+    "q_importance_resample" -> graft.pipeline.Importance.importanceResampleSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_containment" -> Dedup.containmentSql,

@@ -261,10 +261,32 @@ object Dedup {
     shingleHashes(docs).select(col("doc_id"),
       graft.functions.SketchFunctions.minhashSignature(col("hs"), MinhashAB, P).as("sig"))
 
-  private val sigSqlExpr: String = {
+  /** DuckDB expression for the 16-permutation minhash signature of an
+    * `hs` column (shared by the LSH pair join and fuzzy
+    * decontamination).
+    */
+  private[pipeline] val sigSqlExpr: String = {
     val perms = MinhashAB.map { case (a, b) => s"[$a, $b]" }.mkString(", ")
     s"list_transform([$perms], ab -> list_min(list_transform(hs, h -> (ab[1] * h + ab[2]) % ${P})))"
   }
+
+  /** Explode a signature relation into its 4 LSH band rows
+    * `(doc_id, keep..., band, bh)` — the banded candidate key shared by
+    * [[minhashLsh]] and [[Sampling.decontaminateFuzzy]]. `bh` is the
+    * md5 of the band's 4 signature positions.
+    */
+  private[pipeline] def bandRows(sigs: DataFrame, keep: Seq[String] = Seq("sig")): DataFrame =
+    sigs.select(
+      col("doc_id") +: keep.map(col) :+
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",",
+              element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+              element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4))).as("bh"))
+        }: _*)).as("bd"): _*)
+      .select(
+        col("doc_id") +: keep.map(col) :+
+          col("bd.band").as("band") :+ col("bd.bh").as("bh"): _*)
 
   /** MinHash + LSH near-dup pairs: 4 bands x 4 rows; candidates share a
     * band hash; similarity = matching signature positions / 16,
@@ -276,15 +298,7 @@ object Dedup {
     // permutation work runs once — at cluster scale this is where a
     // signature table would be checkpointed to storage
     val sigs = signatures(Tables.documents(spark, sfDir)).persist()
-    val bands = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",",
-            element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
-            element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4))).as("bh"))
-      }: _*)).as("bd"),
-    ).select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val bands = bandRows(sigs)
     // candidate pairs dedupe on narrow (id, id) rows; signatures are
     // re-joined afterwards so the 16-long arrays never shuffle per band
     val cand = bands.as("a")

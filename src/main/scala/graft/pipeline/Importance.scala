@@ -107,13 +107,17 @@ object Importance {
         (col("dsir_weight") >= col("keep_bnd")).as("kept"))
   }
 
-  val importanceWeightSql: String = {
+  /** Shared oracle CTE chain ending in the scored relation `sc`
+    * (mirrors [[scoredWeights]]); [[importanceWeightSql]] and
+    * [[importanceResampleSql]] both build on it so the scoring
+    * arithmetic can never drift between the two gates.
+    */
+  private val scoredCtesSql: String = {
     val h = Dedup.h32Sql.format("t")
     def ratio(t: String): String =
       s"""(CAST(tcnt[(($h % $Buckets) + 1)] + 1 AS DOUBLE) / CAST(nt + $Buckets AS DOUBLE))
           / (CAST(rcnt[(($h % $Buckets) + 1)] + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE))"""
-    s"""
-    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    s"""d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
     ttok AS (SELECT ((${Dedup.h32Sql.format("t")}) % $Buckets) AS bucket
              FROM (SELECT unnest(tk) AS t FROM d
                    WHERE regexp_matches(source, '$TargetSourceRegex'))),
@@ -134,10 +138,61 @@ object Importance {
       FROM d
       CROSS JOIN (SELECT tcnt, CAST(list_reduce(tcnt, (x, y) -> x + y) AS BIGINT) AS nt FROM tarr) ta
       CROSS JOIN (SELECT rcnt, CAST(list_reduce(rcnt, (x, y) -> x + y) AS BIGINT) AS nr FROM rarr) ra
-    ),
+    )"""
+  }
+
+  val importanceWeightSql: String =
+    s"""
+    WITH $scoredCtesSql,
     b AS (SELECT round(quantile_cont(dsir_weight, $KeepQuantile), 6) AS keep_bnd FROM sc)
     SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
            dsir_weight, keep_bnd, dsir_weight >= keep_bnd AS kept
     FROM sc CROSS JOIN b"""
+
+  // ---- q_importance_resample -----------------------------------------
+
+  /** q_importance_resample: the RESAMPLING half of DSIR —
+    * [[importanceWeight]] ranks documents; this draws the corpus:
+    * every document is kept with probability proportional to its
+    * importance weight, via a DETERMINISTIC acceptance test —
+    * `u(doc) * w_max < w(doc)` where `u(doc)` is an md5-derived
+    * uniform in [0, 1). Determinism is the point: the same corpus
+    * resamples to the same subset on any engine, any cluster size, any
+    * run — reproducible data recipes, no RNG state to coordinate
+    * across 1000 executors (Spark's `rand()` is per-partition-seeded
+    * and repartition-sensitive; a content/id hash is neither).
+    *
+    * Engine-exact: `u = h32 / 2^32` is an exact double (integer
+    * < 2^53 divided by a power of two), `w_max` is one broadcast
+    * scalar, and the accept comparison is a single IEEE multiply both
+    * engines evaluate identically.
+    *
+    * Scale: scoring is [[scoredWeights]]'s map-only pass; the max is
+    * one tree-aggregated scalar broadcast back; acceptance is a
+    * stateless per-row predicate. Nothing corpus-sized shuffles.
+    */
+  def importanceResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoredWeights(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("dsir_weight"))
+    val m = scored.agg(max(col("dsir_weight")).as("w_max"))
+    scored.crossJoin(broadcast(m))
+      .withColumn("u",
+        Dedup.h32(concat(lit("rs|"), col("doc_id").cast("string"))).cast("double") /
+          lit(4294967296.0))
+      .select(col("doc_id"), col("source"), col("dsir_weight"), col("u"),
+        (col("u") * col("w_max") < col("dsir_weight")).as("kept"))
   }
+
+  val importanceResampleSql: String =
+    s"""
+    WITH $scoredCtesSql,
+    m AS (SELECT max(dsir_weight) AS w_max FROM sc),
+    u AS (
+      SELECT doc_id, source, dsir_weight,
+             CAST(${Dedup.h32Sql.format("'rs|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+               / 4294967296.0 AS u
+      FROM sc
+    )
+    SELECT doc_id, source, dsir_weight, u, u * w_max < dsir_weight AS kept
+    FROM u CROSS JOIN m"""
 }

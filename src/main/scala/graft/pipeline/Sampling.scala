@@ -173,6 +173,184 @@ object Sampling {
   val tokenPackSql: String =
     packByWeightSql("CAST(len(string_split(text, ' ')) AS BIGINT)")
 
+  // ---- q_decontaminate_fuzzy -----------------------------------------
+
+  /** Estimated-Jaccard threshold above which a training document counts
+    * as a fuzzy duplicate of an eval document.
+    */
+  val FuzzyContamMin = 0.5
+
+  /** The shared eval-holdout tag (normalized-hash 1-in-25 — the
+    * [[decontaminate]] / Curate gate).
+    */
+  private def evalTag(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (Dedup.h32(concat(lit("eval|"), Dedup.normTextMd5(col("text")))) % 25 === 0)
+        .as("is_eval"))
+
+  /** q_decontaminate_fuzzy: NEAR-duplicate train/eval decontamination —
+    * [[decontaminate]]'s exact 8-gram test misses an eval document that
+    * was lightly edited before landing in the training corpus
+    * (paraphrase, shuffled sentences, small insertions). This pass
+    * flags training documents whose MinHash-estimated Jaccard with any
+    * eval document is ≥ [[FuzzyContamMin]] — the fuzzy overlap rule
+    * production decontamination runs alongside the exact one.
+    *
+    * Machinery is deliberately the [[Dedup.minhashLsh]] scaffold
+    * (16-perm signatures over [[DecontamN]]-gram shingle hashes, 4×4
+    * LSH bands) with one change: candidates come from a train-band ⋈
+    * eval-band join instead of a self-join.
+    *
+    * Scale: the eval side is benchmark-sized, so its band relation AND
+    * its signature relation are broadcast — the corpus side never
+    * shuffles for candidate generation; the only corpus-keyed shuffle
+    * is the distinct on narrow (doc_id, eval_doc) candidate rows,
+    * bounded by band-collision volume exactly like the LSH self-join.
+    */
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tag = evalTag(docs)
+    val sigs = Dedup.shingleHashes(docs, n = DecontamN)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions
+          .minhashSignature(col("hs"), Dedup.MinhashAB, Dedup.P).as("sig"))
+      .join(tag, "doc_id")
+      .persist()
+    val bands = Dedup.bandRows(sigs, keep = Seq("is_eval"))
+    val evalBands = bands.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("band"), col("bh"))
+    val evalSigs = sigs.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("sig").as("sig_e"))
+    // narrow candidate ids first, signatures re-joined after the
+    // distinct (the minhashLsh discipline: 16-long arrays never
+    // shuffle per band)
+    val cand = bands.filter(!col("is_eval"))
+      .join(broadcast(evalBands), Seq("band", "bh"))
+      .select(col("doc_id"), col("eval_doc"))
+      .distinct()
+    val hits = cand
+      .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
+      .join(broadcast(evalSigs), "eval_doc")
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig"), col("sig_e"), (x, y) => x === y), b => b))
+          .cast("double") / lit(16.0), 6))
+      .filter(col("est_jaccard") >= FuzzyContamMin)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("est_jaccard")).as("max_est_jaccard"))
+    tag.filter(!col("is_eval"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        when(coalesce(col("n_eval_matches"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
+  }
+
+  private val evalTagSql: String =
+    s"""SELECT doc_id,
+             ${Dedup.h32Sql.format(s"'eval|' || ${Dedup.normTextMd5Sql.format("text")}")} % 25 = 0 AS is_eval
+      FROM documents"""
+
+  val decontaminateFuzzySql: String =
+    s"""
+    WITH shdoc AS (${Dedup.shingleHashesSql(DecontamN)}),
+    tag AS ($evalTagSql),
+    sigs AS (SELECT doc_id, ${Dedup.sigSqlExpr} AS sig FROM shdoc),
+    bands AS (
+      SELECT s.doc_id, t.is_eval, s.sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs s JOIN tag t USING (doc_id)
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_doc
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE NOT a.is_eval AND b.is_eval
+    ),
+    sc AS (
+      SELECT c.doc_id, c.eval_doc,
+             round(CAST(len([i for i in generate_series(1, 16)
+                             if sa.sig[i] = sb.sig[i]]) AS DOUBLE) / 16.0, 6) AS est_jaccard
+      FROM cand c JOIN sigs sa ON c.doc_id = sa.doc_id
+      JOIN sigs sb ON c.eval_doc = sb.doc_id
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_eval_matches, max(est_jaccard) AS max_est_jaccard
+      FROM sc WHERE est_jaccard >= $FuzzyContamMin GROUP BY 1
+    )
+    SELECT t.doc_id, coalesce(n_eval_matches, 0) AS n_eval_matches,
+           coalesce(max_est_jaccard, 0.0) AS max_est_jaccard,
+           CASE WHEN coalesce(n_eval_matches, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM tag t LEFT JOIN hits ON t.doc_id = hits.doc_id
+    WHERE NOT t.is_eval"""
+
+  // ---- q_eval_overlap_report -----------------------------------------
+
+  /** q_eval_overlap_report: the REVERSE direction of decontamination —
+    * per EVAL document, how much of it already leaked into the training
+    * side. [[decontaminate]] answers "which training docs must go";
+    * this answers "which benchmarks are compromised": an eval document
+    * whose 8-grams are widely present in training data no longer
+    * measures generalization no matter how the training side is
+    * cleaned, and the benchmark owner needs the list. Reports, per eval
+    * doc, its distinct-gram count, how many of those grams appear in
+    * ANY training document, how many distinct training documents hit
+    * it, and the compromised fraction.
+    *
+    * Scale: the eval gram relation is benchmark-sized → broadcast; the
+    * training side streams through the semi-match without shuffling
+    * wider than the hit rows, which aggregate on the tiny eval_doc key
+    * space. The two count-distincts expand the hit relation 2× — hit
+    * rows only, never the corpus.
+    */
+  def evalOverlapReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tag = evalTag(docs)
+    val sh = Dedup.shingleHashes(docs, n = DecontamN).join(tag, "doc_id")
+    val g = sh.select(col("doc_id"), col("is_eval"), explode(col("hs")).as("h"))
+    val evalSizes = sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), size(col("hs")).cast("long").as("n_grams"))
+    val evalG = g.filter(col("is_eval")).select(col("doc_id").as("eval_doc"), col("h"))
+    val hit = g.filter(!col("is_eval"))
+      .join(broadcast(evalG), Seq("h"))
+      .groupBy(col("eval_doc"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        countDistinct(col("h")).as("n_grams_hit"))
+    evalSizes.join(hit, Seq("eval_doc"), "left")
+      .select(col("eval_doc"), col("n_grams"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        round(coalesce(col("n_grams_hit"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("compromised_frac"))
+  }
+
+  val evalOverlapReportSql: String =
+    s"""
+    WITH shdoc AS (${Dedup.shingleHashesSql(DecontamN)}),
+    tag AS ($evalTagSql),
+    g AS (
+      SELECT s.doc_id, t.is_eval, unnest(hs) AS h
+      FROM shdoc s JOIN tag t ON s.doc_id = t.doc_id
+    ),
+    es AS (
+      SELECT s.doc_id AS eval_doc, CAST(len(hs) AS BIGINT) AS n_grams
+      FROM shdoc s JOIN tag t ON s.doc_id = t.doc_id WHERE t.is_eval
+    ),
+    eg AS (SELECT doc_id AS eval_doc, h FROM g WHERE is_eval),
+    hit AS (
+      SELECT eg.eval_doc,
+             count(DISTINCT g.doc_id) AS n_train_docs,
+             count(DISTINCT g.h) AS n_grams_hit
+      FROM g JOIN eg ON g.h = eg.h
+      WHERE NOT g.is_eval
+      GROUP BY 1
+    )
+    SELECT es.eval_doc, es.n_grams,
+           coalesce(n_grams_hit, 0) AS n_grams_hit,
+           coalesce(n_train_docs, 0) AS n_train_docs,
+           round(CAST(coalesce(n_grams_hit, 0) AS DOUBLE)
+                 / CAST(n_grams AS DOUBLE), 6) AS compromised_frac
+    FROM es LEFT JOIN hit ON es.eval_doc = hit.eval_doc"""
+
   // ---- q_domain_mix --------------------------------------------------
 
   /** Max corpus share any one source may hold, in per-mille of total
