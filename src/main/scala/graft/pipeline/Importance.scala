@@ -172,8 +172,14 @@ object Importance {
     * stateless per-row predicate. Nothing corpus-sized shuffles.
     */
   def importanceResample(spark: SparkSession, sfDir: String): DataFrame = {
+    // narrow (id, source, weight) rows persisted: referenced twice (the
+    // max aggregate and the output) — without the cache the whole DSIR
+    // scoring subplan, model aggregations included, runs once per
+    // reference (the q_curate discipline; released by the per-query
+    // clearCache). ~30 bytes/doc at any corpus size, no text, no tokens.
     val scored = scoredWeights(spark, sfDir)
       .select(col("doc_id"), col("source"), col("dsir_weight"))
+      .persist()
     val m = scored.agg(max(col("dsir_weight")).as("w_max"))
     scored.crossJoin(broadcast(m))
       .withColumn("u",

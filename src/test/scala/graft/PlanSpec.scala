@@ -164,6 +164,24 @@ class PlanSpec extends SparkSpec {
     assert(rrf.isEmpty, s"q_rrf_fusion should have no window operator, got ${rrf.size}")
   }
 
+  test("contamination-family additions keep their declared plan shapes") {
+    // q_decontaminate_fuzzy: the eval band and eval signature relations
+    // are benchmark-sized and must attach as broadcast hash joins — the
+    // corpus side never shuffles for candidate generation
+    val fz = plan("q_decontaminate_fuzzy")
+    assert(collectAll(fz) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "fuzzy decontamination must broadcast the eval band+signature sides")
+    // q_eval_overlap_report: eval grams broadcast into the hit match
+    val ov = collectAll(plan("q_eval_overlap_report")) { case j: BroadcastHashJoinExec => j }
+    assert(ov.nonEmpty, "eval overlap report must broadcast the eval gram side")
+    // q_importance_resample: the narrow scored relation is cached (its
+    // two references must not re-run the DSIR scoring subplan), so the
+    // visible exchanges are just the max aggregate's single-row reshape
+    val rs = collectAll(plan("q_importance_resample")) { case e: ShuffleExchangeExec => e }
+    assert(rs.size <= 2,
+      s"resample must reuse the cached scored relation, got ${rs.size} shuffles")
+  }
+
   test("DSIR scoring lambda binds the ratio array as an attribute (no inlined model folds)") {
     // Round-6 pathology: CollapseProject inlined the constant ratio/nt/nr
     // expressions into the per-token aggregate lambda, multiplying
