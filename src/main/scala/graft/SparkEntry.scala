@@ -144,6 +144,7 @@ object SparkEntry {
     "q_token_count_bpe" -> (graft.pipeline.Bpe.tokenCountBpe _),
     "q_token_pack_bpe" -> (graft.pipeline.Bpe.tokenPackBpe _),
     "q_token_fertility" -> (graft.pipeline.Bpe.tokenFertility _),
+    "q_context_fit" -> (graft.pipeline.Bpe.contextFit _),
     // deterministic per-stratum sampling + distribution-drift monitor
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_dist_drift" -> (graft.queries.DriftQueries.distDrift _),
@@ -326,6 +327,7 @@ object SparkEntry {
     graft.pipeline.Bpe.tokenCountBpeOracleSql.map("q_token_count_bpe" -> _) ++
     graft.pipeline.Bpe.tokenPackBpeOracleSql.map("q_token_pack_bpe" -> _) ++
     graft.pipeline.Bpe.tokenFertilityOracleSql.map("q_token_fertility" -> _) ++
+    graft.pipeline.Bpe.contextFitOracleSql.map("q_context_fit" -> _) ++
     Similarity.hardNegativesOracleSql.map("q_hard_negatives" -> _) ++
     graft.pipeline.Pq.pqEncodeOracleSql.map("q_pq_encode" -> _) ++
     graft.pipeline.Pq.annIvfPqOracleSql.map("q_ann_ivfpq" -> _) ++

@@ -252,4 +252,67 @@ object Bpe {
 
   def tokenPackBpeOracleSql: Option[String] =
     singleFit.map(ms => Sampling.packByWeightSql(docTokensSql(ms)))
+
+  // ---- q_context_fit -------------------------------------------------
+
+  /** Candidate model context windows the fit report evaluates. */
+  val ContextSizes: Seq[Int] = Seq(2048, 4096, 8192)
+
+  /** q_context_fit: context-window planning report — for each candidate
+    * context size, how many documents fit whole, and how many BPE
+    * tokens a truncate-at-context policy would destroy. This is the
+    * number a pretraining run needs BEFORE choosing sequence length
+    * and packing policy: a corpus whose tail holds 30% of its tokens
+    * in docs longer than the context either needs chunking
+    * (`q_chunk`), packing (`q_token_pack_bpe`), or a longer context —
+    * and this relation says which regime the corpus is in, using the
+    * count a real tokenizer would produce (the frozen BPE fit), not
+    * the whitespace proxy.
+    *
+    * All counts are exact integers; the two fractions are single
+    * rounded divisions. One projection (the BPE replace chain, pure
+    * codegen) exploded over |contexts| literals, then one hash
+    * aggregation on the |contexts|-row key space — map-side partials,
+    * nothing corpus-sized shuffles at any scale.
+    */
+  def contextFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ms = mergesFor(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(docTokens(col("text"), ms).as("bpe"))
+      .select(explode(array(ContextSizes.map(c => lit(c)): _*)).as("context"), col("bpe"))
+      .groupBy(col("context"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bpe") <= col("context"), 1L).otherwise(0L)).as("n_docs_fit"),
+        sum(col("bpe")).as("tokens_total"),
+        sum(when(col("bpe") > col("context"), col("bpe") - col("context"))
+          .otherwise(0L)).as("tokens_truncated"))
+      .select(col("context"), col("n_docs"), col("n_docs_fit"),
+        round(col("n_docs_fit").cast("double") / col("n_docs").cast("double"), 6)
+          .as("frac_fit"),
+        col("tokens_total"), col("tokens_truncated"),
+        round(col("tokens_truncated").cast("double") / col("tokens_total").cast("double"), 6)
+          .as("trunc_frac"))
+  }
+
+  def contextFitOracleSql: Option[String] = singleFit.map { ms =>
+    val ctxs = ContextSizes.map(c => s"($c)").mkString(", ")
+    s"""
+    WITH t AS (SELECT ${docTokensSql(ms)} AS bpe FROM documents),
+    x AS (SELECT c.context, bpe FROM t CROSS JOIN (VALUES $ctxs) AS c(context)),
+    a AS (
+      SELECT context, count(*) AS n_docs,
+             CAST(sum(CASE WHEN bpe <= context THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
+             CAST(sum(bpe) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN bpe > context THEN bpe - context ELSE 0 END) AS BIGINT)
+               AS tokens_truncated
+      FROM x GROUP BY 1
+    )
+    SELECT context, n_docs, n_docs_fit,
+           round(CAST(n_docs_fit AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS frac_fit,
+           tokens_total, tokens_truncated,
+           round(CAST(tokens_truncated AS DOUBLE) / CAST(tokens_total AS DOUBLE), 6)
+             AS trunc_frac
+    FROM a"""
+  }
 }

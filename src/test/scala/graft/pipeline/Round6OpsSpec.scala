@@ -375,6 +375,37 @@ class BpeSpec extends SparkSpec {
     } finally Bpe.resetFit()
   }
 
+  test("context fit cross-checks the per-doc BPE counts against each window") {
+    Bpe.resetFit()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("bpe_cf").toString
+      // one long doc (> 2048 BPE tokens, so the smallest window must
+      // truncate it) and two short ones; expectations derive from the
+      // independently-tested per-doc relation, not hand constants
+      Seq((1L, Seq.fill(300)("aaab").mkString(" "), "s1"),
+          (2L, "aaab ab", "s1"),
+          (3L, Seq.fill(2500)("xq").mkString(" "), "s2"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val perDoc = Bpe.tokenCountBpe(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(perDoc(3L) > 2048L, "fixture must overflow the smallest window")
+      val fit = Bpe.contextFit(spark, dir).collect()
+        .map(r => r.getAs[Int]("context") -> r).toMap
+      assert(fit.keySet == Bpe.ContextSizes.toSet)
+      for (c <- Bpe.ContextSizes) {
+        val r = fit(c)
+        assert(r.getAs[Long]("n_docs") == perDoc.size.toLong)
+        assert(r.getAs[Long]("n_docs_fit") == perDoc.values.count(_ <= c).toLong)
+        assert(r.getAs[Long]("tokens_total") == perDoc.values.sum)
+        assert(r.getAs[Long]("tokens_truncated") ==
+          perDoc.values.map(b => math.max(0L, b - c)).sum)
+      }
+      val fits = Bpe.ContextSizes.map(c => fit(c).getAs[Long]("n_docs_fit"))
+      assert(fits == fits.sorted, "fit count must be monotonic in context size")
+    } finally Bpe.resetFit()
+  }
+
   test("oracle SQL refuses to render after fits on two datasets") {
     Bpe.resetFit()
     try {
