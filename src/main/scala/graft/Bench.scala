@@ -142,8 +142,11 @@ object Bench {
     // stop BEFORE printing: the contract line must be the final stdout
     // line (driver tail-parse), so nothing — not even a stray shutdown
     // message — may follow it. Spark logs target stderr, and build.sbt
-    // suppresses sbt's [success] trailer (showSuccess := false).
-    spark.stop()
+    // suppresses sbt's [success] trailer (showSuccess := false). A
+    // stop() failure must not eat the line either — at this point every
+    // query has already run and the result is the only thing left.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(json)
     System.out.flush()
   }

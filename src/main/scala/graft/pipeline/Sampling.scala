@@ -129,11 +129,25 @@ object Sampling {
     * join against distinct eval gram hashes — the training side never
     * shuffles; per-doc hit counts are one hash aggregation.
     */
+  /** The eval-holdout tag (normalized-hash 1-in-25) — ONE definition
+    * shared by the exact and fuzzy decontamination passes and the
+    * overlap report; a drift here would silently split the eval
+    * holdout between them.
+    */
+  private def evalTag(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (Dedup.h32(concat(lit("eval|"), Dedup.normTextMd5(col("text")))) % 25 === 0)
+        .as("is_eval"))
+
+  /** DuckDB twin of [[evalTag]]. */
+  private val evalTagSql: String =
+    s"""SELECT doc_id,
+             ${Dedup.h32Sql.format(s"'eval|' || ${Dedup.normTextMd5Sql.format("text")}")} % 25 = 0 AS is_eval
+      FROM documents"""
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val isEval =
-      Dedup.h32(concat(lit("eval|"), Dedup.normTextMd5(col("text")))) % 25 === 0
-    val tagged = docs.select(col("doc_id"), isEval.as("is_eval"))
+    val tagged = evalTag(docs)
     val g = Dedup.shingleHashes(docs, n = DecontamN)
       .join(tagged, "doc_id")
       .select(col("doc_id"), col("is_eval"), explode(col("hs")).as("h"))
@@ -151,11 +165,7 @@ object Sampling {
   val decontaminateSql: String =
     s"""
     WITH shdoc AS (${Dedup.shingleHashesSql(DecontamN)}),
-    tag AS (
-      SELECT doc_id,
-             ${Dedup.h32Sql.format(s"'eval|' || ${Dedup.normTextMd5Sql.format("text")}")} % 25 = 0 AS is_eval
-      FROM documents
-    ),
+    tag AS ($evalTagSql),
     g AS (
       SELECT s.doc_id, t.is_eval, unnest(hs) AS h
       FROM shdoc s JOIN tag t ON s.doc_id = t.doc_id
@@ -179,14 +189,6 @@ object Sampling {
     * as a fuzzy duplicate of an eval document.
     */
   val FuzzyContamMin = 0.5
-
-  /** The shared eval-holdout tag (normalized-hash 1-in-25 — the
-    * [[decontaminate]] / Curate gate).
-    */
-  private def evalTag(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      (Dedup.h32(concat(lit("eval|"), Dedup.normTextMd5(col("text")))) % 25 === 0)
-        .as("is_eval"))
 
   /** q_decontaminate_fuzzy: NEAR-duplicate train/eval decontamination —
     * [[decontaminate]]'s exact 8-gram test misses an eval document that
@@ -237,18 +239,17 @@ object Sampling {
       .filter(col("est_jaccard") >= FuzzyContamMin)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_eval_matches"), max(col("est_jaccard")).as("max_est_jaccard"))
-    tag.filter(!col("is_eval"))
+    // the training-doc universe comes from the CACHED sigs relation,
+    // not a second documents scan (the tag expression would otherwise
+    // re-run trim/lower/md5 over the whole corpus just to list ids)
+    sigs.select(col("doc_id"), col("is_eval")).filter(!col("is_eval"))
+      .drop("is_eval")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
         coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
         when(coalesce(col("n_eval_matches"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
   }
-
-  private val evalTagSql: String =
-    s"""SELECT doc_id,
-             ${Dedup.h32Sql.format(s"'eval|' || ${Dedup.normTextMd5Sql.format("text")}")} % 25 = 0 AS is_eval
-      FROM documents"""
 
   val decontaminateFuzzySql: String =
     s"""
@@ -305,7 +306,11 @@ object Sampling {
   def evalOverlapReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tag = evalTag(docs)
-    val sh = Dedup.shingleHashes(docs, n = DecontamN).join(tag, "doc_id")
+    // referenced three times (eval sizes, eval gram broadcast, training
+    // grams) — persist the narrow (id, is_eval, hs) projection so the
+    // tokenize + rolling-hash pass runs once per corpus, not three
+    // times (released by the per-query clearCache)
+    val sh = Dedup.shingleHashes(docs, n = DecontamN).join(tag, "doc_id").persist()
     val g = sh.select(col("doc_id"), col("is_eval"), explode(col("hs")).as("h"))
     val evalSizes = sh.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), size(col("hs")).cast("long").as("n_grams"))

@@ -18,20 +18,13 @@ class TablesSpec extends SparkSpec {
 
   private val wall = "2024-03-01 12:34:56.789012"
 
-  private def roundTrip(writerConf: Map[String, String], outType: DataType): Timestamp = {
+  private def roundTrip(outType: DataType): Timestamp = {
     val dir = Files.createTempDirectory("tables-spec").toFile
     dir.deleteOnExit()
     val sfDir = dir.getAbsolutePath
-    val prev = writerConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      writerConf.foreach { case (k, v) => spark.conf.set(k, v) }
-      spark.range(1)
-        .select(lit(1L).as("event_id"), to_timestamp(lit(wall)).cast(outType).as("ts"))
-        .write.mode("overwrite").parquet(s"$sfDir/events.parquet")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    spark.range(1)
+      .select(lit(1L).as("event_id"), to_timestamp(lit(wall)).cast(outType).as("ts"))
+      .write.mode("overwrite").parquet(s"$sfDir/events.parquet")
     val loaded = Tables.events(spark, sfDir)
     assert(loaded.schema("ts").dataType === TimestampType,
       s"ts must normalize to TIMESTAMP, got ${loaded.schema("ts").dataType}")
@@ -41,11 +34,11 @@ class TablesSpec extends SparkSpec {
   private val expected = Timestamp.valueOf(wall)
 
   test("load normalizes TIMESTAMP_NTZ (round-6+ testdata encoding) to session-UTC TIMESTAMP") {
-    assert(roundTrip(Map.empty, TimestampNTZType) === expected)
+    assert(roundTrip(TimestampNTZType) === expected)
   }
 
   test("load passes through plain TIMESTAMP unchanged") {
-    assert(roundTrip(Map.empty, TimestampType) === expected)
+    assert(roundTrip(TimestampType) === expected)
   }
 
   test("load converts legacy nanos-as-long to TIMESTAMP") {
