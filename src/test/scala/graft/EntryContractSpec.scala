@@ -15,8 +15,8 @@ class EntryContractSpec extends AnyFunSuite {
   test("every registered query has an oracle (ML fits: post-run generated)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.subsetOf(Set("q_ann_ivf", "q_semantic_dedup", "q_kmeans_anomaly",
-      "q_token_count_bpe", "q_token_pack_bpe", "q_token_fertility",
-      "q_pca_project", "q_ann_pca",
+      "q_token_count_bpe", "q_token_pack_bpe", "q_token_fertility", "q_context_fit",
+      "q_pca_project", "q_ann_pca", "q_ann_recall",
       "q_pq_encode", "q_ann_ivfpq", "q_quality_classifier",
       "q_hard_negatives")),
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
