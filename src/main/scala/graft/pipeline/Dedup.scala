@@ -288,6 +288,15 @@ object Dedup {
         col("doc_id") +: keep.map(col) :+
           col("bd.band").as("band") :+ col("bd.bh").as("bh"): _*)
 
+  /** Banded signature rows `(doc_id, sig, band, bh)` of a
+    * (doc_id, text) relation — narrow ops only, so it applies to a
+    * STREAMING DataFrame unchanged; [[graft.streaming.LshState]]
+    * consumes this as its input shape.
+    */
+  def bandedSignatures(docs: DataFrame): DataFrame =
+    bandRows(signatures(docs))
+      .select(col("doc_id"), col("sig"), col("band"), col("bh"))
+
   /** MinHash + LSH near-dup pairs: 4 bands x 4 rows; candidates share a
     * band hash; similarity = matching signature positions / 16,
     * threshold 0.5.
