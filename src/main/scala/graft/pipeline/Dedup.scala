@@ -255,10 +255,10 @@ object Dedup {
   /** MinHash signature per document. 16 permutations over shingle
     * hashes; exposed for [[minhashLsh]] and tests.
     */
-  def signatures(docs: DataFrame): DataFrame =
+  def signatures(docs: DataFrame, n: Int = ShingleN): DataFrame =
     // shingle rolling-hash array (one native pass) -> all 16 permutation
     // minima in ONE further native pass (graft.functions.MinHashSignature)
-    shingleHashes(docs).select(col("doc_id"),
+    shingleHashes(docs, n).select(col("doc_id"),
       graft.functions.SketchFunctions.minhashSignature(col("hs"), MinhashAB, P).as("sig"))
 
   /** DuckDB expression for the 16-permutation minhash signature of an
@@ -293,8 +293,8 @@ object Dedup {
     * STREAMING DataFrame unchanged; [[graft.streaming.LshState]]
     * consumes this as its input shape.
     */
-  def bandedSignatures(docs: DataFrame): DataFrame =
-    bandRows(signatures(docs))
+  def bandedSignatures(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    bandRows(signatures(docs, n))
       .select(col("doc_id"), col("sig"), col("band"), col("bh"))
 
   /** MinHash + LSH near-dup pairs: 4 bands x 4 rows; candidates share a

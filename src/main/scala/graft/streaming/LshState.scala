@@ -107,4 +107,39 @@ object LshState {
       .select(col("band"), col("bh"), col("doc_id").as("docId"), col("sig"))
       .as[BandRow]
   }
+
+  /** Stream-static fuzzy contamination guard —
+    * [[graft.pipeline.Sampling.decontaminateFuzzy]]'s verdict applied
+    * at INGEST: each in-flight document joins the static eval band
+    * index, candidates verify by signature agreement, and a flagged
+    * doc emits the trigger it arrives (so contaminated training data
+    * never lands in the corpus at all, instead of being cleaned later).
+    *
+    * STATELESS: the eval set is benchmark-sized, so its band and
+    * signature relation is one small broadcast; the stream side is the
+    * same narrow banded projection as [[bandStream]] — no streaming
+    * state, no watermark, no shuffle of the stream. A doc matching an
+    * eval doc in several bands emits once per band (consumers take
+    * DISTINCT, as with the candidate feed); same 8-gram shingles and
+    * threshold as the batch pass, so the flagged set is identical
+    * (LshStateSpec pins parity).
+    */
+  def contaminationStream(
+      docs: DataFrame, evalDocs: DataFrame, threshold: Double = Threshold,
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = graft.pipeline.Sampling.DecontamN
+    val evalB = broadcast(
+      graft.pipeline.Dedup.bandedSignatures(evalDocs, n)
+        .select(col("doc_id").as("eval_doc"), col("sig").as("sig_e"),
+          col("band"), col("bh")))
+    graft.pipeline.Dedup.bandedSignatures(docs, n)
+      .join(evalB, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("eval_doc"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig"), col("sig_e"), (x, y) => x === y), b => b))
+          .cast("double") / lit(16.0), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id"), col("eval_doc"), col("est_jaccard"))
+  }
 }

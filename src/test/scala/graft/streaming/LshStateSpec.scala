@@ -54,6 +54,52 @@ class LshStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static contamination guard flags the same docs as the batch fuzzy pass") {
+    // fixture discipline of ContaminationOpsSpec: salt-search a text into
+    // the 1-in-25 eval gate, derive a one-word-edit near-dup outside it
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isEval(t: String): Boolean =
+      java.lang.Long.parseLong(
+        md5hex("eval|" + md5hex(t.trim.toLowerCase.replaceAll(" +", " "))).take(8), 16) % 25 == 0
+    val words = (1 until 60).map(i => s"w$i")
+    val evalText = Iterator.from(0).map(k => (s"s$k" +: words).mkString(" ")).find(isEval).get
+    val nearDup = {
+      val toks = evalText.split(" ")
+      Iterator.from(0).map { k => val a = toks.clone(); a(30) = s"z$k"; a.mkString(" ") }
+        .find(t => !isEval(t)).get
+    }
+    val cleanDoc = Iterator.from(0)
+      .map(k => (s"c$k" +: (1 until 60).map(i => s"c$i")).mkString(" "))
+      .find(t => !isEval(t)).get
+
+    val dir = java.nio.file.Files.createTempDirectory("guard").toString
+    Seq((0L, evalText, "src0"), (1L, nearDup, "src0"), (2L, cleanDoc, "src9"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batchFlagged = graft.pipeline.Sampling.decontaminateFuzzy(spark, dir).collect()
+      .filter(_.getAs[Int]("contaminated") == 1).map(_.getAs[Long]("doc_id")).toSet
+    spark.catalog.clearCache()
+    assert(batchFlagged == Set(1L), "batch fixture must flag exactly the near-dup")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val evalDocs = Seq((0L, evalText)).toDF("doc_id", "text")
+    val q = LshState.contaminationStream(mem.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("guard").outputMode("append").start()
+    try {
+      mem.addData((1L, nearDup)); q.processAllAvailable()
+      mem.addData((2L, cleanDoc)); q.processAllAvailable()
+      val flagged = spark.table("guard").select("doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(flagged == batchFlagged,
+        s"streamed guard flags $flagged, batch flags $batchFlagged")
+      val est = spark.table("guard").select("est_jaccard").as[Double].collect()
+      assert(est.forall(_ >= LshState.Threshold))
+    } finally q.stop()
+  }
+
   test("update emits a pair only when the later copy arrives, dedupes re-deliveries, caps state") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val sig1 = Seq.tabulate(16)(_.toLong)
