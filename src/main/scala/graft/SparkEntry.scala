@@ -188,6 +188,10 @@ object SparkEntry {
     "q_dataset_card" -> (graft.pipeline.DatasetCard.datasetCard _),
     // ANN index-quality eval: per-probe recall of IVF vs exact truth
     "q_ann_recall" -> (Similarity.annRecall _),
+    // distributed BPE tokenizer TRAINING (full-vocab merge trajectory)
+    "q_bpe_train" -> (graft.pipeline.Bpe.bpeTrain _),
+    // measured LSH s-curve: banded-candidate recall per Jaccard bucket
+    "q_lsh_recall" -> (Dedup.lshRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -312,6 +316,7 @@ object SparkEntry {
     "q_importance_weight" -> graft.pipeline.Importance.importanceWeightSql,
     "q_embed_outliers" -> Similarity.embedOutliersSql,
     "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
+    "q_lsh_recall" -> Dedup.lshRecallSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping
@@ -331,5 +336,6 @@ object SparkEntry {
     Similarity.hardNegativesOracleSql.map("q_hard_negatives" -> _) ++
     graft.pipeline.Pq.pqEncodeOracleSql.map("q_pq_encode" -> _) ++
     graft.pipeline.Pq.annIvfPqOracleSql.map("q_ann_ivfpq" -> _) ++
-    graft.pipeline.QualityClassifier.classifyOracleSql.map("q_quality_classifier" -> _)
+    graft.pipeline.QualityClassifier.classifyOracleSql.map("q_quality_classifier" -> _) ++
+    graft.pipeline.Bpe.bpeTrainOracleSql.map("q_bpe_train" -> _)
 }

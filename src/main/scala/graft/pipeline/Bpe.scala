@@ -315,4 +315,136 @@ object Bpe {
              AS trunc_frac
     FROM a"""
   }
+
+  // ---- q_bpe_train ---------------------------------------------------
+
+  /** Merge rounds the distributed trainer learns. Bounded separately
+    * from [[NumMerges]]: each trajectory round adds one replace to the
+    * oracle's per-round chain, so the dumped SQL grows O(rounds²).
+    */
+  val TrainMerges = 12
+
+  /** Distributed training trajectories (lhs, rhs, weighted pair count)
+    * per dataset dir.
+    */
+  private val trained =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String, Long)]]
+
+  /** Test seam: drop the distributed-training trajectories. */
+  private[pipeline] def resetTrain(): Unit = trained.clear()
+
+  def trainedFor(spark: SparkSession, sfDir: String): Seq[(String, String, Long)] =
+    trained.getOrElseUpdate(sfDir, trainDistributed(spark, sfDir))
+
+  /** The DISTRIBUTED BPE fit — same algorithm as [[learn]] (weighted
+    * adjacent-pair counts over the word-frequency table, argmax per
+    * round with the (count desc, pair asc) tie-break, leftmost
+    * non-overlapping merge-all between rounds) but with no
+    * [[MaxVocabWords]] cap: the word-frequency table stays a persisted
+    * DataFrame, each round is one distributed explode + hash-aggregate
+    * job, and the driver collects exactly ONE row per round (the
+    * argmax). That is the 100 TB shape — a web-scale corpus has
+    * billions of word types, far past any driver-side cap, while the
+    * per-round reduction output is one pair regardless of corpus size.
+    *
+    * The merge state is re-derived per round as the literal replace
+    * chain of the merges learned so far ([[wordTokens]]' representation)
+    * — a pure whole-stage-codegen projection, so no corpus-sized or
+    * vocabulary-sized state ever lives on the driver.
+    */
+  private def trainDistributed(spark: SparkSession, sfDir: String): Seq[(String, String, Long)] = {
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(WrapL) && !col("w").contains(WrapR))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val out = Seq.newBuilder[(String, String, Long)]
+      var prior = Seq.empty[(String, String)]
+      var round = 0
+      var exhausted = false
+      while (round < TrainMerges && !exhausted) {
+        val merged = prior.foldLeft(wrapChars(col("w"))) { case (s, (a, b)) =>
+          replace(s, lit(s"$WrapL$a$WrapR$WrapL$b$WrapR"), lit(s"$WrapL${a + b}$WrapR"))
+        }
+        // symbol list of the merged word: split on the closing sentinel,
+        // drop the trailing empty, strip each leading opening sentinel
+        val els = transform(
+          filter(split(merged, WrapR), e => e =!= lit("")),
+          e => substring(e, 2, Int.MaxValue))
+        val top = wf
+          .select(col("c"), els.as("els"))
+          .filter(size(col("els")) >= 2)
+          .select(col("c"), explode(transform(
+            sequence(lit(1), size(col("els")) - 1),
+            i => struct(element_at(col("els"), i).as("lhs"),
+              element_at(col("els"), i + 1).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("c")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val r = top.head
+          out += ((r.getString(0), r.getString(1), r.getLong(2)))
+          prior = prior :+ ((r.getString(0), r.getString(1)))
+          round += 1
+        }
+      }
+      out.result()
+    } finally { wf.unpersist(); () }
+  }
+
+  /** q_bpe_train: the tokenizer-TRAINING operator — the learned merge
+    * trajectory itself, one row per rank with the weighted adjacent-pair
+    * count that made it the argmax. The frozen-fit queries above apply
+    * a merge table; this one produces it, distributed.
+    *
+    * The oracle is stronger than the frozen-literal pattern: it REPLAYS
+    * the training in DuckDB — for each rank r it applies the first r−1
+    * learned merges as a replace chain over the word-frequency table,
+    * recounts the adjacent pairs, and takes the (count desc, pair asc)
+    * argmax from DATA. A wrong count, a wrong tie-break, or a wrong
+    * merge application on either engine breaks the hash, so the whole
+    * trajectory is verified, not just transcribed.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val tr = trainedFor(spark, sfDir)
+    import spark.implicits._
+    tr.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  def bpeTrainOracleSql: Option[String] =
+    FrozenFit.single(trained, "BPE training trajectory").filter(_.nonEmpty).map { tr =>
+      val wrapped = s"coalesce(array_to_string(list_transform(" +
+        s"list_filter(string_split(w, ''), ch -> ch <> ''), " +
+        s"ch -> '$WrapL' || ch || '$WrapR'), ''), '')"
+      def chainSql(k: Int): String = tr.take(k).foldLeft(wrapped) { case (s, (a, b, _)) =>
+        s"replace($s, '${sqlLit(s"$WrapL$a$WrapR$WrapL$b$WrapR")}', '${sqlLit(s"$WrapL${a + b}$WrapR")}')"
+      }
+      val rounds = tr.indices.map { i =>
+        s"""(SELECT ${i + 1} AS merge_rank, lhs, rhs, pair_count FROM (
+        SELECT els[i] AS lhs, els[i + 1] AS rhs, CAST(sum(c) AS BIGINT) AS pair_count
+        FROM (
+          SELECT c, els, unnest(generate_series(1, len(els) - 1)) AS i
+          FROM (SELECT c, list_transform(
+                  list_filter(string_split(${chainSql(i)}, '$WrapR'), x -> x <> ''),
+                  x -> substr(x, 2)) AS els
+                FROM wf)
+          WHERE len(els) >= 2
+        ) GROUP BY 1, 2
+        ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1))"""
+      }
+      s"""
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND NOT contains(w, '$WrapL') AND NOT contains(w, '$WrapR')
+      GROUP BY 1
+    )
+    ${rounds.mkString("\n    UNION ALL\n    ")}"""
+    }
 }

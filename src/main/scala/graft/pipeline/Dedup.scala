@@ -326,10 +326,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  val minhashLshSql: String =
-    s"""
-    WITH shdoc AS (${shingleHashesSql()}),
-    sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
+  /** Shared oracle CTEs for the banded-LSH candidate relation
+    * (sigs/bands/cand over a prior `shdoc` CTE) — one definition, so
+    * the pair query and the recall eval can never disagree on what a
+    * candidate is.
+    */
+  private def lshCandCtesSql: String =
+    s"""sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
     bands AS (
       SELECT doc_id, sig, b.band,
              md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
@@ -340,11 +343,112 @@ object Dedup {
              a.sig AS sig_a, b.sig AS sig_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    )
+    )"""
+
+  val minhashLshSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    $lshCandCtesSql
     SELECT doc_a, doc_b,
            round(CAST(len([i for i in generate_series(1, 16) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 16.0, 6) AS est_jaccard
     FROM cand
     WHERE round(CAST(len([i for i in generate_series(1, 16) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 16.0, 6) >= 0.5"""
+
+  // ---- q_lsh_recall --------------------------------------------------
+
+  /** Theoretical LSH s-curve P(candidate) = 1 − (1 − s⁴)⁴ (4 bands × 4
+    * rows, the engine's layout) at each 0.1-Jaccard-bucket midpoint,
+    * pre-rounded to 6 places. Data-independent constants, computed once
+    * here and inlined as the SAME literals into both the Spark plan and
+    * the oracle SQL — no transcendental runs inside either engine.
+    */
+  val LshRecallPredicted: Seq[(Int, Double)] = (0 to 10).map { bk =>
+    val s = math.min(1.0, (bk + 0.5) / 10.0)
+    bk -> BigDecimal(1.0 - math.pow(1.0 - math.pow(s, 4), 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** q_lsh_recall: index-quality eval for the MinHash-LSH dedup path —
+    * the measured s-curve. Ground truth is the exact shingle-Jaccard of
+    * every pair sharing ≥ 1 shingle (COMPLETE for J > 0, because a pair
+    * with positive Jaccard shares a shingle by definition — so no
+    * all-pairs scan is ever needed, the same candidates-then-verify
+    * shape as the production path). Each truth pair lands in its
+    * 0.1-Jaccard bucket; `recall` is the fraction of the bucket the
+    * banded candidate join caught, next to the theoretical curve — the
+    * number that tells an operator whether 4×4 banding is tuned right
+    * for the corpus BEFORE trusting it at 100 TB (cf. `q_ann_recall`,
+    * the same eval for the IVF index).
+    *
+    * Scale: the truth side is `q_dedup_ngram`'s equi self-join, the
+    * candidate side is `q_dedup_minhash`'s band join, and the eval
+    * itself is one narrow left join + an 11-key aggregation.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+      .persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6)
+          .as("jaccard"))
+    val bands = bandRows(signatures(docs)).select(col("doc_id"), col("band"), col("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // the *10 product re-rounds before floor: 0.3 * 10 is 2.9999…96 in
+    // IEEE and would bucket DOWN without it (same guard in the oracle)
+    val bucket = floor(round(col("jaccard") * 10, 6)).cast("long")
+    val predicted = LshRecallPredicted.tail.foldLeft(
+      when(col("bucket") === LshRecallPredicted.head._1, lit(LshRecallPredicted.head._2))) {
+      case (c, (bk, v)) => c.when(col("bucket") === bk, lit(v))
+    }
+    truth
+      .join(cand.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .select(bucket.as("bucket"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_caught"))
+      .select(col("bucket"),
+        round(col("bucket").cast("double") / 10.0, 6).as("jaccard_lo"),
+        col("n_true"), col("n_caught"),
+        round(col("n_caught").cast("double") / col("n_true").cast("double"), 6).as("recall"),
+        predicted.as("predicted"))
+  }
+
+  val lshRecallSql: String = {
+    val predCase = LshRecallPredicted
+      .map { case (bk, v) => s"WHEN bucket = $bk THEN $v" }.mkString(" ")
+    s"""
+    WITH ${shinglePairCtesSql()},
+    $lshCandCtesSql,
+    truth AS (
+      SELECT doc_a, doc_b,
+             round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+      FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
+    ),
+    b AS (
+      SELECT CAST(floor(round(t.jaccard * 10, 6)) AS BIGINT) AS bucket,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM cand) c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT bucket, round(CAST(bucket AS DOUBLE) / 10.0, 6) AS jaccard_lo,
+           count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_caught,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall,
+           CASE $predCase END AS predicted
+    FROM b GROUP BY 1"""
+  }
 
   // ---- q_dedup_simhash -----------------------------------------------
 

@@ -417,6 +417,40 @@ class BpeSpec extends SparkSpec {
       intercept[IllegalArgumentException] { Bpe.tokenCountBpeOracleSql }
     } finally Bpe.resetFit()
   }
+
+  test("distributed trainer reproduces the driver-side trajectory with counts") {
+    Bpe.resetFit(); Bpe.resetTrain()
+    try {
+      // same fixture as the driver-side fit test; each trajectory count
+      // is the pair's weighted count AT ITS OWN ROUND, i.e. after the
+      // prior merges applied: (a,a)=5, then (a,b)=3 (the aa merge ate
+      // one adjacency per aaab), (aa,ab)=2, then the count-1
+      // lexicographic ties — and the two fits must agree whenever the
+      // vocabulary fits under the driver-side cap
+      val dir = writeDocs(Seq(1L -> "aaab aaab ab", 2L -> "aab xq"))
+      val tr = Bpe.trainedFor(spark, dir)
+      assert(tr == Seq(("a", "a", 5L), ("a", "b", 3L), ("aa", "ab", 2L),
+        ("aa", "b", 1L), ("x", "q", 1L)))
+      assert(tr.map(m => (m._1, m._2)) == Bpe.mergesFor(spark, dir))
+      val rows = Bpe.bpeTrain(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(rows.toSeq == tr.zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) })
+    } finally { Bpe.resetFit(); Bpe.resetTrain() }
+  }
+
+  test("trainer stops when no pairs remain and caps at TrainMerges") {
+    Bpe.resetTrain()
+    try {
+      // single-char words only: zero adjacent pairs -> empty trajectory
+      val d1 = writeDocs(Seq(1L -> "a b c"))
+      assert(Bpe.trainedFor(spark, d1) == Seq.empty)
+      assert(Bpe.bpeTrain(spark, d1).count() == 0L)
+      Bpe.resetTrain()
+      // long repetitive word: more mergeable pairs than rounds
+      val d2 = writeDocs(Seq(1L -> Seq.fill(4)("abcdefghijklmnopqrstuvwxyz").mkString(" ")))
+      assert(Bpe.trainedFor(spark, d2).size == Bpe.TrainMerges)
+    } finally Bpe.resetTrain()
+  }
 }
 
 /** q_boilerplate + q_vocab_stats: planted fixtures with hand-computed

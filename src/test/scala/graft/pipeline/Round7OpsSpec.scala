@@ -404,4 +404,36 @@ class Round7OpsSpec extends SparkSpec {
       val e = r.getAs[Double]("est"); e >= 0.0 && e <= 4.0
     })
   }
+
+  // ---- q_lsh_recall --------------------------------------------------
+
+  test("lsh recall: identical docs land in the top bucket fully caught") {
+    val dir = java.nio.file.Files.createTempDirectory("lshrec").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (31 to 60).map(i => s"tok$i").mkString(" ")
+    // two identical docs (J = 1.0 -> bucket 10; every band must agree),
+    // one disjoint doc (shares no shingle -> contributes no truth pair)
+    Seq((1L, base, "s"), (2L, base, "s"), (3L, other, "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.lshRecall(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(rows.keySet == Set(10L), "only the identical pair shares shingles")
+    val top = rows(10L)
+    assert(top.getAs[Long]("n_true") == 1L && top.getAs[Long]("n_caught") == 1L)
+    assert(top.getAs[Double]("recall") == 1.0)
+    assert(top.getAs[Double]("jaccard_lo") == 1.0)
+    assert(top.getAs[Double]("predicted") == 1.0,
+      "clamped midpoint of the top bucket is s=1 -> theory 1.0")
+  }
+
+  test("lsh recall: predicted column is the 1-(1-s^4)^4 curve at bucket midpoints") {
+    val expect = Dedup.LshRecallPredicted.toMap
+    // spot-check the closed form against independent arithmetic
+    assert(expect(5) == BigDecimal(1.0 - math.pow(1.0 - math.pow(0.55, 4), 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(expect(0) < 0.001 && expect(10) == 1.0)
+    assert(Dedup.LshRecallPredicted.map(_._2) == Dedup.LshRecallPredicted.map(_._2).sorted,
+      "the s-curve is monotone in the bucket")
+  }
 }
