@@ -192,6 +192,8 @@ object SparkEntry {
     "q_bpe_train" -> (graft.pipeline.Bpe.bpeTrain _),
     // measured LSH s-curve: banded-candidate recall per Jaccard bucket
     "q_lsh_recall" -> (Dedup.lshRecall _),
+    // data-constrained epoch allocation (water-filled repetition plan)
+    "q_epoch_plan" -> (Sampling.epochPlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -317,6 +319,7 @@ object SparkEntry {
     "q_embed_outliers" -> Similarity.embedOutliersSql,
     "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,
+    "q_epoch_plan" -> Sampling.epochPlanSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

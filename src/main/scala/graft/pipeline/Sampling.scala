@@ -640,4 +640,128 @@ object Sampling {
            round(CAST(($MixBudgetTokens * isqrt_tokens) // total_isqrt AS DOUBLE)
                  / n_tokens, 6) AS eff_epochs
     FROM w, t"""
+
+  // ---- q_epoch_plan --------------------------------------------------
+
+  /** Repetition cap: tokens from one source may be consumed at most
+    * this many epochs (data-constrained scaling keeps repeated data
+    * near-fresh for only a few passes — Muennighoff et al. 2023).
+    */
+  val MaxEpochs = 4L
+
+  /** Planner token budget as a multiple of the corpus total — a
+    * budget larger than the corpus forces repetition, which is the
+    * regime the planner exists for.
+    */
+  val EpochBudgetMult = 3L
+
+  /** q_epoch_plan: data-constrained epoch allocation — the step AFTER
+    * `q_mix_weights` decides target proportions: distribute a token
+    * budget over sources by √-temperature weight, but cap every source
+    * at [[MaxEpochs]] passes of its own tokens and WATER-FILL the
+    * surplus into the uncapped sources (a capped source's unused demand
+    * raises everyone else's allocation, the way a real pretraining mix
+    * is balanced when a small high-weight source runs out of data).
+    *
+    * Closed-form water-filling, no iteration: sources cap in increasing
+    * order of cap/weight, so ONE sort + prefix-sum window decides the
+    * capped set — source i caps iff every j ≤ i (in that order) passes
+    * the level test capⱼ·W_remⱼ ≤ wⱼ·B_remⱼ, with W_rem/B_rem the
+    * weight/budget left after the prefix caps. All tests are integer
+    * cross-multiplications (exact; stays under 2⁶³ up to ~10¹²-token
+    * corpora — past that, lift the products to DECIMAL(38,0)), so the
+    * plan is bit-identical cross-engine. The windows run unpartitioned
+    * over the per-source aggregate — a #sources-row relation, so the
+    * single-partition sort is free at any corpus scale.
+    */
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("cap_tokens", lit(MaxEpochs) * col("n_tokens"))
+    val totals = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      sum(col("weight")).as("total_w"))
+    val ord = Window.orderBy(col("r").asc, col("source").asc)
+    val flagged = per.crossJoin(broadcast(totals))
+      .withColumn("budget", lit(EpochBudgetMult) * col("total_tokens"))
+      // IEEE division is correctly rounded, so the sort key is the same
+      // bits in every engine; ties fall back to the source name
+      .withColumn("r", col("cap_tokens").cast("double") / col("weight").cast("double"))
+      .withColumn("cap_before", coalesce(
+        sum(col("cap_tokens")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("w_before", coalesce(
+        sum(col("weight")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("flag",
+        when(col("cap_tokens") * (col("total_w") - col("w_before")) <=
+          col("weight") * (col("budget") - col("cap_before")), lit(1L)).otherwise(lit(0L)))
+      .withColumn("capped",
+        min(col("flag")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val spent = flagged.agg(
+      sum(when(col("capped") === 1, col("cap_tokens")).otherwise(lit(0L))).as("cap_spent"),
+      sum(when(col("capped") === 1, col("weight")).otherwise(lit(0L))).as("w_capped"))
+    flagged.crossJoin(broadcast(spent))
+      .withColumn("planned_tokens",
+        when(col("capped") === 1, col("cap_tokens"))
+          .otherwise(expr("((budget - cap_spent) * weight) div nullif(total_w - w_capped, 0)")))
+      .select(col("source"), col("n_tokens"), col("weight"), col("cap_tokens"),
+        (col("capped") === 1).as("is_capped"),
+        col("planned_tokens"),
+        round(col("planned_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("epochs"))
+  }
+
+  val epochPlanSql: String =
+    s"""
+    WITH s AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight,
+             $MaxEpochs * n_tokens AS cap_tokens
+      FROM s
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(weight) AS BIGINT) AS total_w FROM w),
+    b AS (
+      SELECT w.*, t.total_w, $EpochBudgetMult * t.total_tokens AS budget,
+             CAST(cap_tokens AS DOUBLE) / CAST(weight AS DOUBLE) AS r
+      FROM w CROSS JOIN t
+    ),
+    f AS (
+      SELECT *,
+             CAST(coalesce(sum(cap_tokens) OVER pre, 0) AS BIGINT) AS cap_before,
+             CAST(coalesce(sum(weight) OVER pre, 0) AS BIGINT) AS w_before
+      FROM b
+      WINDOW pre AS (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+      SELECT *, CASE WHEN cap_tokens * (total_w - w_before)
+                       <= weight * (budget - cap_before) THEN 1 ELSE 0 END AS flag
+      FROM f
+    ),
+    h AS (
+      SELECT *, min(flag) OVER
+        (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      FROM g
+    ),
+    sp AS (
+      SELECT CAST(sum(CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END) AS BIGINT) AS cap_spent,
+             CAST(sum(CASE WHEN capped = 1 THEN weight ELSE 0 END) AS BIGINT) AS w_capped
+      FROM h
+    ),
+    p AS (
+      SELECT h.*, CASE WHEN capped = 1 THEN cap_tokens
+                       ELSE CAST(((budget - cap_spent) * weight)
+                                 // nullif(total_w - w_capped, 0) AS BIGINT) END
+                    AS planned_tokens
+      FROM h CROSS JOIN sp
+    )
+    SELECT source, n_tokens, weight, cap_tokens, capped = 1 AS is_capped,
+           planned_tokens,
+           round(CAST(planned_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM p"""
 }

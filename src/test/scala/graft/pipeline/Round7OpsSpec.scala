@@ -427,6 +427,43 @@ class Round7OpsSpec extends SparkSpec {
       "clamped midpoint of the top bucket is s=1 -> theory 1.0")
   }
 
+  // ---- q_epoch_plan --------------------------------------------------
+
+  test("epoch plan: small source caps at 4 epochs and its surplus water-fills the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("epoch").toString
+    // source A: 100 tokens (weight isqrt = 10, cap 400, cap/w = 40)
+    // source B: 10000 tokens (weight 100, cap 40000, cap/w = 400)
+    // budget = 3 * 10100 = 30300. A caps (400*110 <= 10*30300); B does
+    // not (40000*100 > 100*29900); B gets the remainder 29900 whole.
+    def doc(n: Int, tok: String) = (1 to n).map(_ => tok).mkString(" ")
+    Seq((1L, doc(100, "a"), "A"), (2L, doc(10000, "b"), "B"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Sampling.epochPlan(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("A")
+    assert(a.getAs[Boolean]("is_capped"))
+    assert(a.getAs[Long]("planned_tokens") == 400L && a.getAs[Double]("epochs") == 4.0)
+    val b = rows("B")
+    assert(!b.getAs[Boolean]("is_capped"))
+    assert(b.getAs[Long]("planned_tokens") == 29900L && b.getAs[Double]("epochs") == 2.99)
+    assert(rows.values.map(_.getAs[Long]("planned_tokens")).sum == 30300L,
+      "the full budget is allocated when no source set exhausts it")
+  }
+
+  test("epoch plan: symmetric sources split the budget below the cap untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("epoch2").toString
+    def doc(n: Int, tok: String) = (1 to n).map(_ => tok).mkString(" ")
+    Seq((1L, doc(10, "a"), "A"), (2L, doc(10, "b"), "B"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Sampling.epochPlan(spark, dir).collect()
+    // budget 60 over equal weights 3+3: 30 each = 3 epochs, below cap 40
+    assert(rows.forall(!_.getAs[Boolean]("is_capped")))
+    assert(rows.forall(_.getAs[Long]("planned_tokens") == 30L))
+    assert(rows.forall(_.getAs[Double]("epochs") == 3.0))
+  }
+
   test("lsh recall: predicted column is the 1-(1-s^4)^4 curve at bucket midpoints") {
     val expect = Dedup.LshRecallPredicted.toMap
     // spot-check the closed form against independent arithmetic
