@@ -194,6 +194,8 @@ object SparkEntry {
     "q_lsh_recall" -> (Dedup.lshRecall _),
     // data-constrained epoch allocation (water-filled repetition plan)
     "q_epoch_plan" -> (Sampling.epochPlan _),
+    // cell-scoped mutual-kNN graph over the embedding corpus
+    "q_knn_graph" -> (Similarity.knnGraph _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -340,5 +342,6 @@ object SparkEntry {
     graft.pipeline.Pq.pqEncodeOracleSql.map("q_pq_encode" -> _) ++
     graft.pipeline.Pq.annIvfPqOracleSql.map("q_ann_ivfpq" -> _) ++
     graft.pipeline.QualityClassifier.classifyOracleSql.map("q_quality_classifier" -> _) ++
-    graft.pipeline.Bpe.bpeTrainOracleSql.map("q_bpe_train" -> _)
+    graft.pipeline.Bpe.bpeTrainOracleSql.map("q_bpe_train" -> _) ++
+    Similarity.knnGraphOracleSql.map("q_knn_graph" -> _)
 }

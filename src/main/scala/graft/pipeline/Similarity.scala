@@ -409,10 +409,13 @@ object Similarity {
   /** DuckDB oracle for q_ann_ivf, available once [[annIvf]] has run in
     * this JVM (None → the driver falls back to its rows-only check).
     */
-  def annIvfOracleSql: Option[String] = {
-    ivfFrozen.map { centers =>
-    s"""
-    WITH cents(cell, cc, cv) AS (VALUES
+  /** Shared oracle CTE prefix (cents/e/ranked/assigned) of the frozen
+    * IVF coarse quantizer — one definition, consumed by the ANN probe
+    * oracle and the kNN-graph oracle so cell assignment can never
+    * drift between them.
+    */
+  private def ivfAssignCtesSql(centers: IndexedSeq[Array[Double]]): String =
+    s"""cents(cell, cc, cv) AS (VALUES
       ${centroidValuesSql(centers)}),
     e AS (
       SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq
@@ -428,7 +431,12 @@ object Similarity {
         FROM e CROSS JOIN cents c
       )
     ),
-    assigned AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE crk = 1),
+    assigned AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE crk = 1)"""
+
+  def annIvfOracleSql: Option[String] = {
+    ivfFrozen.map { centers =>
+    s"""
+    WITH ${ivfAssignCtesSql(centers)},
     probes AS (
       SELECT vec_id AS q_id, embedding AS q_emb, nsq AS q_nsq, cell
       FROM ranked WHERE vec_id % 100 = 0 AND crk <= $IvfProbe
@@ -489,17 +497,25 @@ object Similarity {
         col("a"), IvfCells)
     })
 
+  /** Literal-centroid (d2, cell) distance array over the fixed
+    * (embedding, nsq) column names — the codegen'd assignment shared by
+    * [[annIvf]] and [[knnGraph]].
+    */
+  private def cellDistArray(centers: IndexedSeq[Array[Double]]): Column = {
+    val x = col("embedding").cast("array<double>")
+    array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
+      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
+    }: _*)
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
     val centers = ivfCenters(spark, sfDir)
-    val x = col("embedding").cast("array<double>")
-    def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cc = c.map(v => v * v).sum
-      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
-      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
-    }: _*)
+    def cellDists = cellDistArray(centers)
     val assigned = emb
       .withColumn("cell", array_min(cellDists).getField("cell"))
       .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
@@ -555,6 +571,80 @@ object Similarity {
            CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $IvfTopK.0 AS recall
     FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
     GROUP BY 1"""
+    }
+
+  // ---- q_knn_graph ---------------------------------------------------
+
+  /** Neighbors per node in the kNN graph. */
+  val KnnK = 3
+
+  /** q_knn_graph: cell-scoped k-nearest-neighbor graph over the
+    * embedding corpus — the scaffold graph-based curation runs on
+    * (density/diversity clustering, graph dedup, label propagation):
+    * every vector gets its [[KnnK]] nearest neighbors WITHIN its IVF
+    * cell by exact cosine, plus the `mutual` flag (the reverse edge is
+    * also a top-k edge — mutual-kNN is the standard symmetrization that
+    * drops hub edges before clustering).
+    *
+    * Scale: assignment is the [[annIvf]] codegen literal-centroid pass;
+    * candidate generation is one equi self-join on the cell key (cells
+    * bound candidates the way SemDeDup's clusters do — never
+    * all-pairs), the top-k window partitions by source node, and the
+    * mutual check is a self equi-join of the (|V|·k)-row edge list on
+    * the reversed key. A skewed cell (giant cluster) is the one hazard
+    * at 100 TB — the dial is more cells (k ~ √n), exactly the IVF
+    * sizing rule.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+    val centers = ivfCenters(spark, sfDir)
+    val assigned = emb
+      .withColumn("cell", array_min(cellDistArray(centers)).getField("cell"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    // the (|V|·k)-row edge list is read twice (forward + reversed side
+    // of the mutual join); persist so the cell join runs once
+    val edges = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(dot(col("a.embedding"), col("b.embedding"))
+          / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .persist()
+    edges.as("e")
+      .join(edges.select(col("src").as("r_src"), col("dst").as("r_dst")).as("r"),
+        col("e.src") === col("r.r_dst") && col("e.dst") === col("r.r_src"), "left")
+      .select(col("e.src"), col("e.rk"), col("e.dst"), col("e.cos"),
+        col("r.r_src").isNotNull.as("mutual"))
+  }
+
+  /** DuckDB oracle for q_knn_graph (post-fit; None → rows-only): the
+    * shared frozen-centroid assignment prefix, the cell-scoped top-k,
+    * and the reversed-edge join.
+    */
+  def knnGraphOracleSql: Option[String] =
+    ivfFrozen.map { centers =>
+      s"""
+    WITH ${ivfAssignCtesSql(centers)},
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(${dotSql("a.embedding", "b.embedding")} / sqrt(a.nsq * b.nsq), 6) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    edges AS (
+      SELECT src, dst, cos, rk FROM (
+        SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+        FROM scored
+      ) WHERE rk <= $KnnK
+    )
+    SELECT e.src, e.rk, e.dst, e.cos, (r.src IS NOT NULL) AS mutual
+    FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src"""
     }
 
   // ---- q_hard_negatives ----------------------------------------------

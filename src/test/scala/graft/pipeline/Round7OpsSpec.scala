@@ -427,6 +427,39 @@ class Round7OpsSpec extends SparkSpec {
       "clamped midpoint of the top bucket is s=1 -> theory 1.0")
   }
 
+  // ---- q_knn_graph ---------------------------------------------------
+
+  test("knn graph: top-k bound, rank contiguity, and mutual-flag symmetry") {
+    Similarity.resetIvfFits()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("knng").toString
+      // two tight 64-dim clusters of 20 vectors each; within-cluster
+      // cosine >> cross-cluster, so neighbors stay intra-cluster
+      def vec(cluster: Int, i: Int): Seq[Float] =
+        (0 until 64).map { d =>
+          val base = if (cluster == 0) { if (d < 32) 1.0f else 0.0f }
+                     else { if (d < 32) 0.0f else 1.0f }
+          base + (if (d == i % 32) 0.01f * (i + 1) else 0.0f)
+        }
+      val rows = (0 until 40).map(i => (i.toLong, vec(i / 20, i), i / 20))
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val edges = Similarity.knnGraph(spark, dir).collect()
+        .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rk"), r.getAs[Long]("dst"),
+          r.getAs[Double]("cos"), r.getAs[Boolean]("mutual")))
+      val bySrc = edges.groupBy(_._1)
+      assert(bySrc.values.forall(_.length <= Similarity.KnnK))
+      assert(bySrc.values.forall(es => es.map(_._2).sorted.toSeq == (1 to es.length)),
+        "ranks are contiguous from 1 per source node")
+      val edgeSet = edges.map(e => (e._1, e._3)).toSet
+      assert(edges.forall { case (s, _, d, _, m) => m == edgeSet.contains((d, s)) },
+        "mutual flag is exactly the presence of the reversed edge")
+      assert(edges.exists(_._5), "tight clusters must produce mutual edges")
+      // neighbors never cross the planted cluster boundary
+      assert(edges.forall { case (s, _, d, _, _) => (s / 20) == (d / 20) })
+    } finally Similarity.resetIvfFits()
+  }
+
   // ---- q_epoch_plan --------------------------------------------------
 
   test("epoch plan: small source caps at 4 epochs and its surplus water-fills the rest") {
