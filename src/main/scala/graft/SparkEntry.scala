@@ -196,6 +196,8 @@ object SparkEntry {
     "q_epoch_plan" -> (Sampling.epochPlan _),
     // cell-scoped mutual-kNN graph over the embedding corpus
     "q_knn_graph" -> (Similarity.knnGraph _),
+    // classifier calibration / lift table under the frozen weights
+    "q_quality_calibration" -> (graft.pipeline.QualityClassifier.qualityCalibration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,5 +345,7 @@ object SparkEntry {
     graft.pipeline.Pq.annIvfPqOracleSql.map("q_ann_ivfpq" -> _) ++
     graft.pipeline.QualityClassifier.classifyOracleSql.map("q_quality_classifier" -> _) ++
     graft.pipeline.Bpe.bpeTrainOracleSql.map("q_bpe_train" -> _) ++
-    Similarity.knnGraphOracleSql.map("q_knn_graph" -> _)
+    Similarity.knnGraphOracleSql.map("q_knn_graph" -> _) ++
+    graft.pipeline.QualityClassifier.qualityCalibrationOracleSql
+      .map("q_quality_calibration" -> _)
 }

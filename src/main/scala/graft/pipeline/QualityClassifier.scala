@@ -184,4 +184,85 @@ object QualityClassifier {
     SELECT doc_id, source, round(raw, 6) AS score, CAST(raw >= 0 AS INT) AS pred
     FROM s"""
     }
+
+  // ---- q_quality_calibration -----------------------------------------
+
+  /** Margin-bin width of the calibration table. */
+  val CalBinWidth = 0.05
+
+  /** q_quality_calibration: does the classifier's margin actually rank
+    * curated sources above the rest? The eval a pipeline runs before
+    * wiring the score into a keep decision (cf. `q_ann_recall` /
+    * `q_lsh_recall` — the same trust-but-measure step for the third
+    * fitted index). Per FIXED margin bin: how many documents land
+    * there, what fraction is truly positive (label = the same
+    * [[PosSourceRegex]] the fit trained on), and the cumulative capture
+    * rate — the fraction of all positives recovered by keeping
+    * everything from the top bin down, i.e. the lift curve.
+    *
+    * Fixed [[CalBinWidth]] bins instead of score deciles ON PURPOSE:
+    * ntile needs a global sort (single-partition window — the one shape
+    * this engine bans), while fixed bins are a map-side groupBy at any
+    * corpus size; the cumulative window then runs over the ~dozens-row
+    * bin relation, which is free.
+    */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = classify(spark, sfDir)
+      .select(col("score"),
+        when(col("source").rlike(PosSourceRegex), 1L).otherwise(0L).as("is_pos"))
+    // score is pre-rounded to 6 places; the re-round before floor keeps
+    // the bin edge exact (the q_lsh_recall bucket discipline)
+    val bins = scored
+      .select(floor(round(col("score") / CalBinWidth, 6)).cast("long").as("bin"),
+        col("is_pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_pos")).as("n_pos"))
+    val w = Window.orderBy(col("bin").desc)
+    bins
+      .withColumn("cum_pos",
+        sum(col("n_pos")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_pos",
+        sum(col("n_pos")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bin"),
+        round(col("bin").cast("double") * CalBinWidth, 6).as("margin_lo"),
+        col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6).as("pos_rate"),
+        col("cum_pos"),
+        when(col("total_pos") > 0,
+          round(col("cum_pos").cast("double") / col("total_pos").cast("double"), 6))
+          .otherwise(lit(0.0)).as("capture"))
+  }
+
+  /** DuckDB oracle (post-fit, rides on [[classifyOracleSql]]'s frozen
+    * weights; None → rows-only check).
+    */
+  def qualityCalibrationOracleSql: Option[String] =
+    classifyOracleSql.map { inner =>
+      s"""
+    WITH lab AS (
+      SELECT score,
+             CASE WHEN regexp_matches(source, '$PosSourceRegex') THEN 1 ELSE 0 END AS is_pos
+      FROM ($inner)
+    ),
+    bins AS (
+      SELECT CAST(floor(round(score / $CalBinWidth, 6)) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(is_pos) AS BIGINT) AS n_pos
+      FROM lab GROUP BY 1
+    ),
+    c AS (
+      SELECT *,
+             CAST(sum(n_pos) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+      FROM bins
+    )
+    SELECT bin, round(CAST(bin AS DOUBLE) * $CalBinWidth, 6) AS margin_lo,
+           n_docs, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate, cum_pos,
+           CASE WHEN total_pos > 0 THEN round(CAST(cum_pos AS DOUBLE) / total_pos, 6)
+                ELSE 0.0 END AS capture
+    FROM c"""
+    }
 }

@@ -280,4 +280,38 @@ class QualityClassifierSpec extends SparkSpec {
       assert(sql.nonEmpty && sql.get.contains("list_reduce(list_prepend(CAST(0 AS DOUBLE)"))
     } finally QualityClassifier.resetFits()
   }
+
+  test("calibration: separable corpus fills top bins with positives, capture reaches 1") {
+    QualityClassifier.resetFits()
+    try {
+      val rows = (0L until 60L).map { i =>
+        val words =
+          if (i % 2 == 0) Seq("clean", "prose", "citation", "edited", "clean")
+          else Seq("spam", "click", "win", "free", "spam")
+        (i, (words ++ words).mkString(" "), "en")
+      }
+      val dir = writeDocs(rows)
+      val bins = QualityClassifier.qualityCalibration(spark, dir).collect()
+        .sortBy(-_.getAs[Long]("bin"))
+      assert(bins.map(_.getAs[Long]("n_docs")).sum == 60L)
+      assert(bins.map(_.getAs[Long]("n_pos")).sum == 30L)
+      // planted separation: every positive-margin bin is pure positive,
+      // every negative-margin bin pure negative
+      bins.foreach { r =>
+        val rate = r.getAs[Double]("pos_rate")
+        assert(if (r.getAs[Long]("bin") >= 0) rate == 1.0 else rate == 0.0,
+          s"bin ${r.getAs[Long]("bin")} pos_rate $rate")
+      }
+      // capture is the descending-bin lift curve: monotone to exactly 1
+      val caps = bins.map(_.getAs[Double]("capture"))
+      assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+      assert(caps.last == 1.0)
+      // margin_lo really is the bin's lower edge under the fixed width
+      bins.foreach { r =>
+        assert(r.getAs[Double]("margin_lo") ==
+          BigDecimal(r.getAs[Long]("bin") * QualityClassifier.CalBinWidth)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    } finally QualityClassifier.resetFits()
+  }
 }
