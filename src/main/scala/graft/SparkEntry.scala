@@ -198,6 +198,8 @@ object SparkEntry {
     "q_knn_graph" -> (Similarity.knnGraph _),
     // classifier calibration / lift table under the frozen weights
     "q_quality_calibration" -> (graft.pipeline.QualityClassifier.qualityCalibration _),
+    // exported tokenizer vocabulary under the trained merges
+    "q_bpe_vocab" -> (graft.pipeline.Bpe.bpeVocab _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -347,5 +349,6 @@ object SparkEntry {
     graft.pipeline.Bpe.bpeTrainOracleSql.map("q_bpe_train" -> _) ++
     Similarity.knnGraphOracleSql.map("q_knn_graph" -> _) ++
     graft.pipeline.QualityClassifier.qualityCalibrationOracleSql
-      .map("q_quality_calibration" -> _)
+      .map("q_quality_calibration" -> _) ++
+    graft.pipeline.Bpe.bpeVocabOracleSql.map("q_bpe_vocab" -> _)
 }

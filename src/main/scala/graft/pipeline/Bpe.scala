@@ -417,6 +417,74 @@ object Bpe {
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  // ---- q_bpe_vocab ---------------------------------------------------
+
+  /** Vocabulary rows the export emits. */
+  val VocabTop = 40
+
+  /** q_bpe_vocab: the artifact a tokenizer training run actually ships
+    * — the symbol vocabulary after the learned merges, with corpus
+    * frequencies: top [[VocabTop]] symbols by (weighted frequency desc,
+    * symbol asc) plus their length and whether they are merge products.
+    * `q_bpe_train` verifies the trajectory; this exports its result in
+    * the form downstream encoding (and vocab-size / coverage decisions)
+    * consume.
+    *
+    * Scale: one projection (the replace chain — pure codegen) + one
+    * explode + one hash aggregation on the symbol key; top-N via
+    * TakeOrdered, never a global window.
+    */
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val tr = trainedFor(spark, sfDir)
+    val chain = tr.foldLeft(wrapChars(col("w"))) { case (s, (a, b, _)) =>
+      replace(s, lit(s"$WrapL$a$WrapR$WrapL$b$WrapR"), lit(s"$WrapL${a + b}$WrapR"))
+    }
+    val els = transform(
+      filter(split(chain, WrapR), e => e =!= lit("")),
+      e => substring(e, 2, Int.MaxValue))
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(WrapL) && !col("w").contains(WrapR))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"), explode(els).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("c")).as("freq"))
+      .orderBy(col("freq").desc, col("symbol").asc)
+      .limit(VocabTop)
+      .select(col("symbol"), col("freq"),
+        length(col("symbol")).cast("long").as("n_chars"),
+        (length(col("symbol")) > 1).as("is_merged"))
+  }
+
+  /** DuckDB oracle (post-fit; None → rows-only): replays the full
+    * learned chain over the word-frequency table and recounts symbols.
+    */
+  def bpeVocabOracleSql: Option[String] =
+    FrozenFit.single(trained, "BPE training trajectory").map { tr =>
+      val wrapped = s"coalesce(array_to_string(list_transform(" +
+        s"list_filter(string_split(w, ''), ch -> ch <> ''), " +
+        s"ch -> '$WrapL' || ch || '$WrapR'), ''), '')"
+      val chain = tr.foldLeft(wrapped) { case (s, (a, b, _)) =>
+        s"replace($s, '${sqlLit(s"$WrapL$a$WrapR$WrapL$b$WrapR")}', '${sqlLit(s"$WrapL${a + b}$WrapR")}')"
+      }
+      s"""
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND NOT contains(w, '$WrapL') AND NOT contains(w, '$WrapR')
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT unnest(list_transform(
+               list_filter(string_split($chain, '$WrapR'), x -> x <> ''),
+               x -> substr(x, 2))) AS symbol, c
+      FROM wf
+    ),
+    v AS (SELECT symbol, CAST(sum(c) AS BIGINT) AS freq FROM s GROUP BY 1)
+    SELECT symbol, freq, CAST(length(symbol) AS BIGINT) AS n_chars,
+           length(symbol) > 1 AS is_merged
+    FROM v ORDER BY freq DESC, symbol ASC LIMIT $VocabTop"""
+    }
+
   def bpeTrainOracleSql: Option[String] =
     FrozenFit.single(trained, "BPE training trajectory").filter(_.nonEmpty).map { tr =>
       val wrapped = s"coalesce(array_to_string(list_transform(" +

@@ -18,7 +18,8 @@ class EntryContractSpec extends AnyFunSuite {
       "q_token_count_bpe", "q_token_pack_bpe", "q_token_fertility", "q_context_fit",
       "q_pca_project", "q_ann_pca", "q_ann_recall",
       "q_pq_encode", "q_ann_ivfpq", "q_quality_classifier",
-      "q_hard_negatives", "q_bpe_train", "q_knn_graph", "q_quality_calibration")),
+      "q_hard_negatives", "q_bpe_train", "q_knn_graph", "q_quality_calibration",
+      "q_bpe_vocab")),
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
   }
 

@@ -208,11 +208,47 @@ class PlanSpec extends SparkSpec {
 
   test("no query plans an unpartitioned window (single-partition shuffle)") {
     import org.apache.spark.sql.execution.window.WindowExec
-    SparkEntry.queries.keys.filterNot(_ == "q_kmeans_anomaly").foreach { name =>
-      val bad = collectAll(plan(name)) {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+    // q_epoch_plan / q_quality_calibration run their cumulative windows
+    // over POST-AGGREGATION relations keyed by source / margin bin —
+    // #sources- and #bins-row inputs, so the single partition holds
+    // dozens of rows at any corpus size (the corpus-sized work is the
+    // map-side groupBy below the window). Everything else must
+    // partition its windows.
+    val aggregatedWindow = Set("q_epoch_plan", "q_quality_calibration")
+    SparkEntry.queries.keys
+      .filterNot(_ == "q_kmeans_anomaly").filterNot(aggregatedWindow)
+      .foreach { name =>
+        val bad = collectAll(plan(name)) {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty, s"$name plans a WindowExec with no partitioning")
       }
-      assert(bad.isEmpty, s"$name plans a WindowExec with no partitioning")
+  }
+
+  test("session-8 additions keep their declared plan shapes") {
+    // q_knn_graph: candidates come from the cell equi join — the plan
+    // must contain no nested-loop join (all-pairs) anywhere, and its
+    // top-k window partitions by source node. The edge list is
+    // persisted, so the join/window live under the InMemoryRelation —
+    // expand cached plans before collecting
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case m: InMemoryTableScanExec => m.relation.cachedPlan
+      }
+      p.collect(pf) ++ nested.flatMap(deepCollect(_)(pf))
     }
+    val knn = plan("q_knn_graph")
+    assert(deepCollect(knn) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "q_knn_graph must generate candidates via the cell equi join, not all-pairs")
+    assert(deepCollect(knn) { case w: WindowExec if w.partitionSpec.nonEmpty => w }.nonEmpty,
+      "q_knn_graph top-k window must partition by source node")
+    // q_lsh_recall: truth and candidate sides are both equi joins; the
+    // left join attaching hits is equi too — no NLJ may appear
+    val lr = plan("q_lsh_recall")
+    assert(collectAll(lr) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "q_lsh_recall must stay equi-join only")
   }
 }

@@ -438,6 +438,20 @@ class BpeSpec extends SparkSpec {
     } finally { Bpe.resetFit(); Bpe.resetTrain() }
   }
 
+  test("vocab export: final symbols, weighted frequencies, and merge flags") {
+    Bpe.resetTrain()
+    try {
+      // after all 5 learned merges every fixture word collapses to one
+      // symbol: aaab (freq 2), aab, ab, xq (freq 1 each)
+      val dir = writeDocs(Seq(1L -> "aaab aaab ab", 2L -> "aab xq"))
+      val rows = Bpe.bpeVocab(spark, dir).collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("freq"),
+          r.getAs[Long]("n_chars"), r.getAs[Boolean]("is_merged")))
+      assert(rows.toSeq == Seq(("aaab", 2L, 4L, true), ("aab", 1L, 3L, true),
+        ("ab", 1L, 2L, true), ("xq", 1L, 2L, true)))
+    } finally Bpe.resetTrain()
+  }
+
   test("trainer stops when no pairs remain and caps at TrainMerges") {
     Bpe.resetTrain()
     try {
