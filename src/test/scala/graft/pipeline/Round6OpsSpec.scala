@@ -452,6 +452,35 @@ class BpeSpec extends SparkSpec {
     } finally Bpe.resetTrain()
   }
 
+  test("property: distributed fit == driver fit and argmax counts never increase") {
+    // classic BPE invariant: merging the most frequent pair can only
+    // create pairs bounded by its own count (a new (x, ab) adjacency
+    // needs an (a, b) at that position), and existing pairs only lose
+    // occurrences — so the trajectory counts are non-increasing. Also
+    // cross-checks the distributed trainer against the independent
+    // driver-side implementation on generated corpora.
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      Bpe.resetFit(); Bpe.resetTrain()
+      try {
+        val docs = (1L to 4L).map { id =>
+          val words = Seq.fill(3 + rng.nextInt(5))(
+            Seq.fill(1 + rng.nextInt(6))("abc" (rng.nextInt(3))).mkString)
+          id -> words.mkString(" ")
+        }
+        val dir = writeDocs(docs)
+        val tr = Bpe.trainedFor(spark, dir)
+        val counts = tr.map(_._3)
+        assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+          s"argmax counts increased: $counts for $docs")
+        // the driver-side fit learns NumMerges (24) ranks, the
+        // distributed one TrainMerges (12): the common prefix must agree
+        assert(tr.map(m => (m._1, m._2)) == Bpe.mergesFor(spark, dir).take(tr.size),
+          s"distributed and driver fits diverged on $docs")
+      } finally { Bpe.resetFit(); Bpe.resetTrain() }
+    }
+  }
+
   test("trainer stops when no pairs remain and caps at TrainMerges") {
     Bpe.resetTrain()
     try {

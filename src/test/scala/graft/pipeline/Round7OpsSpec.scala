@@ -497,6 +497,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("epochs") == 3.0))
   }
 
+  test("property: epoch plan respects caps and never over- or badly under-allocates") {
+    val rng = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val nSources = 2 + rng.nextInt(5)
+      val dir = java.nio.file.Files.createTempDirectory("epochp").toString
+      val rows = (0 until nSources).map { s =>
+        val n = 1 + rng.nextInt(500)
+        (s.toLong, Seq.fill(n)("w").mkString(" "), s"s$s")
+      }
+      rows.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val plan = Sampling.epochPlan(spark, dir).collect()
+      val budget = Sampling.EpochBudgetMult * rows.map(_._2.split(" ").length.toLong).sum
+      plan.foreach { r =>
+        val planned = r.getAs[Long]("planned_tokens")
+        val cap = r.getAs[Long]("cap_tokens")
+        assert(planned <= cap, s"${r.getAs[String]("source")} over cap")
+        if (r.getAs[Boolean]("is_capped")) assert(planned == cap)
+        assert(r.getAs[Double]("epochs") <= Sampling.MaxEpochs + 1e-6)
+      }
+      // integer floor division may strand < 1 token per uncapped source,
+      // never more; and the plan must never exceed the budget
+      val allocated = plan.map(_.getAs[Long]("planned_tokens")).sum
+      val uncapped = plan.count(!_.getAs[Boolean]("is_capped"))
+      assert(allocated <= budget, s"over-allocated: $allocated > $budget")
+      assert(budget - allocated < math.max(uncapped.toLong, 1L),
+        s"stranded ${budget - allocated} tokens with $uncapped uncapped sources")
+    }
+  }
+
   test("lsh recall: predicted column is the 1-(1-s^4)^4 curve at bucket midpoints") {
     val expect = Dedup.LshRecallPredicted.toMap
     // spot-check the closed form against independent arithmetic
