@@ -76,6 +76,21 @@ object Bpe {
   def mergesFor(spark: SparkSession, sfDir: String): Seq[(String, String)] =
     fitted.getOrElseUpdate(sfDir, learn(spark, sfDir))
 
+  /** Code-point string order for the fit tie-break. Java's natural
+    * String order compares UTF-16 code units, which ranks
+    * supplementary-plane characters BELOW [U+E000, U+FFFF] — the
+    * opposite of the UTF-8 binary order Spark's `orderBy` and DuckDB's
+    * `ORDER BY` use. The driver-side fit must break count ties exactly
+    * like the distributed fit and the oracle, so it compares code
+    * points (== UTF-8 byte order).
+    */
+  private[pipeline] val CodePointOrder: Ordering[String] = (x: String, y: String) => {
+    val xi = x.codePoints().iterator(); val yi = y.codePoints().iterator()
+    var r = 0
+    while (r == 0 && xi.hasNext && yi.hasNext) r = Integer.compare(xi.next(), yi.next())
+    if (r != 0) r else java.lang.Boolean.compare(xi.hasNext, yi.hasNext)
+  }
+
   /** Leftmost non-overlapping merge of adjacent pair `p` in `s` —
     * reference implementation for the fit loop (and the semantics the
     * wrapped string replace reproduces distributed).
@@ -116,7 +131,8 @@ object Bpe {
       }
       if (pc.isEmpty) exhausted = true
       else {
-        val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, CodePointOrder, CodePointOrder))._1
         out += best
         words = words.map { case (s, c) => (mergePair(s, best), c) }
         round += 1
@@ -333,6 +349,52 @@ object Bpe {
   /** Test seam: drop the distributed-training trajectories. */
   private[pipeline] def resetTrain(): Unit = trained.clear()
 
+  // Shared trainer/vocab building blocks — the wrapping, the merge
+  // chain, and the symbol extraction each exist ONCE per engine so the
+  // train oracle, the vocab oracle, and the Spark fits cannot drift.
+
+  /** Word-frequency relation (w, c) over the corpus, sentinel-safe. */
+  private def wordFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(WrapL) && !col("w").contains(WrapR))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Replace chain of `merges` over the wrapped word column `w`. */
+  private def wordChain(merges: Seq[(String, String)]): Column =
+    merges.foldLeft(wrapChars(col("w"))) { case (s, (a, b)) =>
+      replace(s, lit(s"$WrapL$a$WrapR$WrapL$b$WrapR"), lit(s"$WrapL${a + b}$WrapR"))
+    }
+
+  /** Symbol list of a wrapped/merged word string: split on the closing
+    * sentinel, drop the trailing empty, strip each opening sentinel.
+    */
+  private def symbolsOf(chain: Column): Column =
+    transform(filter(split(chain, WrapR), e => e =!= lit("")),
+      e => substring(e, 2, Int.MaxValue))
+
+  /** DuckDB mirrors of the three, over the `wf` CTE below. */
+  private val wrappedWfSql: String =
+    s"coalesce(array_to_string(list_transform(" +
+      s"list_filter(string_split(w, ''), ch -> ch <> ''), " +
+      s"ch -> '$WrapL' || ch || '$WrapR'), ''), '')"
+
+  private def chainOverWfSql(merges: Seq[(String, String)]): String =
+    merges.foldLeft(wrappedWfSql) { case (s, (a, b)) =>
+      s"replace($s, '${sqlLit(s"$WrapL$a$WrapR$WrapL$b$WrapR")}', '${sqlLit(s"$WrapL${a + b}$WrapR")}')"
+    }
+
+  private def symbolsSql(chain: String): String =
+    s"list_transform(list_filter(string_split($chain, '$WrapR'), x -> x <> ''), x -> substr(x, 2))"
+
+  private val wfCteSql: String =
+    s"""wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND NOT contains(w, '$WrapL') AND NOT contains(w, '$WrapR')
+      GROUP BY 1
+    )"""
+
   def trainedFor(spark: SparkSession, sfDir: String): Seq[(String, String, Long)] =
     trained.getOrElseUpdate(sfDir, trainDistributed(spark, sfDir))
 
@@ -353,27 +415,15 @@ object Bpe {
     * vocabulary-sized state ever lives on the driver.
     */
   private def trainDistributed(spark: SparkSession, sfDir: String): Seq[(String, String, Long)] = {
-    val wf = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "" && !col("w").contains(WrapL) && !col("w").contains(WrapR))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .persist()
+    val wf = wordFreq(spark, sfDir).persist()
     try {
       val out = Seq.newBuilder[(String, String, Long)]
       var prior = Seq.empty[(String, String)]
       var round = 0
       var exhausted = false
       while (round < TrainMerges && !exhausted) {
-        val merged = prior.foldLeft(wrapChars(col("w"))) { case (s, (a, b)) =>
-          replace(s, lit(s"$WrapL$a$WrapR$WrapL$b$WrapR"), lit(s"$WrapL${a + b}$WrapR"))
-        }
-        // symbol list of the merged word: split on the closing sentinel,
-        // drop the trailing empty, strip each leading opening sentinel
-        val els = transform(
-          filter(split(merged, WrapR), e => e =!= lit("")),
-          e => substring(e, 2, Int.MaxValue))
         val top = wf
-          .select(col("c"), els.as("els"))
+          .select(col("c"), symbolsOf(wordChain(prior)).as("els"))
           .filter(size(col("els")) >= 2)
           .select(col("c"), explode(transform(
             sequence(lit(1), size(col("els")) - 1),
@@ -436,16 +486,8 @@ object Bpe {
     */
   def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
     val tr = trainedFor(spark, sfDir)
-    val chain = tr.foldLeft(wrapChars(col("w"))) { case (s, (a, b, _)) =>
-      replace(s, lit(s"$WrapL$a$WrapR$WrapL$b$WrapR"), lit(s"$WrapL${a + b}$WrapR"))
-    }
-    val els = transform(
-      filter(split(chain, WrapR), e => e =!= lit("")),
-      e => substring(e, 2, Int.MaxValue))
-    Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "" && !col("w").contains(WrapL) && !col("w").contains(WrapR))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val els = symbolsOf(wordChain(tr.map(m => (m._1, m._2))))
+    wordFreq(spark, sfDir)
       .select(col("c"), explode(els).as("symbol"))
       .groupBy(col("symbol")).agg(sum(col("c")).as("freq"))
       .orderBy(col("freq").desc, col("symbol").asc)
@@ -460,23 +502,11 @@ object Bpe {
     */
   def bpeVocabOracleSql: Option[String] =
     FrozenFit.single(trained, "BPE training trajectory").map { tr =>
-      val wrapped = s"coalesce(array_to_string(list_transform(" +
-        s"list_filter(string_split(w, ''), ch -> ch <> ''), " +
-        s"ch -> '$WrapL' || ch || '$WrapR'), ''), '')"
-      val chain = tr.foldLeft(wrapped) { case (s, (a, b, _)) =>
-        s"replace($s, '${sqlLit(s"$WrapL$a$WrapR$WrapL$b$WrapR")}', '${sqlLit(s"$WrapL${a + b}$WrapR")}')"
-      }
+      val chain = chainOverWfSql(tr.map(m => (m._1, m._2)))
       s"""
-    WITH wf AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS c
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> '' AND NOT contains(w, '$WrapL') AND NOT contains(w, '$WrapR')
-      GROUP BY 1
-    ),
+    WITH $wfCteSql,
     s AS (
-      SELECT unnest(list_transform(
-               list_filter(string_split($chain, '$WrapR'), x -> x <> ''),
-               x -> substr(x, 2))) AS symbol, c
+      SELECT unnest(${symbolsSql(chain)}) AS symbol, c
       FROM wf
     ),
     v AS (SELECT symbol, CAST(sum(c) AS BIGINT) AS freq FROM s GROUP BY 1)
@@ -487,32 +517,19 @@ object Bpe {
 
   def bpeTrainOracleSql: Option[String] =
     FrozenFit.single(trained, "BPE training trajectory").filter(_.nonEmpty).map { tr =>
-      val wrapped = s"coalesce(array_to_string(list_transform(" +
-        s"list_filter(string_split(w, ''), ch -> ch <> ''), " +
-        s"ch -> '$WrapL' || ch || '$WrapR'), ''), '')"
-      def chainSql(k: Int): String = tr.take(k).foldLeft(wrapped) { case (s, (a, b, _)) =>
-        s"replace($s, '${sqlLit(s"$WrapL$a$WrapR$WrapL$b$WrapR")}', '${sqlLit(s"$WrapL${a + b}$WrapR")}')"
-      }
       val rounds = tr.indices.map { i =>
+        val chain = chainOverWfSql(tr.take(i).map(m => (m._1, m._2)))
         s"""(SELECT ${i + 1} AS merge_rank, lhs, rhs, pair_count FROM (
         SELECT els[i] AS lhs, els[i + 1] AS rhs, CAST(sum(c) AS BIGINT) AS pair_count
         FROM (
           SELECT c, els, unnest(generate_series(1, len(els) - 1)) AS i
-          FROM (SELECT c, list_transform(
-                  list_filter(string_split(${chainSql(i)}, '$WrapR'), x -> x <> ''),
-                  x -> substr(x, 2)) AS els
-                FROM wf)
+          FROM (SELECT c, ${symbolsSql(chain)} AS els FROM wf)
           WHERE len(els) >= 2
         ) GROUP BY 1, 2
         ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1))"""
       }
       s"""
-    WITH wf AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS c
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> '' AND NOT contains(w, '$WrapL') AND NOT contains(w, '$WrapR')
-      GROUP BY 1
-    )
+    WITH $wfCteSql
     ${rounds.mkString("\n    UNION ALL\n    ")}"""
     }
 }

@@ -384,17 +384,10 @@ object Dedup {
     * candidate side is `q_dedup_minhash`'s band join, and the eval
     * itself is one narrow left join + an 11-key aggregation.
     */
-  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
+    shinglePairScaffold(spark, sfDir)(_ < _) { (pairs, sizes) =>
     val docs = Tables.documents(spark, sfDir)
-    val sh = shingleHashes(docs)
-      .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val truth = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val truth = pairs
       .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -424,7 +417,7 @@ object Dedup {
         col("n_true"), col("n_caught"),
         round(col("n_caught").cast("double") / col("n_true").cast("double"), 6).as("recall"),
         predicted.as("predicted"))
-  }
+    }
 
   val lshRecallSql: String = {
     val predCase = LshRecallPredicted

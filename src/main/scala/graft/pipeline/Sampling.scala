@@ -676,11 +676,16 @@ object Sampling {
     */
   def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the #sources-row aggregate feeds several plan branches (totals,
+    // the capped-sums aggregate, and the output projection) — persist
+    // it so the corpus scan + groupBy runs ONCE, not once per branch
+    // (released by the Bench/Verify clearCache discipline)
     val per = Tables.documents(spark, sfDir)
       .groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
       .withColumn("cap_tokens", lit(MaxEpochs) * col("n_tokens"))
+      .persist()
     val totals = per.agg(sum(col("n_tokens")).as("total_tokens"),
       sum(col("weight")).as("total_w"))
     val ord = Window.orderBy(col("r").asc, col("source").asc)

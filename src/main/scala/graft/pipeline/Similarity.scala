@@ -510,15 +510,26 @@ object Similarity {
     }: _*)
   }
 
+  /** (vec_id, cell, embedding, nsq) of every vector under the frozen
+    * coarse quantizer — the Spark-side mirror of the oracle's
+    * cents/ranked/assigned prefix, shared by [[annIvf]] and
+    * [[knnGraph]] so the assignment cannot drift between them.
+    */
+  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+      .withColumn("cell",
+        array_min(cellDistArray(ivfCenters(spark, sfDir))).getField("cell"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
     val centers = ivfCenters(spark, sfDir)
     def cellDists = cellDistArray(centers)
-    val assigned = emb
-      .withColumn("cell", array_min(cellDists).getField("cell"))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+    val assigned = assignedCells(spark, sfDir)
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .withColumn("probe", explode(slice(array_sort(cellDists), 1, IvfProbe)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -596,13 +607,7 @@ object Similarity {
     * sizing rule.
     */
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        dot(col("embedding"), col("embedding")).as("nsq"))
-    val centers = ivfCenters(spark, sfDir)
-    val assigned = emb
-      .withColumn("cell", array_min(cellDistArray(centers)).getField("cell"))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+    val assigned = assignedCells(spark, sfDir)
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
     // the (|V|·k)-row edge list is read twice (forward + reversed side
     // of the mutual join); persist so the cell join runs once
