@@ -200,6 +200,8 @@ object SparkEntry {
     "q_quality_calibration" -> (graft.pipeline.QualityClassifier.qualityCalibration _),
     // exported tokenizer vocabulary under the trained merges
     "q_bpe_vocab" -> (graft.pipeline.Bpe.bpeVocab _),
+    // per-source distinct-shingle HLL (dedup-index capacity planning)
+    "q_shingle_cardinality" -> (graft.queries.SketchQueries.shingleCardinality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -326,6 +328,7 @@ object SparkEntry {
     "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_epoch_plan" -> Sampling.epochPlanSql,
+    "q_shingle_cardinality" -> graft.queries.SketchQueries.shingleCardinalitySql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -272,17 +272,28 @@ object SketchQueries {
     )).as("ck")).select(col("ck.col_name").as("col_name"), col("ck.k").as("k"))
     val hv = conv(substring(md5(concat(lit("hll|"), col("k"))), 1, 15), 16, 10).cast("long")
     val hashed = keys.select(col("col_name"), hv.as("hv"))
-    // ONE bounded-state aggregation via the native mergeable register
-    // array ([[graft.functions.HllSketch]]: O(m) state, map-side
-    // partials, register-wise-max merge — the shuffle carries 2 sketch
-    // rows, not 2·m register rows). Empty registers eval to rank 0, so
-    // the exact-integer harmonic numerator Σ 2^(maxRank − M_j) is a
-    // single array fold — every empty register contributes 2^53
-    // ([[HllEmptyTerm]]) automatically.
+    val exact = hashed.groupBy(col("col_name"))
+      .agg(count_distinct(col("hv")).as("n_exact"))
+    exact.join(broadcast(hllEstimateDf(hashed, "col_name")), "col_name")
+      .select(col("col_name"), col("n_exact"), col("n_hit"),
+        col("harmonic_num"), col("hll_estimate"))
+  }
+
+  /** Shared register→estimate pipeline over a ($key, hv) relation —
+    * ONE bounded-state aggregation via the native mergeable register
+    * array ([[graft.functions.HllSketch]]: O(m) state, map-side
+    * partials, register-wise-max merge — the shuffle carries one sketch
+    * row per key, not m register rows). Empty registers eval to rank 0,
+    * so the exact-integer harmonic numerator Σ 2^(maxRank − M_j) is a
+    * single array fold — every empty register contributes 2^53
+    * ([[HllEmptyTerm]]) automatically. One definition, consumed by
+    * q_hll_distinct and q_shingle_cardinality.
+    */
+  private[queries] def hllEstimateDf(hashed: DataFrame, key: String): DataFrame = {
     val sketch = hashed
-      .groupBy(col("col_name"))
+      .groupBy(col(key))
       .agg(graft.functions.HllAggregates.hllSketch(col("hv"), HllM).as("regs"))
-      .select(col("col_name"),
+      .select(col(key),
         expr("CAST(size(filter(regs, r -> r > 0)) AS BIGINT)").as("n_hit"),
         expr(s"aggregate(regs, CAST(0 AS BIGINT), " +
           s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), $HllMaxRank - r))")
@@ -292,7 +303,7 @@ object SketchQueries {
     // engines parse and fold the identical IEEE-754 value
     val rawNum = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0) * lit(9007199254740992.0)
-    val est = sketch
+    sketch
       .withColumn("raw", rawNum / col("harmonic_num").cast("double"))
       .withColumn("hll_estimate",
         round(
@@ -300,12 +311,38 @@ object SketchQueries {
             lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
             .otherwise(col("raw")),
           4))
-    val exact = hashed.groupBy(col("col_name"))
-      .agg(count_distinct(col("hv")).as("n_exact"))
-    exact.join(broadcast(est), "col_name")
-      .select(col("col_name"), col("n_exact"), col("n_hit"),
-        col("harmonic_num"), col("hll_estimate"))
+      .select(col(key), col("n_hit"), col("harmonic_num"), col("hll_estimate"))
   }
+
+  /** Shared oracle CTE chain (regs/sk/est) over a prior `hashed` CTE
+    * with columns ($key, hv); `est` ends with ($key, n_hit,
+    * harmonic_num, hll_estimate).
+    */
+  private[queries] def hllEstCtesSql(key: String): String =
+    s"""regs AS (
+      SELECT $key, hv % $HllM AS reg,
+             max(CASE WHEN hv // $HllM = 0 THEN $HllMaxRank
+                      ELSE $HllMaxRank - length(bin(hv // $HllM)) END) AS mj
+      FROM hashed GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT $key, count(*) AS n_hit,
+             CAST(SUM(1::BIGINT << ($HllMaxRank - mj)) AS BIGINT)
+               + ($HllM - count(*)) * $HllEmptyTerm AS harmonic_num,
+             $HllM - count(*) AS zeros
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT $key, CAST(n_hit AS BIGINT) AS n_hit, harmonic_num,
+             round(CASE WHEN raw <= CAST('${2.5 * HllM}' AS DOUBLE) AND zeros > 0
+                        THEN CAST('256.0' AS DOUBLE) * ln(CAST('256.0' AS DOUBLE) / CAST(zeros AS DOUBLE))
+                        ELSE raw END, 4) AS hll_estimate
+      FROM (
+        SELECT *, CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / CAST('256.0' AS DOUBLE))
+                  * CAST('65536.0' AS DOUBLE) * CAST('9007199254740992.0' AS DOUBLE)
+                  / CAST(harmonic_num AS DOUBLE) AS raw
+        FROM sk)
+    )"""
 
   val hllDistinctSql: String =
     s"""
@@ -322,33 +359,61 @@ object SketchQueries {
              CAST(('0x' || substr(md5('hll|' || k), 1, 15)) AS BIGINT) AS hv
       FROM keys
     ),
-    regs AS (
-      SELECT col_name, hv % $HllM AS reg,
-             max(CASE WHEN hv // $HllM = 0 THEN $HllMaxRank
-                      ELSE $HllMaxRank - length(bin(hv // $HllM)) END) AS mj
-      FROM hashed GROUP BY 1, 2
-    ),
-    sk AS (
-      SELECT col_name, count(*) AS n_hit,
-             CAST(SUM(1::BIGINT << ($HllMaxRank - mj)) AS BIGINT)
-               + ($HllM - count(*)) * $HllEmptyTerm AS harmonic_num,
-             $HllM - count(*) AS zeros
-      FROM regs GROUP BY 1
-    ),
-    est AS (
-      SELECT col_name, n_hit, harmonic_num, zeros,
-             CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / CAST('256.0' AS DOUBLE))
-               * CAST('65536.0' AS DOUBLE) * CAST('9007199254740992.0' AS DOUBLE)
-               / CAST(harmonic_num AS DOUBLE) AS raw
-      FROM sk
-    ),
+    ${hllEstCtesSql("col_name")},
     ex AS (SELECT col_name, count(DISTINCT hv) AS n_exact FROM hashed GROUP BY 1)
-    SELECT e.col_name, x.n_exact, CAST(e.n_hit AS BIGINT) AS n_hit,
-           e.harmonic_num,
-           round(CASE WHEN e.raw <= CAST('${2.5 * HllM}' AS DOUBLE) AND e.zeros > 0
-                      THEN CAST('256.0' AS DOUBLE) * ln(CAST('256.0' AS DOUBLE) / CAST(e.zeros AS DOUBLE))
-                      ELSE e.raw END, 4) AS hll_estimate
+    SELECT e.col_name, x.n_exact, e.n_hit, e.harmonic_num, e.hll_estimate
     FROM est e JOIN ex x ON e.col_name = x.col_name"""
+
+  // ---- q_shingle_cardinality -----------------------------------------
+
+  /** q_shingle_cardinality: per-source distinct 5-gram-shingle count —
+    * the capacity-planning number for the dedup index (how many
+    * distinct shingles a source contributes sizes the LSH band tables
+    * and the shingle join's shuffle), via the SAME mergeable HLL
+    * register aggregate as `q_hll_distinct`, against a keyspace that
+    * actually stresses it (shingles ≫ user ids). `dup_ratio` = 1 −
+    * distinct/total shingle instances is the source's internal
+    * repetitiveness — a high value predicts heavy near-dup pressure
+    * BEFORE any pair join runs.
+    *
+    * Scale: shingle explode is the dedup family's narrow projection;
+    * the sketch collapses each partition to ≤ m registers per source
+    * before the shuffle (the 1000-executor fan-in shape). The exact
+    * leg anchors the oracle; at 100 TB only the register leg runs.
+    */
+  def shingleCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = graft.pipeline.Dedup
+      .shingleHashes(Tables.documents(spark, sfDir), keep = Seq("source"))
+      .select(col("source"), explode(col("hs")).as("sh"))
+    val hv = conv(substring(md5(concat(lit("hll|"), col("sh").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val hashed = sh.select(col("source"), hv.as("hv"))
+    val exact = hashed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"), count_distinct(col("hv")).as("n_exact"))
+    exact.join(broadcast(hllEstimateDf(hashed, "source")), "source")
+      .select(col("source"), col("n_shingles"), col("n_exact"),
+        round(lit(1.0) - col("n_exact").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("dup_ratio"),
+        col("n_hit"), col("harmonic_num"), col("hll_estimate"))
+  }
+
+  val shingleCardinalitySql: String =
+    s"""
+    WITH shdoc AS (${graft.pipeline.Dedup.shingleHashesSql(keep = Seq("source"))}),
+    sh AS (SELECT source, unnest(hs) AS sh FROM shdoc),
+    hashed AS (
+      SELECT source,
+             CAST(('0x' || substr(md5('hll|' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM sh
+    ),
+    ${hllEstCtesSql("source")},
+    ex AS (SELECT source, count(*) AS n_shingles, count(DISTINCT hv) AS n_exact
+           FROM hashed GROUP BY 1)
+    SELECT e.source, x.n_shingles, x.n_exact,
+           round(CAST('1.0' AS DOUBLE) - CAST(x.n_exact AS DOUBLE) / CAST(x.n_shingles AS DOUBLE), 6)
+             AS dup_ratio,
+           e.n_hit, e.harmonic_num, e.hll_estimate
+    FROM est e JOIN ex x ON e.source = x.source"""
 
   // ---- q_quantile_sample -----------------------------------------------
 

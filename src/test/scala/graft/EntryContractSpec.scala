@@ -23,6 +23,18 @@ class EntryContractSpec extends AnyFunSuite {
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
   }
 
+  test("static-oracle count tracks the registry") {
+    // the post-fit oracles are Options (absent until a fit runs);
+    // everything else must be present statically — this catches a
+    // static oracle accidentally demoted to the post-fit path, where
+    // the driver would silently lose its gate whenever the fit never
+    // runs in the dumping JVM
+    val postFit = 18
+    assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - postFit,
+      s"${SparkEntry.queries.size - SparkEntry.oracleSql.size} queries lack a static oracle " +
+        s"(> $postFit post-fit allowance)")
+  }
+
   test("no oracle without a query (stale entries)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL for unregistered queries: ${orphans.mkString(", ")}")

@@ -427,6 +427,35 @@ class Round7OpsSpec extends SparkSpec {
       "clamped midpoint of the top bucket is s=1 -> theory 1.0")
   }
 
+  // ---- q_shingle_cardinality -----------------------------------------
+
+  test("shingle cardinality: repetitive source shows high dup_ratio, unique shows zero") {
+    val dir = java.nio.file.Files.createTempDirectory("shcard").toString
+    val repeated = (1 to 30).map(i => s"t${i % 8}").mkString(" ") // 8-token cycle
+    val unique = (1 to 30).map(i => s"u$i").mkString(" ")
+    // rep: 10 identical docs -> every doc contributes the same shingle
+    // set; uniq: each doc disjoint vocabulary -> no cross-doc overlap
+    val rows = (1L to 10L).map(i => (i, repeated, "rep")) ++
+      (11L to 13L).map(i => (i, unique.replace("u", s"u${i}_"), "uniq"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.SketchQueries.shingleCardinality(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val rep = out("rep")
+    // 10 copies of one shingle set: distinct = instances/10
+    assert(rep.getAs[Long]("n_shingles") == 10L * rep.getAs[Long]("n_exact"))
+    assert(rep.getAs[Double]("dup_ratio") == 0.9)
+    val un = out("uniq")
+    assert(un.getAs[Double]("dup_ratio") == 0.0,
+      "disjoint per-doc vocabularies produce no repeated shingles")
+    // tiny cardinalities ride the linear-counting branch near-exactly
+    out.values.foreach { r =>
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.25, s"estimate $est far from $exact")
+    }
+  }
+
   // ---- q_knn_graph ---------------------------------------------------
 
   test("knn graph: top-k bound, rank contiguity, and mutual-flag symmetry") {
