@@ -202,6 +202,8 @@ object SparkEntry {
     "q_bpe_vocab" -> (graft.pipeline.Bpe.bpeVocab _),
     // per-source distinct-shingle HLL (dedup-index capacity planning)
     "q_shingle_cardinality" -> (graft.queries.SketchQueries.shingleCardinality _),
+    // split QA: source-mixture balance across train/val/test (ppm-exact)
+    "q_split_balance" -> (Sampling.splitBalance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -329,6 +331,7 @@ object SparkEntry {
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_epoch_plan" -> Sampling.epochPlanSql,
     "q_shingle_cardinality" -> graft.queries.SketchQueries.shingleCardinalitySql,
+    "q_split_balance" -> Sampling.splitBalanceSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

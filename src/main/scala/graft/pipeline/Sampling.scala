@@ -458,6 +458,86 @@ object Sampling {
     FROM g GROUP BY 1, 2"""
   }
 
+  // ---- q_split_balance -----------------------------------------------
+
+  /** q_split_balance: does the hash split preserve the source mixture?
+    * The QA a data owner runs before trusting val/test numbers — a
+    * split whose val slice over-represents one source evaluates a
+    * different distribution than it trains on. Per split: document
+    * count, the largest per-source share deviation vs the corpus, and
+    * the total-variation distance of the source mixture — ALL in
+    * integer parts-per-million (shares via `1e6·n div d`), so every
+    * aggregate is an exact integer max/sum — no float summation order
+    * to disagree on, in either engine.
+    *
+    * A source absent from a split still contributes its full corpus
+    * share to the deviation (the grid is completed before the
+    * aggregation) — the case a naive join-on-counts silently drops.
+    *
+    * Scale: two hash aggregations on (split, source) / (source) keys,
+    * then arithmetic over the #splits×#sources grid — the corpus is
+    * scanned once; everything after the first groupBy is dimension-
+    * table sized.
+    */
+  def splitBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = Tables.documents(spark, sfDir)
+      .select(col("source"), splitAssign(col("doc_id")).as("split"))
+      .groupBy(col("split"), col("source")).agg(count(lit(1)).as("n_ds"))
+      .persist() // feeds the per-split, per-source, and total branches
+    val bySplit = ss.groupBy(col("split")).agg(sum(col("n_ds")).as("n_split"))
+    val bySource = ss.groupBy(col("source")).agg(sum(col("n_ds")).as("n_source"))
+    val total = ss.agg(sum(col("n_ds")).as("n_total"))
+    val grid = bySource
+      .select(col("source"), col("n_source"),
+        explode(array(SplitPct.map { case (n, _, _) => lit(n) }: _*)).as("split"))
+      .join(ss.select(col("split"), col("source"), col("n_ds")), Seq("split", "source"), "left")
+      .na.fill(0L, Seq("n_ds"))
+      .join(broadcast(bySplit), Seq("split"), "left")
+      .na.fill(0L, Seq("n_split"))
+      .crossJoin(broadcast(total))
+    grid
+      .withColumn("dev_ppm", abs(
+        expr("coalesce((1000000 * n_ds) div nullif(n_split, 0), CAST(0 AS BIGINT))") -
+          expr("(1000000 * n_source) div n_total")))
+      .groupBy(col("split"), col("n_split"))
+      .agg(count(lit(1)).as("n_sources"),
+        max(col("dev_ppm")).as("max_dev_ppm"),
+        expr("sum(dev_ppm) div 2").as("tv_ppm"))
+      .select(col("split"), col("n_split").as("n_docs"), col("n_sources"),
+        col("max_dev_ppm"), col("tv_ppm"))
+  }
+
+  val splitBalanceSql: String = {
+    val cases = SplitPct.map { case (n, lo, hi) =>
+      s"WHEN b >= $lo AND b < $hi THEN '$n'" }.mkString(" ")
+    val vals = SplitPct.map { case (n, _, _) => s"('$n')" }.mkString(", ")
+    s"""
+    WITH a AS (
+      SELECT source, CASE $cases END AS split
+      FROM (SELECT source, ${Dedup.h32Sql.format("'split|' || doc_id")} % 100 AS b
+            FROM documents)
+    ),
+    ss AS (SELECT split, source, CAST(count(*) AS BIGINT) AS n_ds FROM a GROUP BY 1, 2),
+    sp AS (SELECT split, CAST(sum(n_ds) AS BIGINT) AS n_split FROM ss GROUP BY 1),
+    so AS (SELECT source, CAST(sum(n_ds) AS BIGINT) AS n_source FROM ss GROUP BY 1),
+    t AS (SELECT CAST(sum(n_ds) AS BIGINT) AS n_total FROM ss),
+    grid AS (
+      SELECT v.split, so.source, so.n_source, coalesce(ss.n_ds, 0) AS n_ds
+      FROM so CROSS JOIN (VALUES $vals) AS v(split)
+      LEFT JOIN ss ON ss.split = v.split AND ss.source = so.source
+    ),
+    d AS (
+      SELECT g.split, coalesce(sp.n_split, 0) AS n_split,
+             abs(coalesce((1000000 * g.n_ds) // nullif(sp.n_split, 0), 0)
+                 - (1000000 * g.n_source) // t.n_total) AS dev_ppm
+      FROM grid g LEFT JOIN sp ON g.split = sp.split CROSS JOIN t
+    )
+    SELECT split, n_split AS n_docs, count(*) AS n_sources,
+           CAST(max(dev_ppm) AS BIGINT) AS max_dev_ppm,
+           CAST(sum(dev_ppm) // 2 AS BIGINT) AS tv_ppm
+    FROM d GROUP BY 1, 2"""
+  }
+
   // ---- q_split_leakage -----------------------------------------------
 
   /** q_split_leakage: dedup-aware train/val/test assignment — the split

@@ -427,6 +427,43 @@ class Round7OpsSpec extends SparkSpec {
       "clamped midpoint of the top bucket is s=1 -> theory 1.0")
   }
 
+  // ---- q_split_balance -----------------------------------------------
+
+  test("split balance: ppm deviations match an independent recomputation, empty splits included") {
+    val dir = java.nio.file.Files.createTempDirectory("splitbal").toString
+    // small corpus: val/test are near-certainly empty under 98/1/1, so
+    // the absent-source grid path (full corpus share as deviation) runs
+    (1L to 12L).map(i => (i, s"doc $i text", if (i <= 4) "A" else "B"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent expectation from the (source, split) count relation
+    val counts = Sampling.hashSplit(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("source")) -> r.getAs[Long]("n_docs"))
+      .toMap
+    val sources = counts.keys.map(_._2).toSet
+    val nTotal = counts.values.sum
+    val bySource = sources.map(s => s -> counts.collect { case ((_, src), n) if src == s => n }.sum).toMap
+    val splits = Seq("train", "val", "test")
+    val expected = splits.map { sp =>
+      val nSplit = counts.collect { case ((s, _), n) if s == sp => n }.sum
+      val devs = sources.toSeq.map { src =>
+        val inSplit = if (nSplit == 0) 0L
+          else 1000000L * counts.getOrElse((sp, src), 0L) / nSplit
+        math.abs(inSplit - 1000000L * bySource(src) / nTotal)
+      }
+      sp -> ((nSplit, devs.max, devs.sum / 2))
+    }.toMap
+    assert(expected.values.exists(_._1 == 0L), "fixture must leave one split empty")
+    val got = Sampling.splitBalance(spark, dir).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("max_dev_ppm"), r.getAs[Long]("tv_ppm")))).toMap
+    assert(got.keySet == splits.toSet)
+    splits.foreach { sp =>
+      assert(got(sp) == expected(sp), s"split $sp: ${got(sp)} vs ${expected(sp)}")
+    }
+    assert(got.values.map(_._1).sum == nTotal, "split sizes partition the corpus")
+  }
+
   // ---- q_shingle_cardinality -----------------------------------------
 
   test("shingle cardinality: repetitive source shows high dup_ratio, unique shows zero") {
