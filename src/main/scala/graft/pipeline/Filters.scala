@@ -53,8 +53,16 @@ object Filters {
     * rules the document breaks — the funnel's ranking key for
     * borderline docs).
     */
-  def gopherFilters(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def gopherFilters(spark: SparkSession, sfDir: String): DataFrame =
+    gopherVerdicts(Tables.documents(spark, sfDir))
+
+  /** The rule battery as a pure (doc_id, text) → verdicts transform —
+    * narrow ops only, so it applies to a STREAMING DataFrame unchanged
+    * (StreamingFilterSpec pins stream == batch): the live ingest path
+    * can reject documents with the exact same rules the batch curation
+    * pass uses.
+    */
+  def gopherVerdicts(docs: DataFrame): DataFrame = {
     val t = TextAnalysis.tokens(col("text"))
     val nTok = size(t).cast("long")
     // single-space-separated text: total word chars = len - (n-1)

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.pipeline.Filters
+
+/** The Gopher rule battery is a narrow projection, so the SAME
+  * transform must run on a streaming DataFrame with identical verdicts
+  * — the property that lets live ingest reject documents with the
+  * batch curation rules (no second rule implementation to drift).
+  */
+class StreamingFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one passing document (long, alphabetic, stopword-bearing prose) and
+  // three planted failures: too short, symbol-heavy, bullet-heavy
+  private val prose = ("the quick brown fox jumps and runs to a tall tree " * 12 +
+    (1 to 60).map(i => s"word$i").mkString(" ")).trim
+  private val short = "tiny doc"
+  private val symbols = (1 to 60).map(i => s"##$i...").mkString(" ")
+  private val bullets = (1 to 60).map(i => s"- item$i").mkString("\n")
+  private val docs: Seq[(Long, String)] =
+    Seq(1L -> prose, 2L -> short, 3L -> symbols, 4L -> bullets)
+
+  test("streamed verdicts equal batch verdicts row for row") {
+    val batch = Filters.gopherVerdicts(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(batch(1L).contains(true), "prose fixture must pass at least one rule")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Filters.gopherVerdicts(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher").outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("gopher").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed == batch, "stream and batch verdicts diverged")
+    } finally q.stop()
+  }
+
+  test("planted failures break the expected rules") {
+    val rows = Filters.gopherVerdicts(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"), "prose passes the whole battery")
+    assert(!rows(2L).getAs[Boolean]("f_words"), "short doc fails the word band")
+    assert(!rows(3L).getAs[Boolean]("f_symbol"), "symbol soup fails the symbol ratio")
+    assert(!rows(4L).getAs[Boolean]("f_bullet"), "bullet wall fails the bullet ratio")
+    assert(Seq(2L, 3L, 4L).forall(id => !rows(id).getAs[Boolean]("keep")))
+  }
+}
