@@ -204,6 +204,8 @@ object SparkEntry {
     "q_shingle_cardinality" -> (graft.queries.SketchQueries.shingleCardinality _),
     // split QA: source-mixture balance across train/val/test (ppm-exact)
     "q_split_balance" -> (Sampling.splitBalance _),
+    // log-free lift collocation mining (multi-word-entity candidates)
+    "q_collocations" -> (TextAnalysis.collocations _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -332,6 +334,7 @@ object SparkEntry {
     "q_epoch_plan" -> Sampling.epochPlanSql,
     "q_shingle_cardinality" -> graft.queries.SketchQueries.shingleCardinalitySql,
     "q_split_balance" -> Sampling.splitBalanceSql,
+    "q_collocations" -> TextAnalysis.collocationsSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

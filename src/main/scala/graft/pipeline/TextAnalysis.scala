@@ -612,6 +612,87 @@ object TextAnalysis {
            CAST(n_bigram AS DOUBLE) / n_context AS p_cond
     FROM bc JOIN cx ON bc.w1 = cx.w1"""
 
+  // ---- q_collocations ------------------------------------------------
+
+  /** Minimum adjacent-pair count for a collocation candidate. */
+  val CollocMinPair = 5L
+
+  /** Collocations emitted. */
+  val CollocTop = 30
+
+  /** q_collocations: corpus-level collocation mining — adjacent word
+    * pairs that co-occur far beyond chance, ranked by LIFT
+    * P(ab)/(P(a)·P(b)) rather than PMI: log is monotone, so the ranking
+    * is identical while the statistic stays a pure ratio of integer
+    * counts in one fixed-order IEEE expression — bit-identical
+    * cross-engine (the q_tfidf log-free discipline). This is the miner
+    * behind multi-word-entity vocabulary decisions (top collocations
+    * seed tokenizer merges / phrase tables) and template detection.
+    *
+    * Scale: unigram and bigram counts are two hash aggregations with
+    * map-side partials; the count-attach joins shuffle on the word key
+    * (vocabulary-sized — too big to broadcast, never needs to be); the
+    * two scalar totals broadcast; top-K via TakeOrdered, no global
+    * window. The [[CollocMinPair]] floor prunes the pair relation
+    * before the joins.
+    */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("t"))
+      // consumed by the unigram and bigram branches: persist so the
+      // scan + tokenize runs once (caller's clearCache releases it)
+      .persist()
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val nb = bg.agg(count(lit(1)).as("n_bigrams"))
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinPair)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nb))
+      .withColumn("lift", round(
+        (col("c_ab").cast("double") * col("n_tokens").cast("double") *
+          col("n_tokens").cast("double")) /
+          (col("n_bigrams").cast("double") * col("c_a").cast("double") *
+            col("c_b").cast("double")), 6))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocTop)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+  }
+
+  val collocationsSql: String =
+    s"""
+    WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM bg),
+    pairs AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+      HAVING count(*) >= $CollocMinPair
+    )
+    SELECT w1, w2, c_ab, c_a, c_b, lift FROM (
+      SELECT p.w1, p.w2, p.c_ab, a.c AS c_a, b.c AS c_b,
+             round((CAST(p.c_ab AS DOUBLE) * CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                   / (CAST(n_bigrams AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)), 6)
+               AS lift
+      FROM pairs p
+      JOIN uni a ON p.w1 = a.w
+      JOIN uni b ON p.w2 = b.w
+      CROSS JOIN tot CROSS JOIN nb
+    ) ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $CollocTop"""
+
   // ---- q_quality_deciles ---------------------------------------------
 
   /** Quality-decile assignment — the curation-threshold operator

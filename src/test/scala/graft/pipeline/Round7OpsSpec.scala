@@ -427,6 +427,30 @@ class Round7OpsSpec extends SparkSpec {
       "clamped midpoint of the top bucket is s=1 -> theory 1.0")
   }
 
+  // ---- q_collocations ------------------------------------------------
+
+  test("collocations: hand-computed lift, tie-break order, single-token docs excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("colloc").toString
+    // 20 copies of a 4-token sentence + 5 single-token docs:
+    // N = 85 tokens, NB = 60 bigrams, every word count 20 (solo: 5),
+    // each adjacent pair count 20 -> lift = (20*85*85)/(60*20*20)
+    val rows = (1L to 20L).map(i => (i, "new york is big", "s")) ++
+      (21L to 25L).map(i => (i, "solo", "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.collocations(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+        r.getAs[Double]("lift")))
+    val expectedLift = BigDecimal(20.0 * 85 * 85 / (60.0 * 20 * 20))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("is", "big", 20L, 20L, 20L, expectedLift),
+      ("new", "york", 20L, 20L, 20L, expectedLift),
+      ("york", "is", 20L, 20L, 20L, expectedLift)),
+      s"got ${out.toSeq}")
+  }
+
   // ---- q_split_balance -----------------------------------------------
 
   test("split balance: ppm deviations match an independent recomputation, empty splits included") {
