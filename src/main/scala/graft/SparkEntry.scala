@@ -206,6 +206,8 @@ object SparkEntry {
     "q_split_balance" -> (Sampling.splitBalance _),
     // log-free lift collocation mining (multi-word-entity candidates)
     "q_collocations" -> (TextAnalysis.collocations _),
+    // shingle-join candidate-volume plan (stop-shingle report)
+    "q_dedup_cost" -> (Dedup.dedupCost _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,6 +337,7 @@ object SparkEntry {
     "q_shingle_cardinality" -> graft.queries.SketchQueries.shingleCardinalitySql,
     "q_split_balance" -> Sampling.splitBalanceSql,
     "q_collocations" -> TextAnalysis.collocationsSql,
+    "q_dedup_cost" -> Dedup.dedupCostSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

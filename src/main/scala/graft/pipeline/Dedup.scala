@@ -443,6 +443,65 @@ object Dedup {
     FROM b GROUP BY 1"""
   }
 
+  // ---- q_dedup_cost --------------------------------------------------
+
+  /** q_dedup_cost: the candidate-volume plan for the shingle equi join
+    * — BEFORE running it. Every shingle shared by n documents emits
+    * C(n,2) candidate pairs, so the join's output size is exactly
+    * Σ n·(n−1)/2; this relation buckets shingles by ⌊log₂ n⌋ and
+    * reports each band's shingle count, pair volume, and share — the
+    * report that surfaces STOP-SHINGLES (template boilerplate shared by
+    * thousands of docs) whose quadratic blowup dominates the join at
+    * scale. A band holding 90% of pairs at n ≥ 2¹⁰ is the signal to cap
+    * shingle frequency (drop shingles above a ceiling — the standard
+    * near-dup optimization) before paying the shuffle.
+    *
+    * All integer arithmetic: n·(n−1) is even, so the /2 is exact; the
+    * band is `length(bin(n)) − 1` (an exact integer in both engines —
+    * the HLL rank discipline); shares are ppm integer divisions.
+    *
+    * Scale: one shingle-key aggregation (map-side partials), then
+    * arithmetic on the ≤ 64-row band relation; the corpus never joins.
+    */
+  def dedupCost(spark: SparkSession, sfDir: String): DataFrame = {
+    val perShingle = shingleHashes(Tables.documents(spark, sfDir))
+      .select(explode(col("hs")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .select(expr("CAST(length(bin(n)) - 1 AS BIGINT)").as("band"),
+        col("n"), expr("(n * (n - 1)) div 2").as("pairs"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("n")).as("n_postings"),
+        sum(col("pairs")).as("candidate_pairs"))
+    val totals = perShingle.agg(sum(col("candidate_pairs")).as("total_pairs"))
+    perShingle.crossJoin(broadcast(totals))
+      .select(col("band"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(band AS INT)) AS BIGINT)").as("n_min"),
+        col("n_shingles"), col("n_postings"), col("candidate_pairs"),
+        expr("coalesce((1000000 * candidate_pairs) div nullif(total_pairs, 0), CAST(0 AS BIGINT))")
+          .as("pairs_ppm"))
+  }
+
+  val dedupCostSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    ns AS (
+      SELECT sh, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(hs) AS sh FROM shdoc) GROUP BY 1
+    ),
+    bands AS (
+      SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(n) AS BIGINT) AS n_postings,
+             CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
+      FROM ns GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(candidate_pairs) AS BIGINT) AS total_pairs FROM bands)
+    SELECT band, CAST(1::BIGINT << CAST(band AS INT) AS BIGINT) AS n_min,
+           n_shingles, n_postings, candidate_pairs,
+           coalesce((1000000 * candidate_pairs) // nullif(total_pairs, 0), 0) AS pairs_ppm
+    FROM bands CROSS JOIN t"""
+
   // ---- q_dedup_simhash -----------------------------------------------
 
   /** 32-bit SimHash per document over token hashes. */

@@ -427,6 +427,28 @@ class Round7OpsSpec extends SparkSpec {
       "clamped midpoint of the top bucket is s=1 -> theory 1.0")
   }
 
+  // ---- q_dedup_cost --------------------------------------------------
+
+  test("dedup cost: planted hot shingles land in the right band with exact C(n,2) volume") {
+    val dir = java.nio.file.Files.createTempDirectory("dcost").toString
+    // 10 identical 6-token docs -> 2 distinct shingles, each shared by
+    // n=10 docs (band 3, C(10,2)=45 pairs each); 3 disjoint 6-token
+    // docs -> 6 singleton shingles (band 0, zero pairs)
+    val hot = (1 to 6).map(i => s"h$i").mkString(" ")
+    val rows = (1L to 10L).map(i => (i, hot, "s")) ++
+      (11L to 13L).map(i => (i, (1 to 6).map(j => s"u${i}_$j").mkString(" "), "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupCost(spark, dir).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("n_min"), r.getAs[Long]("n_shingles"), r.getAs[Long]("n_postings"),
+          r.getAs[Long]("candidate_pairs"), r.getAs[Long]("pairs_ppm")))).toMap
+    assert(out.keySet == Set(0L, 3L))
+    assert(out(3L) == ((8L, 2L, 20L, 90L, 1000000L)),
+      s"hot band mismatch: ${out(3L)}")
+    assert(out(0L) == ((1L, 6L, 6L, 0L, 0L)))
+  }
+
   // ---- q_collocations ------------------------------------------------
 
   test("collocations: hand-computed lift, tie-break order, single-token docs excluded") {
