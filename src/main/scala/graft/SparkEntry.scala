@@ -208,6 +208,8 @@ object SparkEntry {
     "q_collocations" -> (TextAnalysis.collocations _),
     // shingle-join candidate-volume plan (stop-shingle report)
     "q_dedup_cost" -> (Dedup.dedupCost _),
+    // frequency-capped pair join (the cost report's dial, applied)
+    "q_dedup_ngram_capped" -> (Dedup.ngramJaccardCapped _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -338,6 +340,7 @@ object SparkEntry {
     "q_split_balance" -> Sampling.splitBalanceSql,
     "q_collocations" -> TextAnalysis.collocationsSql,
     "q_dedup_cost" -> Dedup.dedupCostSql,
+    "q_dedup_ngram_capped" -> Dedup.ngramJaccardCappedSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

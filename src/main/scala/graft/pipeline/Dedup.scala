@@ -150,13 +150,22 @@ object Dedup {
     * release it via clearCache after each query, matching the session
     * cache discipline from the round-2 review.
     */
-  private def shinglePairScaffold(spark: SparkSession, sfDir: String)(
+  private def shinglePairScaffold(spark: SparkSession, sfDir: String,
+      maxShingleFreq: Option[Long] = None)(
       pred: (Column, Column) => Column)(
       finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val sh = shingleHashes(docs)
+    val exploded = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .persist()
+    // frequency capping (the q_dedup_cost dial): shingles shared by
+    // more than `cap` docs never reach the pair join — sizes AND shared
+    // counts both come from the capped universe, so the Jaccard stays
+    // self-consistent
+    val sh = maxShingleFreq.map { cap =>
+      val keep = exploded.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= cap).select(col("sh"))
+      exploded.join(keep, Seq("sh"), "left_semi")
+    }.getOrElse(exploded).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -166,16 +175,20 @@ object Dedup {
     finish(pairs, sizes)
   }
 
+  /** The Jaccard-thresholded pair projection shared by the capped and
+    * uncapped operators.
+    */
+  private def jaccardFinish(pairs: DataFrame, sizes: DataFrame): DataFrame =
+    pairs
+      .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    shinglePairScaffold(spark, sfDir)(_ < _) { (pairs, sizes) =>
-      pairs
-        .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
-        .withColumn("jaccard",
-          round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
-    }
+    shinglePairScaffold(spark, sfDir)(_ < _)(jaccardFinish)
 
   /** Shared oracle CTE chain for the shingle-pair family (mirrors
     * [[shinglePairScaffold]]): shdoc/sh/cnd/sz plus the thresholded
@@ -183,9 +196,16 @@ object Dedup {
     * Jaccard threshold and rounding live HERE only, so q_dedup_ngram,
     * q_dedup_components, and q_dup_degree can never drift apart.
     */
-  def shinglePairCtesSql(n: Int = ShingleN): String =
+  def shinglePairCtesSql(n: Int = ShingleN, maxFreq: Option[Long] = None): String = {
+    val shDef = maxFreq match {
+      case Some(cap) =>
+        s"""sh0 AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
+    keepsh AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY 1) WHERE c <= $cap),
+    sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keepsh k ON s.sh = k.sh)"""
+      case None => "sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc)"
+    }
     s"""shdoc AS (${shingleHashesSql(n)}),
-    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
+    $shDef,
     cnd AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -198,10 +218,42 @@ object Dedup {
       FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
       WHERE round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
     )"""
+  }
 
   val ngramJaccardSql: String =
     s"""
     WITH ${shinglePairCtesSql()}
+    SELECT doc_a, doc_b, shared, jaccard FROM pairs"""
+
+  // ---- q_dedup_ngram_capped ------------------------------------------
+
+  /** Shingle-frequency ceiling for the capped join. Tuned for the gate
+    * corpus so the cap is actually EXERCISED there (shingles shared by
+    * 3+ docs drop); production picks a high percentile read off
+    * `q_dedup_cost`'s band table instead.
+    */
+  val ShingleFreqCap = 2L
+
+  /** q_dedup_ngram_capped: the production-grade form of the pair join —
+    * `q_dedup_cost`'s dial applied. Shingles shared by more than
+    * [[ShingleFreqCap]] documents (template boilerplate, stop-shingles)
+    * are dropped BEFORE the self-join, which removes the quadratic
+    * C(n,2) blowup of hot keys; sizes and shared counts both come from
+    * the capped universe, so the Jaccard is self-consistent over it.
+    * Pairs held together ONLY by boilerplate disappear (desired);
+    * pairs sharing rare content survive with their scores intact.
+    *
+    * Scale: one extra vocabulary-keyed aggregation + semi join over
+    * the shingle relation; the pair join then runs on a relation whose
+    * per-key multiplicity is ≤ cap, so its output is ≤ cap·|sh| rows —
+    * LINEAR in the corpus instead of quadratic in the hottest key.
+    */
+  def ngramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
+    shinglePairScaffold(spark, sfDir, Some(ShingleFreqCap))(_ < _)(jaccardFinish)
+
+  val ngramJaccardCappedSql: String =
+    s"""
+    WITH ${shinglePairCtesSql(maxFreq = Some(ShingleFreqCap))}
     SELECT doc_a, doc_b, shared, jaccard FROM pairs"""
 
   // ---- q_containment -------------------------------------------------

@@ -449,6 +449,33 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(0L) == ((1L, 6L, 6L, 0L, 0L)))
   }
 
+  // ---- q_dedup_ngram_capped ------------------------------------------
+
+  test("capped join drops boilerplate-only pairs, keeps rare-content pairs intact") {
+    val dir = java.nio.file.Files.createTempDirectory("dcap").toString
+    // docs 1-10: identical boilerplate (its shingles hit n=10 > cap 2);
+    // docs 11-12: an identical rare pair (shingles at n=2 = cap)
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ")
+    val rare = (1 to 6).map(i => s"r$i").mkString(" ")
+    val rows = (1L to 10L).map(i => (i, boiler, "s")) ++
+      Seq((11L, rare, "s"), (12L, rare, "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("shared"), r.getAs[Double]("jaccard")))).toMap
+    val full = pairs(Dedup.ngramJaccard(spark, dir))
+    spark.catalog.clearCache()
+    val capped = pairs(Dedup.ngramJaccardCapped(spark, dir))
+    spark.catalog.clearCache()
+    assert(full.contains((1L, 2L)) && full.size == 45 + 1,
+      "uncapped finds all 45 boilerplate pairs plus the rare pair")
+    assert(capped.keySet == Set((11L, 12L)),
+      s"capped must keep only the rare pair, got ${capped.keySet}")
+    assert(capped((11L, 12L)) == full((11L, 12L)),
+      "the surviving pair's score is untouched by the cap")
+  }
+
   // ---- q_collocations ------------------------------------------------
 
   test("collocations: hand-computed lift, tie-break order, single-token docs excluded") {
