@@ -71,7 +71,7 @@ object Bpe {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
   /** Test seam: drop all frozen merge tables. */
-  private[pipeline] def resetFit(): Unit = fitted.clear()
+  private[graft] def resetFit(): Unit = fitted.clear()
 
   def mergesFor(spark: SparkSession, sfDir: String): Seq[(String, String)] =
     fitted.getOrElseUpdate(sfDir, learn(spark, sfDir))
@@ -165,14 +165,21 @@ object Bpe {
 
   // ---- q_token_count_bpe ---------------------------------------------
 
-  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame = {
-    val ms = mergesFor(spark, sfDir)
-    Tables.documents(spark, sfDir).select(
+  /** The per-document count projection under a fixed merge table — a
+    * pure (doc_id, text) transform of narrow ops only, so it applies to
+    * a STREAMING DataFrame unchanged (StreamingFilterSpec's sibling
+    * property, pinned by StreamingBpeSpec): live ingest can meter the
+    * token budget with the exact tokenizer the batch pipeline froze.
+    */
+  def tokenCountsOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens_ws"),
-      docTokens(col("text"), ms).as("n_tokens_bpe"),
+      docTokens(col("text"), merges).as("n_tokens_bpe"),
     )
-  }
+
+  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame =
+    tokenCountsOf(Tables.documents(spark, sfDir), mergesFor(spark, sfDir))
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
@@ -347,7 +354,7 @@ object Bpe {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String, Long)]]
 
   /** Test seam: drop the distributed-training trajectories. */
-  private[pipeline] def resetTrain(): Unit = trained.clear()
+  private[graft] def resetTrain(): Unit = trained.clear()
 
   // Shared trainer/vocab building blocks — the wrapping, the merge
   // chain, and the symbol extraction each exist ONCE per engine so the
