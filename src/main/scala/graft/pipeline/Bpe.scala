@@ -107,14 +107,14 @@ object Bpe {
   }
 
   private def learn(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
-    // word-frequency table: deterministic top-N by (count desc, word asc).
-    // Words containing the wrap sentinels are excluded from LEARNING so
-    // no merge rule can collide with the wrapped representation; such
-    // words still count at apply time (one token per character).
-    val wf = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "" && !col("w").contains(WrapL) && !col("w").contains(WrapR))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // word-frequency table: deterministic top-N by (count desc, word
+    // asc) over the SAME [[wordFreq]] relation the distributed trainer
+    // counts — one definition of the sentinel-exclusion invariant, so
+    // the two fits can never count different words. (Sentinel-bearing
+    // words are excluded from LEARNING so no merge rule can collide
+    // with the wrapped representation; they still count at apply time,
+    // one token per character.)
+    val wf = wordFreq(spark, sfDir)
       .orderBy(col("c").desc, col("w").asc)
       .limit(MaxVocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -175,17 +175,25 @@ object Dedup {
     finish(pairs, sizes)
   }
 
-  /** The Jaccard-thresholded pair projection shared by the capped and
-    * uncapped operators.
+  /** The unthresholded pair score: size joins + the ONE Jaccard
+    * expression (denominator and rounding live here only) — consumed by
+    * the thresholded operators via [[jaccardFinish]] and by
+    * [[lshRecall]]'s ground truth, so the eval can never measure a
+    * different Jaccard than the operator it evaluates.
     */
-  private def jaccardFinish(pairs: DataFrame, sizes: DataFrame): DataFrame =
+  private def jaccardOf(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
       .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6))
-      .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+
+  /** The Jaccard-thresholded pair projection shared by the capped and
+    * uncapped operators.
+    */
+  private def jaccardFinish(pairs: DataFrame, sizes: DataFrame): DataFrame =
+    jaccardOf(pairs, sizes).filter(col("jaccard") >= 0.5)
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     shinglePairScaffold(spark, sfDir)(_ < _)(jaccardFinish)
@@ -439,13 +447,12 @@ object Dedup {
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
     shinglePairScaffold(spark, sfDir)(_ < _) { (pairs, sizes) =>
     val docs = Tables.documents(spark, sfDir)
-    val truth = pairs
-      .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("doc_b") === col("s2.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("shared")), 6)
-          .as("jaccard"))
-    val bands = bandRows(signatures(docs)).select(col("doc_id"), col("band"), col("bh"))
+    val truth = jaccardOf(pairs, sizes).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // both sides of the candidate self-join read the banded signatures:
+    // persist so the shingle + 16-permutation + md5 pass runs once (the
+    // minhashLsh discipline)
+    val bands = bandRows(signatures(docs))
+      .select(col("doc_id"), col("band"), col("bh")).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -508,29 +515,45 @@ object Dedup {
     * shingle frequency (drop shingles above a ceiling — the standard
     * near-dup optimization) before paying the shuffle.
     *
-    * All integer arithmetic: n·(n−1) is even, so the /2 is exact; the
-    * band is `length(bin(n)) − 1` (an exact integer in both engines —
-    * the HLL rank discipline); shares are ppm integer divisions.
+    * Integer arithmetic with explicit bounds: C(n,2) is computed with
+    * the even factor pre-halved (`(n div 2)·(n−1)` / `n·((n−1) div 2)`
+    * by parity), so the intermediate never exceeds the RESULT — exact
+    * until the pair count itself passes 2⁶³ (n ≈ 4.3·10⁹ docs on one
+    * shingle; past that, lift to DECIMAL(38,0) — the q_epoch_plan
+    * escape hatch). The ppm share switches to a pre-divided form once
+    * `1e6 · pairs` would overflow: below 2⁴³ pairs it is the exact
+    * `(1e6·p) div t`, above it `p div (t div 1e6)` (relative error
+    * ≤ ~1e-7 there, and t div 1e6 ≥ 8.8e6 so the divisor never
+    * vanishes) — both branches integer, both engines identical.
     *
     * Scale: one shingle-key aggregation (map-side partials), then
     * arithmetic on the ≤ 64-row band relation; the corpus never joins.
     */
   def dedupCost(spark: SparkSession, sfDir: String): DataFrame = {
+    // the band relation feeds the totals aggregate AND the final
+    // projection: persist so the corpus-sized shingle explode +
+    // aggregation runs once (the splitBalance/epochPlan discipline)
     val perShingle = shingleHashes(Tables.documents(spark, sfDir))
       .select(explode(col("hs")).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("n"))
       .select(expr("CAST(length(bin(n)) - 1 AS BIGINT)").as("band"),
-        col("n"), expr("(n * (n - 1)) div 2").as("pairs"))
+        col("n"),
+        expr("CASE WHEN n % 2 = 0 THEN (n div 2) * (n - 1) ELSE n * ((n - 1) div 2) END")
+          .as("pairs"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("n")).as("n_postings"),
         sum(col("pairs")).as("candidate_pairs"))
+      .persist()
     val totals = perShingle.agg(sum(col("candidate_pairs")).as("total_pairs"))
     perShingle.crossJoin(broadcast(totals))
       .select(col("band"),
         expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(band AS INT)) AS BIGINT)").as("n_min"),
         col("n_shingles"), col("n_postings"), col("candidate_pairs"),
-        expr("coalesce((1000000 * candidate_pairs) div nullif(total_pairs, 0), CAST(0 AS BIGINT))")
+        expr("""CASE WHEN candidate_pairs < 8796093022208
+                THEN coalesce((1000000 * candidate_pairs) div nullif(total_pairs, 0),
+                              CAST(0 AS BIGINT))
+                ELSE candidate_pairs div (total_pairs div 1000000) END""")
           .as("pairs_ppm"))
   }
 
@@ -545,13 +568,16 @@ object Dedup {
       SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS band,
              CAST(count(*) AS BIGINT) AS n_shingles,
              CAST(sum(n) AS BIGINT) AS n_postings,
-             CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
+             CAST(sum(CASE WHEN n % 2 = 0 THEN (n // 2) * (n - 1)
+                           ELSE n * ((n - 1) // 2) END) AS BIGINT) AS candidate_pairs
       FROM ns GROUP BY 1
     ),
     t AS (SELECT CAST(sum(candidate_pairs) AS BIGINT) AS total_pairs FROM bands)
     SELECT band, CAST(1::BIGINT << CAST(band AS INT) AS BIGINT) AS n_min,
            n_shingles, n_postings, candidate_pairs,
-           coalesce((1000000 * candidate_pairs) // nullif(total_pairs, 0), 0) AS pairs_ppm
+           CAST(CASE WHEN candidate_pairs < 8796093022208
+                THEN coalesce((1000000 * candidate_pairs) // nullif(total_pairs, 0), 0)
+                ELSE candidate_pairs // (total_pairs // 1000000) END AS BIGINT) AS pairs_ppm
     FROM bands CROSS JOIN t"""
 
   // ---- q_dedup_simhash -----------------------------------------------

@@ -571,18 +571,26 @@ object TextAnalysis {
     * happens BEFORE the join, so the joined relation is the kept head,
     * not the hapax tail.
     */
-  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val bigrams = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      // guard: Spark's sequence(1, 0) DESCENDS instead of being empty,
-      // so a single-token doc must be dropped before the pair transform
-      // (DuckDB's generate_series(1, 0) is empty — same result)
+  /** (doc_id, w1, w2) adjacent-pair relation over a tokenized
+    * (doc_id, t) input — ONE definition of the pair explode and its
+    * sequence(1, 0)-DESCENDS guard (Spark's sequence descends instead
+    * of being empty, so single-token docs must drop first; DuckDB's
+    * generate_series(1, 0) is empty — same result), shared by
+    * [[bigramLm]], [[lmScore]], and [[collocations]] so the guard can
+    * never drift between them.
+    */
+  private def bigramPairsOf(toked: DataFrame): DataFrame =
+    toked
       .filter(size(col("t")) >= 2)
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
         .as("bg"))
-      .select(col("bg.w1"), col("bg.w2"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bigrams = bigramPairsOf(docs.select(col("doc_id"), tokens(col("text")).as("t")))
+      .select(col("w1"), col("w2"))
       // consumed by both the bigram and the context aggregation: persist
       // so the scan + tokenize + pair explode runs once (released by the
       // caller's clearCache discipline, like the shingle scaffold)
@@ -637,19 +645,17 @@ object TextAnalysis {
     * before the joins.
     */
   def collocations(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(tokens(col("text")).as("t"))
+    val toked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       // consumed by the unigram and bigram branches: persist so the
       // scan + tokenize runs once (caller's clearCache releases it)
       .persist()
-    val uni = toks.select(explode(col("t")).as("w"))
+    val uni = toked.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
-    val bg = toks.filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
-        .as("bg"))
-      .select(col("bg.w1"), col("bg.w2"))
+    // pair relation read by the total and the per-pair aggregation:
+    // persist it too, like bigramLm's two-consumer shape
+    val bg = bigramPairsOf(toked).select(col("w1"), col("w2")).persist()
     val nb = bg.agg(count(lit(1)).as("n_bigrams"))
     bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CollocMinPair)
@@ -762,14 +768,8 @@ object TextAnalysis {
     // the per-doc scoring side (the oracle's single bg CTE) — calling
     // bigramLm here would re-derive the pair relation without doc_id
     // and tokenize the corpus twice
-    val docBigrams = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2) // sequence(1,0) descends — same guard as bigramLm
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
-        .as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist()
+    val docBigrams = bigramPairsOf(
+      docs.select(col("doc_id"), tokens(col("text")).as("t"))).persist()
     val bgCounts = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
       .filter(col("n_bigram") >= BigramMinCount)
