@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.{Dedup, Filters, MlAnomaly, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Filters, MlAnomaly, Multimodal, Privacy, Sampling, Similarity, TextAnalysis, TextSignals}
 import graft.queries.{AnalyticQueries, CoreQueries, RelationalQueries, TemporalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,6 +47,9 @@ object SparkEntry {
     "q_bigram_lm" -> (TextAnalysis.bigramLm _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_gopher_filters" -> (Filters.gopherFilters _),
+    "q_code_detect" -> (TextSignals.codeDetect _),
+    "q_readability" -> (TextSignals.readability _),
+    "q_lang_mix" -> (TextSignals.langMix _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
     "q_diversity" -> (TextAnalysis.diversity _),
     "q_chunk" -> (TextAnalysis.chunk _),
@@ -70,6 +73,7 @@ object SparkEntry {
     "q_canonical_docs" -> (Dedup.canonical _),
     "q_source_overlap" -> (Dedup.sourceOverlap _),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
+    "q_dup_cluster_sizes" -> (Dedup.dupClusterSizes _),
     "q_dup_degree" -> (Dedup.dupDegree _),
     "q_dedup_incremental" -> (Dedup.incremental _),
     "q_bloom_dedup" -> (Dedup.bloomDedup _),
@@ -101,6 +105,7 @@ object SparkEntry {
     "q_unpivot" -> (TemporalQueries.unpivotActivity _),
     "q_rolling_avg" -> (TemporalQueries.rollingAvg _),
     "q_range_join" -> (TemporalQueries.rangeJoin _),
+    "q_attribution" -> (TemporalQueries.attribution _),
     "q_funnel" -> (TemporalQueries.funnel _),
     "q_cohort" -> (TemporalQueries.cohort _),
     // robust statistics + drift detection
@@ -241,6 +246,9 @@ object SparkEntry {
     "q_bigram_lm" -> TextAnalysis.bigramLmSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_gopher_filters" -> Filters.gopherFiltersSql,
+    "q_code_detect" -> TextSignals.codeDetectSql,
+    "q_readability" -> TextSignals.readabilitySql,
+    "q_lang_mix" -> TextSignals.langMixSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_diversity" -> TextAnalysis.diversitySql,
     "q_chunk" -> TextAnalysis.chunkSql,
@@ -263,6 +271,7 @@ object SparkEntry {
     "q_canonical_docs" -> Dedup.canonicalSql,
     "q_source_overlap" -> Dedup.sourceOverlapSql,
     "q_ngram_novelty" -> Dedup.ngramNoveltySql,
+    "q_dup_cluster_sizes" -> Dedup.dupClusterSizesSql,
     "q_dup_degree" -> Dedup.dupDegreeSql,
     "q_dedup_incremental" -> Dedup.incrementalSql,
     "q_bloom_dedup" -> Dedup.bloomDedupSql,
@@ -284,6 +293,7 @@ object SparkEntry {
     "q_unpivot" -> TemporalQueries.unpivotActivitySql,
     "q_rolling_avg" -> TemporalQueries.rollingAvgSql,
     "q_range_join" -> TemporalQueries.rangeJoinSql,
+    "q_attribution" -> TemporalQueries.attributionSql,
     "q_funnel" -> TemporalQueries.funnelSql,
     "q_cohort" -> TemporalQueries.cohortSql,
     "q_tumbling_stats" -> WindowQueries.tumblingStatsSql,

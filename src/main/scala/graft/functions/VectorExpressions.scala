@@ -78,6 +78,120 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Nearest-center argmin over a FROZEN center matrix: returns
+  * `struct(d2, code)` for the center minimizing the clamped squared
+  * distance of `child[offset, offset+length)` — exactly what
+  * `array_min(array(struct(greatest(snsq − 2·dot + cc, 0), k), …))`
+  * computes, in ONE generated loop instead of K unrolled dot-product
+  * blocks.
+  *
+  * Why an Expression and not the unrolled Column form: a k-means model
+  * of K centers unrolls to K inline codegen blocks PER CALL SITE; the
+  * IVF-PQ encode (16 cells + 8×16 sub-codes) pushed the fused stage's
+  * generated method past janino's 64 KB limit, silently degrading the
+  * stage to interpreted execution — and at production K (256) the
+  * unrolled form could never compile at all. Here the model rides a
+  * reference object (no generated code grows with K), matching how a
+  * 1000-executor job would broadcast the model once per executor.
+  *
+  * Bit-parity contract (oracle-hash-gated): squared norms of centers
+  * are pre-folded in ascending index order (the same `c.map(v*v).sum`
+  * the literal form used), d2 = snsq − 2.0·dot + cc with the dot's
+  * left-to-right order, clamped at 0 BEFORE the argmin, ties resolved
+  * to the smallest index (strict `<` on an ascending scan) — identical
+  * to the struct array_min ordering.
+  */
+case class NearestCenter(child: Expression, offset: Int, length: Int,
+    centers: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("code", IntegerType, nullable = false)))
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_center expects array<float|double>, got $t")
+    }
+
+  // ascending-index left fold — the exact order the literal form's
+  // Scala-side `c.map(v => v * v).sum` used, so cc is bit-identical
+  @transient private lazy val norms: Array[Double] =
+    centers.map { c =>
+      var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    def at(i: Int): Double = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+    var snsq = 0.0
+    var i = 0
+    while (i < length) { val v = at(offset + i); snsq += v * v; i += 1 }
+    var bestD2 = Double.PositiveInfinity
+    var bestK = -1
+    var k = 0
+    while (k < centers.length) {
+      val c = centers(k)
+      var dot = 0.0
+      var j = 0
+      while (j < length) { dot += at(offset + j) * c(j); j += 1 }
+      val d2 = { val v = snsq - 2.0 * dot + norms(k); if (v < 0.0) 0.0 else v }
+      if (d2 < bestD2) { bestD2 = d2; bestK = k }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD2, bestK)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val snsq = ctx.freshName("snsq")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val d2 = ctx.freshName("d2")
+      val bestD2 = ctx.freshName("bestD2")
+      val bestK = ctx.freshName("bestK")
+      s"""
+         |double $snsq = 0.0;
+         |for (int $i = 0; $i < $length; $i++) {
+         |  double v = (double) $a.$get($offset + $i);
+         |  $snsq += v * v;
+         |}
+         |double $bestD2 = Double.POSITIVE_INFINITY;
+         |int $bestK = -1;
+         |for (int $k = 0; $k < $cRef.length; $k++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $length; $j++) {
+         |    $dot += ((double) $a.$get($offset + $j)) * $cRef[$k][$j];
+         |  }
+         |  double $d2 = $snsq - 2.0 * $dot + $nRef[$k];
+         |  if ($d2 < 0.0) $d2 = 0.0;
+         |  if ($d2 < $bestD2) { $bestD2 = $d2; $bestK = $k; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $bestD2, $bestK });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCenter =
+    copy(child = c)
+}
+
 object VectorFunctions {
   private def expr(c: Column) = ColumnBridge.expression(c)
   private def toCol(e: Expression): Column = ColumnBridge.column(e)
@@ -85,4 +199,12 @@ object VectorFunctions {
   /** Codegen'd dot product; summation order identical to a left fold. */
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(expr(a), expr(b)))
+
+  /** Codegen'd nearest-center argmin (see [[NearestCenter]]):
+    * `struct(d2, code)` of the closest center to the
+    * `[offset, offset+length)` window of `v`.
+    */
+  def nearestCenter(v: Column, offset: Int, length: Int,
+      centers: Seq[Array[Double]]): Column =
+    toCol(NearestCenter(expr(v), offset, length, centers.toArray))
 }

@@ -94,20 +94,15 @@ object Pq {
       } finally sliced.unpersist()
     })
 
-  /** Nearest codebook entry for subspace m: struct(d2, code) argmin via
-    * array_min — literal-centroid codegen arithmetic, d2 clamped at 0
-    * BEFORE the argmin exactly like the IVF cell assignment (and the
+  /** Nearest codebook entry for subspace m: struct(d2, code) via the
+    * [[graft.functions.NearestCenter]] codegen argmin (one generated
+    * loop, model as a reference object — generated code does not grow
+    * with K). d2 clamped at 0 BEFORE the argmin and ties to the
+    * smallest code, exactly like the IVF cell assignment (and the
     * oracle's ranking), so tie order is identical cross-engine.
     */
-  private def subCode(cb: IndexedSeq[Array[Double]], m: Int): Column = {
-    val sub = slice(col("embedding").cast("array<double>"), m * Sub + 1, Sub)
-    val snsq = Similarity.dot(sub, sub)
-    array_min(array(cb.zipWithIndex.map { case (c, k) =>
-      val cc = c.map(v => v * v).sum
-      val d2 = snsq - lit(2.0) * Similarity.dot(sub, typedLit(c.toSeq)) + lit(cc)
-      struct(greatest(d2, lit(0.0)).as("d2"), lit(k).as("code"))
-    }: _*))
-  }
+  private def subCode(cb: IndexedSeq[Array[Double]], m: Int): Column =
+    graft.functions.VectorFunctions.nearestCenter(col("embedding"), m * Sub, Sub, cb)
 
   // ---- q_pq_encode ---------------------------------------------------
 
@@ -163,8 +158,16 @@ object Pq {
       val d2 = col("nsq") - lit(2.0) * Similarity.dot(x, typedLit(c.toSeq)) + lit(cc)
       struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
     }: _*)
+    // Cell assignment + sub-codes both go through the NearestCenter
+    // codegen argmin (model as a reference object): the earlier
+    // unrolled literal form emitted ~150 inline dot-product blocks
+    // here, pushed the fused stage's generated method past janino's
+    // 64 KB limit, and silently degraded the whole encode+join stage
+    // to interpreted execution.
     val assigned = emb
-      .withColumn("cell", array_min(cellDists).getField("cell"))
+      .withColumn("cell",
+        graft.functions.VectorFunctions
+          .nearestCenter(col("embedding"), 0, Dim, coarse).getField("code"))
       .select(col("vec_id") +: col("cell") +:
         (0 until M).map(m => subCode(cb(m), m).getField("code").as(s"c$m")): _*)
     val probes = emb.filter(col("vec_id") % 100 === 0)
@@ -183,7 +186,11 @@ object Pq {
         lit(0.0))
     }
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
-    val shortlist = probes.join(assigned, "cell") // cell-keyed equi join — codes only
+    // BROADCAST the probe side: queries are a ~1% sample (and at 100 TB
+    // the query batch is always ≪ the corpus), so the cell join must be
+    // a broadcast hash join, never a sort-merge — the corpus side never
+    // shuffles for the candidate join.
+    val shortlist = broadcast(probes).join(assigned, "cell") // cell-keyed equi join — codes only
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", round((0 until M).map(term).reduceLeft(_ + _), 6))
       .withColumn("ark", row_number().over(wAdc))

@@ -515,13 +515,22 @@ object Similarity {
     * cents/ranked/assigned prefix, shared by [[annIvf]] and
     * [[knnGraph]] so the assignment cannot drift between them.
     */
-  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame =
+  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val centers = ivfCenters(spark, sfDir)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
+      // corpus-side argmin via the NearestCenter codegen loop (model as
+      // a reference object — generated code independent of cell count);
+      // the probe side keeps the literal (d2, cell) array because it
+      // needs the SORTED top-p, not the argmin, and runs on the ~1%
+      // query sample only
       .withColumn("cell",
-        array_min(cellDistArray(ivfCenters(spark, sfDir))).getField("cell"))
+        graft.functions.VectorFunctions
+          .nearestCenter(col("embedding"), 0, centers.head.length, centers)
+          .getField("code"))
       .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+  }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -676,7 +685,10 @@ object Similarity {
       struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
     }: _*)
     val assigned = emb
-      .withColumn("cell", array_min(cellDists).getField("cell"))
+      .withColumn("cell",
+        graft.functions.VectorFunctions
+          .nearestCenter(col("embedding"), 0, centers.head.length, centers)
+          .getField("code"))
       .select(col("vec_id"), col("label"), col("cell"), col("embedding"), col("nsq"))
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .withColumn("probe", explode(slice(array_sort(cellDists), 1, IvfProbe)))
@@ -770,17 +782,13 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-    val x = col("embedding").cast("array<double>")
-    def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cc = c.map(v => v * v).sum
-      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
-      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
-    }: _*)
     val w = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
     val ranked = emb
-      .withColumn("best", array_min(cellDists))
+      .withColumn("best",
+        graft.functions.VectorFunctions
+          .nearestCenter(col("embedding"), 0, centers.head.length, centers))
       .select(col("vec_id"), col("embedding"), col("code"), col("nsq"),
-        col("best.cell").as("cell"), col("best.d2").as("d2"))
+        col("best.code").as("cell"), col("best.d2").as("d2"))
       .withColumn("rk", row_number().over(w))
       .persist()
     // narrow (band, nib, cell)-keyed self-join; pairs dedup'd as ids

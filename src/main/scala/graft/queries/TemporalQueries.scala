@@ -191,6 +191,43 @@ object TemporalQueries {
       ON e.user_id = i.user_id AND e.ts_us >= i.lo AND e.ts_us < i.hi
     GROUP BY 1"""
 
+  // ---- q_attribution -------------------------------------------------
+
+  /** q_attribution: row-level trigger→action attribution — every
+    * (click, same-user purchase within 5 minutes after) pair. This is
+    * [[graft.streaming.StreamingJoins.attributedActions]] executed in
+    * BATCH mode (`withWatermark` is a no-op on batch DataFrames), so
+    * the exact transform the live stream runs is oracle-gated here:
+    * stream == batch is pinned by StreamingJoinsSpec, batch == DuckDB
+    * by this oracle — no second join implementation to drift.
+    *
+    * Scale: user_id-keyed equi join with the time bound as a
+    * post-filter; a pathological hot user is handled by the binned
+    * decomposition `q_range_join` demonstrates (same answer, bounded
+    * candidates). Timestamps exit as epoch micros (BIGINT — the
+    * cross-engine-stable encoding, the `q_extract_long` discipline).
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    graft.streaming.StreamingJoins.attributedActions(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .select(col("trigger_id"), col("user_id"),
+        unix_micros(col("trigger_ts")).as("trigger_us"),
+        col("action_id"), unix_micros(col("action_ts")).as("action_us"),
+        col("value"))
+  }
+
+  val attributionSql: String =
+    """
+    SELECT t.event_id AS trigger_id, t.user_id,
+           epoch_us(t.ts) AS trigger_us,
+           a.event_id AS action_id, epoch_us(a.ts) AS action_us, a.value
+    FROM events t JOIN events a
+      ON t.user_id = a.user_id
+     AND a.ts >= t.ts AND a.ts <= t.ts + INTERVAL 5 MINUTE
+    WHERE t.event_type = 'click' AND a.event_type = 'purchase'"""
+
   // ---- q_unpivot -----------------------------------------------------
 
   /** Melt (unpivot) of the wide activity matrix back to long form —

@@ -43,6 +43,27 @@ class StreamingFilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed code verdicts equal batch verdicts row for row") {
+    val codeDocs: Seq[(Long, String)] = Seq(
+      1L -> "def main(x) { return x; } if (x == 1) { x = 2; }",
+      2L -> "the quick brown fox jumps over the lazy dog again",
+    )
+    val batch = graft.pipeline.TextSignals.codeVerdicts(codeDocs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.pipeline.TextSignals.codeVerdicts(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("codedet").outputMode("append").start()
+    try {
+      mem.addData(codeDocs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("codedet").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed == batch, "stream and batch code verdicts diverged")
+      assert(streamed(1L).contains(true) && batch(2L).last == false)
+    } finally q.stop()
+  }
+
   test("planted failures break the expected rules") {
     val rows = Filters.gopherVerdicts(docs.toDF("doc_id", "text"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
