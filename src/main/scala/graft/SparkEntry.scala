@@ -136,6 +136,7 @@ object SparkEntry {
     "q_top_terms_grouped" -> (AnalyticQueries.topTermsGrouped _),
     // privacy audit + content filter + table maintenance + resampling
     "q_pii_scan" -> (Privacy.piiScan _),
+    "q_k_anonymity" -> (Privacy.kAnonymity _),
     "q_blocklist" -> (TextAnalysis.blocklist _),
     "q_filter_funnel" -> (TextAnalysis.filterFunnel _),
     "q_compaction_plan" -> (graft.pipeline.TableOps.compactionPlan _),
@@ -323,6 +324,7 @@ object SparkEntry {
     "q_fuzzy_pairs" -> Dedup.fuzzyPairsSql,
     "q_top_terms_grouped" -> AnalyticQueries.topTermsGroupedSql,
     "q_pii_scan" -> Privacy.piiScanSql,
+    "q_k_anonymity" -> Privacy.kAnonymitySql,
     "q_blocklist" -> TextAnalysis.blocklistSql,
     "q_filter_funnel" -> TextAnalysis.filterFunnelSql,
     "q_compaction_plan" -> graft.pipeline.TableOps.compactionPlanSql,

@@ -122,4 +122,46 @@ object Privacy {
            CAST(sum(l) AS BIGINT) AS n_longnum,
            CAST(sum(CASE WHEN e + p + i + l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
     FROM d GROUP BY 1"""
+
+  // ---- q_k_anonymity -------------------------------------------------
+
+  /** Anonymity threshold: a quasi-identifier combination shared by
+    * fewer than K documents is re-identification-risky (standard
+    * k-anonymity, k = 5).
+    */
+  val AnonK = 5L
+
+  /** Length-bucket width for the quasi-identifier (exact lengths are
+    * near-unique and would make every doc its own group; the bucket is
+    * what an adversary observes from a release that truncates/pads).
+    */
+  val AnonLenBucket = 100L
+
+  /** q_k_anonymity: the release-readiness audit — group the corpus by
+    * its quasi-identifier tuple (lang, source, bucketed length) and
+    * flag every group smaller than [[AnonK]]: documents in those
+    * groups are re-identifiable from metadata alone even after
+    * [[anonymize]] scrubbed the payload. The output is the audit
+    * table a privacy review signs off on: every QI group, its size,
+    * and the at-risk verdict.
+    *
+    * Scale: one hash aggregation to the QI-group relation (map-side
+    * partials; output is |langs|×|sources|×|buckets| rows, corpus-size
+    * independent). No second corpus pass — the risky-doc total is
+    * derivable from this table.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $AnonLenBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"),
+        (col("n_docs") < AnonK).as("at_risk"))
+
+  val kAnonymitySql: String =
+    s"""
+    SELECT lang, source, n_chars // $AnonLenBucket AS len_bucket,
+           count(*) AS n_docs,
+           count(*) < $AnonK AS at_risk
+    FROM documents GROUP BY 1, 2, 3"""
 }

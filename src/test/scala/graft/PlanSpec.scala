@@ -251,4 +251,23 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(lr) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "q_lsh_recall must stay equi-join only")
   }
+
+  test("IVF-family assignment uses NearestCenter, and the PQ cell join broadcasts the probe side") {
+    // regression guard for the 64 KB codegen cliff: the unrolled
+    // literal-centroid argmin janino-failed and silently degraded the
+    // stage to interpreted execution. The optimized plans must carry
+    // the NearestCenter expression instead of an unrolled struct
+    // array_min over every centroid.
+    Seq("q_ann_ivfpq", "q_pq_encode", "q_knn_graph", "q_semantic_dedup",
+      "q_hard_negatives").foreach { q =>
+      val s = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+      assert(s.contains("nearestcenter"),
+        s"$q assignment must go through the NearestCenter codegen argmin")
+    }
+    // the ~1% query sample must broadcast into the cell join — at scale
+    // the corpus side never shuffles for candidate generation
+    val pq = plan("q_ann_ivfpq")
+    assert(collectAll(pq) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "q_ann_ivfpq cell join must be a broadcast hash join (probe side broadcast)")
+  }
 }

@@ -83,4 +83,20 @@ class PrivacyOpsSpec extends SparkSpec {
     // digest may of course CONTAIN the digit 7 by coincidence)
     assert(keys(1L) != "7" && keys(1L).matches("[0-9a-f]{32}"))
   }
+
+  // ---- q_k_anonymity -------------------------------------------------
+
+  test("kAnonymity: small QI groups flag at_risk, large groups pass; length buckets group correctly") {
+    // 5 docs sharing (en, big, bucket 0) -> safe; 1 doc alone in
+    // (en, small, bucket 1) -> at risk
+    val safe = (1L to 5L).map(i => (i, "x " * 10, "big"))       // n_chars 20 -> bucket 0
+    val risky = Seq((9L, "y " * 60, "small"))                    // n_chars 120 -> bucket 1
+    val dir = writeDocs(safe ++ risky)
+    val rows = Privacy.kAnonymity(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("len_bucket")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Boolean]("at_risk"))).toMap
+    assert(rows(("big", 0L)) == (5L, false), s"safe group wrong: $rows")
+    assert(rows(("small", 1L)) == (1L, true), s"risky group wrong: $rows")
+    assert(rows.size == 2)
+  }
 }
