@@ -113,6 +113,7 @@ object SparkEntry {
     "q_seasonal_anomaly" -> (graft.queries.DriftQueries.seasonalAnomaly _),
     "q_anomaly_ensemble" -> (graft.queries.DriftQueries.anomalyEnsemble _),
     "q_ewma" -> (graft.queries.DriftQueries.ewma _),
+    "q_changepoint" -> (graft.queries.DriftQueries.changepoint _),
     "q_lm_score" -> (TextAnalysis.lmScore _),
     "q_quality_deciles" -> (TextAnalysis.qualityDeciles _),
     "q_source_quantiles" -> (WindowQueries.sourceQuantiles _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "q_seasonal_anomaly" -> graft.queries.DriftQueries.seasonalAnomalySql,
     "q_anomaly_ensemble" -> graft.queries.DriftQueries.anomalyEnsembleSql,
     "q_ewma" -> graft.queries.DriftQueries.ewmaSql,
+    "q_changepoint" -> graft.queries.DriftQueries.changepointSql,
     "q_lm_score" -> TextAnalysis.lmScoreSql,
     "q_quality_deciles" -> TextAnalysis.qualityDecilesSql,
     "q_source_quantiles" -> WindowQueries.sourceQuantilesSql,

@@ -348,6 +348,102 @@ object DriftQueries {
                  (c, x) -> greatest(0.0, c + (x - m.mean))), 6) AS cusum
     FROM l JOIN m ON l.topic = m.topic"""
 
+  // ---- q_changepoint -------------------------------------------------
+
+  /** A topic is flagged changed when the peak |CUSUM| captures at least
+    * this fraction of the series' total absolute deviation (a
+    * scale-free localization confidence: a genuine level shift
+    * concentrates deviation mass on one side of the peak; noise
+    * spreads it).
+    */
+  val CpRatio = 0.2
+
+  /** q_changepoint: CUSUM change-POINT localization per topic — the
+    * question after `q_ewma`'s "is it drifting?" is "WHEN did it
+    * change?": the k maximizing |Σ_{i≤k}(xᵢ − mean)| is the classic
+    * CUSUM change-point estimate, reported with its event_id, the peak
+    * statistic, and the scale-free confidence ratio.
+    *
+    * Determinism at scale: the running CUSUM accumulates in
+    * DECIMAL(18,6) (exact, associative) — NOT double — because window
+    * engines disagree on summation ORDER (DuckDB evaluates windowed
+    * aggregates with segment trees, Spark's running frame accumulates
+    * sequentially; decimal makes the order irrelevant). Per-row diffs
+    * (xᵢ − mean) are one IEEE subtraction each, identical both
+    * engines, rounded to the decimal grid identically.
+    *
+    * Scale: one exact-mean aggregation (broadcast back), then windows
+    * PARTITIONED BY topic (never global): running decimal sum +
+    * per-topic total + one ranking pass — a single hash partition by
+    * topic and per-partition sorts, no corpus-sized collect.
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    val stats = ev.groupBy(col("event_type").as("topic"))
+      .agg((graft.functions.Exact.exactSum(col("value")) / count(lit(1))).as("mean"),
+        count(lit(1)).as("n"))
+    val run = Window.partitionBy(col("topic")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("topic"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rank = Window.partitionBy(col("topic"))
+      .orderBy(col("abs_sk").desc, col("event_id").asc)
+    ev.select(col("event_type").as("topic"), col("event_id"), col("value"))
+      .join(broadcast(stats), "topic")
+      .withColumn("diff", (col("value") - col("mean")).cast(D))
+      .withColumn("sk", sum(col("diff")).over(run).cast(D))
+      .withColumn("abs_sk", abs(col("sk")))
+      .withColumn("tad", sum(abs(col("diff"))).over(whole).cast(D))
+      .withColumn("rk", row_number().over(rank))
+      .filter(col("rk") === 1)
+      .select(col("topic"), col("n"), round(col("mean"), 6).as("mean"),
+        col("event_id").as("cp_event_id"),
+        col("abs_sk").cast("double").as("cusum_stat"),
+        col("tad").cast("double").as("total_abs_dev"),
+        when(col("tad") > 0,
+          round(col("abs_sk").cast("double") / col("tad").cast("double"), 6))
+          .otherwise(lit(0.0)).as("cp_ratio"))
+      .withColumn("changed", col("cp_ratio") >= CpRatio)
+  }
+
+  val changepointSql: String =
+    s"""
+    WITH m AS (
+      SELECT event_type AS topic,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / count(*) AS mean,
+             count(*) AS n
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT e.event_type AS topic, e.event_id, m.n, m.mean,
+             CAST(e.value - m.mean AS DECIMAL(18,6)) AS diff
+      FROM events e JOIN m ON e.event_type = m.topic
+      WHERE e.event_type IS NOT NULL AND e.value IS NOT NULL
+    ),
+    p AS (
+      SELECT topic, event_id, n, mean,
+             CAST(sum(diff) OVER (PARTITION BY topic ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS sk,
+             CAST(sum(abs(diff)) OVER (PARTITION BY topic) AS DECIMAL(18,6)) AS tad
+      FROM s
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY topic ORDER BY abs(sk) DESC, event_id ASC) AS rk
+      FROM p
+    )
+    SELECT topic, n, round(mean, 6) AS mean, event_id AS cp_event_id,
+           CAST(abs(sk) AS DOUBLE) AS cusum_stat,
+           CAST(tad AS DOUBLE) AS total_abs_dev,
+           CASE WHEN tad > 0 THEN round(CAST(abs(sk) AS DOUBLE) / CAST(tad AS DOUBLE), 6)
+                ELSE 0.0 END AS cp_ratio,
+           (CASE WHEN tad > 0 THEN round(CAST(abs(sk) AS DOUBLE) / CAST(tad AS DOUBLE), 6)
+                 ELSE 0.0 END) >= $CpRatio AS changed
+    FROM r WHERE rk = 1"""
+
   // ---- q_dist_drift ----------------------------------------------------
 
   /** Histogram bin width (chars) for the distribution-drift report. */
