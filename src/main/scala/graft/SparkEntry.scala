@@ -74,6 +74,7 @@ object SparkEntry {
     "q_source_overlap" -> (Dedup.sourceOverlap _),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
     "q_dup_cluster_sizes" -> (Dedup.dupClusterSizes _),
+    "q_dup_quality" -> (Dedup.dupQuality _),
     "q_dup_degree" -> (Dedup.dupDegree _),
     "q_dedup_incremental" -> (Dedup.incremental _),
     "q_bloom_dedup" -> (Dedup.bloomDedup _),
@@ -274,6 +275,7 @@ object SparkEntry {
     "q_source_overlap" -> Dedup.sourceOverlapSql,
     "q_ngram_novelty" -> Dedup.ngramNoveltySql,
     "q_dup_cluster_sizes" -> Dedup.dupClusterSizesSql,
+    "q_dup_quality" -> Dedup.dupQualitySql,
     "q_dup_degree" -> Dedup.dupDegreeSql,
     "q_dedup_incremental" -> Dedup.incrementalSql,
     "q_bloom_dedup" -> Dedup.bloomDedupSql,

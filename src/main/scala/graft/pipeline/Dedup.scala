@@ -1073,6 +1073,53 @@ object Dedup {
            (1000000 * n_docs) // n_total AS docs_ppm
     FROM h, t"""
 
+  // ---- q_dup_quality -------------------------------------------------
+
+  /** q_dup_quality: the cross-signal curation report — per quality
+    * decile ([[TextAnalysis.qualityDeciles]]' value-based buckets),
+    * how much of the decile is near-duplicated. This is the question
+    * that decides filter ORDER at 100 TB: if duplication concentrates
+    * in the low deciles, the quality gate already removes most dups
+    * and dedup can run on the survivors (cheaper); if dups spread
+    * across deciles, dedup must run first or high-quality dups get
+    * multi-counted by the mixer.
+    *
+    * Scale: the near-dup side collapses to a DISTINCT doc_id relation
+    * (narrow) before joining the decile relation on the doc key; the
+    * report aggregates to ≤ 10 rows. Duplication share in exact
+    * integer ppm, the [[dupClusterSizes]] discipline.
+    */
+  def dupQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = TextAnalysis.qualityDeciles(spark, sfDir)
+      .select(col("doc_id"), col("decile"))
+    val pairs = ngramJaccard(spark, sfDir)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    dec.join(dupIds, Seq("doc_id"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("decile"), col("n_docs"), col("n_dup"),
+        expr("(1000000 * n_dup) div n_docs").as("dup_ppm"))
+  }
+
+  val dupQualitySql: String =
+    s"""
+    WITH ${shinglePairCtesSql()},
+    dup AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)
+    ),
+    dec AS (SELECT doc_id, decile FROM (${TextAnalysis.qualityDecilesSql}) x)
+    SELECT decile, count(*) AS n_docs,
+           CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           (1000000 * CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+             // count(*) AS dup_ppm
+    FROM dec LEFT JOIN dup ON dec.doc_id = dup.doc_id
+    GROUP BY 1"""
+
   // ---- q_dup_degree --------------------------------------------------
 
   /** Degree profile of the near-dup graph — the health metric dedup

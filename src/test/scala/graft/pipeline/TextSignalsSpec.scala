@@ -88,6 +88,21 @@ class TextSignalsSpec extends SparkSpec {
 
   // ---- q_dup_cluster_sizes -------------------------------------------
 
+  test("dupQuality: planted dup trio is counted dup in its decile, singles are not; ppm exact") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val singles = (10L to 15L).map(i =>
+      (i, s"unique document number $i with its own distinct words entirely here", "en", "s"))
+    val dir = writeDocs(Seq(
+      (1L, dup, "en", "s"), (2L, dup, "en", "s"), (3L, dup, "en", "s")) ++ singles)
+    val rows = Dedup.dupQuality(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"), r.getAs[Long]("dup_ppm")))
+    assert(rows.map(_._1).sum == 9L, s"deciles must partition the corpus: ${rows.toSeq}")
+    assert(rows.map(_._2).sum == 3L, s"exactly the planted trio is dup: ${rows.toSeq}")
+    rows.foreach { case (n, d, ppm) =>
+      assert(ppm == 1000000L * d / n, s"ppm must be the exact integer share: ${rows.toSeq}")
+    }
+  }
+
   test("dupClusterSizes: histogram over planted clusters of size 3 and 2, ppm exact") {
     // near-dup requires high shingle Jaccard: identical texts guarantee it
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
