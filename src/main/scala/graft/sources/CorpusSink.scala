@@ -30,4 +30,28 @@ object CorpusSink {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Bucketed-table sink — the CO-LOCATED JOIN path: two tables
+    * bucketed on the same key with the same bucket count join WITHOUT
+    * any exchange (each task reads matching bucket files from both
+    * sides). At 100 TB this is the difference between shuffling the
+    * corpus for every doc-keyed join (scores, dedup verdicts, token
+    * counts — the joins every curation pass repeats) and shuffling it
+    * ONCE at write time. `sortBy` within buckets additionally removes
+    * the join's sort. BucketedJoinSpec proves the property from the
+    * physical plan: zero ShuffleExchange under the join.
+    *
+    * Parquet `path`-based writes cannot carry bucket metadata — Spark
+    * buckets only via the catalog — so this is `saveAsTable` (the
+    * table lives in the session warehouse; production points
+    * `spark.sql.warehouse.dir` at shared storage).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String = "doc_id", mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
