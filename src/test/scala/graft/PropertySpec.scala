@@ -135,4 +135,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("text-signal invariants: window accounting, readability bounds, code-flag monotonicity") {
+    import graft.pipeline.TextSignals
+    val word = Gen.oneOf("the", "cat", "de", "que", "la", "run", "tall", "word9", "x_y", "{a};")
+    val gen = Gen.zip(Gen.chooseNum(1, 120), Gen.chooseNum(1L, 1000000L))
+    forAllSampled(gen) { case (n, seed) =>
+      val words = samples(word, n)
+      val text = words.mkString(" ")
+      val dir = java.nio.file.Files.createTempDirectory("prop").toString
+      Seq((seed, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val mix = TextSignals.langMix(spark, dir).collect().head
+      val nWin = mix.getAs[Long]("n_windows")
+      // ceil(n / 25) windows, disagreements never exceed the window count
+      assert(nWin == (n + TextSignals.MixWindow - 1) / TextSignals.MixWindow)
+      assert(mix.getAs[Long]("n_mixed") <= nWin)
+      val read = TextSignals.readability(spark, dir).collect().head
+      assert(read.getAs[Long]("n_words") == n.toLong)
+      assert(read.getAs[Long]("n_sentences") >= 1L)
+      assert(read.getAs[Long]("n_syllables") >= 0L)
+      val code = TextSignals.codeDetect(spark, dir).collect().head
+      // counts bounded by the text itself
+      assert(code.getAs[Long]("n_sym") <= code.getAs[Long]("n_chars"))
+      assert(code.getAs[Long]("n_ident") <= n.toLong)
+    }
+  }
 }
