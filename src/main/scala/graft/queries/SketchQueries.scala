@@ -105,6 +105,26 @@ object SketchQueries {
   /** Count-min sketch width (counters per row). */
   val CmsWidth = 256
 
+  /** The CMS cell coordinate for hash row `r` and `key` — md5-derived
+    * (engine-parity, like every hash in the suite). Shared by the batch
+    * sketch and the streaming [[graft.streaming.CmsState]] JVM twin
+    * ([[cmsCellJvm]]), which CmsStateSpec pins equal.
+    */
+  def cmsCell(r: Column, key: Column): Column = pmod(
+    conv(substring(md5(concat(r.cast("string"), lit(":"), key.cast("string"))), 1, 15),
+      16, 10).cast("long"),
+    lit(CmsWidth.toLong))
+
+  /** JVM evaluation of [[cmsCell]] for the streaming state fold — the
+    * exact same md5("r:key") first-15-hex-chars mod width.
+    */
+  def cmsCellJvm(r: Int, key: Long, width: Int = CmsWidth): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$r:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % width).toInt
+  }
+
   /** Count-min-sketch frequency estimates for the heaviest user_ids,
     * next to the exact counts (Cormode & Muthukrishnan 2005). Like the
     * KMV sketch the hashes are md5-derived, so the sketch is exactly
@@ -124,10 +144,7 @@ object SketchQueries {
   def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
     val rows = (0 until CmsDepth).map(lit(_))
-    def cellOf(r: Column, key: Column): Column = pmod(
-      conv(substring(md5(concat(r.cast("string"), lit(":"), key.cast("string"))), 1, 15),
-        16, 10).cast("long"),
-      lit(CmsWidth.toLong))
+    def cellOf(r: Column, key: Column): Column = cmsCell(r, key)
     // build: one pass, explode each event into its depth coordinates
     val sketch = ev
       .select(explode(array(rows.map(r => struct(r.as("r"), cellOf(r, col("user_id")).as("c"))): _*)).as("rc"))
