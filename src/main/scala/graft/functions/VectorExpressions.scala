@@ -102,8 +102,13 @@ case class DotProduct(left: Expression, right: Expression)
   * to the struct array_min ordering.
   */
 case class NearestCenter(child: Expression, offset: Int, length: Int,
-    centers: Array[Array[Double]])
+    centers: IndexedSeq[IndexedSeq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // `centers` is a Seq (not Array) ON PURPOSE: case-class equality over
+  // an Array field is reference equality, which would break Catalyst's
+  // semanticEquals — two identical argmins in one projection would
+  // never deduplicate. The codegen path uses the flattened JVM mirror
+  // below.
 
   override def dataType: DataType = StructType(Seq(
     StructField("d2", DoubleType, nullable = false),
@@ -123,10 +128,13 @@ case class NearestCenter(child: Expression, offset: Int, length: Int,
           s"nearest_center expects array<float|double>, got $t")
     }
 
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+
   // ascending-index left fold — the exact order the literal form's
   // Scala-side `c.map(v => v * v).sum` used, so cc is bit-identical
   @transient private lazy val norms: Array[Double] =
-    centers.map { c =>
+    matrix.map { c =>
       var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s
     }
 
@@ -134,19 +142,28 @@ case class NearestCenter(child: Expression, offset: Int, length: Int,
     val x = a.asInstanceOf[ArrayData]
     val isF = elemIsFloat
     def at(i: Int): Double = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+    // clamp to the elements that exist — the replaced slice+DotProduct
+    // form computed over the available prefix of a short array (slice
+    // truncates, DotProduct folds min-length); reading past
+    // numElements would be silent out-of-bounds on UnsafeArrayData
+    val avail = math.max(0, math.min(length, x.numElements() - offset))
     var snsq = 0.0
     var i = 0
-    while (i < length) { val v = at(offset + i); snsq += v * v; i += 1 }
+    while (i < avail) { val v = at(offset + i); snsq += v * v; i += 1 }
     var bestD2 = Double.PositiveInfinity
     var bestK = -1
     var k = 0
-    while (k < centers.length) {
-      val c = centers(k)
+    while (k < matrix.length) {
+      val c = matrix(k)
       var dot = 0.0
       var j = 0
-      while (j < length) { dot += at(offset + j) * c(j); j += 1 }
+      while (j < avail) { dot += at(offset + j) * c(j); j += 1 }
       val d2 = { val v = snsq - 2.0 * dot + norms(k); if (v < 0.0) 0.0 else v }
-      if (d2 < bestD2) { bestD2 = d2; bestK = k }
+      // `k == 0`: center 0 is the default, matching the struct
+      // array_min it replaced (NaN distances — e.g. a NaN element —
+      // compare orderable there and resolve to the first index; a
+      // strict `<` alone would leave the sentinel -1)
+      if (k == 0 || d2 < bestD2) { bestD2 = d2; bestK = k }
       k += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(bestD2, bestK)
@@ -154,10 +171,11 @@ case class NearestCenter(child: Expression, offset: Int, length: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (elemIsFloat) "getFloat" else "getDouble"
-    val cRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    val cRef = ctx.addReferenceObj("centers", matrix, "double[][]")
     val nRef = ctx.addReferenceObj("norms", norms, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val snsq = ctx.freshName("snsq")
+      val avail = ctx.freshName("avail")
       val i = ctx.freshName("i")
       val k = ctx.freshName("k")
       val j = ctx.freshName("j")
@@ -166,8 +184,10 @@ case class NearestCenter(child: Expression, offset: Int, length: Int,
       val bestD2 = ctx.freshName("bestD2")
       val bestK = ctx.freshName("bestK")
       s"""
+         |int $avail = java.lang.Math.max(0,
+         |  java.lang.Math.min($length, $a.numElements() - $offset));
          |double $snsq = 0.0;
-         |for (int $i = 0; $i < $length; $i++) {
+         |for (int $i = 0; $i < $avail; $i++) {
          |  double v = (double) $a.$get($offset + $i);
          |  $snsq += v * v;
          |}
@@ -175,12 +195,12 @@ case class NearestCenter(child: Expression, offset: Int, length: Int,
          |int $bestK = -1;
          |for (int $k = 0; $k < $cRef.length; $k++) {
          |  double $dot = 0.0;
-         |  for (int $j = 0; $j < $length; $j++) {
+         |  for (int $j = 0; $j < $avail; $j++) {
          |    $dot += ((double) $a.$get($offset + $j)) * $cRef[$k][$j];
          |  }
          |  double $d2 = $snsq - 2.0 * $dot + $nRef[$k];
          |  if ($d2 < 0.0) $d2 = 0.0;
-         |  if ($d2 < $bestD2) { $bestD2 = $d2; $bestK = $k; }
+         |  if ($k == 0 || $d2 < $bestD2) { $bestD2 = $d2; $bestK = $k; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new Object[] { $bestD2, $bestK });
@@ -206,5 +226,6 @@ object VectorFunctions {
     */
   def nearestCenter(v: Column, offset: Int, length: Int,
       centers: Seq[Array[Double]]): Column =
-    toCol(NearestCenter(expr(v), offset, length, centers.toArray))
+    toCol(NearestCenter(expr(v), offset, length,
+      centers.map(_.toIndexedSeq).toIndexedSeq))
 }

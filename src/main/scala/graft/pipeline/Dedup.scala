@@ -1109,8 +1109,9 @@ object Dedup {
     s"""
     WITH ${shinglePairCtesSql()},
     dup AS (
-      SELECT DISTINCT doc_id
-      FROM (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)
+      -- UNION (set semantics) already deduplicates: it IS the Spark
+      -- side's union+distinct
+      SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
     ),
     dec AS (SELECT doc_id, decile FROM (${TextAnalysis.qualityDecilesSql}) x)
     SELECT decile, count(*) AS n_docs,

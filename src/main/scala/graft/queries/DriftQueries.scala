@@ -376,6 +376,14 @@ object DriftQueries {
     * PARTITIONED BY topic (never global): running decimal sum +
     * per-topic total + one ranking pass — a single hash partition by
     * topic and per-partition sorts, no corpus-sized collect.
+    *
+    * Envelope: the DECIMAL(18,6) trim bounds |CUSUM| and the total
+    * absolute deviation at 1e12 — the engine-wide exact-sum contract
+    * (graft.functions.Exact; SCALE.md "Cross-engine determinism").
+    * Beyond it Spark's non-ANSI cast nulls while DuckDB raises, so a
+    * corpus outside the envelope must lift the trim to a wider
+    * decimal, accepting that values past 2^53/1e6 lose the
+    * correctly-rounded double conversion both engines share below it.
     */
   def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -48,7 +48,13 @@ object CorpusSink {
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       bucketCol: String = "doc_id", mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write
+    // co-locate each bucket's rows in one task before the write — the
+    // same fragmentation rule as [[write]]: without it every input
+    // task emits a file into every bucket (tasks × buckets files), and
+    // multi-file buckets force Spark to re-sort at read time, losing
+    // the sortBy sort-elimination this sink exists for
+    df.repartition(buckets, col(bucketCol))
+      .write
       .mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

@@ -38,21 +38,25 @@ object CmsState {
     val cells = state.getOption.map(_.cells.toArray)
       .getOrElse(new Array[Long](depth * width))
     var n = state.getOption.map(_.seen).getOrElse(0L)
-    val seenKeys = scala.collection.mutable.LinkedHashSet.empty[Long]
+    // one digest per trigger-group, and each key's depth coordinates
+    // computed ONCE (cached for repeats within the trigger and reused
+    // by the emission loop) — per-observation digest instantiation
+    // would dominate the fold at streaming rates
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val coords = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Int]]
     rows.foreach { o =>
-      seenKeys += o.key
       n += 1L
+      val cs = coords.getOrElseUpdate(o.key,
+        SketchQueries.cmsCellsJvm(digest, o.key, depth, width))
       var r = 0
-      while (r < depth) {
-        cells(r * width + SketchQueries.cmsCellJvm(r, o.key, width)) += 1L
-        r += 1
-      }
+      while (r < depth) { cells(r * width + cs(r)) += 1L; r += 1 }
     }
     state.update(Grid(topic, n, cells.toSeq))
     val total = n
-    seenKeys.iterator.map { k =>
-      val est = (0 until depth)
-        .map(r => cells(r * width + SketchQueries.cmsCellJvm(r, k, width))).min
+    coords.iterator.map { case (k, cs) =>
+      var est = Long.MaxValue
+      var r = 0
+      while (r < depth) { est = math.min(est, cells(r * width + cs(r))); r += 1 }
       PointEst(topic, k, est, total)
     }
   }

@@ -31,55 +31,88 @@ class CmsStateSpec extends SparkSpec {
     }
   }
 
-  test("streamed estimates == batch CMS point estimates; estimate >= exact always") {
-    val ev = graft.queries.Tables.events(spark, sf)
-      .filter(col("user_id").isNotNull)
-      .select(col("event_type").as("topic"), col("user_id").as("key"), col("event_id"))
-      .orderBy(col("event_id"))
-      .as[(String, Long, Long)].collect()
+  private def corpusObs = graft.queries.Tables.events(spark, sf)
+    .filter(col("user_id").isNotNull)
+    .select(col("event_type").as("topic"), col("user_id").as("key"), col("event_id"))
+    .orderBy(col("event_id"))
+    .as[(String, Long, Long)].collect()
 
+  /** Batch reference: per-topic grid via the Column machinery the
+    * oracle-gated q_cms_topk uses, then min-over-depth per key.
+    */
+  private def batchEstimates(ev: Array[(String, Long, Long)]): Map[(String, Long), Long] = {
+    val obs = ev.map(r => (r._1, r._2)).toSeq.toDF("topic", "key")
+    val rows = (0 until SketchQueries.CmsDepth).map(lit(_))
+    val grid = obs
+      .select(col("topic"), explode(array(rows.map(r =>
+        struct(r.as("r"), SketchQueries.cmsCell(r, col("key")).as("c"))): _*)).as("rc"))
+      .groupBy(col("topic"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cell"))
+    obs.distinct()
+      .select(col("topic"), col("key"), explode(array(rows.map(r =>
+        struct(r.as("r"), SketchQueries.cmsCell(r, col("key")).as("c"))): _*)).as("rc"))
+      .select(col("topic"), col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(grid, Seq("topic", "r", "c"))
+      .groupBy(col("topic"), col("key"))
+      .agg(min(col("cell")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("one-trigger streamed estimates == batch CMS point estimates") {
+    // equality is only well-defined when the emission reflects the
+    // final grid: a key's last emission comes from the last trigger
+    // that OBSERVED it, so later triggers' collisions would legally
+    // raise the batch estimate above a stale streamed one — one
+    // trigger removes the staleness, multi-trigger mergeability is the
+    // next test's (deterministic) property
+    val ev = corpusObs
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Obs]
     val q = CmsState(mem.toDS()).writeStream
-      .format("memory").queryName("cms").outputMode("update").start()
+      .format("memory").queryName("cms1").outputMode("update").start()
+    try {
+      mem.addData(ev.map(r => Obs(r._1, r._2)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms1").collect()
+        .map(r => (r.getAs[String]("topic"), r.getAs[Long]("key")) ->
+          r.getAs[Long]("estimate")).toMap
+      val batch = batchEstimates(ev)
+      assert(streamed.nonEmpty && streamed.size == batch.size,
+        s"coverage mismatch: ${streamed.size} vs ${batch.size}")
+      streamed.foreach { case (tk, est) =>
+        assert(est == batch(tk), s"estimate drift at $tk: $est vs ${batch(tk)}")
+      }
+    } finally q.stop()
+  }
+
+  test("multi-trigger merge: estimates dominate exact counts, topic totals accumulate") {
+    val ev = corpusObs
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Obs]
+    val q = CmsState(mem.toDS()).writeStream
+      .format("memory").queryName("cms3").outputMode("update").start()
     try {
       ev.grouped(math.max(1, ev.length / 3)).foreach { chunk =>
         mem.addData(chunk.map(r => Obs(r._1, r._2)).toIndexedSeq: _*)
         q.processAllAvailable()
       }
-      // latest emission per (topic, key) = the final refreshed estimate
-      val streamed = spark.table("cms").collect()
-        .map(r => (r.getAs[String]("topic"), r.getAs[Long]("key")) ->
-          (r.getAs[Long]("n_seen"), r.getAs[Long]("estimate")))
-        .groupBy(_._1).map { case (tk, vs) => tk -> vs.map(_._2).maxBy(_._1)._2 }
-
-      // batch reference: per-topic grid via the Column machinery, then
-      // the min-over-depth point estimate per key
-      val obs = ev.map(r => (r._1, r._2)).toSeq.toDF("topic", "key")
-      val rows = (0 until SketchQueries.CmsDepth).map(lit(_))
-      val grid = obs
-        .select(col("topic"), explode(array(rows.map(r =>
-          struct(r.as("r"), SketchQueries.cmsCell(r, col("key")).as("c"))): _*)).as("rc"))
-        .groupBy(col("topic"), col("rc.r").as("r"), col("rc.c").as("c"))
-        .agg(count(lit(1)).as("cell"))
-      val batchEst = obs.distinct()
-        .select(col("topic"), col("key"), explode(array(rows.map(r =>
-          struct(r.as("r"), SketchQueries.cmsCell(r, col("key")).as("c"))): _*)).as("rc"))
-        .select(col("topic"), col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
-        .join(grid, Seq("topic", "r", "c"))
-        .groupBy(col("topic"), col("key"))
-        .agg(min(col("cell")).as("est"))
-        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-
-      assert(streamed.nonEmpty && streamed.size == batchEst.size,
-        s"coverage mismatch: ${streamed.size} vs ${batchEst.size}")
-      streamed.foreach { case (tk, est) =>
-        assert(est == batchEst(tk), s"estimate drift at $tk: $est vs ${batchEst(tk)}")
-      }
-      // one-sided error: estimate dominates the exact count
+      val emissions = spark.table("cms3").collect()
+        .map(r => ((r.getAs[String]("topic"), r.getAs[Long]("key")),
+          r.getAs[Long]("n_seen"), r.getAs[Long]("estimate")))
+      val lastEst = emissions.groupBy(_._1)
+        .map { case (tk, vs) => tk -> vs.maxBy(_._2)._3 }
+      // a key's total count is fully accrued by its last-observing
+      // trigger, so its last estimate must dominate its exact count —
+      // deterministic, unlike cross-trigger equality
       val exact = ev.map(r => (r._1, r._2)).groupBy(identity).view.mapValues(_.size.toLong)
       exact.foreach { case (tk, n) =>
-        assert(streamed(tk) >= n, s"CMS underestimated $tk: ${streamed(tk)} < $n")
+        assert(lastEst(tk) >= n, s"CMS underestimated $tk: ${lastEst(tk)} < $n")
+      }
+      // per-topic n_seen is monotone and ends at the topic's row count
+      val totals = ev.groupBy(_._1).view.mapValues(_.length.toLong)
+      totals.foreach { case (topic, total) =>
+        val seen = emissions.filter(_._1._1 == topic).map(_._2).max
+        assert(seen == total, s"$topic n_seen $seen != $total")
       }
     } finally q.stop()
   }
