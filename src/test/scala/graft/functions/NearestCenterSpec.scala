@@ -65,4 +65,36 @@ class NearestCenterSpec extends SparkSpec {
       .select(col("nc.code")).collect().head
     assert(r.getInt(0) == 1)
   }
+
+  test("short arrays fold over the available prefix, like the slice+dot form they replaced") {
+    // 1-element vector against 2-dim centers: dot/norm use only dim 0,
+    // exactly what slice-then-DotProduct (min-length fold) computed
+    val df = Seq((1L, Seq(1.0f))).toDF("id", "embedding")
+    val r = df.select(
+      VectorFunctions.nearestCenter(col("embedding"), 0, 2, centers).as("nc"))
+      .select(col("nc.code"), col("nc.d2")).collect().head
+    // d2 against (1,0): 1 - 2*1 + 1 = 0 -> exact winner at index 0
+    assert(r.getInt(0) == 0 && r.getDouble(1) == 0.0)
+    // window entirely past the end: zero vector -> nearest by norm
+    // alone, smallest-index tie-break among the (0,1) duplicates
+    val past = df.select(
+      VectorFunctions.nearestCenter(col("embedding"), 5, 2, centers).as("nc"))
+      .select(col("nc.code"), col("nc.d2")).collect().head
+    assert(past.getInt(0) == 0 && past.getDouble(1) == 1.0)
+  }
+
+  test("NaN elements resolve to center 0, matching struct array_min ordering") {
+    val df = Seq((1L, Seq(Float.NaN, 0.5f))).toDF("id", "embedding")
+    val nc = VectorFunctions.nearestCenter(col("embedding"), 0, 2, centers)
+    val x = col("embedding").cast("array<double>")
+    val nsq = VectorFunctions.dotProduct(x, x)
+    val unrolled = array_min(array(centers.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      val d2 = nsq - lit(2.0) * VectorFunctions.dotProduct(x, typedLit(c.toSeq)) + lit(cc)
+      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("code"))
+    }: _*))
+    val r = df.select(nc.getField("code").as("c"), unrolled.getField("code").as("ref"))
+      .collect().head
+    assert(r.getInt(0) == r.getInt(1) && r.getInt(0) == 0, s"NaN divergence: $r")
+  }
 }
