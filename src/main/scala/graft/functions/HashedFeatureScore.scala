@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Frozen-weights hashed-feature scoring (the fasttext-style linear
+  * classifier margin): `bias + (Σ_f weights[h32(f) mod buckets]) / n`
+  * over an `array<string>` feature column, where h32 is the engine's
+  * md5-derived 32-bit hash (first 8 hex digits — `Dedup.h32`).
+  *
+  * Why an Expression: the Column form
+  * (`aggregate(fs, 0.0, (acc, f) -> acc + element_at(w, h32(f)%B+1))`)
+  * runs the whole md5→substring→conv chain INTERPRETED per token —
+  * higher-order-function lambdas never compile — and at corpus scale
+  * the classifier margin is pure per-token hashing. Here the stage
+  * stays in whole-stage codegen and the per-row fold runs as compiled
+  * JVM code with a thread-local digest.
+  *
+  * Bit-parity contract (the q_quality_classifier oracle rides on it):
+  * JVM md5 over the UTF8String bytes equals Spark's `md5()`; the first
+  * 8 hex digits are folded from the first 4 digest bytes exactly as
+  * `conv(substring(hex, 1, 8), 16, 10)` parses them; the accumulation
+  * is the same ascending left fold; the final shape is
+  * `bias + (sum / n)` — one IEEE add of one IEEE division, identical
+  * to the Column form it replaces. Sole divergence: an EMPTY feature
+  * array yields NaN here where the ANSI-mode Column `Divide` raises —
+  * unreachable from the classifier, whose `split` tokenization always
+  * yields at least one element (ClassifierScoreSpec pins both facts).
+  */
+case class HashedFeatureScore(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    buckets: Int, weights: IndexedSeq[Double], bias: Double,
+    withBigrams: Boolean = false)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // withBigrams: the input is the TOKEN array and the feature sequence
+  // is unigrams then adjacent "t1 t2" bigrams — the classifier's
+  // featureList, built here from bytes without materializing the
+  // intermediate string array (the Column featureList ran transform +
+  // concat_ws interpreted per row)
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_feature_score expects array<string>, got $t")
+    }
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  /** The compiled per-row fold; called from both eval and the generated
+    * code. Null elements null the whole score, matching the Column
+    * fold's null propagation.
+    */
+  def score(a: ArrayData): Any = {
+    val nToks = a.numElements()
+    val digest = HashedFeatureScore.digests.get()
+    def wOf(bytes: Array[Byte]): Double = {
+      digest.reset()
+      val d = digest.digest(bytes)
+      // first 8 hex digits = first 4 bytes, big-endian unsigned
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      w((v % buckets).toInt)
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < nToks) {
+      if (a.isNullAt(i)) return null
+      acc += wOf(a.getUTF8String(i).getBytes)
+      i += 1
+    }
+    var n = nToks
+    if (withBigrams && nToks >= 2) {
+      n += nToks - 1
+      var k = 0
+      while (k < nToks - 1) {
+        val b1 = a.getUTF8String(k).getBytes
+        val b2 = a.getUTF8String(k + 1).getBytes
+        val bytes = new Array[Byte](b1.length + 1 + b2.length)
+        System.arraycopy(b1, 0, bytes, 0, b1.length)
+        bytes(b1.length) = ' '
+        System.arraycopy(b2, 0, bytes, b1.length + 1, b2.length)
+        acc += wOf(bytes)
+        k += 1
+      }
+    }
+    bias + acc / n
+  }
+
+  override def nullSafeEval(a: Any): Any = score(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hfs", this, classOf[HashedFeatureScore].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = $self.score($a);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): HashedFeatureScore =
+    copy(child = c)
+}
+
+object HashedFeatureScore {
+  /** The generated code may be shared across task threads in one JVM —
+    * MessageDigest is stateful, so each thread folds with its own.
+    */
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
+object TextScoreFunctions {
+  /** Codegen'd hashed-feature linear score (see [[HashedFeatureScore]]). */
+  def hashedFeatureScore(features: Column, buckets: Int,
+      weights: Seq[Double], bias: Double): Column =
+    ColumnBridge.column(HashedFeatureScore(
+      ColumnBridge.expression(features), buckets, weights.toIndexedSeq, bias))
+
+  /** Token-array form: features = unigrams then adjacent bigrams,
+    * hashed from bytes without materializing the feature strings.
+    */
+  def hashedTokenScore(tokens: Column, buckets: Int,
+      weights: Seq[Double], bias: Double): Column =
+    ColumnBridge.column(HashedFeatureScore(
+      ColumnBridge.expression(tokens), buckets, weights.toIndexedSeq, bias,
+      withBigrams = true))
+}

@@ -149,14 +149,16 @@ object QualityClassifier {
     */
   def classify(spark: SparkSession, sfDir: String): DataFrame = {
     val m = weightsFor(spark, sfDir)
-    val wlit = typedLit(m.weights)
-    val raw = lit(m.bias) +
-      aggregate(col("fs"), lit(0.0),
-        (acc, f) => acc + element_at(wlit, ((Dedup.h32(f) % Buckets) + 1).cast("int"))) /
-        size(col("fs")).cast("double")
+    // codegen'd fold (graft.functions.HashedFeatureScore, token form)
+    // — the HOF formulation ran the md5 chain interpreted per token
+    // plus an interpreted transform+concat_ws building every bigram
+    // string, and was the suite's slowest residual
+    // (q_quality_calibration ~3 s at sf0.1); ClassifierScoreSpec pins
+    // the codegen and HOF forms bit-identical
+    val raw = graft.functions.TextScoreFunctions
+      .hashedTokenScore(col("tk"), Buckets, m.weights, m.bias)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        featureList(split(col("text"), " ")).as("fs"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("source"), raw.as("raw"))
       .select(col("doc_id"), col("source"),
         round(col("raw"), 6).as("score"),
