@@ -122,8 +122,77 @@ object HashedFeatureScore {
   /** The generated code may be shared across task threads in one JVM —
     * MessageDigest is stateful, so each thread folds with its own.
     */
-  private val digests: ThreadLocal[java.security.MessageDigest] =
+  private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** Σ_t lookup[h32(t) mod buckets] over an `array<string>` column with
+  * the lookup array arriving as a bound ATTRIBUTE (the DSIR pattern:
+  * the smoothed likelihood-ratio array is computed on the single-row
+  * broadcast side, so it reaches the per-token fold as a column, not a
+  * literal). Same h32 (md5 first-8-hex) and the same ascending left
+  * fold as the HOF `aggregate` it replaces — which evaluated the md5
+  * chain interpreted per token; the caller divides by the token count
+  * and rounds, exactly as before, so the oracle hash is unchanged.
+  */
+case class HashedBucketSum(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_bucket_sum expects (array<string>, array<double>), got $l / $r")
+    }
+
+  def sumOf(toks: ArrayData, lookup: ArrayData): Any = {
+    val n = toks.numElements()
+    val digest = HashedFeatureScore.digests.get()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      // a null token nulls the whole fold, like the HOF's null chain
+      if (toks.isNullAt(i)) return null
+      digest.reset()
+      val d = digest.digest(toks.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      acc += lookup.getDouble((v % buckets).toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    sumOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hbs", this, classOf[HashedBucketSum].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = $self.sumOf($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): HashedBucketSum =
+    copy(left = l, right = r)
 }
 
 object TextScoreFunctions {
@@ -141,4 +210,11 @@ object TextScoreFunctions {
     ColumnBridge.column(HashedFeatureScore(
       ColumnBridge.expression(tokens), buckets, weights.toIndexedSeq, bias,
       withBigrams = true))
+
+  /** Codegen'd Σ lookup[h32(token) mod buckets] with the lookup array
+    * as a bound column (see [[HashedBucketSum]]).
+    */
+  def hashedBucketSum(tokens: Column, lookup: Column, buckets: Int): Column =
+    ColumnBridge.column(HashedBucketSum(
+      ColumnBridge.expression(tokens), ColumnBridge.expression(lookup), buckets))
 }

@@ -85,14 +85,18 @@ object Importance {
           (CAST(element_at(tcnt, b + 1) + 1 AS DOUBLE) / CAST(nt + $Buckets AS DOUBLE))
           / (CAST(element_at(rcnt, b + 1) + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE)))""")
         .as("ratio"))
+    // the per-token fold runs in the HashedBucketSum codegen expression
+    // (the HOF `aggregate` form evaluated the md5 chain interpreted per
+    // token); `ratio` stays a bound attribute child, so the round-6
+    // CollapseProject inlining pathology remains impossible and the
+    // PlanSpec guard still holds
     docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .crossJoin(broadcast(model))
-      .withColumn("dsir_weight", round(expr(s"""
-        aggregate(tk, CAST(0.0 AS DOUBLE), (acc, t) ->
-          acc + element_at(ratio,
-            CAST((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $Buckets) + 1 AS INT)))
-        / size(tk)"""), 6))
+      .withColumn("dsir_weight", round(
+        graft.functions.TextScoreFunctions
+          .hashedBucketSum(col("tk"), col("ratio"), Buckets) /
+          size(col("tk")), 6))
       .select(col("doc_id"), col("source"), col("tk"), col("dsir_weight"))
   }
 

@@ -66,6 +66,25 @@ class ClassifierScoreSpec extends SparkSpec {
     }
   }
 
+  test("hashedBucketSum == HOF fold with the lookup array as a bound column") {
+    val docs = Seq(
+      (Seq("alpha", "beta", "beta gamma", "日本語"), (0 until B).map(i => i * 0.125 - 3.0)),
+      (Seq("x"), (0 until B).map(i => -i * 0.5)),
+    ).toDF("tk", "ratio")
+    val hof = expr(s"""
+      aggregate(tk, CAST(0.0 AS DOUBLE), (acc, t) ->
+        acc + element_at(ratio,
+          CAST((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $B) + 1 AS INT)))""")
+    val rows = docs.select(
+      TextScoreFunctions.hashedBucketSum(col("tk"), col("ratio"), B).as("fast"),
+      hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"bucket-sum drift: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("empty feature array yields NaN (ANSI HOF form raises instead); null element nulls the score") {
     val empty = Seq(Seq.empty[String]).toDF("fs")
     val r = empty.select(
