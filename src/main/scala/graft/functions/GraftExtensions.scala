@@ -73,6 +73,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_hll_sketch(hashCol, m)")
         HllSketch(args.head, long(args(1), "m").toInt)
       }),
+    ("graft_hashed_bucket_sum",
+      new ExpressionInfo(classOf[HashedBucketSum].getName, "graft_hashed_bucket_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_hashed_bucket_sum(tokens, lookup, buckets)")
+        HashedBucketSum(args(0), args(1), long(args(2), "buckets").toInt)
+      }),
   )
 
   /** Register on an existing session (idempotent). */

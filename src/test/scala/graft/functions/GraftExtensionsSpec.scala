@@ -43,6 +43,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_hll_sketch(v, 4) AS s FROM VALUES (0L), (5L), (21L), (7L) AS t(v)")
       .head().getSeq[Int](0)
     assert(hll == Seq(59, 58, 0, 58))
+    // the hashed bucket sum works from SQL and equals the Scala form
+    val lk = (0 until 8).map(i => i * 0.5).toArray
+    val viaScala3 = Seq((Seq("a", "b"), lk.toSeq)).toDF("tk", "lk")
+      .select(TextScoreFunctions.hashedBucketSum(col("tk"), col("lk"), 8))
+      .head().getDouble(0)
+    val viaSql3 = spark.sql(
+      s"SELECT graft_hashed_bucket_sum(array('a', 'b'), array(${lk.mkString("D,")}D), 8) AS s")
+      .head().getDouble(0)
+    assert(viaSql3 == viaScala3)
     // registration is idempotent
     GraftFunctions.register(spark)
   }
