@@ -152,6 +152,7 @@ case class HashedBucketSum(left: org.apache.spark.sql.catalyst.expressions.Expre
 
   def sumOf(toks: ArrayData, lookup: ArrayData): Any = {
     val n = toks.numElements()
+    val nLookup = lookup.numElements()
     val digest = HashedFeatureScore.digests.get()
     var acc = 0.0
     var i = 0
@@ -163,7 +164,14 @@ case class HashedBucketSum(left: org.apache.spark.sql.catalyst.expressions.Expre
       var v = 0L
       var j = 0
       while (j < 4) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      acc += lookup.getDouble((v % buckets).toInt)
+      val idx = (v % buckets).toInt
+      // the function is SQL-registered (graft_hashed_bucket_sum), so a
+      // user-supplied lookup may be shorter than `buckets` or carry
+      // nulls — an unchecked getDouble on UnsafeArrayData would read
+      // out of bounds. element_at semantics: missing/null bucket nulls
+      // the fold.
+      if (idx >= nLookup || lookup.isNullAt(idx)) return null
+      acc += lookup.getDouble(idx)
       i += 1
     }
     acc

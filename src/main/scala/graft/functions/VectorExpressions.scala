@@ -110,6 +110,15 @@ case class NearestCenter(child: Expression, offset: Int, length: Int,
   // never deduplicate. The codegen path uses the flattened JVM mirror
   // below.
 
+  // a non-finite frozen center would make SOME d2 NaN while others stay
+  // finite, where the strict `<` scan (with its k==0 default) diverges
+  // from the struct array_min's NaN-orderable pick — reject it at
+  // construction instead of silently mis-assigning. NaN INPUT elements
+  // poison every d2 alike (snsq is shared), so the k==0 default stays
+  // exactly array_min's all-NaN first-index pick.
+  require(centers.forall(_.forall(java.lang.Double.isFinite)),
+    "nearest_center requires finite center coordinates")
+
   override def dataType: DataType = StructType(Seq(
     StructField("d2", DoubleType, nullable = false),
     StructField("code", IntegerType, nullable = false)))

@@ -758,6 +758,15 @@ object Dedup {
     * smallest doc_id in its component (the canonical keeper) plus the
     * component size.
     *
+    * The pair source is the CAPPED join ([[ngramJaccardCapped]]): a
+    * single stop-shingle (template boilerplate shared by n docs) turns
+    * the uncapped join into C(n,2) pairs — at 100 TB that one key is
+    * the scale-killer of the whole cluster pipeline, and the pairs it
+    * adds are exactly the boilerplate-only edges a dedup run should
+    * not cluster on. The cap is priced per-corpus by [[dedupCost]];
+    * run [[exact]] first so identical-copy clusters (whose shingles
+    * are legitimately hot) are already collapsed before capping.
+    *
     * Algorithm: iterative min-label propagation (the standard
     * MapReduce/Pregel connected-components formulation) — each round
     * every node takes the min of its own label and its neighbors'
@@ -768,8 +777,15 @@ object Dedup {
     * Near-dup components have tiny diameters (dup clusters are dense),
     * so rounds stay single-digit even at 100 TB.
     */
-  def components(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+  def components(spark: SparkSession, sfDir: String): DataFrame =
+    componentsOfPairs(
+      ngramJaccardCapped(spark, sfDir).select(col("doc_a"), col("doc_b")))
+
+  /** The label-propagation core over any (doc_a, doc_b) pair relation —
+    * exposed so specs can feed planted pair graphs and so alternate
+    * pair sources (SimHash, MinHash bands) can reuse the resolver.
+    */
+  def componentsOfPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -782,14 +798,17 @@ object Dedup {
     while (changed > 0 && rounds < 50) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      // the change flag rides the propagation join itself: the old
+      // shape paid a SECOND labels⋈next join per round just to count
+      // changes — here the count is a scan of the already-materialized
+      // checkpoint, so each round costs exactly one join + one agg
       val next = labels.join(prop, labels("id") === prop("src"), "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+          (col("nlab").isNotNull && col("nlab") < col("lab")).as("chg"))
         .localCheckpoint(eager = true)
-      changed = next.as("n")
-        .join(labels.withColumnRenamed("lab", "old"), "id")
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("lab"))
       rounds += 1
     }
     // labels is localCheckpointed (severed from edges); the result below
@@ -808,7 +827,7 @@ object Dedup {
 
   val componentsSql: String =
     s"""
-    WITH RECURSIVE ${shinglePairCtesSql()},
+    WITH RECURSIVE ${shinglePairCtesSql(maxFreq = Some(ShingleFreqCap))},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -842,12 +861,14 @@ object Dedup {
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // persisted for the life of the (lazy) plan — released by the
-    // session-level clearCache Verify/Bench run after each query, like
-    // every shingle-explode cache in this family (shinglePairScaffold)
+    // eager localCheckpoint, not persist: the explode is computed once
+    // (df agg + scoring join both read the checkpoint) and the blocks
+    // are released by the ContextCleaner when the result is dropped —
+    // a library caller holds no CacheManager entry to forget to
+    // unpersist (the components/pagerank discipline)
     val sh = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .persist()
+      .localCheckpoint(eager = true)
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
       .groupBy(col("doc_id"))
@@ -897,7 +918,8 @@ object Dedup {
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("hs")).as("sh"))
       .distinct()
-      .persist()
+      // self-releasing checkpoint instead of persist — see ngramNovelty
+      .localCheckpoint(eager = true)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val shared = ss.as("a")
       .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") =!= col("b.source"))
@@ -957,11 +979,10 @@ object Dedup {
     */
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // persisted for the plan's lifetime; released by the per-query
-    // clearCache in Verify/Bench (see ngramNovelty)
+    // self-releasing checkpoint instead of persist — see ngramNovelty
     val sh = shingleHashes(docs, BoilerN, keep = Seq("source"))
       .select(col("doc_id"), col("source"), explode(col("hs")).as("sh"))
-      .persist()
+      .localCheckpoint(eager = true)
     val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val flagged = sh.groupBy(col("source"), col("sh")).agg(count(lit(1)).as("df"))
       .join(broadcast(nDocs), "source")
@@ -1084,15 +1105,17 @@ object Dedup {
     * across deciles, dedup must run first or high-quality dups get
     * multi-counted by the mixer.
     *
-    * Scale: the near-dup side collapses to a DISTINCT doc_id relation
-    * (narrow) before joining the decile relation on the doc key; the
-    * report aggregates to ≤ 10 rows. Duplication share in exact
-    * integer ppm, the [[dupClusterSizes]] discipline.
+    * Scale: pairs come from the CAPPED join ([[ngramJaccardCapped]],
+    * same rationale as [[components]]); the near-dup side collapses to
+    * a DISTINCT doc_id relation (narrow) before joining the decile
+    * relation on the doc key; the report aggregates to ≤ 10 rows.
+    * Duplication share in exact integer ppm, the [[dupClusterSizes]]
+    * discipline.
     */
   def dupQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = TextAnalysis.qualityDeciles(spark, sfDir)
       .select(col("doc_id"), col("decile"))
-    val pairs = ngramJaccard(spark, sfDir)
+    val pairs = ngramJaccardCapped(spark, sfDir)
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -1107,7 +1130,7 @@ object Dedup {
 
   val dupQualitySql: String =
     s"""
-    WITH ${shinglePairCtesSql()},
+    WITH ${shinglePairCtesSql(maxFreq = Some(ShingleFreqCap))},
     dup AS (
       -- UNION (set semantics) already deduplicates: it IS the Spark
       -- side's union+distinct
@@ -1129,12 +1152,14 @@ object Dedup {
     * dedup strategy (cluster-collapse vs pairwise-drop), so this is the
     * diagnostic run before choosing one.
     *
-    * Scale: rides the same candidate scaffold as [[ngramJaccard]];
-    * after pair generation it is two tiny hash aggregations (per-doc
-    * degree, then per-degree count).
+    * Scale: rides the CAPPED candidate scaffold ([[ngramJaccardCapped]]
+    * — one hot stop-shingle would otherwise make the pair join itself
+    * quadratic before any degree is counted); after pair generation it
+    * is two tiny hash aggregations (per-doc degree, then per-degree
+    * count).
     */
   def dupDegree(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val pairs = ngramJaccardCapped(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val degrees = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -1143,7 +1168,7 @@ object Dedup {
 
   val dupDegreeSql: String =
     s"""
-    WITH ${shinglePairCtesSql()},
+    WITH ${shinglePairCtesSql(maxFreq = Some(ShingleFreqCap))},
     deg AS (
       SELECT doc_id, count(*) AS degree FROM (
         SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs

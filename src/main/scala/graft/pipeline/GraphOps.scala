@@ -24,7 +24,11 @@ object GraphOps {
 
   /** q_pagerank: five integer PageRank iterations (damping 0.85 as the
     * exact rational 850/1000) over the undirected near-dup graph from
-    * [[Dedup.ngramJaccard]] pairs.
+    * the CAPPED pair join ([[Dedup.ngramJaccardCapped]] — the same
+    * scale rationale as [[Dedup.components]]: one hot stop-shingle
+    * makes the uncapped pair join quadratic before any rank is
+    * computed, and boilerplate-only edges are exactly the hub edges
+    * this detector should not be fed twice).
     *
     * Scale: per iteration — one equi join rank⋈edges on the node key,
     * one hash aggregation of 8-byte contributions; the edge relation
@@ -35,7 +39,8 @@ object GraphOps {
     * wall-clock bounded and the result engine-exact.
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame =
-    pagerankOnPairs(Dedup.ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    pagerankOnPairs(
+      Dedup.ngramJaccardCapped(spark, sfDir).select(col("doc_a"), col("doc_b")))
 
   /** The iteration core over an undirected pair relation (doc_a, doc_b)
     * — exposed so specs can feed hand-built graphs with hand-computed
@@ -99,7 +104,7 @@ object GraphOps {
       ) s ON n.node = s.dst
     )"""
     s"""
-    WITH ${Dedup.shinglePairCtesSql()},
+    WITH ${Dedup.shinglePairCtesSql(maxFreq = Some(Dedup.ShingleFreqCap))},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs

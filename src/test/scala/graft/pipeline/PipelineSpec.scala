@@ -58,7 +58,9 @@ class DedupSpec extends SparkSpec {
       assert(comp(root)._1 == root, "cluster root must be its own root")
       assert(size >= 2, "every clustered doc has at least one neighbor")
     }
-    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+    // components consumes the CAPPED pair graph, so co-clustering is
+    // asserted against the same source
+    val pairs = Dedup.ngramJaccardCapped(spark, sf).select("doc_a", "doc_b").collect()
     pairs.foreach { r =>
       assert(comp(r.getLong(0))._1 == comp(r.getLong(1))._1,
         s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Round-8: the frequency cap wired into the near-dup cluster family.
+  * The driver oracle proves cross-engine parity of the capped queries;
+  * these pin the SCALE property (capped pair volume linear where the
+  * uncapped join is quadratic in the hot-shingle multiplicity) and the
+  * WIRING (components/degree actually consume the capped graph).
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** n boilerplate copies (all sharing the same 6-token text) plus one
+    * rare identical pair (doc_ids 1001/1002).
+    */
+  private def writeBoilerplateCorpus(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"dcap8_$n").toString
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ")
+    val rare = (1 to 6).map(i => s"r$i").mkString(" ")
+    val rows = (1L to n.toLong).map(i => (i, boiler, "s")) ++
+      Seq((1001L, rare, "s"), (1002L, rare, "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("capped pair volume stays constant while the uncapped join grows quadratically") {
+    // one hot shingle shared by n docs contributes C(n,2) uncapped
+    // pairs: doubling n must ~quadruple the uncapped output while the
+    // capped output (freq cap 2 < n) is exactly the one rare pair at
+    // BOTH sizes — the linear-vs-quadratic scale contract of the cap
+    val dirs = Seq(8, 16).map(writeBoilerplateCorpus)
+    val Seq(unc8, unc16) = dirs.map { d =>
+      val c = Dedup.ngramJaccard(spark, d).count()
+      spark.catalog.clearCache()
+      c
+    }
+    val Seq(cap8, cap16) = dirs.map { d =>
+      val c = Dedup.ngramJaccardCapped(spark, d).count()
+      spark.catalog.clearCache()
+      c
+    }
+    assert(unc8 == 8L * 7 / 2 + 1, s"uncapped at n=8: $unc8")
+    assert(unc16 == 16L * 15 / 2 + 1, s"uncapped at n=16: $unc16")
+    assert(cap8 == 1L && cap16 == 1L,
+      s"capped output must be the single rare pair at both sizes, got $cap8/$cap16")
+  }
+
+  test("the cluster family consumes the capped graph: boilerplate hubs never cluster") {
+    val dir = writeBoilerplateCorpus(10)
+    val comp = Dedup.components(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    spark.catalog.clearCache()
+    assert(comp == Map(1001L -> ((1001L, 2L)), 1002L -> ((1001L, 2L))),
+      s"only the rare pair may cluster under the capped source, got $comp")
+    val deg = Dedup.dupDegree(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(deg == Map(1L -> 2L),
+      s"capped degree profile is two docs of degree 1, got $deg")
+  }
+
+  test("componentsOfPairs resolves a planted chain to its minimum label") {
+    // path graph 5-3-9-2: diameter 3, all four nodes one component
+    // rooted at 2; plus the isolated edge (7, 8)
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Dedup.componentsOfPairs(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      2L -> ((2L, 4L)), 3L -> ((2L, 4L)), 5L -> ((2L, 4L)), 9L -> ((2L, 4L)),
+      7L -> ((7L, 2L)), 8L -> ((7L, 2L))), s"got $out")
+  }
+}
