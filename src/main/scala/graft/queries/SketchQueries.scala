@@ -146,6 +146,16 @@ object SketchQueries {
     (v % width).toInt
   }
 
+  /** Candidate pool size for the CMS-driven heavy-hitter walk: the
+    * top [[CmsCandidates]] keys by SKETCH estimate are the only keys
+    * whose exact count is ever computed. 64 for a top-20 report leaves
+    * a 3× collision-inflation margin (CMS error is one-sided, so a
+    * truly heavy key can only be displaced by lighter keys whose
+    * estimates were inflated ABOVE it — the spec cross-checks the pool
+    * covers the exact top-20 at test scale).
+    */
+  val CmsCandidates = 64
+
   /** Count-min-sketch frequency estimates for the heaviest user_ids,
     * next to the exact counts (Cormode & Muthukrishnan 2005). Like the
     * KMV sketch the hashes are md5-derived, so the sketch is exactly
@@ -156,11 +166,18 @@ object SketchQueries {
     * built by ONE hash aggregation (map-side partials collapse each
     * partition to ≤ depth·width cells before the shuffle), and two CMS
     * sketches merge by cell-wise addition — the shape that survives a
-    * 1000-executor fan-in. Point queries then join the candidates'
-    * (row, col) coordinates against the broadcast grid (≤ 1024 rows).
-    * Candidates here are the exact per-key counts (fine at test scale);
-    * at 100 TB the candidate set comes from a coarse pre-filter or a
-    * per-partition top-k, never from materializing every key.
+    * 1000-executor fan-in. The candidate side is SKETCH-DRIVEN: the
+    * key universe is a DISTINCT (narrow — no counting state), each
+    * key's estimate is a broadcast lookup into the ≤ 1024-cell grid,
+    * and the top-[[CmsCandidates]] by (estimate, key) — a TakeOrdered,
+    * never a global sort — are the only keys whose exact counts are
+    * then aggregated (broadcast semi-filter over the events, ≤ 64
+    * groups). No full per-key count aggregate exists anywhere in the
+    * plan; the operator's contract is "exact top-20 among the top-64
+    * CMS-estimated keys", deterministic on both engines because the
+    * estimate and the tie-break are. PlanSpec pins the shape; the
+    * Round8 spec cross-checks the pool covers the unconditional exact
+    * top-20 at test scale.
     */
   def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
@@ -171,16 +188,22 @@ object SketchQueries {
       .select(explode(array(rows.map(r => struct(r.as("r"), cellOf(r, col("user_id")).as("c"))): _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cell"))
-    // point queries: candidate keys -> min over the depth cells
-    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-    val est = exact
-      .select(col("user_id"), col("n_exact"),
+    // candidates: distinct keys -> min over the depth cells of the
+    // broadcast grid -> top-CmsCandidates by (estimate desc, key asc)
+    val candidates = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
         explode(array(rows.map(r => struct(r.as("r"), cellOf(r, col("user_id")).as("c"))): _*)).as("rc"))
       .join(broadcast(sketch),
         col("rc.r") === col("r") && col("rc.c") === col("c"))
       .groupBy(col("user_id"))
-      .agg(max(col("n_exact")).as("n_exact"), min(col("cell")).as("cms_estimate"))
-    est
+      .agg(min(col("cell")).as("cms_estimate"))
+      .orderBy(col("cms_estimate").desc, col("user_id").asc)
+      .limit(CmsCandidates)
+    // exact counts ONLY for the survivors: broadcast semi-filter, then
+    // a <= CmsCandidates-group aggregation
+    val exact = ev.join(broadcast(candidates.select(col("user_id"))), "user_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    candidates.join(exact, "user_id")
       .select(col("user_id"), col("n_exact"), col("cms_estimate"),
         (col("cms_estimate") >= col("n_exact")).as("cms_ge_exact"))
       .orderBy(col("n_exact").desc, col("user_id").asc)
@@ -196,19 +219,28 @@ object SketchQueries {
                % $CmsWidth) + $CmsWidth) % $CmsWidth AS c
       FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(r)
     ),
-    sketch AS (SELECT r, c, count(*) AS cell FROM coords GROUP BY 1, 2),
-    exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
+    sketch AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell FROM coords GROUP BY 1, 2),
     est AS (
-      SELECT e.user_id, max(e.n_exact) AS n_exact, min(s.cell) AS cms_estimate
-      FROM exact e
+      SELECT k.user_id, min(s.cell) AS cms_estimate
+      FROM (SELECT DISTINCT user_id FROM ev) k
       CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(r)
       JOIN sketch s ON s.r = r.r
-        AND s.c = ((CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        AND s.c = ((CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
                     % $CmsWidth) + $CmsWidth) % $CmsWidth
       GROUP BY 1
+    ),
+    cand AS (
+      SELECT user_id, cms_estimate FROM est
+      ORDER BY cms_estimate DESC, user_id ASC LIMIT $CmsCandidates
+    ),
+    exact AS (
+      SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM ev e JOIN cand c ON e.user_id = c.user_id GROUP BY 1
     )
-    SELECT user_id, n_exact, cms_estimate, cms_estimate >= n_exact AS cms_ge_exact
-    FROM est ORDER BY n_exact DESC, user_id ASC LIMIT 20"""
+    SELECT c.user_id, x.n_exact, c.cms_estimate,
+           c.cms_estimate >= x.n_exact AS cms_ge_exact
+    FROM cand c JOIN exact x ON c.user_id = x.user_id
+    ORDER BY x.n_exact DESC, c.user_id ASC LIMIT 20"""
 
   // ---- q_hll_distinct --------------------------------------------------
 

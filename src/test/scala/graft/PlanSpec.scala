@@ -252,6 +252,37 @@ class PlanSpec extends SparkSpec {
       "q_lsh_recall must stay equi-join only")
   }
 
+  test("q_cms_topk: no full per-key aggregate feeds the candidate side") {
+    // the round-7 defect: candidates came from counting EVERY key
+    // exactly, which defeats the sketch. Every aggregate that groups by
+    // user_id and carries aggregate functions (count/min state — a
+    // plain DISTINCT has none) must sit above a broadcast join: either
+    // the grid lookup (estimate side) or the candidate semi-filter
+    // (exact side). A bare count-by-key over raw events fails here.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(expand)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case _ => Seq.empty
+      })
+    val all = expand(plan("q_cms_topk"))
+    val keyedCounting = all.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.nonEmpty &&
+          a.groupingExpressions.exists(_.toString.contains("user_id")) => a
+    }
+    assert(keyedCounting.nonEmpty, "expected keyed aggregates in the plan")
+    keyedCounting.foreach { a =>
+      val hasBroadcastBelow = expand(a).exists {
+        case _: BroadcastHashJoinExec => true
+        case _ => false
+      }
+      assert(hasBroadcastBelow,
+        s"per-key aggregate without a broadcast pre-filter below it: ${a.nodeName} " +
+          "— the candidate path is materializing every key's count again")
+    }
+  }
+
   test("IVF-family assignment uses NearestCenter, and the PQ cell join broadcasts the probe side") {
     // regression guard for the 64 KB codegen cliff: the unrolled
     // literal-centroid argmin janino-failed and silently degraded the

@@ -61,6 +61,23 @@ class Round8OpsSpec extends SparkSpec {
       s"capped degree profile is two docs of degree 1, got $deg")
   }
 
+  test("cms topk: the sketch-driven candidate pool covers the unconditional exact top-20") {
+    // the operator's contract is "exact top-20 among the top-64
+    // CMS-estimated keys"; this cross-checks that at gate scale the
+    // pool loses nothing — the result must equal the top-20 computed
+    // from FULL exact counts (the round-7 shape this replaced)
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.SketchQueries.cmsTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_exact")))
+    val ev = graft.queries.Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val full = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc).limit(20).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_exact")))
+    assert(got.toSeq == full.toSeq,
+      s"sketch-driven top-20 diverged from the exact top-20:\n got ${got.toSeq}\n exp ${full.toSeq}")
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
