@@ -1271,8 +1271,11 @@ object Dedup {
     * (persisted) — the shared scaffold of the passage family
     * ([[dupPassages]], [[selfRepeat]]).
     */
-  private def passageAnchors(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val toks = Tables.documents(spark, sfDir)
+  private def passageAnchors(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    passageAnchorsOf(Tables.documents(spark, sfDir))
+
+  private def passageAnchorsOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= PassageK)
       .persist() // anchor explode + anchor verify + passage gathers read it
@@ -1368,10 +1371,12 @@ object Dedup {
   /** toks/th/kg anchor CTEs shared by [[dupPassagesCtesSql]] and
     * [[selfRepeatSql]] (mirrors [[passageAnchors]]).
     */
-  private val passageAnchorCtesSql: String = {
+  private val passageAnchorCtesSql: String = passageAnchorCtesSqlFrom("documents")
+
+  private def passageAnchorCtesSqlFrom(src: String): String = {
     val k = PassageK
     s"""toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(text, ' ') AS t FROM $src
       WHERE len(string_split(text, ' ')) >= $k
     ),
     th AS (SELECT doc_id, [${h32Sql.format("tk")} % ${P} for tk in t] AS th FROM toks),
@@ -1440,8 +1445,35 @@ object Dedup {
     * anchor hash and candidate volume is O(repeated positions). Anchors
     * are slice-verified before merging, same as [[dupPassages]].
     */
-  def selfRepeat(spark: SparkSession, sfDir: String): DataFrame = {
-    val (toks, kg) = passageAnchors(spark, sfDir)
+  /** Plant modulus for the registered q_self_repeat gate: every
+    * doc_id ≡ 0 (mod 7) is self-concatenated before detection. The
+    * synthetic gate corpus contains no natural within-doc repeats, so
+    * without a plant the driver's oracle compare proves only
+    * 0 rows == 0 rows — the derivation makes the `pa < pb` diagonal
+    * logic load-bearing in the cross-engine hash while unplanted docs
+    * still assert the no-false-positive side.
+    */
+  val SelfRepeatPlantMod = 7L
+
+  /** The in-query fixture derivation for the registered gate (mirrored
+    * verbatim by the oracle's `plant` CTE): periodic within-doc
+    * repetition via self-concatenation on the deterministic doc subset.
+    */
+  def plantedSelfRepeatDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % SelfRepeatPlantMod === 0,
+        concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  def selfRepeat(spark: SparkSession, sfDir: String): DataFrame =
+    selfRepeatOn(plantedSelfRepeatDocs(Tables.documents(spark, sfDir)))
+
+  /** The pure operator over any (doc_id, text) relation — library
+    * callers run THIS on real corpora; the registered gate wraps it
+    * with [[plantedSelfRepeatDocs]].
+    */
+  def selfRepeatOn(docs: DataFrame): DataFrame = {
+    val (toks, kg) = passageAnchorsOf(docs)
     val m = kg.as("a")
       .join(kg.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") === col("b.doc_id") &&
@@ -1462,7 +1494,13 @@ object Dedup {
   val selfRepeatSql: String = {
     val k = PassageK
     s"""
-    WITH $passageAnchorCtesSql,
+    WITH plant AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % $SelfRepeatPlantMod = 0 THEN text || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    ${passageAnchorCtesSqlFrom("plant")},
     m AS (
       SELECT a.doc_id, a.pos AS pa, b.pos AS pb
       FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id = b.doc_id AND a.pos < b.pos

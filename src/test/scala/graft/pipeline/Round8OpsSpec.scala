@@ -78,6 +78,23 @@ class Round8OpsSpec extends SparkSpec {
       s"sketch-driven top-20 diverged from the exact top-20:\n got ${got.toSeq}\n exp ${full.toSeq}")
   }
 
+  test("self repeat: the registered plant yields exactly the periodic span, unplanted docs stay clean") {
+    val dir = java.nio.file.Files.createTempDirectory("selfrep8").toString
+    // doc 14 (÷7): 14 unique tokens -> plant doubles it; expected span
+    // is the whole first copy at period 14. doc 15 (not ÷7): same
+    // shape, must produce nothing.
+    val t14 = (1 to 14).map(i => s"a$i").mkString(" ")
+    val t15 = (1 to 14).map(i => s"c$i").mkString(" ")
+    Seq((14L, t14, "s"), (15L, t15, "s")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.selfRepeat(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_a"),
+        r.getAs[Long]("start_b"), r.getAs[Long]("span_len")))
+    spark.catalog.clearCache()
+    assert(out.toSeq == Seq((14L, 1L, 15L, 14L)),
+      s"expected one whole-copy span on the planted doc only, got ${out.toSeq}")
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
