@@ -122,16 +122,19 @@ object Bench {
     // which must stay last. Opt out with SPARK_GRAFT_STREAM_BENCH=0.
     if (only.isEmpty && !sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
       val sJson = try {
-        // median-of-3 like the query timers: a single contended run
-        // must not become the round's official throughput record (one
-        // r6 tail recorded 13.6k msg/s on a config that re-measures at
-        // ~45k on a quiet box)
-        def med3(nTopics: Int) =
-          Seq.fill(3)(StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics))
-            .sortBy(_.msgsPerSec).apply(1)
-        val narrow = med3(0)
-        val wide = med3(100)
-        s"""{"topics_2":${narrow.json},"topics_100":${wide.json}}"""
+        // median-of-3 like the query timers, with every run RECORDED:
+        // a single contended run must not become the round's official
+        // throughput record (one r6 tail recorded 13.6k msg/s on a
+        // config that re-measures at ~45k on a quiet box), and the
+        // artifact itself must show the spread so a reader can tell
+        // ambient variance from a real regression without re-running
+        def med3(nTopics: Int) = {
+          val rs = Seq.fill(3)(
+            StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics))
+          val med = rs.sortBy(_.msgsPerSec).apply(1)
+          s"""{"median":${med.json},"runs":[${rs.map(_.json).mkString(",")}]}"""
+        }
+        s"""{"topics_2":${med3(0)},"topics_100":${med3(100)}}"""
       } catch { case e: Throwable =>
         s"""{"err":"${jsonSafe(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }

@@ -94,9 +94,14 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = measure(spark, perTrigger, triggers, bucketed, nTopics)
+    // median-of-N with every run recorded, matching the per-round
+    // artifact Bench writes — a standalone single-shot number proved
+    // uninterpretable under sandbox contention (r7 post-mortem)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt.max(1)
+    val rs = Seq.fill(nRuns)(measure(spark, perTrigger, triggers, bucketed, nTopics))
+    val r = rs.sortBy(_.msgsPerSec).apply(nRuns / 2)
     println(
-      s"""{"metric":"stream_msgs_per_sec","value":${r.msgsPerSec},"unit":"msgs/sec","messages":${r.messages},"triggers":$triggers,"seconds":${r.seconds},"anomalies_emitted":${r.anomalies}}""")
+      s"""{"metric":"stream_msgs_per_sec","value":${r.msgsPerSec},"unit":"msgs/sec","messages":${r.messages},"triggers":$triggers,"seconds":${r.seconds},"anomalies_emitted":${r.anomalies},"runs":[${rs.map(_.json).mkString(",")}]}""")
     spark.stop()
   }
 }

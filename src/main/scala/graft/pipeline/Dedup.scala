@@ -150,27 +150,60 @@ object Dedup {
     * release it via clearCache after each query, matching the session
     * cache discipline from the round-2 review.
     */
-  private def shinglePairScaffold(spark: SparkSession, sfDir: String,
-      maxShingleFreq: Option[Long] = None)(
+  private def shinglePairScaffold(spark: SparkSession, sfDir: String)(
       pred: (Column, Column) => Column)(
       finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val exploded = shingleHashes(docs)
+    val sh = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("sh"))
-    // frequency capping (the q_dedup_cost dial): shingles shared by
-    // more than `cap` docs never reach the pair join — sizes AND shared
-    // counts both come from the capped universe, so the Jaccard stays
-    // self-consistent
-    val sh = maxShingleFreq.map { cap =>
-      val keep = exploded.groupBy(col("sh")).agg(count(lit(1)).as("c"))
-        .filter(col("c") <= cap).select(col("sh"))
-      exploded.join(keep, Seq("sh"), "left_semi")
-    }.getOrElse(exploded).persist()
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && pred(col("a.doc_id"), col("b.doc_id")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    finish(pairs, sizes)
+  }
+
+  /** Frequency-capped candidate scaffolding (the q_dedup_cost dial) via
+    * BOUNDED POSTING LISTS: one aggregation collects, per shingle, the
+    * cap+1 smallest distinct doc_ids (the existing KMV sketch — O(cap)
+    * state per key, so a hot stop-shingle shared by a million docs
+    * costs cap+1 longs of aggregation state, never a million-row
+    * posting list). A full sketch (size = cap+1) means freq > cap →
+    * the shingle is dropped; a non-full sketch IS the exact ascending
+    * id list, and its ordered pairs explode MAP-SIDE (≤ C(cap,2) per
+    * shingle, ids already ascending so doc_a < doc_b by construction).
+    * Sizes and shared counts both come from the capped universe, so
+    * the Jaccard stays self-consistent.
+    *
+    * vs the count→semi-join→self-join form this replaces: two fewer
+    * shuffles of the fat (doc, shingle) explode — the explode is read
+    * ONCE, and everything after the posting-list aggregation is
+    * key-bounded. Oracle semantics are identical (the capped CTE chain
+    * is unchanged); DedupSpec pins new == old on real data.
+    */
+  private def cappedPairScaffold(spark: SparkSession, sfDir: String, cap: Long)(
+      finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val capI = cap.toInt
+    // self-releasing checkpoint (see ngramNovelty): read by both the
+    // per-doc sizes and the pair explode
+    val lists = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(graft.functions.KmvAggregates.kmvSketch(col("doc_id"), capI + 1).as("ds"))
+      .filter(size(col("ds")) <= capI)
+      .localCheckpoint(eager = true)
+    val sizes = lists
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = lists
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     finish(pairs, sizes)
   }
@@ -242,6 +275,20 @@ object Dedup {
     */
   val ShingleFreqCap = 2L
 
+  /** Frequency ceiling for the CLUSTER family (components/canonical/
+    * cluster-sizes/dup-quality/dup-degree/pagerank). Looser than
+    * [[ShingleFreqCap]] ON PURPOSE: a near-dup cluster of k identical
+    * copies has every shingle at frequency k, so the cluster resolver's
+    * cap must sit ABOVE the cluster sizes it is expected to resolve —
+    * at cap 2, no 3-cluster can mathematically survive (pairwise
+    * Jaccard ≥ 0.5 through freq-≤2 shingles forces the degenerate
+    * A ⊎ C = B partition). 8 resolves up to 8-copy groups while still
+    * killing the C(n,2) blowup of template boilerplate shared by
+    * hundreds; production reads the ceiling off [[dedupCost]]'s band
+    * table (exact dedup first shrinks identical-copy groups to 1).
+    */
+  val ClusterShingleFreqCap = 8L
+
   /** q_dedup_ngram_capped: the production-grade form of the pair join —
     * `q_dedup_cost`'s dial applied. Shingles shared by more than
     * [[ShingleFreqCap]] documents (template boilerplate, stop-shingles)
@@ -257,7 +304,13 @@ object Dedup {
     * LINEAR in the corpus instead of quadratic in the hottest key.
     */
   def ngramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
-    shinglePairScaffold(spark, sfDir, Some(ShingleFreqCap))(_ < _)(jaccardFinish)
+    cappedPairScaffold(spark, sfDir, ShingleFreqCap)(jaccardFinish)
+
+  /** The pair source of the cluster family — the capped join at the
+    * cluster-grade ceiling ([[ClusterShingleFreqCap]]).
+    */
+  def clusterPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cappedPairScaffold(spark, sfDir, ClusterShingleFreqCap)(jaccardFinish)
 
   val ngramJaccardCappedSql: String =
     s"""
@@ -758,12 +811,14 @@ object Dedup {
     * smallest doc_id in its component (the canonical keeper) plus the
     * component size.
     *
-    * The pair source is the CAPPED join ([[ngramJaccardCapped]]): a
+    * The pair source is the CAPPED join ([[clusterPairs]]): a
     * single stop-shingle (template boilerplate shared by n docs) turns
     * the uncapped join into C(n,2) pairs — at 100 TB that one key is
     * the scale-killer of the whole cluster pipeline, and the pairs it
     * adds are exactly the boilerplate-only edges a dedup run should
-    * not cluster on. The cap is priced per-corpus by [[dedupCost]];
+    * not cluster on ([[ClusterShingleFreqCap]] — sized above the
+    * cluster multiplicities it must resolve). The cap is priced
+    * per-corpus by [[dedupCost]];
     * run [[exact]] first so identical-copy clusters (whose shingles
     * are legitimately hot) are already collapsed before capping.
     *
@@ -779,7 +834,7 @@ object Dedup {
     */
   def components(spark: SparkSession, sfDir: String): DataFrame =
     componentsOfPairs(
-      ngramJaccardCapped(spark, sfDir).select(col("doc_a"), col("doc_b")))
+      clusterPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
 
   /** The label-propagation core over any (doc_a, doc_b) pair relation —
     * exposed so specs can feed planted pair graphs and so alternate
@@ -827,7 +882,7 @@ object Dedup {
 
   val componentsSql: String =
     s"""
-    WITH RECURSIVE ${shinglePairCtesSql(maxFreq = Some(ShingleFreqCap))},
+    WITH RECURSIVE ${shinglePairCtesSql(maxFreq = Some(ClusterShingleFreqCap))},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -1105,7 +1160,7 @@ object Dedup {
     * across deciles, dedup must run first or high-quality dups get
     * multi-counted by the mixer.
     *
-    * Scale: pairs come from the CAPPED join ([[ngramJaccardCapped]],
+    * Scale: pairs come from the CAPPED join ([[clusterPairs]],
     * same rationale as [[components]]); the near-dup side collapses to
     * a DISTINCT doc_id relation (narrow) before joining the decile
     * relation on the doc key; the report aggregates to ≤ 10 rows.
@@ -1115,7 +1170,7 @@ object Dedup {
   def dupQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = TextAnalysis.qualityDeciles(spark, sfDir)
       .select(col("doc_id"), col("decile"))
-    val pairs = ngramJaccardCapped(spark, sfDir)
+    val pairs = clusterPairs(spark, sfDir)
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -1130,7 +1185,7 @@ object Dedup {
 
   val dupQualitySql: String =
     s"""
-    WITH ${shinglePairCtesSql(maxFreq = Some(ShingleFreqCap))},
+    WITH ${shinglePairCtesSql(maxFreq = Some(ClusterShingleFreqCap))},
     dup AS (
       -- UNION (set semantics) already deduplicates: it IS the Spark
       -- side's union+distinct
@@ -1152,14 +1207,14 @@ object Dedup {
     * dedup strategy (cluster-collapse vs pairwise-drop), so this is the
     * diagnostic run before choosing one.
     *
-    * Scale: rides the CAPPED candidate scaffold ([[ngramJaccardCapped]]
+    * Scale: rides the CAPPED candidate scaffold ([[clusterPairs]]
     * — one hot stop-shingle would otherwise make the pair join itself
     * quadratic before any degree is counted); after pair generation it
     * is two tiny hash aggregations (per-doc degree, then per-degree
     * count).
     */
   def dupDegree(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccardCapped(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val pairs = clusterPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val degrees = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -1168,7 +1223,7 @@ object Dedup {
 
   val dupDegreeSql: String =
     s"""
-    WITH ${shinglePairCtesSql(maxFreq = Some(ShingleFreqCap))},
+    WITH ${shinglePairCtesSql(maxFreq = Some(ClusterShingleFreqCap))},
     deg AS (
       SELECT doc_id, count(*) AS degree FROM (
         SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs

@@ -24,7 +24,7 @@ object GraphOps {
 
   /** q_pagerank: five integer PageRank iterations (damping 0.85 as the
     * exact rational 850/1000) over the undirected near-dup graph from
-    * the CAPPED pair join ([[Dedup.ngramJaccardCapped]] — the same
+    * the CAPPED pair join ([[Dedup.clusterPairs]] — the same
     * scale rationale as [[Dedup.components]]: one hot stop-shingle
     * makes the uncapped pair join quadratic before any rank is
     * computed, and boilerplate-only edges are exactly the hub edges
@@ -40,7 +40,7 @@ object GraphOps {
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame =
     pagerankOnPairs(
-      Dedup.ngramJaccardCapped(spark, sfDir).select(col("doc_a"), col("doc_b")))
+      Dedup.clusterPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
 
   /** The iteration core over an undirected pair relation (doc_a, doc_b)
     * — exposed so specs can feed hand-built graphs with hand-computed
@@ -74,17 +74,19 @@ object GraphOps {
         .select(col("node"),
           expr("CAST(150000 + (850 * coalesce(s, CAST(0 AS BIGINT))) div 1000 AS BIGINT)")
             .as("rank_micro"))
-      // truncate lineage every third round: plan depth stays bounded (the
-      // scale requirement) without paying an eager materialization
-      // barrier per iteration (each barrier is a full job submission —
-      // at 5 iterations the barriers, not the joins, dominated wall time)
-      if (i % 3 == 0) rank = rank.localCheckpoint(eager = true)
+      // truncate lineage every sixth round: each barrier is a full job
+      // submission, and at the FIXED 5 iterations the whole chain fits
+      // one compiled plan (15 shuffles, constant depth) — so the loop
+      // body pays zero barriers and only the final materialization
+      // below runs a job. If PrIterations grows past ~6, this resumes
+      // chunking so plan depth stays bounded (the scale requirement).
+      if (i % 6 == 0) rank = rank.localCheckpoint(eager = true)
     }
     // materialize the tail iterations BEFORE dropping the edge cache:
     // the returned plan is lazy, so an un-checkpointed final rank would
     // recompute the raw->degree->join edge pipeline uncached at every
     // downstream action
-    if (PrIterations % 3 != 0) rank = rank.localCheckpoint(eager = true)
+    if (PrIterations % 6 != 0) rank = rank.localCheckpoint(eager = true)
     edges.unpersist()
     rank.select(
       col("node").as("doc_id"),
@@ -104,7 +106,7 @@ object GraphOps {
       ) s ON n.node = s.dst
     )"""
     s"""
-    WITH ${Dedup.shinglePairCtesSql(maxFreq = Some(Dedup.ShingleFreqCap))},
+    WITH ${Dedup.shinglePairCtesSql(maxFreq = Some(Dedup.ClusterShingleFreqCap))},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs

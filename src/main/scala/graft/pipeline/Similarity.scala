@@ -431,7 +431,7 @@ object Similarity {
         FROM e CROSS JOIN cents c
       )
     ),
-    assigned AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE crk = 1)"""
+    assigned AS (SELECT vec_id, embedding, nsq, cell, d2 FROM ranked WHERE crk = 1)"""
 
   def annIvfOracleSql: Option[String] = {
     ivfFrozen.map { centers =>
@@ -525,11 +525,11 @@ object Similarity {
       // the probe side keeps the literal (d2, cell) array because it
       // needs the SORTED top-p, not the argmin, and runs on the ~1%
       // query sample only
-      .withColumn("cell",
+      .withColumn("best",
         graft.functions.VectorFunctions
-          .nearestCenter(col("embedding"), 0, centers.head.length, centers)
-          .getField("code"))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
+          .nearestCenter(col("embedding"), 0, centers.head.length, centers))
+      .select(col("vec_id"), col("best.code").as("cell"),
+        col("best.d2").as("d2"), col("embedding"), col("nsq"))
   }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
@@ -598,6 +598,19 @@ object Similarity {
   /** Neighbors per node in the kNN graph. */
   val KnnK = 3
 
+  /** Per-cell candidate CORE size for the cell-scoped pair families
+    * (kNN graph, SemDeDup): only the [[KnnCellCap]] most prototypical
+    * members of a cell (smallest distance-to-centroid, vec_id
+    * tie-break) serve as the candidate side, so a giant skewed cell
+    * costs |cell|·cap comparisons instead of |cell|² — the one 100 TB
+    * hazard the plain cell self-join left open. 512 is far above any
+    * gate-scale cell (the cap binds only on pathological clusters;
+    * SkewSpec proves the bound on a planted one), and neighbors/dup
+    * prototypes concentrate near the centroid, so the recall floors
+    * hold (SimilarityRecallSpec).
+    */
+  val KnnCellCap = 512
+
   /** q_knn_graph: cell-scoped k-nearest-neighbor graph over the
     * embedding corpus — the scaffold graph-based curation runs on
     * (density/diversity clustering, graph dedup, label propagation):
@@ -607,21 +620,41 @@ object Similarity {
     * drops hub edges before clustering).
     *
     * Scale: assignment is the [[annIvf]] codegen literal-centroid pass;
-    * candidate generation is one equi self-join on the cell key (cells
-    * bound candidates the way SemDeDup's clusters do — never
-    * all-pairs), the top-k window partitions by source node, and the
+    * candidate generation is one equi join on the cell key against the
+    * cell's prototypical CORE (crk ≤ [[KnnCellCap]] by
+    * distance-to-centroid — per-cell fanout |cell|·cap, never the
+    * |cell|² self-join, so a planted giant cluster stays linear:
+    * SkewSpec), the top-k window partitions by source node, and the
     * mutual check is a self equi-join of the (|V|·k)-row edge list on
-    * the reversed key. A skewed cell (giant cluster) is the one hazard
-    * at 100 TB — the dial is more cells (k ~ √n), exactly the IVF
-    * sizing rule.
+    * the reversed key. The complementary dial remains more cells
+    * (k ~ √n), exactly the IVF sizing rule.
     */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = assignedCells(spark, sfDir)
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphCapped(spark, sfDir, KnnCellCap)
+
+  /** [[knnGraph]] with an explicit candidate-core size — exposed so
+    * SkewSpec can prove the bound with a cap small enough to bind on
+    * spec-sized planted clusters.
+    */
+  def knnGraphCapped(spark: SparkSession, sfDir: String, cellCap: Int): DataFrame =
+    knnGraphOnAssigned(assignedCells(spark, sfDir), cellCap)
+
+  /** The core+join+top-k+mutual pipeline over any
+    * (vec_id, cell, d2, embedding, nsq) assignment relation — exposed
+    * so SkewSpec-style tests can plant a giant single cell without
+    * going through the KMeans fit.
+    */
+  private[pipeline] def knnGraphOnAssigned(assigned: DataFrame, cellCap: Int): DataFrame = {
+    val cw = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
+    val core = assigned
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= cellCap)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
     // the (|V|·k)-row edge list is read twice (forward + reversed side
     // of the mutual join); persist so the cell join runs once
     val edges = assigned.as("a")
-      .join(assigned.as("b"),
+      .join(core.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         round(dot(col("a.embedding"), col("b.embedding"))
@@ -644,10 +677,17 @@ object Similarity {
     ivfFrozen.map { centers =>
       s"""
     WITH ${ivfAssignCtesSql(centers)},
+    core AS (
+      SELECT vec_id, cell, embedding, nsq FROM (
+        SELECT vec_id, cell, embedding, nsq,
+               row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS prk
+        FROM assigned
+      ) WHERE prk <= $KnnCellCap
+    ),
     scored AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              round(${dotSql("a.embedding", "b.embedding")} / sqrt(a.nsq * b.nsq), 6) AS cos
-      FROM assigned a JOIN assigned b
+      FROM assigned a JOIN core b
         ON a.cell = b.cell AND a.vec_id <> b.vec_id
     ),
     edges AS (
@@ -767,12 +807,14 @@ object Similarity {
     * Scale: the quadratic danger in SemDeDup is the within-cluster
     * all-pairs compare. This implementation never forms it — candidate
     * pairs come from the SAME sign-LSH band buckets as [[annLsh]]
-    * (equi join on (band, nibble, cell)), deduplicated as narrow
-    * (id, id) rows BEFORE the 64-float payload gather, then
+    * (equi join on (band, nibble, cell)) with the keeper side capped
+    * at the cell's prototypical core (rk ≤ [[KnnCellCap]] — a skewed
+    * giant cell stays |cell|·cap, never |cell|²), deduplicated as
+    * narrow (id, id) rows BEFORE the 64-float payload gather, then
     * cosine-verified. Assignment + ranking are codegen literal-centroid
-    * arithmetic and one cell-partitioned window (cells are bounded:
-    * corpus/|cells|); the only shuffles are the band key and the cell
-    * window. The KMeans fit is the memoized [[ivfCenters]] sample fit.
+    * arithmetic and one cell-partitioned window; the only shuffles are
+    * the band key and the cell window. The KMeans fit is the memoized
+    * [[ivfCenters]] sample fit.
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val centers = ivfCenters(spark, sfDir)
@@ -800,10 +842,16 @@ object Similarity {
       }: _*)).as("bd"))
       .select(col("vec_id"), col("cell"), col("rk"),
         col("bd.band").as("band"), col("bd.nib").as("nib"))
+    // keeper side capped at the cell's prototypical core (rk ≤
+    // KnnCellCap): a giant skewed cell generates |cell|·cap candidates
+    // per band bucket instead of |cell|² — dup groups resolve toward
+    // their most prototypical members anyway, so the core IS where
+    // keepers live (SemDeDup's keeper rule, made skew-safe)
     val cand = bandedTagged.as("a")
       .join(bandedTagged.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
-          col("a.cell") === col("b.cell") && col("a.rk") < col("b.rk"))
+          col("a.cell") === col("b.cell") && col("a.rk") < col("b.rk") &&
+          col("a.rk") <= KnnCellCap)
       .select(col("a.vec_id").as("id_keep"), col("b.vec_id").as("id_dup"))
       .distinct()
     val dropped = cand
@@ -857,6 +905,7 @@ object Similarity {
              a.embedding AS emb_a, b.embedding AS emb_b, a.nsq AS na, b.nsq AS nb
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.nib = b.nib AND a.cell = b.cell AND a.rk < b.rk
+           AND a.rk <= $KnnCellCap
     ),
     dropped AS (
       SELECT DISTINCT id_dup FROM cand

@@ -52,6 +52,19 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SELECT graft_hashed_bucket_sum(array('a', 'b'), array(${lk.mkString("D,")}D), 8) AS s")
       .head().getDouble(0)
     assert(viaSql3 == viaScala3)
+    // the SQL registry exposes the fold to user-supplied lookups: a
+    // lookup shorter than `buckets` (or a null bucket) must yield NULL
+    // (element_at semantics), never an out-of-bounds UnsafeArrayData
+    // read — 'a' and 'b' hash to buckets 1 and 6 under buckets=8
+    // (md5 first-8-hex 0x0cc175b9 % 8 = 1, 0x92eb5ffe % 8 = 6), so a
+    // 1-element lookup misses and a null at index 1 is touched
+    assert(spark.sql(
+      "SELECT graft_hashed_bucket_sum(array('a', 'b'), array(1.0D), 8) AS s")
+      .head().isNullAt(0), "short lookup must null the fold")
+    assert(spark.sql(
+      "SELECT graft_hashed_bucket_sum(array('a', 'b'), " +
+        "array(0.0D, CAST(NULL AS DOUBLE), 2D, 3D, 4D, 5D, 6D, 7D), 8) AS s")
+      .head().isNullAt(0), "null bucket must null the fold")
     // registration is idempotent
     GraftFunctions.register(spark)
   }

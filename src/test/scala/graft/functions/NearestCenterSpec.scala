@@ -83,6 +83,19 @@ class NearestCenterSpec extends SparkSpec {
     assert(past.getInt(0) == 0 && past.getDouble(1) == 1.0)
   }
 
+  test("non-finite center coordinates are rejected at construction") {
+    // a NaN/Inf frozen center would make a SUBSET of d2 values NaN,
+    // where the strict < scan and array_min's NaN-orderable pick
+    // diverge — the expression refuses to exist instead
+    Seq(Double.NaN, Double.PositiveInfinity).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        VectorFunctions.nearestCenter(col("embedding"), 0, 2,
+          Seq(Array(1.0, 0.0), Array(bad, 1.0)))
+      }
+      assert(e.getMessage.contains("finite"))
+    }
+  }
+
   test("NaN elements resolve to center 0, matching struct array_min ordering") {
     val df = Seq((1L, Seq(Float.NaN, 0.5f))).toDF("id", "embedding")
     val nc = VectorFunctions.nearestCenter(col("embedding"), 0, 2, centers)

@@ -60,7 +60,7 @@ class DedupSpec extends SparkSpec {
     }
     // components consumes the CAPPED pair graph, so co-clustering is
     // asserted against the same source
-    val pairs = Dedup.ngramJaccardCapped(spark, sf).select("doc_a", "doc_b").collect()
+    val pairs = Dedup.clusterPairs(spark, sf).select("doc_a", "doc_b").collect()
     pairs.foreach { r =>
       assert(comp(r.getLong(0))._1 == comp(r.getLong(1))._1,
         s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")

@@ -95,6 +95,32 @@ class Round8OpsSpec extends SparkSpec {
       s"expected one whole-copy span on the planted doc only, got ${out.toSeq}")
   }
 
+  test("knn graph cell cap: a planted giant cell keeps candidates inside the prototypical core") {
+    import org.apache.spark.sql.functions._
+    // one cell of 100 vectors on a line: d2 to centroid = i^2, so the
+    // prototypical core under cap 8 is ids 0..7
+    val assigned = (0 until 100).map { i =>
+      (i.toLong, 0, (i * i).toDouble, Array(i.toDouble, 1.0), i * i + 1.0)
+    }.toDF("vec_id", "cell", "d2", "embedding", "nsq")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val capped = Similarity.knnGraphOnAssigned(assigned, 8).collect()
+    assert(capped.nonEmpty)
+    val dsts = capped.map(_.getAs[Long]("dst")).toSet
+    assert(dsts.subsetOf((0L to 7L).toSet),
+      s"candidate fanout escaped the 8-member core: $dsts")
+    // every source still resolves its KnnK neighbors (the core serves
+    // all |cell| sources: fanout |cell|*cap, never |cell|^2)
+    val perSrc = capped.groupBy(_.getAs[Long]("src")).view.mapValues(_.length)
+    assert(perSrc.size == 100 && perSrc.values.forall(_ == Similarity.KnnK),
+      "every vector must still get its k neighbors from the core")
+    // a cap >= |cell| reproduces the exact uncapped graph
+    val full = Similarity.knnGraphOnAssigned(assigned, 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+    val fullRef = Similarity.knnGraphOnAssigned(assigned, 1000000).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+    assert(full == fullRef, "cap >= cell size must be a no-op")
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
