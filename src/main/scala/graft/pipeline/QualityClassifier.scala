@@ -147,8 +147,17 @@ object QualityClassifier {
   /** q_quality_classifier: per-document margin + decision under the
     * frozen weights. Map-only: one fold over the feature list per row.
     */
-  def classify(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = weightsFor(spark, sfDir)
+  def classify(spark: SparkSession, sfDir: String): DataFrame =
+    classifyDocs(Tables.documents(spark, sfDir), weightsFor(spark, sfDir))
+
+  /** The scoring transform over any (doc_id, source, text) relation
+    * under an explicit frozen model — narrow ops only, so it applies
+    * to a STREAMING DataFrame unchanged (StreamingFilterSpec pins
+    * stream == batch): the live ingest path scores documents with the
+    * exact weights the batch curation pass fitted, the second of the
+    * two ingest-time gates beside [[Filters.gopherVerdicts]].
+    */
+  def classifyDocs(docs: DataFrame, m: Fitted): DataFrame = {
     // codegen'd fold (graft.functions.HashedFeatureScore, token form)
     // — the HOF formulation ran the md5 chain interpreted per token
     // plus an interpreted transform+concat_ws building every bigram
@@ -157,7 +166,7 @@ object QualityClassifier {
     // the codegen and HOF forms bit-identical
     val raw = graft.functions.TextScoreFunctions
       .hashedTokenScore(col("tk"), Buckets, m.weights, m.bias)
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("source"), raw.as("raw"))
       .select(col("doc_id"), col("source"),

@@ -64,6 +64,35 @@ class StreamingFilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed classifier scores equal batch scores under the same frozen weights") {
+    // hand-frozen model (no fit): deterministic weights over the 64
+    // hashed buckets plus a bias — the streaming wrapper must score the
+    // in-flight docs with bit-identical margins and decisions
+    import graft.pipeline.QualityClassifier
+    val m = QualityClassifier.Fitted(-0.125,
+      (0 until QualityClassifier.Buckets).map(i => (i % 9 - 4) * 0.03125))
+    val scoreDocs: Seq[(Long, String, String)] = Seq(
+      (1L, prose, "src0"), (2L, short, "src7"), (3L, symbols, "src2"))
+    val batch = QualityClassifier
+      .classifyDocs(scoreDocs.toDF("doc_id", "text", "source"), m)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(batch.values.map(_(2)).toSet.size > 1, "fixture margins must differ")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = QualityClassifier
+      .classifyDocs(mem.toDF().toDF("doc_id", "text", "source"), m)
+      .writeStream.format("memory").queryName("qscore").outputMode("append").start()
+    try {
+      scoreDocs.grouped(2).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("qscore").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed == batch, "stream and batch classifier scores diverged")
+    } finally q.stop()
+  }
+
   test("planted failures break the expected rules") {
     val rows = Filters.gopherVerdicts(docs.toDF("doc_id", "text"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
