@@ -1322,23 +1322,45 @@ object Dedup {
   /** Minimum reported duplicated-span length (tokens). */
   val PassageMinLen = 12
 
+  /** Occurrence ceiling for passage anchors: an 8-gram appearing more
+    * than this many times corpus-wide (template boilerplate, legal
+    * footers, common quotes) never reaches the anchor self-join —
+    * without it one hot anchor shared by n documents makes the
+    * candidate join C(n,2), the same blowup the shingle family caps.
+    * This is the stop-gram skip of suffix-array dedup practice: spans
+    * held together ONLY by ultra-common grams disappear (desired), a
+    * genuine long duplicate overlapping a hot gram merely splits at
+    * the gap and both halves still report. 64 is far above any
+    * gate-corpus anchor frequency (the cap binds only on pathological
+    * boilerplate; Round8OpsSpec plants one).
+    */
+  val PassageAnchorFreqCap = 64L
+
   /** Tokenized docs (persisted) and positioned k-gram anchor hashes
-    * (persisted) — the shared scaffold of the passage family
-    * ([[dupPassages]], [[selfRepeat]]).
+    * (persisted, frequency-capped) — the shared scaffold of the
+    * passage family ([[dupPassages]], [[selfRepeat]]).
     */
   private def passageAnchors(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     passageAnchorsOf(Tables.documents(spark, sfDir))
 
-  private def passageAnchorsOf(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def passageAnchorsOf(docs: DataFrame,
+      anchorCap: Long = PassageAnchorFreqCap): (DataFrame, DataFrame) = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= PassageK)
       .persist() // anchor explode + anchor verify + passage gathers read it
     val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
-    val kg = toks
+    val raw = toks
       .select(col("doc_id"),
         posexplode(graft.functions.SketchFunctions.ngramPolyHash(tokHashes, PassageK, PolyB, P)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+    // count+semi-join rather than the posting-list trick of
+    // cappedPairScaffold: pair generation here needs (doc, pos) payloads
+    // per anchor, and the count relation is vocabulary-keyed (8-byte) —
+    // the join output, not this filter, was the scale hazard
+    val keep = raw.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= anchorCap).select(col("g"))
+    val kg = raw.join(keep, Seq("g"), "left_semi")
       .persist() // both sides of the anchor self-join
     (toks, kg)
   }
@@ -1396,8 +1418,17 @@ object Dedup {
     * pairs with near-total coverage are cluster edges, partial spans
     * are quote/boilerplate extraction targets.
     */
-  def dupPassages(spark: SparkSession, sfDir: String): DataFrame = {
-    val (toks, kg) = passageAnchors(spark, sfDir)
+  def dupPassages(spark: SparkSession, sfDir: String): DataFrame =
+    dupPassagesOf(passageAnchors(spark, sfDir))
+
+  /** Test hook: the pipeline over explicit docs and an explicit anchor
+    * cap, so specs can plant hot-anchor corpora small enough to bind.
+    */
+  private[pipeline] def dupPassagesOn(docs: DataFrame, anchorCap: Long): DataFrame =
+    dupPassagesOf(passageAnchorsOf(docs, anchorCap))
+
+  private def dupPassagesOf(anchors: (DataFrame, DataFrame)): DataFrame = {
+    val (toks, kg) = anchors
     val m = kg.as("a")
       .join(kg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .join(toks.as("ta"), col("a.doc_id") === col("ta.doc_id"))
@@ -1435,10 +1466,13 @@ object Dedup {
       WHERE len(string_split(text, ' ')) >= $k
     ),
     th AS (SELECT doc_id, [${h32Sql.format("tk")} % ${P} for tk in t] AS th FROM toks),
-    kg AS (
+    kg0 AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos, ${passageFoldSql(s"th[i:i+${k - 1}]")} AS g
       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - ${k - 1})) AS i FROM th)
-    )"""
+    ),
+    keepg AS (SELECT g FROM (SELECT g, count(*) AS c FROM kg0 GROUP BY 1)
+              WHERE c <= $PassageAnchorFreqCap),
+    kg AS (SELECT k0.doc_id, k0.pos, k0.g FROM kg0 k0 JOIN keepg USING (g))"""
   }
 
   /** Shared oracle CTE chain for the passage family: anchors ->

@@ -121,6 +121,31 @@ class Round8OpsSpec extends SparkSpec {
     assert(full == fullRef, "cap >= cell size must be a no-op")
   }
 
+  test("passage anchor cap: boilerplate-only spans vanish, rare spans survive intact") {
+    import org.apache.spark.sql.functions._
+    // 20 docs all carrying the same 14-token boilerplate passage with
+    // unique surroundings (every boilerplate anchor appears 20 times),
+    // plus one rare pair sharing a distinct 14-token passage
+    val boiler = (1 to 14).map(i => s"b$i").mkString(" ")
+    val rare = (1 to 14).map(i => s"r$i").mkString(" ")
+    val docs = ((1 to 20).map { i =>
+      (i.toLong, s"u${i}_1 u${i}_2 u${i}_3 u${i}_4 $boiler v${i}_1 v${i}_2 v${i}_3 v${i}_4")
+    } ++ Seq(
+      (101L, s"w1 w2 w3 w4 $rare x1 x2 x3 x4"),
+      (102L, s"y1 y2 y3 y4 $rare z1 z2 z3 z4"),
+    )).toDF("doc_id", "text")
+    def spans(cap: Long) = Dedup.dupPassagesOn(docs, cap).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[String]("passage")))
+    val capped = spans(8L)
+    spark.catalog.clearCache()
+    val uncapped = spans(1000000L)
+    spark.catalog.clearCache()
+    assert(uncapped.count(_._3 == boiler) == 20 * 19 / 2,
+      "uncapped finds all C(20,2) boilerplate span pairs")
+    assert(capped.toSet == Set((101L, 102L, rare)),
+      s"capped must keep exactly the rare span, got ${capped.toSet}")
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
