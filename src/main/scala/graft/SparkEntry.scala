@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_components" -> (Dedup.components _),
+    "q_minhash_components" -> (Dedup.minhashComponents _),
     "q_canonical_docs" -> (Dedup.canonical _),
     "q_source_overlap" -> (Dedup.sourceOverlap _),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
@@ -271,6 +272,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_components" -> Dedup.componentsSql,
+    "q_minhash_components" -> Dedup.minhashComponentsSql,
     "q_canonical_docs" -> Dedup.canonicalSql,
     "q_source_overlap" -> Dedup.sourceOverlapSql,
     "q_ngram_novelty" -> Dedup.ngramNoveltySql,

@@ -898,6 +898,52 @@ object Dedup {
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
 
+  // ---- q_minhash_components --------------------------------------------
+
+  /** q_minhash_components: the production near-dup CLUSTER pipeline at
+    * web scale — MinHash signatures → banded LSH candidates →
+    * signature-verified pairs (est ≥ 0.5) → connected components with
+    * the min-label canonical root. This is the FineWeb/RefinedWeb
+    * dedup shape end to end: where [[components]] clusters over exact
+    * shingle-Jaccard pairs (exact but shingle-join-priced), this one
+    * rides the O(1)-per-doc signature index, so the pair stage's
+    * shuffle carries 16-long signatures instead of the full shingle
+    * explode — the variant a 100 TB pass actually runs.
+    *
+    * Scale: candidates are the banded equi join (volume O(near-dup
+    * pairs) — the LSH guarantee); mega-clusters of identical copies
+    * are [[exact]]'s job first, which keeps band buckets small (the
+    * streaming twin's [[graft.streaming.LshState]] bucket cap documents
+    * the same assumption). The resolver is the shared
+    * [[componentsOfPairs]] loop: one equi join + one agg per round,
+    * O(cluster diameter) rounds.
+    */
+  def minhashComponents(spark: SparkSession, sfDir: String): DataFrame =
+    componentsOfPairs(minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b")))
+
+  val minhashComponentsSql: String =
+    s"""
+    WITH RECURSIVE shdoc AS (${shingleHashesSql()}),
+    $lshCandCtesSql,
+    mpairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE round(CAST(len([i for i in generate_series(1, 16) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 16.0, 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM mpairs
+      UNION SELECT doc_b, doc_a FROM mpairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_root FROM reach GROUP BY 1)
+    SELECT c.doc_id, c.cluster_root, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
+    ) s ON c.cluster_root = s.cluster_root"""
+
   // ---- q_ngram_novelty ---------------------------------------------------
 
   /** q_ngram_novelty: per-document novelty — the fraction of a doc's

@@ -146,6 +146,23 @@ class Round8OpsSpec extends SparkSpec {
       s"capped must keep exactly the rare span, got ${capped.toSet}")
   }
 
+  test("minhash components: planted identical trio and pair resolve to min-root clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("mhc8").toString
+    val trio = (1 to 20).map(i => s"t$i").mkString(" ")
+    val pair = (1 to 20).map(i => s"p$i").mkString(" ")
+    val rows = Seq((1L, trio, "s"), (2L, trio, "s"), (3L, trio, "s"),
+      (10L, pair, "s"), (11L, pair, "s"),
+      (20L, (1 to 20).map(i => s"u$i").mkString(" "), "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.minhashComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    spark.catalog.clearCache()
+    assert(got == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))), s"got $got")
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
