@@ -78,6 +78,7 @@ object SparkEntry {
     "q_dup_quality" -> (Dedup.dupQuality _),
     "q_dup_degree" -> (Dedup.dupDegree _),
     "q_dedup_incremental" -> (Dedup.incremental _),
+    "q_minhash_incremental" -> (Dedup.minhashIncremental _),
     "q_bloom_dedup" -> (Dedup.bloomDedup _),
     // LLM-data-pipeline: similarity search
     "q_ann_topk" -> (Similarity.annTopk _),
@@ -272,6 +273,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashPairsSql,
     "q_dedup_components" -> Dedup.componentsSql,
+    "q_minhash_incremental" -> Dedup.minhashIncrementalSql,
     "q_minhash_components" -> Dedup.minhashComponentsSql,
     "q_canonical_docs" -> Dedup.canonicalSql,
     "q_source_overlap" -> Dedup.sourceOverlapSql,

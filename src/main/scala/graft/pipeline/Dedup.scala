@@ -803,6 +803,91 @@ object Dedup {
     FROM documents d LEFT JOIN corpus c ON md5(d.text) = c.content_md5
     WHERE d.doc_id % 5 = 0"""
 
+  // ---- q_minhash_incremental -------------------------------------------
+
+  /** q_minhash_incremental: [[incremental]]'s NEAR-dup form — the batch
+    * a continuously-ingesting corpus checks against the existing
+    * corpus's SIGNATURE index, catching re-crawls with edits that exact
+    * hashing misses. Incoming docs (the same deterministic
+    * doc_id % 5 == 0 split as [[incremental]]) band-join the existing
+    * corpus's LSH index, verify by signature agreement (est ≥ 0.5),
+    * and each incoming doc reports its match count plus the best
+    * corpus match (highest estimate, lowest doc_id tie-break); misses
+    * report is_new = 1.
+    *
+    * Scale: the incoming batch is small relative to the corpus by
+    * construction — its banded rows BROADCAST into the corpus-side
+    * band index (the stream-static contamination shape,
+    * [[graft.streaming.LshState.contaminationStream]]), so the corpus
+    * index never shuffles for an ingest check; at 100 TB the index is
+    * a persisted bucketed table keyed by (band, bh). The per-doc
+    * verdict window partitions by the incoming doc key.
+    */
+  def minhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val corpusBands = bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0))
+      .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c"),
+        col("band"), col("bh"))
+    val newBands = bandedSignatures(docs.filter(col("doc_id") % 5 === 0))
+    val matches = corpusBands
+      .join(broadcast(newBands), Seq("band", "bh"))
+      .select(col("doc_id"), col("corpus_doc"),
+        round(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), b => b))
+          .cast("double") / lit(16.0), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .distinct() // a pair agreeing in several bands emits once
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("est_jaccard").desc, col("corpus_doc").asc)
+    val verdicts = matches
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(when(col("rk") === 1, col("corpus_doc"))).as("dup_of"),
+        min(when(col("rk") === 1, col("est_jaccard"))).as("best_est"))
+    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(col("n_matches").isNull, 1).otherwise(0).as("is_new"),
+        col("dup_of"), col("best_est"))
+  }
+
+  val minhashIncrementalSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
+    bands AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    matches AS (
+      SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc,
+             round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) AS est_jaccard
+      FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+      WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= 0.5
+    ),
+    ranked AS (
+      SELECT doc_id, corpus_doc, est_jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY est_jaccard DESC, corpus_doc ASC) AS rk
+      FROM matches
+    ),
+    verdicts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+             min(CASE WHEN rk = 1 THEN corpus_doc END) AS dup_of,
+             min(CASE WHEN rk = 1 THEN est_jaccard END) AS best_est
+      FROM ranked GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(v.n_matches, 0) AS n_matches,
+           CASE WHEN v.n_matches IS NULL THEN 1 ELSE 0 END AS is_new,
+           v.dup_of, v.best_est
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN verdicts v ON d.doc_id = v.doc_id"""
+
   // ---- q_dedup_components --------------------------------------------
 
   /** Near-dup CLUSTER resolution — the completion step every dedup

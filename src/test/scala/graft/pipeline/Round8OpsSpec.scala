@@ -163,6 +163,28 @@ class Round8OpsSpec extends SparkSpec {
       10L -> ((10L, 2L)), 11L -> ((10L, 2L))), s"got $got")
   }
 
+  test("minhash incremental: an edited re-crawl flags against its corpus holder, novel content is new") {
+    val dir = java.nio.file.Files.createTempDirectory("mhi8").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val edited = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, base, "s"),                                        // corpus holder
+      (2L, (1 to 40).map(i => s"x$i").mkString(" "), "s"),    // corpus, unrelated
+      (5L, edited, "s"),                                      // incoming near-copy
+      (10L, (1 to 40).map(i => s"z$i").mkString(" "), "s"))   // incoming novel
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.minhashIncremental(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Int]("is_new"), Option(r.get(3)))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got.keySet == Set(5L, 10L), s"exactly the incoming split reports: $got")
+    assert(got(5L)._2 == 0 && got(5L)._3.contains(1L),
+      s"edited re-crawl must flag against corpus doc 1: ${got(5L)}")
+    assert(got(10L) == ((0L, 1, None)), s"novel doc must be new: ${got(10L)}")
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
