@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_containment" -> (Dedup.containment _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q_band_stats" -> (Dedup.bandStats _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
     "q_dedup_components" -> (Dedup.components _),
     "q_minhash_components" -> (Dedup.minhashComponents _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_dataset_card" -> (graft.pipeline.DatasetCard.datasetCard _),
     // ANN index-quality eval: per-probe recall of IVF vs exact truth
     "q_ann_recall" -> (Similarity.annRecall _),
+    "q_ivf_stats" -> (Similarity.ivfStats _),
     // distributed BPE tokenizer TRAINING (full-vocab merge trajectory)
     "q_bpe_train" -> (graft.pipeline.Bpe.bpeTrain _),
     // measured LSH s-curve: banded-candidate recall per Jaccard bucket
@@ -361,6 +363,7 @@ object SparkEntry {
     "q_collocations" -> TextAnalysis.collocationsSql,
     "q_dedup_cost" -> Dedup.dedupCostSql,
     "q_dedup_ngram_capped" -> Dedup.ngramJaccardCappedSql,
+    "q_band_stats" -> Dedup.bandStatsSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping
@@ -383,6 +386,7 @@ object SparkEntry {
     graft.pipeline.QualityClassifier.classifyOracleSql.map("q_quality_classifier" -> _) ++
     graft.pipeline.Bpe.bpeTrainOracleSql.map("q_bpe_train" -> _) ++
     Similarity.knnGraphOracleSql.map("q_knn_graph" -> _) ++
+    Similarity.ivfStatsOracleSql.map("q_ivf_stats" -> _) ++
     graft.pipeline.QualityClassifier.qualityCalibrationOracleSql
       .map("q_quality_calibration" -> _) ++
     graft.pipeline.Bpe.bpeVocabOracleSql.map("q_bpe_vocab" -> _)

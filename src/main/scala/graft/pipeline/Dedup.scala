@@ -467,6 +467,47 @@ object Dedup {
     FROM cand
     WHERE round(CAST(len([i for i in generate_series(1, 16) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 16.0, 6) >= 0.5"""
 
+  // ---- q_band_stats ----------------------------------------------------
+
+  /** q_band_stats: LSH index-health report — per band, the bucket
+    * count, posting count, the HOTTEST bucket, and the exact candidate
+    * volume Σ C(n,2) the band join will pay. The q_dedup_cost
+    * analogue for the MinHash index (and the batch twin of
+    * [[graft.streaming.LshState]]'s bucket cap): a band whose max
+    * bucket dwarfs the rest means an identical-copy mega-cluster is
+    * about to quadratically dominate the pair join — run [[exact]]
+    * first or cap the bucket, BEFORE paying the shuffle.
+    *
+    * Scale: one hash aggregation to the (band, bh) bucket relation,
+    * then a 4-row per-band aggregate — the corpus never joins.
+    * All-integer output (n(n−1) is even so /2 is exact).
+    */
+  def bandStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = bandedSignatures(Tables.documents(spark, sfDir))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+    buckets.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_postings"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+  }
+
+  val bandStatsSql: String =
+    s"""
+    WITH shdoc AS (${shingleHashesSql()}),
+    sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    buckets AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS n FROM bands GROUP BY 1, 2)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_postings,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY 1"""
+
   // ---- q_lsh_recall --------------------------------------------------
 
   /** Theoretical LSH s-curve P(candidate) = 1 − (1 − s⁴)⁴ (4 bands × 4

@@ -553,6 +553,53 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
   }
 
+  // ---- q_ivf_stats -----------------------------------------------------
+
+  /** q_ivf_stats: IVF index-health report — per cell, the member count,
+    * corpus share (exact integer ppm), and the quantization-error
+    * profile (mean/max distance-to-centroid). The eval an ANN operator
+    * reads before trusting the index at 100 TB, and the detector for
+    * exactly the skewed-giant-cell hazard the [[KnnCellCap]] core
+    * bounds: a cell holding a disproportionate share (or whose max d2
+    * dwarfs its mean) needs more cells (k ~ √n) or a cell split before
+    * the pair-family queries run.
+    *
+    * Scale: the assignment is the shared codegen argmin pass; the
+    * report is one hash aggregation to ≤ |cells| rows. mean_d2 sums in
+    * exact DECIMAL space over the pre-rounded d2 (order-free — the
+    * [[graft.functions.Exact]] discipline), max is order-free by
+    * definition.
+    */
+  def ivfStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = assignedCells(spark, sfDir)
+      .select(col("cell"), round(col("d2"), 6).as("d2"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.functions.Exact.exactSum(col("d2")).as("sum_d2"),
+        max(col("d2")).as("max_d2"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vectors"),
+        expr("(1000000 * n_vectors) div n_total").as("share_ppm"),
+        round(col("sum_d2") / col("n_vectors"), 6).as("mean_d2"),
+        col("max_d2"))
+  }
+
+  /** DuckDB oracle for q_ivf_stats (post-fit; None → rows-only). */
+  def ivfStatsOracleSql: Option[String] =
+    ivfFrozen.map { centers =>
+      s"""
+    WITH ${ivfAssignCtesSql(centers)},
+    a AS (SELECT cell, round(d2, 6) AS d2 FROM assigned),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM a)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           (1000000 * CAST(count(*) AS BIGINT)) // n_total AS share_ppm,
+           round(CAST(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+                 / count(*), 6) AS mean_d2,
+           max(d2) AS max_d2
+    FROM a, t GROUP BY cell, n_total"""
+    }
+
   // ---- q_ann_recall --------------------------------------------------
 
   /** q_ann_recall: the index-quality measurement a pipeline runs before
