@@ -283,6 +283,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-8 additions keep their declared plan shapes") {
+    // q_minhash_incremental: the incoming batch broadcasts into the
+    // corpus band index — the corpus side must never shuffle for an
+    // ingest check
+    val mi = collectAll(plan("q_minhash_incremental")) { case j: BroadcastHashJoinExec => j }
+    assert(mi.nonEmpty, "q_minhash_incremental must broadcast the incoming batch")
+    // q_band_stats: a report query — pure aggregation, no join at all
+    // (the all-queries NLJ rule covers the rest of the new surface)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val bs = collectAll(plan("q_band_stats")) { case j: BaseJoinExec => j }
+    assert(bs.isEmpty, "q_band_stats must be join-free (two chained aggregations)")
+  }
+
   test("IVF-family assignment uses NearestCenter, and the PQ cell join broadcasts the probe side") {
     // regression guard for the 64 KB codegen cliff: the unrolled
     // literal-centroid argmin janino-failed and silently degraded the
