@@ -414,13 +414,33 @@ object Dedup {
     * band hash; similarity = matching signature positions / 16,
     * threshold 0.5.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshPairs(spark, sfDir, None)
+
+  /** Band-bucket ceiling for the cluster pipeline's pair source — the
+    * batch mirror of the streaming twin's
+    * [[graft.streaming.LshState.MaxBucketMembers]]: a bucket hotter
+    * than this is an exact-duplicate mega-cluster (hundreds of docs
+    * agreeing on 4 signature positions), which is [[exact]]'s job —
+    * dropping it keeps the band join's per-bucket fanout ≤ C(cap,2)
+    * instead of quadratic in the cluster.
+    */
+  val MinhashBucketCap = 256L
+
+  private def minhashLshPairs(spark: SparkSession, sfDir: String,
+      bucketCap: Option[Long]): DataFrame = {
     // signatures are consumed three times (band explode + two gather
     // joins); persist the narrow (id, 16-long) relation so the md5 +
     // permutation work runs once — at cluster scale this is where a
     // signature table would be checkpointed to storage
     val sigs = signatures(Tables.documents(spark, sfDir)).persist()
-    val bands = bandRows(sigs)
+    val allBands = bandRows(sigs)
+    val bands = bucketCap.map { cap =>
+      val keep = allBands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("c")).filter(col("c") <= cap)
+        .select(col("band"), col("bh"))
+      allBands.join(keep, Seq("band", "bh"), "left_semi")
+    }.getOrElse(allBands)
     // candidate pairs dedupe on narrow (id, id) rows; signatures are
     // re-joined afterwards so the 16-long arrays never shuffle per band
     val cand = bands.as("a")
@@ -444,19 +464,36 @@ object Dedup {
     * the pair query and the recall eval can never disagree on what a
     * candidate is.
     */
-  private def lshCandCtesSql: String =
-    s"""sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
-    bands AS (
+  private def lshCandCtesSql: String = lshCandCtesSqlCapped(None)
+
+  private def lshCandCtesSqlCapped(bucketCap: Option[Long]): String = {
+    val bandsDef = bucketCap match {
+      case Some(cap) =>
+        s"""bands0 AS (
       SELECT doc_id, sig, b.band,
              md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
       FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
     ),
+    keepb AS (SELECT band, bh FROM (SELECT band, bh, count(*) AS c FROM bands0 GROUP BY 1, 2)
+              WHERE c <= $cap),
+    bands AS (SELECT b0.doc_id, b0.sig, b0.band, b0.bh
+              FROM bands0 b0 JOIN keepb USING (band, bh))"""
+      case None =>
+        s"""bands AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    )"""
+    }
+    s"""sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
+    $bandsDef,
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     )"""
+  }
 
   val minhashLshSql: String =
     s"""
@@ -1040,17 +1077,21 @@ object Dedup {
     * pairs) — the LSH guarantee); mega-clusters of identical copies
     * are [[exact]]'s job first, which keeps band buckets small (the
     * streaming twin's [[graft.streaming.LshState]] bucket cap documents
-    * the same assumption). The resolver is the shared
-    * [[componentsOfPairs]] loop: one equi join + one agg per round,
-    * O(cluster diameter) rounds.
+    * the same assumption — and the batch pipeline ENFORCES it: band
+    * buckets above [[MinhashBucketCap]] members drop before the pair
+    * join, the [[clusterPairs]] discipline applied to the signature
+    * index). The resolver is the shared [[componentsOfPairs]] loop:
+    * one equi join + one agg per round, O(cluster diameter) rounds.
     */
   def minhashComponents(spark: SparkSession, sfDir: String): DataFrame =
-    componentsOfPairs(minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    componentsOfPairs(
+      minhashLshPairs(spark, sfDir, Some(MinhashBucketCap))
+        .select(col("doc_a"), col("doc_b")))
 
   val minhashComponentsSql: String =
     s"""
     WITH RECURSIVE shdoc AS (${shingleHashesSql()}),
-    $lshCandCtesSql,
+    ${lshCandCtesSqlCapped(Some(MinhashBucketCap))},
     mpairs AS (
       SELECT doc_a, doc_b FROM cand
       WHERE round(CAST(len([i for i in generate_series(1, 16) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 16.0, 6) >= 0.5

@@ -163,6 +163,25 @@ class Round8OpsSpec extends SparkSpec {
       10L -> ((10L, 2L)), 11L -> ((10L, 2L))), s"got $got")
   }
 
+  test("minhash components: a mega-bucket of identical copies is exact-dedup's job, not the band join's") {
+    // 300 identical docs exceed MinhashBucketCap (256): their bucket
+    // drops before the pair join (C(300,2) never materializes) while
+    // the small rare pair still clusters — the LshState.MaxBucketMembers
+    // assumption, enforced batch-side
+    val dir = java.nio.file.Files.createTempDirectory("mhcap8").toString
+    val mega = (1 to 20).map(i => s"m$i").mkString(" ")
+    val rare = (1 to 20).map(i => s"r$i").mkString(" ")
+    val rows = (1L to 300L).map(i => (i, mega, "s")) ++
+      Seq((1001L, rare, "s"), (1002L, rare, "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.minhashComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    spark.catalog.clearCache()
+    assert(got == Map(1001L -> ((1001L, 2L)), 1002L -> ((1001L, 2L))),
+      s"only the rare pair may cluster past the bucket cap, got ${got.size} rows")
+  }
+
   test("minhash incremental: an edited re-crawl flags against its corpus holder, novel content is new") {
     val dir = java.nio.file.Files.createTempDirectory("mhi8").toString
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
