@@ -89,6 +89,85 @@ object Curate {
           .otherwise(lit(null: String)).as("split"))
   }
 
+  // ---- q_keep_list -----------------------------------------------------
+
+  /** q_keep_list: the FULL corpus export verdict — [[curate]]'s
+    * decision record completed with NEAR-dup cluster resolution, the
+    * one relation a training run materializes. Among the documents
+    * curate keeps, each near-dup cluster ([[Dedup.components]], the
+    * capped pair graph) retains its most complete surviving member
+    * (longest text, doc_id tie-break — [[Dedup.canonical]]'s keeper
+    * rule applied AFTER the quality/contamination gates, so a cluster
+    * whose longest member was dropped as contaminated still keeps its
+    * best clean copy); the other members flip to `near_dup` with
+    * `dup_of` naming their keeper.
+    *
+    * Scale: composes shapes that already exist — curate's scan +
+    * broadcast gates, the capped component resolution, and ONE window
+    * over the survivors-that-have-a-cluster relation (near-dup
+    * members only, partitioned by cluster root — tiny at any corpus
+    * size relative to the corpus scan).
+    */
+  def keepList(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = curate(spark, sfDir)
+    val comp = Dedup.components(spark, sfDir)
+      .select(col("doc_id"), col("cluster_root"))
+    val nch = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val kept = cur.filter(col("keep"))
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"))
+      .join(nch, Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_root"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranked = kept.withColumn("rk", row_number().over(w))
+    val keepers = ranked.filter(col("rk") === 1)
+      .select(col("cluster_root"), col("doc_id").as("cluster_keeper"))
+    val nd = ranked.join(keepers, "cluster_root")
+      .select(col("doc_id"), (col("rk") === 1).as("nd_keep"),
+        when(col("rk") =!= 1, col("cluster_keeper")).as("dup_of"))
+    val dropNd = col("keep") && !coalesce(col("nd_keep"), lit(true))
+    cur.join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("keep") && coalesce(col("nd_keep"), lit(true))).as("keep_final"),
+        when(dropNd, lit("near_dup")).otherwise(col("reason")).as("reason"),
+        col("dup_of"),
+        when(dropNd, lit(null: String)).otherwise(col("split")).as("split"))
+      .withColumnRenamed("keep_final", "keep")
+  }
+
+  // lazy: composes curateSql, which is initialized later in this object
+  lazy val keepListSql: String =
+    s"""
+    WITH cur AS (SELECT * FROM ($curateSql)),
+    comp AS (SELECT doc_id, cluster_root FROM (${Dedup.componentsSql})),
+    kept AS (
+      SELECT c.doc_id, p.cluster_root, d.n_chars
+      FROM cur c JOIN comp p ON c.doc_id = p.doc_id
+      JOIN documents d ON c.doc_id = d.doc_id
+      WHERE c.keep
+    ),
+    rkd AS (
+      SELECT doc_id, cluster_root, n_chars,
+             row_number() OVER (PARTITION BY cluster_root
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM kept
+    ),
+    kp AS (SELECT cluster_root, doc_id AS cluster_keeper FROM rkd WHERE rk = 1),
+    nd AS (
+      SELECT r.doc_id, r.rk = 1 AS nd_keep,
+             CASE WHEN r.rk <> 1 THEN k.cluster_keeper END AS dup_of
+      FROM rkd r JOIN kp k USING (cluster_root)
+    )
+    SELECT c.doc_id,
+           c.keep AND coalesce(nd.nd_keep, TRUE) AS keep,
+           CASE WHEN c.keep AND NOT coalesce(nd.nd_keep, TRUE) THEN 'near_dup'
+                ELSE c.reason END AS reason,
+           nd.dup_of,
+           CASE WHEN c.keep AND NOT coalesce(nd.nd_keep, TRUE) THEN NULL
+                ELSE c.split END AS split
+    FROM cur c LEFT JOIN nd ON c.doc_id = nd.doc_id"""
+
   val curateSql: String = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
     val splitCases = Sampling.SplitPct.map { case (n, lo, hi) =>

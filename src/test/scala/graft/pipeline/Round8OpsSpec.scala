@@ -204,6 +204,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(10L) == ((0L, 1, None)), s"novel doc must be new: ${got(10L)}")
   }
 
+  test("keep list: near-dup clusters keep exactly one SURVIVING member, dup_of closes over keeps") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curate.keepList(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[String]("reason"), Option(r.get(3)))))
+      .toMap
+    spark.catalog.clearCache()
+    val comp = Dedup.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val nearDups = rows.collect { case (id, (k, "near_dup", dupOf)) => (id, k, dupOf) }
+    assert(nearDups.forall(!_._2), "a near_dup row must not be kept")
+    nearDups.foreach { case (id, _, dupOf) =>
+      val keeper = dupOf.get.asInstanceOf[Long]
+      assert(rows(keeper)._1, s"dup_of $keeper of $id must itself be kept")
+      assert(comp(id) == comp(keeper), s"$id and its keeper $keeper must share a cluster")
+    }
+    // among kept docs, each cluster contributes exactly one member
+    val keptClustered = rows.collect { case (id, (true, _, _)) if comp.contains(id) => comp(id) }
+    assert(keptClustered.size == keptClustered.toSet.size,
+      "a near-dup cluster leaked two kept members")
+    // curate-dropped docs keep their original reason (near_dup only ever
+    // overrides 'keep')
+    assert(rows.values.forall { case (k, r, _) => k == (r == "keep") })
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
