@@ -110,7 +110,12 @@ object Curate {
     */
   def keepList(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cur = curate(spark, sfDir)
+    // eager self-releasing checkpoint: the verdict relation is read
+    // twice (survivor filter + final join) and re-running the whole
+    // curate subplan per reference doubled this query's wall time —
+    // narrow 4-column rows, ContextCleaner-released (the components
+    // discipline)
+    val cur = curate(spark, sfDir).localCheckpoint(eager = true)
     val comp = Dedup.components(spark, sfDir)
       .select(col("doc_id"), col("cluster_root"))
     val nch = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
