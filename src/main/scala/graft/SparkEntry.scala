@@ -167,6 +167,7 @@ object SparkEntry {
     // end-to-end curation decision record (composition of the family)
     "q_curate" -> (graft.pipeline.Curate.curate _),
     "q_keep_list" -> (graft.pipeline.Curate.keepList _),
+    "q_keep_by_source" -> (graft.pipeline.Curate.keepBySource _),
     // PCA projection (frozen-components oracle, like the centroids)
     "q_pca_project" -> (Similarity.pcaProject _),
     "q_ann_pca" -> (Similarity.annPca _),
@@ -366,6 +367,7 @@ object SparkEntry {
     "q_dedup_ngram_capped" -> Dedup.ngramJaccardCappedSql,
     "q_band_stats" -> Dedup.bandStatsSql,
     "q_keep_list" -> graft.pipeline.Curate.keepListSql,
+    "q_keep_by_source" -> graft.pipeline.Curate.keepBySourceSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -173,6 +173,48 @@ object Curate {
                 ELSE c.split END AS split
     FROM cur c LEFT JOIN nd ON c.doc_id = nd.doc_id"""
 
+  // ---- q_keep_by_source ------------------------------------------------
+
+  /** q_keep_by_source: the per-source funnel readout over
+    * [[keepList]] — for every (source, reason) cell, the document
+    * count and its share of the source in exact integer ppm. This is
+    * the report a curation team actually reads: which sources die at
+    * which gate (a source dominated by `blocklisted` needs a source
+    * fix, one dominated by `near_dup` is a mirror of something else,
+    * one dominated by `keep` is pulling its weight).
+    *
+    * Scale: the keepList relation joins the narrow (doc_id, source)
+    * projection on the doc key and collapses to |sources|×|reasons|
+    * rows; per-source totals ride the same aggregate via a window
+    * over the post-aggregation relation (dozens of rows).
+    */
+  def keepBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val cells = keepList(spark, sfDir)
+      .join(src, "doc_id")
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source"))
+    cells
+      .withColumn("n_source", sum(col("n_docs")).over(w))
+      .select(col("source"), col("reason"), col("n_docs"),
+        expr("(1000000 * n_docs) div n_source").as("share_ppm"))
+  }
+
+  lazy val keepBySourceSql: String =
+    s"""
+    WITH kl AS (SELECT * FROM ($keepListSql)),
+    cells AS (
+      SELECT d.source, k.reason, CAST(count(*) AS BIGINT) AS n_docs
+      FROM kl k JOIN documents d ON k.doc_id = d.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT source, reason, n_docs,
+           (1000000 * n_docs) // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+             AS share_ppm
+    FROM cells"""
+
   val curateSql: String = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
     val splitCases = Sampling.SplitPct.map { case (n, lo, hi) =>
