@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_containment" -> (Dedup.containment _),
+    "q_containment_capped" -> (Dedup.containmentCapped _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_band_stats" -> (Dedup.bandStats _),
     "q_dedup_simhash" -> (Dedup.simhashPairs _),
@@ -368,6 +369,7 @@ object SparkEntry {
     "q_band_stats" -> Dedup.bandStatsSql,
     "q_keep_list" -> graft.pipeline.Curate.keepListSql,
     "q_keep_by_source" -> graft.pipeline.Curate.keepBySourceSql,
+    "q_containment_capped" -> Dedup.containmentCappedSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -1061,6 +1061,44 @@ object Dedup {
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
 
+  // ---- q_containment_capped --------------------------------------------
+
+  /** q_containment_capped: the production form of [[containment]] —
+    * the capped posting-list scaffold at the cluster-grade ceiling
+    * ([[ClusterShingleFreqCap]]), with BOTH directions derived from
+    * the ordered pair relation (shared counts are symmetric, only the
+    * denominator is directional). A popular quote embedded in
+    * hundreds of documents is exactly a hot shingle run: uncapped,
+    * every carrier pairs with every other carrier (C(n,2)); capped,
+    * carriers of genuinely-rare quotes still resolve while the
+    * boilerplate quote is priced out — the same trade as
+    * [[clusterPairs]], for the asymmetric signal.
+    */
+  def containmentCapped(spark: SparkSession, sfDir: String): DataFrame =
+    cappedPairScaffold(spark, sfDir, ClusterShingleFreqCap) { (pairs, sizes) =>
+      val sym = pairs.select(col("doc_a"), col("doc_b"), col("shared"))
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("shared")))
+      sym
+        .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
+        .withColumn("containment",
+          round(col("shared").cast("double") / col("n_sh"), 6))
+        .filter(col("containment") >= ContainmentMin)
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("n_sh").as("n_sh_a"), col("containment"))
+    }
+
+  val containmentCappedSql: String =
+    s"""
+    WITH ${shinglePairCtesSql(maxFreq = Some(ClusterShingleFreqCap))},
+    sym AS (
+      SELECT doc_a, doc_b, shared FROM cnd
+      UNION ALL SELECT doc_b, doc_a, shared FROM cnd
+    )
+    SELECT s.doc_a, s.doc_b, s.shared, z.n_sh AS n_sh_a,
+           round(CAST(s.shared AS DOUBLE) / z.n_sh, 6) AS containment
+    FROM sym s JOIN sz z ON s.doc_a = z.doc_id
+    WHERE round(CAST(s.shared AS DOUBLE) / z.n_sh, 6) >= $ContainmentMin"""
+
   // ---- q_minhash_components --------------------------------------------
 
   /** q_minhash_components: the production near-dup CLUSTER pipeline at

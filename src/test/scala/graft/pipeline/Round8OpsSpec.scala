@@ -230,6 +230,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows.values.forall { case (k, r, _) => k == (r == "keep") })
   }
 
+  test("capped containment: a popular quote is priced out, a rare quote still resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("ccap8").toString
+    val rare = (1 to 6).map(i => s"r$i").mkString(" ")
+    val pop = (1 to 6).map(i => s"q$i").mkString(" ")
+    def uniq(tag: String) = (1 to 20).map(i => s"${tag}_$i").mkString(" ")
+    // doc 1 = the rare quote alone; doc 2 embeds it (containment 1.0).
+    // docs 101-112 = the popular quote alone; docs 201-212 embed it —
+    // its shingles hit freq 24 > ClusterShingleFreqCap and vanish.
+    val rows = Seq((1L, rare, "s"), (2L, s"${uniq("b")} $rare", "s")) ++
+      (101L to 112L).map(i => (i, pop, "s")) ++
+      (201L to 212L).map(i => (i, s"${uniq(s"c$i")} $pop", "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val capped = keys(Dedup.containmentCapped(spark, dir))
+    spark.catalog.clearCache()
+    val uncapped = keys(Dedup.containment(spark, dir))
+    spark.catalog.clearCache()
+    assert(capped == Set((1L, 2L)),
+      s"capped must keep exactly the rare-quote containment, got $capped")
+    assert(uncapped.size > 100,
+      s"uncapped pays the popular quote's all-carriers blowup (got ${uncapped.size})")
+    assert(uncapped.contains((1L, 2L)))
+  }
+
   test("componentsOfPairs resolves a planted chain to its minimum label") {
     // path graph 5-3-9-2: diameter 3, all four nodes one component
     // rooted at 2; plus the isolated edge (7, 8)
