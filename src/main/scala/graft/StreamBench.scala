@@ -96,8 +96,12 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     // median-of-N with every run recorded, matching the per-round
     // artifact Bench writes — a standalone single-shot number proved
-    // uninterpretable under sandbox contention (r7 post-mortem)
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt.max(1)
+    // uninterpretable under sandbox contention (r7 post-mortem). A
+    // malformed env value degrades to the default run count: the bench
+    // must never abort after the session is already up over a typo.
+    val nRuns = sys.env.get("SPARK_GRAFT_STREAM_RUNS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(3).max(1)
     val rs = Seq.fill(nRuns)(measure(spark, perTrigger, triggers, bucketed, nTopics))
     val r = rs.sortBy(_.msgsPerSec).apply(nRuns / 2)
     println(

@@ -883,23 +883,46 @@ object Dedup {
 
   // ---- q_minhash_incremental -------------------------------------------
 
+  /** Hard ceiling on the docs one ingest check may carry (mirrors a
+    * trigger's `maxOffsetsPerTrigger` bound): the incoming side of
+    * [[minhashIncremental]] is force-broadcast, so its size must be
+    * bounded STRUCTURALLY, not by hoping the split stays small — a 20%
+    * corpus split is batch-scale only at gate SFs. Docs beyond the cap
+    * (ids ≥ 5·cap on the %5 split) simply wait for the next check,
+    * exactly as a trigger bound defers offsets. 100k ids is far above
+    * every gate corpus (the cap never binds there — oracle-identical),
+    * and caps the broadcast at ~26 MB of banded rows at any SF.
+    */
+  val IngestBatchCap = 100000L
+
+  /** The bounded ingest batch: the deterministic doc_id % 5 == 0 split
+    * (as [[incremental]]) truncated at [[IngestBatchCap]] ids — shared
+    * by the candidate side and the verdict base so a capped-out doc
+    * can never appear as a spurious `is_new` row.
+    */
+  private def ingestBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < lit(5L * IngestBatchCap))
+
   /** q_minhash_incremental: [[incremental]]'s NEAR-dup form — the batch
     * a continuously-ingesting corpus checks against the existing
     * corpus's SIGNATURE index, catching re-crawls with edits that exact
     * hashing misses. Incoming docs (the same deterministic
-    * doc_id % 5 == 0 split as [[incremental]]) band-join the existing
-    * corpus's LSH index, verify by signature agreement (est ≥ 0.5),
-    * and each incoming doc reports its match count plus the best
-    * corpus match (highest estimate, lowest doc_id tie-break); misses
-    * report is_new = 1.
+    * doc_id % 5 == 0 split as [[incremental]], truncated at
+    * [[IngestBatchCap]] docs) band-join the existing corpus's LSH
+    * index, verify by signature agreement (est ≥ 0.5), and each
+    * incoming doc reports its match count plus the best corpus match
+    * (highest estimate, lowest doc_id tie-break); misses report
+    * is_new = 1.
     *
-    * Scale: the incoming batch is small relative to the corpus by
-    * construction — its banded rows BROADCAST into the corpus-side
-    * band index (the stream-static contamination shape,
-    * [[graft.streaming.LshState.contaminationStream]]), so the corpus
-    * index never shuffles for an ingest check; at 100 TB the index is
-    * a persisted bucketed table keyed by (band, bh). The per-doc
-    * verdict window partitions by the incoming doc key.
+    * Scale: the incoming batch is ≤ [[IngestBatchCap]] docs BY
+    * CONSTRUCTION (not merely "small relative to the corpus" — the
+    * split alone would be 20% of it), so the explicit broadcast of its
+    * banded rows is bounded at any corpus size; the corpus-side band
+    * index never shuffles for an ingest check (the stream-static
+    * contamination shape, [[graft.streaming.LshState
+    * .contaminationStream]]) — at 100 TB it is a persisted bucketed
+    * table keyed by (band, bh). The per-doc verdict window partitions
+    * by the incoming doc key.
     */
   def minhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -907,7 +930,7 @@ object Dedup {
     val corpusBands = bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0))
       .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c"),
         col("band"), col("bh"))
-    val newBands = bandedSignatures(docs.filter(col("doc_id") % 5 === 0))
+    val newBands = bandedSignatures(ingestBatch(docs))
     val matches = corpusBands
       .join(broadcast(newBands), Seq("band", "bh"))
       .select(col("doc_id"), col("corpus_doc"),
@@ -923,7 +946,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_matches"),
         min(when(col("rk") === 1, col("corpus_doc"))).as("dup_of"),
         min(when(col("rk") === 1, col("est_jaccard"))).as("best_est"))
-    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    ingestBatch(docs).select(col("doc_id"))
       .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
@@ -944,7 +967,7 @@ object Dedup {
       SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc,
              round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) AS est_jaccard
       FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
-      WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+      WHERE n.doc_id % 5 = 0 AND n.doc_id < ${5L * IngestBatchCap} AND c.doc_id % 5 <> 0
         AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= 0.5
     ),
     ranked AS (
@@ -963,7 +986,8 @@ object Dedup {
            COALESCE(v.n_matches, 0) AS n_matches,
            CASE WHEN v.n_matches IS NULL THEN 1 ELSE 0 END AS is_new,
            v.dup_of, v.best_est
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % 5 = 0 AND doc_id < ${5L * IngestBatchCap}) d
     LEFT JOIN verdicts v ON d.doc_id = v.doc_id"""
 
   // ---- q_dedup_components --------------------------------------------

@@ -664,7 +664,10 @@ object Similarity {
     * every vector gets its [[KnnK]] nearest neighbors WITHIN its IVF
     * cell by exact cosine, plus the `mutual` flag (the reverse edge is
     * also a top-k edge — mutual-kNN is the standard symmetrization that
-    * drops hub edges before clustering).
+    * drops hub edges before clustering) and `src_in_core` (whether the
+    * source sits inside its cell's [[KnnCellCap]] candidate core — a
+    * non-core source is structurally ineligible as anyone's candidate,
+    * so its mutual = false means "capped out", not "rejected").
     *
     * Scale: assignment is the [[annIvf]] codegen literal-centroid pass;
     * candidate generation is one equi join on the cell key against the
@@ -693,19 +696,31 @@ object Similarity {
     */
   private[pipeline] def knnGraphOnAssigned(assigned: DataFrame, cellCap: Int): DataFrame = {
     val cw = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
-    val core = assigned
+    // ranked once, read by BOTH join sides: the b-side keeps only the
+    // core, the a-side carries `src_in_core` so the cap's effect on the
+    // mutual flag is visible in the output — a node OUTSIDE its cell's
+    // core can never be anyone's candidate, so every edge it sources
+    // reports mutual = false STRUCTURALLY (ineligible), not because the
+    // reverse edge lost the top-k race. Consumers symmetrizing on
+    // mutual = true must treat src_in_core = false rows as "cap-eligible
+    // sinks", not as rejected neighbors; the flag makes the two cases
+    // distinguishable downstream (ADVICE r8).
+    val ranked = assigned
       .withColumn("crk", row_number().over(cw))
-      .filter(col("crk") <= cellCap)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"),
+        (col("crk") <= cellCap).as("in_core"))
+    val core = ranked.filter(col("in_core"))
       .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
     // the (|V|·k)-row edge list is read twice (forward + reversed side
     // of the mutual join); persist so the cell join runs once
-    val edges = assigned.as("a")
+    val edges = ranked.as("a")
       .join(core.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         round(dot(col("a.embedding"), col("b.embedding"))
-          / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cos"))
+          / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cos"),
+        col("a.in_core").as("src_in_core"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
       .persist()
@@ -713,7 +728,7 @@ object Similarity {
       .join(edges.select(col("src").as("r_src"), col("dst").as("r_dst")).as("r"),
         col("e.src") === col("r.r_dst") && col("e.dst") === col("r.r_src"), "left")
       .select(col("e.src"), col("e.rk"), col("e.dst"), col("e.cos"),
-        col("r.r_src").isNotNull.as("mutual"))
+        col("r.r_src").isNotNull.as("mutual"), col("e.src_in_core"))
   }
 
   /** DuckDB oracle for q_knn_graph (post-fit; None → rows-only): the
@@ -724,27 +739,30 @@ object Similarity {
     ivfFrozen.map { centers =>
       s"""
     WITH ${ivfAssignCtesSql(centers)},
+    rankedv AS (
+      SELECT vec_id, cell, embedding, nsq,
+             row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC)
+               <= $KnnCellCap AS in_core
+      FROM assigned
+    ),
     core AS (
-      SELECT vec_id, cell, embedding, nsq FROM (
-        SELECT vec_id, cell, embedding, nsq,
-               row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS prk
-        FROM assigned
-      ) WHERE prk <= $KnnCellCap
+      SELECT vec_id, cell, embedding, nsq FROM rankedv WHERE in_core
     ),
     scored AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             round(${dotSql("a.embedding", "b.embedding")} / sqrt(a.nsq * b.nsq), 6) AS cos
-      FROM assigned a JOIN core b
+             round(${dotSql("a.embedding", "b.embedding")} / sqrt(a.nsq * b.nsq), 6) AS cos,
+             a.in_core AS src_in_core
+      FROM rankedv a JOIN core b
         ON a.cell = b.cell AND a.vec_id <> b.vec_id
     ),
     edges AS (
-      SELECT src, dst, cos, rk FROM (
-        SELECT src, dst, cos,
+      SELECT src, dst, cos, rk, src_in_core FROM (
+        SELECT src, dst, cos, src_in_core,
                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
         FROM scored
       ) WHERE rk <= $KnnK
     )
-    SELECT e.src, e.rk, e.dst, e.cos, (r.src IS NOT NULL) AS mutual
+    SELECT e.src, e.rk, e.dst, e.cos, (r.src IS NOT NULL) AS mutual, e.src_in_core
     FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src"""
     }
 

@@ -178,6 +178,16 @@ object SketchQueries {
     * estimate and the tie-break are. PlanSpec pins the shape; the
     * Round8 spec cross-checks the pool covers the unconditional exact
     * top-20 at test scale.
+    *
+    * Pool-truncation is DETECTABLE IN THE OUTPUT, not only at gate
+    * scale: `pool_floor_est` is the pool's admission threshold (the
+    * 64th-largest estimate) and `topk_guaranteed` certifies the
+    * report — any key outside the pool has exact ≤ estimate ≤
+    * pool_floor_est (one-sided CMS + top-by-estimate pool), so
+    * pool_floor_est ≤ the reported 20th exact count proves no dropped
+    * key can strictly beat a reported row. A key-distribution shift
+    * that voids the covering property flips the flag to false instead
+    * of silently dropping a heavy hitter.
     */
   def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
@@ -203,11 +213,28 @@ object SketchQueries {
     // a <= CmsCandidates-group aggregation
     val exact = ev.join(broadcast(candidates.select(col("user_id"))), "user_id")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    // pool-truncation detector (over the 64-row joined pool — windows
+    // on a post-TakeOrdered relation, constant-size at any SF): any key
+    // OUTSIDE the pool has exact ≤ estimate ≤ pool_floor_est (CMS is
+    // one-sided and the pool is the top-64 by estimate), so when
+    // pool_floor_est ≤ the reported 20th exact count, no dropped key
+    // can strictly beat a reported row — the report IS a true top-20.
+    // Emitted per row so a distribution shift that voids the guarantee
+    // is visible IN the output, not only in a gate-scale spec.
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val w20 = Window.partitionBy().orderBy(col("n_exact").desc, col("user_id").asc)
     candidates.join(exact, "user_id")
+      .withColumn("pool_floor_est", min(col("cms_estimate")).over(all))
+      .withColumn("rk", row_number().over(w20))
+      .withColumn("topk_guaranteed",
+        col("pool_floor_est") <=
+          min(when(col("rk") <= 20, col("n_exact"))).over(all))
+      .filter(col("rk") <= 20)
       .select(col("user_id"), col("n_exact"), col("cms_estimate"),
-        (col("cms_estimate") >= col("n_exact")).as("cms_ge_exact"))
+        (col("cms_estimate") >= col("n_exact")).as("cms_ge_exact"),
+        col("pool_floor_est"), col("topk_guaranteed"))
       .orderBy(col("n_exact").desc, col("user_id").asc)
-      .limit(20)
   }
 
   val cmsTopkSql: String =
@@ -236,11 +263,20 @@ object SketchQueries {
     exact AS (
       SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_exact
       FROM ev e JOIN cand c ON e.user_id = c.user_id GROUP BY 1
+    ),
+    pool AS (
+      SELECT c.user_id, x.n_exact, c.cms_estimate,
+             min(c.cms_estimate) OVER () AS pool_floor_est,
+             row_number() OVER (ORDER BY x.n_exact DESC, c.user_id ASC) AS rk
+      FROM cand c JOIN exact x ON c.user_id = x.user_id
     )
-    SELECT c.user_id, x.n_exact, c.cms_estimate,
-           c.cms_estimate >= x.n_exact AS cms_ge_exact
-    FROM cand c JOIN exact x ON c.user_id = x.user_id
-    ORDER BY x.n_exact DESC, c.user_id ASC LIMIT 20"""
+    SELECT user_id, n_exact, cms_estimate,
+           cms_estimate >= n_exact AS cms_ge_exact,
+           pool_floor_est,
+           pool_floor_est <= min(CASE WHEN rk <= 20 THEN n_exact END) OVER ()
+             AS topk_guaranteed
+    FROM pool WHERE rk <= 20
+    ORDER BY n_exact DESC, user_id ASC"""
 
   // ---- q_hll_distinct --------------------------------------------------
 

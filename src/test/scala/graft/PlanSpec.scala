@@ -212,9 +212,11 @@ class PlanSpec extends SparkSpec {
     // over POST-AGGREGATION relations keyed by source / margin bin —
     // #sources- and #bins-row inputs, so the single partition holds
     // dozens of rows at any corpus size (the corpus-sized work is the
-    // map-side groupBy below the window). Everything else must
+    // map-side groupBy below the window). q_cms_topk's truncation-
+    // detector windows run over the 64-row post-TakeOrdered candidate
+    // pool — constant-size at any corpus size. Everything else must
     // partition its windows.
-    val aggregatedWindow = Set("q_epoch_plan", "q_quality_calibration")
+    val aggregatedWindow = Set("q_epoch_plan", "q_quality_calibration", "q_cms_topk")
     SparkEntry.queries.keys
       .filterNot(_ == "q_kmeans_anomaly").filterNot(aggregatedWindow)
       .foreach { name =>

@@ -113,6 +113,17 @@ class Round8OpsSpec extends SparkSpec {
     val perSrc = capped.groupBy(_.getAs[Long]("src")).view.mapValues(_.length)
     assert(perSrc.size == 100 && perSrc.values.forall(_ == Similarity.KnnK),
       "every vector must still get its k neighbors from the core")
+    // the cap's effect on `mutual` is FLAGGED, not silent: sources
+    // outside the core are candidate-ineligible (src_in_core = false)
+    // and all their edges must report mutual = false; core members
+    // carry src_in_core = true
+    capped.foreach { r =>
+      val inCore = r.getAs[Boolean]("src_in_core")
+      assert(inCore == (r.getAs[Long]("src") <= 7L),
+        s"src_in_core must mark exactly the 8-member core: $r")
+      if (!inCore) assert(!r.getAs[Boolean]("mutual"),
+        s"a non-core source can never be mutual (ineligible as candidate): $r")
+    }
     // a cap >= |cell| reproduces the exact uncapped graph
     val full = Similarity.knnGraphOnAssigned(assigned, 100).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
