@@ -133,30 +133,38 @@ object Dedup {
 
   // ---- q_dedup_ngram -------------------------------------------------
 
-  /** N-gram Jaccard near-dup pairs: candidates = pairs sharing >= 1
-    * shingle (equi self-join on the 60-bit shingle hash — an 8-byte
-    * shuffle key), exact Jaccard from distinct-shingle counts,
-    * threshold 0.5.
+  /** Shingle-frequency GUARD ceiling for the plain registered pair
+    * operators (q_dedup_ngram / q_containment / q_fuzzy_pairs /
+    * q_lsh_recall's truth leg): permissive enough to be non-binding on
+    * any sane corpus (the gate corpora max out at document-frequency
+    * 4; 64 mirrors [[PassageAnchorFreqCap]]'s stop-gram rationale), but
+    * a HARD bound — one pathological stop-shingle can never make the
+    * candidate join C(n,2). Pairs held together only by >64-doc
+    * boilerplate disappear (desired — that is template text, not
+    * duplication). The aggressive production dial stays a separate
+    * query family ([[ShingleFreqCap]] / [[ClusterShingleFreqCap]]),
+    * priced per-corpus by [[dedupCost]].
     */
-  /** Shared candidate scaffolding for the shingle-hash pair family:
-    * persisted (doc, shingle-hash) explode (tokenize + rolling-hash
-    * runs once per document), per-doc sizes, and the equi self-join
-    * pair counts under `pred` — `finish` turns (pairs, sizes) into the
-    * operator's LAZY result. Laziness is deliberate: the plan guards
-    * (PlanSpec's equi-join-only rule, PlanAudit) must see the real join
-    * tree, and an eager localCheckpoint would both hide it behind an
-    * RDD scan and execute the pair join at plan-inspection time. The
-    * shingle cache therefore lives as long as the plan — Bench/Verify
-    * release it via clearCache after each query, matching the session
-    * cache discipline from the round-2 review.
+  val PairGuardFreqCap = 64L
+  /** SPEC-ONLY uncapped candidate scaffolding for the shingle-hash pair
+    * family — the brute-force truth the capped production forms are
+    * cross-checked against (DedupSpec/Round9OpsSpec). NOT a pair
+    * source of any registered query: its equi self-join has no
+    * frequency bound, so one stop-shingle shared by n documents yields
+    * C(n,2) join rows — the canonical 100 TB scale-killer. Every
+    * registered query rides [[cappedPairScaffold]] (bounded posting
+    * lists) instead; PlanSpec asserts no registered dedup plan joins on
+    * the raw shingle key. The shingle explode is a self-releasing
+    * localCheckpoint (no bare persist to leak outside the harness).
     */
-  private def shinglePairScaffold(spark: SparkSession, sfDir: String)(
+  private[pipeline] def uncappedPairScaffoldSpecOnly(
+      spark: SparkSession, sfDir: String)(
       pred: (Column, Column) => Column)(
       finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val sh = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .persist()
+      .localCheckpoint(eager = true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -225,14 +233,24 @@ object Dedup {
   /** The Jaccard-thresholded pair projection shared by the capped and
     * uncapped operators.
     */
-  private def jaccardFinish(pairs: DataFrame, sizes: DataFrame): DataFrame =
+  private[pipeline] def jaccardFinish(pairs: DataFrame, sizes: DataFrame): DataFrame =
     jaccardOf(pairs, sizes).filter(col("jaccard") >= 0.5)
 
+  /** q_dedup_ngram: n-gram Jaccard near-dup pairs — candidates = pairs
+    * sharing ≥ 1 surviving shingle under the [[PairGuardFreqCap]]
+    * frequency guard (bounded posting lists, never a raw-shingle
+    * self-join), exact Jaccard from distinct-shingle counts over the
+    * guarded universe, threshold 0.5. Identical to the historical
+    * uncapped result on every gate corpus (the guard binds only on
+    * pathological boilerplate — Round9OpsSpec cross-checks equality
+    * against the spec-only uncapped truth and proves the bound on a
+    * planted hot shingle).
+    */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    shinglePairScaffold(spark, sfDir)(_ < _)(jaccardFinish)
+    cappedPairScaffold(spark, sfDir, PairGuardFreqCap)(jaccardFinish)
 
   /** Shared oracle CTE chain for the shingle-pair family (mirrors
-    * [[shinglePairScaffold]]): shdoc/sh/cnd/sz plus the thresholded
+    * the pair scaffolds): shdoc/sh/cnd/sz plus the thresholded
     * `pairs` relation with its Jaccard score. One definition — the
     * Jaccard threshold and rounding live HERE only, so q_dedup_ngram,
     * q_dedup_components, and q_dup_degree can never drift apart.
@@ -263,7 +281,7 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""
-    WITH ${shinglePairCtesSql()}
+    WITH ${shinglePairCtesSql(maxFreq = Some(PairGuardFreqCap))}
     SELECT doc_a, doc_b, shared, jaccard FROM pairs"""
 
   // ---- q_dedup_ngram_capped ------------------------------------------
@@ -328,40 +346,47 @@ object Dedup {
   /** Asymmetric n-gram containment — the dedup signal Jaccard misses:
     * a short document quoted inside a long one has tiny Jaccard but
     * containment ≈ 1. Directional pairs (doc_a contained in doc_b,
-    * a ≠ b) over the same distinct shingle-hash relation as
-    * [[ngramJaccard]].
+    * a ≠ b) over the same guarded shingle universe as [[ngramJaccard]]:
+    * the [[PairGuardFreqCap]] posting-list bound generates ordered
+    * pairs, and both directions derive from them (shared counts are
+    * symmetric — only the denominator is directional, the
+    * [[containmentCapped]] shape at the guard ceiling).
     *
-    * Scale: identical shape to the Jaccard path — equi self-join on
-    * the 60-bit shingle hash (never all-pairs), count-aggregated to
-    * narrow (id, id, shared) rows before the per-doc size joins; the
-    * asymmetry only changes the join predicate (≠ instead of <) and
-    * the denominator.
+    * Scale: identical to the Jaccard path — bounded posting lists
+    * (never a raw-shingle self-join), map-side ≤ C(cap,2) pair
+    * explode, count-aggregated to narrow (id, id, shared) rows before
+    * the per-doc size join.
     */
   def containment(spark: SparkSession, sfDir: String): DataFrame =
-    shinglePairScaffold(spark, sfDir)(_ =!= _) { (pairs, sizes) =>
-      pairs
-        .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
-        .withColumn("containment",
-          round(col("shared").cast("double") / col("n_sh"), 6))
-        .filter(col("containment") >= ContainmentMin)
-        .select(col("doc_a"), col("doc_b"), col("shared"),
-          col("n_sh").as("n_sh_a"), col("containment"))
-    }
+    cappedPairScaffold(spark, sfDir, PairGuardFreqCap)(containmentFinish)
+
+  /** The directional finish shared by [[containment]] and
+    * [[containmentCapped]]: symmetrize the ordered pairs, divide by
+    * the CONTAINED side's size, threshold at [[ContainmentMin]].
+    */
+  private[pipeline] def containmentFinish(pairs: DataFrame, sizes: DataFrame): DataFrame = {
+    val sym = pairs.select(col("doc_a"), col("doc_b"), col("shared"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("shared")))
+    sym
+      .join(sizes.as("s1"), col("doc_a") === col("s1.doc_id"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n_sh"), 6))
+      .filter(col("containment") >= ContainmentMin)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_sh").as("n_sh_a"), col("containment"))
+  }
 
   val containmentSql: String =
     s"""
-    WITH shdoc AS (${shingleHashesSql()}),
-    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-      GROUP BY 1, 2
-    ),
-    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
-    SELECT doc_a, doc_b, shared, n_sh AS n_sh_a,
-           round(CAST(shared AS DOUBLE) / n_sh, 6) AS containment
-    FROM pairs JOIN sz ON doc_a = sz.doc_id
-    WHERE round(CAST(shared AS DOUBLE) / n_sh, 6) >= $ContainmentMin"""
+    WITH ${shinglePairCtesSql(maxFreq = Some(PairGuardFreqCap))},
+    sym AS (
+      SELECT doc_a, doc_b, shared FROM cnd
+      UNION ALL SELECT doc_b, doc_a, shared FROM cnd
+    )
+    SELECT s.doc_a, s.doc_b, s.shared, z.n_sh AS n_sh_a,
+           round(CAST(s.shared AS DOUBLE) / z.n_sh, 6) AS containment
+    FROM sym s JOIN sz z ON s.doc_a = z.doc_id
+    WHERE round(CAST(s.shared AS DOUBLE) / z.n_sh, 6) >= $ContainmentMin"""
 
   // ---- q_dedup_minhash -----------------------------------------------
 
@@ -571,12 +596,15 @@ object Dedup {
     * for the corpus BEFORE trusting it at 100 TB (cf. `q_ann_recall`,
     * the same eval for the IVF index).
     *
-    * Scale: the truth side is `q_dedup_ngram`'s equi self-join, the
+    * Scale: the truth side is `q_dedup_ngram`'s guarded posting-list
+    * pair source ([[PairGuardFreqCap]] — complete for every pair not
+    * held together solely by >cap boilerplate, and those pairs are
+    * exactly the ones a dedup run should not be graded on), the
     * candidate side is `q_dedup_minhash`'s band join, and the eval
     * itself is one narrow left join + an 11-key aggregation.
     */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
-    shinglePairScaffold(spark, sfDir)(_ < _) { (pairs, sizes) =>
+    cappedPairScaffold(spark, sfDir, PairGuardFreqCap) { (pairs, sizes) =>
     val docs = Tables.documents(spark, sfDir)
     val truth = jaccardOf(pairs, sizes).select(col("doc_a"), col("doc_b"), col("jaccard"))
     // both sides of the candidate self-join read the banded signatures:
@@ -613,7 +641,7 @@ object Dedup {
     val predCase = LshRecallPredicted
       .map { case (bk, v) => s"WHEN bucket = $bk THEN $v" }.mkString(" ")
     s"""
-    WITH ${shinglePairCtesSql()},
+    WITH ${shinglePairCtesSql(maxFreq = Some(PairGuardFreqCap))},
     $lshCandCtesSql,
     truth AS (
       SELECT doc_a, doc_b,
@@ -1543,20 +1571,20 @@ object Dedup {
   val FuzzyMin = 0.8
 
   /** Edit-distance fuzzy-duplicate refinement: candidate pairs from the
-    * shingle-hash equi self-join (the same scaffold as Jaccard /
-    * containment), VERIFIED by exact Levenshtein distance — the
-    * character-level measure that catches small in-place edits n-gram
-    * set overlap scores coarsely. `sim = 1 − lev / max(len)`; pairs at
-    * sim ≥ 0.8 are flagged `keep`.
+    * guarded shingle posting lists (the same [[PairGuardFreqCap]]
+    * scaffold as Jaccard / containment), VERIFIED by exact Levenshtein
+    * distance — the character-level measure that catches small
+    * in-place edits n-gram set overlap scores coarsely.
+    * `sim = 1 − lev / max(len)`; pairs at sim ≥ 0.8 are flagged `keep`.
     *
     * Scale: Levenshtein is O(len²) per pair — affordable precisely
     * because it runs only on the LSH-style candidate set (O(near-dup
-    * pairs)), never all pairs; the texts are gathered per candidate by
-    * two narrow id joins, so full documents shuffle only for
-    * candidates.
+    * pairs), frequency-bounded), never all pairs; the texts are
+    * gathered per candidate by two narrow id joins, so full documents
+    * shuffle only for candidates.
     */
   def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame =
-    shinglePairScaffold(spark, sfDir)(_ < _) { (pairs, _) =>
+    cappedPairScaffold(spark, sfDir, PairGuardFreqCap) { (pairs, _) =>
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       pairs
         .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
@@ -1571,13 +1599,7 @@ object Dedup {
 
   val fuzzyPairsSql: String =
     s"""
-    WITH shdoc AS (${shingleHashesSql()}),
-    sh AS (SELECT doc_id, unnest(hs) AS sh FROM shdoc),
-    cnd AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    WITH ${shinglePairCtesSql(maxFreq = Some(PairGuardFreqCap))},
     j AS (
       SELECT c.doc_a, c.doc_b, c.shared,
              CAST(levenshtein(da.text, db.text) AS INT) AS lev,

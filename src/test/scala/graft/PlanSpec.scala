@@ -254,6 +254,54 @@ class PlanSpec extends SparkSpec {
       "q_lsh_recall must stay equi-join only")
   }
 
+  test("every registered doc-pair dedup query's pair source is cap-bounded (no raw-shingle join)") {
+    // Round-9: the uncapped shingle equi self-join (C(n,2) on a hot
+    // key) is retired to spec-only truth. Every registered query whose
+    // candidates are document pairs must generate them from the bounded
+    // posting-list scaffold — visible in the plan as the KMV sketch
+    // aggregate — and must contain NO join keyed on the raw shingle
+    // attribute `sh`. (q_source_overlap is out of scope: its shingle
+    // join runs over DISTINCT (source, shingle) rows, per-key fanout
+    // <= |sources|, and its pairs are sources, not documents.)
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    def deep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case m: InMemoryTableScanExec => m.relation.cachedPlan
+      }
+      p.collect(pf) ++ nested.flatMap(deep(_)(pf))
+    }
+    val docPairFamily = Seq(
+      "q_dedup_ngram", "q_dedup_ngram_capped", "q_containment",
+      "q_containment_capped", "q_fuzzy_pairs", "q_lsh_recall",
+      "q_dedup_components", "q_canonical_docs", "q_dup_cluster_sizes",
+      "q_dup_quality", "q_dup_degree", "q_minhash_components")
+    docPairFamily.foreach { name =>
+      val p = plan(name)
+      def keyNames(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        ks.flatMap(_.collect { case a: Attribute => a.name })
+      val shKeyed = deep(p) {
+        case j: SortMergeJoinExec if keyNames(j.leftKeys).contains("sh") => j.nodeName
+        case j: ShuffledHashJoinExec if keyNames(j.leftKeys).contains("sh") => j.nodeName
+        case j: BroadcastHashJoinExec if keyNames(j.leftKeys).contains("sh") => j.nodeName
+      }
+      assert(shKeyed.isEmpty,
+        s"$name joins on the raw shingle key (unbounded hot-key fanout): $shKeyed")
+    }
+    // and the four re-based queries really ride the posting-list
+    // scaffold: its eager localCheckpoint leaves an ExistingRDD scan as
+    // the pair source (the uncapped spec-only scaffold's pair join, by
+    // contrast, would surface the sh-keyed join the assertion above
+    // forbids)
+    Seq("q_dedup_ngram", "q_containment", "q_fuzzy_pairs", "q_lsh_recall").foreach { name =>
+      val s = plan(name).toString
+      assert(s.contains("ExistingRDD"),
+        s"$name should read pairs off the checkpointed bounded posting lists")
+    }
+  }
+
   test("q_cms_topk: no full per-key aggregate feeds the candidate side") {
     // the round-7 defect: candidates came from counting EVERY key
     // exactly, which defeats the sketch. Every aggregate that groups by
