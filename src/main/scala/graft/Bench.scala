@@ -14,8 +14,13 @@ import org.apache.spark.sql.SparkSession
   * in is shared, and a single-shot timer recorded a phantom 1.29x
   * "regression" in round 5 that an immediate re-run fully dissolved.
   * The min is also recorded (closest to contention-free) per query in
-  * `queries_detail`. A query that throws is reported under `errors`
-  * with the exception message instead of being folded into a fake wall
+  * `queries_detail` AND as the top-level `queries_min` map, and any
+  * query whose median exceeds 3x its min automatically gets two extra
+  * runs and lands in the `contended` list — so the artifact
+  * self-explains host contention (rounds 5-8 each manufactured a
+  * phantom multi-second "regression" that only a manual re-run could
+  * adjudicate). A query that throws is reported under `errors` with
+  * the exception message instead of being folded into a fake wall
   * time — a broken query must never look like a fast one.
   */
 object Bench {
@@ -69,7 +74,11 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
-      while (i < runs && !failed) {
+      // contention auto-escalation: a median/min spread over 3x means
+      // at least one run absorbed ambient host load; two extra runs
+      // tighten the median so the artifact adjudicates itself
+      var target = runs
+      while (i < target && !failed) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -83,6 +92,9 @@ object Bench {
         // independent — no query reads a predecessor's leftover cache)
         spark.catalog.clearCache()
         i += 1
+        if (!failed && i == runs && target == runs && times.size >= 2 &&
+            median(times.toSeq) > 3 * times.min)
+          target = runs + 2
       }
       if (failed) None else Some(name -> times.toSeq)
     }
@@ -96,9 +108,19 @@ object Bench {
     val errJson = errors.map { case (k, m) =>
       "\"" + k + "\":\"" + jsonSafe(m) + "\""
     }.mkString("{", ",", "}")
+    // min = closest to contention-free; contended = escalated queries
+    // (median stayed > 3x min even after the extra runs) — the reader
+    // should trust `queries_min` over `queries` for those
+    val qsMin = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min) }
+      .mkString("{", ",", "}")
+    val contended = results.collect {
+      case (k, ts) if median(ts) > 3 * ts.min => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = results.map { case (_, ts) => median(ts) }.sum
+    val totalMin = results.map { case (_, ts) => ts.min }.sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
-      s""""queries":$qs,"queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,""" +
+      s""""contended":$contended,"queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     // Persist the full result set twice: the driver's stdout tail is
     // capped (which truncated earlier rounds' per-query breakdown), and
     // the un-suffixed latest file gets overwritten every run — so a

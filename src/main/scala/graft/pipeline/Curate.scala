@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
+import graft.core.Mat.MatOps
 
 /** q_curate: the end-to-end curation DECISION RECORD — one row per
   * document stating whether it enters the training corpus, the FIRST
@@ -54,13 +55,13 @@ object Curate {
     val keepers = flagged.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val contam = Sampling.decontaminate(spark, sfDir)
       .select(col("doc_id"), col("contaminated"))
-    // boundary-free scored relation, persisted: referenced twice below
-    // (the decile aggregate and the per-doc join) — without the cache
-    // the whole DSIR scoring subplan runs once per reference; released
-    // by the per-query clearCache like the dedup family's scaffolds
+    // boundary-free scored relation behind a self-releasing Mat
+    // boundary: referenced twice below (the decile aggregate and the
+    // per-doc join) — without the boundary the whole DSIR scoring
+    // subplan runs once per reference
     val imp = graft.pipeline.Importance.scoredWeights(spark, sfDir)
       .select(col("doc_id"), col("dsir_weight"))
-      .persist()
+      .mat
     val lowBnd = imp.agg(
       round(expr(s"percentile(dsir_weight, $LowImportanceQuantile)"), 6).as("low_bnd"))
     val isEval = Dedup.h32(concat(lit("eval|"), col("g"))) % 25 === 0

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
+import graft.core.Mat.MatOps
 
 /** Deduplication operators over the `documents` table: exact
   * (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
@@ -458,7 +459,7 @@ object Dedup {
     // joins); persist the narrow (id, 16-long) relation so the md5 +
     // permutation work runs once — at cluster scale this is where a
     // signature table would be checkpointed to storage
-    val sigs = signatures(Tables.documents(spark, sfDir)).persist()
+    val sigs = signatures(Tables.documents(spark, sfDir)).mat
     val allBands = bandRows(sigs)
     val bands = bucketCap.map { cap =>
       val keep = allBands.groupBy(col("band"), col("bh"))
@@ -611,7 +612,7 @@ object Dedup {
     // persist so the shingle + 16-permutation + md5 pass runs once (the
     // minhashLsh discipline)
     val bands = bandRows(signatures(docs))
-      .select(col("doc_id"), col("band"), col("bh")).persist()
+      .select(col("doc_id"), col("band"), col("bh")).mat
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -703,7 +704,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("n")).as("n_postings"),
         sum(col("pairs")).as("candidate_pairs"))
-      .persist()
+      .mat
     val totals = perShingle.agg(sum(col("candidate_pairs")).as("total_pairs"))
     perShingle.crossJoin(broadcast(totals))
       .select(col("band"),
@@ -791,7 +792,7 @@ object Dedup {
             shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("bv"))
         }: _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
-      .persist()
+      .mat
     def firstCollidingBand(xor: Column): Column =
       SimhashBands.zipWithIndex.foldRight(lit(-1)) { case (((off, w), i), els) =>
         when(shiftright(xor, off).bitwiseAND(lit((1L << w) - 1)) === 0L, lit(i)).otherwise(els)
@@ -1645,7 +1646,7 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= PassageK)
-      .persist() // anchor explode + anchor verify + passage gathers read it
+      .mat // anchor explode + anchor verify + passage gathers read it
     val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
     val raw = toks
       .select(col("doc_id"),
@@ -1658,7 +1659,7 @@ object Dedup {
     val keep = raw.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= anchorCap).select(col("g"))
     val kg = raw.join(keep, Seq("g"), "left_semi")
-      .persist() // both sides of the anchor self-join
+      .mat // both sides of the anchor self-join
     (toks, kg)
   }
 

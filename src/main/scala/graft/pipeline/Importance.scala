@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
+import graft.core.Mat.MatOps
 
 /** DSIR-style data selection via hashed-n-gram importance weights (Xie
   * et al. 2023, arXiv 2302.03169): score every document by how much
@@ -176,14 +177,14 @@ object Importance {
     * stateless per-row predicate. Nothing corpus-sized shuffles.
     */
   def importanceResample(spark: SparkSession, sfDir: String): DataFrame = {
-    // narrow (id, source, weight) rows persisted: referenced twice (the
-    // max aggregate and the output) — without the cache the whole DSIR
-    // scoring subplan, model aggregations included, runs once per
-    // reference (the q_curate discipline; released by the per-query
-    // clearCache). ~30 bytes/doc at any corpus size, no text, no tokens.
+    // narrow (id, source, weight) rows behind a self-releasing Mat
+    // boundary: referenced twice (the max aggregate and the output) —
+    // without it the whole DSIR scoring subplan, model aggregations
+    // included, runs once per reference (the q_curate discipline).
+    // ~30 bytes/doc at any corpus size, no text, no tokens.
     val scored = scoredWeights(spark, sfDir)
       .select(col("doc_id"), col("source"), col("dsir_weight"))
-      .persist()
+      .mat
     val m = scored.agg(max(col("dsir_weight")).as("w_max"))
     scored.crossJoin(broadcast(m))
       .withColumn("u",

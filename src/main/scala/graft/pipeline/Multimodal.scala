@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
+import graft.core.Mat.MatOps
 
 /** Multimodal column plumbing: media (image/audio/video) rides through
   * the pipeline as an opaque `BINARY` column plus typed metadata; decode
@@ -228,8 +229,8 @@ object Multimodal {
     // the fold lambda and the pushed-down null filters, re-evaluating
     // the whole quadratic expression on BOTH join sides (measured 60 s
     // at sf0.1 vs 2 s warm cached) — same discipline as shinglePairScaffold;
-    // Bench/Verify release it via clearCache after the query
-    val codes = phashCodes(spark, sfDir).persist()
+    // the Mat boundary is self-releasing (no harness discipline needed)
+    val codes = phashCodes(spark, sfDir).mat
     val bands = codes.select(
       col("asset_id"), col("phash"),
       explode(array(

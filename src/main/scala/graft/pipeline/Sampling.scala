@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
+import graft.core.Mat.MatOps
 
 /** Deterministic data-mixing operators: a training corpus is rarely
   * consumed uniformly — each source gets a target sampling rate (the
@@ -217,7 +218,7 @@ object Sampling {
         graft.functions.SketchFunctions
           .minhashSignature(col("hs"), Dedup.MinhashAB, Dedup.P).as("sig"))
       .join(tag, "doc_id")
-      .persist()
+      .mat
     val bands = Dedup.bandRows(sigs, keep = Seq("is_eval"))
     val evalBands = bands.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("band"), col("bh"))
@@ -309,8 +310,8 @@ object Sampling {
     // referenced three times (eval sizes, eval gram broadcast, training
     // grams) — persist the narrow (id, is_eval, hs) projection so the
     // tokenize + rolling-hash pass runs once per corpus, not three
-    // times (released by the per-query clearCache)
-    val sh = Dedup.shingleHashes(docs, n = DecontamN).join(tag, "doc_id").persist()
+    // times (self-releasing boundary — graft.core.Mat)
+    val sh = Dedup.shingleHashes(docs, n = DecontamN).join(tag, "doc_id").mat
     val g = sh.select(col("doc_id"), col("is_eval"), explode(col("hs")).as("h"))
     val evalSizes = sh.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), size(col("hs")).cast("long").as("n_grams"))
@@ -483,7 +484,7 @@ object Sampling {
     val ss = Tables.documents(spark, sfDir)
       .select(col("source"), splitAssign(col("doc_id")).as("split"))
       .groupBy(col("split"), col("source")).agg(count(lit(1)).as("n_ds"))
-      .persist() // feeds the per-split, per-source, and total branches
+      .mat // feeds the per-split, per-source, and total branches
     val bySplit = ss.groupBy(col("split")).agg(sum(col("n_ds")).as("n_split"))
     val bySource = ss.groupBy(col("source")).agg(sum(col("n_ds")).as("n_source"))
     val total = ss.agg(sum(col("n_ds")).as("n_total"))
@@ -759,13 +760,13 @@ object Sampling {
     // the #sources-row aggregate feeds several plan branches (totals,
     // the capped-sums aggregate, and the output projection) — persist
     // it so the corpus scan + groupBy runs ONCE, not once per branch
-    // (released by the Bench/Verify clearCache discipline)
+    // (self-releasing boundary — graft.core.Mat)
     val per = Tables.documents(spark, sfDir)
       .groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
       .withColumn("cap_tokens", lit(MaxEpochs) * col("n_tokens"))
-      .persist()
+      .mat
     val totals = per.agg(sum(col("n_tokens")).as("total_tokens"),
       sum(col("weight")).as("total_w"))
     val ord = Window.orderBy(col("r").asc, col("source").asc)

@@ -7,6 +7,7 @@ import graft.core.Dsl
 import graft.operators.{Anomaly, Cooldown, Extraction, WindowStats}
 import graft.operators.Extraction.FieldCol
 import graft.functions.SchemaFlatten
+import graft.core.Mat.MatOps
 
 /** The sarkac-core query surface over the driver's `events` table, each
   * paired with a DuckDB oracle (SparkEntry.oracleSql).
@@ -311,7 +312,7 @@ object CoreQueries {
     val now = nowOf(ev)
     // samples feed both the stats aggregation and the detection join —
     // persist so extraction (json parsing) runs once
-    val samples = eventSamples(ev, carryId = true).persist()
+    val samples = eventSamples(ev, carryId = true).mat
     val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
     Anomaly
       .detect(samples, stats, now)
@@ -350,7 +351,7 @@ object CoreQueries {
   def anomalyCooldown(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val now = nowOf(ev)
-    val samples = eventSamples(ev, carryId = true).persist()
+    val samples = eventSamples(ev, carryId = true).mat
     val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
     val anomalies = Anomaly.detect(samples, stats, now)
     Cooldown
@@ -406,7 +407,7 @@ object CoreQueries {
         FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").try_cast("double")),
       ),
       carry = Seq("original_message" -> col("props")),
-    ).persist()
+    ).mat
     val stats = WindowStats.rawTrailingStats(
       samples.select("topic", "path", "value", "produced"), Windows, now)
     val rec = graft.streaming.AnomalyPipeline.recordShape(

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Mat.MatOps
 
 /** Robust-statistics anomaly scoring and sequential drift detection —
   * the two classical alternatives to the reference's mean/stddev
@@ -489,7 +490,7 @@ object DriftQueries {
     // the single O(n) pass; everything below re-aggregates this
     // sources×bins relation, so persist to pin the one-scan shape
     val bySrc = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n_s_bin"))
-      .persist()
+      .mat
     val global = bySrc.groupBy(col("bin")).agg(sum(col("n_s_bin")).as("n_g"))
       .crossJoin(broadcast(bySrc.agg(sum(col("n_s_bin")).as("n_total"))))
     val totals = bySrc.groupBy(col("source")).agg(sum(col("n_s_bin")).as("n_s"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
+import graft.core.Mat.MatOps
 
 /** Temporal operators over the events stream: as-of join (DuckDB's
   * native ASOF JOIN is the oracle), gap-based sessionization, and
@@ -516,7 +517,7 @@ object TemporalQueries {
     // and the join — without it the events scan+agg runs twice.
     val agg = ev.groupBy(col("topic"), col("bucket"))
       .agg(count(lit(1)).as("n"), (exactSum(col("value")) / count(lit(1))).as("mean"))
-      .persist()
+      .mat
     val grid = agg.groupBy(col("topic"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col("topic"), explode(sequence(col("lo"), col("hi"))).as("bucket"))

@@ -242,7 +242,13 @@ class PlanSpec extends SparkSpec {
       }
       p.collect(pf) ++ nested.flatMap(deepCollect(_)(pf))
     }
-    val knn = plan("q_knn_graph")
+    // the edge list sits behind a Mat boundary (self-releasing
+    // checkpoint) in production; flip it transparent so the full
+    // logical tree — cell join, top-k window — is inspectable
+    val knn = try {
+      graft.core.Mat.transparent = true
+      plan("q_knn_graph")
+    } finally graft.core.Mat.transparent = false
     assert(deepCollect(knn) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "q_knn_graph must generate candidates via the cell equi join, not all-pairs")
     assert(deepCollect(knn) { case w: WindowExec if w.partitionSpec.nonEmpty => w }.nonEmpty,
@@ -352,12 +358,17 @@ class PlanSpec extends SparkSpec {
     // stage to interpreted execution. The optimized plans must carry
     // the NearestCenter expression instead of an unrolled struct
     // array_min over every centroid.
-    Seq("q_ann_ivfpq", "q_pq_encode", "q_knn_graph", "q_semantic_dedup",
-      "q_hard_negatives").foreach { q =>
-      val s = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
-      assert(s.contains("nearestcenter"),
-        s"$q assignment must go through the NearestCenter codegen argmin")
-    }
+    // Mat boundaries hide the assignment projections behind RDD scans;
+    // inspect with the boundary transparent (same operators, full tree)
+    try {
+      graft.core.Mat.transparent = true
+      Seq("q_ann_ivfpq", "q_pq_encode", "q_knn_graph", "q_semantic_dedup",
+        "q_hard_negatives").foreach { q =>
+        val s = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+        assert(s.contains("nearestcenter"),
+          s"$q assignment must go through the NearestCenter codegen argmin")
+      }
+    } finally graft.core.Mat.transparent = false
     // the ~1% query sample must broadcast into the cell join — at scale
     // the corpus side never shuffles for candidate generation
     val pq = plan("q_ann_ivfpq")
