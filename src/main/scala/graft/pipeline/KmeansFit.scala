@@ -35,14 +35,50 @@ object KmeansFit {
     * then [[fit]]. Both the IVF coarse fit and each PQ subspace fit go
     * through here so cap/order/weighting can never desynchronize.
     */
-  def fitFromDistinctSample(sample: DataFrame, key: Column, k: Int): IndexedSeq[Array[Double]] = {
-    val pts = sample.groupBy(key.as("p")).agg(count(lit(1)).as("n"))
+  def fitFromDistinctSample(sample: DataFrame, key: Column, k: Int): IndexedSeq[Array[Double]] =
+    fit(distinctSample(sample, key), k, Iters)
+
+  /** The collected weighted sample alone — for callers that fit, then
+    * inspect balance ([[maxSharePpm]]) and possibly re-fit at a larger
+    * k without a second Spark job.
+    */
+  def distinctSample(sample: DataFrame, key: Column): IndexedSeq[(Array[Double], Long)] =
+    sample.groupBy(key.as("p")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, hash(col("p")).asc, col("p").asc)
       .limit(DistinctCap)
       .collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
       .toIndexedSeq
-    fit(pts, k, Iters)
+
+  /** Weighted share (exact integer ppm) of the heaviest cell when
+    * `pts` is assigned to `centers` (nearest center, lowest index on
+    * ties — the fit's own assignment rule). The skew detector the
+    * auto-sized IVF fit reads before accepting a quantizer: a cell
+    * holding a large multiple of its even share means the index's
+    * per-cell work bounds are degenerate and the fit should re-run
+    * with more cells.
+    */
+  def maxSharePpm(pts: IndexedSeq[(Array[Double], Long)],
+      centers: IndexedSeq[Array[Double]]): Long = {
+    if (pts.isEmpty || centers.isEmpty) return 0L
+    val dim = pts.head._1.length
+    val ws = new Array[Long](centers.length)
+    var total = 0L
+    pts.foreach { case (p, cnt) =>
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var d = 0.0
+        var j = 0
+        while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      ws(best) += cnt
+      total += cnt
+    }
+    if (total == 0L) 0L else ws.max * 1000000L / total
   }
 
   def fit(pts: IndexedSeq[(Array[Double], Long)], k: Int, iters: Int): IndexedSeq[Array[Double]] = {

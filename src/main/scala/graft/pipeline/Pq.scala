@@ -46,8 +46,11 @@ object Pq {
   val Sub = 8
   val K = 16
 
-  /** Probed coarse cells and neighbors returned, matching q_ann_ivf. */
-  val Probe = Similarity.IvfProbe
+  /** Probed coarse cells per query, matching q_ann_ivf: a constant
+    * fraction of the auto-sized cell count (see
+    * [[Similarity.ivfProbeOf]]), never an absolute constant.
+    */
+  def probeOf(k: Int): Int = Similarity.ivfProbeOf(k)
   val TopK = Similarity.IvfTopK
 
   /** ADC shortlist size before the exact re-rank (the FAISS-style
@@ -132,7 +135,7 @@ object Pq {
 
   /** q_ann_ivfpq: IVF coarse probe + PQ-code (ADC) candidate scoring +
     * exact refine. Queries are the every-100th vectors; each probes its
-    * [[Probe]] nearest coarse cells; that cells' members are ranked by
+    * [[probeOf]] nearest coarse cells; that cells' members are ranked by
     * asymmetric distance — the query's exact subvectors against each
     * candidate's codebook entries (M literal-array lookups per
     * candidate, no vector reads) — and only the [[Refine]]-deep ADC
@@ -171,7 +174,7 @@ object Pq {
       .select(col("vec_id") +: col("cell") +:
         (0 until M).map(m => subCode(cb(m), m).getField("code").as(s"c$m")): _*)
     val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, Probe)))
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, probeOf(coarse.length))))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
     val qx = col("q_emb").cast("array<double>")
@@ -392,7 +395,7 @@ object Pq {
     ),
     probes AS (
       SELECT vec_id AS q_id, embedding AS q_emb, nsq AS q_nsq, cell
-      FROM ranked WHERE vec_id % 100 = 0 AND crk <= $Probe
+      FROM ranked WHERE vec_id % 100 = 0 AND crk <= ${probeOf(coarse.length)}
     ),
     scored AS (
       SELECT p.q_id, p.q_emb, p.q_nsq, a.vec_id, round($adc, 6) AS adc

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
+import graft.core.Mat.MatOps
 
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
   * brute-force cosine top-k as the exact baseline and a sign-bucket LSH
@@ -138,7 +139,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-      .persist()
+      .mat
     val banded = emb.select(
       col("vec_id"), col("embedding"), col("code"), col("nsq"),
       explode(array((0 until Bands).map { b =>
@@ -376,12 +377,36 @@ object Similarity {
 
   // ---- q_ann_ivf -----------------------------------------------------
 
-  /** IVF coarse-quantizer cells and probe width. 16 cells / probe 4 at
-    * gate scale; at 100 TB, k grows to √n cells and probe stays small —
-    * the standard IVF recall/cost dial.
+  /** AUTO-SIZED coarse quantizer — no hand-tuned k: cells scale with
+    * the corpus as k ≈ √n (the standard IVF sizing rule; per-cell
+    * membership and per-query probe work then both grow as √n instead
+    * of one of them going linear), clamped to [[IvfCellsMin]] /
+    * [[IvfCellsMax]] so degenerate corpora still fit and the
+    * literal-centroid assignment expression stays bounded. The probe
+    * width is a constant FRACTION of the cells (¼, min 2) — the
+    * recall/cost dial rides the fraction, not an absolute count that
+    * silently becomes 100% of a small index or 0.1% of a large one.
     */
-  val IvfCells = 16
-  val IvfProbe = 4
+  val IvfCellsMin = 4
+  val IvfCellsMax = 256
+
+  def ivfCellsOf(n: Long): Int =
+    math.max(IvfCellsMin,
+      math.min(IvfCellsMax, math.round(math.sqrt(n.toDouble)).toInt))
+
+  def ivfProbeOf(k: Int): Int = math.max(2, (k + 3) / 4)
+
+  /** Re-fit trigger: accept a quantizer only if its heaviest cell holds
+    * at most this multiple of the even share (1M/k ppm). A giant cell
+    * is exactly the hazard `q_ivf_stats` reports and [[KnnCellCap]]
+    * bounds — when the SAMPLE already shows it, the fit re-runs once
+    * at 2k (more centers land inside the dense region and split it)
+    * rather than shipping a degenerate index. One re-fit attempt:
+    * irreducible skew (a single repeated point) cannot be split by any
+    * k, and the cell caps downstream still bound the work.
+    */
+  val IvfMaxShareMultiple = 4L
+
   val IvfTopK = 5
 
   /** Centroids of the most recent [[annIvf]] fit. The iterative FIT is
@@ -439,7 +464,7 @@ object Similarity {
     WITH ${ivfAssignCtesSql(centers)},
     probes AS (
       SELECT vec_id AS q_id, embedding AS q_emb, nsq AS q_nsq, cell
-      FROM ranked WHERE vec_id % 100 = 0 AND crk <= $IvfProbe
+      FROM ranked WHERE vec_id % 100 = 0 AND crk <= ${ivfProbeOf(centers.length)}
     ),
     scored AS (
       SELECT p.q_id, a.vec_id,
@@ -457,7 +482,7 @@ object Similarity {
   /** IVF (inverted-file) ANN — the second scale path beside LSH: a
     * coarse quantizer ([[KmeansFit]] over the distinct-aggregated
     * sample) assigns every vector to its nearest centroid cell; a
-    * query probes only its [[IvfProbe]] nearest cells and ranks
+    * query probes only its [[ivfProbeOf]] nearest cells and ranks
     * candidates by exact cosine.
     *
     * Assignment and probing are fully codegen'd: each centroid is a
@@ -477,9 +502,14 @@ object Similarity {
     * distinct (point, count) rows in Spark, then [[KmeansFit]]'s
     * deterministic weighted Lloyd on the driver — a quantizer needs
     * rough cells, not convergence, and sample-fit is the only viable
-    * shape at 100 TB. Fit memoized per dataset (deterministic — same
-    * as the PCA/BPE fits), so repeated invocations (Bench's
-    * median-of-3) time the scoring plan, not a redundant refit.
+    * shape at 100 TB. k is AUTO-SIZED from the corpus ([[ivfCellsOf]])
+    * and the fit self-checks for skew on the already-collected sample:
+    * a heaviest cell over [[IvfMaxShareMultiple]]× its even share
+    * re-fits once at 2k before the index is accepted ([[ivfFitLog]]
+    * records the decision; Round9OpsSpec plants a corpus that forces
+    * it). Fit memoized per dataset (deterministic — same as the
+    * PCA/BPE fits), so repeated invocations (Bench's median-of-3) time
+    * the scoring plan, not a redundant refit.
     */
   private[pipeline] def ivfCenters(spark: SparkSession, sfDir: String): IndexedSeq[Array[Double]] =
     ivfFits.getOrElseUpdate(sfDir, {
@@ -490,12 +520,36 @@ object Similarity {
       // any corpus size, and — unlike MLlib's block KMeans, which
       // crashes when its random init draws the same point twice on
       // duplicate-heavy data — the fit is total and bit-reproducible.
-      KmeansFit.fitFromDistinctSample(
-        Tables.embeddings(spark, sfDir)
-          .filter(col("vec_id") % 3 === 0)
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count() // parquet metadata count — no data scan
+      val k = ivfCellsOf(n)
+      val pts = KmeansFit.distinctSample(
+        emb.filter(col("vec_id") % 3 === 0)
           .select(col("embedding").cast("array<double>").as("a")),
-        col("a"), IvfCells)
+        col("a"))
+      val first = KmeansFit.fit(pts, k, KmeansFit.Iters)
+      val share = KmeansFit.maxSharePpm(pts, first)
+      val threshold = IvfMaxShareMultiple * 1000000L / k
+      val centers =
+        if (share > threshold) KmeansFit.fit(pts, 2 * k, KmeansFit.Iters)
+        else first
+      ivfFitLog.put(sfDir,
+        IvfFitInfo(n, k, share, refit = share > threshold, centers.length))
+      centers
     })
+
+  /** One fit decision record (test/observability seam — the
+    * auto-sizing and the skew re-fit must be assertable without
+    * reverse-engineering the centroid list).
+    */
+  case class IvfFitInfo(n: Long, k0: Int, sampleMaxSharePpm: Long,
+      refit: Boolean, finalCenters: Int)
+
+  private val ivfFitLog =
+    scala.collection.concurrent.TrieMap.empty[String, IvfFitInfo]
+
+  private[pipeline] def ivfFitInfo(sfDir: String): Option[IvfFitInfo] =
+    ivfFitLog.get(sfDir)
 
   /** Literal-centroid (d2, cell) distance array over the fixed
     * (embedding, nsq) column names — the codegen'd assignment shared by
@@ -540,7 +594,7 @@ object Similarity {
     def cellDists = cellDistArray(centers)
     val assigned = assignedCells(spark, sfDir)
     val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, IvfProbe)))
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, ivfProbeOf(centers.length))))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -723,7 +777,7 @@ object Similarity {
         col("a.in_core").as("src_in_core"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
-      .persist()
+      .mat
     edges.as("e")
       .join(edges.select(col("src").as("r_src"), col("dst").as("r_dst")).as("r"),
         col("e.src") === col("r.r_dst") && col("e.dst") === col("r.r_src"), "left")
@@ -772,7 +826,7 @@ object Similarity {
     * query embedding, the most similar vectors carrying a DIFFERENT
     * label (the "hard negatives" an embedding-model trainer pairs with
     * each anchor). Identical machinery to [[annIvf]] — frozen coarse
-    * cells, probe the [[IvfProbe]] nearest, exact cosine rank — plus
+    * cells, probe the [[ivfProbeOf]] nearest, exact cosine rank — plus
     * the label-mismatch predicate on the candidate join; the label
     * rides the same narrow candidate row, so the plan shape (one
     * cell-keyed equi join + per-query window) is unchanged at any
@@ -796,7 +850,7 @@ object Similarity {
           .getField("code"))
       .select(col("vec_id"), col("label"), col("cell"), col("embedding"), col("nsq"))
     val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, IvfProbe)))
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, ivfProbeOf(centers.length))))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -836,7 +890,7 @@ object Similarity {
     assigned AS (SELECT vec_id, label, embedding, nsq, cell FROM ranked WHERE crk = 1),
     probes AS (
       SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nsq AS q_nsq, cell
-      FROM ranked WHERE vec_id % 100 = 0 AND crk <= $IvfProbe
+      FROM ranked WHERE vec_id % 100 = 0 AND crk <= ${ivfProbeOf(centers.length)}
     ),
     scored AS (
       SELECT p.q_id, p.q_label, a.vec_id, a.label,
@@ -885,7 +939,7 @@ object Similarity {
     val centers = ivfCenters(spark, sfDir)
     // codes/norms consumed by the band explode and two pair-side
     // gathers; persist so signCode runs once per vector (annLsh's
-    // discipline). Released by the per-query clearCache in Verify/Bench.
+    // discipline). Self-releasing Mat boundary, no harness discipline.
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
         dot(col("embedding"), col("embedding")).as("nsq"))
@@ -897,7 +951,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("code"), col("nsq"),
         col("best.code").as("cell"), col("best.d2").as("d2"))
       .withColumn("rk", row_number().over(w))
-      .persist()
+      .mat
     // narrow (band, nib, cell)-keyed self-join; pairs dedup'd as ids
     // before the payload gather, exactly like annLsh
     val bandedTagged = ranked.select(

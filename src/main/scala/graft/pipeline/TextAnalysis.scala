@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables
+import graft.core.Mat.MatOps
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * language ID, quality scoring, token counting, document
@@ -211,6 +212,45 @@ object TextAnalysis {
     * projection. Thresholds compare the ROUNDED ratios so the flag is
     * bit-stable across engines.
     */
+  /** [[repetition]]'s rule battery as a PURE narrow (doc_id, text) →
+    * verdicts transform — the streaming-ingest twin of the registered
+    * grouped-aggregation form. The max-term-frequency that the batch
+    * form computes with an explode + two keyed aggregations is here a
+    * per-row fold: sort the token array, then one pass tracking the
+    * current equal-run length and its max — O(n log n) per document,
+    * no shuffle, applies to a streaming DataFrame unchanged
+    * (StreamingFilterSpec pins narrow == grouped == streamed), so live
+    * ingest can enforce BOTH Gopher rule halves (this + the
+    * [[graft.pipeline.Filters]] battery) with the batch semantics.
+    */
+  def repetitionVerdicts(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val sorted = array_sort(t)
+    val maxTf = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev").isNotNull && x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_toks"),
+      round(maxTf.cast("double") / size(t), 6).as("top_tf_ratio"),
+      round(when(size(bg) > 0,
+        lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg)).otherwise(0.0), 6)
+        .as("dup_bigram_ratio"))
+      .withColumn("keep",
+        when(col("top_tf_ratio") <= 0.1 && col("dup_bigram_ratio") <= 0.03, 1).otherwise(0))
+  }
+
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -593,8 +633,8 @@ object TextAnalysis {
       .select(col("w1"), col("w2"))
       // consumed by both the bigram and the context aggregation: persist
       // so the scan + tokenize + pair explode runs once (released by the
-      // caller's clearCache discipline, like the shingle scaffold)
-      .persist()
+      // self-releasing Mat boundary, like the shingle scaffold)
+      .mat
     val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
       .filter(col("n_bigram") >= BigramMinCount)
@@ -648,14 +688,14 @@ object TextAnalysis {
     val toked = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       // consumed by the unigram and bigram branches: persist so the
-      // scan + tokenize runs once (caller's clearCache releases it)
-      .persist()
+      // scan + tokenize runs once (self-releasing Mat boundary)
+      .mat
     val uni = toked.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
     // pair relation read by the total and the per-pair aggregation:
     // persist it too, like bigramLm's two-consumer shape
-    val bg = bigramPairsOf(toked).select(col("w1"), col("w2")).persist()
+    val bg = bigramPairsOf(toked).select(col("w1"), col("w2")).mat
     val nb = bg.agg(count(lit(1)).as("n_bigrams"))
     bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CollocMinPair)
@@ -717,8 +757,8 @@ object TextAnalysis {
   def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     // consumed twice (boundary agg + assignment): persist the narrow
     // (id, score) relation so the corpus tokenizes once (released by
-    // the clearCache discipline)
-    val q = quality(spark, sfDir).select(col("doc_id"), col("quality_score")).persist()
+    // the self-releasing Mat boundary)
+    val q = quality(spark, sfDir).select(col("doc_id"), col("quality_score")).mat
     val bounds = q.agg(
       percentile(col("quality_score"),
         typedlit((1 to 9).map(_ / 10.0))).as("bs"))
@@ -769,7 +809,7 @@ object TextAnalysis {
     // bigramLm here would re-derive the pair relation without doc_id
     // and tokenize the corpus twice
     val docBigrams = bigramPairsOf(
-      docs.select(col("doc_id"), tokens(col("text")).as("t"))).persist()
+      docs.select(col("doc_id"), tokens(col("text")).as("t"))).mat
     val bgCounts = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
       .filter(col("n_bigram") >= BigramMinCount)

@@ -57,6 +57,58 @@ class Round9OpsSpec extends SparkSpec {
     assert(guarded.nonEmpty, "gate corpus must produce containment pairs")
   }
 
+  test("IVF auto-sizing: k derives from the corpus (~sqrt n), no hand constant") {
+    Similarity.resetIvfFits()
+    try {
+      Similarity.ivfCenters(spark, sf)
+      val info = Similarity.ivfFitInfo(sf).get
+      assert(info.n == 500 && info.k0 == Similarity.ivfCellsOf(500),
+        s"fit must size k from the corpus: $info")
+      assert(info.k0 == 22, s"sqrt-rule k for n=500 is 22, got ${info.k0}")
+      // decision record is self-consistent with the shipped index
+      assert(info.finalCenters == (if (info.refit) 2 * info.k0 else info.k0),
+        s"fit log inconsistent with shipped centers: $info")
+      assert(Similarity.ivfCellsOf(100L * 1000 * 1000) == Similarity.IvfCellsMax,
+        "k must clamp at IvfCellsMax for web-scale corpora")
+    } finally Similarity.resetIvfFits()
+  }
+
+  test("IVF skew re-fit: a planted giant cell triggers one re-fit at 2k and splits") {
+    import org.apache.spark.sql.functions._
+    Similarity.resetIvfFits()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("ivfskew9").toString
+      // n = 255 -> k0 = 16. 20 sample-visible far outliers (ids 0,3,..,57:
+      // each 100+ away in its own dimension) exhaust the farthest-point
+      // init, so the first fit leaves the ~235-point dense cloud in ONE
+      // cell (share >> 4x even). The 2k re-fit has centers left over
+      // after the outliers and splits the cloud.
+      def vec(i: Int): Seq[Float] =
+        if (i <= 57 && i % 3 == 0)
+          (0 until 64).map(d => if (d == (i / 3) % 64) 100.0f + i else 0.0f)
+        else (0 until 64).map(d => 0.001f * ((i * 7 + d) % 13))
+      (0 until 255).map(i => (i.toLong, vec(i), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val centers = Similarity.ivfCenters(spark, dir)
+      val info = Similarity.ivfFitInfo(dir).get
+      val threshold = Similarity.IvfMaxShareMultiple * 1000000L / info.k0
+      assert(info.sampleMaxSharePpm > threshold,
+        s"plant failed to produce a giant cell: $info (threshold $threshold)")
+      assert(info.refit && info.finalCenters == 2 * info.k0,
+        s"skewed sample must re-fit once at 2k: $info")
+      // the accepted index really is less skewed: re-assign the same
+      // sample to the shipped centers
+      val pts = KmeansFit.distinctSample(
+        graft.queries.Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 3 === 0)
+          .select(col("embedding").cast("array<double>").as("a")), col("a"))
+      val after = KmeansFit.maxSharePpm(pts, centers)
+      assert(after < info.sampleMaxSharePpm / 2,
+        s"re-fit did not split the giant cell: $after ppm vs ${info.sampleMaxSharePpm}")
+    } finally Similarity.resetIvfFits()
+  }
+
   test("the guard cap prices out >cap boilerplate while rare pairs survive") {
     // 70 identical boilerplate docs (every shingle at document-frequency
     // 70 > PairGuardFreqCap) plus one identical rare pair: uncapped the

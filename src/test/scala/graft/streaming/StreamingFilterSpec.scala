@@ -93,6 +93,42 @@ class StreamingFilterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed repetition verdicts equal the batch grouped-aggregation form") {
+    // the narrow fold (sorted-run max-tf) must agree with the
+    // registered explode+groupBy form on every column, and the same
+    // narrow transform must stream with identical rows — completing
+    // Gopher-rule parity at ingest (both halves of the battery)
+    import graft.pipeline.TextAnalysis
+    val repDocs: Seq[(Long, String, String)] = Seq(
+      (1L, (1 to 60).map(i => s"word$i").mkString(" "), "s"),
+      (2L, "spam spam spam spam ham", "s"),
+      (3L, "alpha beta alpha beta alpha beta alpha beta", "s"),
+      (4L, "one", "s"))
+    val dir = java.nio.file.Files.createTempDirectory("reptwin").toString
+    repDocs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val grouped = TextAnalysis.repetition(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    val narrow = TextAnalysis.repetitionVerdicts(repDocs.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(narrow == grouped, "narrow fold diverged from the grouped-aggregation form")
+    assert(narrow(2L).last == 0, "spam doc must fail the max-tf rule")
+    assert(narrow(1L).last == 1, "prose doc must pass both repetition rules")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = TextAnalysis.repetitionVerdicts(mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("reptwin").outputMode("append").start()
+    try {
+      repDocs.grouped(2).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("reptwin").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+      assert(streamed == grouped, "stream and batch repetition verdicts diverged")
+    } finally q.stop()
+  }
+
   test("planted failures break the expected rules") {
     val rows = Filters.gopherVerdicts(docs.toDF("doc_id", "text"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
