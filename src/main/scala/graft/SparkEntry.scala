@@ -138,6 +138,7 @@ object SparkEntry {
     "q_zorder" -> (graft.pipeline.TableOps.zorder _),
     // perceptual-hash multimodal near-dup + fuzzy refinement + grouped top-k
     "q_phash_pairs" -> (Multimodal.phashPairs _),
+    "q_phash_clusters" -> (Multimodal.phashClusters _),
     "q_fuzzy_pairs" -> (Dedup.fuzzyPairs _),
     "q_top_terms_grouped" -> (AnalyticQueries.topTermsGrouped _),
     // privacy audit + content filter + table maintenance + resampling
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_importance_weight" -> (graft.pipeline.Importance.importanceWeight _),
     // per-label embedding outliers (mislabel/corrupt-vector detector)
     "q_embed_outliers" -> (Similarity.embedOutliers _),
+    "q_embed_stats" -> (Similarity.embedStats _),
     // one-row dataset card rolling up the curation dispositions
     "q_dataset_card" -> (graft.pipeline.DatasetCard.datasetCard _),
     // ANN index-quality eval: per-probe recall of IVF vs exact truth
@@ -223,6 +225,7 @@ object SparkEntry {
     "q_collocations" -> (TextAnalysis.collocations _),
     // shingle-join candidate-volume plan (stop-shingle report)
     "q_dedup_cost" -> (Dedup.dedupCost _),
+    "q_dedup_sweep" -> (Dedup.dedupSweep _),
     // frequency-capped pair join (the cost report's dial, applied)
     "q_dedup_ngram_capped" -> (Dedup.ngramJaccardCapped _),
   )
@@ -334,6 +337,7 @@ object SparkEntry {
     "q_snapshot_diff" -> graft.pipeline.TableOps.snapshotDiffSql,
     "q_zorder" -> graft.pipeline.TableOps.zorderSql,
     "q_phash_pairs" -> Multimodal.phashPairsSql,
+    "q_phash_clusters" -> Multimodal.phashClustersSql,
     "q_fuzzy_pairs" -> Dedup.fuzzyPairsSql,
     "q_top_terms_grouped" -> AnalyticQueries.topTermsGroupedSql,
     "q_pii_scan" -> Privacy.piiScanSql,
@@ -358,6 +362,7 @@ object SparkEntry {
     "q_split_leakage" -> Sampling.splitLeakageSql,
     "q_importance_weight" -> graft.pipeline.Importance.importanceWeightSql,
     "q_embed_outliers" -> Similarity.embedOutliersSql,
+    "q_embed_stats" -> Similarity.embedStatsSql,
     "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_epoch_plan" -> Sampling.epochPlanSql,
@@ -365,6 +370,7 @@ object SparkEntry {
     "q_split_balance" -> Sampling.splitBalanceSql,
     "q_collocations" -> TextAnalysis.collocationsSql,
     "q_dedup_cost" -> Dedup.dedupCostSql,
+    "q_dedup_sweep" -> Dedup.dedupSweepSql,
     "q_dedup_ngram_capped" -> Dedup.ngramJaccardCappedSql,
     "q_band_stats" -> Dedup.bandStatsSql,
     "q_keep_list" -> graft.pipeline.Curate.keepListSql,

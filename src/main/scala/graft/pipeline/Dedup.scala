@@ -740,6 +740,86 @@ object Dedup {
                 ELSE candidate_pairs // (total_pairs // 1000000) END AS BIGINT) AS pairs_ppm
     FROM bands CROSS JOIN t"""
 
+  // ---- q_dedup_sweep ---------------------------------------------------
+
+  /** Jaccard thresholds priced by [[dedupSweep]] — from "all candidate
+    * pairs" (0.0: the raw pair-join cost) through the usual near-dup
+    * operating band to exact-overlap (1.0).
+    */
+  val SweepThresholds: Seq[Double] =
+    Seq(0.0, 0.25, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+  /** q_dedup_sweep: threshold-sensitivity report for the near-dup dial
+    * — for each candidate Jaccard threshold, how many pairs survive
+    * and how many distinct documents they touch. This is the number a
+    * curation team reads BEFORE picking the dedup threshold: a cliff
+    * between 0.7 and 0.8 means the corpus has a large band of partial
+    * near-dups whose fate the dial decides; a flat curve means the
+    * choice is cheap. Priced over the cluster-grade capped pair graph
+    * ([[ClusterShingleFreqCap]]) — the same relation the components
+    * family consumes, so the report prices exactly the pipeline that
+    * would run.
+    *
+    * Scale: ONE bounded pair generation (the capped posting-list
+    * scaffold), scored once; the threshold explode multiplies only the
+    * narrow surviving-pair rows (≤ |thresholds|·|pairs|), and both
+    * aggregations collapse to |thresholds| rows. Zero-survivor
+    * thresholds still report (left join from the threshold relation).
+    */
+  def dedupSweep(spark: SparkSession, sfDir: String): DataFrame =
+    cappedPairScaffold(spark, sfDir, ClusterShingleFreqCap) { (pairs, sizes) =>
+      val scored = jaccardOf(pairs, sizes)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val th = {
+        import spark.implicits._
+        SweepThresholds.toDF("threshold")
+      }
+      val f = scored
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+      val nPairs = f.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nDocs = f
+        .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .distinct()
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+      th.join(broadcast(nPairs), Seq("threshold"), "left")
+        .join(broadcast(nDocs), Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+    }
+
+  val dedupSweepSql: String = {
+    val thValues = SweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""
+    WITH ${shinglePairCtesSql(maxFreq = Some(ClusterShingleFreqCap))},
+    sc AS (
+      SELECT doc_a, doc_b,
+             round(CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+      FROM cnd JOIN sz s1 ON doc_a = s1.doc_id JOIN sz s2 ON doc_b = s2.doc_id
+    ),
+    th AS (SELECT CAST(v AS DOUBLE) AS threshold FROM (VALUES $thValues) tv(v)),
+    f AS (
+      SELECT t.threshold, sc.doc_a, sc.doc_b
+      FROM th t JOIN sc ON sc.jaccard >= t.threshold
+    ),
+    p AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1),
+    d AS (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        SELECT DISTINCT threshold, doc FROM (
+          SELECT threshold, doc_a AS doc FROM f
+          UNION ALL SELECT threshold, doc_b FROM f
+        )
+      ) GROUP BY 1
+    )
+    SELECT t.threshold,
+           coalesce(p.n_pairs, 0) AS n_pairs,
+           coalesce(d.n_docs, 0) AS n_docs
+    FROM th t LEFT JOIN p ON t.threshold = p.threshold
+    LEFT JOIN d ON t.threshold = d.threshold"""
+  }
+
   // ---- q_dedup_simhash -----------------------------------------------
 
   /** 32-bit SimHash per document over token hashes. */

@@ -270,6 +270,47 @@ object Multimodal {
     FROM code a JOIN code b ON a.asset_id < b.asset_id
     WHERE bit_count(xor(a.phash, b.phash)) <= $PhashRadius"""
 
+  // ---- q_phash_clusters ------------------------------------------------
+
+  /** q_phash_clusters: near-duplicate IMAGE clusters — connected
+    * components over the [[phashPairs]] Hamming-radius graph, labeling
+    * each asset with its canonical keeper (smallest asset_id in the
+    * component) and the cluster size. The same completion step the
+    * text side runs after pair generation (`q_dedup_components`),
+    * reusing [[graft.pipeline.Dedup.componentsOfPairs]] verbatim: the
+    * resolver is modality-agnostic — any bounded pair relation
+    * (shingle Jaccard, MinHash bands, SimHash, perceptual hashes)
+    * clusters with the identical min-label propagation, so a pipeline
+    * dedups text and images with ONE resolver implementation.
+    *
+    * Scale: the pair source is the banded (pigeonhole) join — bounded
+    * candidates, never all-pairs — and the propagation is the capped
+    * one-join-one-agg-per-round loop with per-round checkpoints.
+    */
+  def phashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Dedup.componentsOfPairs(
+      phashPairs(spark, sfDir)
+        .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
+      .select(col("doc_id").as("asset_id"), col("cluster_root"), col("cluster_size"))
+
+  val phashClustersSql: String =
+    s"""
+    WITH RECURSIVE pp AS (SELECT asset_a, asset_b FROM ($phashPairsSql)),
+    edges AS (
+      SELECT asset_a AS a, asset_b AS b FROM pp
+      UNION SELECT asset_b, asset_a FROM pp
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS asset_id, min(lab) AS cluster_root FROM reach GROUP BY 1)
+    SELECT c.asset_id, c.cluster_root, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
+    ) s ON c.cluster_root = s.cluster_root"""
+
   /** DuckDB mirror: same rolling checksum over the UTF-8 bytes via a
     * left fold (documents are ASCII so code units == bytes).
     */

@@ -262,6 +262,56 @@ object Similarity {
              / count(*) AS mean_v
     FROM x GROUP BY 1, 2"""
 
+  // ---- q_embed_stats ---------------------------------------------------
+
+  /** q_embed_stats: embedding-table health check — the one-row report
+    * an indexing pipeline reads BEFORE building ANN structures over a
+    * new embedding dump: row and label counts, zero vectors (a norm of
+    * 0 breaks every cosine downstream — they must be quarantined, not
+    * indexed), exact duplicate vectors (an encoder emitting the same
+    * vector for distinct inputs is broken or the inputs are dups), and
+    * the norm profile (min/mean/max — a collapsed norm range flags a
+    * missing normalization step; a huge one flags mixed encoders).
+    *
+    * Scale: one pass over the table; the norm is the codegen
+    * [[dot]] fold, the distinct-vector count is an exact hash
+    * aggregate (at 100 TB swap in the KMV/HLL sketch — `q_kmv_distinct`
+    * / `q_hll_distinct` are the bounded-state twins of exactly this
+    * count; the report stays exact here because the oracle gate is).
+    * Mean norm sums pre-rounded values in exact DECIMAL space (the
+    * [[graft.functions.Exact]] discipline).
+    */
+  def embedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        round(sqrt(dot(col("embedding"), col("embedding"))), 6).as("norm"))
+    e.agg(
+      count(lit(1)).as("n_vectors"),
+      countDistinct(col("label")).as("n_labels"),
+      sum(when(col("norm") === 0.0, lit(1L)).otherwise(lit(0L))).as("n_zero"),
+      (count(lit(1)) - countDistinct(col("embedding"))).as("n_dup_vectors"),
+      min(col("norm")).as("norm_min"),
+      round(graft.functions.Exact.exactSum(col("norm")) / count(lit(1)), 6).as("norm_mean"),
+      max(col("norm")).as("norm_max"))
+  }
+
+  val embedStatsSql: String =
+    s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             round(sqrt(${dotSql("embedding", "embedding")}), 6) AS norm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(count(*) - count(DISTINCT embedding) AS BIGINT) AS n_dup_vectors,
+           min(norm) AS norm_min,
+           round(CAST(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+                 / count(*), 6) AS norm_mean,
+           max(norm) AS norm_max
+    FROM e"""
+
   // ---- q_embed_outliers ----------------------------------------------
 
   /** Outlier boundary quantile of the per-label distance distribution. */

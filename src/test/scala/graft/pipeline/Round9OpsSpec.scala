@@ -109,6 +109,58 @@ class Round9OpsSpec extends SparkSpec {
     } finally Similarity.resetIvfFits()
   }
 
+  test("dedup sweep: every threshold reports, the curve is monotone, 0.5 matches the cluster pair graph") {
+    val rows = Dedup.dedupSweep(spark, sf).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))
+      .sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(rows.map(_._1).toSeq == Dedup.SweepThresholds.sorted,
+      "every configured threshold must report (including zero-survivor ones)")
+    assert(rows.sliding(2).forall { case Array((_, p1, d1), (_, p2, d2)) => p1 >= p2 && d1 >= d2 },
+      s"survivor counts must be non-increasing in the threshold: ${rows.toSeq}")
+    val at05 = rows.find(_._1 == 0.5).get._2
+    val clusterPairs = Dedup.clusterPairs(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(at05 == clusterPairs,
+      s"sweep at 0.5 must price exactly the cluster pair graph: $at05 vs $clusterPairs")
+  }
+
+  test("embed stats: planted zero/duplicate vectors and labels are counted exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("embstats9").toString
+    val unit = (0 until 64).map(d => if (d == 0) 3.0f else 4.0f)
+    val dup = (0 until 64).map(d => if (d < 2) 1.0f else 0.0f)
+    val zero = (0 until 64).map(_ => 0.0f)
+    Seq((0L, unit, 0), (1L, dup, 0), (2L, dup, 1), (3L, zero, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.embedStats(spark, dir).collect().head
+    assert(r.getAs[Long]("n_vectors") == 4 && r.getAs[Long]("n_labels") == 2)
+    assert(r.getAs[Long]("n_zero") == 1, "the zero vector must be counted")
+    assert(r.getAs[Long]("n_dup_vectors") == 1, "one of the two identical vectors is surplus")
+    assert(r.getAs[Double]("norm_min") == 0.0)
+    assert(math.abs(r.getAs[Double]("norm_max") - math.sqrt(9.0 + 63 * 16.0)) < 1e-4,
+      "norm_max must be the planted 31.89-norm vector")
+  }
+
+  test("phash clusters: identical payloads cluster to the min asset id; resolver is the shared one") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("phc9").toString
+    // three byte-identical "images" (same text -> same aHash) and one
+    // distinct payload far away in code space
+    val same = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+    val other = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
+    Seq((10L, same, "s"), (11L, same, "s"), (12L, same, "s"), (20L, other, "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.phashClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("cluster_root"), r.getAs[Long]("cluster_size")))
+    spark.catalog.clearCache()
+    val sameCluster = out.filter(r => Set(10L, 11L, 12L).contains(r._1))
+    assert(sameCluster.length == 3 && sameCluster.forall(r => r._2 == 10L && r._3 >= 3),
+      s"identical payloads must share the min-id cluster root: ${out.toSeq}")
+  }
+
   test("the guard cap prices out >cap boilerplate while rare pairs survive") {
     // 70 identical boilerplate docs (every shingle at document-frequency
     // 70 > PairGuardFreqCap) plus one identical rare pair: uncapped the
