@@ -326,10 +326,38 @@ object Dedup {
     cappedPairScaffold(spark, sfDir, ShingleFreqCap)(jaccardFinish)
 
   /** The pair source of the cluster family — the capped join at the
-    * cluster-grade ceiling ([[ClusterShingleFreqCap]]).
+    * cluster-grade ceiling ([[ClusterShingleFreqCap]]), MATERIALIZED
+    * once per (application, dataset): six registered queries (the
+    * component/canonical/cluster-size/dup-quality/dup-degree/pagerank
+    * family plus the keep list) consume this same narrow
+    * (doc_a, doc_b, shared, jaccard) relation, and a production dedup
+    * pass computes its pair graph once and feeds every downstream
+    * report from the materialized output — re-running the shingle
+    * explode + posting-list aggregation per report is the redundant
+    * full-corpus pass the keepList memo already eliminated one level
+    * up. Deterministic, so memoization is observationally pure;
+    * [[resetClusterMemo]] is the test seam.
     */
   def clusterPairs(spark: SparkSession, sfDir: String): DataFrame =
-    cappedPairScaffold(spark, sfDir, ClusterShingleFreqCap)(jaccardFinish)
+    clusterPairsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      cappedPairScaffold(spark, sfDir, ClusterShingleFreqCap)(jaccardFinish)
+        .localCheckpoint(eager = true))
+
+  private val clusterPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private val componentsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Test seam: drop the materialized pair graphs and cluster labels
+    * (specs that rewrite a dataset in place must reset — the
+    * `resetIvfFits` contract).
+    */
+  private[pipeline] def resetClusterMemo(): Unit = {
+    clusterPairsMemo.clear()
+    componentsMemo.clear()
+  }
 
   val ngramJaccardCappedSql: String =
     s"""
@@ -1127,10 +1155,19 @@ object Dedup {
     * without it iterative plans recompile from scratch each iteration.
     * Near-dup components have tiny diameters (dup clusters are dense),
     * so rounds stay single-digit even at 100 TB.
+    *
+    * The LABELS relation is materialized once per (application,
+    * dataset), like [[clusterPairs]]: the canonical/cluster-size/
+    * keep-list readouts all join these labels, and a dedup pass
+    * resolves its components once — the iterative propagation must
+    * not re-run per report ([[resetClusterMemo]] is the test seam).
     */
   def components(spark: SparkSession, sfDir: String): DataFrame =
-    componentsOfPairs(
-      clusterPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    componentsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      componentsOfPairs(
+        clusterPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
+        .localCheckpoint(eager = true))
 
   /** The label-propagation core over any (doc_a, doc_b) pair relation —
     * exposed so specs can feed planted pair graphs and so alternate
