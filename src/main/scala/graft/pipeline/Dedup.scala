@@ -358,6 +358,7 @@ object Dedup {
     clusterPairsMemo.clear()
     componentsMemo.clear()
     signaturesMemo.clear()
+    passageSpansMemo.clear()
   }
 
   val ngramJaccardCappedSql: String =
@@ -1857,7 +1858,18 @@ object Dedup {
     * are quote/boilerplate extraction targets.
     */
   def dupPassages(spark: SparkSession, sfDir: String): DataFrame =
-    dupPassagesOf(passageAnchors(spark, sfDir))
+    // the SPAN relation is materialized once per (application,
+    // dataset): coverage and strip both post-process these narrow
+    // span rows, and a passage-dedup pass extracts its spans once —
+    // the anchor-join/merge/verify subtree must not re-run per
+    // report ([[resetClusterMemo]] clears it with the other
+    // materialized dedup artifacts)
+    passageSpansMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      dupPassagesOf(passageAnchors(spark, sfDir)).localCheckpoint(eager = true))
+
+  private val passageSpansMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Test hook: the pipeline over explicit docs and an explicit anchor
     * cap, so specs can plant hot-anchor corpora small enough to bind.

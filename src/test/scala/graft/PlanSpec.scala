@@ -352,6 +352,19 @@ class PlanSpec extends SparkSpec {
     assert(bs.isEmpty, "q_band_stats must be join-free (two chained aggregations)")
   }
 
+  test("round-9 additions keep their declared plan shapes") {
+    // q_embed_stats: a one-row report — one scan, aggregation only,
+    // no join anywhere (the distinct slots expand inside the agg)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val es = collectAll(plan("q_embed_stats")) { case j: BaseJoinExec => j }
+    assert(es.isEmpty, "q_embed_stats must be join-free (single wide aggregation)")
+    // q_dedup_sweep: the threshold relation is literal-sized and must
+    // attach to the scored pairs as broadcast joins — the pair relation
+    // never shuffles for the report
+    val sw = collectAll(plan("q_dedup_sweep")) { case j: BroadcastHashJoinExec => j }
+    assert(sw.size >= 2, s"q_dedup_sweep must broadcast its tiny per-threshold aggregates, got ${sw.size}")
+  }
+
   test("IVF-family assignment uses NearestCenter, and the PQ cell join broadcasts the probe side") {
     // regression guard for the 64 KB codegen cliff: the unrolled
     // literal-centroid argmin janino-failed and silently degraded the
