@@ -198,7 +198,14 @@ object Multimodal {
     * production systems use 64-bit pHash — same plan, wider bands.
     */
   def phashCodes(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    phashCodesOf(Tables.documents(spark, sfDir))
+
+  /** The code computation over any (doc_id, text) relation — narrow
+    * ops only, so it applies to a STREAMING DataFrame unchanged
+    * ([[graft.streaming.PhashState]] consumes it at ingest).
+    */
+  def phashCodesOf(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) > 0)
       .withColumn("pix",
         expr("transform(sequence(0, 31), j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 32, 1)))"))
@@ -223,6 +230,19 @@ object Multimodal {
     * those buckets are where the near-dups live), so candidate volume
     * is output-driven; widening the code is the pressure valve.
     */
+  /** The pigeonhole band explode of a code relation (11+11+10 bits) —
+    * narrow, shared by the batch pair join and the streaming twin.
+    */
+  def phashBandRows(codes: DataFrame): DataFrame =
+    codes.select(
+      col("asset_id"), col("phash"),
+      explode(array(
+        struct(lit(0).as("band"), (col("phash") % 2048).as("bv")),
+        struct(lit(1).as("band"), (shiftright(col("phash"), 11) % 2048).as("bv")),
+        struct(lit(2).as("band"), (shiftright(col("phash"), 22) % 1024).as("bv")),
+      )).as("bd"))
+      .select(col("asset_id"), col("phash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+
   def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // persist the narrow (id, code) relation: without the cache
     // boundary, CollapseProject inlines the pixel transform + sum into
@@ -231,14 +251,7 @@ object Multimodal {
     // at sf0.1 vs 2 s warm cached) — same discipline as shinglePairScaffold;
     // the Mat boundary is self-releasing (no harness discipline needed)
     val codes = phashCodes(spark, sfDir).mat
-    val bands = codes.select(
-      col("asset_id"), col("phash"),
-      explode(array(
-        struct(lit(0).as("band"), (col("phash") % 2048).as("bv")),
-        struct(lit(1).as("band"), (shiftright(col("phash"), 11) % 2048).as("bv")),
-        struct(lit(2).as("band"), (shiftright(col("phash"), 22) % 1024).as("bv")),
-      )).as("bd"))
-      .select(col("asset_id"), col("phash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val bands = phashBandRows(codes)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
