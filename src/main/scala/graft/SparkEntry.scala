@@ -226,6 +226,7 @@ object SparkEntry {
     // shingle-join candidate-volume plan (stop-shingle report)
     "q_dedup_cost" -> (Dedup.dedupCost _),
     "q_dedup_sweep" -> (Dedup.dedupSweep _),
+    "q_dup_inflation" -> (Dedup.dupInflation _),
     // frequency-capped pair join (the cost report's dial, applied)
     "q_dedup_ngram_capped" -> (Dedup.ngramJaccardCapped _),
   )
@@ -371,6 +372,7 @@ object SparkEntry {
     "q_collocations" -> TextAnalysis.collocationsSql,
     "q_dedup_cost" -> Dedup.dedupCostSql,
     "q_dedup_sweep" -> Dedup.dedupSweepSql,
+    "q_dup_inflation" -> Dedup.dupInflationSql,
     "q_dedup_ngram_capped" -> Dedup.ngramJaccardCappedSql,
     "q_band_stats" -> Dedup.bandStatsSql,
     "q_keep_list" -> graft.pipeline.Curate.keepListSql,

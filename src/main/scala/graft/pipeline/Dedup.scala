@@ -1047,8 +1047,10 @@ object Dedup {
     * corpus split is batch-scale only at gate SFs. Docs beyond the cap
     * (ids ≥ 5·cap on the %5 split) simply wait for the next check,
     * exactly as a trigger bound defers offsets. 100k ids is far above
-    * every gate corpus (the cap never binds there — oracle-identical),
-    * and caps the broadcast at ~26 MB of banded rows at any SF.
+    * every gate corpus (the cap never binds there — oracle-identical)
+    * and bounds the broadcast at ≤ 400k banded rows (~75 MB with the
+    * 16-long signatures) at any SF — executor-memory safe, where the
+    * unbounded 20% split is not.
     */
   val IngestBatchCap = 100000L
 
@@ -1254,6 +1256,60 @@ object Dedup {
     FROM comp c JOIN (
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
+
+  // ---- q_dup_inflation -------------------------------------------------
+
+  /** q_dup_inflation: the TOKEN-level cost of near-duplication, per
+    * source — the number that turns a dedup verdict into a training
+    * decision: `total_tokens` (as a trainer would count them today),
+    * `kept_tokens` (cluster keepers only — the min-id canonical per
+    * component, solo documents count fully), and the duplicated-token
+    * share in exact integer ppm. A source at 300k ppm feeds the model
+    * 1.4 epochs of its content for every nominal one (Muennighoff-
+    * style repetition accounting, but measured, not planned) — this is
+    * the report that decides whether dedup runs BEFORE the token
+    * budget of `q_epoch_plan` is trusted.
+    *
+    * Scale: one narrow (doc, source, token-count) scan left-joined to
+    * the MATERIALIZED component labels ([[components]]' memo — no new
+    * pair generation), then one |sources|-row aggregation. All-integer
+    * output (exact ppm division).
+    */
+  def dupInflation(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val comp = components(spark, sfDir).select(col("doc_id"), col("cluster_root"))
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("is_keeper",
+        col("cluster_root").isNull || col("cluster_root") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(when(col("is_keeper"), col("nt")).otherwise(lit(0L))).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("kept_tokens"),
+        expr("(1000000 * (total_tokens - kept_tokens)) div total_tokens")
+          .as("dup_token_ppm"))
+  }
+
+  val dupInflationSql: String =
+    s"""
+    WITH comp AS (SELECT doc_id, cluster_root FROM ($componentsSql)),
+    d AS (
+      SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    t AS (
+      SELECT d.source, d.nt,
+             (c.cluster_root IS NULL OR c.cluster_root = d.doc_id) AS is_keeper
+      FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN is_keeper THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+           (1000000 * (CAST(sum(nt) AS BIGINT) - CAST(sum(CASE WHEN is_keeper THEN nt ELSE 0 END) AS BIGINT)))
+             // CAST(sum(nt) AS BIGINT) AS dup_token_ppm
+    FROM t GROUP BY 1"""
 
   // ---- q_containment_capped --------------------------------------------
 

@@ -161,6 +161,32 @@ class Round9OpsSpec extends SparkSpec {
       s"identical payloads must share the min-id cluster root: ${out.toSeq}")
   }
 
+  test("dup inflation: near-dup copies inflate exactly their token mass, solo docs count fully") {
+    import org.apache.spark.sql.functions._
+    Dedup.resetClusterMemo()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("inflate9").toString
+      // source A: an identical 6-token trio (cluster keeper = min id) +
+      // one solo 10-token doc; source B: all solo
+      val trio = (1 to 6).map(i => s"t$i").mkString(" ")
+      val rows = Seq(
+        (1L, trio, "A"), (2L, trio, "A"), (3L, trio, "A"),
+        (4L, (1 to 10).map(i => s"s$i").mkString(" "), "A"),
+        (5L, (1 to 8).map(i => s"b$i").mkString(" "), "B"))
+      rows.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Dedup.dupInflation(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+            r.getAs[Long]("kept_tokens"), r.getAs[Long]("dup_token_ppm"))).toMap
+      spark.catalog.clearCache()
+      // A: 4 docs, 28 tokens total, keepers = doc 1 (6) + doc 4 (10) = 16
+      // dup ppm = 1e6 * 12 / 28 = 428571 (floor)
+      assert(out("A") == (4L, 28L, 16L, 428571L), s"source A: ${out("A")}")
+      assert(out("B") == (1L, 8L, 8L, 0L), s"source B: ${out("B")}")
+    } finally Dedup.resetClusterMemo()
+  }
+
   test("the guard cap prices out >cap boilerplate while rare pairs survive") {
     // 70 identical boilerplate docs (every shingle at document-frequency
     // 70 > PairGuardFreqCap) plus one identical rare pair: uncapped the
