@@ -227,6 +227,8 @@ object SparkEntry {
     "q_dedup_cost" -> (Dedup.dedupCost _),
     "q_dedup_sweep" -> (Dedup.dedupSweep _),
     "q_dup_inflation" -> (Dedup.dupInflation _),
+    "q_source_dup_matrix" -> (Dedup.sourceDupMatrix _),
+    "q_cluster_purity" -> (Dedup.clusterPurity _),
     // frequency-capped pair join (the cost report's dial, applied)
     "q_dedup_ngram_capped" -> (Dedup.ngramJaccardCapped _),
   )
@@ -373,6 +375,8 @@ object SparkEntry {
     "q_dedup_cost" -> Dedup.dedupCostSql,
     "q_dedup_sweep" -> Dedup.dedupSweepSql,
     "q_dup_inflation" -> Dedup.dupInflationSql,
+    "q_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
+    "q_cluster_purity" -> Dedup.clusterPuritySql,
     "q_dedup_ngram_capped" -> Dedup.ngramJaccardCappedSql,
     "q_band_stats" -> Dedup.bandStatsSql,
     "q_keep_list" -> graft.pipeline.Curate.keepListSql,

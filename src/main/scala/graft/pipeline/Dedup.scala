@@ -1311,6 +1311,93 @@ object Dedup {
              // CAST(sum(nt) AS BIGINT) AS dup_token_ppm
     FROM t GROUP BY 1"""
 
+  // ---- q_source_dup_matrix ---------------------------------------------
+
+  /** q_source_dup_matrix: near-dup PAIR provenance — for every ordered
+    * source pair (src_a ≤ src_b), how many near-dup pairs connect
+    * them. The mirror map of a corpus: a heavy off-diagonal cell is
+    * two sources crawling the same site (fix the crawl, not the
+    * dedup); a heavy diagonal cell is internal boilerplate. Distinct
+    * from `q_source_overlap` (shingle-level content overlap — "how
+    * much text do they share") — this counts RESOLVED near-dup pairs
+    * ("how many documents did the overlap actually pair up").
+    *
+    * Scale: the materialized pair graph joins the narrow (doc, source)
+    * projection twice on the doc key and collapses to ≤ |sources|²
+    * cells — no new pair generation, no corpus scan beyond the
+    * 2-column projection.
+    */
+  def sourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    clusterPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val sourceDupMatrixSql: String =
+    s"""
+    WITH ${shinglePairCtesSql(maxFreq = Some(ClusterShingleFreqCap))},
+    j AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1, 2"""
+
+  // ---- q_cluster_purity ------------------------------------------------
+
+  /** q_cluster_purity: per near-dup cluster, its provenance spread —
+    * member count, distinct sources, distinct languages, and the
+    * keeper's source. `n_sources > 1` is the cross-site mirror signal
+    * (the cluster exists because two crawls hit the same content —
+    * dedup keeps one copy and the OTHER source's share shrinks, which
+    * `q_keep_by_source` will show as near_dup deaths); single-source
+    * multi-member clusters are internal template/boilerplate. The
+    * report a curation team reads next to `q_dup_cluster_sizes` to
+    * decide whether dedup losses are mirrors (fine) or one source
+    * eating another (mixture-shifting — re-weight after dedup).
+    *
+    * Scale: the materialized component labels join the narrow
+    * (doc, source, lang) projection once; one cluster-keyed
+    * aggregation, output O(#clusters). Only multi-member clusters
+    * report (solo docs carry no provenance question).
+    */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    components(spark, sfDir)
+      .select(col("doc_id"), col("cluster_root"))
+      .join(meta, "doc_id")
+      .groupBy(col("cluster_root"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(when(col("doc_id") === col("cluster_root"), col("source")))
+          .as("keeper_source"))
+      .filter(col("n_members") >= 2)
+  }
+
+  val clusterPuritySql: String =
+    s"""
+    WITH comp AS (SELECT doc_id, cluster_root FROM ($componentsSql)),
+    j AS (
+      SELECT c.cluster_root, c.doc_id, d.source, d.lang
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_root, count(*) AS n_members,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           min(CASE WHEN doc_id = cluster_root THEN source END) AS keeper_source
+    FROM j GROUP BY 1 HAVING count(*) >= 2"""
+
   // ---- q_containment_capped --------------------------------------------
 
   /** q_containment_capped: the production form of [[containment]] —

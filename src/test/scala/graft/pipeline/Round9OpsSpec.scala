@@ -187,6 +187,38 @@ class Round9OpsSpec extends SparkSpec {
     } finally Dedup.resetClusterMemo()
   }
 
+  test("source dup matrix and cluster purity: planted cross-source mirror resolves exactly") {
+    import org.apache.spark.sql.functions._
+    Dedup.resetClusterMemo()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("prov9").toString
+      // a 3-copy mirror spanning sources A (docs 1,2) and B (doc 3),
+      // plus an internal B pair (docs 10,11) in another language
+      val t1 = (1 to 6).map(i => s"m$i").mkString(" ")
+      val t2 = (1 to 6).map(i => s"n$i").mkString(" ")
+      val rows = Seq(
+        (1L, t1, "en", "A"), (2L, t1, "en", "A"), (3L, t1, "en", "B"),
+        (10L, t2, "de", "B"), (11L, t2, "de", "B"),
+        (20L, (1 to 9).map(i => s"x$i").mkString(" "), "en", "A"))
+      rows.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val matrix = Dedup.sourceDupMatrix(spark, dir).collect()
+        .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+          r.getAs[Long]("n_pairs")).toMap
+      assert(matrix == Map(("A", "A") -> 1L, ("A", "B") -> 2L, ("B", "B") -> 1L),
+        s"pair provenance cells wrong: $matrix")
+      val purity = Dedup.clusterPurity(spark, dir).collect()
+        .map(r => r.getAs[Long]("cluster_root") ->
+          (r.getAs[Long]("n_members"), r.getAs[Long]("n_sources"),
+            r.getAs[Long]("n_langs"), r.getAs[String]("keeper_source"))).toMap
+      spark.catalog.clearCache()
+      assert(purity == Map(
+        1L -> (3L, 2L, 1L, "A"),
+        10L -> (2L, 1L, 1L, "B")), s"cluster provenance wrong: $purity")
+    } finally Dedup.resetClusterMemo()
+  }
+
   test("the guard cap prices out >cap boilerplate while rare pairs survive") {
     // 70 identical boilerplate docs (every shingle at document-frequency
     // 70 > PairGuardFreqCap) plus one identical rare pair: uncapped the
