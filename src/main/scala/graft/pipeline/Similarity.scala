@@ -580,11 +580,13 @@ object Similarity {
       val first = KmeansFit.fit(pts, k, KmeansFit.Iters)
       val share = KmeansFit.maxSharePpm(pts, first)
       val threshold = IvfMaxShareMultiple * 1000000L / k
-      val centers =
-        if (share > threshold) KmeansFit.fit(pts, 2 * k, KmeansFit.Iters)
-        else first
-      ivfFitLog.put(sfDir,
-        IvfFitInfo(n, k, share, refit = share > threshold, centers.length))
+      // the re-fit target respects the same ceiling as the sizing rule
+      // (at k = IvfCellsMax there is no headroom — accept the index and
+      // rely on the downstream cell caps, don't refit at the same k)
+      val k2 = math.min(2 * k, IvfCellsMax)
+      val refit = share > threshold && k2 > k
+      val centers = if (refit) KmeansFit.fit(pts, k2, KmeansFit.Iters) else first
+      ivfFitLog.put(sfDir, IvfFitInfo(n, k, share, refit, centers.length))
       centers
     })
 
