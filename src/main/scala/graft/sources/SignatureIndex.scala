@@ -42,6 +42,33 @@ object SignatureIndex {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Stream-static ingest gate against the persisted index: each
+    * in-flight document's banded signature rows join the index table
+    * and verify by signature agreement — the
+    * [[graft.streaming.LshState.contaminationStream]] shape pointed at
+    * the HISTORICAL CORPUS instead of the eval set, so a live crawl
+    * rejects re-crawls-with-edits the moment they arrive. STATELESS:
+    * no streaming state, no watermark; the stream side is the narrow
+    * codegen band projection, and the index side is the bucketed
+    * table (at 100 TB the join reads only the matching bucket files —
+    * never a full index scan per trigger). A doc matching in several
+    * bands emits once per band; consumers take DISTINCT, as with the
+    * batch verdicts.
+    */
+  def ingestStream(docs: DataFrame, indexTable: String): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = spark.table(indexTable)
+      .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"),
+        col("sig").as("sig_c"))
+    Dedup.bandedSignatures(docs)
+      .join(idx, Seq("band", "bh"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), p => p))
+          .cast("double") / lit(16.0), 6))
+      .filter(col("est_jaccard") >= MinAgree / 16.0)
+      .select(col("doc_id"), col("corpus_doc"), col("est_jaccard"))
+  }
+
   /** Cross-snapshot near-dup verdicts: every doc of snapshot B with a
     * signature-verified match (est ≥ 0.5) in snapshot A, with the best
     * match (highest estimate, lowest doc tie-break) — the
