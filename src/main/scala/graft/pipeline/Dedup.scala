@@ -1270,25 +1270,31 @@ object Dedup {
     * the report that decides whether dedup runs BEFORE the token
     * budget of `q_epoch_plan` is trusted.
     *
-    * Scale: one narrow (doc, source, token-count) scan left-joined to
-    * the MATERIALIZED component labels ([[components]]' memo — no new
-    * pair generation), then one |sources|-row aggregation. All-integer
+    * Scale: the per-source TOTALS leg never joins — it is one map-side
+    * aggregation over the narrow (source, token-count) projection.
+    * Only the DUP leg joins: the NON-KEEPER label rows (the duplicated
+    * subpopulation, a fraction of the corpus by construction) gather
+    * their token counts by doc key and aggregate to |sources| rows;
+    * kept = total − dup in closed form. So the corpus is never
+    * shuffled for the labels — only the dup population's narrow rows
+    * move (AQE broadcasts them outright when small). All-integer
     * output (exact ppm division).
     */
   def dupInflation(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("nt"))
-    val comp = components(spark, sfDir).select(col("doc_id"), col("cluster_root"))
-    docs.join(comp, Seq("doc_id"), "left")
-      .withColumn("is_keeper",
-        col("cluster_root").isNull || col("cluster_root") === col("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("nt")).as("total_tokens"),
-        sum(when(col("is_keeper"), col("nt")).otherwise(lit(0L))).as("kept_tokens"))
-      .select(col("source"), col("n_docs"), col("total_tokens"), col("kept_tokens"),
-        expr("(1000000 * (total_tokens - kept_tokens)) div total_tokens")
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+    val nonKeepers = components(spark, sfDir)
+      .filter(col("cluster_root") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val dups = docs.join(nonKeepers, Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(sum(col("nt")).as("dup_tokens"))
+    totals.join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"),
+        expr("(1000000 * coalesce(dup_tokens, 0)) div total_tokens")
           .as("dup_token_ppm"))
   }
 
