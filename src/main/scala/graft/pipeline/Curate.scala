@@ -153,9 +153,10 @@ object Curate {
     // ContextCleaner-released (the components discipline).
     val curF = Future { curate(spark, sfDir).localCheckpoint(eager = true) }
     val compF = Future {
-      Dedup.components(spark, sfDir)
-        .select(col("doc_id"), col("cluster_root"))
-        .localCheckpoint(eager = true)
+      // Dedup.components materializes via its own per-dataset memo —
+      // the Future exists to run that materialization concurrently
+      // with curate's, not to add a second checkpoint on top
+      Dedup.components(spark, sfDir).select(col("doc_id"), col("cluster_root"))
     }
     val cur = Await.result(curF, Duration.Inf)
     val comp = Await.result(compF, Duration.Inf)
