@@ -136,6 +136,98 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("component resolver equals a driver-side union-find on arbitrary pair graphs") {
+    // the min-label propagation loop is the completion step of EVERY
+    // dedup family (shingle, MinHash, phash) — pin it against an
+    // independent reference implementation on random graphs, including
+    // chains (worst-case diameter), stars, and disconnected nodes
+    val genEdges = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L)))
+      .map(_.filter { case (a, b) => a != b })
+    forAllSampled(genEdges, n = 8) { edges =>
+      if (edges.nonEmpty) {
+        // reference: union-find with min-root canonicalization
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        def union(a: Long, b: Long): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+        }
+        edges.foreach { case (a, b) => union(a, b) }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val want = nodes.map(nd => nd -> find(nd)).toMap
+        val sizes = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val got = graft.pipeline.Dedup.componentsOfPairs(
+          edges.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("cluster_root"), r.getAs[Long]("cluster_size"))).toMap
+        assert(got.keySet == want.keySet)
+        want.foreach { case (nd, root) =>
+          assert(got(nd) == (root, sizes(root)),
+            s"node $nd: got ${got(nd)}, want ($root, ${sizes(root)}) over $edges")
+        }
+      }
+    }
+  }
+
+  test("PhashState emissions are split-invariant and complete (pure update fn, no Spark)") {
+    import graft.streaming.PhashState
+    // random codes in a shared bucket, random trigger splits: the UNION
+    // of emissions must be exactly the pairs within the radius, no
+    // matter how arrivals are grouped into triggers
+    val genRows = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(0L, 255L)))
+    val radius = 3
+    forAllSampled(Gen.zip(genRows, Gen.chooseNum(1, 5)), n = 10) { case (raw, chunk) =>
+      val rows = raw.distinctBy(_._1)
+        .map { case (id, code) => PhashState.BandRow(0, 1L, id, code) }
+      val state = new java.util.concurrent.atomic.AtomicReference[Option[PhashState.Bucket]](None)
+      val emitted = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+      rows.grouped(chunk).foreach { g =>
+        val gs = new org.apache.spark.sql.streaming.GroupState[PhashState.Bucket] {
+          override def exists: Boolean = state.get.isDefined
+          override def get: PhashState.Bucket = state.get.get
+          override def getOption: Option[PhashState.Bucket] = state.get
+          override def update(s: PhashState.Bucket): Unit = state.set(Some(s))
+          override def remove(): Unit = state.set(None)
+          override def hasTimedOut: Boolean = false
+          override def setTimeoutDuration(d: Long): Unit = ()
+          override def setTimeoutDuration(d: String): Unit = ()
+          override def setTimeoutTimestamp(t: Long): Unit = ()
+          override def setTimeoutTimestamp(t: Long, a: String): Unit = ()
+          override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+          override def setTimeoutTimestamp(t: java.sql.Date, a: String): Unit = ()
+          override def getCurrentWatermarkMs(): Long = 0L
+          override def getCurrentProcessingTimeMs(): Long = 0L
+        }
+        PhashState.update(radius, 10000)((0, 1L), g.iterator, gs)
+          .foreach(p => emitted += ((p.asset_a, p.asset_b, p.hamming)))
+      }
+      val want = (for {
+        (i, ci) <- rows.map(r => r.assetId -> r.phash)
+        (j, cj) <- rows.map(r => r.assetId -> r.phash) if i < j
+        h = java.lang.Long.bitCount(ci ^ cj) if h <= radius
+      } yield (i, j, h)).toSet
+      assert(emitted.toSet == want,
+        s"chunk=$chunk: emitted ${emitted.toSeq.sorted} want ${want.toSeq.sorted}")
+    }
+  }
+
+  test("maxSharePpm: shares are a valid distribution and bound the even share from above") {
+    import graft.pipeline.KmeansFit
+    val genPts = Gen.listOfN(20, Gen.zip(Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(1L, 9L)))
+    forAllSampled(Gen.zip(genPts, Gen.chooseNum(1, 6)), n = 10) { case (raw, k) =>
+      val pts = raw.map { case (x, w) => (Array(x, -x), w) }.toIndexedSeq
+      val centers = KmeansFit.fit(pts, k, KmeansFit.Iters)
+      val share = KmeansFit.maxSharePpm(pts, centers)
+      assert(share <= 1000000L, s"share over 100%: $share")
+      assert(share >= 1000000L / centers.length,
+        s"max share must be >= the even share: $share with ${centers.length} cells")
+    }
+  }
+
   test("text-signal invariants: window accounting, readability bounds, code-flag monotonicity") {
     import graft.pipeline.TextSignals
     val word = Gen.oneOf("the", "cat", "de", "que", "la", "run", "tall", "word9", "x_y", "{a};")
