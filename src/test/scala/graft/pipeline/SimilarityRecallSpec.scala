@@ -41,7 +41,7 @@ class SimilarityRecallSpec extends SparkSpec {
 }
 
 /** IVF recall: the probed-cells candidate search must recover most of
-  * the exact brute-force top-5 — probing 4/16 cells trades bounded work
+  * the exact brute-force top-5 — probing ¼ of the auto-sized cells trades bounded work
   * for recall, and this pins where that trade lands on real data.
   */
 class IvfRecallSpec extends SparkSpec {
