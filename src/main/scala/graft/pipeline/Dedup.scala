@@ -1199,6 +1199,13 @@ object Dedup {
     * exposed so specs can feed planted pair graphs and so alternate
     * pair sources (SimHash, MinHash bands) can reuse the resolver.
     */
+  /** Plain-propagation rounds before the resolver adds pointer
+    * jumping (see the loop comment): dup clusters are dense and
+    * converge well inside this; only pathological path-like graphs
+    * pay the extra self-join, and only from this round on.
+    */
+  val JumpAfterRounds = 4
+
   def componentsOfPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -1212,15 +1219,35 @@ object Dedup {
     while (changed > 0 && rounds < 50) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      // the change flag rides the propagation join itself: the old
-      // shape paid a SECOND labels⋈next join per round just to count
-      // changes — here the count is a scan of the already-materialized
-      // checkpoint, so each round costs exactly one join + one agg
-      val next = labels.join(prop, labels("id") === prop("src"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-          (col("nlab").isNotNull && col("nlab") < col("lab")).as("chg"))
-        .localCheckpoint(eager = true)
+      val stepped = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"), col("lab").as("old"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab1"))
+      // ADAPTIVE POINTER JUMP: neighbor-min alone converges in
+      // O(component diameter) rounds — one join + one agg per round,
+      // exactly right for dense near-dup clusters (diameter ≤ 3). But a
+      // CHAIN-shaped similarity graph (image series under a Hamming
+      // radius, rolling re-edits) has diameter O(n) and would hit the
+      // round cap at scale. So once plain propagation has run
+      // [[JumpAfterRounds]] rounds without converging — the dense case
+      // never gets there — each further round ALSO compresses every
+      // label through its current root (label ← its label's label; all
+      // labels are node ids, so the narrow self-join always resolves),
+      // giving the classic O(log n) convergence on path-like
+      // components. The fixpoint — the component's min id — is
+      // identical either way (PropertySpec pins the resolver against
+      // union-find on random graphs; Round9OpsSpec resolves a 300-link
+      // chain the plain loop's cap would reject).
+      val next = (if (rounds < JumpAfterRounds) {
+        stepped.select(col("id"), col("lab1").as("lab"),
+          (col("lab1") < col("old")).as("chg"))
+      } else {
+        stepped.as("x")
+          .join(stepped.select(col("id").as("jid"), col("lab1").as("jlab")).as("y"),
+            col("x.lab1") === col("y.jid"))
+          .select(col("x.id"),
+            least(col("x.lab1"), col("y.jlab")).as("lab"),
+            (least(col("x.lab1"), col("y.jlab")) < col("x.old")).as("chg"))
+      }).localCheckpoint(eager = true)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("lab"))
       rounds += 1

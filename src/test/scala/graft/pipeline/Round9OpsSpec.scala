@@ -219,6 +219,21 @@ class Round9OpsSpec extends SparkSpec {
     } finally Dedup.resetClusterMemo()
   }
 
+  test("component resolver converges on a 300-link chain (log rounds, not diameter rounds)") {
+    import spark.implicits._
+    // a pure chain 0-1-2-...-300: diameter 300 — plain neighbor-min
+    // propagation needs 300 rounds and would hit the 50-round cap;
+    // the pointer-jumping loop must resolve it (O(log n) rounds) with
+    // every node labeled 0 and cluster_size 301
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val out = Dedup.componentsOfPairs(chain.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_root"),
+        r.getAs[Long]("cluster_size")))
+    assert(out.length == 301)
+    assert(out.forall(r => r._2 == 0L && r._3 == 301L),
+      s"chain must resolve to root 0 size 301: ${out.take(5).toSeq}")
+  }
+
   test("the guard cap prices out >cap boilerplate while rare pairs survive") {
     // 70 identical boilerplate docs (every shingle at document-frequency
     // 70 > PairGuardFreqCap) plus one identical rare pair: uncapped the
