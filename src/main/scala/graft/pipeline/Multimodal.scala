@@ -243,26 +243,40 @@ object Multimodal {
       )).as("bd"))
       .select(col("asset_id"), col("phash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
 
-  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // persist the narrow (id, code) relation: without the cache
-    // boundary, CollapseProject inlines the pixel transform + sum into
-    // the fold lambda and the pushed-down null filters, re-evaluating
-    // the whole quadratic expression on BOTH join sides (measured 60 s
-    // at sf0.1 vs 2 s warm cached) — same discipline as shinglePairScaffold;
-    // the Mat boundary is self-releasing (no harness discipline needed)
-    val codes = phashCodes(spark, sfDir).mat
-    val bands = phashBandRows(codes)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(
-        col("a.asset_id").as("asset_a"),
-        col("b.asset_id").as("asset_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= PhashRadius)
-  }
+  /** The phash PAIR GRAPH, materialized once per (application,
+    * dataset) — the image-side `clusterPairs` discipline: the pair
+    * query and the cluster resolver both consume it, and an image
+    * dedup pass computes its pair graph once. [[resetPhashMemo]] is
+    * the test seam.
+    */
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    phashPairsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir", {
+        // the .mat on codes: without a boundary, CollapseProject
+        // inlines the pixel transform + sum into the fold lambda and
+        // the pushed-down null filters, re-evaluating the whole
+        // quadratic expression on BOTH join sides (measured 60 s at
+        // sf0.1 vs 2 s with the boundary)
+        val codes = phashCodes(spark, sfDir).mat
+        val bands = phashBandRows(codes)
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.asset_id") < col("b.asset_id"))
+          .select(
+            col("a.asset_id").as("asset_a"),
+            col("b.asset_id").as("asset_b"),
+            bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= PhashRadius)
+          .localCheckpoint(eager = true)
+      })
+
+  private val phashPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Test seam: drop the materialized phash pair graphs. */
+  private[pipeline] def resetPhashMemo(): Unit = phashPairsMemo.clear()
 
   val phashPairsSql: String =
     s"""
