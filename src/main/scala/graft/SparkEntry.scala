@@ -200,6 +200,7 @@ object SparkEntry {
     // per-label embedding outliers (mislabel/corrupt-vector detector)
     "q_embed_outliers" -> (Similarity.embedOutliers _),
     "q_embed_stats" -> (Similarity.embedStats _),
+    "q_ann_lsh_recall" -> (Similarity.annLshRecall _),
     // one-row dataset card rolling up the curation dispositions
     "q_dataset_card" -> (graft.pipeline.DatasetCard.datasetCard _),
     // ANN index-quality eval: per-probe recall of IVF vs exact truth
@@ -366,6 +367,7 @@ object SparkEntry {
     "q_importance_weight" -> graft.pipeline.Importance.importanceWeightSql,
     "q_embed_outliers" -> Similarity.embedOutliersSql,
     "q_embed_stats" -> Similarity.embedStatsSql,
+    "q_ann_lsh_recall" -> Similarity.annLshRecallSql,
     "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_epoch_plan" -> Sampling.epochPlanSql,

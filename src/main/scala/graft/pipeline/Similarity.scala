@@ -746,6 +746,104 @@ object Similarity {
     GROUP BY 1"""
     }
 
+  // ---- q_ann_lsh_recall ------------------------------------------------
+
+  /** q_ann_lsh_recall: the recall instrument for the THIRD index — the
+    * sign-LSH code ([[annLsh]]'s band family), measured as a top-k
+    * search the way `q_ann_recall` measures IVF and `q_lsh_recall`
+    * measures MinHash-LSH, so every index in the engine ships with its
+    * recall eval as a first-class relation. Per probe (the
+    * [[TopkQueryCap]]-bounded every-100th set, identical to
+    * [[annTopk]]): candidates = vectors sharing ≥ 1 of the 8 sign-code
+    * bands with the probe, exact-cosine top-[[IvfTopK]], recall
+    * against the brute-force truth. Fully static oracle (the sign code
+    * is closed-form — no frozen fit).
+    *
+    * Scale: the probe side is ≤ 100 rows broadcast into the banded
+    * corpus (narrow (id, band, nib) rows — no vector payloads move for
+    * candidate generation); payloads gather by id afterwards for the
+    * bounded candidate set only; the truth leg is the declared capped
+    * brute-force baseline.
+    */
+  def annLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+    def bandsOf(df: DataFrame): DataFrame = df.select(
+      col("vec_id"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
+      }: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.nib").as("nib"))
+    val banded = bandsOf(emb)
+    val probeBands = bandsOf(
+      emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap))
+      .select(col("vec_id").as("q_id"), col("band"), col("nib"))
+    val cand = broadcast(probeBands).join(banded,
+        Seq("band", "nib"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val top = cand
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nsq").as("q_nsq")), "q_id")
+      .join(emb.select(col("vec_id"), col("embedding"), col("nsq")), "vec_id")
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("embedding")) / sqrt(col("q_nsq") * col("nsq")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    annTopk(spark, sfDir).select(col("q_id"), col("vec_id"))
+      .join(top, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(IvfTopK.toDouble)).as("recall"))
+  }
+
+  val annLshRecallSql: String =
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             ${signCodeSql.replace("v[", "embedding[")} AS code,
+             ${dotSql("embedding", "embedding")} AS nsq
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, b.band, (code >> (4 * b.band)) % 16 AS nib
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
+    ),
+    pb AS (
+      SELECT vec_id AS q_id, band, nib FROM banded
+      WHERE vec_id % 100 = 0 AND vec_id < $TopkQueryCap
+    ),
+    cand AS (
+      SELECT DISTINCT p.q_id, c.vec_id
+      FROM pb p JOIN banded c ON p.band = c.band AND p.nib = c.nib
+      WHERE c.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT cd.q_id, cd.vec_id,
+             round(${dotSql("q.embedding", "c.embedding")} / sqrt(q.nsq * c.nsq), 6) AS cos
+      FROM cand cd
+      JOIN e q ON cd.q_id = q.vec_id
+      JOIN e c ON cd.vec_id = c.vec_id
+    ),
+    top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= $IvfTopK
+    ),
+    ex AS (SELECT q_id, vec_id FROM ($annTopkSql))
+    SELECT ex.q_id,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $IvfTopK.0 AS recall
+    FROM ex LEFT JOIN top t ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+    GROUP BY ex.q_id"""
+
   // ---- q_knn_graph ---------------------------------------------------
 
   /** Neighbors per node in the kNN graph. */

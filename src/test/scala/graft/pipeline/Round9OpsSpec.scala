@@ -234,6 +234,20 @@ class Round9OpsSpec extends SparkSpec {
       s"chain must resolve to root 0 size 301: ${out.take(5).toSeq}")
   }
 
+  test("sign-LSH recall eval: one row per probe, recalls in [0,1], useful floor on real data") {
+    val rows = Similarity.annLshRecall(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
+    spark.catalog.clearCache()
+    assert(rows.map(_._1).toSet == Set(0L, 100L, 200L, 300L, 400L),
+      s"one row per capped probe: ${rows.toSeq}")
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._2 == (r._3 * 5).round),
+      s"recall arithmetic broken: ${rows.toSeq}")
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.3,
+      f"sign-LSH top-5 recall collapsed on the gate corpus: $mean%.2f " +
+        "(8x4 banding should catch a solid fraction of true neighbors)")
+  }
+
   test("the guard cap prices out >cap boilerplate while rare pairs survive") {
     // 70 identical boilerplate docs (every shingle at document-frequency
     // 70 > PairGuardFreqCap) plus one identical rare pair: uncapped the
