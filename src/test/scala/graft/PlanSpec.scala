@@ -128,9 +128,9 @@ class PlanSpec extends SparkSpec {
     }
     // q_ann_pca shares q_ann_topk's capped-probe contract (same <= 100
     // query cap), just over the 8-dim projected vectors; q_ann_recall
-    // embeds q_ann_topk verbatim as its exact-truth leg, so it carries
-    // the same declared capped NLJ
-    val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall")
+    // and q_ann_lsh_recall embed q_ann_topk verbatim as their
+    // exact-truth leg, so they carry the same declared capped NLJ
+    val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall", "q_ann_lsh_recall")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot { j =>
