@@ -248,6 +248,23 @@ class Round9OpsSpec extends SparkSpec {
         "(8x4 banding should catch a solid fraction of true neighbors)")
   }
 
+  test("Mat boundaries are observationally pure: transparent and materialized runs agree") {
+    // the whole self-releasing-checkpoint mechanism must change plans,
+    // never answers — run a boundary-heavy query both ways
+    def rows() = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    val materialized = rows()
+    val transparent = try {
+      graft.core.Mat.transparent = true
+      rows()
+    } finally graft.core.Mat.transparent = false
+    spark.catalog.clearCache()
+    assert(materialized == transparent && materialized.nonEmpty,
+      s"boundary changed the answer: ${(materialized -- transparent).take(3)} / " +
+        s"${(transparent -- materialized).take(3)}")
+  }
+
   test("the guard cap prices out >cap boilerplate while rare pairs survive") {
     // 70 identical boilerplate docs (every shingle at document-frequency
     // 70 > PairGuardFreqCap) plus one identical rare pair: uncapped the
