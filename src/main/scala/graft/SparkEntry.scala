@@ -232,6 +232,15 @@ object SparkEntry {
     "q_cluster_purity" -> (Dedup.clusterPurity _),
     // frequency-capped pair join (the cost report's dial, applied)
     "q_dedup_ngram_capped" -> (Dedup.ngramJaccardCapped _),
+    // cross-snapshot dedup sweep over the persisted bucketed signature
+    // indexes (index-against-index, exchange-free band join)
+    "q_cross_snapshot_dedup" -> (graft.sources.SignatureIndex.crossSnapshotDedup _),
+    // the image twin: cross-snapshot sweep over the persisted phash
+    // band indexes (identical-code representatives + multiplicity)
+    "q_cross_snapshot_phash" -> (graft.sources.PhashIndex.crossSnapshotPhash _),
+    // recall eval for the phash band index (banded top-k vs the
+    // declared capped brute-force Hamming truth)
+    "q_phash_recall" -> (Multimodal.phashRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -384,6 +393,9 @@ object SparkEntry {
     "q_keep_list" -> graft.pipeline.Curate.keepListSql,
     "q_keep_by_source" -> graft.pipeline.Curate.keepBySourceSql,
     "q_containment_capped" -> Dedup.containmentCappedSql,
+    "q_cross_snapshot_dedup" -> graft.sources.SignatureIndex.crossSnapshotDedupSql,
+    "q_cross_snapshot_phash" -> graft.sources.PhashIndex.crossSnapshotPhashSql,
+    "q_phash_recall" -> Multimodal.phashRecallSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -1,0 +1,127 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+
+/** Bounded, timed, releasable memo for per-(application, dataset)
+  * materialized DataFrames — the shared home for the engine's
+  * "materialize the artifact once, every consumer reads the layout"
+  * discipline (keep list, cluster pair graph, component labels, corpus
+  * signatures, passage spans, phash index, ...).
+  *
+  * Three contracts the bare per-object TrieMaps could not give:
+  *
+  *  - '''Bounded.''' Entries are LRU-evicted past [[maxEntries]]
+  *    datasets, and eviction RELEASES the evicted relation's
+  *    checkpointed blocks (best-effort unpersist of the underlying
+  *    checkpointed RDDs, then the strong reference drops so the
+  *    ContextCleaner can finish the job). A long-lived session touching
+  *    many datasets no longer accumulates pinned block-manager storage
+  *    without bound.
+  *  - '''Timed.''' Each build's wall-clock lands in a process-wide
+  *    registry ([[Memo.buildLog]]), so the bench artifact can report
+  *    the COLD construction cost of every memoized artifact explicitly
+  *    (an `artifacts` map) instead of silently folding it into the
+  *    first consumer's first run — warm per-query medians and the cold
+  *    pass are then both visible, and round-over-round totals compare
+  *    like for like.
+  *  - '''Releasable.''' [[Memo.releaseAll]] is the PUBLIC API a library
+  *    caller (not just the test seams) uses to drop every materialized
+  *    artifact when a composition is done with a dataset.
+  *
+  * Builds are serialized per memo (a concurrent `getOrElseUpdate` on a
+  * TrieMap could run the expensive build twice and leak the loser's
+  * checkpoint); distinct memos build concurrently — the keep-list
+  * legs' concurrent materialization crosses two different memos and
+  * stays parallel.
+  */
+final class Memo(val name: String, val maxEntries: Int = 4) {
+  Memo.register(this)
+
+  // LinkedHashMap in access order via explicit re-insertion: last = MRU
+  private val entries = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  def getOrElseUpdate(key: String, build: => DataFrame): DataFrame = synchronized {
+    entries.remove(key) match {
+      case Some(df) =>
+        entries.put(key, df) // refresh recency
+        df
+      case None =>
+        val t0 = System.nanoTime()
+        val df = build
+        Memo.logBuild(name, key, (System.nanoTime() - t0) / 1e9)
+        entries.put(key, df)
+        while (entries.size > maxEntries) {
+          val (_, evicted) = entries.head
+          entries.remove(entries.head._1)
+          Memo.release(evicted)
+        }
+        df
+    }
+  }
+
+  /** Drop (and release) every entry — the test seam and the public
+    * release path.
+    */
+  def clear(): Unit = synchronized {
+    entries.valuesIterator.foreach(Memo.release)
+    entries.clear()
+  }
+}
+
+object Memo {
+  private val all = TrieMap.empty[String, Memo]
+
+  /** (memo name, dataset key, seconds) per build, in build order. */
+  private val builds = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double)]
+
+  private def register(m: Memo): Unit = all.put(m.name, m)
+  private def logBuild(name: String, key: String, sec: Double): Unit =
+    builds.add((name, key, sec))
+
+  /** Snapshot of every build since [[resetLog]]: memo name → seconds
+    * (latest build wins when a memo built more than once — one dataset
+    * per bench run, so this is the cold construction cost map).
+    */
+  def buildLog: Map[String, Double] = {
+    val out = mutable.LinkedHashMap.empty[String, Double]
+    builds.forEach { case (n, _, s) => out.put(n, s) }
+    out.toMap
+  }
+
+  def resetLog(): Unit = builds.clear()
+
+  /** Time a one-off artifact construction into the same build log —
+    * for materializations that are not DataFrame memo entries (e.g.
+    * persisted bucketed snapshot tables), so the bench `artifacts`
+    * map sees every corpus pass regardless of its storage form.
+    */
+  def timed[T](name: String, key: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    logBuild(name, key, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  /** Release every materialized artifact in every memo — the library
+    * caller's "done with these datasets" hook.
+    */
+  def releaseAll(): Unit = all.values.foreach(_.clear())
+
+  /** Best-effort release of a checkpointed relation's storage: unpersist
+    * the checkpointed RDDs inside the plan (an eager `localCheckpoint`
+    * leaves `LogicalRDD` leaves whose RDDs hold the materialized
+    * blocks), then let the dropped strong reference finish the job via
+    * the ContextCleaner. Never throws — release is an optimization, not
+    * a correctness step.
+    */
+  private def release(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try l.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    } catch { case _: Throwable => () }
+}

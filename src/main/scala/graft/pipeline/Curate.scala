@@ -128,8 +128,7 @@ object Curate {
       s"${spark.sparkContext.applicationId}|$sfDir",
       computeKeepList(spark, sfDir).localCheckpoint(eager = true))
 
-  private val keepListMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val keepListMemo = new graft.core.Memo("keep_list")
 
   /** Test seam: drop all materialized keep lists (specs that rewrite a
     * dataset in place must reset, same contract as `resetIvfFits`).

@@ -344,11 +344,13 @@ object Dedup {
       cappedPairScaffold(spark, sfDir, ClusterShingleFreqCap)(jaccardFinish)
         .localCheckpoint(eager = true))
 
-  private val clusterPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // bounded + timed + releasable (graft.core.Memo): LRU past 4 datasets
+  // with the evicted checkpoint's blocks released, build seconds logged
+  // for the bench `artifacts` map, and Memo.releaseAll() as the public
+  // library-caller release API
+  private val clusterPairsMemo = new graft.core.Memo("cluster_pairs")
 
-  private val componentsMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val componentsMemo = new graft.core.Memo("components")
 
   /** Test seam: drop the materialized pair graphs and cluster labels
     * (specs that rewrite a dataset in place must reset — the
@@ -434,7 +436,7 @@ object Dedup {
     * `hs` column (shared by the LSH pair join and fuzzy
     * decontamination).
     */
-  private[pipeline] val sigSqlExpr: String = {
+  private[graft] val sigSqlExpr: String = {
     val perms = MinhashAB.map { case (a, b) => s"[$a, $b]" }.mkString(", ")
     s"list_transform([$perms], ab -> list_min(list_transform(hs, h -> (ab[1] * h + ab[2]) % ${P})))"
   }
@@ -482,8 +484,7 @@ object Dedup {
       s"${spark.sparkContext.applicationId}|$sfDir",
       signatures(Tables.documents(spark, sfDir)).localCheckpoint(eager = true))
 
-  private val signaturesMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val signaturesMemo = new graft.core.Memo("corpus_signatures")
 
   /** MinHash + LSH near-dup pairs: 4 bands x 4 rows; candidates share a
     * band hash; similarity = matching signature positions / 16,
@@ -2044,8 +2045,7 @@ object Dedup {
       s"${spark.sparkContext.applicationId}|$sfDir",
       dupPassagesOf(passageAnchors(spark, sfDir)).localCheckpoint(eager = true))
 
-  private val passageSpansMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val passageSpansMemo = new graft.core.Memo("passage_spans")
 
   /** Test hook: the pipeline over explicit docs and an explicit anchor
     * cap, so specs can plant hot-anchor corpora small enough to bind.

@@ -187,6 +187,22 @@ object Multimodal {
   /** Max Hamming distance for perceptual near-duplicates. */
   val PhashRadius = 2
 
+  /** Hard ceiling on DISTINCT CODES per (band, bv) bucket in the
+    * representative pair join — the image-side [[graft.pipeline.Dedup
+    * .PairGuardFreqCap]]: a band bucket hotter than this is dropped
+    * before pair generation (its members are held together by a
+    * saturated band pattern, the aHash analog of a stop-shingle), so no
+    * bucket can ever make the candidate join quadratic. Identical
+    * codes never count against the cap — they collapse to ONE
+    * representative before banding (see [[phashMembership]]) — so the
+    * cap binds only on genuinely distinct near-miss codes. 1024 is
+    * non-binding on every gate corpus (sf0.1 maxes at 251 distinct
+    * codes per bucket) and the oracle carries the same cap, so a
+    * binding cap is a semantics change both sides agree on, exactly
+    * like the MinHash family's [[graft.pipeline.Dedup.MinhashBucketCap]].
+    */
+  val PhashBucketCap = 1024
+
   /** 32-bit perceptual hash (aHash) per asset: sample 32 evenly spaced
     * "pixels" from the payload (deterministic stand-in for a decoded
     * thumbnail — a real codec swaps ONLY the pixel extraction), set bit
@@ -217,19 +233,6 @@ object Multimodal {
                                         ELSE CAST(0 AS BIGINT) END)"""))
       .select(col("doc_id").as("asset_id"), col("phash"))
 
-  /** q_phash_pairs: perceptual-hash near-duplicate pairs at Hamming
-    * radius ≤ 2 — image dedup without decoding twice.
-    *
-    * Scale: pigeonhole banding like the SimHash path — the 32-bit code
-    * splits into 3 bands (11+11+10 bits); two codes within Hamming 2
-    * agree exactly on ≥ 1 band, so candidates come from an equi
-    * self-join on (band, band_value), refined by `bit_count(xor)`.
-    * Never an all-pairs join; the oracle uses the all-pairs form as
-    * the semantic definition (same output set). Band values inherit
-    * aHash's skew (structurally similar payloads share band values —
-    * those buckets are where the near-dups live), so candidate volume
-    * is output-driven; widening the code is the pressure valve.
-    */
   /** The pigeonhole band explode of a code relation (11+11+10 bits) —
     * narrow, shared by the batch pair join and the streaming twin.
     */
@@ -243,44 +246,140 @@ object Multimodal {
       )).as("bd"))
       .select(col("asset_id"), col("phash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
 
-  /** The phash PAIR GRAPH, materialized once per (application,
-    * dataset) — the image-side `clusterPairs` discipline: the pair
-    * query and the cluster resolver both consume it, and an image
-    * dedup pass computes its pair graph once. [[resetPhashMemo]] is
-    * the test seam.
+  /** Code-group MEMBERSHIP `(asset_id, phash, rep, n_members)` —
+    * identical payloads share one phash and collapse to a single
+    * REPRESENTATIVE (smallest asset_id), materialized once per
+    * (application, dataset). This is [[graft.pipeline.Dedup.exact]]'s
+    * discipline applied to the image side: a web-scale image estate
+    * carries millions of byte-identical assets (blank thumbnails,
+    * tracking pixels, default avatars) that all land in one code
+    * group — they must be ONE node of the candidate join, never n.
+    * The `.mat` boundary on codes keeps CollapseProject from inlining
+    * the quadratic pixel-fold expression into every consumer (measured
+    * 60 s vs 2 s at sf0.1).
     */
-  def phashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    phashPairsMemo.getOrElseUpdate(
+  private[pipeline] def phashMembership(spark: SparkSession, sfDir: String): DataFrame =
+    membershipMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir", {
-        // the .mat on codes: without a boundary, CollapseProject
-        // inlines the pixel transform + sum into the fold lambda and
-        // the pushed-down null filters, re-evaluating the whole
-        // quadratic expression on BOTH join sides (measured 60 s at
-        // sf0.1 vs 2 s with the boundary)
         val codes = phashCodes(spark, sfDir).mat
-        val bands = phashBandRows(codes)
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.asset_id") < col("b.asset_id"))
-          .select(
-            col("a.asset_id").as("asset_a"),
-            col("b.asset_id").as("asset_b"),
-            bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= PhashRadius)
+        val groups = codes.groupBy(col("phash"))
+          .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("n_members"))
+        codes.join(groups, Seq("phash"))
+          .select(col("asset_id"), col("phash"), col("rep"), col("n_members"))
           .localCheckpoint(eager = true)
       })
 
-  private val phashPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** REPRESENTATIVE near-dup pairs `(code_a, code_b, rep_a, rep_b,
+    * hamming)` — one row per DISTINCT-CODE pair within Hamming
+    * [[PhashRadius]], materialized once per (application, dataset).
+    *
+    * Scale (the round-10 rebuild — previously the band self-join ran
+    * over per-ASSET band rows with no bound, the engine's last
+    * unbounded pair join):
+    *  1. identical codes are already one representative
+    *     ([[phashMembership]]), so a million identical thumbnails
+    *     contribute ONE banded row, not a C(n,2) bucket;
+    *  2. per (band, bv) bucket, one KMV aggregation keeps the
+    *     [[PhashBucketCap]]+1 smallest distinct codes — O(cap) state
+    *     per key, a saturated band pattern can never materialize an
+    *     unbounded posting list — and a full sketch drops the bucket
+    *     (the [[graft.pipeline.Dedup.PairGuardFreqCap]] rule);
+    *  3. surviving posting lists explode their ordered code pairs
+    *     MAP-SIDE with the Hamming refinement applied in the same
+    *     projection, so candidate volume never shuffles at all — only
+    *     verified near-miss code pairs (output-driven by construction)
+    *     reach the dedup and the two narrow rep joins.
+    * Two codes within Hamming 2 agree exactly on ≥ 1 of the 3 bands
+    * (pigeonhole over 11+11+10 bits), so the capped band buckets are a
+    * complete candidate source up to the declared cap semantics.
+    */
+  private[pipeline] def phashRepPairs(spark: SparkSession, sfDir: String): DataFrame =
+    repPairsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      computeRepPairs(spark, sfDir).localCheckpoint(eager = true))
 
-  /** Test seam: drop the materialized phash pair graphs. */
-  private[pipeline] def resetPhashMemo(): Unit = phashPairsMemo.clear()
+  /** The un-memoized rep-pair plan ([[phashRepPairs]] sans checkpoint) —
+    * the seam PlanSpec inspects: the KMV posting-list aggregate must be
+    * the pair source and no join may key on the band value.
+    */
+  private[graft] def computeRepPairs(spark: SparkSession, sfDir: String): DataFrame =
+    repPairsOfReps(
+      phashMembership(spark, sfDir)
+        .filter(col("asset_id") === col("rep"))
+        .select(col("asset_id"), col("phash")),
+      PhashBucketCap)
 
-  val phashPairsSql: String =
-    s"""
-    WITH px AS (
+  /** The bounded pair generation over an explicit representative-code
+    * relation `(asset_id = rep, phash)` and an explicit cap, so specs
+    * can plant hot band buckets small enough to bind (the
+    * `dupPassagesOn` contract).
+    */
+  private[graft] def repPairsOfReps(reps: DataFrame, cap: Int): DataFrame = {
+    val lists = phashBandRows(reps)
+      .groupBy(col("band"), col("bv"))
+      .agg(graft.functions.KmvAggregates.kmvSketch(col("phash"), cap + 1).as("cs"))
+      .filter(size(col("cs")) <= cap)
+    // map-side ordered pair explode + Hamming refinement in one
+    // projection: nothing wider than a verified code pair ever shuffles
+    val codePairs = lists
+      .select(explode(flatten(transform(col("cs"), (x, i) =>
+        transform(slice(col("cs"), i + lit(2), size(col("cs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("code_a"), col("p.b").as("code_b"),
+        bit_count(col("p.a").bitwiseXOR(col("p.b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashRadius)
+      .distinct() // a code pair agreeing in several bands emits once
+    val repOf = reps.select(col("phash"), col("asset_id").as("rep"))
+    codePairs
+      .join(repOf.select(col("phash").as("code_a"), col("rep").as("rep_a")), Seq("code_a"))
+      .join(repOf.select(col("phash").as("code_b"), col("rep").as("rep_b")), Seq("code_b"))
+      .select(col("code_a"), col("code_b"), col("rep_a"), col("rep_b"), col("hamming"))
+  }
+
+  private val membershipMemo = new graft.core.Memo("phash_membership")
+  private val repPairsMemo = new graft.core.Memo("phash_rep_pairs")
+
+  /** Test seam: drop the materialized phash index artifacts. */
+  private[pipeline] def resetPhashMemo(): Unit = {
+    membershipMemo.clear()
+    repPairsMemo.clear()
+  }
+
+  /** q_phash_pairs: perceptual-hash near-duplicate pairs at Hamming
+    * radius ≤ 2 — image dedup without decoding twice. Expanded from the
+    * representative graph: intra-group pairs (identical codes, Hamming
+    * 0) plus cross-group pairs via two narrow membership joins on the
+    * verified [[phashRepPairs]] edges. The PAIR relation is inherently
+    * quadratic in identical-group size — that quadratic term is now the
+    * verified OUTPUT itself (the join conditions admit no non-output
+    * row), never pre-filter candidate volume; [[phashClusters]] is the
+    * linear-edge scale readout.
+    */
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = phashMembership(spark, sfDir)
+    val ids = m.select(col("asset_id"), col("phash"))
+    val intra = ids.as("a")
+      .join(ids.as("b"),
+        col("a.phash") === col("b.phash") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+        lit(0).cast("int").as("hamming"))
+    val rp = phashRepPairs(spark, sfDir)
+    val cross = rp
+      .join(ids.select(col("phash").as("code_a"), col("asset_id").as("ma")), Seq("code_a"))
+      .join(ids.select(col("phash").as("code_b"), col("asset_id").as("mb")), Seq("code_b"))
+      .select(least(col("ma"), col("mb")).as("asset_a"),
+        greatest(col("ma"), col("mb")).as("asset_b"), col("hamming"))
+    intra.unionAll(cross)
+  }
+
+  /** Shared oracle CTEs — `px` (sampled pixels) + `code` (the 32-bit
+    * aHash per asset): ONE definition consumed by every phash oracle
+    * (pairs, clusters, recall, the cross-snapshot image sweep), so the
+    * SQL mirrors can never drift from each other on the code
+    * computation.
+    */
+  private[graft] val phashCodeCtesSql: String =
+    """px AS (
       SELECT doc_id AS asset_id,
              [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 32), 1))
               for j in generate_series(0, 31)] AS pix
@@ -291,11 +390,39 @@ object Multimodal {
              CAST(list_sum([CASE WHEN pix[j + 1] * 32 > list_sum(pix) THEN 1::BIGINT << j ELSE 0 END
                             for j in generate_series(0, 31)]) AS BIGINT) AS phash
       FROM px
+    )"""
+
+  /** The 11+11+10 band split of a code column as an oracle CASE —
+    * mirrors [[phashBandRows]]; one definition for every phash oracle.
+    */
+  private[graft] def phashBandCaseSql(code: String): String =
+    s"""CASE b.band WHEN 0 THEN $code % 2048
+                    WHEN 1 THEN ($code >> 11) % 2048
+                    ELSE ($code >> 22) % 1024 END"""
+
+  val phashPairsSql: String =
+    s"""
+    WITH $phashCodeCtesSql,
+    grp AS (SELECT phash FROM code GROUP BY 1),
+    bands AS (
+      SELECT phash, b.band, ${phashBandCaseSql("phash")} AS bv
+      FROM grp CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    keepb AS (SELECT band, bv FROM (SELECT band, bv, count(*) AS c FROM bands GROUP BY 1, 2)
+              WHERE c <= $PhashBucketCap),
+    cb AS (SELECT bands.phash, bands.band, bands.bv FROM bands JOIN keepb USING (band, bv)),
+    cp AS (
+      SELECT DISTINCT a.phash AS code_a, b.phash AS code_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      FROM cb a JOIN cb b ON a.band = b.band AND a.bv = b.bv AND a.phash < b.phash
+      WHERE bit_count(xor(a.phash, b.phash)) <= $PhashRadius
     )
-    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
-           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-    FROM code a JOIN code b ON a.asset_id < b.asset_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= $PhashRadius"""
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b, CAST(0 AS INT) AS hamming
+    FROM code a JOIN code b ON a.phash = b.phash AND a.asset_id < b.asset_id
+    UNION ALL
+    SELECT least(ma.asset_id, mb.asset_id) AS asset_a,
+           greatest(ma.asset_id, mb.asset_id) AS asset_b, cp.hamming
+    FROM cp JOIN code ma ON ma.phash = cp.code_a JOIN code mb ON mb.phash = cp.code_b"""
 
   // ---- q_phash_clusters ------------------------------------------------
 
@@ -310,15 +437,25 @@ object Multimodal {
     * clusters with the identical min-label propagation, so a pipeline
     * dedups text and images with ONE resolver implementation.
     *
-    * Scale: the pair source is the banded (pigeonhole) join — bounded
-    * candidates, never all-pairs — and the propagation is the capped
-    * one-join-one-agg-per-round loop with per-round checkpoints.
+    * Scale: the resolver consumes the LINEAR representative graph, not
+    * the quadratic pair expansion — STAR edges (representative →
+    * member, one edge per asset of a multi-member code group) plus the
+    * bounded [[phashRepPairs]] edges. Connectivity is identical to the
+    * full Hamming graph (every full-graph edge is witnessed by its two
+    * endpoints' reps being band-connected), so the components, roots
+    * (each rep IS its group's minimum id) and sizes are unchanged —
+    * but a million-copy identical-asset group feeds the resolver 10⁶
+    * star edges instead of ~10¹² pair edges.
     */
-  def phashClusters(spark: SparkSession, sfDir: String): DataFrame =
-    graft.pipeline.Dedup.componentsOfPairs(
-      phashPairs(spark, sfDir)
-        .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
+  def phashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = phashMembership(spark, sfDir)
+    val stars = m.filter(col("asset_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("asset_id").as("doc_b"))
+    val repEdges = phashRepPairs(spark, sfDir)
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+    graft.pipeline.Dedup.componentsOfPairs(stars.unionAll(repEdges))
       .select(col("doc_id").as("asset_id"), col("cluster_root"), col("cluster_size"))
+  }
 
   val phashClustersSql: String =
     s"""
@@ -337,6 +474,116 @@ object Multimodal {
     FROM comp c JOIN (
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
+
+  // ---- q_phash_recall ----------------------------------------------------
+
+  /** Probe-set bound for the recall eval (declared cap: every 10th
+    * representative id below this — ≤ [[PhashProbeCap]]/10 probes at
+    * any corpus size).
+    */
+  val PhashProbeCap = 1000L
+
+  /** Neighbors per probe in the recall eval. */
+  val PhashTopK = 5
+
+  /** q_phash_recall: the recall instrument for the phash band index —
+    * the round-9 rule ("every index ships its recall eval as a
+    * first-class relation") applied to the one index family that
+    * lacked one. Per probe (every 10th representative id under
+    * [[PhashProbeCap]]): approximate top-[[PhashTopK]] nearest
+    * representatives by Hamming via the banded candidates, measured
+    * against the brute-force Hamming truth (the DECLARED CAPPED
+    * brute-force baseline — ≤ 100 probes × corpus, the `q_ann_topk`
+    * contract). Recall < 1 is informative, not a bug: the 3-band
+    * pigeonhole only guarantees candidates within Hamming 2, so
+    * truth neighbors beyond the radius measure exactly how much the
+    * index under-reaches at this code width.
+    *
+    * Scale: probes are a broadcast of ≤ 100 narrow band rows into the
+    * representative band relation; the truth leg is the declared
+    * capped NLJ; both top-k windows partition by probe.
+    */
+  def phashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reps = phashMembership(spark, sfDir)
+      .filter(col("asset_id") === col("rep"))
+      .select(col("asset_id"), col("phash"))
+    val probes = reps
+      .filter(col("asset_id") % 10 === 0 && col("asset_id") < PhashProbeCap)
+      .select(col("asset_id").as("q_id"), col("phash").as("q_code"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("asset_id").asc)
+    def topk(cand: DataFrame): DataFrame = cand
+      .filter(col("asset_id") =!= col("q_id"))
+      .withColumn("hamming",
+        bit_count(col("q_code").bitwiseXOR(col("phash"))).cast("int"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PhashTopK)
+      .select(col("q_id"), col("asset_id"))
+    // truth: the declared capped brute force (<= 100 probes x reps)
+    val truth = topk(broadcast(probes).crossJoin(reps))
+    // approx: banded candidates only — the index's actual reach
+    val probeBands = phashBandRows(
+      probes.select(col("q_id").as("asset_id"), col("q_code").as("phash")))
+      .select(col("asset_id").as("q_id"), col("phash").as("q_code"),
+        col("band"), col("bv"))
+    val cand = broadcast(probeBands)
+      .join(phashBandRows(reps), Seq("band", "bv"))
+      .select(col("q_id"), col("q_code"), col("asset_id"), col("phash"))
+      .distinct()
+    val approx = topk(cand).withColumn("hit", lit(1L))
+    truth
+      .join(approx, Seq("q_id", "asset_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_truth"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
+  val phashRecallSql: String =
+    s"""
+    WITH $phashCodeCtesSql,
+    reps AS (SELECT min(asset_id) AS asset_id, phash FROM code GROUP BY phash),
+    probes AS (
+      SELECT asset_id AS q_id, phash AS q_code FROM reps
+      WHERE asset_id % 10 = 0 AND asset_id < $PhashProbeCap
+    ),
+    truth AS (
+      SELECT q_id, asset_id FROM (
+        SELECT p.q_id, r.asset_id,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY bit_count(xor(p.q_code, r.phash)) ASC, r.asset_id ASC) AS rk
+        FROM probes p CROSS JOIN reps r WHERE r.asset_id <> p.q_id
+      ) WHERE rk <= $PhashTopK
+    ),
+    pb AS (
+      SELECT q_id, q_code, b.band, ${phashBandCaseSql("q_code")} AS bv
+      FROM probes CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    rb AS (
+      SELECT asset_id, phash, b.band, ${phashBandCaseSql("phash")} AS bv
+      FROM reps CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT pb.q_id, pb.q_code, rb.asset_id, rb.phash
+      FROM pb JOIN rb ON pb.band = rb.band AND pb.bv = rb.bv
+      WHERE rb.asset_id <> pb.q_id
+    ),
+    approx AS (
+      SELECT q_id, asset_id FROM (
+        SELECT q_id, asset_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY bit_count(xor(q_code, phash)) ASC, asset_id ASC) AS rk
+        FROM cand
+      ) WHERE rk <= $PhashTopK
+    )
+    SELECT t.q_id,
+           CAST(sum(CASE WHEN a.asset_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN a.asset_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall
+    FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.asset_id = a.asset_id
+    GROUP BY 1"""
 
   /** DuckDB mirror: same rolling checksum over the UTF-8 bytes via a
     * left fold (documents are ASCII so code units == bytes).

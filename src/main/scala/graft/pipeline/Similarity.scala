@@ -128,6 +128,22 @@ object Similarity {
               THEN (1::BIGINT << j) ELSE 0 END
          for j in generate_series(0, 31)]) AS BIGINT)"""
 
+  /** The 8-band × 4-bit explode of a `code` column — ONE definition
+    * (the `phashBandRows` pattern) consumed by the LSH index
+    * ([[annLsh]]), the cell-scoped dedup ([[semanticDedup]]), and the
+    * index's recall eval ([[annLshRecall]]), so a drifting shift or
+    * modulus can never silently desynchronize an index from its eval.
+    * `keep` carries the caller's narrow payload columns through the
+    * explode.
+    */
+  private[pipeline] def signBandRows(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select(
+      keep.map(col) :+
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
+        }: _*)).as("bd"): _*)
+      .select(keep.map(col) :+ col("bd.band").as("band") :+ col("bd.nib").as("nib"): _*)
+
   /** LSH-bucketed similar pairs: the 32-bit sign code is split into 8
     * bands of 4 bits; pairs sharing any band are candidates (equi join
     * on (band, nibble) — no cross join), refined with exact cosine
@@ -140,13 +156,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
         dot(col("embedding"), col("embedding")).as("nsq"))
       .mat
-    val banded = emb.select(
-      col("vec_id"), col("embedding"), col("code"), col("nsq"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
-      }: _*)).as("bd"),
-    ).select(col("vec_id"), col("embedding"), col("code"), col("nsq"),
-      col("bd.band").as("band"), col("bd.nib").as("nib"))
+    val banded = signBandRows(emb, Seq("vec_id", "embedding", "code", "nsq"))
     // dedupe candidate PAIRS as narrow (id, id) rows — a pair hit in k
     // bands must not shuffle its 64-float payload k times — then gather
     // the vectors back with two joins against the narrow base relation.
@@ -769,12 +779,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-    def bandsOf(df: DataFrame): DataFrame = df.select(
-      col("vec_id"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
-      }: _*)).as("bd"))
-      .select(col("vec_id"), col("bd.band").as("band"), col("bd.nib").as("nib"))
+    def bandsOf(df: DataFrame): DataFrame = signBandRows(df, Seq("vec_id"))
     val banded = bandsOf(emb)
     val probeBands = bandsOf(
       emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap))
@@ -1104,13 +1109,7 @@ object Similarity {
       .mat
     // narrow (band, nib, cell)-keyed self-join; pairs dedup'd as ids
     // before the payload gather, exactly like annLsh
-    val bandedTagged = ranked.select(
-      col("vec_id"), col("cell"), col("rk"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
-      }: _*)).as("bd"))
-      .select(col("vec_id"), col("cell"), col("rk"),
-        col("bd.band").as("band"), col("bd.nib").as("nib"))
+    val bandedTagged = signBandRows(ranked, Seq("vec_id", "cell", "rk"))
     // keeper side capped at the cell's prototypical core (rk ≤
     // KnnCellCap): a giant skewed cell generates |cell|·cap candidates
     // per band bucket instead of |cell|² — dup groups resolve toward

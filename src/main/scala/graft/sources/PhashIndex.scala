@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Multimodal
+import graft.queries.Tables
+
+/** Persisted perceptual-hash INDEX — the [[SignatureIndex]] layout for
+  * the IMAGE side: a snapshot's phash band rows written as a BUCKETED
+  * table keyed by (band, bv), so any later job joins against the index
+  * with zero shuffle of the index side. Rows are identical-code
+  * REPRESENTATIVES (the round-10 collapse — [[Multimodal
+  * .phashMembership]]'s discipline), each carrying its group
+  * multiplicity: a million byte-identical thumbnails are ONE index row
+  * with `n_members = 1e6`, so a cross-snapshot sweep's band join can
+  * never be quadratic in identical assets and the verdicts still
+  * report the true copy impact.
+  *
+  * Consumers: [[crossSnapshotMatches]] (snapshot-against-snapshot image
+  * dedup, sort-merge joining two identically-bucketed tables with no
+  * exchange on either side — PhashIndexSpec asserts it from the
+  * physical plan) and [[ingestStream]] (the stream-static gate: a live
+  * asset stream's banded codes join the bucketed table directly, the
+  * batch-join shape of [[graft.streaming.PhashState]] pointed at the
+  * historical estate).
+  */
+object PhashIndex {
+
+  /** Write a snapshot's phash band index. One shuffle (the bucket
+    * co-location) per snapshot, ever. One row per (representative,
+    * band); identical codes are already collapsed.
+    */
+  def write(docs: DataFrame, table: String, buckets: Int = 8,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val codes = Multimodal.phashCodesOf(docs)
+    val groups = codes.groupBy(col("phash"))
+      .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("n_members"))
+    Multimodal.phashBandRows(groups.select(col("rep").as("asset_id"), col("phash")))
+      .select(col("asset_id").as("rep"), col("phash"), col("band"), col("bv"))
+      .join(groups.select(col("phash"), col("n_members")), Seq("phash"))
+      .repartition(buckets, col("band"), col("bv"))
+      .write
+      .mode(mode)
+      .bucketBy(buckets, "band", "bv")
+      .sortBy("band", "bv")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Cross-snapshot image near-dup verdicts: every representative of
+    * snapshot B within Hamming [[Multimodal.PhashRadius]] of some
+    * representative in snapshot A, with the match count, the best
+    * match (lowest Hamming, lowest rep tie-break) and B's group
+    * multiplicity (how many actual assets the verdict covers). With
+    * both tables written by [[write]] at the same bucket count, the
+    * band join plans NO exchange on either side.
+    */
+  def crossSnapshotMatches(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = spark.table(indexA)
+      .select(col("band"), col("bv"), col("rep").as("corpus_rep"), col("phash").as("phash_c"))
+    val b = spark.table(indexB)
+      .select(col("band"), col("bv"), col("rep"), col("phash"), col("n_members"))
+    val matches = b.join(a, Seq("band", "bv"))
+      .select(col("rep"), col("n_members"), col("corpus_rep"),
+        bit_count(col("phash").bitwiseXOR(col("phash_c"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashRadius)
+      .distinct() // a pair agreeing in several bands emits once
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col("hamming").asc, col("corpus_rep").asc)
+    matches
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(when(col("rk") === 1, col("corpus_rep"))).as("dup_of"),
+        min(when(col("rk") === 1, col("hamming"))).as("best_hamming"),
+        min(col("n_members")).as("n_copies"))
+  }
+
+  /** Stream-static ingest gate against the persisted image index: each
+    * in-flight asset's banded code rows join the bucketed table and
+    * verify by exact Hamming — STATELESS (no streaming state, no
+    * watermark); at estate scale the join reads only the matching
+    * bucket files per trigger. An asset matching in several bands
+    * emits once per band; consumers take DISTINCT, as with the batch
+    * verdicts.
+    */
+  def ingestStream(docs: DataFrame, indexTable: String): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = spark.table(indexTable)
+      .select(col("band"), col("bv"), col("rep").as("corpus_rep"), col("phash").as("phash_c"))
+    Multimodal.phashBandRows(Multimodal.phashCodesOf(docs))
+      .join(idx, Seq("band", "bv"))
+      .select(col("asset_id"), col("corpus_rep"),
+        bit_count(col("phash").bitwiseXOR(col("phash_c"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashRadius)
+  }
+
+  // ---- q_cross_snapshot_phash --------------------------------------------
+
+  private val snapshotTablesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[graft] def snapshotTables(spark: SparkSession, sfDir: String): (String, String) =
+    snapshotTablesMemo.synchronized {
+      snapshotTablesMemo.getOrElseUpdate(
+        s"${spark.sparkContext.applicationId}|$sfDir",
+        graft.core.Memo.timed("phash_snapshots", sfDir) {
+          val docs = Tables.documents(spark, sfDir)
+          val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+          val (ta, tb) = (s"graft_phash_snap_a_$sfx", s"graft_phash_snap_b_$sfx")
+          write(docs.filter(col("doc_id") % 2 === 0), ta)
+          write(docs.filter(col("doc_id") % 2 === 1), tb)
+          (ta, tb)
+        })
+    }
+
+  /** Test seam ([[SignatureIndex.resetSnapshotTables]]' contract). */
+  private[graft] def resetSnapshotTables(): Unit =
+    snapshotTablesMemo.synchronized(snapshotTablesMemo.clear())
+
+  /** q_cross_snapshot_phash: the registered cross-snapshot IMAGE sweep —
+    * snapshot A = even asset ids (the historical estate), snapshot B =
+    * odd (the new crawl), each side's representative phash index a
+    * bucketed table written once, verdicts via [[crossSnapshotMatches]].
+    * The image twin of `q_cross_snapshot_dedup`, same artifact
+    * economics: each snapshot pays one co-locating shuffle at write
+    * time, and every later sweep is an exchange-free bucket join.
+    */
+  def crossSnapshotPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, tb) = snapshotTables(spark, sfDir)
+    crossSnapshotMatches(spark, ta, tb)
+  }
+
+  /** DuckDB mirror: codes are closed-form, so the whole pipeline —
+    * group to representatives per side, band-join, Hamming-verify,
+    * rank — is static SQL over the documents table.
+    */
+  val crossSnapshotPhashSql: String =
+    s"""
+    WITH ${Multimodal.phashCodeCtesSql},
+    ga AS (SELECT phash, min(asset_id) AS rep FROM code WHERE asset_id % 2 = 0 GROUP BY 1),
+    gb AS (SELECT phash, min(asset_id) AS rep, CAST(count(*) AS BIGINT) AS n_members
+           FROM code WHERE asset_id % 2 = 1 GROUP BY 1),
+    ba AS (
+      SELECT rep, phash, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
+      FROM ga CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    bb AS (
+      SELECT rep, phash, n_members, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
+      FROM gb CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    m AS (
+      SELECT DISTINCT bb.rep, bb.n_members, ba.rep AS corpus_rep,
+             CAST(bit_count(xor(bb.phash, ba.phash)) AS INT) AS hamming
+      FROM bb JOIN ba ON bb.band = ba.band AND bb.bv = ba.bv
+      WHERE bit_count(xor(bb.phash, ba.phash)) <= ${Multimodal.PhashRadius}
+    ),
+    ranked AS (
+      SELECT rep, n_members, corpus_rep, hamming,
+             row_number() OVER (PARTITION BY rep
+               ORDER BY hamming ASC, corpus_rep ASC) AS rk
+      FROM m
+    )
+    SELECT rep, CAST(count(*) AS BIGINT) AS n_matches,
+           min(CASE WHEN rk = 1 THEN corpus_rep END) AS dup_of,
+           min(CASE WHEN rk = 1 THEN hamming END) AS best_hamming,
+           min(n_members) AS n_copies
+    FROM ranked GROUP BY 1"""
+}

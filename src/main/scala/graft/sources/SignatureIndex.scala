@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Dedup
+import graft.queries.Tables
 
 /** Persisted MinHash signature INDEX — the cross-JOB form of the
   * per-session signature memo (`Dedup.corpusSignatures`): the banded
@@ -97,4 +98,91 @@ object SignatureIndex {
         min(when(col("rk") === 1, col("corpus_doc"))).as("dup_of"),
         min(when(col("rk") === 1, col("est_jaccard"))).as("best_est"))
   }
+
+  // ---- q_cross_snapshot_dedup ------------------------------------------
+
+  /** The two persisted snapshot indexes of a dataset (A = even doc ids,
+    * the "historical corpus"; B = odd, the "new crawl"), written ONCE
+    * per (application, dataset) by [[write]] — the construction is
+    * timed into [[graft.core.Memo]]'s build log so the bench artifact
+    * reports the snapshot passes explicitly.
+    */
+  private val snapshotTablesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[graft] def snapshotTables(spark: SparkSession, sfDir: String): (String, String) =
+    snapshotTablesMemo.synchronized {
+      snapshotTablesMemo.getOrElseUpdate(
+        s"${spark.sparkContext.applicationId}|$sfDir",
+        graft.core.Memo.timed("signature_snapshots", sfDir) {
+          val docs = Tables.documents(spark, sfDir)
+          val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+          val (ta, tb) = (s"graft_sig_snap_a_$sfx", s"graft_sig_snap_b_$sfx")
+          write(docs.filter(col("doc_id") % 2 === 0), ta)
+          write(docs.filter(col("doc_id") % 2 === 1), tb)
+          (ta, tb)
+        })
+    }
+
+  /** Test seam: forget the written snapshot tables (specs that rewrite
+    * a dataset in place must reset, the `resetIvfFits` contract).
+    */
+  private[graft] def resetSnapshotTables(): Unit =
+    snapshotTablesMemo.synchronized(snapshotTablesMemo.clear())
+
+  /** q_cross_snapshot_dedup: the registered form of the marquee
+    * cross-JOB capability — re-deduplicating one corpus snapshot
+    * against another entirely index-against-index. The dataset splits
+    * into snapshot A (even doc ids — the historical corpus) and
+    * snapshot B (odd — the new crawl); each side's banded signature
+    * index is a BUCKETED table written once by [[write]], and the
+    * verdicts are [[crossSnapshotMatches]] — every B doc with a
+    * signature-verified match (est ≥ 0.5) in A, with match count and
+    * best match.
+    *
+    * Scale: this is the 100 TB dedup-estate access pattern made a
+    * first-class query — each snapshot pays its signature pass and ONE
+    * co-locating shuffle at write time, ever; the band join between
+    * the two indexes plans ZERO exchanges on either side
+    * (SignatureIndexSpec asserts it from the physical plan), so
+    * checking crawl N against crawls 1..N−1 never re-shuffles a byte
+    * of historical corpus. Only the per-B-doc verdict
+    * aggregation/window shuffles, keyed on the (match-bounded) B doc
+    * ids.
+    */
+  def crossSnapshotDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, tb) = snapshotTables(spark, sfDir)
+    crossSnapshotMatches(spark, ta, tb)
+  }
+
+  /** DuckDB mirror: the [[Dedup.minhashIncrementalSql]] verdict shape
+    * on the even/odd snapshot split, WITHOUT the is_new completion —
+    * the cross-snapshot sweep reports matches, not the full B roster.
+    */
+  val crossSnapshotDedupSql: String =
+    s"""
+    WITH shdoc AS (${Dedup.shingleHashesSql()}),
+    sigs AS (SELECT doc_id, ${Dedup.sigSqlExpr} AS sig FROM shdoc),
+    bands AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    matches AS (
+      SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc,
+             round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) AS est_jaccard
+      FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+      WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= ${MinAgree / 16.0}
+    ),
+    ranked AS (
+      SELECT doc_id, corpus_doc, est_jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY est_jaccard DESC, corpus_doc ASC) AS rk
+      FROM matches
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           min(CASE WHEN rk = 1 THEN corpus_doc END) AS dup_of,
+           min(CASE WHEN rk = 1 THEN est_jaccard END) AS best_est
+    FROM ranked GROUP BY 1"""
 }

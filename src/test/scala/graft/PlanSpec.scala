@@ -130,7 +130,10 @@ class PlanSpec extends SparkSpec {
     // query cap), just over the 8-dim projected vectors; q_ann_recall
     // and q_ann_lsh_recall embed q_ann_topk verbatim as their
     // exact-truth leg, so they carry the same declared capped NLJ
-    val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall", "q_ann_lsh_recall")
+    // q_phash_recall's truth leg is the same declared capped contract
+    // (<= 100 probes, PhashProbeCap) over the representative codes
+    val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall", "q_ann_lsh_recall",
+      "q_phash_recall")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot { j =>
@@ -306,6 +309,30 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("ExistingRDD"),
         s"$name should read pairs off the checkpointed bounded posting lists")
     }
+  }
+
+  test("phash pair source is cap-bounded: KMV posting lists, no band-keyed join") {
+    // Round-10: the batch perceptual-hash pair source was the engine's
+    // last unbounded pair join (a (band, bv) self-join over per-ASSET
+    // band rows). Its rebuilt plan must generate candidates from the
+    // bounded KMV posting lists over identical-code REPRESENTATIVES —
+    // visible as the kmv_sketch aggregate — and must contain NO join
+    // keyed on the band value `bv` (the unbounded hot-bucket fanout).
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    val p = graft.pipeline.Multimodal.computeRepPairs(spark, sf)
+      .queryExecution.executedPlan
+    def keyNames(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      ks.flatMap(_.collect { case a: Attribute => a.name })
+    val bvKeyed = collectAll(p) {
+      case j: SortMergeJoinExec if keyNames(j.leftKeys).contains("bv") => j.nodeName
+      case j: ShuffledHashJoinExec if keyNames(j.leftKeys).contains("bv") => j.nodeName
+      case j: BroadcastHashJoinExec if keyNames(j.leftKeys).contains("bv") => j.nodeName
+    }
+    assert(bvKeyed.isEmpty,
+      s"phash pair source joins on the raw band bucket (unbounded hot-bucket fanout): $bvKeyed")
+    assert(p.toString.contains("kmv_sketch"),
+      "phash pair source must generate candidates from the bounded KMV posting lists")
   }
 
   test("q_cms_topk: no full per-key aggregate feeds the candidate side") {

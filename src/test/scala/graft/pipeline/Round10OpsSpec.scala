@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Round-10: the batch perceptual-hash pair source is bounded — the
+  * engine's last unbounded pair join is retired. These pin (a) the
+  * identical-code collapse: n byte-identical payloads are ONE node of
+  * the candidate join (representative + multiplicity), with the full
+  * pair output reconstructed by expansion and the cluster resolver fed
+  * the LINEAR star graph; and (b) the band-bucket bound itself: a
+  * planted hot (band, bv) bucket above the cap is dropped before pair
+  * generation while pairs in cold buckets survive identically.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical payloads collapse to one representative before the band join") {
+    import org.apache.spark.sql.functions._
+    Multimodal.resetPhashMemo()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("phx10").toString
+      // 70 byte-identical payloads (one code group) + two distinct
+      // near-miss payloads elsewhere in code space
+      val same = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+      val otherA = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
+      val otherB = (1 to 80).map(i => if (i % 3 == 0) "zy" else "a").mkString(" ")
+      val rows = (1L to 70L).map(i => (i, same, "s")) ++
+        Seq((100L, otherA, "s"), (101L, otherB, "s"))
+      rows.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      // the candidate-join side: one representative per code — the
+      // planted mega-group contributes ONE row, and the rep-pair graph
+      // is code-pair-sized (independent of the 70 copies)
+      val m = Multimodal.phashMembership(spark, dir).collect()
+      val sameGroup = m.filter(_.getAs[Long]("asset_id") <= 70L)
+      assert(sameGroup.length == 70 && sameGroup.forall(r =>
+        r.getAs[Long]("rep") == 1L && r.getAs[Long]("n_members") == 70L),
+        "identical payloads must share one representative with multiplicity 70")
+      val rp = Multimodal.phashRepPairs(spark, dir).collect()
+      assert(rp.length <= 3,
+        s"rep-pair volume must be code-pair-sized, not copy-sized: ${rp.length}")
+      assert(rp.forall(r => r.getAs[Long]("rep_a") != r.getAs[Long]("rep_b")))
+
+      // the full pair OUTPUT is still exactly the brute-force Hamming
+      // graph: C(70,2) intra pairs + whatever the near-miss codes add
+      val codes = Multimodal.phashCodes(spark, dir).collect()
+        .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("phash")))
+      val brute = (for {
+        (a, ca) <- codes; (b, cb) <- codes if a < b
+        if java.lang.Long.bitCount(ca ^ cb) <= Multimodal.PhashRadius
+      } yield (a, b, java.lang.Long.bitCount(ca ^ cb))).toSet
+      val pairs = Multimodal.phashPairs(spark, dir).collect()
+        .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(pairs == brute, s"expanded pairs must equal brute force: " +
+        s"only-ours=${(pairs -- brute).take(5)}, only-brute=${(brute -- pairs).take(5)}")
+      assert(pairs.count(p => p._1 <= 70 && p._2 <= 70) == 70 * 69 / 2)
+
+      // the resolver sees the linear star graph, and the clusters are
+      // the full-graph components regardless
+      val cl = Multimodal.phashClusters(spark, dir).collect()
+        .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("cluster_root"),
+          r.getAs[Long]("cluster_size")))
+      val mega = cl.filter(_._1 <= 70L)
+      assert(mega.length == 70 && mega.forall(_._2 == 1L),
+        s"the 70 copies must cluster to their min id: ${cl.take(8).toSeq}")
+    } finally {
+      Multimodal.resetPhashMemo()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("a band bucket hotter than the cap is dropped; cold-bucket pairs survive") {
+    import org.apache.spark.sql.functions._
+    // six codes with one distinct bit each in band 1 (bits 11..16): they
+    // agree pairwise on band 0 (low bits zero) and band 2 (high bits
+    // zero) at Hamming 2 — both shared buckets carry 6 (and 8) members,
+    // above cap=4, so every A-pair is priced out. Two codes with one bit
+    // each in band 0 (2 and 4): their shared band-1 bucket holds only
+    // them (kept), so their Hamming-2 pair survives.
+    val reps = ((0 until 6).map(i => (1000L + i, 1L << (11 + i))) ++
+      Seq((2000L, 2L), (2001L, 4L)))
+      .toDF("asset_id", "phash")
+    val out = Multimodal.repPairsOfReps(reps, cap = 4).collect()
+      .map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"), r.getAs[Int]("hamming")))
+    assert(out.toSet == Set((2000L, 2001L, 2)),
+      s"hot buckets must drop, cold pairs survive: ${out.toSeq}")
+    // and with a non-binding cap the priced-out pairs come back — the
+    // cap is the only thing that dropped them (every pair here is
+    // Hamming 2: 15 A-A + 12 A-B via the shared band-2 bucket + 1 B-B)
+    val unbound = Multimodal.repPairsOfReps(reps, cap = 1024).collect()
+    assert(unbound.length == 15 + 12 + 1,
+      s"non-binding cap must admit all Hamming<=2 pairs: ${unbound.length}")
+  }
+}
