@@ -137,9 +137,8 @@ object Curate {
 
   private def computeKeepList(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // The verdict (curate) and cluster (components) legs are
     // INDEPENDENT lineages that only meet at the survivor join, so
     // their materializations run concurrently — on a cluster these are
@@ -150,15 +149,48 @@ object Curate {
     // final join) and comp's label-prop result must not re-run its
     // iterative subplan at assembly time — narrow rows,
     // ContextCleaner-released (the components discipline).
-    val curF = Future { curate(spark, sfDir).localCheckpoint(eager = true) }
-    val compF = Future {
-      // Dedup.components materializes via its own per-dataset memo —
-      // the Future exists to run that materialization concurrently
-      // with curate's, not to add a second checkpoint on top
-      Dedup.components(spark, sfDir).select(col("doc_id"), col("cluster_root"))
+    //
+    // Concurrency hygiene (round-10): a DEDICATED 2-thread pool, not
+    // the shared global EC (an unbounded block there starves every
+    // other library user of the pool); the caller's job group /
+    // description and the thread-confined Mat seam are captured here
+    // and re-scoped onto the workers, so caller-side cancellation
+    // still covers the legs' jobs and a transparent-plan test window
+    // survives the thread hop; the two legs are awaited as ONE zipped
+    // future, which fails as soon as EITHER leg fails (no indefinite
+    // wait on a doomed sibling) — and on failure the captured job
+    // group is cancelled so the surviving leg's Spark jobs stop
+    // instead of running detached.
+    val sc = spark.sparkContext
+    val jobGroup = Option(sc.getLocalProperty("spark.jobGroup.id"))
+    val jobDesc = Option(sc.getLocalProperty("spark.job.description"))
+    val transparent = graft.core.Mat.isTransparent
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, "graft-keeplist-leg")
+      t.setDaemon(true)
+      t
+    })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    def leg[T](body: => T): Future[T] = Future {
+      jobGroup.foreach(g => sc.setJobGroup(g, jobDesc.getOrElse("keep-list leg"), false))
+      graft.core.Mat.withTransparent(transparent)(body)
     }
-    val cur = Await.result(curF, Duration.Inf)
-    val comp = Await.result(compF, Duration.Inf)
+    val (cur, comp) =
+      try {
+        val curF = leg { curate(spark, sfDir).localCheckpoint(eager = true) }
+        val compF = leg {
+          // Dedup.components materializes via its own per-dataset memo —
+          // the future exists to run that materialization concurrently
+          // with curate's, not to add a second checkpoint on top
+          Dedup.components(spark, sfDir).select(col("doc_id"), col("cluster_root"))
+        }
+        try Await.result(curF.zip(compF), Duration.Inf)
+        catch {
+          case e: Throwable =>
+            jobGroup.foreach(g => try sc.cancelJobGroup(g) catch { case _: Throwable => () })
+            throw e
+        }
+      } finally pool.shutdown()
     val nch = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     val kept = cur.filter(col("keep"))
       .select(col("doc_id"))

@@ -33,6 +33,8 @@ object PhashIndex {
     */
   def write(docs: DataFrame, table: String, buckets: Int = 8,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      TableUtil.dropTableAndLocation(docs.sparkSession, table)
     val codes = Multimodal.phashCodesOf(docs)
     val groups = codes.groupBy(col("phash"))
       .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("n_members"))

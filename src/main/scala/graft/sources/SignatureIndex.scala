@@ -33,7 +33,9 @@ object SignatureIndex {
     * (the bucket co-location) per snapshot, ever.
     */
   def write(docs: DataFrame, table: String, buckets: Int = 8,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      TableUtil.dropTableAndLocation(docs.sparkSession, table)
     Dedup.bandedSignatures(docs)
       .repartition(buckets, col("band"), col("bh"))
       .write
@@ -42,6 +44,7 @@ object SignatureIndex {
       .sortBy("band", "bh")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Stream-static ingest gate against the persisted index: each
     * in-flight document's banded signature rows join the index table

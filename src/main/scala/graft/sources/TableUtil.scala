@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared managed-table hygiene for the persisted index writers.
+  *
+  * With the default in-memory catalog, a managed table's WAREHOUSE
+  * DIRECTORY outlives the session that wrote it while the catalog
+  * entry does not — so a fresh JVM overwriting the "same" table sees
+  * `LOCATION_ALREADY_EXISTS` (the catalog has nothing to overwrite,
+  * but the location is occupied by the previous run's files). An
+  * overwrite-mode index write must therefore clear BOTH: the catalog
+  * entry if present, and the stale location if orphaned. (A Hive
+  * metastore deployment does not hit this — the catalog entry
+  * persists with the files — but the library must be safe under the
+  * default catalog the driver contract runs with.)
+  */
+private[sources] object TableUtil {
+
+  /** Drop `table` from the catalog and delete its default warehouse
+    * location if the directory exists (orphaned by a previous JVM).
+    */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists()) deleteRecursively(loc)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

@@ -248,10 +248,7 @@ class PlanSpec extends SparkSpec {
     // the edge list sits behind a Mat boundary (self-releasing
     // checkpoint) in production; flip it transparent so the full
     // logical tree — cell join, top-k window — is inspectable
-    val knn = try {
-      graft.core.Mat.transparent = true
-      plan("q_knn_graph")
-    } finally graft.core.Mat.transparent = false
+    val knn = graft.core.Mat.withTransparent()(plan("q_knn_graph"))
     assert(deepCollect(knn) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "q_knn_graph must generate candidates via the cell equi join, not all-pairs")
     assert(deepCollect(knn) { case w: WindowExec if w.partitionSpec.nonEmpty => w }.nonEmpty,
@@ -400,15 +397,14 @@ class PlanSpec extends SparkSpec {
     // array_min over every centroid.
     // Mat boundaries hide the assignment projections behind RDD scans;
     // inspect with the boundary transparent (same operators, full tree)
-    try {
-      graft.core.Mat.transparent = true
+    graft.core.Mat.withTransparent() {
       Seq("q_ann_ivfpq", "q_pq_encode", "q_knn_graph", "q_semantic_dedup",
         "q_hard_negatives").foreach { q =>
         val s = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
         assert(s.contains("nearestcenter"),
           s"$q assignment must go through the NearestCenter codegen argmin")
       }
-    } finally graft.core.Mat.transparent = false
+    }
     // the ~1% query sample must broadcast into the cell join — at scale
     // the corpus side never shuffles for candidate generation
     val pq = plan("q_ann_ivfpq")

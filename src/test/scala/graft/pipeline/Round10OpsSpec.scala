@@ -93,4 +93,21 @@ class Round10OpsSpec extends SparkSpec {
     assert(unbound.length == 15 + 12 + 1,
       s"non-binding cap must admit all Hamming<=2 pairs: ${unbound.length}")
   }
+
+  test("ingest windows partition the split: successive checks advance past the cap") {
+    import org.apache.spark.sql.functions._
+    val cap = Dedup.IngestBatchCap
+    // split ids straddling three windows, plus off-split ids that must
+    // never appear in any window
+    val ids = Seq(0L, 5L, 5 * cap - 5, 5 * cap, 5 * cap + 5, 10 * cap - 5, 10 * cap,
+      3L, 5 * cap + 1)
+    val docs = ids.toDF("doc_id")
+    def batch(w: Long) = Dedup.ingestBatch(docs, w).collect().map(_.getLong(0)).toSet
+    assert(batch(0) == Set(0L, 5L, 5 * cap - 5))
+    assert(batch(1) == Set(5 * cap, 5 * cap + 5, 10 * cap - 5),
+      "window 1 must cover exactly the next IngestBatchCap-id slice")
+    assert(batch(2) == Set(10 * cap))
+    // the windows tile the split with no gap and no overlap
+    assert((batch(0) ++ batch(1) ++ batch(2)) == ids.filter(_ % 5 == 0).toSet)
+  }
 }

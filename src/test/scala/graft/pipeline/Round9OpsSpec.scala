@@ -255,10 +255,7 @@ class Round9OpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
     val materialized = rows()
-    val transparent = try {
-      graft.core.Mat.transparent = true
-      rows()
-    } finally graft.core.Mat.transparent = false
+    val transparent = graft.core.Mat.withTransparent()(rows())
     spark.catalog.clearCache()
     assert(materialized == transparent && materialized.nonEmpty,
       s"boundary changed the answer: ${(materialized -- transparent).take(3)} / " +
