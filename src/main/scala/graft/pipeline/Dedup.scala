@@ -465,8 +465,25 @@ object Dedup {
     * consumes this as its input shape.
     */
   def bandedSignatures(docs: DataFrame, n: Int = ShingleN): DataFrame =
-    bandRows(signatures(docs, n))
-      .select(col("doc_id"), col("sig"), col("band"), col("bh"))
+    bandedSignaturesKeep(docs, Nil, n)
+
+  /** [[bandedSignatures]] with caller columns carried through the
+    * shingle → signature → band pipeline. This is the shape a
+    * STREAMING caller needs to keep per-document verdict columns
+    * attached to the band rows: joining the banded stream back to the
+    * document stream would be a stream-stream self-join (illegal
+    * without watermark gymnastics); carrying the columns through the
+    * narrow projections costs nothing and stays codegen
+    * ([[graft.streaming.IngestGate]] consumes this).
+    */
+  def bandedSignaturesKeep(docs: DataFrame, keep: Seq[String], n: Int = ShingleN): DataFrame = {
+    val sigs = shingleHashes(docs, n, keep).select(
+      col("doc_id") +: keep.map(col) :+
+        graft.functions.SketchFunctions.minhashSignature(col("hs"), MinhashAB, P).as("sig"): _*)
+    bandRows(sigs, Seq("sig") ++ keep)
+      .select(col("doc_id") +: (Seq("sig") ++ keep).map(col) :+
+        col("band") :+ col("bh"): _*)
+  }
 
   /** The corpus SIGNATURE TABLE of a dataset, materialized once per
     * (application, dataset) — the artifact a production MinHash index

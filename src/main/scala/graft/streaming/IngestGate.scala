@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Streaming KEEP-LIST ingest gate — the live form of `q_keep_list`'s
+  * decision record: documents stream in and each one gets its curation
+  * verdict AT INGEST, before it ever lands in the corpus. The rules
+  * are the ingest-evaluable prefix of [[graft.pipeline.Curate]]'s
+  * first-failure ordering:
+  *
+  *   too_short → too_repetitive → blocklisted   (map-only quality
+  *     rules, the same expressions as the batch funnel)
+  *   → exact_dup    (md5 against the CORPUS keeper map — a broadcast
+  *     of the materialized exact-dedup verdict, `Dedup.exact`'s shape)
+  *   → near_dup     (banded MinHash signatures against the PERSISTED
+  *     [[graft.sources.SignatureIndex]] table — the stream-static
+  *     bucketed join, signature-verified at est ≥ 0.5, best match
+  *     reported)
+  *   → keep
+  *
+  * The corpus-batch-only gates (eval_holdout / contaminated /
+  * low_importance and near-dup CLUSTER resolution) are deliberately
+  * absent: they require corpus-wide state that does not exist at
+  * ingest — the nightly batch keep list remains the authority; this
+  * gate is the admission filter in front of it.
+  *
+  * Shape: everything below the final collapse is stateless — narrow
+  * codegen rule projections, one broadcast hash join (keeper map), and
+  * the band join against the bucketed index (at estate scale the join
+  * reads only matching bucket files per trigger). The per-document
+  * collapse (4 band rows → one verdict) is a flatMapGroupsWithState
+  * that KEEPS NO STATE: every band row of a document is derived from
+  * one input row, so the group is complete within its trigger and the
+  * operator is a per-trigger reduce — state size zero, no watermark,
+  * no growth. The same code path executes as a plain batch groupBy on
+  * a static DataFrame, which is exactly what IngestGateSpec pins
+  * stream == batch against (the DriftState parity contract).
+  */
+object IngestGate {
+
+  /** Signature-agreement threshold (est ≥ 8/16), the index's rule. */
+  val NearDupMinEst: Double = 0.5
+
+  /** One scored band row entering the collapse. */
+  final case class GateRow(
+      doc_id: Long, pre_verdict: String, keeper: java.lang.Long,
+      corpus_doc: java.lang.Long, est: java.lang.Double)
+
+  /** The emitted verdict record (one row per document). */
+  final case class Verdict(
+      doc_id: Long, verdict: String, dup_of: java.lang.Long, est_jaccard: java.lang.Double)
+
+  /** Collapse a document's band rows into its single verdict. Pure —
+    * shared by the streaming operator and the batch twin; keeps no
+    * state.
+    */
+  def collapse(docId: Long, rows: Iterator[GateRow]): Verdict = {
+    var pre: String = null
+    var keeper: java.lang.Long = null
+    var bestEst: Double = -1.0
+    var bestDoc: Long = Long.MaxValue
+    rows.foreach { r =>
+      if (r.pre_verdict != null) pre = r.pre_verdict
+      if (r.keeper != null) keeper = r.keeper
+      if (r.est != null && r.est >= NearDupMinEst) {
+        val e: Double = r.est
+        val d: Long = r.corpus_doc
+        if (e > bestEst || (e == bestEst && d < bestDoc)) { bestEst = e; bestDoc = d }
+      }
+    }
+    if (pre != null) Verdict(docId, pre, null, null)
+    else if (keeper != null) Verdict(docId, "exact_dup", keeper, 1.0)
+    else if (bestEst >= NearDupMinEst)
+      Verdict(docId, "near_dup", bestDoc, math.round(bestEst * 1e6) / 1e6)
+    else Verdict(docId, "keep", null, null)
+  }
+
+  private def update(
+      docId: Long, rows: Iterator[GateRow], state: GroupState[Int]): Iterator[Verdict] =
+    Iterator.single(collapse(docId, rows))
+
+  /** The gate over a (doc_id, text) relation — STREAMING or batch
+    * (same plan both ways; the parity spec runs both). `corpus` is the
+    * static already-ingested corpus (doc_id, text, ...) whose keeper
+    * map gates exact duplicates; `indexTable` is its persisted
+    * [[graft.sources.SignatureIndex]] band table.
+    */
+  def verdicts(docs: DataFrame, corpus: DataFrame, indexTable: String): Dataset[Verdict] = {
+    import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
+    val spark = docs.sparkSession
+    // the materialized exact-dedup verdict of the corpus (Dedup.exact's
+    // keeper rule), broadcast — at estate scale this is the content-hash
+    // index every ingest pipeline already maintains
+    val keepers = broadcast(
+      corpus.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("keeper")))
+    val idx = spark.table(indexTable)
+      .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"),
+        col("sig").as("sig_c"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val lex = array(Blocklist.map(lit(_)): _*)
+    val flagged = docs.select(
+      col("doc_id"), col("text"),
+      md5(col("text")).as("h"),
+      size(toks).as("nt"),
+      size(array_distinct(toks)).as("ndt"),
+      size(filter(toks, w => array_contains(lex, w))).as("n_blk"))
+      .withColumn("pre_verdict",
+        when(col("nt") < FunnelMinTokens, lit("too_short"))
+          .when(col("ndt").cast("double") / col("nt").cast("double") < FunnelMinDistinctRatio,
+            lit("too_repetitive"))
+          .when(col("n_blk").cast("double") / col("nt").cast("double") >= BlocklistThreshold,
+            lit("blocklisted"))
+          .otherwise(lit(null: String)))
+      .join(keepers, Seq("h"), "left")
+    // band rows carry the quality/keeper columns THROUGH the signature
+    // pipeline (bandedSignaturesKeep) — joining back to the document
+    // stream would be a stream-stream self-join; the left outer band
+    // join keeps no-match rows so the collapse can emit `keep`
+    val scored = Dedup.bandedSignaturesKeep(
+        flagged.select(col("doc_id"), col("text"), col("pre_verdict"), col("keeper")),
+        keep = Seq("pre_verdict", "keeper"))
+      .join(idx, Seq("band", "bh"), "left")
+      .withColumn("est",
+        when(col("sig_c").isNotNull,
+          size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), p => p))
+            .cast("double") / lit(16.0)))
+      .select(col("doc_id"), col("pre_verdict"), col("keeper"), col("corpus_doc"), col("est"))
+    implicit val gateEnc = Encoders.product[GateRow]
+    implicit val verdictEnc = Encoders.product[Verdict]
+    implicit val stateEnc = Encoders.scalaInt
+    implicit val keyEnc = Encoders.scalaLong
+    scored.as[GateRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(update _)
+  }
+}
