@@ -241,6 +241,9 @@ object SparkEntry {
     // recall eval for the phash band index (banded top-k vs the
     // declared capped brute-force Hamming truth)
     "q_phash_recall" -> (Multimodal.phashRecall _),
+    // the streaming keep-list ingest gate's code path, hash-gated
+    // (batch execution of the identical stream plan)
+    "q_ingest_gate" -> (graft.streaming.IngestGate.ingestGateQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,6 +399,7 @@ object SparkEntry {
     "q_cross_snapshot_dedup" -> graft.sources.SignatureIndex.crossSnapshotDedupSql,
     "q_cross_snapshot_phash" -> graft.sources.PhashIndex.crossSnapshotPhashSql,
     "q_phash_recall" -> Multimodal.phashRecallSql,
+    "q_ingest_gate" -> graft.streaming.IngestGate.ingestGateSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -36,8 +36,12 @@ object PhashIndex {
     if (mode == SaveMode.Overwrite)
       TableUtil.dropTableAndLocation(docs.sparkSession, table)
     val codes = Multimodal.phashCodesOf(docs)
-    val groups = codes.groupBy(col("phash"))
-      .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("n_members"))
+    // .mat: groups feeds BOTH the band explode and the multiplicity
+    // join — without the boundary CollapseProject inlines the quadratic
+    // pixel fold into both join sides (the documented phashMembership
+    // trap; measured 13 s vs ~4 s per snapshot at sf0.1)
+    val groups = graft.core.Mat(codes.groupBy(col("phash"))
+      .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("n_members")))
     Multimodal.phashBandRows(groups.select(col("rep").as("asset_id"), col("phash")))
       .select(col("asset_id").as("rep"), col("phash"), col("band"), col("bv"))
       .join(groups.select(col("phash"), col("n_members")), Seq("phash"))

@@ -137,4 +137,91 @@ object IngestGate {
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(update _)
   }
+
+  // ---- q_ingest_gate -----------------------------------------------------
+
+  /** q_ingest_gate: the gate as a GATED query — the odd-id half of the
+    * dataset "arrives" against the even-id corpus and its persisted
+    * signature index (the SAME snapshot-A table `q_cross_snapshot_dedup`
+    * maintains — one artifact, two consumers), and every incoming doc
+    * gets its ingest verdict. This puts a DuckDB oracle on the exact
+    * code path the stream runs (batch execution of the identical plan;
+    * IngestGateSpec separately pins stream == batch across trigger
+    * splits), so the round's streaming twin is hash-gated, not
+    * spec-only.
+    */
+  def ingestGateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+    val (corpusIdx, _) = graft.sources.SignatureIndex.snapshotTables(spark, sfDir)
+    verdicts(
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 2 === 0),
+      corpusIdx).toDF()
+  }
+
+  /** DuckDB mirror: the curate rule expressions + the corpus keeper
+    * map + the cross-snapshot signature match, collapsed with the
+    * gate's first-failure precedence.
+    */
+  val ingestGateSql: String = {
+    import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
+    s"""
+    WITH shdoc AS (${Dedup.shingleHashesSql()}),
+    sigs AS (SELECT doc_id, ${Dedup.sigSqlExpr} AS sig FROM shdoc),
+    bands AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    matches AS (
+      SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc,
+             round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) AS est
+      FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+      WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= $NearDupMinEst
+    ),
+    best AS (
+      SELECT doc_id, corpus_doc, est FROM (
+        SELECT doc_id, corpus_doc, est,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY est DESC, corpus_doc ASC) AS rk
+        FROM matches
+      ) WHERE rk = 1
+    ),
+    keepers AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper FROM documents
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    flags AS (
+      SELECT doc_id, md5(text) AS h,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS ndt,
+             len([w for w in string_split(text, ' ')
+                  if list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w)]) AS n_blk
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    v AS (
+      SELECT f.doc_id,
+             CASE
+               WHEN f.nt < $FunnelMinTokens THEN 'too_short'
+               WHEN CAST(f.ndt AS DOUBLE) / CAST(f.nt AS DOUBLE) < $FunnelMinDistinctRatio
+                 THEN 'too_repetitive'
+               WHEN CAST(f.n_blk AS DOUBLE) / CAST(f.nt AS DOUBLE) >= $BlocklistThreshold
+                 THEN 'blocklisted'
+               WHEN k.keeper IS NOT NULL THEN 'exact_dup'
+               WHEN b.corpus_doc IS NOT NULL THEN 'near_dup'
+               ELSE 'keep'
+             END AS verdict,
+             k.keeper, b.corpus_doc, b.est
+      FROM flags f
+      LEFT JOIN keepers k ON f.h = k.h
+      LEFT JOIN best b ON f.doc_id = b.doc_id
+    )
+    SELECT doc_id, verdict,
+           CASE WHEN verdict = 'exact_dup' THEN keeper
+                WHEN verdict = 'near_dup' THEN corpus_doc END AS dup_of,
+           CASE WHEN verdict = 'exact_dup' THEN 1.0
+                WHEN verdict = 'near_dup' THEN est END AS est_jaccard
+    FROM v"""
+  }
 }
