@@ -244,6 +244,10 @@ object SparkEntry {
     // the streaming keep-list ingest gate's code path, hash-gated
     // (batch execution of the identical stream plan)
     "q_ingest_gate" -> (graft.streaming.IngestGate.ingestGateQuery _),
+    // incremental cluster maintenance: merge the new snapshot into the
+    // existing component state via the quotient graph (history never
+    // re-enters the propagation loop); oracle recomputes from scratch
+    "q_components_incremental" -> (Dedup.componentsIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,6 +404,7 @@ object SparkEntry {
     "q_cross_snapshot_phash" -> graft.sources.PhashIndex.crossSnapshotPhashSql,
     "q_phash_recall" -> Multimodal.phashRecallSql,
     "q_ingest_gate" -> graft.streaming.IngestGate.ingestGateSql,
+    "q_components_incremental" -> Dedup.componentsIncrementalSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -521,11 +521,17 @@ object Dedup {
   val MinhashBucketCap = 256L
 
   private def minhashLshPairs(spark: SparkSession, sfDir: String,
-      bucketCap: Option[Long]): DataFrame = {
+      bucketCap: Option[Long]): DataFrame =
     // the materialized per-dataset signature table (see
     // [[corpusSignatures]]): band explode + two gather joins all read
     // the same narrow (id, 16-long) rows
-    val sigs = corpusSignatures(spark, sfDir)
+    lshPairsOfSigs(corpusSignatures(spark, sfDir), bucketCap)
+
+  /** The banded pair join over an EXPLICIT signature relation — so the
+    * incremental resolver can run it per snapshot lane (parity-scoped
+    * buckets) against the same memoized signature table.
+    */
+  private def lshPairsOfSigs(sigs: DataFrame, bucketCap: Option[Long]): DataFrame = {
     val allBands = bandRows(sigs)
     val bands = bucketCap.map { cap =>
       val keep = allBands.groupBy(col("band"), col("bh"))
@@ -1554,6 +1560,139 @@ object Dedup {
     FROM comp c JOIN (
       SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
     ) s ON c.cluster_root = s.cluster_root"""
+
+  // ---- q_components_incremental ------------------------------------------
+
+  /** q_components_incremental: INCREMENTAL cluster maintenance — the
+    * operation a running dedup estate performs when crawl N arrives:
+    * merge the new snapshot into the existing cluster state WITHOUT
+    * re-resolving history. The historical corpus (even ids — snapshot
+    * A) already has materialized component labels; the new crawl (odd
+    * ids — snapshot B) brings its internal pair graph plus its
+    * index-join bridges into A; and the resolver runs over the
+    * QUOTIENT graph only: A components contracted to their root
+    * labels, B docs as themselves. A bridged merge of two historical
+    * clusters relabels them through their two root nodes — the
+    * million-document history never re-enters the propagation loop.
+    *
+    * Correctness (oracle-gated): the quotient resolution equals the
+    * full-graph resolution over pairsA ∪ pairsB ∪ bridges, because
+    * (a) contracting a connected subgraph preserves connectivity, and
+    * (b) every A root IS the minimum id of its A-component, so the
+    * min-label of a merged quotient component is the min id of the
+    * merged full component. Sizes are recounted over the final doc
+    * labels. The DuckDB mirror recomputes the whole thing from
+    * scratch as one recursive CTE over the same three edge relations.
+    *
+    * Scale: the propagation loop's input is |A roots touched by
+    * bridges| + |B docs with edges| — snapshot-sized, not
+    * estate-sized. pairsA/pairsB run the capped band join within
+    * their lane ([[MinhashBucketCap]] per-lane buckets); bridges are
+    * the uncapped index join (the [[graft.sources.SignatureIndex]]
+    * semantics — at 100 TB this leg reads the two bucketed snapshot
+    * tables exchange-free). The A labels come from the materialized
+    * state (here recomputed per session over the memoized signature
+    * table; in production, read from the labels table the last run
+    * wrote).
+    */
+  def componentsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = corpusSignatures(spark, sfDir)
+    val sigsA = sigs.filter(col("doc_id") % 2 === 0)
+    val sigsB = sigs.filter(col("doc_id") % 2 === 1)
+    val bPairs = lshPairsOfSigs(sigsB, Some(MinhashBucketCap))
+      .select(col("doc_a"), col("doc_b"))
+    // bridges: signature-verified B->A matches (the index-join shape)
+    val bridges = bandRows(sigsB).as("n")
+      .join(bandRows(sigsA)
+        .select(col("doc_id").as("a_doc"), col("sig").as("sig_c"),
+          col("band"), col("bh")).as("c"), Seq("band", "bh"))
+      .filter(
+        round(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), p => p))
+          .cast("double") / lit(16.0), 6) >= 0.5)
+      .select(col("n.doc_id").as("b_doc"), col("a_doc"))
+      .distinct()
+      .mat
+    // existing estate state: A's labels, extended with bridge-touched
+    // A docs that had no A-internal pair (their root is themselves)
+    val aComps = componentsOfPairs(
+      lshPairsOfSigs(sigsA, Some(MinhashBucketCap))
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("cluster_root"))
+    val extra = bridges.select(col("a_doc").as("doc_id")).distinct()
+      .join(aComps, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_root", col("doc_id"))
+    val aAll = aComps.unionAll(extra).mat
+    // the QUOTIENT graph: (B doc) -- (root of its A match) + B pairs
+    val qedges = bridges
+      .join(aAll.select(col("doc_id").as("a_doc"), col("cluster_root")), Seq("a_doc"))
+      .select(col("b_doc").as("doc_a"), col("cluster_root").as("doc_b"))
+      .unionAll(bPairs)
+    val q = componentsOfPairs(qedges)
+      .select(col("doc_id").as("node"), col("cluster_root").as("qlab"))
+      .mat
+    // final labels: A docs relabel through their root's quotient label
+    // (identity when untouched); B docs take theirs directly (A roots
+    // are even, B docs odd — parity separates the quotient node kinds)
+    val aFinal = aAll.as("a")
+      .join(q, col("a.cluster_root") === col("node"), "left")
+      .select(col("a.doc_id").as("doc_id"),
+        coalesce(col("qlab"), col("a.cluster_root")).as("cluster_root"))
+    val bFinal = q.filter(col("node") % 2 === 1)
+      .select(col("node").as("doc_id"), col("qlab").as("cluster_root"))
+    val all = aFinal.unionAll(bFinal)
+    val sizes = all.groupBy(col("cluster_root")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("cluster_root"))
+      .select(col("doc_id"), col("cluster_root"), col("cluster_size"))
+  }
+
+  val componentsIncrementalSql: String = {
+    def bandCte(src: String): String =
+      s"""SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM $src CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)"""
+    val est = "round(CAST(len([i for i in generate_series(1, 16) if a.sig[i] = b.sig[i]]) AS DOUBLE) / 16.0, 6)"
+    def lanePairs(bands: String): String =
+      s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM $bands a JOIN $bands b
+         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       WHERE $est >= 0.5"""
+    s"""
+    WITH RECURSIVE shdoc AS (${shingleHashesSql()}),
+    sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
+    bA0 AS (${bandCte("(SELECT * FROM sigs WHERE doc_id % 2 = 0)")}),
+    kA AS (SELECT band, bh FROM (SELECT band, bh, count(*) AS c FROM bA0 GROUP BY 1, 2)
+           WHERE c <= $MinhashBucketCap),
+    bA AS (SELECT bA0.* FROM bA0 JOIN kA USING (band, bh)),
+    bB0 AS (${bandCte("(SELECT * FROM sigs WHERE doc_id % 2 = 1)")}),
+    kB AS (SELECT band, bh FROM (SELECT band, bh, count(*) AS c FROM bB0 GROUP BY 1, 2)
+           WHERE c <= $MinhashBucketCap),
+    bB AS (SELECT bB0.* FROM bB0 JOIN kB USING (band, bh)),
+    pA AS (${lanePairs("bA")}),
+    pB AS (${lanePairs("bB")}),
+    br AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bB0 a JOIN bA0 b ON a.band = b.band AND a.bh = b.bh
+      WHERE $est >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pA
+      UNION SELECT doc_b, doc_a FROM pA
+      UNION SELECT doc_a, doc_b FROM pB
+      UNION SELECT doc_b, doc_a FROM pB
+      UNION SELECT doc_a, doc_b FROM br
+      UNION SELECT doc_b, doc_a FROM br
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_root FROM reach GROUP BY 1)
+    SELECT c.doc_id, c.cluster_root, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
+    ) s ON c.cluster_root = s.cluster_root"""
+  }
 
   // ---- q_ngram_novelty ---------------------------------------------------
 

@@ -94,6 +94,46 @@ class Round10OpsSpec extends SparkSpec {
       s"non-binding cap must admit all Hamming<=2 pairs: ${unbound.length}")
   }
 
+  test("incremental components: the new snapshot merges into the estate state exactly") {
+    import org.apache.spark.sql.functions._
+    Dedup.resetClusterMemo()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("inc10").toString
+      def txt(base: String, edit: Int = -1) =
+        (1 to 40).map(i => if (i == edit) "edited" else s"$base$i").mkString(" ")
+      // snapshot A (even): cluster {2,4} on base "p", cluster {6,8} on
+      // base "q", solo doc 10 on base "r". snapshot B (odd): 101 and
+      // 103 are edits of base "p" (101 bridges INTO {2,4}; 103 pairs
+      // with 101 B-internally and bridges too), 107 is an edit of the
+      // SOLO doc 10 (exercises the bridge-touched-solo path), 109 is
+      // novel.
+      Seq(
+        (2L, txt("p"), "s"), (4L, txt("p", 40), "s"),
+        (6L, txt("q"), "s"), (8L, txt("q", 40), "s"),
+        (10L, txt("r"), "s"),
+        (101L, txt("p", 1), "s"), (103L, txt("p", 2), "s"),
+        (107L, txt("r", 1), "s"), (109L, (1 to 40).map(i => s"z$i").mkString(" "), "s"),
+      ).toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Dedup.componentsIncremental(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_root"),
+          r.getAs[Long]("cluster_size"))).toSet
+      val expect = Set(
+        (2L, 2L, 4L), (4L, 2L, 4L), (101L, 2L, 4L), (103L, 2L, 4L), // merged p-cluster
+        (6L, 6L, 2L), (8L, 6L, 2L),                                  // untouched history
+        (10L, 10L, 2L), (107L, 10L, 2L),                             // solo doc bridged
+      )
+      assert(got == expect,
+        s"incremental merge diverged:\nonly-got=${got -- expect}\nonly-expect=${expect -- got}")
+      // and the novel B doc (no edges anywhere) is absent, matching the
+      // full-graph node set
+      assert(!got.exists(_._1 == 109L))
+    } finally {
+      Dedup.resetClusterMemo()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("ingest windows partition the split: successive checks advance past the cap") {
     import org.apache.spark.sql.functions._
     val cap = Dedup.IngestBatchCap
