@@ -361,7 +361,10 @@ object Dedup {
     componentsMemo.clear()
     signaturesMemo.clear()
     passageSpansMemo.clear()
+    estateComponentsMemo.clear()
   }
+
+  private val estateComponentsMemo = new graft.core.Memo("estate_components")
 
   val ngramJaccardCappedSql: String =
     s"""
@@ -1612,12 +1615,18 @@ object Dedup {
       .select(col("n.doc_id").as("b_doc"), col("a_doc"))
       .distinct()
       .mat
-    // existing estate state: A's labels, extended with bridge-touched
+    // existing estate state: A's labels — MEMOIZED per (application,
+    // dataset), because that is what they are in production (the
+    // labels table the last full run wrote; only the quotient work
+    // below is the incremental cost) — extended with bridge-touched
     // A docs that had no A-internal pair (their root is themselves)
-    val aComps = componentsOfPairs(
-      lshPairsOfSigs(sigsA, Some(MinhashBucketCap))
-        .select(col("doc_a"), col("doc_b")))
-      .select(col("doc_id"), col("cluster_root"))
+    val aComps = estateComponentsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      componentsOfPairs(
+        lshPairsOfSigs(sigsA, Some(MinhashBucketCap))
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id"), col("cluster_root"))
+        .localCheckpoint(eager = true))
     val extra = bridges.select(col("a_doc").as("doc_id")).distinct()
       .join(aComps, Seq("doc_id"), "left_anti")
       .withColumn("cluster_root", col("doc_id"))

@@ -343,6 +343,7 @@ object Multimodal {
   private[pipeline] def resetPhashMemo(): Unit = {
     membershipMemo.clear()
     repPairsMemo.clear()
+    clustersMemo.clear()
   }
 
   /** q_phash_pairs: perceptual-hash near-duplicate pairs at Hamming
@@ -447,15 +448,23 @@ object Multimodal {
     * but a million-copy identical-asset group feeds the resolver 10⁶
     * star edges instead of ~10¹² pair edges.
     */
-  def phashClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = phashMembership(spark, sfDir)
-    val stars = m.filter(col("asset_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("asset_id").as("doc_b"))
-    val repEdges = phashRepPairs(spark, sfDir)
-      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
-    graft.pipeline.Dedup.componentsOfPairs(stars.unionAll(repEdges))
-      .select(col("doc_id").as("asset_id"), col("cluster_root"), col("cluster_size"))
-  }
+  def phashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir", {
+        // the image-side `components` discipline: the labels relation
+        // is the artifact every downstream readout joins — the
+        // iterative resolution must not re-run per report
+        val m = phashMembership(spark, sfDir)
+        val stars = m.filter(col("asset_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("asset_id").as("doc_b"))
+        val repEdges = phashRepPairs(spark, sfDir)
+          .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+        graft.pipeline.Dedup.componentsOfPairs(stars.unionAll(repEdges))
+          .select(col("doc_id").as("asset_id"), col("cluster_root"), col("cluster_size"))
+          .localCheckpoint(eager = true)
+      })
+
+  private val clustersMemo = new graft.core.Memo("phash_components")
 
   val phashClustersSql: String =
     s"""
