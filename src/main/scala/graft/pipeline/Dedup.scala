@@ -1598,15 +1598,43 @@ object Dedup {
     * table; in production, read from the labels table the last run
     * wrote).
     */
+  /** The capped banded pair join computed DIRECTLY over a persisted
+    * band-row relation (`(doc_id, sig, band, bh)` — a
+    * [[graft.sources.SignatureIndex]] table): bucket-cap semi filter,
+    * in-place self-join, signature verify. On a table bucketed by
+    * (band, bh) every step is exchange-free — the bucketing satisfies
+    * the count aggregation, the semi filter, and the self-join alike;
+    * carrying the 16-long sigs through the join moves no shuffle
+    * bytes because nothing shuffles.
+    */
+  private[pipeline] def lshPairsOfBandRows(bands: DataFrame, cap: Long): DataFrame = {
+    val keep = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") <= cap)
+      .select(col("band"), col("bh"))
+    val b = bands.join(keep, Seq("band", "bh"), "left_semi")
+    b.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(
+        round(size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+          .cast("double") / lit(16.0), 6) >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def componentsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = corpusSignatures(spark, sfDir)
-    val sigsA = sigs.filter(col("doc_id") % 2 === 0)
-    val sigsB = sigs.filter(col("doc_id") % 2 === 1)
-    val bPairs = lshPairsOfSigs(sigsB, Some(MinhashBucketCap))
-      .select(col("doc_a"), col("doc_b"))
+    // everything runs off the persisted estate indexes: the same two
+    // bucketed snapshot tables q_cross_snapshot_dedup sweeps — lane
+    // pairs are in-place self-joins, bridges the exchange-free
+    // index-to-index band join
+    val (ta, tb) = graft.sources.SignatureIndex.snapshotTables(spark, sfDir)
+    val bandsA = spark.table(ta).select(col("doc_id"), col("sig"), col("band"), col("bh"))
+    val bandsB = spark.table(tb).select(col("doc_id"), col("sig"), col("band"), col("bh"))
+    val bPairs = lshPairsOfBandRows(bandsB, MinhashBucketCap)
     // bridges: signature-verified B->A matches (the index-join shape)
-    val bridges = bandRows(sigsB).as("n")
-      .join(bandRows(sigsA)
+    val bridges = bandsB.as("n")
+      .join(bandsA
         .select(col("doc_id").as("a_doc"), col("sig").as("sig_c"),
           col("band"), col("bh")).as("c"), Seq("band", "bh"))
       .filter(
@@ -1622,9 +1650,7 @@ object Dedup {
     // A docs that had no A-internal pair (their root is themselves)
     val aComps = estateComponentsMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
-      componentsOfPairs(
-        lshPairsOfSigs(sigsA, Some(MinhashBucketCap))
-          .select(col("doc_a"), col("doc_b")))
+      componentsOfPairs(lshPairsOfBandRows(bandsA, MinhashBucketCap))
         .select(col("doc_id"), col("cluster_root"))
         .localCheckpoint(eager = true))
     val extra = bridges.select(col("a_doc").as("doc_id")).distinct()

@@ -134,6 +134,36 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental legs are exchange-free over the bucketed snapshot tables") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sf = "/root/testdata/sf0.001"
+    val (ta, tb) = graft.sources.SignatureIndex.snapshotTables(spark, sf)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def bandExchanges(df: org.apache.spark.sql.DataFrame) = {
+        val p = df.queryExecution.executedPlan
+        (p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan })
+          .flatMap(_.collect {
+            case e: ShuffleExchangeExec if e.child.output.exists(_.name == "bh") => e
+          })
+      }
+      val bandsB = spark.table(tb).select(col("doc_id"), col("sig"), col("band"), col("bh"))
+      // the B-internal lane: cap count, semi filter, self-join — all on
+      // the table's own bucketing, no exchange may touch the band key
+      assert(bandExchanges(Dedup.lshPairsOfBandRows(bandsB, Dedup.MinhashBucketCap)).isEmpty,
+        "lane pair join over the bucketed band table must be exchange-free")
+      // the bridge: index-against-index, the SignatureIndexSpec contract
+      val bandsA = spark.table(ta).select(col("band"), col("bh"),
+        col("doc_id").as("a_doc"), col("sig").as("sig_c"))
+      assert(bandExchanges(bandsB.join(bandsA, Seq("band", "bh"))).isEmpty,
+        "bridge band join between the two snapshot tables must be exchange-free")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ingest windows partition the split: successive checks advance past the cap") {
     import org.apache.spark.sql.functions._
     val cap = Dedup.IngestBatchCap
