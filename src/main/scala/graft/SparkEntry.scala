@@ -248,6 +248,8 @@ object SparkEntry {
     // existing component state via the quotient graph (history never
     // re-enters the propagation loop); oracle recomputes from scratch
     "q_components_incremental" -> (Dedup.componentsIncremental _),
+    // the image twin of the quotient merge (same helper, phash index)
+    "q_phash_incremental" -> (Multimodal.phashIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -405,6 +407,7 @@ object SparkEntry {
     "q_phash_recall" -> Multimodal.phashRecallSql,
     "q_ingest_gate" -> graft.streaming.IngestGate.ingestGateSql,
     "q_components_incremental" -> Dedup.componentsIncrementalSql,
+    "q_phash_incremental" -> Multimodal.phashIncrementalSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

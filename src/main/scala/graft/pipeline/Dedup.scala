@@ -1653,10 +1653,27 @@ object Dedup {
       componentsOfPairs(lshPairsOfBandRows(bandsA, MinhashBucketCap))
         .select(col("doc_id"), col("cluster_root"))
         .localCheckpoint(eager = true))
+    quotientMerge(aComps, bPairs, bridges)
+  }
+
+  /** The QUOTIENT-GRAPH merge shared by the text and image incremental
+    * resolvers: given the estate's materialized labels (`aLabels`:
+    * doc_id, cluster_root — every root the min id of its component),
+    * the new snapshot's internal pair graph (`bPairs`), and the
+    * verified new→estate bridges (`b_doc`, `a_doc`), produce the
+    * merged labels WITHOUT re-resolving history. A-side and B-side id
+    * spaces must be disjoint (both callers split by id parity). The
+    * propagation loop's input is |B docs with edges| + |bridge-touched
+    * A roots| — snapshot-sized, never estate-sized.
+    */
+  private[pipeline] def quotientMerge(
+      aLabels: DataFrame, bPairs: DataFrame, bridges: DataFrame): DataFrame = {
+    // bridge-touched A docs with no A-internal pair: their root is
+    // themselves (they were solo in the estate)
     val extra = bridges.select(col("a_doc").as("doc_id")).distinct()
-      .join(aComps, Seq("doc_id"), "left_anti")
+      .join(aLabels, Seq("doc_id"), "left_anti")
       .withColumn("cluster_root", col("doc_id"))
-    val aAll = aComps.unionAll(extra).mat
+    val aAll = aLabels.unionAll(extra).mat
     // the QUOTIENT graph: (B doc) -- (root of its A match) + B pairs
     val qedges = bridges
       .join(aAll.select(col("doc_id").as("a_doc"), col("cluster_root")), Seq("a_doc"))
@@ -1666,13 +1683,16 @@ object Dedup {
       .select(col("doc_id").as("node"), col("cluster_root").as("qlab"))
       .mat
     // final labels: A docs relabel through their root's quotient label
-    // (identity when untouched); B docs take theirs directly (A roots
-    // are even, B docs odd — parity separates the quotient node kinds)
+    // (identity when untouched); B docs take theirs directly
+    val bNodes = bPairs.select(col("doc_a").as("node"))
+      .unionAll(bPairs.select(col("doc_b").as("node")))
+      .unionAll(bridges.select(col("b_doc").as("node")))
+      .distinct()
     val aFinal = aAll.as("a")
       .join(q, col("a.cluster_root") === col("node"), "left")
       .select(col("a.doc_id").as("doc_id"),
         coalesce(col("qlab"), col("a.cluster_root")).as("cluster_root"))
-    val bFinal = q.filter(col("node") % 2 === 1)
+    val bFinal = q.join(bNodes, Seq("node"), "left_semi")
       .select(col("node").as("doc_id"), col("qlab").as("cluster_root"))
     val all = aFinal.unionAll(bFinal)
     val sizes = all.groupBy(col("cluster_root")).agg(count(lit(1)).as("cluster_size"))

@@ -344,6 +344,7 @@ object Multimodal {
     membershipMemo.clear()
     repPairsMemo.clear()
     clustersMemo.clear()
+    estateMemo.clear()
   }
 
   /** q_phash_pairs: perceptual-hash near-duplicate pairs at Hamming
@@ -593,6 +594,122 @@ object Multimodal {
                  / count(*), 6) AS recall
     FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.asset_id = a.asset_id
     GROUP BY 1"""
+
+  // ---- q_phash_incremental -----------------------------------------------
+
+  /** q_phash_incremental: INCREMENTAL image-cluster maintenance — the
+    * [[graft.pipeline.Dedup.componentsIncremental]] operation on the
+    * image side, through the SAME [[graft.pipeline.Dedup
+    * .quotientMerge]] helper (one merge implementation serves both
+    * modalities, as one resolver already does). Snapshot A (even
+    * asset ids) has materialized cluster labels; snapshot B (odd)
+    * arrives with its internal representative graph (star edges +
+    * capped rep pairs read from its persisted [[graft.sources
+    * .PhashIndex]] band table) and its bridges into A (the
+    * exchange-free index-to-index band join, Hamming-verified); the
+    * resolver runs over the quotient only. The DuckDB oracle
+    * recomputes everything from scratch over the same five edge
+    * relations.
+    */
+  def phashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, tb) = graft.sources.PhashIndex.snapshotTables(spark, sfDir)
+    val bandsA = spark.table(ta).select(col("rep"), col("phash"), col("band"), col("bv"))
+    val bandsB = spark.table(tb).select(col("rep"), col("phash"), col("band"), col("bv"))
+    val m = phashMembership(spark, sfDir)
+    // star edges of one parity lane: side representative -> member
+    // (side groups derive from the memoized full membership — the
+    // code computation never re-runs)
+    def stars(parity: Int): DataFrame = {
+      val side = m.filter(col("asset_id") % 2 === parity)
+        .select(col("asset_id"), col("phash"))
+      val g = side.groupBy(col("phash")).agg(min(col("asset_id")).as("srep"))
+      side.join(g, Seq("phash")).filter(col("asset_id") =!= col("srep"))
+        .select(col("srep").as("doc_a"), col("asset_id").as("doc_b"))
+    }
+    // capped rep pairs over a persisted band table (the
+    // lshPairsOfBandRows shape for the image index: every step rides
+    // the table's own (band, bv) bucketing)
+    def repPairs(bands: DataFrame): DataFrame = {
+      val keep = bands.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("c")).filter(col("c") <= PhashBucketCap)
+        .select(col("band"), col("bv"))
+      val b = bands.join(keep, Seq("band", "bv"), "left_semi")
+      b.as("a")
+        .join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.phash") < col("b.phash"))
+        .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= PhashRadius)
+        .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
+        .distinct()
+    }
+    val bridges = bandsB.as("n")
+      .join(bandsA.select(col("band"), col("bv"), col("rep").as("a_rep"),
+        col("phash").as("phash_c")).as("c"), Seq("band", "bv"))
+      .filter(bit_count(col("phash").bitwiseXOR(col("phash_c"))) <= PhashRadius)
+      .select(col("n.rep").as("b_doc"), col("a_rep").as("a_doc"))
+      .distinct()
+      .mat
+    val aLabels = estateMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      graft.pipeline.Dedup.componentsOfPairs(stars(0).unionAll(repPairs(bandsA)))
+        .select(col("doc_id"), col("cluster_root"))
+        .localCheckpoint(eager = true))
+    graft.pipeline.Dedup
+      .quotientMerge(aLabels, stars(1).unionAll(repPairs(bandsB)), bridges)
+      .select(col("doc_id").as("asset_id"), col("cluster_root"), col("cluster_size"))
+  }
+
+  private val estateMemo = new graft.core.Memo("phash_estate_components")
+
+  val phashIncrementalSql: String = {
+    def lane(parity: Int, grp: String, bands0: String, bandsC: String,
+        rp: String, st: String, cSide: String): String =
+      s"""$cSide AS (SELECT asset_id, phash FROM code WHERE asset_id % 2 = $parity),
+    $grp AS (SELECT phash, min(asset_id) AS rep FROM $cSide GROUP BY 1),
+    $st AS (SELECT g.rep AS doc_a, c.asset_id AS doc_b
+            FROM $cSide c JOIN $grp g USING (phash) WHERE c.asset_id <> g.rep),
+    $bands0 AS (
+      SELECT rep, phash, b.band, ${phashBandCaseSql("phash")} AS bv
+      FROM $grp CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    $bandsC AS (SELECT b0.* FROM $bands0 b0 JOIN (
+        SELECT band, bv FROM (SELECT band, bv, count(*) AS c FROM $bands0 GROUP BY 1, 2)
+        WHERE c <= $PhashBucketCap) k USING (band, bv)),
+    $rp AS (
+      SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+      FROM $bandsC a JOIN $bandsC b
+        ON a.band = b.band AND a.bv = b.bv AND a.phash < b.phash
+      WHERE bit_count(xor(a.phash, b.phash)) <= $PhashRadius
+    )"""
+    s"""
+    WITH RECURSIVE $phashCodeCtesSql,
+    ${lane(0, "gA", "bA0", "bAc", "rpA", "stA", "cA")},
+    ${lane(1, "gB", "bB0", "bBc", "rpB", "stB", "cB")},
+    br AS (
+      SELECT DISTINCT bb.rep AS doc_a, ba.rep AS doc_b
+      FROM bB0 bb JOIN bA0 ba ON bb.band = ba.band AND bb.bv = ba.bv
+      WHERE bit_count(xor(bb.phash, ba.phash)) <= $PhashRadius
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM stA UNION ALL SELECT doc_a, doc_b FROM stB
+      UNION ALL SELECT doc_a, doc_b FROM rpA UNION ALL SELECT doc_a, doc_b FROM rpB
+      UNION ALL SELECT doc_a, doc_b FROM br
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS asset_id, min(lab) AS cluster_root FROM reach GROUP BY 1)
+    SELECT c.asset_id, c.cluster_root, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
+    ) s ON c.cluster_root = s.cluster_root"""
+  }
 
   /** DuckDB mirror: same rolling checksum over the UTF-8 bytes via a
     * left fold (documents are ASCII so code units == bytes).

@@ -164,6 +164,88 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental phash clusters: the image snapshot merges through the same quotient") {
+    import org.apache.spark.sql.functions._
+    Multimodal.resetPhashMemo()
+    graft.sources.PhashIndex.resetSnapshotTables()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("phinc10").toString
+      def txt(base: String) = (1 to 40).map(i => s"$base$i").mkString(" ")
+      // identical payloads share a phash exactly (Hamming 0), and the
+      // four bases differ in word-length structure, which keeps their
+      // codes >= 7 bits apart (the fake decode folds payload shape, so
+      // single-char bases would all collide — probed in-session).
+      // Estate (even): identical pair {2,4} on "p", pair {6,8} on
+      // "pp", solo 10 on "ppp"; the new crawl (odd) brings two more
+      // "p" copies (101 bridges into {2,4}; 103 is 101's lane-mate via
+      // the B star), a "ppp" copy 107 (bridge into the SOLO estate
+      // asset — the `extra` path of the quotient), and a novel 109.
+      Seq(
+        (2L, txt("p"), "s"), (4L, txt("p"), "s"),
+        (6L, txt("pp"), "s"), (8L, txt("pp"), "s"),
+        (10L, txt("ppp"), "s"),
+        (101L, txt("p"), "s"), (103L, txt("p"), "s"),
+        (107L, txt("ppp"), "s"), (109L, txt("pppp"), "s"),
+      ).toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Multimodal.phashIncremental(spark, dir).collect()
+        .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("cluster_root"),
+          r.getAs[Long]("cluster_size"))).toSet
+      // the distinct bases may themselves sit within PhashRadius in
+      // code space (the fake decode makes no spacing promise), so pin
+      // against the from-scratch resolver over the SAME edge relations
+      // the oracle recomputes: per-lane stars + capped rep pairs +
+      // Hamming-verified cross-lane bridges
+      val codes = Multimodal.phashCodes(spark, dir).collect()
+        .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("phash")))
+      def laneEdges(parity: Int): Seq[(Long, Long)] = {
+        val side = codes.filter(_._1 % 2 == parity)
+        val reps = side.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+        val stars = side.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+          val r = g.map(_._1).min; g.map(_._1).filter(_ != r).map((r, _)) }
+        val rp = for {
+          (a, ca) <- side if reps(a); (b, cb) <- side if reps(b) && a < b
+          if java.lang.Long.bitCount(ca ^ cb) <= Multimodal.PhashRadius
+        } yield (a, b)
+        stars ++ rp
+      }
+      val bridges = for {
+        (b, cb) <- codes if b % 2 == 1; (a, ca) <- codes if a % 2 == 0
+        if java.lang.Long.bitCount(cb ^ ca) <= Multimodal.PhashRadius
+      } yield (b, a)
+      val reps1 = codes.filter(_._1 % 2 == 1).groupBy(_._2).map(_._2.map(_._1).min).toSet
+      val reps0 = codes.filter(_._1 % 2 == 0).groupBy(_._2).map(_._2.map(_._1).min).toSet
+      val edges = (laneEdges(0) ++ laneEdges(1) ++
+        bridges.filter(p => reps1(p._1) && reps0(p._2))).flatMap(p => Seq(p, p.swap))
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def comp(seed: Long): Set[Long] = {
+        var seen = Set(seed); var front = Seq(seed)
+        while (front.nonEmpty) {
+          val nxt = front.flatMap(adj.getOrElse(_, Nil)).filterNot(seen)
+          seen ++= nxt; front = nxt.distinct
+        }
+        seen
+      }
+      val nodes = edges.map(_._1).toSet
+      val expect = nodes.map { n =>
+        val c = comp(n); (n, c.min, c.size.toLong) }
+      assert(got == expect,
+        s"quotient merge must equal the flat resolve:\nonly-got=${got -- expect}\nonly-expect=${expect -- got}")
+      // and the planted layout really exercised what it claims: merged
+      // p-cluster of 4, untouched pp-pair, solo-bridged ppp-pair,
+      // absent novel
+      assert(got == Set(
+        (2L, 2L, 4L), (4L, 2L, 4L), (101L, 2L, 4L), (103L, 2L, 4L),
+        (6L, 6L, 2L), (8L, 6L, 2L),
+        (10L, 10L, 2L), (107L, 10L, 2L)),
+        s"planted layout diverged: $got")
+    } finally {
+      Multimodal.resetPhashMemo()
+      graft.sources.PhashIndex.resetSnapshotTables()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("ingest windows partition the split: successive checks advance past the cap") {
     import org.apache.spark.sql.functions._
     val cap = Dedup.IngestBatchCap
