@@ -250,6 +250,12 @@ object SparkEntry {
     "q_components_incremental" -> (Dedup.componentsIncremental _),
     // the image twin of the quotient merge (same helper, phash index)
     "q_phash_incremental" -> (Multimodal.phashIncremental _),
+    // the vector-side estate: cross-snapshot semantic sweep over the
+    // persisted cell-bucketed embedding indexes (one frozen codebook)
+    "q_cross_snapshot_embed" -> (graft.sources.EmbedIndex.crossSnapshotEmbed _),
+    // the embed index's recall eval (cell-scoped sweep vs the declared
+    // capped brute-force cosine truth)
+    "q_embed_sweep_recall" -> (graft.sources.EmbedIndex.sweepRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -433,5 +439,8 @@ object SparkEntry {
     Similarity.ivfStatsOracleSql.map("q_ivf_stats" -> _) ++
     graft.pipeline.QualityClassifier.qualityCalibrationOracleSql
       .map("q_quality_calibration" -> _) ++
-    graft.pipeline.Bpe.bpeVocabOracleSql.map("q_bpe_vocab" -> _)
+    graft.pipeline.Bpe.bpeVocabOracleSql.map("q_bpe_vocab" -> _) ++
+    graft.sources.EmbedIndex.crossSnapshotEmbedOracleSql
+      .map("q_cross_snapshot_embed" -> _) ++
+    graft.sources.EmbedIndex.sweepRecallOracleSql.map("q_embed_sweep_recall" -> _)
 }

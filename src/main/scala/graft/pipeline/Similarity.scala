@@ -421,7 +421,7 @@ object Similarity {
     * squared norm (computed by the SAME driver-side fold the Spark plan
     * injects via `lit(cc)`), and the centroid as a DOUBLE list literal.
     */
-  private[pipeline] def centroidValuesSql(centers: Seq[Array[Double]]): String =
+  private[graft] def centroidValuesSql(centers: Seq[Array[Double]]): String =
     centers.zipWithIndex.map { case (c, i) =>
       val cc = c.map(v => v * v).sum
       s"($i, ${dlit(cc)}, [${c.map(dlit).mkString(", ")}])"
@@ -432,7 +432,7 @@ object Similarity {
     * as [[dotSql]], so it is bit-identical to the Spark side's
     * `dotProduct(x, typedLit(c))`.
     */
-  private[pipeline] def dotCvSql(vec: String, cv: String, dim: Int = 64): String =
+  private[graft] def dotCvSql(vec: String, cv: String, dim: Int = 64): String =
     s"list_reduce([CAST(($vec)[i] AS DOUBLE) * ($cv)[i] for i in generate_series(1, $dim)], (x, y) -> x + y)"
 
   // ---- q_ann_ivf -----------------------------------------------------
@@ -1206,6 +1206,43 @@ object Similarity {
 
   /** Test seam: drop all frozen IVF fits (same contract). */
   private[pipeline] def resetIvfFits(): Unit = ivfFits.clear()
+
+  /** The ESTATE quantizer: the [[ivfCenters]] fit computed over the
+    * EVEN-vec_id half only — the codebook a 100 TB embedding estate
+    * owns. Crawl N is assigned with the estate's frozen centers, never
+    * with a fit of its own: cell-scoped verdicts are only comparable
+    * inside one codebook, and re-fitting per crawl would silently
+    * shift every historical cell boundary. Same auto-sizing and skew
+    * re-fit discipline as [[ivfCenters]]; memoized per dataset, frozen
+    * into the cross-snapshot oracle via [[estateFrozen]].
+    */
+  private val estateFits =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Array[Double]]]
+
+  private[graft] def estateCenters(spark: SparkSession, sfDir: String): IndexedSeq[Array[Double]] =
+    estateFits.getOrElseUpdate(sfDir, {
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
+      val n = emb.count()
+      val k = ivfCellsOf(n)
+      val pts = KmeansFit.distinctSample(
+        emb.filter(col("vec_id") % 3 === 0)
+          .select(col("embedding").cast("array<double>").as("a")),
+        col("a"))
+      val first = KmeansFit.fit(pts, k, KmeansFit.Iters)
+      val share = KmeansFit.maxSharePpm(pts, first)
+      val threshold = IvfMaxShareMultiple * 1000000L / k
+      val k2 = math.min(2 * k, IvfCellsMax)
+      if (share > threshold && k2 > k) KmeansFit.fit(pts, k2, KmeansFit.Iters) else first
+    })
+
+  /** The frozen estate centroids (single-dataset oracle guard — the
+    * [[ivfFrozen]] contract).
+    */
+  private[graft] def estateFrozen: Option[IndexedSeq[Array[Double]]] =
+    FrozenFit.single(estateFits, "estate centroids")
+
+  /** Test seam: drop all frozen estate fits (same contract). */
+  private[graft] def resetEstateFits(): Unit = estateFits.clear()
 
   /** q_pca_project: dimensionality reduction for the embedding column —
     * the standard preprocessing step before an ANN index (smaller
