@@ -258,7 +258,7 @@ object Multimodal {
     * the quadratic pixel-fold expression into every consumer (measured
     * 60 s vs 2 s at sf0.1).
     */
-  private[pipeline] def phashMembership(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def phashMembership(spark: SparkSession, sfDir: String): DataFrame =
     membershipMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir", {
         val codes = phashCodes(spark, sfDir).mat

