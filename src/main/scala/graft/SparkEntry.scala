@@ -256,6 +256,13 @@ object SparkEntry {
     // the embed index's recall eval (cell-scoped sweep vs the declared
     // capped brute-force cosine truth)
     "q_embed_sweep_recall" -> (graft.sources.EmbedIndex.sweepRecall _),
+    // index compaction: the three persisted estate indexes, each merged
+    // from its snapshot tables and gated against the whole-corpus truth
+    "q_sig_index_stats" -> (graft.sources.SignatureIndex.sigIndexStats _),
+    "q_phash_estate_merge" -> (graft.sources.PhashIndex.phashEstateMerge _),
+    "q_embed_index_stats" -> (graft.sources.EmbedIndex.embedIndexStats _),
+    // phash band index health (the q_band_stats readout, image side)
+    "q_phash_band_stats" -> (Multimodal.phashBandStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -414,6 +421,9 @@ object SparkEntry {
     "q_ingest_gate" -> graft.streaming.IngestGate.ingestGateSql,
     "q_components_incremental" -> Dedup.componentsIncrementalSql,
     "q_phash_incremental" -> Multimodal.phashIncrementalSql,
+    "q_sig_index_stats" -> graft.sources.SignatureIndex.sigIndexStatsSql,
+    "q_phash_estate_merge" -> graft.sources.PhashIndex.phashEstateMergeSql,
+    "q_phash_band_stats" -> Multimodal.phashBandStatsSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping
@@ -442,5 +452,6 @@ object SparkEntry {
     graft.pipeline.Bpe.bpeVocabOracleSql.map("q_bpe_vocab" -> _) ++
     graft.sources.EmbedIndex.crossSnapshotEmbedOracleSql
       .map("q_cross_snapshot_embed" -> _) ++
-    graft.sources.EmbedIndex.sweepRecallOracleSql.map("q_embed_sweep_recall" -> _)
+    graft.sources.EmbedIndex.sweepRecallOracleSql.map("q_embed_sweep_recall" -> _) ++
+    graft.sources.EmbedIndex.embedIndexStatsOracleSql.map("q_embed_index_stats" -> _)
 }

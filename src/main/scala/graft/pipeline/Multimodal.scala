@@ -347,6 +347,53 @@ object Multimodal {
     estateMemo.clear()
   }
 
+  /** q_phash_band_stats: index-health report for the phash band index —
+    * per band, the bucket count, posting count (representatives, i.e.
+    * DISTINCT codes — identical copies are already one posting), the
+    * hottest bucket, the exact candidate volume Σ C(n,2) an uncapped
+    * band join would pay, and how many buckets the [[PhashBucketCap]]
+    * would drop. The [[graft.pipeline.Dedup.bandStats]] readout for the
+    * image side: the number a curation team reads BEFORE paying the
+    * pair shuffle, and the observable that tells them whether the cap
+    * is binding on a given estate (capped_buckets > 0 means some
+    * saturated band pattern is being declared a stop-pattern).
+    *
+    * Scale: one hash aggregation to the (band, bv) bucket relation over
+    * representative rows, then a 3-row per-band aggregate — no join,
+    * no pair generation.
+    */
+  def phashBandStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = phashMembership(spark, sfDir)
+      .filter(col("asset_id") === col("rep"))
+      .select(col("asset_id"), col("phash"))
+    val buckets = phashBandRows(reps)
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+    buckets.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_postings"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"),
+        sum(when(col("n") > PhashBucketCap, 1L).otherwise(0L)).as("capped_buckets"))
+  }
+
+  // lazy: phashCodeCtesSql is defined later in the object (shared by
+  // every phash oracle) — a strict val here would capture null
+  lazy val phashBandStatsSql: String =
+    s"""
+    WITH $phashCodeCtesSql,
+    g AS (SELECT phash, min(asset_id) AS rep FROM code GROUP BY 1),
+    br AS (
+      SELECT rep, phash, b.band, ${phashBandCaseSql("phash")} AS bv
+      FROM g CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    buckets AS (SELECT band, bv, CAST(count(*) AS BIGINT) AS n FROM br GROUP BY 1, 2)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_postings,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(CASE WHEN n > $PhashBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets
+    FROM buckets GROUP BY 1"""
+
   /** q_phash_pairs: perceptual-hash near-duplicate pairs at Hamming
     * radius ≤ 2 — image dedup without decoding twice. Expanded from the
     * representative graph: intra-group pairs (identical codes, Hamming

@@ -46,6 +46,32 @@ object SignatureIndex {
       .saveAsTable(table)
   }
 
+  /** COMPACTION: merge N snapshot indexes into one estate index table.
+    * Signature band rows are per-document facts (a doc's banded
+    * signature never depends on any other doc), so the merge is a pure
+    * union plus the ONE co-locating bucket shuffle — no recomputation
+    * of any signature, no read of any raw document. At estate scale
+    * this is how crawls 1..N compact into a single index a sweep can
+    * band-join in one pass instead of N.
+    */
+  def merge(spark: SparkSession, inputs: Seq[String], out: String,
+      buckets: Int = 8): Unit = {
+    TableUtil.dropTableAndLocation(spark, out)
+    // rawTable: see its docstring — bucketed scans under a union make
+    // a partitioning claim the union does not honor; the raw file read
+    // keeps the repartition (and any later clustering) real
+    inputs.map(TableUtil.rawTable(spark, _)
+        .select(col("doc_id"), col("sig"), col("band"), col("bh")))
+      .reduce(_.unionByName(_))
+      .repartition(buckets, col("band"), col("bh"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "band", "bh")
+      .sortBy("band", "bh")
+      .format("parquet")
+      .saveAsTable(out)
+  }
+
   /** Stream-static ingest gate against the persisted index: each
     * in-flight document's banded signature rows join the index table
     * and verify by signature agreement — the
@@ -188,4 +214,55 @@ object SignatureIndex {
            min(CASE WHEN rk = 1 THEN corpus_doc END) AS dup_of,
            min(CASE WHEN rk = 1 THEN est_jaccard END) AS best_est
     FROM ranked GROUP BY 1"""
+
+  // ---- q_sig_index_stats ---------------------------------------------------
+
+  private val estateTableMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The COMPACTED estate index of a dataset: snapshots A and B merged
+    * by [[merge]] into one bucketed table, written once per
+    * (application, dataset) and timed into the bench `artifacts` map.
+    */
+  private[graft] def estateTable(spark: SparkSession, sfDir: String): String =
+    estateTableMemo.synchronized {
+      estateTableMemo.getOrElseUpdate(
+        s"${spark.sparkContext.applicationId}|$sfDir",
+        graft.core.Memo.timed("sig_estate", sfDir) {
+          val (ta, tb) = snapshotTables(spark, sfDir)
+          val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+          val t = s"graft_sig_estate_$sfx"
+          merge(spark, Seq(ta, tb), t)
+          t
+        })
+    }
+
+  /** Test seam ([[resetSnapshotTables]]' contract). */
+  private[graft] def resetEstateTable(): Unit =
+    estateTableMemo.synchronized(estateTableMemo.clear())
+
+  /** q_sig_index_stats: the [[graft.pipeline.Dedup.bandStats]] health
+    * readout computed over the COMPACTED PERSISTED estate index instead
+    * of the session signature memo. The oracle is `bandStatsSql`
+    * itself — the whole-corpus truth — so the query simultaneously
+    * gates (a) the merge (a lost or duplicated band row anywhere would
+    * shift a posting count) and (b) the claim that the persisted
+    * layout carries exactly the session artifact's information.
+    *
+    * Scale: grouping by a prefix of the bucket key reads the bucket
+    * files without an index-side exchange; output is 4 rows.
+    */
+  def sigIndexStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = estateTable(spark, sfDir)
+    val buckets = spark.table(t)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+    buckets.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_postings"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+  }
+
+  /** DuckDB oracle: the session band-stats truth, verbatim. */
+  val sigIndexStatsSql: String = Dedup.bandStatsSql
 }

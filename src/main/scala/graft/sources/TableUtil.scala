@@ -28,6 +28,26 @@ private[sources] object TableUtil {
     if (loc.exists()) deleteRecursively(loc)
   }
 
+  /** Read a bucketed table's parquet files RAW — same rows, but the
+    * scan carries NO bucket-partitioning claim. Compaction ([[
+    * SignatureIndex.merge]] and friends) must read its inputs this
+    * way: Spark 4.1's UnionExec propagates compatible children
+    * bucket-partitioning, yet executes a concatenating union — a
+    * clustering-requiring operator (aggregate, window) planned over a
+    * union of identically-bucketed scans then gets NO exchange (an
+    * explicit repartition is even elided as redundant), and same-key
+    * rows from different snapshots never meet: duplicate groups,
+    * per-snapshot ranks (IndexMergeSpec caught the duplicate groups).
+    * A raw file scan makes no partitioning claim, so the normal
+    * exchange is planned and the merge pays exactly the one
+    * co-locating shuffle it budgets.
+    */
+  def rawTable(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    spark.read.parquet(loc.toString)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

@@ -131,9 +131,12 @@ class PlanSpec extends SparkSpec {
     // and q_ann_lsh_recall embed q_ann_topk verbatim as their
     // exact-truth leg, so they carry the same declared capped NLJ
     // q_phash_recall's truth leg is the same declared capped contract
-    // (<= 100 probes, PhashProbeCap) over the representative codes
+    // (<= 100 probes, PhashProbeCap) over the representative codes;
+    // q_embed_sweep_recall's brute-force truth leg broadcasts the
+    // bounded every-20th-id sample (the declared capped baseline —
+    // every index's recall eval carries one)
     val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall", "q_ann_lsh_recall",
-      "q_phash_recall")
+      "q_phash_recall", "q_embed_sweep_recall")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot { j =>

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Index COMPACTION: merging snapshot indexes must be bit-identical to
+  * writing the estate index from the union of the snapshots' inputs —
+  * for all three persisted families — and the merged table must remain
+  * a first-class bucketed index (its consumers plan exchange-free
+  * joins, the SignatureIndexSpec contract).
+  */
+class IndexMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def dropAll(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  test("signature merge == whole-corpus write; merged index joins exchange-free") {
+    val docs = (1L to 40L).map { i =>
+      val text = if (i % 4 == 0) (1 to 60).map(j => s"w${(i + j) % 9}").mkString(" ")
+      else (1 to 60).map(j => s"t${(i * 7 + j) % 23}").mkString(" ")
+      (i, text, "s")
+    }.toDF("doc_id", "text", "source")
+    SignatureIndex.write(docs.filter(col("doc_id") % 2 === 0), "ims_sig_a")
+    SignatureIndex.write(docs.filter(col("doc_id") % 2 === 1), "ims_sig_b")
+    SignatureIndex.write(docs, "ims_sig_full")
+    SignatureIndex.merge(spark, Seq("ims_sig_a", "ims_sig_b"), "ims_sig_merged")
+    try {
+      assert(rows(spark.table("ims_sig_merged")) == rows(spark.table("ims_sig_full")),
+        "merged signature index must equal the whole-corpus write row for row")
+      // the merged table is still a bucketed index: a cross-snapshot
+      // sweep against another bucketed table plans no band exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val sweep = SignatureIndex.crossSnapshotMatches(spark, "ims_sig_merged", "ims_sig_b")
+        val plan = sweep.queryExecution.executedPlan
+        val expanded = plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val bandExchanges = expanded.flatMap(_.collect {
+          case e: ShuffleExchangeExec if e.child.output.exists(_.name == "bh") => e
+        })
+        assert(bandExchanges.isEmpty,
+          s"sweeping against the merged index must stay exchange-free:\n$plan")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally dropAll("ims_sig_a", "ims_sig_b", "ims_sig_full", "ims_sig_merged")
+  }
+
+  test("phash merge re-collapses cross-snapshot code groups to the global representative") {
+    val sameText = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+    val otherText = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
+    // the shared payload appears in BOTH snapshots: snapshot A's
+    // representative is 2, B's is 11 — the merged estate must
+    // re-collapse to rep 2 with multiplicity 3 + 2 = 5
+    val snapA = Seq((2L, sameText), (4L, sameText), (6L, sameText), (8L, otherText))
+      .toDF("doc_id", "text")
+    val snapB = Seq((11L, sameText), (13L, sameText), (15L, otherText))
+      .toDF("doc_id", "text")
+    PhashIndex.write(snapA, "ims_ph_a")
+    PhashIndex.write(snapB, "ims_ph_b")
+    PhashIndex.write(snapA.unionByName(snapB), "ims_ph_full")
+    PhashIndex.merge(spark, Seq("ims_ph_a", "ims_ph_b"), "ims_ph_merged")
+    try {
+      assert(rows(spark.table("ims_ph_merged")) == rows(spark.table("ims_ph_full")),
+        "merged phash index must equal the whole-corpus write row for row")
+      val shared = spark.table("ims_ph_merged")
+        .filter(col("band") === 0 && col("rep") === 2L)
+        .select(col("n_members")).collect().map(_.getLong(0))
+      assert(shared.toSeq == Seq(5L),
+        s"cross-snapshot group must re-collapse to rep 2 with multiplicity 5: ${shared.toSeq}")
+    } finally dropAll("ims_ph_a", "ims_ph_b", "ims_ph_full", "ims_ph_merged")
+  }
+
+  test("embed merge re-ranks interleaved cells exactly; no re-assignment needed") {
+    val dim = 4
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 60L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, base.map(_ + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val centers: IndexedSeq[Array[Double]] =
+      IndexedSeq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    assert(centers.head.length == dim)
+    EmbedIndex.write(vecs.filter(col("vec_id") % 2 === 0), "ims_em_a", centers)
+    EmbedIndex.write(vecs.filter(col("vec_id") % 2 === 1), "ims_em_b", centers)
+    EmbedIndex.write(vecs, "ims_em_full", centers)
+    EmbedIndex.merge(spark, Seq("ims_em_a", "ims_em_b"), "ims_em_merged")
+    try {
+      assert(rows(spark.table("ims_em_merged")) == rows(spark.table("ims_em_full")),
+        "merged embed index must equal the whole-corpus write row for row " +
+          "(rank order is a global property of the frozen assignment)")
+      // ranks are a dense 1..n per cell after the merge
+      val badRanks = spark.table("ims_em_merged")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), max(col("rk")).as("mx"), min(col("rk")).as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+        .count()
+      assert(badRanks == 0, "merged per-cell ranks must be dense 1..n")
+    } finally dropAll("ims_em_a", "ims_em_b", "ims_em_full", "ims_em_merged")
+  }
+}
