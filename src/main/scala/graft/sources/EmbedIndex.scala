@@ -296,11 +296,14 @@ object EmbedIndex {
 
   // ---- q_embed_sweep_recall ----------------------------------------------
 
-  /** Every 20th id — all odd, so the sample is a subset of snapshot B;
-    * the declared cap that keeps the truth leg's nested-loop join
-    * probe-sized at any corpus scale.
+  /** Every 20th id below [[RecallSampleMax]] — all odd, so the sample
+    * is a subset of snapshot B, and a FIXED ≤ 100 probes at any corpus
+    * scale (the q_ann_recall / q_phash_recall declared-cap contract:
+    * a mod alone would grow the brute-force truth leg linearly with
+    * the corpus).
     */
   private val RecallSampleMod = 20
+  private val RecallSampleMax = 2000L
 
   /** q_embed_sweep_recall: the persisted index's RECALL EVAL — the
     * round-9 rule ("every index ships its recall eval") applied to the
@@ -317,7 +320,8 @@ object EmbedIndex {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("nsq"))
-    val sample = emb.filter(col("vec_id") % RecallSampleMod === 1)
+    val sample = emb.filter(col("vec_id") % RecallSampleMod === 1 &&
+        col("vec_id") < RecallSampleMax)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"))
     val truth = broadcast(sample)
@@ -326,7 +330,8 @@ object EmbedIndex {
         cosCol(col("q_nsq"), col("nsq"), col("q_emb"), col("embedding")).as("cos"))
       .filter(col("cos") >= Tau)
     val approx = crossSnapshotPairs(spark, ta, tb)
-      .filter(col("vec_id") % RecallSampleMod === 1)
+      .filter(col("vec_id") % RecallSampleMod === 1 &&
+        col("vec_id") < RecallSampleMax)
       .select(col("vec_id").as("q_id"), col("corpus_vec").as("vec_id"),
         lit(1L).as("hit"))
     truth.join(approx, Seq("q_id", "vec_id"), "left")
@@ -344,7 +349,7 @@ object EmbedIndex {
     WITH ${estateAssignCtesSql(centers)},
     q AS (
       SELECT vec_id AS q_id, embedding AS q_emb, nsq AS q_nsq
-      FROM e WHERE vec_id % $RecallSampleMod = 1
+      FROM e WHERE vec_id % $RecallSampleMod = 1 AND vec_id < $RecallSampleMax
     ),
     truth AS (
       SELECT q.q_id, e.vec_id,
@@ -356,7 +361,7 @@ object EmbedIndex {
     ),
     ap AS (
       SELECT vec_id AS q_id, corpus_vec AS vec_id FROM pairs
-      WHERE vec_id % $RecallSampleMod = 1
+      WHERE vec_id % $RecallSampleMod = 1 AND vec_id < $RecallSampleMax
     )
     SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_true,
            CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
