@@ -345,6 +345,7 @@ object Multimodal {
     repPairsMemo.clear()
     clustersMemo.clear()
     estateMemo.clear()
+    mergedStateMemo.clear()
   }
 
   /** q_phash_band_stats: index-health report for the phash band index —
@@ -658,7 +659,17 @@ object Multimodal {
     * recomputes everything from scratch over the same five edge
     * relations.
     */
-  def phashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  def phashIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    // the merged labels ARE the image estate's post-merge state — the
+    // Dedup.componentsIncremental memoization contract (cold cost in
+    // the bench `artifacts` map, Verify re-pays and hash-gates fresh)
+    mergedStateMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      computePhashIncremental(spark, sfDir).localCheckpoint(eager = true))
+
+  private val mergedStateMemo = new graft.core.Memo("phash_merged_state")
+
+  private def computePhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val (ta, tb) = graft.sources.PhashIndex.snapshotTables(spark, sfDir)
     val bandsA = spark.table(ta).select(col("rep"), col("phash"), col("band"), col("bv"))
     val bandsB = spark.table(tb).select(col("rep"), col("phash"), col("band"), col("bv"))

@@ -392,6 +392,40 @@ class PlanSpec extends SparkSpec {
     assert(sw.size >= 2, s"q_dedup_sweep must broadcast its tiny per-threshold aggregates, got ${sw.size}")
   }
 
+  test("round-10 estate queries keep their declared plan shapes") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // q_sig_index_stats: the (band, bh) bucket aggregation reads the
+    // compacted estate table's bucket files with NO index-side exchange
+    // (partial+final ride the stored bucketing); only the tiny per-band
+    // rollup may shuffle
+    val sig = plan("q_sig_index_stats")
+    val sigBucketEx = collectAll(sig) {
+      case e: ShuffleExchangeExec if e.child.output.exists(_.name == "bh") => e
+    }
+    assert(sigBucketEx.isEmpty,
+      s"q_sig_index_stats must aggregate bucket-aligned, found exchange:\n$sig")
+    // q_embed_index_stats: grouping by the bucket key itself — the
+    // whole readout plans ZERO shuffles over the merged index
+    val emb = collectAll(plan("q_embed_index_stats")) { case e: ShuffleExchangeExec => e }
+    assert(emb.isEmpty,
+      s"q_embed_index_stats must be exchange-free over the cell-bucketed estate table")
+    // q_phash_estate_merge: a band-pruned scan of the merged table —
+    // no join, no shuffle, band predicate pushed to parquet
+    val pem = plan("q_phash_estate_merge")
+    assert(collectAll(pem) { case j: BaseJoinExec => j }.isEmpty &&
+      collectAll(pem) { case e: ShuffleExchangeExec => e }.isEmpty,
+      "q_phash_estate_merge must be a pure pruned scan")
+    assert(pem.toString.contains("PushedFilters") && pem.toString.contains("band"),
+      "q_phash_estate_merge must push the band predicate into the scan")
+    // q_phash_band_stats: join-free, two grouped passes at most
+    // (bucket counts, then the 3-row per-band rollup)
+    val pbs = plan("q_phash_band_stats")
+    assert(collectAll(pbs) { case j: BaseJoinExec => j }.isEmpty,
+      "q_phash_band_stats must not join (reads the memoized membership)")
+    assert(collectAll(pbs) { case e: ShuffleExchangeExec => e }.size <= 2,
+      "q_phash_band_stats must aggregate in two grouped passes")
+  }
+
   test("IVF-family assignment uses NearestCenter, and the PQ cell join broadcasts the probe side") {
     // regression guard for the 64 KB codegen cliff: the unrolled
     // literal-centroid argmin janino-failed and silently degraded the
