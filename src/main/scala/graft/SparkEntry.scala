@@ -263,6 +263,9 @@ object SparkEntry {
     "q_embed_index_stats" -> (graft.sources.EmbedIndex.embedIndexStats _),
     // phash band index health (the q_band_stats readout, image side)
     "q_phash_band_stats" -> (Multimodal.phashBandStats _),
+    // end-to-end recall of the persisted-index dedup sweep (bands +
+    // signature verify) against the exact-Jaccard capped-scaffold truth
+    "q_cross_snapshot_recall" -> (Dedup.crossSnapshotRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,6 +427,7 @@ object SparkEntry {
     "q_sig_index_stats" -> graft.sources.SignatureIndex.sigIndexStatsSql,
     "q_phash_estate_merge" -> graft.sources.PhashIndex.phashEstateMergeSql,
     "q_phash_band_stats" -> Multimodal.phashBandStatsSql,
+    "q_cross_snapshot_recall" -> Dedup.crossSnapshotRecallSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

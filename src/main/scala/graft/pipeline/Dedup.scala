@@ -738,6 +738,86 @@ object Dedup {
     FROM b GROUP BY 1"""
   }
 
+  // ---- q_cross_snapshot_recall ----------------------------------------
+
+  /** q_cross_snapshot_recall: the END-TO-END recall eval of the
+    * persisted-index dedup sweep — for every truly-similar
+    * cross-snapshot pair (exact shingle Jaccard ≥ 0.5, the capped-
+    * scaffold ground truth q_lsh_recall uses, restricted to odd-vs-even
+    * parity), did `q_cross_snapshot_dedup`'s pair verdicts
+    * ([[graft.sources.SignatureIndex.crossSnapshotPairs]]) report it?
+    * Unlike q_lsh_recall (band-candidate recall of the SESSION index),
+    * this measures the full sweep INCLUDING the signature-agreement
+    * verify (est ≥ 0.5), so it prices both failure modes at once: a
+    * pair no band caught, and a pair the 16-hash estimate pushed below
+    * threshold. Per exact-Jaccard bucket: n_true, n_caught, recall —
+    * read this before trusting an estate sweep to replace a full
+    * re-dedup.
+    *
+    * Scale: truth rides the bounded posting-list scaffold (complete
+    * for J ≥ 0.5 under the declared cap semantics); the sweep leg is
+    * the exchange-free index-to-index band join; the final hit join is
+    * keyed on (similar-pair) ids — nothing quadratic anywhere.
+    */
+  def crossSnapshotRecall(spark: SparkSession, sfDir: String): DataFrame =
+    cappedPairScaffold(spark, sfDir, PairGuardFreqCap) { (pairs, sizes) =>
+      val truth = jaccardFinish(pairs, sizes)
+        .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+        .select(
+          when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b")).as("b_doc"),
+          when(col("doc_a") % 2 === 1, col("doc_b")).otherwise(col("doc_a")).as("a_doc"),
+          col("jaccard"))
+      val (ta, tb) = graft.sources.SignatureIndex.snapshotTables(spark, sfDir)
+      val hits = graft.sources.SignatureIndex.crossSnapshotPairs(spark, ta, tb)
+        .select(col("doc_id").as("b_doc"), col("corpus_doc").as("a_doc"),
+          lit(1L).as("hit"))
+      val bucket = floor(round(col("jaccard") * 10, 6)).cast("long")
+      truth.join(hits, Seq("b_doc", "a_doc"), "left")
+        .select(bucket.as("bucket"), coalesce(col("hit"), lit(0L)).as("hit"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_caught"))
+        .select(col("bucket"),
+          round(col("bucket").cast("double") / 10.0, 6).as("jaccard_lo"),
+          col("n_true"), col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_true").cast("double"), 6)
+            .as("recall"))
+    }
+
+  /** DuckDB mirror: the shingle-pair truth CTEs composed with the
+    * signature/band CTEs of the sweep oracle — `shdoc` is shared, so
+    * the two legs can never disagree on the shingle universe.
+    */
+  val crossSnapshotRecallSql: String =
+    s"""
+    WITH ${shinglePairCtesSql(maxFreq = Some(PairGuardFreqCap))},
+    sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM shdoc),
+    sbands AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    swp AS (
+      SELECT DISTINCT n.doc_id AS b_doc, c.doc_id AS a_doc
+      FROM sbands n JOIN sbands c ON n.band = c.band AND n.bh = c.bh
+      WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= 0.5
+    ),
+    truth AS (
+      SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS b_doc,
+             CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS a_doc,
+             jaccard
+      FROM pairs WHERE doc_a % 2 <> doc_b % 2
+    ),
+    b AS (
+      SELECT CAST(floor(round(jaccard * 10, 6)) AS BIGINT) AS bucket,
+             CASE WHEN s.b_doc IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN swp s ON t.b_doc = s.b_doc AND t.a_doc = s.a_doc
+    )
+    SELECT bucket, round(CAST(bucket AS DOUBLE) / 10.0, 6) AS jaccard_lo,
+           count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_caught,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+    FROM b GROUP BY 1"""
+
   // ---- q_dedup_cost --------------------------------------------------
 
   /** q_dedup_cost: the candidate-volume plan for the shingle equi join

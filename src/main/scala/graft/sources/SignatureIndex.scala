@@ -106,18 +106,29 @@ object SignatureIndex {
     * With both tables written by [[write]] at the same bucket count,
     * the band join plans NO exchange on either side.
     */
-  def crossSnapshotMatches(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Pair-level cross-snapshot matches — every (B doc, A doc) band
+    * candidate whose signature agreement estimates Jaccard ≥ 0.5, one
+    * row per pair. The seam [[crossSnapshotMatches]] aggregates and
+    * the sweep's recall eval ([[graft.pipeline.Dedup
+    * .crossSnapshotRecall]]) joins against, so the eval can never
+    * measure a different verdict than the sweep emits.
+    */
+  def crossSnapshotPairs(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
     val a = spark.table(indexA)
       .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val b = spark.table(indexB)
       .select(col("band"), col("bh"), col("doc_id"), col("sig"))
-    val matches = b.join(a, Seq("band", "bh"))
+    b.join(a, Seq("band", "bh"))
       .select(col("doc_id"), col("corpus_doc"),
         round(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), p => p))
           .cast("double") / lit(16.0), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= MinAgree / 16.0)
       .distinct() // a pair agreeing in several bands emits once
+  }
+
+  def crossSnapshotMatches(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matches = crossSnapshotPairs(spark, indexA, indexB)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("est_jaccard").desc, col("corpus_doc").asc)
     matches

@@ -286,7 +286,8 @@ class PlanSpec extends SparkSpec {
       "q_dedup_ngram", "q_dedup_ngram_capped", "q_containment",
       "q_containment_capped", "q_fuzzy_pairs", "q_lsh_recall",
       "q_dedup_components", "q_canonical_docs", "q_dup_cluster_sizes",
-      "q_dup_quality", "q_dup_degree", "q_minhash_components")
+      "q_dup_quality", "q_dup_degree", "q_minhash_components",
+      "q_cross_snapshot_recall")
     docPairFamily.foreach { name =>
       val p = plan(name)
       def keyNames(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
