@@ -254,4 +254,34 @@ class PropertySpec extends SparkSpec {
       assert(code.getAs[Long]("n_ident") <= n.toLong)
     }
   }
+
+  test("phash index merge == whole-corpus write on arbitrary random corpora") {
+    // the IndexMergeSpec invariant, property-driven: however a corpus
+    // is split into snapshots (including codes shared across EVERY
+    // lane), compacting the per-lane indexes equals indexing the whole
+    // corpus — representative = global min, multiplicities sum, band
+    // rows identical
+    import graft.sources.PhashIndex
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val gen = Gen.zip(Gen.chooseNum(4, 14), Gen.chooseNum(2, 3))
+    forAllSampled(gen, n = 4) { case (nDocs, nLanes) =>
+      val docs = (1 to nDocs).map { i =>
+        // few distinct texts → guaranteed cross-lane code collisions
+        (i.toLong, samples(word, 40 + (i % 3)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val laneNames = (0 until nLanes).map(l => s"prop_ph_$l")
+      laneNames.zipWithIndex.foreach { case (t, l) =>
+        PhashIndex.write(docs.filter(col("doc_id") % nLanes === l), t)
+      }
+      PhashIndex.write(docs, "prop_ph_full")
+      PhashIndex.merge(spark, laneNames, "prop_ph_merged")
+      try {
+        val got = spark.table("prop_ph_merged").collect().map(_.toString).toSet
+        val want = spark.table("prop_ph_full").collect().map(_.toString).toSet
+        assert(got == want,
+          s"merged != full for nDocs=$nDocs nLanes=$nLanes:\n missing=${want -- got}\n extra=${got -- want}")
+      } finally (laneNames :+ "prop_ph_full" :+ "prop_ph_merged")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
