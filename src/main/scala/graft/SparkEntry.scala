@@ -266,6 +266,9 @@ object SparkEntry {
     // end-to-end recall of the persisted-index dedup sweep (bands +
     // signature verify) against the exact-Jaccard capped-scaffold truth
     "q_cross_snapshot_recall" -> (Dedup.crossSnapshotRecall _),
+    // the estate lifecycle's DELETE leg: crawl B expires via the
+    // exchange-free anti join; survivor stats vs the A-only truth
+    "q_sig_retention" -> (graft.sources.SignatureIndex.sigRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +431,7 @@ object SparkEntry {
     "q_phash_estate_merge" -> graft.sources.PhashIndex.phashEstateMergeSql,
     "q_phash_band_stats" -> Multimodal.phashBandStatsSql,
     "q_cross_snapshot_recall" -> Dedup.crossSnapshotRecallSql,
+    "q_sig_retention" -> graft.sources.SignatureIndex.sigRetentionSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -114,6 +114,49 @@ object EmbedIndex {
     writeRanked(union, out, buckets, SaveMode.Overwrite)
   }
 
+  /** RETENTION: delete one snapshot's vectors from a compacted estate
+    * index without re-assignment. Index rows are per-vector facts, so
+    * removal is a LEFT ANTI join on (cell, vec_id) between two
+    * identically-bucketed tables — exchange-free on both sides — and
+    * the per-cell re-rank (ranks must close the gaps the deletions
+    * open, or `rk <= KnnCellCap` would silently shrink the prototypical
+    * core) rides the anti-join's PRESERVED cell partitioning: this is
+    * single-table-derived partitioning through a two-table bucketed
+    * join, the genuine case — not the union lie [[TableUtil.rawTable]]
+    * exists for. Net: expiring a crawl re-shuffles nothing.
+    */
+  def removeSnapshot(spark: SparkSession, estate: String, removed: String,
+      out: String, buckets: Int = 8): Unit = {
+    TableUtil.dropTableAndLocation(spark, out)
+    // (cell, vec_id) is a superset of the bucket key — scope the
+    // subset-co-partition setting exactly like
+    // [[SignatureIndex.removeSnapshot]] (see the comment there), so the
+    // anti join AND the re-rank window both ride the stored bucketing
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val e = spark.table(estate)
+        .select(col("vec_id"), col("cell"), col("d2"), col("embedding"), col("nsq"))
+      val r = spark.table(removed).select(col("cell"), col("vec_id"))
+      val kept = e.join(r, Seq("cell", "vec_id"), "left_anti")
+      val w = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
+      kept
+        .withColumn("rk", row_number().over(w))
+        .select(col("vec_id"), col("cell"), col("rk"), col("d2"),
+          col("embedding"), col("nsq"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(out)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def cosCol(nsqA: Column, nsqB: Column, embA: Column, embB: Column): Column =
     round(Similarity.dot(embA, embB) / sqrt(nsqA * nsqB), 6)
 

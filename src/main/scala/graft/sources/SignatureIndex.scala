@@ -72,6 +72,56 @@ object SignatureIndex {
       .saveAsTable(out)
   }
 
+  /** RETENTION: delete one snapshot's documents from a compacted
+    * estate index without recompaction. Signature band rows are
+    * per-document facts and the estate was built by pure union, so the
+    * removed snapshot's index rows are exactly the rows to delete —
+    * a LEFT ANTI join on (band, bh, doc_id) between two
+    * identically-bucketed tables, which plans NO exchange on either
+    * side (a two-table bucketed join is the supported exchange-free
+    * case; only unions of bucketed scans carry the partitioning lie —
+    * see [[TableUtil.rawTable]]), and the bucketed write rides the
+    * preserved partitioning. Expiring crawl N from a 100 TB estate
+    * costs one co-located pass over the bucket files it shares with
+    * the tombstone — the historical corpus never re-shuffles.
+    *
+    * (The phash index has NO subtractive form on purpose: its rows are
+    * code-group AGGREGATES — summed multiplicities subtract, but the
+    * min-representative does not — so image-side retention is a
+    * [[PhashIndex.merge]] over the remaining snapshot tables.)
+    */
+  def removeSnapshot(spark: SparkSession, estate: String, removed: String,
+      out: String, buckets: Int = 8): Unit = {
+    TableUtil.dropTableAndLocation(spark, out)
+    // the anti-join keys (band, bh, doc_id) are a SUPERSET of the
+    // bucket keys: partitioning on (band, bh) genuinely satisfies
+    // clustering on the superset, but Spark's default
+    // requireAllClusterKeysForCoPartition=true refuses subset
+    // co-partitioning and would disable the bucketed scan and shuffle
+    // BOTH sides — scope the permissive setting to this one write
+    // (IndexMergeSpec asserts the resulting zero-exchange plan)
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val e = spark.table(estate)
+        .select(col("doc_id"), col("sig"), col("band"), col("bh"))
+      val r = spark.table(removed)
+        .select(col("band"), col("bh"), col("doc_id"))
+      e.join(r, Seq("band", "bh", "doc_id"), "left_anti")
+        .select(col("doc_id"), col("sig"), col("band"), col("bh"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .format("parquet")
+        .saveAsTable(out)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stream-static ingest gate against the persisted index: each
     * in-flight document's banded signature rows join the index table
     * and verify by signature agreement — the
@@ -263,10 +313,15 @@ object SignatureIndex {
     * Scale: grouping by a prefix of the bucket key reads the bucket
     * files without an index-side exchange; output is 4 rows.
     */
-  def sigIndexStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = estateTable(spark, sfDir)
-    val buckets = spark.table(t)
-      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+  def sigIndexStats(spark: SparkSession, sfDir: String): DataFrame =
+    bandStatsOf(spark.table(estateTable(spark, sfDir)))
+
+  /** The q_band_stats aggregation over any persisted band index —
+    * shared by the estate and post-retention readouts. Grouping by a
+    * prefix of the bucket key reads the bucket files exchange-free.
+    */
+  private def bandStatsOf(idx: DataFrame): DataFrame = {
+    val buckets = idx.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
     buckets.groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("n")).as("n_postings"),
@@ -276,4 +331,64 @@ object SignatureIndex {
 
   /** DuckDB oracle: the session band-stats truth, verbatim. */
   val sigIndexStatsSql: String = Dedup.bandStatsSql
+
+  // ---- q_sig_retention -------------------------------------------------
+
+  private val retainedTableMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The estate AFTER snapshot B expires: [[removeSnapshot]] applied to
+    * the compacted estate with B's own index as the tombstone set —
+    * written once per (application, dataset), timed into the bench
+    * `artifacts` map.
+    */
+  private[graft] def retainedTable(spark: SparkSession, sfDir: String): String =
+    retainedTableMemo.synchronized {
+      retainedTableMemo.getOrElseUpdate(
+        s"${spark.sparkContext.applicationId}|$sfDir",
+        graft.core.Memo.timed("sig_retained", sfDir) {
+          val (_, tb) = snapshotTables(spark, sfDir)
+          val est = estateTable(spark, sfDir)
+          val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+          val t = s"graft_sig_retained_$sfx"
+          removeSnapshot(spark, est, tb, t)
+          t
+        })
+    }
+
+  /** Test seam ([[resetSnapshotTables]]' contract). */
+  private[graft] def resetRetainedTable(): Unit =
+    retainedTableMemo.synchronized(retainedTableMemo.clear())
+
+  /** q_sig_retention: the estate lifecycle's DELETE leg, gated — crawl
+    * B expires from the compacted estate via the exchange-free anti
+    * join ([[removeSnapshot]]) and the survivor index's band stats must
+    * equal the whole-corpus truth restricted to snapshot A's documents
+    * (the oracle recomputes that restriction from raw text). A single
+    * under- or over-deleted band row anywhere shifts a posting count
+    * and hash-mismatches, so add → compact → expire is now verified
+    * end to end on the same artifact chain.
+    */
+  def sigRetention(spark: SparkSession, sfDir: String): DataFrame =
+    bandStatsOf(spark.table(retainedTable(spark, sfDir)))
+
+  /** DuckDB mirror: [[Dedup.bandStatsSql]]'s pipeline over the
+    * surviving (even-id) documents only.
+    */
+  val sigRetentionSql: String =
+    s"""
+    WITH shdoc0 AS (${Dedup.shingleHashesSql()}),
+    shdoc AS (SELECT * FROM shdoc0 WHERE doc_id % 2 = 0),
+    sigs AS (SELECT doc_id, ${Dedup.sigSqlExpr} AS sig FROM shdoc),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    buckets AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS n FROM bands GROUP BY 1, 2)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_postings,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY 1"""
 }

@@ -51,6 +51,55 @@ class IndexMergeSpec extends SparkSpec {
     } finally dropAll("ims_sig_a", "ims_sig_b", "ims_sig_full", "ims_sig_merged")
   }
 
+  test("signature removal == whole-corpus write of the survivors; anti join exchange-free") {
+    val docs = (1L to 30L).map { i =>
+      (i, (1 to 60).map(j => s"t${(i * 5 + j) % 19}").mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    SignatureIndex.write(docs.filter(col("doc_id") % 2 === 0), "ims_ret_a")
+    SignatureIndex.write(docs.filter(col("doc_id") % 2 === 1), "ims_ret_b")
+    SignatureIndex.merge(spark, Seq("ims_ret_a", "ims_ret_b"), "ims_ret_est")
+    try {
+      // plan shape first: the anti join between the two bucketed tables
+      // must carry no exchange on either side (under the same
+      // subset-co-partition setting removeSnapshot scopes internally)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val anti = spark.table("ims_ret_est")
+          .join(spark.table("ims_ret_b").select(col("band"), col("bh"), col("doc_id")),
+            Seq("band", "bh", "doc_id"), "left_anti")
+        val plan = anti.queryExecution.executedPlan
+        val expanded = plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val ex = expanded.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+        assert(ex.isEmpty, s"retention anti join must plan no exchange:\n$plan")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+      SignatureIndex.removeSnapshot(spark, "ims_ret_est", "ims_ret_b", "ims_ret_out")
+      assert(rows(spark.table("ims_ret_out")) == rows(spark.table("ims_ret_a")),
+        "estate minus snapshot B must equal snapshot A's index row for row")
+    } finally dropAll("ims_ret_a", "ims_ret_b", "ims_ret_est", "ims_ret_out")
+  }
+
+  test("embed removal re-ranks survivors exactly (no re-assignment, closed rank gaps)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 50L).map { i =>
+      val base = if (i % 3 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, base.map(_ + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val centers: IndexedSeq[Array[Double]] =
+      IndexedSeq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    EmbedIndex.write(vecs.filter(col("vec_id") % 2 === 0), "ims_ret_ea", centers)
+    EmbedIndex.write(vecs.filter(col("vec_id") % 2 === 1), "ims_ret_eb", centers)
+    EmbedIndex.merge(spark, Seq("ims_ret_ea", "ims_ret_eb"), "ims_ret_eest")
+    EmbedIndex.removeSnapshot(spark, "ims_ret_eest", "ims_ret_eb", "ims_ret_eout")
+    try {
+      assert(rows(spark.table("ims_ret_eout")) == rows(spark.table("ims_ret_ea")),
+        "estate minus snapshot B must equal snapshot A's index (ranks re-closed)")
+    } finally dropAll("ims_ret_ea", "ims_ret_eb", "ims_ret_eest", "ims_ret_eout")
+  }
+
   test("phash merge re-collapses cross-snapshot code groups to the global representative") {
     val sameText = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
     val otherText = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
