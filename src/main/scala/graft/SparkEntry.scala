@@ -269,6 +269,9 @@ object SparkEntry {
     // the estate lifecycle's DELETE leg: crawl B expires via the
     // exchange-free anti join; survivor stats vs the A-only truth
     "q_sig_retention" -> (graft.sources.SignatureIndex.sigRetention _),
+    // the vector side of the delete leg (anti join + gap-closing
+    // re-rank riding the preserved cell partitioning)
+    "q_embed_retention" -> (graft.sources.EmbedIndex.embedRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,5 +464,6 @@ object SparkEntry {
     graft.sources.EmbedIndex.crossSnapshotEmbedOracleSql
       .map("q_cross_snapshot_embed" -> _) ++
     graft.sources.EmbedIndex.sweepRecallOracleSql.map("q_embed_sweep_recall" -> _) ++
-    graft.sources.EmbedIndex.embedIndexStatsOracleSql.map("q_embed_index_stats" -> _)
+    graft.sources.EmbedIndex.embedIndexStatsOracleSql.map("q_embed_index_stats" -> _) ++
+    graft.sources.EmbedIndex.embedRetentionOracleSql.map("q_embed_retention" -> _)
 }

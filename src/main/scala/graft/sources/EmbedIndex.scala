@@ -453,14 +453,18 @@ object EmbedIndex {
     * bucket key plans no exchange on the index side; the output is one
     * row per cell (≤ IvfCellsMax), never corpus-sized.
     */
-  def embedIndexStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = estateTable(spark, sfDir)
-    spark.table(t)
-      .groupBy(col("cell"))
+  def embedIndexStats(spark: SparkSession, sfDir: String): DataFrame =
+    cellStatsOf(spark.table(estateTable(spark, sfDir)))
+
+  /** The per-cell posting readout over any persisted cell index —
+    * shared by the estate and post-retention gates. Grouping by the
+    * bucket key reads the bucket files exchange-free.
+    */
+  private def cellStatsOf(idx: DataFrame): DataFrame =
+    idx.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("rk") <= Similarity.KnnCellCap, 1L).otherwise(0L)).as("n_core"),
         min(when(col("rk") === 1, col("vec_id"))).as("proto_vec"))
-  }
 
   /** DuckDB oracle for q_embed_index_stats (post-fit): re-rank the
     * whole corpus per estate cell from scratch.
@@ -473,6 +477,61 @@ object EmbedIndex {
       SELECT vec_id, cell,
              row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS rk
       FROM asg
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN rk <= ${Similarity.KnnCellCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+           min(CASE WHEN rk = 1 THEN vec_id END) AS proto_vec
+    FROM rnk GROUP BY 1"""
+    }
+
+  // ---- q_embed_retention ---------------------------------------------------
+
+  private val retainedTableMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The estate AFTER snapshot B expires ([[SignatureIndex
+    * .retainedTable]]'s contract on the vector side): [[removeSnapshot]]
+    * applied to the compacted estate with B's index as the tombstone,
+    * written once per (application, dataset), timed into the bench
+    * `artifacts` map.
+    */
+  private[graft] def retainedTable(spark: SparkSession, sfDir: String): String =
+    retainedTableMemo.synchronized {
+      retainedTableMemo.getOrElseUpdate(
+        s"${spark.sparkContext.applicationId}|$sfDir",
+        graft.core.Memo.timed("embed_retained", sfDir) {
+          val (_, tb) = snapshotTables(spark, sfDir)
+          val est = estateTable(spark, sfDir)
+          val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+          val t = s"graft_embed_retained_$sfx"
+          removeSnapshot(spark, est, tb, t)
+          t
+        })
+    }
+
+  /** Test seam ([[resetSnapshotTables]]' contract). */
+  private[graft] def resetRetainedTable(): Unit =
+    retainedTableMemo.synchronized(retainedTableMemo.clear())
+
+  /** q_embed_retention: the vector side of the estate's DELETE leg,
+    * gated — snapshot B expires via the zero-exchange anti join + gap-
+    * closing re-rank, and the survivor index's per-cell stats must
+    * equal the from-scratch re-rank of snapshot A's vectors alone. A
+    * rank gap left open anywhere shifts `n_core` or `proto_vec` and
+    * hash-mismatches.
+    */
+  def embedRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cellStatsOf(spark.table(retainedTable(spark, sfDir)))
+
+  /** DuckDB oracle (post-fit): per-cell re-rank of the survivors. */
+  def embedRetentionOracleSql: Option[String] =
+    Similarity.estateFrozen.map { centers =>
+      s"""
+    WITH ${assignCtesSql(centers)},
+    rnk AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS rk
+      FROM asg WHERE vec_id % 2 = 0
     )
     SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(CASE WHEN rk <= ${Similarity.KnnCellCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_core,

@@ -21,7 +21,8 @@ class EntryContractSpec extends AnyFunSuite {
       "q_hard_negatives", "q_bpe_train", "q_knn_graph", "q_quality_calibration",
       "q_bpe_vocab", "q_ivf_stats",
       // estate-codebook (post-fit) oracles, the same frozen-fit contract
-      "q_cross_snapshot_embed", "q_embed_sweep_recall", "q_embed_index_stats")),
+      "q_cross_snapshot_embed", "q_embed_sweep_recall", "q_embed_index_stats",
+      "q_embed_retention")),
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
   }
 
@@ -31,7 +32,7 @@ class EntryContractSpec extends AnyFunSuite {
     // static oracle accidentally demoted to the post-fit path, where
     // the driver would silently lose its gate whenever the fit never
     // runs in the dumping JVM
-    val postFit = 22
+    val postFit = 23
     assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - postFit,
       s"${SparkEntry.queries.size - SparkEntry.oracleSql.size} queries lack a static oracle " +
         s"(> $postFit post-fit allowance)")
