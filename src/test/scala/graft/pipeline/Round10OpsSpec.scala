@@ -262,4 +262,42 @@ class Round10OpsSpec extends SparkSpec {
     // the windows tile the split with no gap and no overlap
     assert((batch(0) ++ batch(1) ++ batch(2)) == ids.filter(_ % 5 == 0).toSet)
   }
+
+  test("cross-snapshot recall eval: planted near-identical pair caught; invariants hold") {
+    import org.apache.spark.sql.functions._
+    Dedup.resetClusterMemo()
+    graft.sources.SignatureIndex.resetSnapshotTables()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("csr10").toString
+      def txt(base: String, edit: Int = -1) =
+        (1 to 50).map(i => if (i == edit) "edited" else s"$base$i").mkString(" ")
+      // 2/3: an identical cross-parity pair (J = 1.0 — any sane sweep
+      // catches it); 4/5: a one-token edit (J well above 0.5); plus
+      // unrelated docs on both parities
+      Seq(
+        (2L, txt("p"), "s"), (3L, txt("p"), "s"),
+        (4L, txt("q"), "s"), (5L, txt("q", 25), "s"),
+        (6L, txt("r"), "s"), (7L, txt("z"), "s"),
+      ).toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Dedup.crossSnapshotRecall(spark, dir).collect()
+        .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("n_caught"), r.getAs[Double]("recall")))
+      // structural invariants: buckets only in the >= 0.5 regime,
+      // caught never exceeds truth, recall consistent
+      got.foreach { case (bk, nt, nc, rec) =>
+        assert(bk >= 5 && bk <= 10, s"bucket $bk outside the J >= 0.5 regime")
+        assert(nc <= nt, s"caught $nc exceeds truth $nt in bucket $bk")
+        assert(math.abs(rec - nc.toDouble / nt) < 1e-6)
+      }
+      // the identical pair is truth in bucket 10 and the sweep caught it
+      val b10 = got.find(_._1 == 10L)
+      assert(b10.exists(b => b._2 >= 1 && b._3 >= 1),
+        s"identical cross-parity pair must be caught at J = 1.0: ${got.toSeq}")
+    } finally {
+      Dedup.resetClusterMemo()
+      graft.sources.SignatureIndex.resetSnapshotTables()
+      spark.catalog.clearCache()
+    }
+  }
 }
