@@ -272,6 +272,9 @@ object SparkEntry {
     // the vector side of the delete leg (anti join + gap-closing
     // re-rank riding the preserved cell partitioning)
     "q_embed_retention" -> (graft.sources.EmbedIndex.embedRetention _),
+    // the image sweep's recall eval (banded verdicts vs the declared
+    // capped brute-force Hamming truth over sampled B representatives)
+    "q_phash_sweep_recall" -> (graft.sources.PhashIndex.phashSweepRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -435,6 +438,7 @@ object SparkEntry {
     "q_phash_band_stats" -> Multimodal.phashBandStatsSql,
     "q_cross_snapshot_recall" -> Dedup.crossSnapshotRecallSql,
     "q_sig_retention" -> graft.sources.SignatureIndex.sigRetentionSql,
+    "q_phash_sweep_recall" -> graft.sources.PhashIndex.phashSweepRecallSql,
   ) ++
     // frozen-centroid oracles: present once the corresponding query has
     // run in this JVM (Verify runs every query before dumping

@@ -106,17 +106,26 @@ object PhashIndex {
     * both tables written by [[write]] at the same bucket count, the
     * band join plans NO exchange on either side.
     */
-  def crossSnapshotMatches(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Pair-level cross-snapshot matches — every (B rep, A rep) band
+    * candidate within Hamming [[Multimodal.PhashRadius]], one row per
+    * pair. The seam [[crossSnapshotMatches]] aggregates and the
+    * sweep's recall eval ([[phashSweepRecall]]) joins against.
+    */
+  def crossSnapshotPairs(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
     val a = spark.table(indexA)
       .select(col("band"), col("bv"), col("rep").as("corpus_rep"), col("phash").as("phash_c"))
     val b = spark.table(indexB)
       .select(col("band"), col("bv"), col("rep"), col("phash"), col("n_members"))
-    val matches = b.join(a, Seq("band", "bv"))
+    b.join(a, Seq("band", "bv"))
       .select(col("rep"), col("n_members"), col("corpus_rep"),
         bit_count(col("phash").bitwiseXOR(col("phash_c"))).cast("int").as("hamming"))
       .filter(col("hamming") <= Multimodal.PhashRadius)
       .distinct() // a pair agreeing in several bands emits once
+  }
+
+  def crossSnapshotMatches(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matches = crossSnapshotPairs(spark, indexA, indexB)
     val w = Window.partitionBy(col("rep"))
       .orderBy(col("hamming").asc, col("corpus_rep").asc)
     matches
@@ -279,4 +288,87 @@ object PhashIndex {
     WITH ${Multimodal.phashCodeCtesSql}
     SELECT min(asset_id) AS rep, phash, CAST(count(*) AS BIGINT) AS n_members
     FROM code GROUP BY phash"""
+
+  // ---- q_phash_sweep_recall --------------------------------------------
+
+  /** Sampled B representatives (every 10th odd rep id below the fixed
+    * ceiling — ≤ 100 probes at any estate size), the q_ann_recall /
+    * q_phash_recall declared-cap contract for the truth leg's
+    * broadcast nested-loop join.
+    */
+  private val SweepProbeMod = 10
+  private val SweepProbeMax = 1000L
+
+  /** q_phash_sweep_recall: the IMAGE sweep's recall eval, completing
+    * the every-sweep-ships-its-eval rule across all three modalities
+    * (text `q_cross_snapshot_recall`, vector `q_embed_sweep_recall`).
+    * For each sampled B representative, the truth leg is the
+    * brute-force set of A representatives within Hamming
+    * [[Multimodal.PhashRadius]] (broadcast NLJ over the bounded
+    * probe set), and the approx leg is the sweep's own banded pair
+    * verdicts. The 11+11+10 pigeonhole makes the band join COMPLETE
+    * within radius 2, so recall < 1 here isolates exactly one cause —
+    * a band-bucket effect — which is what an estate operator needs to
+    * see before widening bands or raising the cap.
+    */
+  def phashSweepRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, tb) = snapshotTables(spark, sfDir)
+    val probes = spark.table(tb).filter(col("band") === 0)
+      .filter(col("rep") % SweepProbeMod === 1 && col("rep") < SweepProbeMax)
+      .select(col("rep").as("q_rep"), col("phash").as("q_code"))
+    val aReps = spark.table(ta).filter(col("band") === 0)
+      .select(col("rep").as("a_rep"), col("phash").as("a_code"))
+    val truth = broadcast(probes).join(aReps)
+      .select(col("q_rep"), col("a_rep"),
+        bit_count(col("q_code").bitwiseXOR(col("a_code"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashRadius)
+    val hits = crossSnapshotPairs(spark, ta, tb)
+      .filter(col("rep") % SweepProbeMod === 1 && col("rep") < SweepProbeMax)
+      .select(col("rep").as("q_rep"), col("corpus_rep").as("a_rep"), lit(1L).as("hit"))
+    truth.join(hits, Seq("q_rep", "a_rep"), "left")
+      .groupBy(col("q_rep"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_rep"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+  }
+
+  /** DuckDB mirror: per-parity representative groups, brute-force
+    * Hamming truth over the sampled probes, banded sweep hits.
+    */
+  val phashSweepRecallSql: String =
+    s"""
+    WITH ${Multimodal.phashCodeCtesSql},
+    ga AS (SELECT phash, min(asset_id) AS rep FROM code WHERE asset_id % 2 = 0 GROUP BY 1),
+    gb AS (SELECT phash, min(asset_id) AS rep FROM code WHERE asset_id % 2 = 1 GROUP BY 1),
+    probes AS (
+      SELECT rep AS q_rep, phash AS q_code FROM gb
+      WHERE rep % $SweepProbeMod = 1 AND rep < $SweepProbeMax
+    ),
+    truth AS (
+      SELECT p.q_rep, a.rep AS a_rep,
+             CAST(bit_count(xor(p.q_code, a.phash)) AS INT) AS hamming
+      FROM probes p CROSS JOIN ga a
+      WHERE bit_count(xor(p.q_code, a.phash)) <= ${Multimodal.PhashRadius}
+    ),
+    ba AS (
+      SELECT rep, phash, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
+      FROM ga CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    bb AS (
+      SELECT rep, phash, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
+      FROM gb CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    hits AS (
+      SELECT DISTINCT bb.rep AS q_rep, ba.rep AS a_rep
+      FROM bb JOIN ba ON bb.band = ba.band AND bb.bv = ba.bv
+      WHERE bit_count(xor(bb.phash, ba.phash)) <= ${Multimodal.PhashRadius}
+        AND bb.rep % $SweepProbeMod = 1 AND bb.rep < $SweepProbeMax
+    )
+    SELECT t.q_rep, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN h.a_rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(SUM(CASE WHEN h.a_rep IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall
+    FROM truth t LEFT JOIN hits h ON t.q_rep = h.q_rep AND t.a_rep = h.a_rep
+    GROUP BY 1"""
 }

@@ -136,7 +136,7 @@ class PlanSpec extends SparkSpec {
     // bounded every-20th-id sample (the declared capped baseline —
     // every index's recall eval carries one)
     val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall", "q_ann_lsh_recall",
-      "q_phash_recall", "q_embed_sweep_recall")
+      "q_phash_recall", "q_embed_sweep_recall", "q_phash_sweep_recall")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot { j =>
