@@ -300,4 +300,32 @@ class Round10OpsSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("image sweep recall eval: planted identical cross-parity pair caught") {
+    import org.apache.spark.sql.functions._
+    Multimodal.resetPhashMemo()
+    graft.sources.PhashIndex.resetSnapshotTables()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("psr10").toString
+      val same = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+      val other = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
+      val novel = (1 to 80).map(i => if (i % 2 == 0) "qq" else s"r$i").mkString(" ")
+      // asset 11 is an in-sample probe (11 % 10 == 1 < 1000) whose
+      // payload is byte-identical to estate asset 2's: truth = one A
+      // rep at Hamming 0, which the banded sweep must catch
+      Seq((2L, same, "s"), (4L, other, "s"), (11L, same, "s"), (13L, novel, "s"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.sources.PhashIndex.phashSweepRecall(spark, dir).collect()
+        .map(r => (r.getAs[Long]("q_rep"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
+      assert(got.exists(g => g._1 == 11L && g._2 >= 1 && g._3 == g._2 && g._4 == 1.0),
+        s"probe 11's identical estate twin must be caught at recall 1.0: ${got.toSeq}")
+      got.foreach { case (_, nt, nh, _) => assert(nh <= nt) }
+    } finally {
+      Multimodal.resetPhashMemo()
+      graft.sources.PhashIndex.resetSnapshotTables()
+      spark.catalog.clearCache()
+    }
+  }
 }
