@@ -110,13 +110,38 @@ object PhashIndex {
     * candidate within Hamming [[Multimodal.PhashRadius]], one row per
     * pair. The seam [[crossSnapshotMatches]] aggregates and the
     * sweep's recall eval ([[phashSweepRecall]]) joins against.
+    *
+    * Bucket-capped like every other phash pair source: identical codes
+    * are already one representative, but a SATURATED band pattern (the
+    * aHash stop-shingle — e.g. an all-dark band shared by thousands of
+    * DISTINCT codes) would still make the bucket join |A|·|B| there,
+    * so a (band, bv) bucket whose representative count exceeds
+    * [[Multimodal.PhashBucketCap]] on EITHER side is dropped before
+    * the join — the [[graft.streaming.PhashState]] /
+    * [[Multimodal.repPairsOfReps]] declared-cap semantics, mirrored in
+    * the oracle (non-binding on every gate corpus). Bucket counts
+    * group by the bucket key itself, so both count passes read the
+    * bucket files exchange-free.
     */
-  def crossSnapshotPairs(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
+  def crossSnapshotPairs(spark: SparkSession, indexA: String, indexB: String): DataFrame =
+    crossSnapshotPairsCapped(spark, indexA, indexB, Multimodal.PhashBucketCap)
+
+  /** [[crossSnapshotPairs]] with an explicit cap — the spec seam
+    * ([[Multimodal.repPairsOfReps]]' contract), so tests can plant hot
+    * buckets small enough to bind.
+    */
+  private[graft] def crossSnapshotPairsCapped(spark: SparkSession, indexA: String,
+      indexB: String, cap: Int): DataFrame = {
+    def cool(table: String) = spark.table(table)
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= cap).select(col("band"), col("bv"))
+    val keep = cool(indexA).join(cool(indexB), Seq("band", "bv"), "left_semi")
     val a = spark.table(indexA)
       .select(col("band"), col("bv"), col("rep").as("corpus_rep"), col("phash").as("phash_c"))
     val b = spark.table(indexB)
       .select(col("band"), col("bv"), col("rep"), col("phash"), col("n_members"))
-    b.join(a, Seq("band", "bv"))
+    b.join(broadcast(keep), Seq("band", "bv"), "left_semi")
+      .join(a, Seq("band", "bv"))
       .select(col("rep"), col("n_members"), col("corpus_rep"),
         bit_count(col("phash").bitwiseXOR(col("phash_c"))).cast("int").as("hamming"))
       .filter(col("hamming") <= Multimodal.PhashRadius)
@@ -217,10 +242,16 @@ object PhashIndex {
       SELECT rep, phash, n_members, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
       FROM gb CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
     ),
+    keepbk AS (
+      SELECT band, bv FROM ba GROUP BY 1, 2 HAVING count(*) <= ${Multimodal.PhashBucketCap}
+      INTERSECT
+      SELECT band, bv FROM bb GROUP BY 1, 2 HAVING count(*) <= ${Multimodal.PhashBucketCap}
+    ),
     m AS (
       SELECT DISTINCT bb.rep, bb.n_members, ba.rep AS corpus_rep,
              CAST(bit_count(xor(bb.phash, ba.phash)) AS INT) AS hamming
       FROM bb JOIN ba ON bb.band = ba.band AND bb.bv = ba.bv
+      JOIN keepbk k ON bb.band = k.band AND bb.bv = k.bv
       WHERE bit_count(xor(bb.phash, ba.phash)) <= ${Multimodal.PhashRadius}
     ),
     ranked AS (
@@ -359,9 +390,15 @@ object PhashIndex {
       SELECT rep, phash, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
       FROM gb CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
     ),
+    keepbk AS (
+      SELECT band, bv FROM ba GROUP BY 1, 2 HAVING count(*) <= ${Multimodal.PhashBucketCap}
+      INTERSECT
+      SELECT band, bv FROM bb GROUP BY 1, 2 HAVING count(*) <= ${Multimodal.PhashBucketCap}
+    ),
     hits AS (
       SELECT DISTINCT bb.rep AS q_rep, ba.rep AS a_rep
       FROM bb JOIN ba ON bb.band = ba.band AND bb.bv = ba.bv
+      JOIN keepbk k ON bb.band = k.band AND bb.bv = k.bv
       WHERE bit_count(xor(bb.phash, ba.phash)) <= ${Multimodal.PhashRadius}
         AND bb.rep % $SweepProbeMod = 1 AND bb.rep < $SweepProbeMax
     )

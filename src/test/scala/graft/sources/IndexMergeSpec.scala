@@ -100,6 +100,38 @@ class IndexMergeSpec extends SparkSpec {
     } finally dropAll("ims_ret_ea", "ims_ret_eb", "ims_ret_eest", "ims_ret_eout")
   }
 
+  test("sweep bucket cap: pairs reachable only through a saturated band pattern are dropped") {
+    import graft.pipeline.Multimodal
+    // 20 DISTINCT codes per side sharing band-0 value 5 and band-2
+    // value 0 (two saturated patterns); each B code is its A twin with
+    // bit 16 flipped (Hamming 1, inside the radius), and the flip
+    // pushes B's band-1 value outside A's band-1 set — so every pair
+    // is reachable ONLY through the two hot buckets. A binding cap
+    // must drop them all; the production cap (1024) keeps them all.
+    val codesA = (1 to 20).map(k => (2L * k, 5L + (k.toLong << 11)))
+      .toDF("asset_id", "phash")
+    val codesB = (1 to 20).map(k => (2L * k + 1, (5L + (k.toLong << 11)) ^ (1L << 16)))
+      .toDF("asset_id", "phash")
+    PhashIndex.writeCodes(codesA, "ims_cap_a")
+    PhashIndex.writeCodes(codesB, "ims_cap_b")
+    try {
+      val capped = PhashIndex
+        .crossSnapshotPairsCapped(spark, "ims_cap_a", "ims_cap_b", cap = 8).count()
+      assert(capped == 0L,
+        s"a cap of 8 must drop the 20-rep hot buckets entirely, got $capped pairs")
+      // Hamming(A_j, B_k) = popcount(j ^ k) + 1, so the full pair set
+      // is every (j, k) with popcount(j ^ k) <= 1 (the k = j twins plus
+      // power-of-two neighbors)
+      val expected = (for { k <- 1 to 20; j <- 1 to 20
+        if java.lang.Integer.bitCount(j ^ k) <= 1 } yield 1).size.toLong
+      val uncapped = PhashIndex
+        .crossSnapshotPairsCapped(spark, "ims_cap_a", "ims_cap_b",
+          cap = Multimodal.PhashBucketCap).count()
+      assert(uncapped == expected,
+        s"the production cap is non-binding at 20 reps: expected $expected pairs, got $uncapped")
+    } finally dropAll("ims_cap_a", "ims_cap_b")
+  }
+
   test("phash merge re-collapses cross-snapshot code groups to the global representative") {
     val sameText = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
     val otherText = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
