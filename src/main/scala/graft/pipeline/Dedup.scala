@@ -796,9 +796,15 @@ object Dedup {
              md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
       FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
     ),
+    keepbh AS (
+      SELECT band, bh FROM sbands WHERE doc_id % 2 = 0 GROUP BY 1, 2 HAVING count(*) <= $MinhashBucketCap
+      INTERSECT
+      SELECT band, bh FROM sbands WHERE doc_id % 2 = 1 GROUP BY 1, 2 HAVING count(*) <= $MinhashBucketCap
+    ),
     swp AS (
       SELECT DISTINCT n.doc_id AS b_doc, c.doc_id AS a_doc
       FROM sbands n JOIN sbands c ON n.band = c.band AND n.bh = c.bh
+      JOIN keepbh k ON n.band = k.band AND n.bh = k.bh
       WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
         AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= 0.5
     ),

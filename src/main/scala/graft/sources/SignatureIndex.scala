@@ -162,13 +162,32 @@ object SignatureIndex {
     * the sweep's recall eval ([[graft.pipeline.Dedup
     * .crossSnapshotRecall]]) joins against, so the eval can never
     * measure a different verdict than the sweep emits.
+    *
+    * Bucket-capped like the session LSH path ([[graft.pipeline.Dedup
+    * .MinhashBucketCap]], the PhashIndex sweep's contract): a (band,
+    * bh) bucket is a full 4-hash agreement — its members are almost
+    * certainly one near-dup mega-cluster — but C(n, 2) is quadratic
+    * whether or not the pairs are genuine, so a bucket exceeding the
+    * cap on either side drops before the join (declared semantics,
+    * mirrored in both oracles; non-binding on every gate corpus). The
+    * guard counts group by the bucket key — exchange-free reads.
     */
-  def crossSnapshotPairs(spark: SparkSession, indexA: String, indexB: String): DataFrame = {
+  def crossSnapshotPairs(spark: SparkSession, indexA: String, indexB: String): DataFrame =
+    crossSnapshotPairsCapped(spark, indexA, indexB, Dedup.MinhashBucketCap)
+
+  /** [[crossSnapshotPairs]] with an explicit cap — the spec seam. */
+  private[graft] def crossSnapshotPairsCapped(spark: SparkSession, indexA: String,
+      indexB: String, cap: Long): DataFrame = {
+    def cool(table: String) = spark.table(table)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= cap).select(col("band"), col("bh"))
+    val keep = cool(indexA).join(cool(indexB), Seq("band", "bh"), "left_semi")
     val a = spark.table(indexA)
       .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val b = spark.table(indexB)
       .select(col("band"), col("bh"), col("doc_id"), col("sig"))
-    b.join(a, Seq("band", "bh"))
+    b.join(broadcast(keep), Seq("band", "bh"), "left_semi")
+      .join(a, Seq("band", "bh"))
       .select(col("doc_id"), col("corpus_doc"),
         round(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), p => p))
           .cast("double") / lit(16.0), 6).as("est_jaccard"))
@@ -258,10 +277,16 @@ object SignatureIndex {
              md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
       FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
     ),
+    keepbh AS (
+      SELECT band, bh FROM bands WHERE doc_id % 2 = 0 GROUP BY 1, 2 HAVING count(*) <= ${Dedup.MinhashBucketCap}
+      INTERSECT
+      SELECT band, bh FROM bands WHERE doc_id % 2 = 1 GROUP BY 1, 2 HAVING count(*) <= ${Dedup.MinhashBucketCap}
+    ),
     matches AS (
       SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc,
              round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) AS est_jaccard
       FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+      JOIN keepbh k ON n.band = k.band AND n.bh = k.bh
       WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
         AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= ${MinAgree / 16.0}
     ),
