@@ -44,8 +44,11 @@ private[sources] object TableUtil {
     */
   def rawTable(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
-    spark.read.parquet(loc.toString)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    // the catalog schema, not inference: an EMPTY snapshot lane (a
+    // crawl that matched nothing) has a location with no parquet files,
+    // and schema inference would fail where the catalog knows the shape
+    spark.read.schema(meta.schema).parquet(meta.location.toString)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -97,6 +97,25 @@ class IndexMergeSpec extends SparkSpec {
     try {
       assert(rows(spark.table("ims_ret_eout")) == rows(spark.table("ims_ret_ea")),
         "estate minus snapshot B must equal snapshot A's index (ranks re-closed)")
+      // plan shape: the anti join AND the gap-closing re-rank window
+      // both ride the stored cell bucketing — zero exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val kept = spark.table("ims_ret_eest")
+          .join(spark.table("ims_ret_eb").select(col("cell"), col("vec_id")),
+            Seq("cell", "vec_id"), "left_anti")
+        val w = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
+        val ranked = kept.withColumn("rk2", org.apache.spark.sql.functions.row_number().over(w))
+        val plan = ranked.queryExecution.executedPlan
+        val expanded = plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val ex = expanded.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+        assert(ex.isEmpty, s"embed retention must plan no exchange:\n$plan")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
     } finally dropAll("ims_ret_ea", "ims_ret_eb", "ims_ret_eest", "ims_ret_eout")
   }
 
@@ -155,6 +174,20 @@ class IndexMergeSpec extends SparkSpec {
       assert(shared.toSeq == Seq(5L),
         s"cross-snapshot group must re-collapse to rep 2 with multiplicity 5: ${shared.toSeq}")
     } finally dropAll("ims_ph_a", "ims_ph_b", "ims_ph_full", "ims_ph_merged")
+  }
+
+  test("merge tolerates an empty snapshot lane (catalog schema, not file inference)") {
+    import graft.pipeline.Multimodal
+    val docs = Seq((2L, (1 to 60).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    // lane B matches nothing: its index table has a location with zero
+    // parquet files — the raw read must come from the catalog schema
+    PhashIndex.write(docs, "ims_empty_a")
+    PhashIndex.write(docs.filter(col("doc_id") < 0), "ims_empty_b")
+    PhashIndex.merge(spark, Seq("ims_empty_a", "ims_empty_b"), "ims_empty_m")
+    try {
+      assert(rows(spark.table("ims_empty_m")) == rows(spark.table("ims_empty_a")),
+        "merging with an empty lane must equal the non-empty lane")
+    } finally dropAll("ims_empty_a", "ims_empty_b", "ims_empty_m")
   }
 
   test("embed merge re-ranks interleaved cells exactly; no re-assignment needed") {
