@@ -37,6 +37,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // fixed-cost CANARY: one unchanging scan+shuffle plan, timed after
+    // the session is warm. Its wall-clock depends only on ambient host
+    // load, so a round record whose canary is well above the committed
+    // history's (~uniform slowdown) self-identifies as GLOBALLY
+    // contended — the failure mode the per-query median/min detector is
+    // blind to (every run equally inflated; r10 post-mortem). Timed at
+    // bench start AND end; `canary_sec` is the min of the two.
+    def canary(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)), sum(col("l_quantity"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // warm-up: touch the fact table and exercise shuffle + codegen paths
     {
       import org.apache.spark.sql.functions._
@@ -58,6 +74,8 @@ object Bench {
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+
+    val canaryStart = canary()
 
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
     // those queries (and suppresses the per-round artifact copies and the
@@ -132,8 +150,15 @@ object Bench {
       "\"" + n + "\":" + fmt(s)
     }.mkString("{", ",", "}")
     val artifactsTotal = graft.core.Memo.buildLog.values.sum
+    val canaryEnd = canary()
+    // block-manager bytes the memo estate pins at run end — the
+    // bounded-LRU contract as a number in the round record
+    val memoBytes = graft.core.Memo.storageBytes(spark)
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
       s""""total_min":${fmt(totalMin)},"artifacts_total":${fmt(artifactsTotal)},""" +
+      s""""canary_sec":${fmt(math.min(canaryStart, canaryEnd))},""" +
+      s""""canary_start_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
+      s""""memo_storage_bytes":$memoBytes,""" +
       s""""artifacts":$artifacts,"queries":$qs,"queries_min":$qsMin,""" +
       s""""contended":$contended,"queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     // Persist the full result set twice: the driver's stdout tail is
@@ -168,8 +193,7 @@ object Bench {
         def med3(nTopics: Int) = {
           val rs = Seq.fill(3)(
             StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics))
-          val med = rs.sortBy(_.msgsPerSec).apply(1)
-          s"""{"median":${med.json},"runs":[${rs.map(_.json).mkString(",")}]}"""
+          StreamBench.summaryJson(rs)
         }
         s"""{"topics_2":${med3(0)},"topics_100":${med3(100)}}"""
       } catch { case e: Throwable =>

@@ -244,6 +244,10 @@ object SparkEntry {
     // the streaming keep-list ingest gate's code path, hash-gated
     // (batch execution of the identical stream plan)
     "q_ingest_gate" -> (graft.streaming.IngestGate.ingestGateQuery _),
+    // the image and vector ingest gates, hash-gated the same way —
+    // every index's LIVE gate is driver-gated, not spec-only
+    "q_phash_ingest_gate" -> (graft.sources.PhashIndex.phashIngestGate _),
+    "q_embed_ingest_gate" -> (graft.sources.EmbedIndex.embedIngestGate _),
     // incremental cluster maintenance: merge the new snapshot into the
     // existing component state via the quotient graph (history never
     // re-enters the propagation loop); oracle recomputes from scratch
@@ -431,6 +435,7 @@ object SparkEntry {
     "q_cross_snapshot_phash" -> graft.sources.PhashIndex.crossSnapshotPhashSql,
     "q_phash_recall" -> Multimodal.phashRecallSql,
     "q_ingest_gate" -> graft.streaming.IngestGate.ingestGateSql,
+    "q_phash_ingest_gate" -> graft.sources.PhashIndex.phashIngestGateSql,
     "q_components_incremental" -> Dedup.componentsIncrementalSql,
     "q_phash_incremental" -> Multimodal.phashIncrementalSql,
     "q_sig_index_stats" -> graft.sources.SignatureIndex.sigIndexStatsSql,
@@ -469,5 +474,6 @@ object SparkEntry {
       .map("q_cross_snapshot_embed" -> _) ++
     graft.sources.EmbedIndex.sweepRecallOracleSql.map("q_embed_sweep_recall" -> _) ++
     graft.sources.EmbedIndex.embedIndexStatsOracleSql.map("q_embed_index_stats" -> _) ++
-    graft.sources.EmbedIndex.embedRetentionOracleSql.map("q_embed_retention" -> _)
+    graft.sources.EmbedIndex.embedRetentionOracleSql.map("q_embed_retention" -> _) ++
+    graft.sources.EmbedIndex.embedIngestGateOracleSql.map("q_embed_ingest_gate" -> _)
 }

@@ -69,6 +69,18 @@ final class Memo(val name: String, val maxEntries: Int = 4) {
     entries.valuesIterator.foreach(Memo.release)
     entries.clear()
   }
+
+  /** Ids of the checkpointed RDDs currently pinned by this memo's
+    * entries (the blocks [[Memo.storageBytes]] attributes to the memo
+    * estate).
+    */
+  private[core] def rddIds: Set[Int] = synchronized {
+    entries.valuesIterator.flatMap { df =>
+      try df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      } catch { case _: Throwable => Nil }
+    }.toSet
+  }
 }
 
 object Memo {
@@ -109,6 +121,18 @@ object Memo {
     * caller's "done with these datasets" hook.
     */
   def releaseAll(): Unit = all.values.foreach(_.clear())
+
+  /** Block-manager bytes (memory + disk) currently pinned by memo
+    * entries — the OBSERVABLE form of the bounded-LRU contract: the
+    * bench reports it at run end, so "a long session's memo estate
+    * stays bounded" is a number in every round record, not a claim.
+    */
+  def storageBytes(spark: org.apache.spark.sql.SparkSession): Long = {
+    val ids = all.values.flatMap(_.rddIds).toSet
+    spark.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+  }
 
   /** Best-effort release of a checkpointed relation's storage: unpersist
     * the checkpointed RDDs inside the plan (an eager `localCheckpoint`

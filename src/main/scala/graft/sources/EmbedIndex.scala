@@ -538,4 +538,39 @@ object EmbedIndex {
            min(CASE WHEN rk = 1 THEN vec_id END) AS proto_vec
     FROM rnk GROUP BY 1"""
     }
+
+  // ---- q_embed_ingest_gate -------------------------------------------------
+
+  /** q_embed_ingest_gate: the VECTOR ingest gate as a GATED query —
+    * the `q_ingest_gate` pattern applied to [[ingestStream]]: the
+    * odd-id half of the embedding corpus "arrives" against the even-id
+    * snapshot's persisted cell index (the SAME table
+    * `q_cross_snapshot_embed` maintains), each in-flight vector
+    * assigning to its estate cell inline (the literal-codebook codegen
+    * argmin — exactly what the stream runs per trigger) and verifying
+    * by exact cosine against the rk-capped prototypical core. Batch
+    * execution of the identical stream plan (EmbedIndexSpec separately
+    * pins stream == batch), so the vector gate is hash-gated, not
+    * spec-only.
+    */
+  def embedIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, _) = snapshotTables(spark, sfDir)
+    val centers = Similarity.estateCenters(spark, sfDir)
+    val arriving = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    ingestStream(arriving, ta, centers)
+  }
+
+  /** DuckDB oracle for q_embed_ingest_gate (post-fit): the shared
+    * estate-assignment CTEs' `pairs` relation IS the gate's contract —
+    * odd vectors against the even side's rk-capped core, cosine ≥
+    * [[Tau]].
+    */
+  def embedIngestGateOracleSql: Option[String] =
+    Similarity.estateFrozen.map { centers =>
+      s"""
+    WITH ${estateAssignCtesSql(centers)}
+    SELECT vec_id, corpus_vec, cos FROM pairs"""
+    }
 }

@@ -408,4 +408,58 @@ object PhashIndex {
                  / count(*), 6) AS recall
     FROM truth t LEFT JOIN hits h ON t.q_rep = h.q_rep AND t.a_rep = h.a_rep
     GROUP BY 1"""
+
+  // ---- q_phash_ingest_gate -----------------------------------------------
+
+  /** q_phash_ingest_gate: the IMAGE ingest gate as a GATED query — the
+    * `q_ingest_gate` pattern ([[graft.streaming.IngestGate
+    * .ingestGateQuery]]) applied to [[ingestStream]]: the odd-id half
+    * of the asset corpus "arrives" against the even-id snapshot's
+    * persisted band index (the SAME table `q_cross_snapshot_phash`
+    * maintains — one artifact, two consumers) and each in-flight asset
+    * reports every estate representative within Hamming
+    * [[Multimodal.PhashRadius]]. Batch execution of the identical
+    * stream plan (PhashIndexSpec separately pins stream == batch), so
+    * the image gate is hash-gated, not spec-only. DISTINCT is the
+    * documented consumer contract (an asset matching in several bands
+    * emits once per band).
+    */
+  def phashIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, _) = snapshotTables(spark, sfDir)
+    val arriving = graft.queries.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+    ingestStream(arriving, ta).distinct()
+  }
+
+  /** The gate oracle's CTE body (ending at the match relation `pim`)
+    * — shared verbatim by [[phashIngestGateSql]] and the composed
+    * estate-admission oracle, so the two can never drift on the image
+    * rules: per-asset band rows of the odd half (the stream side bands
+    * each asset individually — no representative collapse at ingest)
+    * against the even side's representative band index.
+    */
+  private[graft] val phashIngestCtesSql: String =
+    s"""${Multimodal.phashCodeCtesSql},
+    ga AS (SELECT phash, min(asset_id) AS rep FROM code WHERE asset_id % 2 = 0 GROUP BY 1),
+    ba AS (
+      SELECT rep, phash, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
+      FROM ga CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    ),
+    nb AS (
+      SELECT asset_id, phash, b.band, ${Multimodal.phashBandCaseSql("phash")} AS bv
+      FROM code CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+      WHERE asset_id % 2 = 1
+    ),
+    pim AS (
+      SELECT DISTINCT nb.asset_id, ba.rep AS corpus_rep,
+             CAST(bit_count(xor(nb.phash, ba.phash)) AS INT) AS hamming
+      FROM nb JOIN ba ON nb.band = ba.band AND nb.bv = ba.bv
+      WHERE bit_count(xor(nb.phash, ba.phash)) <= ${Multimodal.PhashRadius}
+    )"""
+
+  /** DuckDB mirror of [[phashIngestGate]]. */
+  val phashIngestGateSql: String =
+    s"""
+    WITH $phashIngestCtesSql
+    SELECT asset_id, corpus_rep, hamming FROM pim"""
 }

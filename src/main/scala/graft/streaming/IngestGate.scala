@@ -159,14 +159,15 @@ object IngestGate {
       corpusIdx).toDF()
   }
 
-  /** DuckDB mirror: the curate rule expressions + the corpus keeper
-    * map + the cross-snapshot signature match, collapsed with the
-    * gate's first-failure precedence.
+  /** The gate oracle's CTE body (ending at the per-doc verdict
+    * relation `v`) — shared verbatim by [[ingestGateSql]] and the
+    * composed estate-admission oracle
+    * ([[estateAdmissionOracleSql]]), so the two can never drift on
+    * the text rules.
     */
-  val ingestGateSql: String = {
+  private[graft] val ingestGateCtesSql: String = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
-    s"""
-    WITH shdoc AS (${Dedup.shingleHashesSql()}),
+    s"""shdoc AS (${Dedup.shingleHashesSql()}),
     sigs AS (SELECT doc_id, ${Dedup.sigSqlExpr} AS sig FROM shdoc),
     bands AS (
       SELECT doc_id, sig, b.band,
@@ -216,12 +217,20 @@ object IngestGate {
       FROM flags f
       LEFT JOIN keepers k ON f.h = k.h
       LEFT JOIN best b ON f.doc_id = b.doc_id
-    )
+    )"""
+  }
+
+  /** DuckDB mirror: the curate rule expressions + the corpus keeper
+    * map + the cross-snapshot signature match, collapsed with the
+    * gate's first-failure precedence.
+    */
+  val ingestGateSql: String =
+    s"""
+    WITH $ingestGateCtesSql
     SELECT doc_id, verdict,
            CASE WHEN verdict = 'exact_dup' THEN keeper
                 WHEN verdict = 'near_dup' THEN corpus_doc END AS dup_of,
            CASE WHEN verdict = 'exact_dup' THEN 1.0
                 WHEN verdict = 'near_dup' THEN est END AS est_jaccard
     FROM v"""
-  }
 }
