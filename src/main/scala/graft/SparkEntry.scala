@@ -248,6 +248,8 @@ object SparkEntry {
     // every index's LIVE gate is driver-gated, not spec-only
     "q_phash_ingest_gate" -> (graft.sources.PhashIndex.phashIngestGate _),
     "q_embed_ingest_gate" -> (graft.sources.EmbedIndex.embedIngestGate _),
+    // the composed admission verdict: all three gates joined per doc
+    "q_estate_admission" -> (graft.streaming.IngestGate.estateAdmission _),
     // incremental cluster maintenance: merge the new snapshot into the
     // existing component state via the quotient graph (history never
     // re-enters the propagation loop); oracle recomputes from scratch
@@ -475,5 +477,6 @@ object SparkEntry {
     graft.sources.EmbedIndex.sweepRecallOracleSql.map("q_embed_sweep_recall" -> _) ++
     graft.sources.EmbedIndex.embedIndexStatsOracleSql.map("q_embed_index_stats" -> _) ++
     graft.sources.EmbedIndex.embedRetentionOracleSql.map("q_embed_retention" -> _) ++
-    graft.sources.EmbedIndex.embedIngestGateOracleSql.map("q_embed_ingest_gate" -> _)
+    graft.sources.EmbedIndex.embedIngestGateOracleSql.map("q_embed_ingest_gate" -> _) ++
+    graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission" -> _)
 }

@@ -300,7 +300,7 @@ object EmbedIndex {
     * and the cross-snapshot candidate pairs — the shared body of the
     * sweep oracles.
     */
-  private def estateAssignCtesSql(centers: IndexedSeq[Array[Double]]): String =
+  private[graft] def estateAssignCtesSql(centers: IndexedSeq[Array[Double]]): String =
     s"""${assignCtesSql(centers)},
     arank AS (
       SELECT vec_id, embedding, nsq, cell,

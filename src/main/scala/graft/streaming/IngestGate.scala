@@ -233,4 +233,86 @@ object IngestGate {
            CASE WHEN verdict = 'exact_dup' THEN 1.0
                 WHEN verdict = 'near_dup' THEN est END AS est_jaccard
     FROM v"""
+
+  // ---- q_estate_admission ------------------------------------------------
+
+  /** q_estate_admission: the composed ADMISSION verdict — one row per
+    * arriving document joining all three live gates against their
+    * persisted estate indexes: the text gate's first-failure verdict
+    * ([[verdicts]]), the best image near-dup ([[graft.sources
+    * .PhashIndex.ingestStream]] — lowest Hamming, lowest rep), and the
+    * best semantic near-dup ([[graft.sources.EmbedIndex.ingestStream]]
+    * — highest cosine, lowest vec). Precedence: a text failure names
+    * itself (`text_<rule>`), then `image_dup`, then `semantic_dup`,
+    * else `admit` — the one record an estate operator reads to answer
+    * "why was this document rejected at ingest, and of what is it a
+    * copy?".
+    *
+    * Scale: each leg is the gate's own stream-static plan (broadcast
+    * keeper map + three bucketed index joins, all candidate-bounded);
+    * the per-doc best aggregations and the two left joins shuffle only
+    * trigger-sized, match-bounded relations — the corpus never moves.
+    */
+  def estateAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = ingestGateQuery(spark, sfDir)
+      .select(col("doc_id"), col("verdict").as("text_verdict"),
+        col("dup_of").as("text_dup_of"))
+    val imgBest = graft.sources.PhashIndex.phashIngestGate(spark, sfDir)
+      .groupBy(col("asset_id"))
+      .agg(min(struct(col("hamming"), col("corpus_rep"))).as("m"))
+      .select(col("asset_id").as("doc_id"),
+        col("m.corpus_rep").as("image_dup_of"), col("m.hamming").as("best_hamming"))
+    val embBest = graft.sources.EmbedIndex.embedIngestGate(spark, sfDir)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("corpus_vec")).as("neg"))).as("m"))
+      .select(col("vec_id").as("doc_id"),
+        (-col("m.neg")).as("embed_dup_of"), col("m.cos").as("best_cos"))
+    text
+      .join(imgBest, Seq("doc_id"), "left")
+      .join(embBest, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("text_verdict") =!= "keep", concat(lit("text_"), col("text_verdict")))
+          .when(col("image_dup_of").isNotNull, lit("image_dup"))
+          .when(col("embed_dup_of").isNotNull, lit("semantic_dup"))
+          .otherwise(lit("admit")).as("verdict"),
+        col("text_dup_of"), col("image_dup_of"), col("best_hamming"),
+        col("embed_dup_of"), col("best_cos"))
+  }
+
+  /** DuckDB oracle (post-fit — the embed leg needs the frozen estate
+    * codebook): the three gate oracles' shared CTE bodies composed
+    * verbatim (`v` / `pim` / `pairs`), best-match ranked per doc, and
+    * collapsed with the same precedence.
+    */
+  def estateAdmissionOracleSql: Option[String] =
+    graft.pipeline.Similarity.estateFrozen.map { centers =>
+      s"""
+    WITH $ingestGateCtesSql,
+    ${graft.sources.PhashIndex.phashIngestCtesSql},
+    ${graft.sources.EmbedIndex.estateAssignCtesSql(centers)},
+    imgb AS (
+      SELECT asset_id, corpus_rep, hamming,
+             row_number() OVER (PARTITION BY asset_id
+               ORDER BY hamming ASC, corpus_rep ASC) AS irk
+      FROM pim
+    ),
+    embb AS (
+      SELECT vec_id, corpus_vec, cos,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, corpus_vec ASC) AS erk
+      FROM pairs
+    )
+    SELECT v.doc_id,
+           CASE WHEN v.verdict <> 'keep' THEN 'text_' || v.verdict
+                WHEN i.corpus_rep IS NOT NULL THEN 'image_dup'
+                WHEN eb.corpus_vec IS NOT NULL THEN 'semantic_dup'
+                ELSE 'admit' END AS verdict,
+           CASE WHEN v.verdict = 'exact_dup' THEN v.keeper
+                WHEN v.verdict = 'near_dup' THEN v.corpus_doc END AS text_dup_of,
+           i.corpus_rep AS image_dup_of, i.hamming AS best_hamming,
+           eb.corpus_vec AS embed_dup_of, eb.cos AS best_cos
+    FROM v
+    LEFT JOIN (SELECT * FROM imgb WHERE irk = 1) i ON v.doc_id = i.asset_id
+    LEFT JOIN (SELECT * FROM embb WHERE erk = 1) eb ON v.doc_id = eb.vec_id"""
+    }
 }
