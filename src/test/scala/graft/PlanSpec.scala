@@ -393,6 +393,30 @@ class PlanSpec extends SparkSpec {
     assert(sw.size >= 2, s"q_dedup_sweep must broadcast its tiny per-threshold aggregates, got ${sw.size}")
   }
 
+  test("round-11 ingest gates: the index side never re-shuffles; keeper map broadcasts") {
+    // with broadcast off, the gate joins must ride the persisted
+    // bucketing: only the trigger-sized stream side may exchange —
+    // an exchange whose child still carries the index's signature /
+    // code / vector payload means the INDEX re-shuffled per trigger,
+    // which is exactly what the bucketed layout exists to prevent
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q_ingest_gate" -> "sig_c", "q_phash_ingest_gate" -> "phash_c",
+        "q_embed_ingest_gate" -> "emb_c").foreach { case (q, payload) =>
+        val idxEx = collectAll(plan(q)) {
+          case e: ShuffleExchangeExec if e.child.output.exists(_.name == payload) => e
+        }
+        assert(idxEx.isEmpty,
+          s"$q must not shuffle the index side (exchange carries $payload)")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the composed admission verdict: the exact-dup keeper map attaches
+    // as a broadcast hash join (the corpus hash index never shuffles
+    // the arriving docs for the lookup)
+    val adm = collectAll(plan("q_estate_admission")) { case j: BroadcastHashJoinExec => j }
+    assert(adm.nonEmpty, "q_estate_admission must broadcast the keeper map")
+  }
+
   test("round-10 estate queries keep their declared plan shapes") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     // q_sig_index_stats: the (band, bh) bucket aggregation reads the
