@@ -250,6 +250,8 @@ object SparkEntry {
     "q_embed_ingest_gate" -> (graft.sources.EmbedIndex.embedIngestGate _),
     // the composed admission verdict: all three gates joined per doc
     "q_estate_admission" -> (graft.streaming.IngestGate.estateAdmission _),
+    // the same contract by the STREAM plan (union + keyed collapse)
+    "q_estate_admission_stream" -> (graft.streaming.IngestGate.estateAdmissionStream _),
     // incremental cluster maintenance: merge the new snapshot into the
     // existing component state via the quotient graph (history never
     // re-enters the propagation loop); oracle recomputes from scratch
@@ -478,5 +480,6 @@ object SparkEntry {
     graft.sources.EmbedIndex.embedIndexStatsOracleSql.map("q_embed_index_stats" -> _) ++
     graft.sources.EmbedIndex.embedRetentionOracleSql.map("q_embed_retention" -> _) ++
     graft.sources.EmbedIndex.embedIngestGateOracleSql.map("q_embed_ingest_gate" -> _) ++
-    graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission" -> _)
+    graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission" -> _) ++
+    graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission_stream" -> _)
 }

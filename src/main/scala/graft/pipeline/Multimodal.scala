@@ -223,14 +223,28 @@ object Multimodal {
   def phashCodesOf(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) > 0)
-      .withColumn("pix",
-        expr("transform(sequence(0, 31), j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 32, 1)))"))
-      .withColumn("psum", expr("aggregate(pix, 0, (a, x) -> a + x)"))
+      // ONE nested higher-order expression binding `pix` and `psum` as
+      // LAMBDA VARIABLES (each a 1-element array fold), not projection
+      // columns: CollapseProject used to inline the psum aggregate
+      // INSIDE the per-bit lambda (32 re-evaluations per row, each
+      // rebuilding the 32-sample transform whose substr is O(position)
+      // on long texts) whenever a consumer collapsed the withColumn
+      // chain — the trap every batch call site needed a `.mat` barrier
+      // for, and a STREAMING plan (which cannot checkpoint) had no
+      // defense against at all. A lambda-bound value is evaluated once
+      // per row by construction, wherever the expression lands.
       .withColumn("phash",
-        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-                 (acc, j) -> acc + CASE WHEN element_at(pix, j + 1) * 32 > psum
-                                        THEN shiftleft(CAST(1 AS BIGINT), j)
-                                        ELSE CAST(0 AS BIGINT) END)"""))
+        expr("""aggregate(
+                 array(transform(sequence(0, 31),
+                   j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 32, 1)))),
+                 CAST(0 AS BIGINT),
+                 (z, pix) -> aggregate(
+                   array(aggregate(pix, 0, (a, x) -> a + x)),
+                   z,
+                   (z2, psum) -> aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+                     (acc, j) -> acc + CASE WHEN element_at(pix, j + 1) * 32 > psum
+                                            THEN shiftleft(CAST(1 AS BIGINT), j)
+                                            ELSE CAST(0 AS BIGINT) END)))"""))
       .select(col("doc_id").as("asset_id"), col("phash"))
 
   /** The pigeonhole band explode of a code relation (11+11+10 bits) —

@@ -90,6 +90,20 @@ object IngestGate {
     * [[graft.sources.SignatureIndex]] band table.
     */
   def verdicts(docs: DataFrame, corpus: DataFrame, indexTable: String): Dataset[Verdict] = {
+    implicit val gateEnc = Encoders.product[GateRow]
+    implicit val verdictEnc = Encoders.product[Verdict]
+    implicit val stateEnc = Encoders.scalaInt
+    implicit val keyEnc = Encoders.scalaLong
+    scoredRows(docs, corpus, indexTable).as[GateRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(update _)
+  }
+
+  /** The text gate's scored band rows BEFORE the per-doc collapse —
+    * the shared leg [[verdicts]] consumes alone and [[admissionStream]]
+    * unions with the image/vector legs.
+    */
+  private def scoredRows(docs: DataFrame, corpus: DataFrame, indexTable: String): DataFrame = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
     val spark = docs.sparkSession
     // the materialized exact-dedup verdict of the corpus (Dedup.exact's
@@ -120,7 +134,7 @@ object IngestGate {
     // pipeline (bandedSignaturesKeep) — joining back to the document
     // stream would be a stream-stream self-join; the left outer band
     // join keeps no-match rows so the collapse can emit `keep`
-    val scored = Dedup.bandedSignaturesKeep(
+    Dedup.bandedSignaturesKeep(
         flagged.select(col("doc_id"), col("text"), col("pre_verdict"), col("keeper")),
         keep = Seq("pre_verdict", "keeper"))
       .join(idx, Seq("band", "bh"), "left")
@@ -129,13 +143,6 @@ object IngestGate {
           size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), p => p))
             .cast("double") / lit(16.0)))
       .select(col("doc_id"), col("pre_verdict"), col("keeper"), col("corpus_doc"), col("est"))
-    implicit val gateEnc = Encoders.product[GateRow]
-    implicit val verdictEnc = Encoders.product[Verdict]
-    implicit val stateEnc = Encoders.scalaInt
-    implicit val keyEnc = Encoders.scalaLong
-    scored.as[GateRow]
-      .groupByKey(_.doc_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(update _)
   }
 
   // ---- q_ingest_gate -----------------------------------------------------
@@ -233,6 +240,142 @@ object IngestGate {
            CASE WHEN verdict = 'exact_dup' THEN 1.0
                 WHEN verdict = 'near_dup' THEN est END AS est_jaccard
     FROM v"""
+
+  // ---- streaming admission (the composed gates as ONE stream) -----------
+
+  /** One row of the unioned admission stream: exactly one leg's
+    * columns are populated (text band row / image band match / vector
+    * cell match), the others null.
+    */
+  final case class AdmRow(
+      doc_id: Long, pre_verdict: String, keeper: java.lang.Long,
+      corpus_doc: java.lang.Long, est: java.lang.Double,
+      img_rep: java.lang.Long, hamming: java.lang.Integer,
+      emb_vec: java.lang.Long, cos: java.lang.Double)
+
+  /** The emitted admission record — the `q_estate_admission` contract. */
+  final case class Admission(
+      doc_id: Long, verdict: String, text_dup_of: java.lang.Long,
+      image_dup_of: java.lang.Long, best_hamming: java.lang.Integer,
+      embed_dup_of: java.lang.Long, best_cos: java.lang.Double)
+
+  /** Collapse a document's unioned leg rows into its admission
+    * verdict — pure; text → image → semantic precedence, best-match
+    * tie-breaks identical to the batch composition (`estateAdmission`).
+    */
+  def collapseAdmission(docId: Long, rows: Iterator[AdmRow]): Admission = {
+    var pre: String = null
+    var keeper: java.lang.Long = null
+    var bestEst = -1.0; var bestEstDoc = Long.MaxValue
+    var bestHam = Int.MaxValue; var bestRep = Long.MaxValue
+    var bestCos = -1.0; var bestVec = Long.MaxValue
+    rows.foreach { r =>
+      if (r.pre_verdict != null) pre = r.pre_verdict
+      if (r.keeper != null) keeper = r.keeper
+      if (r.est != null && r.est >= NearDupMinEst) {
+        val e: Double = r.est; val d: Long = r.corpus_doc
+        if (e > bestEst || (e == bestEst && d < bestEstDoc)) { bestEst = e; bestEstDoc = d }
+      }
+      if (r.hamming != null) {
+        val h: Int = r.hamming; val p: Long = r.img_rep
+        if (h < bestHam || (h == bestHam && p < bestRep)) { bestHam = h; bestRep = p }
+      }
+      if (r.cos != null) {
+        val c: Double = r.cos; val v: Long = r.emb_vec
+        if (c > bestCos || (c == bestCos && v < bestVec)) { bestCos = c; bestVec = v }
+      }
+    }
+    val imageDup: java.lang.Long = if (bestHam != Int.MaxValue) bestRep else null
+    val hamOut: java.lang.Integer = if (bestHam != Int.MaxValue) bestHam else null
+    val embedDup: java.lang.Long = if (bestCos >= 0) bestVec else null
+    val cosOut: java.lang.Double = if (bestCos >= 0) bestCos else null
+    val textDup: java.lang.Long =
+      if (pre != null) null
+      else if (keeper != null) keeper
+      else if (bestEst >= NearDupMinEst) bestEstDoc
+      else null
+    val verdict =
+      if (pre != null) s"text_$pre"
+      else if (keeper != null) "text_exact_dup"
+      else if (bestEst >= NearDupMinEst) "text_near_dup"
+      else if (imageDup != null) "image_dup"
+      else if (embedDup != null) "semantic_dup"
+      else "admit"
+    Admission(docId, verdict, textDup, imageDup, hamOut, embedDup, cosOut)
+  }
+
+  private def updateAdm(
+      docId: Long, rows: Iterator[AdmRow], state: GroupState[Int]): Iterator[Admission] =
+    Iterator.single(collapseAdmission(docId, rows))
+
+  /** The composed admission gate as ONE streaming plan — the live form
+    * of [[estateAdmission]]: `docs` is the arriving (doc_id, text,
+    * embedding) stream; each document's text band rows, image band
+    * matches, and vector cell matches (all stateless stream-static
+    * joins against the three persisted indexes) UNION into one keyed
+    * stream, and a zero-state per-doc collapse emits the verdict. As
+    * with [[verdicts]], every unioned row derives from one input row,
+    * so the group is complete within its trigger — no watermark, no
+    * state growth — and the identical plan runs on a static DataFrame
+    * (the batch execution `q_estate_admission_stream` hash-gates, and
+    * AdmissionStreamSpec pins stream == batch across trigger splits).
+    */
+  def admissionStream(docs: DataFrame, corpus: DataFrame, sigIdx: String,
+      phashIdx: String, embedIdx: String,
+      centers: IndexedSeq[Array[Double]]): Dataset[Admission] = {
+    def nl(t: String, n: String) = lit(null).cast(t).as(n)
+    val text = scoredRows(docs.select(col("doc_id"), col("text")), corpus, sigIdx)
+      .select(col("doc_id"), col("pre_verdict"), col("keeper"),
+        col("corpus_doc"), col("est"),
+        nl("bigint", "img_rep"), nl("int", "hamming"),
+        nl("bigint", "emb_vec"), nl("double", "cos"))
+    val img = graft.sources.PhashIndex
+      .ingestStream(docs.select(col("doc_id"), col("text")), phashIdx)
+      .select(col("asset_id").as("doc_id"), nl("string", "pre_verdict"),
+        nl("bigint", "keeper"), nl("bigint", "corpus_doc"), nl("double", "est"),
+        col("corpus_rep").as("img_rep"), col("hamming"),
+        nl("bigint", "emb_vec"), nl("double", "cos"))
+    val emb = graft.sources.EmbedIndex
+      .ingestStream(
+        docs.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        embedIdx, centers)
+      .select(col("vec_id").as("doc_id"), nl("string", "pre_verdict"),
+        nl("bigint", "keeper"), nl("bigint", "corpus_doc"), nl("double", "est"),
+        nl("bigint", "img_rep"), nl("int", "hamming"),
+        col("corpus_vec").as("emb_vec"), col("cos"))
+    implicit val admRowEnc = Encoders.product[AdmRow]
+    implicit val admEnc = Encoders.product[Admission]
+    implicit val stateEnc = Encoders.scalaInt
+    implicit val keyEnc = Encoders.scalaLong
+    text.unionByName(img).unionByName(emb)
+      .as[AdmRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(updateAdm _)
+  }
+
+  /** q_estate_admission_stream: the STREAM plan's batch execution,
+    * hash-gated against the same oracle as the join-form composition
+    * (`q_estate_admission`) — the two compute the same contract by two
+    * different plans (three left joins vs union + keyed collapse), and
+    * both must match DuckDB, so the streaming form is oracle-gated,
+    * not just parity-pinned.
+    */
+  def estateAdmissionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+    val emb = graft.queries.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val (sigIdx, _) = graft.sources.SignatureIndex.snapshotTables(spark, sfDir)
+    val (phashIdx, _) = graft.sources.PhashIndex.snapshotTables(spark, sfDir)
+    val (embedIdx, _) = graft.sources.EmbedIndex.snapshotTables(spark, sfDir)
+    val centers = graft.pipeline.Similarity.estateCenters(spark, sfDir)
+    admissionStream(
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .join(emb, Seq("doc_id"), "left"),
+      docs.filter(col("doc_id") % 2 === 0),
+      sigIdx, phashIdx, embedIdx, centers).toDF()
+  }
 
   // ---- q_estate_admission ------------------------------------------------
 
