@@ -195,7 +195,16 @@ object Bench {
             StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics))
           StreamBench.summaryJson(rs)
         }
-        s"""{"topics_2":${med3(0)},"topics_100":${med3(100)}}"""
+        // the composed admission gate's hot path (docs/sec through all
+        // three index gates), against the snapshot tables the gated
+        // queries already built this run — summary's `anomalies` field
+        // carries the rejected count, `topics` the gate count (3)
+        def adm3 = {
+          val rs = Seq.fill(3)(
+            StreamBench.admissionMeasure(spark, sfDir, 20000, 3))
+          StreamBench.summaryJson(rs)
+        }
+        s"""{"topics_2":${med3(0)},"topics_100":${med3(100)},"admission_gate":$adm3}"""
       } catch { case e: Throwable =>
         s"""{"err":"${jsonSafe(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }

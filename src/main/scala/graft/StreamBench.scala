@@ -81,6 +81,48 @@ object StreamBench {
       if (nTopics > 0) nTopics else 2, bucketed)
   }
 
+  /** Throughput of the composed ADMISSION gate (docs/sec): synthetic
+    * arriving documents (60-token texts + 64-dim embeddings) against
+    * the PERSISTED corpus indexes of `sfDir` — the same snapshot
+    * tables the gated queries maintain, memoized, so inside Bench they
+    * are already built and this times only the gate itself. Batch
+    * execution of the stream plan (stream == batch pinned by
+    * AdmissionStreamSpec), one untimed warm-up batch then `batches`
+    * timed ones. In the returned [[Result]], `anomalies` carries the
+    * REJECTED count of the last batch (non-admit verdicts) and
+    * `topics` the gate count (3: text, image, vector).
+    */
+  def admissionMeasure(spark: SparkSession, sfDir: String,
+      perBatch: Int, batches: Int): Result = {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.queries.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+    val (sigIdx, _) = graft.sources.SignatureIndex.snapshotTables(spark, sfDir)
+    val (phIdx, _) = graft.sources.PhashIndex.snapshotTables(spark, sfDir)
+    val (emIdx, _) = graft.sources.EmbedIndex.snapshotTables(spark, sfDir)
+    val centers = graft.pipeline.Similarity.estateCenters(spark, sfDir)
+    // narrow codegen generation, checkpointed so generation cost stays
+    // out of the timing (the gate's input arrives pre-decoded in a
+    // real trigger too)
+    val docs = spark.range(perBatch.toLong)
+      .selectExpr(
+        "id + 1000000 AS doc_id",
+        "array_join(transform(sequence(1, 60), " +
+          "j -> concat('tok', CAST((id * 61 + j * 7) % 5000 AS STRING))), ' ') AS text",
+        "transform(sequence(0, 63), " +
+          "d -> CAST(pmod(id * 64 + d, 97) AS FLOAT) / CAST(97 AS FLOAT)) AS embedding")
+      .localCheckpoint(true)
+    val gate = graft.streaming.IngestGate
+      .admissionStream(docs, corpus, sigIdx, phIdx, emIdx, centers).toDF()
+    gate.count() // warm-up (codegen + broadcast build)
+    val start = System.nanoTime()
+    (1 to batches).foreach(_ => gate.count())
+    val sec = (System.nanoTime() - start) / 1e9
+    val rejected = gate.filter(col("verdict") =!= "admit").count()
+    val msgs = perBatch.toLong * batches
+    Result((msgs / sec).round, msgs, sec, rejected, topics = 3, bucketed = false)
+  }
+
   /** Median + best + self-adjudicated contention verdict over a run
     * set — Bench's round-8 median/min/contended discipline applied to
     * THROUGHPUT (where contention shows as the median falling far
@@ -119,7 +161,14 @@ object StreamBench {
     val nRuns = sys.env.get("SPARK_GRAFT_STREAM_RUNS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(3).max(1)
-    val rs = Seq.fill(nRuns)(measure(spark, perTrigger, triggers, bucketed, nTopics))
+    // mode "admission": time the composed admission gate instead of
+    // the anomaly pipeline (args: perBatch batches admission; corpus
+    // indexes from SPARK_GRAFT_SF_DIR)
+    val rs =
+      if (args.drop(2).headOption.contains("admission")) {
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        Seq.fill(nRuns)(admissionMeasure(spark, sfDir, perTrigger, triggers))
+      } else Seq.fill(nRuns)(measure(spark, perTrigger, triggers, bucketed, nTopics))
     val r = rs.sortBy(_.msgsPerSec).apply(nRuns / 2)
     println(
       s"""{"metric":"stream_msgs_per_sec","value":${r.msgsPerSec},"unit":"msgs/sec","messages":${r.messages},"triggers":$triggers,"seconds":${r.seconds},"anomalies_emitted":${r.anomalies},"summary":${summaryJson(rs)}}""")
