@@ -250,6 +250,9 @@ object SparkEntry {
     "q_embed_ingest_gate" -> (graft.sources.EmbedIndex.embedIngestGate _),
     // the composed admission verdict: all three gates joined per doc
     "q_estate_admission" -> (graft.streaming.IngestGate.estateAdmission _),
+    // the nightly keep list assembled from per-snapshot feature state
+    // — no step reads text; history never re-resolves
+    "q_keep_list_incremental" -> (graft.pipeline.IncrementalCurate.keepListIncremental _),
     // the same contract by the STREAM plan (union + keyed collapse)
     "q_estate_admission_stream" -> (graft.streaming.IngestGate.estateAdmissionStream _),
     // incremental cluster maintenance: merge the new snapshot into the
@@ -440,6 +443,7 @@ object SparkEntry {
     "q_phash_recall" -> Multimodal.phashRecallSql,
     "q_ingest_gate" -> graft.streaming.IngestGate.ingestGateSql,
     "q_phash_ingest_gate" -> graft.sources.PhashIndex.phashIngestGateSql,
+    "q_keep_list_incremental" -> graft.pipeline.IncrementalCurate.keepListIncrementalSql,
     "q_components_incremental" -> Dedup.componentsIncrementalSql,
     "q_phash_incremental" -> Multimodal.phashIncrementalSql,
     "q_sig_index_stats" -> graft.sources.SignatureIndex.sigIndexStatsSql,

@@ -203,6 +203,132 @@ case class HashedBucketSum(left: org.apache.spark.sql.catalyst.expressions.Expre
     copy(left = l, right = r)
 }
 
+/** h32(token) mod buckets per element — the per-document BUCKET STREAM
+  * an incremental curation state stores so later scoring passes replay
+  * the exact [[HashedBucketSum]] fold without re-reading text (1 small
+  * int per token instead of the token bytes). Null token → null array,
+  * precomputing the fold's null chain.
+  */
+case class HashedBuckets(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_buckets expects array<string>, got $t")
+    }
+
+  def bucketsOf(a: ArrayData): Any = {
+    val n = a.numElements()
+    val digest = HashedFeatureScore.digests.get()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      digest.reset()
+      val d = digest.digest(a.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = (v % buckets).toInt
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = bucketsOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hbk", this, classOf[HashedBuckets].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = $self.bucketsOf($a);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $boxed;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): HashedBuckets =
+    copy(child = c)
+}
+
+/** Σ lookup[bks[i]] — [[HashedBucketSum]]'s ascending left fold
+  * replayed over a STORED bucket stream: same accumulation order, same
+  * bounds and null handling, so the result is bit-identical to hashing
+  * the tokens again — the contract that lets an incremental curation
+  * pass re-weight history under a shifted corpus model without
+  * touching text.
+  */
+case class BucketLookupSum(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_lookup_sum expects (array<int>, array<double>), got $l / $r")
+    }
+
+  def sumOf(bks: ArrayData, lookup: ArrayData): Any = {
+    val n = bks.numElements()
+    val nLookup = lookup.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (bks.isNullAt(i)) return null
+      val idx = bks.getInt(i)
+      if (idx >= nLookup || lookup.isNullAt(idx)) return null
+      acc += lookup.getDouble(idx)
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    sumOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bls", this, classOf[BucketLookupSum].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = $self.sumOf($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): BucketLookupSum =
+    copy(left = l, right = r)
+}
+
 object TextScoreFunctions {
   /** Codegen'd hashed-feature linear score (see [[HashedFeatureScore]]). */
   def hashedFeatureScore(features: Column, buckets: Int,
@@ -218,6 +344,15 @@ object TextScoreFunctions {
     ColumnBridge.column(HashedFeatureScore(
       ColumnBridge.expression(tokens), buckets, weights.toIndexedSeq, bias,
       withBigrams = true))
+
+  /** Per-token bucket stream h32(t) mod buckets (see [[HashedBuckets]]). */
+  def hashedBuckets(tokens: Column, buckets: Int): Column =
+    ColumnBridge.column(HashedBuckets(ColumnBridge.expression(tokens), buckets))
+
+  /** Σ lookup[bks[i]] over a stored bucket stream (see [[BucketLookupSum]]). */
+  def bucketLookupSum(bks: Column, lookup: Column): Column =
+    ColumnBridge.column(BucketLookupSum(
+      ColumnBridge.expression(bks), ColumnBridge.expression(lookup)))
 
   /** Codegen'd Σ lookup[h32(token) mod buckets] with the lookup array
     * as a bound column (see [[HashedBucketSum]]).

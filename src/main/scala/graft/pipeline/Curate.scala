@@ -192,6 +192,18 @@ object Curate {
         }
       } finally pool.shutdown()
     val nch = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    resolveNearDups(cur, comp, nch)
+  }
+
+  /** The keep list's near-dup resolution tail — shared by the batch
+    * build and the incremental pass ([[IncrementalCurate]]), so the
+    * two can never drift on the keeper rule: among kept cluster
+    * members, rank by (n_chars desc, doc_id asc); rank 1 keeps, the
+    * rest flip to `near_dup` with `dup_of` naming the keeper.
+    */
+  private[pipeline] def resolveNearDups(
+      cur: DataFrame, comp: DataFrame, nch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val kept = cur.filter(col("keep"))
       .select(col("doc_id"))
       .join(comp, Seq("doc_id"))
@@ -217,10 +229,18 @@ object Curate {
   }
 
   // lazy: composes curateSql, which is initialized later in this object
-  lazy val keepListSql: String =
+  lazy val keepListSql: String = keepListAssemblySql(Dedup.componentsSql)
+
+  /** The keep-list oracle parameterized by the CLUSTER relation's SQL —
+    * the batch form uses the whole-corpus pair graph
+    * ([[Dedup.componentsSql]]), the incremental form the lane+bridge
+    * graph ([[Dedup.componentsIncrementalSql]]); everything else is
+    * shared verbatim, mirroring [[resolveNearDups]].
+    */
+  private[pipeline] def keepListAssemblySql(compSql: String): String =
     s"""
     WITH cur AS (SELECT * FROM ($curateSql)),
-    comp AS (SELECT doc_id, cluster_root FROM (${Dedup.componentsSql})),
+    comp AS (SELECT doc_id, cluster_root FROM ($compSql)),
     kept AS (
       SELECT c.doc_id, p.cluster_root, d.n_chars
       FROM cur c JOIN comp p ON c.doc_id = p.doc_id

@@ -58,6 +58,38 @@ object Importance {
       .select(transform(sequence(lit(0), lit(Buckets - 1)),
         b => coalesce(element_at(col("m"), b), lit(0L))).as(name))
 
+  /** The one-row smoothed likelihood-ratio model from the two dense
+    * count rows — ONE definition shared by [[scoredWeights]] and the
+    * incremental curation pass ([[IncrementalCurate]]), so the two can
+    * never drift on the model arithmetic (same operands, same order →
+    * identical IEEE doubles).
+    */
+  private[pipeline] def ratioModel(tArr: DataFrame, rArr: DataFrame): DataFrame =
+    tArr
+      .crossJoin(rArr)
+      .withColumn("nt", expr("aggregate(tcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
+      .withColumn("nr", expr("aggregate(rcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
+      .select(expr(s"""
+        transform(sequence(0, ${Buckets - 1}), b ->
+          (CAST(element_at(tcnt, b + 1) + 1 AS DOUBLE) / CAST(nt + $Buckets AS DOUBLE))
+          / (CAST(element_at(rcnt, b + 1) + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE)))""")
+        .as("ratio"))
+
+  /** [[denseCounts]] over STORED bucket streams instead of text — the
+    * incremental pass's model input: `bks` is a one-column relation of
+    * `array<int>` bucket ids ([[graft.functions.HashedBuckets]]), and
+    * exploding it counts exactly what exploding the tokens and hashing
+    * them would (the stream IS h32(t) mod buckets, precomputed).
+    */
+  private[pipeline] def denseCountsOfBuckets(bks: DataFrame, name: String): DataFrame =
+    bks
+      .select(explode(bks.columns.map(col).head).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(transform(sequence(lit(0), lit(Buckets - 1)),
+        b => coalesce(element_at(col("m"), b), lit(0L))).as(name))
+
   /** The boundary-free scored relation (doc_id, source, tk,
     * dsir_weight) — exposed so composers (q_curate) that need only the
     * weights don't drag the keep-boundary percentile pass along.
@@ -77,15 +109,7 @@ object Importance {
     // lambda as a bound attribute and is evaluated exactly once.
     // Same operands in the same order as before → identical IEEE
     // doubles → the DuckDB oracle hash is unchanged.
-    val model = tArr
-      .crossJoin(rArr)
-      .withColumn("nt", expr("aggregate(tcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
-      .withColumn("nr", expr("aggregate(rcnt, CAST(0 AS BIGINT), (x, y) -> x + y)"))
-      .select(expr(s"""
-        transform(sequence(0, ${Buckets - 1}), b ->
-          (CAST(element_at(tcnt, b + 1) + 1 AS DOUBLE) / CAST(nt + $Buckets AS DOUBLE))
-          / (CAST(element_at(rcnt, b + 1) + 1 AS DOUBLE) / CAST(nr + $Buckets AS DOUBLE)))""")
-        .as("ratio"))
+    val model = ratioModel(tArr, rArr)
     // the per-token fold runs in the HashedBucketSum codegen expression
     // (the HOF `aggregate` form evaluated the md5 chain interpreted per
     // token); `ratio` stays a bound attribute child, so the round-6
