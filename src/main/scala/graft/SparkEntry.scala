@@ -124,6 +124,8 @@ object SparkEntry {
     "q_source_quantiles" -> (WindowQueries.sourceQuantiles _),
     "q_profile" -> (graft.queries.ProfileQueries.profile _),
     "q_profile_approx" -> (graft.queries.ProfileQueries.profileApprox _),
+    "q_profile_incremental" -> (graft.queries.IncrementalProfile.profileIncremental _),
+    "q_profile_drift" -> (graft.queries.IncrementalProfile.profileDrift _),
     "q_skew_report" -> (graft.queries.ProfileQueries.skewReport _),
     "q_transitions" -> (TemporalQueries.transitions _),
     "q_autocorr" -> (TemporalQueries.autocorr _),
@@ -384,6 +386,8 @@ object SparkEntry {
     "q_source_quantiles" -> WindowQueries.sourceQuantilesSql,
     "q_profile" -> graft.queries.ProfileQueries.profileSql,
     "q_profile_approx" -> graft.queries.ProfileQueries.profileApproxSql,
+    "q_profile_incremental" -> graft.queries.IncrementalProfile.profileIncrementalSql,
+    "q_profile_drift" -> graft.queries.IncrementalProfile.profileDriftSql,
     "q_skew_report" -> graft.queries.ProfileQueries.skewReportSql,
     "q_transitions" -> TemporalQueries.transitionsSql,
     "q_autocorr" -> TemporalQueries.autocorrSql,
