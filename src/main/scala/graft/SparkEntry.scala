@@ -205,6 +205,7 @@ object SparkEntry {
     "q_ann_lsh_recall" -> (Similarity.annLshRecall _),
     // one-row dataset card rolling up the curation dispositions
     "q_dataset_card" -> (graft.pipeline.DatasetCard.datasetCard _),
+    "q_dataset_card_incremental" -> (graft.pipeline.IncrementalCurate.datasetCardIncremental _),
     // ANN index-quality eval: per-probe recall of IVF vs exact truth
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_ivf_stats" -> (Similarity.ivfStats _),
@@ -427,6 +428,7 @@ object SparkEntry {
     "q_embed_stats" -> Similarity.embedStatsSql,
     "q_ann_lsh_recall" -> Similarity.annLshRecallSql,
     "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
+    "q_dataset_card_incremental" -> graft.pipeline.IncrementalCurate.datasetCardIncrementalSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,
     "q_epoch_plan" -> Sampling.epochPlanSql,
     "q_shingle_cardinality" -> graft.queries.SketchQueries.shingleCardinalitySql,

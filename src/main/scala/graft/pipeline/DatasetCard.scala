@@ -26,18 +26,24 @@ object DatasetCard {
     val totals = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-    val cur = Curate.curate(spark, sfDir)
+    totals.crossJoin(broadcast(decisionsOf(Curate.curate(spark, sfDir))))
+  }
+
+  /** The card's decision counts over a per-doc verdict relation —
+    * shared by the batch card and the state-assembled incremental one
+    * ([[IncrementalCurate.datasetCardIncremental]]).
+    */
+  private[pipeline] def decisionsOf(cur: DataFrame): DataFrame = {
     def nReason(r: String) =
       sum(when(col("reason") === r, 1L).otherwise(0L)).as(s"n_$r")
     def nSplit(s: String) =
       sum(when(col("split") === s, 1L).otherwise(0L)).as(s"n_$s")
-    val decisions = cur.agg(
+    cur.agg(
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
       nReason("too_short"), nReason("too_repetitive"), nReason("blocklisted"),
       nReason("exact_dup"), nReason("eval_holdout"), nReason("contaminated"),
       nReason("low_importance"),
       nSplit("train"), nSplit("val"), nSplit("test"))
-    totals.crossJoin(broadcast(decisions))
   }
 
   val datasetCardSql: String = {

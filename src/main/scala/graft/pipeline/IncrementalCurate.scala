@@ -65,10 +65,13 @@ object IncrementalCurate {
       size(filter(toks, w => array_contains(lex, w))).as("n_blk"),
       (Dedup.h32(concat(lit("eval|"), g)) % 25 === 0).as("is_eval"),
       col("source").rlike(Importance.TargetSourceRegex).as("is_target"),
-      TextScoreFunctions.hashedBuckets(toks, Importance.Buckets).as("bks"))
+      TextScoreFunctions.hashedBuckets(toks, Importance.Buckets).as("bks"),
+      // whitespace-token count — the dataset card's n_tokens unit
+      // (distinct from nt, the curation tokenizer's count)
+      size(split(col("text"), " ")).cast("long").as("n_ws"))
     Dedup.shingleHashes(withCols, n = Sampling.DecontamN,
       keep = Seq("source", "n_chars", "h", "g", "nt", "ndt", "n_blk",
-        "is_eval", "is_target", "bks"))
+        "is_eval", "is_target", "bks", "n_ws"))
   }
 
   private val stateMemoA = new graft.core.Memo("curate_state_a")
@@ -133,6 +136,20 @@ object IncrementalCurate {
 
   /** The narrow nightly pass (the spec seam — not memoized). */
   private[pipeline] def assemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateA(spark, sfDir).unionByName(stateB(spark, sfDir))
+    // clusters via the quotient merge — history never re-resolves —
+    // and the shared near-dup keeper rule
+    val comp = Dedup.componentsIncremental(spark, sfDir)
+      .select(col("doc_id"), col("cluster_root"))
+    Curate.resolveNearDups(curateIncremental(spark, sfDir), comp,
+      s.select(col("doc_id"), col("n_chars")))
+  }
+
+  /** The state-assembled per-document verdict BEFORE cluster
+    * resolution — the incremental equivalent of [[Curate.curate]]
+    * (the relation the dataset card's decision counts aggregate).
+    */
+  private[pipeline] def curateIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import Curate.LowImportanceQuantile
     import TextAnalysis.{BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
     val sA = stateA(spark, sfDir)
@@ -184,8 +201,7 @@ object IncrementalCurate {
       .when(coalesce(col("contaminated"), lit(0)) === 1, lit("contaminated"))
       .when(col("dsir_weight") < col("low_bnd"), lit("low_importance"))
       .otherwise(lit("keep"))
-    val cur = s
-      .join(keepers, "h")
+    s.join(keepers, "h")
       .join(contam, Seq("doc_id"), "left")
       .join(scored, Seq("doc_id"))
       .crossJoin(broadcast(lowBnd))
@@ -197,12 +213,6 @@ object IncrementalCurate {
           Sampling.splitOfBucket(Dedup.h32(concat(lit("gsplit|"), col("g"))) % 100))
           .otherwise(lit(null: String)).as("split"))
       .mat
-
-    // clusters via the quotient merge — history never re-resolves —
-    // and the shared near-dup keeper rule
-    val comp = Dedup.componentsIncremental(spark, sfDir)
-      .select(col("doc_id"), col("cluster_root"))
-    Curate.resolveNearDups(cur, comp, s.select(col("doc_id"), col("n_chars")))
   }
 
   /** DuckDB oracle: the keep-list assembly over the incremental
@@ -211,4 +221,28 @@ object IncrementalCurate {
     */
   lazy val keepListIncrementalSql: String =
     Curate.keepListAssemblySql(Dedup.componentsIncrementalSql)
+
+  /** q_dataset_card_incremental: the one-row dataset card assembled
+    * entirely from per-snapshot state — the capstone of the "nightly
+    * reads no text" lane. Totals fold the states' stored
+    * whitespace-token counts (`n_ws`, persisted at snapshot build);
+    * decision counts aggregate the state-assembled verdict relation
+    * ([[curateIncremental]]); the shared [[DatasetCard.decisionsOf]]
+    * keeps the two cards' aggregation literally one body. Gated by
+    * the batch card's own full-recompute oracle, so the headline
+    * numbers a corpus ships with provably cannot drift between the
+    * from-scratch and incremental reporting stacks.
+    */
+  def datasetCardIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateA(spark, sfDir).unionByName(stateB(spark, sfDir))
+    val totals = s.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_ws")).as("n_tokens"))
+    totals.crossJoin(broadcast(DatasetCard.decisionsOf(curateIncremental(spark, sfDir))))
+  }
+
+  /** The from-raw oracle is the batch card's own — state assembly
+    * must reproduce it exactly.
+    */
+  lazy val datasetCardIncrementalSql: String = DatasetCard.datasetCardSql
 }

@@ -45,6 +45,22 @@ class IncrementalCurateSpec extends SparkSpec {
       s"incremental assembly must not scan the documents table:\n$plan")
   }
 
+  test("incremental dataset card == batch dataset card") {
+    val inc = IncrementalCurate.datasetCardIncremental(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = DatasetCard.datasetCard(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(inc == batch, s"cards diverged:\ninc=$inc\nbatch=$batch")
+  }
+
+  test("the incremental card reads no text: no documents scan in the plan") {
+    IncrementalCurate.datasetCardIncremental(spark, sf).count() // warm states
+    val plan = IncrementalCurate.datasetCardIncremental(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"incremental card must not scan the documents table:\n$plan")
+  }
+
   test("bucket stream replays the hashed fold bit-identically") {
     val lookup = (0 until Importance.Buckets).map(b => 1.0 / (b + 3)).toArray
     val df = Seq(
