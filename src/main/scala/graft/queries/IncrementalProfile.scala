@@ -49,7 +49,7 @@ object IncrementalProfile {
     * snapshot, ever; the scalar leg is a single wide aggregation and
     * the sketch leg one bounded-state hash agg.
     */
-  private[queries] def stateOf(snapshot: DataFrame): DataFrame = {
+  private[graft] def stateOf(snapshot: DataFrame): DataFrame = {
     val spark = snapshot.sparkSession
     import spark.implicits._
     val ev = snapshot.withColumn("ts_us", expr("unix_micros(ts)"))
@@ -188,7 +188,7 @@ object IncrementalProfile {
   /** The drift assembly over two state relations (the spec seam —
     * planted states drive the thresholds directly).
     */
-  private[queries] def driftOf(stA: DataFrame, stB: DataFrame): DataFrame = {
+  private[graft] def driftOf(stA: DataFrame, stB: DataFrame): DataFrame = {
     def leg(st: DataFrame, tag: String): DataFrame =
       st.select(col("col_name"),
         round((col("n_rows") - col("cnt")).cast("double") / col("n_rows").cast("double"), 6)
