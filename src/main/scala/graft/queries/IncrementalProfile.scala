@@ -139,8 +139,16 @@ object IncrementalProfile {
     * [[graft.functions.KmvSketch]] aggregate (merge == update), ≤2K
     * hashes per column in flight.
     */
-  def profileIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = stateA(spark, sfDir).unionByName(stateB(spark, sfDir))
+  def profileIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    profileOfStates(stateA(spark, sfDir).unionByName(stateB(spark, sfDir)))
+
+  /** The estate profile over ANY union of per-snapshot states (two
+    * memoized halves here; N persisted crawls via
+    * [[graft.sources.ProfileStateStore]]) — the fold is
+    * snapshot-count-agnostic because every metric merges pairwise-
+    * associatively.
+    */
+  private[graft] def profileOfStates(s: DataFrame): DataFrame = {
     val scalars = s.groupBy(col("col_name")).agg(
       sum(col("n_rows")).as("n_rows"),
       sum(col("cnt")).as("cnt"),

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.IncrementalProfile
+
+/** Persisted per-crawl PROFILE STATE — the cross-JOB form of the
+  * session profile-state memo ([[graft.queries.IncrementalProfile]]),
+  * completing the same lifecycle the index triple has: each crawl
+  * appends its 6 state rows (scalar metrics + the ≤K-long KMV array
+  * per column, tagged with the snapshot id) at ingest, and every
+  * later consumer — the estate profile, any pairwise drift gate, a
+  * retention delete — reads ONLY this table. The table is O(columns ×
+  * snapshots) rows of O(K) payload: kilobytes per crawl at ANY corpus
+  * size, so unlike the signature/phash/embed indexes there is nothing
+  * to bucket — the scale story is that the table is trivially small,
+  * not that its joins co-locate.
+  *
+  * Retention is exact, not compensating: because every metric is a
+  * pure fold over its snapshot's rows, expiring a crawl is just
+  * dropping its state rows and re-folding the survivors — no
+  * re-scan, no tombstones, no approximation debt (contrast a
+  * decayed-counter design, which can never un-count an expired
+  * crawl exactly).
+  */
+object ProfileStateStore {
+
+  /** Append one crawl's profile state. The crawl's ONE raw scan
+    * happens here, ever; pass `mode = Overwrite` to start a fresh
+    * estate table.
+    */
+  def write(events: DataFrame, table: String, snapshot: String,
+      mode: SaveMode = SaveMode.Append): Unit = {
+    if (mode == SaveMode.Overwrite)
+      TableUtil.dropTableAndLocation(events.sparkSession, table)
+    IncrementalProfile.stateOf(events)
+      .withColumn("snapshot", lit(snapshot))
+      .write.mode(mode).format("parquet").saveAsTable(table)
+  }
+
+  /** All held state rows (optionally restricted to some snapshots). */
+  def read(spark: SparkSession, table: String,
+      snapshots: Seq[String] = Nil): DataFrame = {
+    val t = spark.table(table)
+    if (snapshots.isEmpty) t else t.filter(col("snapshot").isin(snapshots: _*))
+  }
+
+  /** The estate profile over the held snapshots — identical output
+    * (and oracle shape) to the single-pass `q_profile_approx` over
+    * the concatenated crawls; no raw scan.
+    */
+  def profile(spark: SparkSession, table: String,
+      snapshots: Seq[String] = Nil): DataFrame =
+    IncrementalProfile.profileOfStates(
+      read(spark, table, snapshots).drop("snapshot"))
+
+  /** The cross-crawl drift gate between two held snapshots. */
+  def drift(spark: SparkSession, table: String,
+      history: String, arriving: String): DataFrame =
+    IncrementalProfile.driftOf(
+      read(spark, table, Seq(history)).drop("snapshot"),
+      read(spark, table, Seq(arriving)).drop("snapshot"))
+
+  /** RETENTION: expire a crawl from the estate. State rows are the
+    * only thing deleted — every downstream number re-folds exactly
+    * from the survivors. The rewrite is O(state), i.e. kilobytes.
+    */
+  def removeSnapshot(spark: SparkSession, table: String, snapshot: String): Unit = {
+    val survivors = read(spark, table).filter(col("snapshot") =!= snapshot)
+      .localCheckpoint(eager = true) // read fully before overwriting the source
+    TableUtil.dropTableAndLocation(spark, table)
+    survivors.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+}

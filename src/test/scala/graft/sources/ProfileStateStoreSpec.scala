@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{IncrementalProfile, ProfileQueries, Tables}
+
+/** The persisted profile-state lifecycle over N=3 crawls: append →
+  * estate profile (== the single-pass approximate profile over the
+  * concatenated crawls — the non-circular gold) → subset fold →
+  * retention delete → re-fold equals the subset, and the pairwise
+  * drift gate reads the store directly. Every consumer touches only
+  * the state table.
+  */
+class ProfileStateStoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def events = Tables.events(spark, sf)
+  private def crawl(i: Int) = events.filter(pmod(col("event_id"), lit(3)) === i)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("three-crawl estate lifecycle: append, fold, drift, expire") {
+    ProfileStateStore.write(crawl(0), "pss_estate", "c0", mode = SaveMode.Overwrite)
+    ProfileStateStore.write(crawl(1), "pss_estate", "c1")
+    ProfileStateStore.write(crawl(2), "pss_estate", "c2")
+
+    // the non-circular gold: fold of 3 persisted states == the
+    // single-pass approximate profile over the whole table
+    val estate = rows(ProfileStateStore.profile(spark, "pss_estate"))
+    val gold = rows(ProfileQueries.profileApprox(spark, sf))
+    assert(estate == gold,
+      s"estate fold != single pass:\nonly-estate=${estate -- gold}\nonly-gold=${gold -- estate}")
+
+    // subset fold: two crawls' states vs ONE state built over their
+    // concatenated rows (different code path: 2-way merge vs single pass)
+    val subset = rows(ProfileStateStore.profile(spark, "pss_estate", Seq("c0", "c1")))
+    val subsetGold = rows(IncrementalProfile.profileOfStates(
+      IncrementalProfile.stateOf(events.filter(pmod(col("event_id"), lit(3)) < 2))))
+    assert(subset == subsetGold, "subset fold != one-pass state over the same rows")
+
+    // pairwise drift straight off the store
+    val viaStore = rows(ProfileStateStore.drift(spark, "pss_estate", "c0", "c1"))
+    val direct = rows(IncrementalProfile.driftOf(
+      IncrementalProfile.stateOf(crawl(0)), IncrementalProfile.stateOf(crawl(1))))
+    assert(viaStore == direct, "store-read drift != directly-computed drift")
+
+    // retention: expire c2, the survivors re-fold exactly
+    ProfileStateStore.removeSnapshot(spark, "pss_estate", "c2")
+    val after = rows(ProfileStateStore.profile(spark, "pss_estate"))
+    assert(after == subset, "post-expiry fold != surviving-snapshot fold")
+    assert(ProfileStateStore.read(spark, "pss_estate")
+      .select("snapshot").distinct().collect().map(_.getString(0)).toSet == Set("c0", "c1"))
+  }
+
+  test("the estate profile's plan reads only the state table") {
+    ProfileStateStore.write(crawl(0), "pss_plan", "c0", mode = SaveMode.Overwrite)
+    ProfileStateStore.write(crawl(1), "pss_plan", "c1")
+    val plan = ProfileStateStore.profile(spark, "pss_plan")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      s"estate profile must not scan the events table:\n$plan")
+    assert(plan.contains("pss_plan"), s"plan must read the state table:\n$plan")
+  }
+}
