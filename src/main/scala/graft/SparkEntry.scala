@@ -253,6 +253,7 @@ object SparkEntry {
     "q_embed_ingest_gate" -> (graft.sources.EmbedIndex.embedIngestGate _),
     // the composed admission verdict: all three gates joined per doc
     "q_estate_admission" -> (graft.streaming.IngestGate.estateAdmission _),
+    "q_crawl_admission" -> (graft.streaming.IngestGate.crawlAdmission _),
     // the nightly keep list assembled from per-snapshot feature state
     // — no step reads text; history never re-resolves
     "q_keep_list_incremental" -> (graft.pipeline.IncrementalCurate.keepListIncremental _),
@@ -491,5 +492,6 @@ object SparkEntry {
     graft.sources.EmbedIndex.embedRetentionOracleSql.map("q_embed_retention" -> _) ++
     graft.sources.EmbedIndex.embedIngestGateOracleSql.map("q_embed_ingest_gate" -> _) ++
     graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission" -> _) ++
-    graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission_stream" -> _)
+    graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission_stream" -> _) ++
+    graft.streaming.IngestGate.crawlAdmissionOracleSql.map("q_crawl_admission" -> _)
 }

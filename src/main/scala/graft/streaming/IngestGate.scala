@@ -422,6 +422,84 @@ object IngestGate {
         col("embed_dup_of"), col("best_cos"))
   }
 
+  // ---- q_crawl_admission ---------------------------------------------
+
+  /** Crawl-level thresholds: a crawl is admitted when at most this
+    * share of its documents are copies of the estate...
+    */
+  val CrawlDupRateMax = 0.25
+
+  /** ...and at most this share fail the map-only text-quality rules
+    * (a higher garbage share means the crawl's extractor, not its
+    * content, is the problem).
+    */
+  val CrawlGarbageRateMax = 0.20
+
+  /** q_crawl_admission: the CRAWL-level go/no-go — one row folding the
+    * composed per-document admission verdicts ([[estateAdmission]])
+    * into the decision an estate operator actually takes per arriving
+    * crawl: admit counts, duplication against the estate (text exact/
+    * near + image + semantic), extractor-garbage share, and the admit
+    * verdict under the declared thresholds. This is the document-side
+    * sibling of the events-side `q_profile_drift` gate: both answer
+    * "does crawl B enter the estate?" from already-computed relations.
+    *
+    * Scale: one aggregation over the admission relation (itself
+    * candidate-bounded everywhere) collapsing to a single row —
+    * map-side partials, O(1) output at any crawl size.
+    */
+  def crawlAdmission(spark: SparkSession, sfDir: String): DataFrame =
+    crawlAdmissionOf(estateAdmission(spark, sfDir))
+
+  /** The fold over any per-doc verdict relation (the spec seam). */
+  private[streaming] def crawlAdmissionOf(adm: DataFrame): DataFrame = {
+    val dup = col("verdict").isin(
+      "text_exact_dup", "text_near_dup", "image_dup", "semantic_dup")
+    val garbage = col("verdict").startsWith("text_") && !dup
+    def rate(n: org.apache.spark.sql.Column) =
+      round(n.cast("double") / col("n_arriving").cast("double"), 6)
+    adm.agg(
+        count(lit(1)).as("n_arriving"),
+        sum(when(col("verdict") === "admit", 1L).otherwise(0L)).as("n_admit"),
+        sum(when(dup, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(garbage, 1L).otherwise(0L)).as("n_garbage"),
+        sum(when(col("verdict") === "image_dup", 1L).otherwise(0L)).as("n_image_dup"),
+        sum(when(col("verdict") === "semantic_dup", 1L).otherwise(0L)).as("n_semantic_dup"))
+      .select(col("n_arriving"), col("n_admit"), col("n_dup"), col("n_garbage"),
+        col("n_image_dup"), col("n_semantic_dup"),
+        rate(col("n_dup")).as("dup_rate"),
+        rate(col("n_garbage")).as("garbage_rate"),
+        (rate(col("n_dup")) <= CrawlDupRateMax &&
+          rate(col("n_garbage")) <= CrawlGarbageRateMax).as("admit_crawl"))
+  }
+
+  /** DuckDB oracle: the admission oracle folded by the same rates and
+    * thresholds (the composed SQL nests as a subquery).
+    */
+  def crawlAdmissionOracleSql: Option[String] =
+    estateAdmissionOracleSql.map { adm =>
+      s"""
+    WITH counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_arriving,
+             CAST(SUM(CASE WHEN verdict = 'admit' THEN 1 ELSE 0 END) AS BIGINT) AS n_admit,
+             CAST(SUM(CASE WHEN verdict IN ('text_exact_dup', 'text_near_dup', 'image_dup', 'semantic_dup')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(SUM(CASE WHEN verdict LIKE 'text_%'
+                        AND verdict NOT IN ('text_exact_dup', 'text_near_dup')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_garbage,
+             CAST(SUM(CASE WHEN verdict = 'image_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_dup,
+             CAST(SUM(CASE WHEN verdict = 'semantic_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dup
+      FROM ($adm)
+    )
+    SELECT n_arriving, n_admit, n_dup, n_garbage, n_image_dup, n_semantic_dup,
+           round(CAST(n_dup AS DOUBLE) / CAST(n_arriving AS DOUBLE), 6) AS dup_rate,
+           round(CAST(n_garbage AS DOUBLE) / CAST(n_arriving AS DOUBLE), 6) AS garbage_rate,
+           (round(CAST(n_dup AS DOUBLE) / CAST(n_arriving AS DOUBLE), 6) <= $CrawlDupRateMax
+            AND round(CAST(n_garbage AS DOUBLE) / CAST(n_arriving AS DOUBLE), 6) <= $CrawlGarbageRateMax)
+             AS admit_crawl
+    FROM counts"""
+    }
+
   /** DuckDB oracle (post-fit — the embed leg needs the frozen estate
     * codebook): the three gate oracles' shared CTE bodies composed
     * verbatim (`v` / `pim` / `pairs`), best-match ranked per doc, and
