@@ -90,6 +90,8 @@ object SparkEntry {
     "q_dedup_embed" -> (Similarity.embedDedup _),
     // LLM-data-pipeline: multimodal plumbing
     "q_multimodal" -> (Multimodal.multimodalFeatures _),
+    "q_audio_fingerprint" -> (graft.pipeline.Audio.audioFingerprint _),
+    "q_audio_dup_pairs" -> (graft.pipeline.Audio.audioDupPairs _),
     "q_multimodal_frames" -> (Multimodal.frameSample _),
     // analytic extensions beyond the reference surface
     "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
@@ -358,6 +360,8 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_dedup_embed" -> Similarity.embedDedupSql,
     "q_multimodal" -> Multimodal.multimodalFeaturesSql,
+    "q_audio_fingerprint" -> graft.pipeline.Audio.audioFingerprintSql,
+    "q_audio_dup_pairs" -> graft.pipeline.Audio.audioDupPairsSql,
     "q_multimodal_frames" -> Multimodal.frameSampleSql,
     "q_top_terms" -> AnalyticQueries.topTermsSql,
     "q_distinct_users" -> AnalyticQueries.distinctUsersSql,

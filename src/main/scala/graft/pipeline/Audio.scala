@@ -1,0 +1,207 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Audio fingerprinting — the constellation/landmark family (the
+  * Shazam-style shape: spectral peaks → peak-pair landmark hashes →
+  * inverted-index match), completing modality coverage beside the
+  * text MinHash and image phash lanes. The reference corpus carries
+  * no real audio and this container has no codec, so the "PCM" is the
+  * same deterministic stand-in the image lane samples
+  * ([[Multimodal.phashCodesOf]] — a real decoder replaces ONLY the
+  * sample extraction); everything downstream — windowed peak
+  * detection, landmark packing, the capped inverted-index candidate
+  * join, agreement verification — is the production algorithm and
+  * plan shape.
+  *
+  * Pipeline: 64 samples → 8 windows of 8 → per-window peak position
+  * (first max — the deterministic tie-break both engines share) → 7
+  * landmarks, each packing (window, peak_w, peak_w+1) into 9 bits.
+  * Two tracks are near-dups when a strict majority
+  * (≥ [[MinLandmarkAgree]] of 7) of their ALIGNED landmarks agree —
+  * robust to local corruption (a damaged window kills at most 2
+  * landmarks), which is the property that makes landmark matching
+  * work where whole-stream hashing fails.
+  *
+  * Scale: identical fingerprints collapse to ONE representative
+  * before the candidate join (the [[Multimodal.PhashBucketCap]]
+  * discipline); each (slot, landmark) posting list is capped at
+  * [[AudioBucketCap]] distinct fingerprints (a hotter bucket is a
+  * saturated landmark — the audio stop-shingle — and is dropped on
+  * both engines, a declared semantics); agreement verifies MAP-SIDE
+  * from the two packed 63-bit fingerprints (bit arithmetic in the
+  * join projection — no second data join); member expansion joins
+  * only verified rep pairs. No stage is quadratic in anything but
+  * the verified output itself.
+  */
+object Audio {
+
+  /** Landmarks per track (adjacent-window peak pairs of 8 windows). */
+  val Landmarks = 7
+
+  /** Minimum aligned-landmark agreement for a near-dup verdict: a
+    * STRICT MAJORITY of the 7 landmarks. One damaged window kills at
+    * most two landmarks (its two adjacent pairs), so majority
+    * agreement tolerates up to two damaged non-adjacent windows —
+    * the locality property constellation matching exists for.
+    */
+  val MinLandmarkAgree = 4
+
+  /** Max DISTINCT fingerprints per (slot, landmark) posting list. */
+  val AudioBucketCap = 256
+
+  /** The landmark vector of any (doc_id, text) relation — narrow ops
+    * only (streaming-safe). `smp` and `pk` are LAMBDA-bound (the
+    * [[Multimodal.phashCodesOf]] collapse-proof shape): each is
+    * evaluated once per row wherever the expression lands, so no
+    * consumer can re-inline the 64-sample transform into the
+    * per-landmark loop.
+    */
+  def landmarksOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .withColumn("lms",
+        expr("""aggregate(
+                 array(transform(sequence(0, 63),
+                   j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 64, 1)))),
+                 CAST(array() AS array<bigint>),
+                 (z, smp) -> aggregate(
+                   array(transform(sequence(0, 7),
+                     w -> array_position(slice(smp, w * 8 + 1, 8),
+                                         array_max(slice(smp, w * 8 + 1, 8))) - 1)),
+                   z,
+                   (z2, pk) -> transform(sequence(0, 6),
+                     w -> CAST(w * 64 + element_at(pk, w + 1) * 8
+                               + element_at(pk, w + 2) AS BIGINT))))"""))
+      .select(col("doc_id").as("asset_id"), col("lms"))
+
+  /** q_audio_fingerprint: the per-track landmark relation — the rows
+    * a production system writes into its inverted index.
+    */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    landmarksOf(Tables.documents(spark, sfDir))
+      .select(col("asset_id"), posexplode(col("lms")).as(Seq("slot", "landmark")))
+
+  val audioFingerprintSql: String =
+    s"""
+    WITH $landmarkCtesSql
+    SELECT l.asset_id, s.slot, l.lms[s.slot + 1] AS landmark
+    FROM lm l CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)"""
+
+  /** The packed 63-bit fingerprint (7 × 9-bit landmarks) — the
+    * collapse key AND the map-side verification payload.
+    */
+  private val packedFpExpr =
+    "aggregate(sequence(0, 6), CAST(0 AS BIGINT), " +
+      "(acc, w) -> acc + shiftleft(element_at(lms, w + 1), w * 9))"
+
+  /** q_audio_dup_pairs: near-duplicate track pairs at ≥
+    * [[MinLandmarkAgree]]/7 aligned-landmark agreement, with the
+    * agreement count. Intra-group pairs (identical fingerprints)
+    * carry agreement 7; cross-group pairs verify from the packed
+    * fingerprints in the candidate join's own projection.
+    */
+  def audioDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    audioDupPairsOf(Tables.documents(spark, sfDir))
+
+  /** The pair pipeline over any (doc_id, text) relation (spec seam). */
+  private[graft] def audioDupPairsOf(docs: DataFrame): DataFrame = {
+    val fp = landmarksOf(docs)
+      .select(col("asset_id"), expr(packedFpExpr).as("fp"))
+    // inverted index over REPRESENTATIVE fingerprints only
+    val postings = fp.select(col("fp")).distinct()
+      .select(col("fp"), explode(sequence(lit(0), lit(6))).as("slot"))
+      .withColumn("lmv", expr("shiftright(fp, 9 * slot) % 512"))
+    val keep = postings.groupBy(col("slot"), col("lmv"))
+      .agg(count(lit(1)).as("c")).filter(col("c") <= AudioBucketCap)
+      .select(col("slot"), col("lmv"))
+    val kept = postings.join(keep, Seq("slot", "lmv"))
+    val cand = kept.as("x").join(kept.as("y"), Seq("slot", "lmv"))
+      .filter(col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fpa"), col("y.fp").as("fpb"))
+      .distinct()
+    val agree = expr(
+      """aggregate(sequence(0, 6), CAST(0 AS BIGINT),
+         (acc, w) -> acc + CASE WHEN shiftright(fpa, 9 * w) % 512 = shiftright(fpb, 9 * w) % 512
+                                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
+    val verified = cand.select(col("fpa"), col("fpb"), agree.as("n_agree"))
+      .filter(col("n_agree") >= MinLandmarkAgree)
+
+    // expansion: verified rep pairs → member pairs; intra-group pairs
+    // are the identical-fingerprint quadratic, which IS the output
+    val cross = verified
+      .join(fp.select(col("asset_id").as("ida"), col("fp").as("fpa")), Seq("fpa"))
+      .join(fp.select(col("asset_id").as("idb"), col("fp").as("fpb")), Seq("fpb"))
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"), col("n_agree"))
+    val intra = fp.as("m").join(fp.as("n"), Seq("fp"))
+      .filter(col("m.asset_id") < col("n.asset_id"))
+      .select(col("m.asset_id").as("a"), col("n.asset_id").as("b"),
+        lit(7L).as("n_agree"))
+    cross.unionByName(intra)
+  }
+
+  val audioDupPairsSql: String =
+    s"""
+    WITH $landmarkCtesSql,
+    fpt AS (
+      SELECT asset_id,
+             CAST(list_sum([lms[w + 1] << (9 * w) for w in generate_series(0, 6)]) AS BIGINT) AS fp
+      FROM lm
+    ),
+    g AS (SELECT fp FROM fpt GROUP BY 1),
+    b AS (
+      SELECT fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM g CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    keepb AS (
+      SELECT slot, lmv FROM (SELECT slot, lmv, count(*) AS c FROM b GROUP BY 1, 2)
+      WHERE c <= $AudioBucketCap
+    ),
+    cand AS (
+      SELECT DISTINCT x.fp AS fpa, y.fp AS fpb
+      FROM b x JOIN b y USING (slot, lmv) JOIN keepb USING (slot, lmv)
+      WHERE x.fp < y.fp
+    ),
+    ver AS (
+      SELECT fpa, fpb,
+             CAST(list_sum([CASE WHEN (fpa >> (9 * w)) % 512 = (fpb >> (9 * w)) % 512
+                                 THEN 1 ELSE 0 END
+                            for w in generate_series(0, 6)]) AS BIGINT) AS n_agree
+      FROM cand
+    ),
+    verk AS (SELECT * FROM ver WHERE n_agree >= $MinLandmarkAgree)
+    SELECT least(ma.asset_id, mb.asset_id) AS a,
+           greatest(ma.asset_id, mb.asset_id) AS b, v.n_agree
+    FROM verk v JOIN fpt ma ON ma.fp = v.fpa JOIN fpt mb ON mb.fp = v.fpb
+    UNION ALL
+    SELECT m.asset_id AS a, n.asset_id AS b, CAST(7 AS BIGINT) AS n_agree
+    FROM fpt m JOIN fpt n ON m.fp = n.fp AND m.asset_id < n.asset_id"""
+
+  /** The landmark derivation as oracle CTEs — one definition for every
+    * audio oracle (the [[Multimodal.phashCodeCtesSql]] pattern).
+    */
+  private[graft] lazy val landmarkCtesSql: String =
+    """smp AS (
+      SELECT doc_id AS asset_id,
+             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 64), 1))
+              for j in generate_series(0, 63)] AS smp
+      FROM documents WHERE length(text) > 0
+    ),
+    pk AS (
+      SELECT asset_id,
+             [list_position(smp[w * 8 + 1 : w * 8 + 8],
+                            list_max(smp[w * 8 + 1 : w * 8 + 8])) - 1
+              for w in generate_series(0, 7)] AS pk
+      FROM smp
+    ),
+    lm AS (
+      SELECT asset_id,
+             [CAST(w * 64 + pk[w + 1] * 8 + pk[w + 2] AS BIGINT)
+              for w in generate_series(0, 6)] AS lms
+      FROM pk
+    )"""
+}

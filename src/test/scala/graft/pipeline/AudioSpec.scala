@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The audio landmark family on crafted 65-char "tracks" (length 65
+  * makes sample j exactly character j+1, so window peaks are planted
+  * by construction): hand-computed landmark values, the ≥5/7
+  * agreement verdict across planted corruptions, and the locality
+  * property the constellation design exists for — one damaged window
+  * kills at most two landmarks.
+  */
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A track whose window-w peak sits at position q(w): 8 chars of
+    * 'a' with a 'z' at the peak, per window, plus one pad char.
+    */
+  private def track(q: Seq[Int]): String = {
+    require(q.length == 8)
+    q.map(p => "a" * p + "z" + "a" * (7 - p)).mkString + "a"
+  }
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("landmarks are the packed adjacent-window peak pairs") {
+    val lms = Audio.landmarksOf(docs(1L -> track(0 to 7)))
+      .select(col("lms")).collect().head.getSeq[Long](0)
+    // peak(w) = w, so landmark w = w*64 + w*8 + (w+1)
+    assert(lms == (0 to 6).map(w => (w * 64 + w * 8 + w + 1).toLong),
+      s"got $lms")
+  }
+
+  test("agreement verdict: identical 7, edge corruption 6, boundary 4, scattered kill") {
+    val a = track(0 to 7)
+    val oneWin = track(Seq(0, 1, 2, 3, 4, 5, 6, 0)) // window 7 moved: landmark 6
+    val threeAdj = track(Seq(7, 6, 5, 3, 4, 5, 6, 7)) // windows 0-2: landmarks 0-2
+    val scattered = track(Seq(7, 1, 6, 3, 5, 5, 6, 7)) // windows 0,2,4: landmarks 0-4
+    val pairs = Audio.audioDupPairsOf(
+        docs(1L -> a, 2L -> a, 3L -> oneWin, 4L -> threeAdj, 5L -> scattered))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 7L, "identical tracks agree on all 7")
+    assert(pairs((1L, 3L)) == 6L,
+      "a damaged EDGE window kills exactly one adjacent-pair landmark")
+    assert(pairs((2L, 3L)) == 6L)
+    assert(pairs((1L, 4L)) == 4L,
+      "three adjacent damaged windows kill 3 landmarks: the majority boundary holds")
+    assert(!pairs.contains((1L, 5L)),
+      "three scattered damaged windows kill 5 landmarks: below the majority line")
+    assert(!pairs.contains((4L, 5L)), s"4 vs 5 agree only on landmarks 5, 6: $pairs")
+  }
+
+  test("an interior damaged window kills exactly two landmarks") {
+    val a = track(0 to 7)
+    val mid = track(Seq(0, 1, 2, 0, 4, 5, 6, 7)) // window 3 moved: landmarks 2 and 3
+    val pairs = Audio.audioDupPairsOf(docs(1L -> a, 2L -> mid))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 5L, s"got $pairs")
+  }
+}
