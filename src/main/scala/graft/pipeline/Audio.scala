@@ -181,6 +181,105 @@ object Audio {
     SELECT m.asset_id AS a, n.asset_id AS b, CAST(7 AS BIGINT) AS n_agree
     FROM fpt m JOIN fpt n ON m.fp = n.fp AND m.asset_id < n.asset_id"""
 
+  // ---- q_audio_recall --------------------------------------------------
+
+  /** Probe stride for the recall eval's capped truth leg. */
+  val RecallProbeStride = 20
+
+  /** q_audio_recall: the landmark index's recall instrument — the
+    * house rule that every candidate-generating index ships its
+    * recall eval. Truth leg: every [[RecallProbeStride]]-th asset
+    * brute-forces its aligned agreement against ALL fingerprints
+    * (O(probes·n), the declared capped form — probes are 1/20 of the
+    * corpus, so the leg is linear in n with a small constant, never
+    * all-pairs). Got leg: the inverted-index pipeline's verified
+    * pairs touching a probe. One row: truth size, candidate-path
+    * size, hits, recall — the number an operator reads before
+    * trusting the capped posting lists.
+    */
+  def audioRecall(spark: SparkSession, sfDir: String): DataFrame =
+    audioRecallOf(Tables.documents(spark, sfDir))
+
+  /** The recall eval over any (doc_id, text) relation (spec seam). */
+  private[graft] def audioRecallOf(docs: DataFrame): DataFrame = {
+    val fp = landmarksOf(docs)
+      .select(col("asset_id"), expr(packedFpExpr).as("fp"))
+    val probes = fp.filter(col("asset_id") % RecallProbeStride === 0)
+      .select(col("asset_id").as("pid"), col("fp").as("pfp"))
+    val agree = expr(
+      """aggregate(sequence(0, 6), CAST(0 AS BIGINT),
+         (acc, w) -> acc + CASE WHEN shiftright(pfp, 9 * w) % 512 = shiftright(fp, 9 * w) % 512
+                                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
+    val truth = probes.join(fp, col("pid") =!= col("asset_id"))
+      .select(least(col("pid"), col("asset_id")).as("a"),
+        greatest(col("pid"), col("asset_id")).as("b"), agree.as("n_agree"))
+      .filter(col("n_agree") >= MinLandmarkAgree)
+      .select(col("a"), col("b")).distinct()
+    val got = audioDupPairsOf(docs)
+      .filter(col("a") % RecallProbeStride === 0 || col("b") % RecallProbeStride === 0)
+      .select(col("a"), col("b")).distinct()
+    val hit = truth.join(got, Seq("a", "b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(got.agg(count(lit(1)).as("n_got")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_got"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6).as("recall"))
+  }
+
+  val audioRecallSql: String =
+    s"""
+    WITH $landmarkCtesSql,
+    fpt AS (
+      SELECT asset_id,
+             CAST(list_sum([lms[w + 1] << (9 * w) for w in generate_series(0, 6)]) AS BIGINT) AS fp
+      FROM lm
+    ),
+    pr AS (SELECT asset_id AS pid, fp AS pfp FROM fpt WHERE asset_id % $RecallProbeStride = 0),
+    truth AS (
+      SELECT DISTINCT least(p.pid, f.asset_id) AS a, greatest(p.pid, f.asset_id) AS b
+      FROM pr p JOIN fpt f ON p.pid <> f.asset_id
+      WHERE CAST(list_sum([CASE WHEN (p.pfp >> (9 * w)) % 512 = (f.fp >> (9 * w)) % 512
+                                THEN 1 ELSE 0 END
+                           for w in generate_series(0, 6)]) AS BIGINT) >= $MinLandmarkAgree
+    ),
+    g AS (SELECT fp FROM fpt GROUP BY 1),
+    b AS (
+      SELECT fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM g CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    keepb AS (
+      SELECT slot, lmv FROM (SELECT slot, lmv, count(*) AS c FROM b GROUP BY 1, 2)
+      WHERE c <= $AudioBucketCap
+    ),
+    cand AS (
+      SELECT DISTINCT x.fp AS fpa, y.fp AS fpb
+      FROM b x JOIN b y USING (slot, lmv) JOIN keepb USING (slot, lmv)
+      WHERE x.fp < y.fp
+    ),
+    verk AS (
+      SELECT fpa, fpb FROM cand
+      WHERE CAST(list_sum([CASE WHEN (fpa >> (9 * w)) % 512 = (fpb >> (9 * w)) % 512
+                                THEN 1 ELSE 0 END
+                           for w in generate_series(0, 6)]) AS BIGINT) >= $MinLandmarkAgree
+    ),
+    gotall AS (
+      SELECT least(ma.asset_id, mb.asset_id) AS a, greatest(ma.asset_id, mb.asset_id) AS b
+      FROM verk v JOIN fpt ma ON ma.fp = v.fpa JOIN fpt mb ON mb.fp = v.fpb
+      UNION ALL
+      SELECT m.asset_id, n.asset_id
+      FROM fpt m JOIN fpt n ON m.fp = n.fp AND m.asset_id < n.asset_id
+    ),
+    got AS (
+      SELECT DISTINCT a, b FROM gotall
+      WHERE a % $RecallProbeStride = 0 OR b % $RecallProbeStride = 0
+    ),
+    hit AS (SELECT * FROM truth t WHERE EXISTS (SELECT 1 FROM got g2 WHERE g2.a = t.a AND g2.b = t.b))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM got) AS n_got,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall"""
+
   /** The landmark derivation as oracle CTEs — one definition for every
     * audio oracle (the [[Multimodal.phashCodeCtesSql]] pattern).
     */

@@ -52,6 +52,18 @@ class AudioSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)), s"4 vs 5 agree only on landmarks 5, 6: $pairs")
   }
 
+  test("planted recall gate: the probe's near-dup is found by both legs") {
+    val a = track(0 to 7)
+    val near = track(Seq(0, 1, 2, 3, 4, 5, 6, 0)) // agree 6 with a
+    val far = track(Seq(7, 6, 5, 4, 3, 2, 1, 0))
+    val r = Audio.audioRecallOf(
+        docs(20L -> a, 21L -> near, 22L -> far, 23L -> track(Seq(1, 0, 3, 2, 5, 4, 7, 6))))
+      .collect().head
+    assert(r.getAs[Long]("n_truth") == 1L, s"truth must hold exactly (20, 21): $r")
+    assert(r.getAs[Long]("n_hit") == 1L)
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
   test("an interior damaged window kills exactly two landmarks") {
     val a = track(0 to 7)
     val mid = track(Seq(0, 1, 2, 0, 4, 5, 6, 7)) // window 3 moved: landmarks 2 and 3
