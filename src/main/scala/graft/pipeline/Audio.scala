@@ -98,6 +98,13 @@ object Audio {
     "aggregate(sequence(0, 6), CAST(0 AS BIGINT), " +
       "(acc, w) -> acc + shiftleft(element_at(lms, w + 1), w * 9))"
 
+  /** The (asset_id, packed fp) relation of any (doc_id, text) docs —
+    * shared by the batch pipeline, the recall eval, and the streaming
+    * twin ([[graft.streaming.AudioState]]).
+    */
+  private[graft] def packedFps(docs: DataFrame): DataFrame =
+    landmarksOf(docs).select(col("asset_id"), expr(packedFpExpr).as("fp"))
+
   /** q_audio_dup_pairs: near-duplicate track pairs at ≥
     * [[MinLandmarkAgree]]/7 aligned-landmark agreement, with the
     * agreement count. Intra-group pairs (identical fingerprints)
@@ -109,8 +116,7 @@ object Audio {
 
   /** The pair pipeline over any (doc_id, text) relation (spec seam). */
   private[graft] def audioDupPairsOf(docs: DataFrame): DataFrame = {
-    val fp = landmarksOf(docs)
-      .select(col("asset_id"), expr(packedFpExpr).as("fp"))
+    val fp = packedFps(docs)
     // inverted index over REPRESENTATIVE fingerprints only
     val postings = fp.select(col("fp")).distinct()
       .select(col("fp"), explode(sequence(lit(0), lit(6))).as("slot"))
@@ -202,8 +208,7 @@ object Audio {
 
   /** The recall eval over any (doc_id, text) relation (spec seam). */
   private[graft] def audioRecallOf(docs: DataFrame): DataFrame = {
-    val fp = landmarksOf(docs)
-      .select(col("asset_id"), expr(packedFpExpr).as("fp"))
+    val fp = packedFps(docs)
     val probes = fp.filter(col("asset_id") % RecallProbeStride === 0)
       .select(col("asset_id").as("pid"), col("fp").as("pfp"))
     val agree = expr(
