@@ -99,6 +99,7 @@ object StreamBench {
       .filter(col("doc_id") % 2 === 0)
     val (sigIdx, _) = graft.sources.SignatureIndex.snapshotTables(spark, sfDir)
     val (phIdx, _) = graft.sources.PhashIndex.snapshotTables(spark, sfDir)
+    val (auIdx, _) = graft.sources.AudioIndex.snapshotTables(spark, sfDir)
     val (emIdx, _) = graft.sources.EmbedIndex.snapshotTables(spark, sfDir)
     val centers = graft.pipeline.Similarity.estateCenters(spark, sfDir)
     // narrow codegen generation, checkpointed so generation cost stays
@@ -113,7 +114,7 @@ object StreamBench {
           "d -> CAST(pmod(id * 64 + d, 97) AS FLOAT) / CAST(97 AS FLOAT)) AS embedding")
       .localCheckpoint(true)
     val gate = graft.streaming.IngestGate
-      .admissionStream(docs, corpus, sigIdx, phIdx, emIdx, centers).toDF()
+      .admissionStream(docs, corpus, sigIdx, phIdx, auIdx, emIdx, centers).toDF()
     gate.count() // warm-up (codegen + broadcast build)
     val start = System.nanoTime()
     (1 to batches).foreach(_ => gate.count())

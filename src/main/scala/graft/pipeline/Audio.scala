@@ -105,6 +105,16 @@ object Audio {
   private[graft] def packedFps(docs: DataFrame): DataFrame =
     landmarksOf(docs).select(col("asset_id"), expr(packedFpExpr).as("fp"))
 
+  /** The (slot, landmark) posting rows of any (doc_id, text) docs —
+    * the inverted-index key shape, shared by the batch pipeline, the
+    * persisted index ([[graft.sources.AudioIndex]]), and the
+    * streaming twin. Narrow ops only; stream-safe.
+    */
+  private[graft] def postingRows(docs: DataFrame): DataFrame =
+    packedFps(docs)
+      .select(col("asset_id"), col("fp"), explode(sequence(lit(0), lit(6))).as("slot"))
+      .withColumn("lmv", expr("shiftright(fp, 9 * slot) % 512"))
+
   /** q_audio_dup_pairs: near-duplicate track pairs at ≥
     * [[MinLandmarkAgree]]/7 aligned-landmark agreement, with the
     * agreement count. Intra-group pairs (identical fingerprints)

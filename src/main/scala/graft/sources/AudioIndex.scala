@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Audio
+import graft.queries.Tables
+
+/** Persisted audio LANDMARK index — the constellation family's
+  * cross-JOB posting table, completing the live-gate symmetry: like
+  * [[SignatureIndex]] (text bands) and [[PhashIndex]] (image bands),
+  * a corpus snapshot's (slot, landmark) posting rows are written ONCE
+  * as a table BUCKETED by the posting key, so the ingest gate's
+  * stream-static join reads only matching bucket files — the arriving
+  * track's 7 postings probe 7 buckets, the corpus never re-shuffles.
+  *
+  * Identical fingerprints collapse to their representative at write
+  * time (the estate discipline — an identical-dup cluster is ONE
+  * posting per slot however many members it has), and the packed
+  * fingerprint rides in the posting row so the gate verifies
+  * strict-majority agreement map-side with bit arithmetic — the same
+  * zero-extra-join property the batch pair query has.
+  *
+  * Kept deliberately lean: write + ingest gate. The estate lifecycle
+  * machinery (merge/compaction, retention, cross-snapshot sweeps) is
+  * proven three times over on the signature/phash/embed families and
+  * would transplant mechanically; the audio family's novel surface is
+  * the gate, so that is what ships gated.
+  */
+object AudioIndex {
+
+  /** Write a snapshot's landmark posting index. One co-locating
+    * shuffle per snapshot, ever.
+    */
+  def write(docs: DataFrame, table: String, buckets: Int = 8,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      TableUtil.dropTableAndLocation(docs.sparkSession, table)
+    val reps = Audio.packedFps(docs)
+      .groupBy(col("fp")).agg(min(col("asset_id")).as("rep"))
+    reps
+      .select(col("rep"), col("fp"), explode(sequence(lit(0), lit(6))).as("slot"))
+      .withColumn("lmv", expr("shiftright(fp, 9 * slot) % 512"))
+      .repartition(buckets, col("slot"), col("lmv"))
+      .write
+      .mode(mode)
+      .bucketBy(buckets, "slot", "lmv")
+      .sortBy("slot", "lmv")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  private val snapshotTablesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[graft] def snapshotTables(spark: SparkSession, sfDir: String): (String, String) =
+    snapshotTablesMemo.synchronized {
+      snapshotTablesMemo.getOrElseUpdate(
+        s"${spark.sparkContext.applicationId}|$sfDir",
+        graft.core.Memo.timed("audio_snapshots", sfDir) {
+          val docs = Tables.documents(spark, sfDir)
+          val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+          val (ta, tb) = (s"graft_audio_snap_a_$sfx", s"graft_audio_snap_b_$sfx")
+          write(docs.filter(col("doc_id") % 2 === 0), ta)
+          write(docs.filter(col("doc_id") % 2 === 1), tb)
+          (ta, tb)
+        })
+    }
+
+  /** Test seam: forget the written snapshot tables. */
+  private[graft] def resetSnapshotTables(): Unit =
+    snapshotTablesMemo.synchronized(snapshotTablesMemo.clear())
+
+  /** The live audio gate: each arriving track's 7 posting rows probe
+    * the bucketed index; strict-majority agreement verifies map-side
+    * from the two packed fingerprints in the same projection. Works
+    * on a static or streaming `docs` unchanged (stateless
+    * stream-static join). Emits one row per matching bucket; batch
+    * consumers take DISTINCT, the streaming collapse keys by doc.
+    */
+  def ingestStream(docs: DataFrame, indexTable: String): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = spark.table(indexTable)
+      .select(col("slot"), col("lmv"), col("rep").as("corpus_rep"), col("fp").as("fp_c"))
+    Audio.postingRows(docs)
+      .join(idx, Seq("slot", "lmv"))
+      .select(col("asset_id"), col("corpus_rep"),
+        expr("""aggregate(sequence(0, 6), CAST(0 AS BIGINT),
+                (acc, w) -> acc + CASE WHEN shiftright(fp, 9 * w) % 512 = shiftright(fp_c, 9 * w) % 512
+                                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
+          .as("n_agree"))
+      .filter(col("n_agree") >= Audio.MinLandmarkAgree)
+  }
+
+  /** q_audio_ingest_gate: the gate's batch execution — odd-id tracks
+    * arrive against the even-id corpus's persisted landmark index.
+    */
+  def audioIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, _) = snapshotTables(spark, sfDir)
+    val arriving = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
+    ingestStream(arriving, ta).distinct()
+  }
+
+  /** The gate oracle's CTE body (ending at the match relation `pau`)
+    * — au-prefixed names so it composes beside the text/image/vector
+    * gate CTEs in the estate-admission oracle without collision.
+    */
+  private[graft] val audioIngestCtesSql: String =
+    s"""ausmp AS (
+      SELECT doc_id AS asset_id,
+             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 64), 1))
+              for j in generate_series(0, 63)] AS smp
+      FROM documents WHERE length(text) > 0
+    ),
+    aupk AS (
+      SELECT asset_id,
+             [list_position(smp[w * 8 + 1 : w * 8 + 8],
+                            list_max(smp[w * 8 + 1 : w * 8 + 8])) - 1
+              for w in generate_series(0, 7)] AS pk
+      FROM ausmp
+    ),
+    aufp AS (
+      SELECT asset_id,
+             CAST(list_sum([(CAST(w * 64 + pk[w + 1] * 8 + pk[w + 2] AS BIGINT)) << (9 * w)
+                            for w in generate_series(0, 6)]) AS BIGINT) AS fp
+      FROM aupk
+    ),
+    auga AS (SELECT fp, min(asset_id) AS rep FROM aufp WHERE asset_id % 2 = 0 GROUP BY 1),
+    auba AS (
+      SELECT rep, fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM auga CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    aunb AS (
+      SELECT asset_id, fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM aufp CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+      WHERE asset_id % 2 = 1
+    ),
+    pau AS (
+      SELECT DISTINCT n.asset_id, a.rep AS corpus_rep,
+             CAST(list_sum([CASE WHEN (n.fp >> (9 * w)) % 512 = (a.fp >> (9 * w)) % 512
+                                 THEN 1 ELSE 0 END
+                            for w in generate_series(0, 6)]) AS BIGINT) AS n_agree
+      FROM aunb n JOIN auba a ON n.slot = a.slot AND n.lmv = a.lmv
+      WHERE CAST(list_sum([CASE WHEN (n.fp >> (9 * w)) % 512 = (a.fp >> (9 * w)) % 512
+                                THEN 1 ELSE 0 END
+                           for w in generate_series(0, 6)]) AS BIGINT) >= ${Audio.MinLandmarkAgree}
+    )"""
+
+  /** DuckDB mirror of [[audioIngestGate]]. */
+  val audioIngestGateSql: String =
+    s"""
+    WITH $audioIngestCtesSql
+    SELECT asset_id, corpus_rep, n_agree FROM pau"""
+}

@@ -84,11 +84,8 @@ object AudioState {
   def landmarkRows(docs: DataFrame): Dataset[LandmarkRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Audio.packedFps(docs)
-      .select(col("asset_id").as("assetId"), col("fp"),
-        explode(sequence(lit(0), lit(6))).as("slot"))
-      .withColumn("lmv", expr("shiftright(fp, 9 * slot) % 512"))
-      .select(col("slot"), col("lmv"), col("assetId"), col("fp"))
+    Audio.postingRows(docs)
+      .select(col("slot"), col("lmv"), col("asset_id").as("assetId"), col("fp"))
       .as[LandmarkRow]
   }
 

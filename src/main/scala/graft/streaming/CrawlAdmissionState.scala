@@ -29,16 +29,17 @@ object CrawlAdmissionState {
   /** Held counts (and the emitted running record). */
   final case class Counts(
       crawl: String, n_arriving: Long, n_admit: Long, n_dup: Long,
-      n_garbage: Long, n_image_dup: Long, n_semantic_dup: Long)
+      n_garbage: Long, n_image_dup: Long, n_audio_dup: Long, n_semantic_dup: Long)
 
   /** Emitted per trigger: the running rates + verdict. */
   final case class RunningVerdict(
       crawl: String, n_arriving: Long, n_admit: Long, n_dup: Long,
-      n_garbage: Long, n_image_dup: Long, n_semantic_dup: Long,
+      n_garbage: Long, n_image_dup: Long, n_audio_dup: Long, n_semantic_dup: Long,
       dup_rate: Double, garbage_rate: Double,
       decided: Boolean, admit_crawl: Boolean)
 
-  private val DupSet = Set("text_exact_dup", "text_near_dup", "image_dup", "semantic_dup")
+  private val DupSet =
+    Set("text_exact_dup", "text_near_dup", "image_dup", "audio_dup", "semantic_dup")
 
   /** Classification shared with the batch fold's column expressions:
     * dup = a copy of the estate; garbage = any other text_ failure.
@@ -50,6 +51,7 @@ object CrawlAdmissionState {
     n_garbage = c.n_garbage +
       (if (verdict.startsWith("text_") && !DupSet(verdict)) 1L else 0L),
     n_image_dup = c.n_image_dup + (if (verdict == "image_dup") 1L else 0L),
+    n_audio_dup = c.n_audio_dup + (if (verdict == "audio_dup") 1L else 0L),
     n_semantic_dup = c.n_semantic_dup + (if (verdict == "semantic_dup") 1L else 0L))
 
   /** The batch fold's exact rate + threshold arithmetic. */
@@ -61,7 +63,7 @@ object CrawlAdmissionState {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val dr = rate(c.n_dup); val gr = rate(c.n_garbage)
     RunningVerdict(c.crawl, c.n_arriving, c.n_admit, c.n_dup, c.n_garbage,
-      c.n_image_dup, c.n_semantic_dup, dr, gr,
+      c.n_image_dup, c.n_audio_dup, c.n_semantic_dup, dr, gr,
       decided = c.n_arriving >= minArrivals,
       admit_crawl = dr <= IngestGate.CrawlDupRateMax &&
         gr <= IngestGate.CrawlGarbageRateMax)
@@ -70,7 +72,7 @@ object CrawlAdmissionState {
   def update(minArrivals: Long)(
       crawl: String, rows: Iterator[CrawlVerdict], state: GroupState[Counts],
   ): Iterator[RunningVerdict] = {
-    var c = state.getOption.getOrElse(Counts(crawl, 0L, 0L, 0L, 0L, 0L, 0L))
+    var c = state.getOption.getOrElse(Counts(crawl, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
     rows.foreach(r => c = fold(c, r.verdict))
     state.update(c)
     Iterator.single(running(c, minArrivals))

@@ -251,12 +251,14 @@ object IngestGate {
       doc_id: Long, pre_verdict: String, keeper: java.lang.Long,
       corpus_doc: java.lang.Long, est: java.lang.Double,
       img_rep: java.lang.Long, hamming: java.lang.Integer,
+      aud_rep: java.lang.Long, agree: java.lang.Long,
       emb_vec: java.lang.Long, cos: java.lang.Double)
 
   /** The emitted admission record — the `q_estate_admission` contract. */
   final case class Admission(
       doc_id: Long, verdict: String, text_dup_of: java.lang.Long,
       image_dup_of: java.lang.Long, best_hamming: java.lang.Integer,
+      audio_dup_of: java.lang.Long, best_agree: java.lang.Long,
       embed_dup_of: java.lang.Long, best_cos: java.lang.Double)
 
   /** Collapse a document's unioned leg rows into its admission
@@ -268,6 +270,7 @@ object IngestGate {
     var keeper: java.lang.Long = null
     var bestEst = -1.0; var bestEstDoc = Long.MaxValue
     var bestHam = Int.MaxValue; var bestRep = Long.MaxValue
+    var bestAgr = -1L; var bestAud = Long.MaxValue
     var bestCos = -1.0; var bestVec = Long.MaxValue
     rows.foreach { r =>
       if (r.pre_verdict != null) pre = r.pre_verdict
@@ -280,6 +283,10 @@ object IngestGate {
         val h: Int = r.hamming; val p: Long = r.img_rep
         if (h < bestHam || (h == bestHam && p < bestRep)) { bestHam = h; bestRep = p }
       }
+      if (r.agree != null) {
+        val g: Long = r.agree; val p: Long = r.aud_rep
+        if (g > bestAgr || (g == bestAgr && p < bestAud)) { bestAgr = g; bestAud = p }
+      }
       if (r.cos != null) {
         val c: Double = r.cos; val v: Long = r.emb_vec
         if (c > bestCos || (c == bestCos && v < bestVec)) { bestCos = c; bestVec = v }
@@ -287,6 +294,8 @@ object IngestGate {
     }
     val imageDup: java.lang.Long = if (bestHam != Int.MaxValue) bestRep else null
     val hamOut: java.lang.Integer = if (bestHam != Int.MaxValue) bestHam else null
+    val audioDup: java.lang.Long = if (bestAgr >= 0) bestAud else null
+    val agrOut: java.lang.Long = if (bestAgr >= 0) bestAgr else null
     val embedDup: java.lang.Long = if (bestCos >= 0) bestVec else null
     val cosOut: java.lang.Double = if (bestCos >= 0) bestCos else null
     val textDup: java.lang.Long =
@@ -299,9 +308,10 @@ object IngestGate {
       else if (keeper != null) "text_exact_dup"
       else if (bestEst >= NearDupMinEst) "text_near_dup"
       else if (imageDup != null) "image_dup"
+      else if (audioDup != null) "audio_dup"
       else if (embedDup != null) "semantic_dup"
       else "admit"
-    Admission(docId, verdict, textDup, imageDup, hamOut, embedDup, cosOut)
+    Admission(docId, verdict, textDup, imageDup, hamOut, audioDup, agrOut, embedDup, cosOut)
   }
 
   private def updateAdm(
@@ -321,19 +331,28 @@ object IngestGate {
     * AdmissionStreamSpec pins stream == batch across trigger splits).
     */
   def admissionStream(docs: DataFrame, corpus: DataFrame, sigIdx: String,
-      phashIdx: String, embedIdx: String,
+      phashIdx: String, audioIdx: String, embedIdx: String,
       centers: IndexedSeq[Array[Double]]): Dataset[Admission] = {
     def nl(t: String, n: String) = lit(null).cast(t).as(n)
     val text = scoredRows(docs.select(col("doc_id"), col("text")), corpus, sigIdx)
       .select(col("doc_id"), col("pre_verdict"), col("keeper"),
         col("corpus_doc"), col("est"),
         nl("bigint", "img_rep"), nl("int", "hamming"),
+        nl("bigint", "aud_rep"), nl("bigint", "agree"),
         nl("bigint", "emb_vec"), nl("double", "cos"))
     val img = graft.sources.PhashIndex
       .ingestStream(docs.select(col("doc_id"), col("text")), phashIdx)
       .select(col("asset_id").as("doc_id"), nl("string", "pre_verdict"),
         nl("bigint", "keeper"), nl("bigint", "corpus_doc"), nl("double", "est"),
         col("corpus_rep").as("img_rep"), col("hamming"),
+        nl("bigint", "aud_rep"), nl("bigint", "agree"),
+        nl("bigint", "emb_vec"), nl("double", "cos"))
+    val aud = graft.sources.AudioIndex
+      .ingestStream(docs.select(col("doc_id"), col("text")), audioIdx)
+      .select(col("asset_id").as("doc_id"), nl("string", "pre_verdict"),
+        nl("bigint", "keeper"), nl("bigint", "corpus_doc"), nl("double", "est"),
+        nl("bigint", "img_rep"), nl("int", "hamming"),
+        col("corpus_rep").as("aud_rep"), col("n_agree").as("agree"),
         nl("bigint", "emb_vec"), nl("double", "cos"))
     val emb = graft.sources.EmbedIndex
       .ingestStream(
@@ -343,12 +362,13 @@ object IngestGate {
       .select(col("vec_id").as("doc_id"), nl("string", "pre_verdict"),
         nl("bigint", "keeper"), nl("bigint", "corpus_doc"), nl("double", "est"),
         nl("bigint", "img_rep"), nl("int", "hamming"),
+        nl("bigint", "aud_rep"), nl("bigint", "agree"),
         col("corpus_vec").as("emb_vec"), col("cos"))
     implicit val admRowEnc = Encoders.product[AdmRow]
     implicit val admEnc = Encoders.product[Admission]
     implicit val stateEnc = Encoders.scalaInt
     implicit val keyEnc = Encoders.scalaLong
-    text.unionByName(img).unionByName(emb)
+    text.unionByName(img).unionByName(aud).unionByName(emb)
       .as[AdmRow]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(updateAdm _)
@@ -367,6 +387,7 @@ object IngestGate {
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val (sigIdx, _) = graft.sources.SignatureIndex.snapshotTables(spark, sfDir)
     val (phashIdx, _) = graft.sources.PhashIndex.snapshotTables(spark, sfDir)
+    val (audioIdx, _) = graft.sources.AudioIndex.snapshotTables(spark, sfDir)
     val (embedIdx, _) = graft.sources.EmbedIndex.snapshotTables(spark, sfDir)
     val centers = graft.pipeline.Similarity.estateCenters(spark, sfDir)
     admissionStream(
@@ -374,7 +395,7 @@ object IngestGate {
         .select(col("doc_id"), col("text"))
         .join(emb, Seq("doc_id"), "left"),
       docs.filter(col("doc_id") % 2 === 0),
-      sigIdx, phashIdx, embedIdx, centers).toDF()
+      sigIdx, phashIdx, audioIdx, embedIdx, centers).toDF()
   }
 
   // ---- q_estate_admission ------------------------------------------------
@@ -405,6 +426,11 @@ object IngestGate {
       .agg(min(struct(col("hamming"), col("corpus_rep"))).as("m"))
       .select(col("asset_id").as("doc_id"),
         col("m.corpus_rep").as("image_dup_of"), col("m.hamming").as("best_hamming"))
+    val audBest = graft.sources.AudioIndex.audioIngestGate(spark, sfDir)
+      .groupBy(col("asset_id"))
+      .agg(max(struct(col("n_agree"), (-col("corpus_rep")).as("neg"))).as("m"))
+      .select(col("asset_id").as("doc_id"),
+        (-col("m.neg")).as("audio_dup_of"), col("m.n_agree").as("best_agree"))
     val embBest = graft.sources.EmbedIndex.embedIngestGate(spark, sfDir)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("corpus_vec")).as("neg"))).as("m"))
@@ -412,13 +438,16 @@ object IngestGate {
         (-col("m.neg")).as("embed_dup_of"), col("m.cos").as("best_cos"))
     text
       .join(imgBest, Seq("doc_id"), "left")
+      .join(audBest, Seq("doc_id"), "left")
       .join(embBest, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("text_verdict") =!= "keep", concat(lit("text_"), col("text_verdict")))
           .when(col("image_dup_of").isNotNull, lit("image_dup"))
+          .when(col("audio_dup_of").isNotNull, lit("audio_dup"))
           .when(col("embed_dup_of").isNotNull, lit("semantic_dup"))
           .otherwise(lit("admit")).as("verdict"),
         col("text_dup_of"), col("image_dup_of"), col("best_hamming"),
+        col("audio_dup_of"), col("best_agree"),
         col("embed_dup_of"), col("best_cos"))
   }
 
@@ -454,7 +483,7 @@ object IngestGate {
   /** The fold over any per-doc verdict relation (the spec seam). */
   private[streaming] def crawlAdmissionOf(adm: DataFrame): DataFrame = {
     val dup = col("verdict").isin(
-      "text_exact_dup", "text_near_dup", "image_dup", "semantic_dup")
+      "text_exact_dup", "text_near_dup", "image_dup", "audio_dup", "semantic_dup")
     val garbage = col("verdict").startsWith("text_") && !dup
     def rate(n: org.apache.spark.sql.Column) =
       round(n.cast("double") / col("n_arriving").cast("double"), 6)
@@ -464,9 +493,10 @@ object IngestGate {
         sum(when(dup, 1L).otherwise(0L)).as("n_dup"),
         sum(when(garbage, 1L).otherwise(0L)).as("n_garbage"),
         sum(when(col("verdict") === "image_dup", 1L).otherwise(0L)).as("n_image_dup"),
+        sum(when(col("verdict") === "audio_dup", 1L).otherwise(0L)).as("n_audio_dup"),
         sum(when(col("verdict") === "semantic_dup", 1L).otherwise(0L)).as("n_semantic_dup"))
       .select(col("n_arriving"), col("n_admit"), col("n_dup"), col("n_garbage"),
-        col("n_image_dup"), col("n_semantic_dup"),
+        col("n_image_dup"), col("n_audio_dup"), col("n_semantic_dup"),
         rate(col("n_dup")).as("dup_rate"),
         rate(col("n_garbage")).as("garbage_rate"),
         (rate(col("n_dup")) <= CrawlDupRateMax &&
@@ -482,16 +512,17 @@ object IngestGate {
     WITH counts AS (
       SELECT CAST(count(*) AS BIGINT) AS n_arriving,
              CAST(SUM(CASE WHEN verdict = 'admit' THEN 1 ELSE 0 END) AS BIGINT) AS n_admit,
-             CAST(SUM(CASE WHEN verdict IN ('text_exact_dup', 'text_near_dup', 'image_dup', 'semantic_dup')
+             CAST(SUM(CASE WHEN verdict IN ('text_exact_dup', 'text_near_dup', 'image_dup', 'audio_dup', 'semantic_dup')
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
              CAST(SUM(CASE WHEN verdict LIKE 'text_%'
                         AND verdict NOT IN ('text_exact_dup', 'text_near_dup')
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_garbage,
              CAST(SUM(CASE WHEN verdict = 'image_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_dup,
+             CAST(SUM(CASE WHEN verdict = 'audio_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_dup,
              CAST(SUM(CASE WHEN verdict = 'semantic_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dup
       FROM ($adm)
     )
-    SELECT n_arriving, n_admit, n_dup, n_garbage, n_image_dup, n_semantic_dup,
+    SELECT n_arriving, n_admit, n_dup, n_garbage, n_image_dup, n_audio_dup, n_semantic_dup,
            round(CAST(n_dup AS DOUBLE) / CAST(n_arriving AS DOUBLE), 6) AS dup_rate,
            round(CAST(n_garbage AS DOUBLE) / CAST(n_arriving AS DOUBLE), 6) AS garbage_rate,
            (round(CAST(n_dup AS DOUBLE) / CAST(n_arriving AS DOUBLE), 6) <= $CrawlDupRateMax
@@ -510,12 +541,19 @@ object IngestGate {
       s"""
     WITH $ingestGateCtesSql,
     ${graft.sources.PhashIndex.phashIngestCtesSql},
+    ${graft.sources.AudioIndex.audioIngestCtesSql},
     ${graft.sources.EmbedIndex.estateAssignCtesSql(centers)},
     imgb AS (
       SELECT asset_id, corpus_rep, hamming,
              row_number() OVER (PARTITION BY asset_id
                ORDER BY hamming ASC, corpus_rep ASC) AS irk
       FROM pim
+    ),
+    audb AS (
+      SELECT asset_id, corpus_rep, n_agree,
+             row_number() OVER (PARTITION BY asset_id
+               ORDER BY n_agree DESC, corpus_rep ASC) AS ark
+      FROM pau
     ),
     embb AS (
       SELECT vec_id, corpus_vec, cos,
@@ -526,14 +564,17 @@ object IngestGate {
     SELECT v.doc_id,
            CASE WHEN v.verdict <> 'keep' THEN 'text_' || v.verdict
                 WHEN i.corpus_rep IS NOT NULL THEN 'image_dup'
+                WHEN au.corpus_rep IS NOT NULL THEN 'audio_dup'
                 WHEN eb.corpus_vec IS NOT NULL THEN 'semantic_dup'
                 ELSE 'admit' END AS verdict,
            CASE WHEN v.verdict = 'exact_dup' THEN v.keeper
                 WHEN v.verdict = 'near_dup' THEN v.corpus_doc END AS text_dup_of,
            i.corpus_rep AS image_dup_of, i.hamming AS best_hamming,
+           au.corpus_rep AS audio_dup_of, au.n_agree AS best_agree,
            eb.corpus_vec AS embed_dup_of, eb.cos AS best_cos
     FROM v
     LEFT JOIN (SELECT * FROM imgb WHERE irk = 1) i ON v.doc_id = i.asset_id
+    LEFT JOIN (SELECT * FROM audb WHERE ark = 1) au ON v.doc_id = au.asset_id
     LEFT JOIN (SELECT * FROM embb WHERE erk = 1) eb ON v.doc_id = eb.vec_id"""
     }
 }

@@ -3,13 +3,13 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpec
-import graft.sources.{EmbedIndex, PhashIndex, SignatureIndex}
+import graft.sources.{AudioIndex, EmbedIndex, PhashIndex, SignatureIndex}
 
 /** The composed admission gate as ONE stream: verdicts at ingest equal
   * the batch run of the same plan on the same documents (any trigger
   * split), and each planted document lands on exactly the gate the
   * composition's precedence assigns — text rules first, then
-  * image_dup, then semantic_dup, else admit.
+  * image_dup, then audio_dup, then semantic_dup, else admit.
   *
   * Fixture notes: corpus docs 2 and 4 share a phash code (same
   * character-class structure), so the image index holds ONE
@@ -39,6 +39,33 @@ class AdmissionStreamSpec extends SparkSpec {
     }.mkString
   }
 
+  /** A 65-char "track" whose window-w audio peak sits at q(w): 8
+    * windows of 8 chars — 'z' at the peak, spaces at in-window
+    * positions 2 and 6 (17 short tokens, past the funnel's minimum),
+    * filler cycling by window. The `remaster` variant keeps every
+    * peak ('!' and 'y' both sort below 'z') but drops BELOW-MEAN '!'
+    * filler onto the phash-sampled positions of windows 0-3, flipping
+    * ~12 aHash bits — the image gate must NOT catch what only the
+    * audio gate should.
+    */
+  private def audioTrack(q: Seq[Int], remaster: Boolean): String = {
+    require(q.length == 8 && q.forall(p => p != 2 && p != 6 && p >= 0 && p <= 7))
+    val sb = new StringBuilder
+    for (w <- 0 until 8; i <- 0 until 8) {
+      sb += (if (i == q(w)) 'z'
+        else if (i == 2 || i == 6) ' '
+        else if (remaster && (8 * w + i) % 2 == 0) (if (w < 4) '!' else 'y')
+        else ('a' + (w % 3)).toChar)
+    }
+    (sb += 'a').result()
+  }
+
+  private val doc6Text = audioTrack(Seq(0, 1, 3, 4, 5, 7, 0, 1), remaster = false)
+  /** Same peaks as doc 6 in windows 0-5 (landmarks 0-4 agree → 5/7,
+    * past the strict majority), disjoint tokens, far phash.
+    */
+  private val audioDupText = audioTrack(Seq(0, 1, 3, 4, 5, 7, 4, 5), remaster = true)
+
   private def oneHot(d: Int, scale: Float = 1.0f): Seq[Float] =
     (0 until 64).map(i => if (i == d) scale else 0.0f)
 
@@ -46,7 +73,7 @@ class AdmissionStreamSpec extends SparkSpec {
     (0 until 64).map(d => if (d == f) 1.0 else 0.0).toArray).toIndexedSeq
 
   private def corpusDf = Seq(
-    (2L, doc2Text, "s"), (4L, doc4Text, "s"),
+    (2L, doc2Text, "s"), (4L, doc4Text, "s"), (6L, doc6Text, "s"),
   ).toDF("doc_id", "text", "source")
 
   private def corpusEmbDf = Seq(
@@ -65,26 +92,28 @@ class AdmissionStreamSpec extends SparkSpec {
     (906L, (1 to 40).map(i => s"novel$i").mkString(" "), oneHot(7)),
     (907L, imageDupText, oneHot(7)),
     (908L, (1 to 40).map(i => s"sem$i").mkString(" "), oneHot(0, 3.0f)),
+    (909L, audioDupText, oneHot(7)),
   )
 
   test("stream == batch across trigger splits; each planted doc hits its gate") {
     SignatureIndex.write(corpusDf, "adm_sig")
     PhashIndex.write(corpusDf, "adm_ph")
+    AudioIndex.write(corpusDf, "adm_au")
     EmbedIndex.write(corpusEmbDf, "adm_em", centers)
     try {
       def shape(rows: Array[IngestGate.Admission]) = rows.map(a =>
         (a.doc_id, a.verdict, a.text_dup_of, a.image_dup_of, a.best_hamming,
-          a.embed_dup_of, a.best_cos)).toSet
+          a.audio_dup_of, a.best_agree, a.embed_dup_of, a.best_cos)).toSet
 
       val batch = shape(IngestGate.admissionStream(
         incoming.toDF("doc_id", "text", "embedding"),
-        corpusDf, "adm_sig", "adm_ph", "adm_em", centers).collect())
+        corpusDf, "adm_sig", "adm_ph", "adm_au", "adm_em", centers).collect())
 
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[(Long, String, Seq[Float])]
       val gate = IngestGate.admissionStream(
         mem.toDF().toDF("doc_id", "text", "embedding"),
-        corpusDf, "adm_sig", "adm_ph", "adm_em", centers)
+        corpusDf, "adm_sig", "adm_ph", "adm_au", "adm_em", centers)
       val q = gate.toDF().writeStream.format("memory").queryName("adm_stream_v")
         .outputMode("update").start()
       try {
@@ -97,7 +126,9 @@ class AdmissionStreamSpec extends SparkSpec {
         val streamed = spark.table("adm_stream_v").collect()
           .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
             r.getAs[java.lang.Long]("text_dup_of"), r.getAs[java.lang.Long]("image_dup_of"),
-            r.getAs[java.lang.Integer]("best_hamming"), r.getAs[java.lang.Long]("embed_dup_of"),
+            r.getAs[java.lang.Integer]("best_hamming"),
+            r.getAs[java.lang.Long]("audio_dup_of"), r.getAs[java.lang.Long]("best_agree"),
+            r.getAs[java.lang.Long]("embed_dup_of"),
             r.getAs[java.lang.Double]("best_cos"))).toSet
         assert(streamed == batch,
           s"stream and batch admission verdicts diverged:\nonly-stream=${streamed -- batch}\n" +
@@ -112,15 +143,18 @@ class AdmissionStreamSpec extends SparkSpec {
       assert(by(903L)._2 == "text_blocklisted")
       assert(by(904L)._2 == "text_exact_dup" && by(904L)._3 == (2L: java.lang.Long))
       assert(by(905L)._2 == "text_near_dup" && by(905L)._3 == (2L: java.lang.Long))
-      assert(by(906L) == ((906L, "admit", null, null, null, null, null)),
+      assert(by(906L) == ((906L, "admit", null, null, null, null, null, null, null)),
         s"the novel doc must admit clean: ${by(906L)}")
       assert(by(907L)._2 == "image_dup" && by(907L)._4 == (2L: java.lang.Long) &&
         by(907L)._5 == (0: java.lang.Integer),
         s"the pixel-identical re-encode must gate as image_dup of rep 2: ${by(907L)}")
-      assert(by(908L)._2 == "semantic_dup" && by(908L)._6 == (2L: java.lang.Long) &&
-        by(908L)._7 == (1.0: java.lang.Double),
+      assert(by(908L)._2 == "semantic_dup" && by(908L)._8 == (2L: java.lang.Long) &&
+        by(908L)._9 == (1.0: java.lang.Double),
         s"the paraphrase must gate as semantic_dup of vec 2: ${by(908L)}")
-    } finally Seq("adm_sig", "adm_ph", "adm_em")
+      assert(by(909L)._2 == "audio_dup" && by(909L)._6 == (6L: java.lang.Long) &&
+        by(909L)._7 == (5L: java.lang.Long),
+        s"the peak-preserving re-master must gate as audio_dup of rep 6 at 5/7: ${by(909L)}")
+    } finally Seq("adm_sig", "adm_ph", "adm_au", "adm_em")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 }
