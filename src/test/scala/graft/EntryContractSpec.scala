@@ -23,7 +23,7 @@ class EntryContractSpec extends AnyFunSuite {
       // estate-codebook (post-fit) oracles, the same frozen-fit contract
       "q_cross_snapshot_embed", "q_embed_sweep_recall", "q_embed_index_stats",
       "q_embed_retention", "q_embed_ingest_gate", "q_estate_admission",
-      "q_estate_admission_stream")),
+      "q_estate_admission_stream", "q_crawl_admission")),
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
   }
 
@@ -33,7 +33,7 @@ class EntryContractSpec extends AnyFunSuite {
     // static oracle accidentally demoted to the post-fit path, where
     // the driver would silently lose its gate whenever the fit never
     // runs in the dumping JVM
-    val postFit = 26
+    val postFit = 27
     assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - postFit,
       s"${SparkEntry.queries.size - SparkEntry.oracleSql.size} queries lack a static oracle " +
         s"(> $postFit post-fit allowance)")
