@@ -33,11 +33,19 @@ object AudioIndex {
     * shuffle per snapshot, ever.
     */
   def write(docs: DataFrame, table: String, buckets: Int = 8,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeFps(Audio.packedFps(docs), table, buckets, mode)
+
+  /** [[write]] from an already-computed `(asset_id, fp)` relation —
+    * the seam that lets the snapshot writer reuse the memoized corpus
+    * fingerprints instead of re-running the sampling chain per lane
+    * (the [[PhashIndex.writeCodes]] discipline).
+    */
+  def writeFps(fps: DataFrame, table: String, buckets: Int = 8,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Overwrite)
-      TableUtil.dropTableAndLocation(docs.sparkSession, table)
-    val reps = Audio.packedFps(docs)
-      .groupBy(col("fp")).agg(min(col("asset_id")).as("rep"))
+      TableUtil.dropTableAndLocation(fps.sparkSession, table)
+    val reps = fps.groupBy(col("fp")).agg(min(col("asset_id")).as("rep"))
     reps
       .select(col("rep"), col("fp"), explode(sequence(lit(0), lit(6))).as("slot"))
       .withColumn("lmv", expr("shiftright(fp, 9 * slot) % 512"))
@@ -58,11 +66,14 @@ object AudioIndex {
       snapshotTablesMemo.getOrElseUpdate(
         s"${spark.sparkContext.applicationId}|$sfDir",
         graft.core.Memo.timed("audio_snapshots", sfDir) {
-          val docs = Tables.documents(spark, sfDir)
+          // lanes derive from the memoized corpus fingerprints — one
+          // sampling pass per dataset ever, shared with the pair and
+          // recall queries
+          val fps = Audio.corpusFps(spark, sfDir)
           val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
           val (ta, tb) = (s"graft_audio_snap_a_$sfx", s"graft_audio_snap_b_$sfx")
-          write(docs.filter(col("doc_id") % 2 === 0), ta)
-          write(docs.filter(col("doc_id") % 2 === 1), tb)
+          writeFps(fps.filter(col("asset_id") % 2 === 0), ta)
+          writeFps(fps.filter(col("asset_id") % 2 === 1), tb)
           (ta, tb)
         })
     }
@@ -85,10 +96,7 @@ object AudioIndex {
     Audio.postingRows(docs)
       .join(idx, Seq("slot", "lmv"))
       .select(col("asset_id"), col("corpus_rep"),
-        expr("""aggregate(sequence(0, 6), CAST(0 AS BIGINT),
-                (acc, w) -> acc + CASE WHEN shiftright(fp, 9 * w) % 512 = shiftright(fp_c, 9 * w) % 512
-                                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")
-          .as("n_agree"))
+        expr(Audio.agreeSql("fp", "fp_c")).as("n_agree"))
       .filter(col("n_agree") >= Audio.MinLandmarkAgree)
   }
 
