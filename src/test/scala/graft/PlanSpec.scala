@@ -405,6 +405,7 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       Seq("q_ingest_gate" -> "sig_c", "q_phash_ingest_gate" -> "phash_c",
+        "q_audio_ingest_gate" -> "fp_c",
         "q_embed_ingest_gate" -> "emb_c").foreach { case (q, payload) =>
         val idxEx = collectAll(plan(q)) {
           case e: ShuffleExchangeExec if e.child.output.exists(_.name == payload) => e
