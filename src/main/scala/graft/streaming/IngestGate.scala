@@ -101,7 +101,7 @@ object IngestGate {
 
   /** The text gate's scored band rows BEFORE the per-doc collapse —
     * the shared leg [[verdicts]] consumes alone and [[admissionStream]]
-    * unions with the image/vector legs.
+    * unions with the image/audio/vector legs.
     */
   private def scoredRows(docs: DataFrame, corpus: DataFrame, indexTable: String): DataFrame = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
@@ -321,9 +321,9 @@ object IngestGate {
   /** The composed admission gate as ONE streaming plan — the live form
     * of [[estateAdmission]]: `docs` is the arriving (doc_id, text,
     * embedding) stream; each document's text band rows, image band
-    * matches, and vector cell matches (all stateless stream-static
-    * joins against the three persisted indexes) UNION into one keyed
-    * stream, and a zero-state per-doc collapse emits the verdict. As
+    * matches, audio landmark matches, and vector cell matches (all
+    * stateless stream-static joins against the four persisted
+    * indexes) UNION into one keyed stream, and a zero-state per-doc collapse emits the verdict. As
     * with [[verdicts]], every unioned row derives from one input row,
     * so the group is complete within its trigger — no watermark, no
     * state growth — and the identical plan runs on a static DataFrame
@@ -401,20 +401,22 @@ object IngestGate {
   // ---- q_estate_admission ------------------------------------------------
 
   /** q_estate_admission: the composed ADMISSION verdict — one row per
-    * arriving document joining all three live gates against their
+    * arriving document joining all four live gates against their
     * persisted estate indexes: the text gate's first-failure verdict
     * ([[verdicts]]), the best image near-dup ([[graft.sources
-    * .PhashIndex.ingestStream]] — lowest Hamming, lowest rep), and the
-    * best semantic near-dup ([[graft.sources.EmbedIndex.ingestStream]]
-    * — highest cosine, lowest vec). Precedence: a text failure names
-    * itself (`text_<rule>`), then `image_dup`, then `semantic_dup`,
-    * else `admit` — the one record an estate operator reads to answer
+    * .PhashIndex.ingestStream]] — lowest Hamming, lowest rep), the best
+    * audio near-dup ([[graft.sources.AudioIndex.ingestStream]] —
+    * highest landmark agreement, lowest rep), and the best semantic
+    * near-dup ([[graft.sources.EmbedIndex.ingestStream]] — highest
+    * cosine, lowest vec). Precedence: a text failure names itself
+    * (`text_<rule>`), then `image_dup`, then `audio_dup`, then
+    * `semantic_dup`, else `admit` — the one record an estate operator reads to answer
     * "why was this document rejected at ingest, and of what is it a
     * copy?".
     *
     * Scale: each leg is the gate's own stream-static plan (broadcast
-    * keeper map + three bucketed index joins, all candidate-bounded);
-    * the per-doc best aggregations and the two left joins shuffle only
+    * keeper map + four bucketed index joins, all candidate-bounded);
+    * the per-doc best aggregations and the three left joins shuffle only
     * trigger-sized, match-bounded relations — the corpus never moves.
     */
   def estateAdmission(spark: SparkSession, sfDir: String): DataFrame = {
