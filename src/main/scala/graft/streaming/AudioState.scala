@@ -43,7 +43,7 @@ object AudioState {
   /** Aligned-landmark agreement of two packed fingerprints — the
     * batch verifier's bit arithmetic, shared.
     */
-  private[streaming] def agreement(x: Long, y: Long): Long = {
+  private[graft] def agreement(x: Long, y: Long): Long = {
     var w = 0; var n = 0L
     while (w < Audio.Landmarks) {
       if (((x >> (9 * w)) & 511L) == ((y >> (9 * w)) & 511L)) n += 1L

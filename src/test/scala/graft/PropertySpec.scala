@@ -284,4 +284,22 @@ class PropertySpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
+
+  test("audio agreement: the unrolled SQL expression == the JVM fold on random fingerprints") {
+    // the codegen'd xor/shift CASE chain (graft.pipeline.Audio.agreeSql)
+    // and the streaming twin's JVM fold (AudioState.agreement) must
+    // count the same 9-bit groups for ANY packed pair — an off-by-one
+    // in either shift chain silently reclassifies near-dups
+    val fpGen = Gen.listOfN(7, Gen.chooseNum(0L, 511L))
+      .map(_.zipWithIndex.map { case (lm, w) => lm << (9 * w) }.sum)
+    val pairs = samples(Gen.zip(fpGen, fpGen), 40) ++
+      samples(fpGen, 5).map(f => (f, f)) // identical pairs: agreement 7
+    val df = pairs.toDF("fpa", "fpb")
+      .withColumn("n_sql", expr(graft.pipeline.Audio.agreeSql("fpa", "fpb")))
+    df.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == graft.streaming.AudioState.agreement(a, b),
+        s"disagreement for fpa=$a fpb=$b")
+    }
+  }
 }
