@@ -253,6 +253,59 @@ object Audio {
     SELECT m.asset_id AS a, n.asset_id AS b, CAST(7 AS BIGINT) AS n_agree
     FROM fpt m JOIN fpt n ON m.fp = n.fp AND m.asset_id < n.asset_id"""
 
+  // ---- q_audio_band_stats ----------------------------------------------
+
+  /** q_audio_band_stats: the landmark index's health readout — per
+    * slot, the bucket count, posting volume, hottest bucket, implied
+    * candidate-pair volume, and how many buckets the cap would drop
+    * (the `q_band_stats` / `q_phash_band_stats` instrument for the
+    * third banded family). This is the number that says whether a
+    * landmark slot is saturating (a stop-landmark epidemic) BEFORE
+    * the candidate join pays for it.
+    *
+    * Scale: one pass over the rep-collapsed posting relation (7 rows
+    * per distinct fingerprint), two small hash aggs — output is 7
+    * rows at any corpus size.
+    */
+  def audioBandStats(spark: SparkSession, sfDir: String): DataFrame =
+    audioBandStatsOfFps(corpusFps(spark, sfDir))
+
+  /** The readout over any (asset_id, fp) relation (spec seam). */
+  private[graft] def audioBandStatsOfFps(fps: DataFrame): DataFrame = {
+    val postings = fps
+      .select(col("fp")).distinct()
+      .select(col("fp"), explode(sequence(lit(0), lit(6))).as("slot"))
+      .withColumn("lmv", expr("shiftright(fp, 9 * slot) % 512"))
+    postings.groupBy(col("slot"), col("lmv")).agg(count(lit(1)).as("n"))
+      .groupBy(col("slot")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_postings"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"),
+        sum(when(col("n") > AudioBucketCap, 1L).otherwise(0L)).as("capped_buckets"))
+  }
+
+  val audioBandStatsSql: String =
+    s"""
+    WITH $landmarkCtesSql,
+    fpt AS (
+      SELECT asset_id,
+             CAST(list_sum([lms[w + 1] << (9 * w) for w in generate_series(0, 6)]) AS BIGINT) AS fp
+      FROM lm
+    ),
+    g AS (SELECT fp FROM fpt GROUP BY 1),
+    b AS (
+      SELECT fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM g CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    buckets AS (SELECT slot, lmv, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2)
+    SELECT slot, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_postings,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(CASE WHEN n > $AudioBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets
+    FROM buckets GROUP BY 1"""
+
   // ---- q_audio_recall --------------------------------------------------
 
   /** Probe stride for the recall eval's capped truth leg. */

@@ -64,6 +64,25 @@ class AudioSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 1.0)
   }
 
+  test("band stats count a planted saturated landmark as capped") {
+    // 260 distinct fingerprints share landmark slot 3 (windows 3 and 4
+    // fixed) while windows 0-2 sweep — bucket (3, lm3) exceeds the cap
+    val fps = (0 until 260).map { i =>
+      val q = Seq(i % 8, (i / 8) % 8, (i / 64) % 8 + (i / 512), 3, 4, 5, 6, 7)
+      val lms = (0 to 6).map(w => (w * 64 + q(w) * 8 + q(w + 1)).toLong)
+      (i.toLong, lms.zipWithIndex.map { case (lm, w) => lm << (9 * w) }.sum)
+    }.toDF("asset_id", "fp")
+    val stats = Audio.audioBandStatsOfFps(fps).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(stats(3).getAs[Long]("capped_buckets") == 1L,
+      s"slot 3's saturated bucket must count as capped: ${stats(3)}")
+    assert(stats(3).getAs[Long]("max_bucket") == 260L)
+    assert(stats(0).getAs[Long]("capped_buckets") == 0L,
+      "the sweeping slots stay under the cap")
+    assert(stats.values.forall(_.getAs[Long]("n_postings") == 260L),
+      "every slot holds one posting per distinct fingerprint")
+  }
+
   test("an interior damaged window kills exactly two landmarks") {
     val a = track(0 to 7)
     val mid = track(Seq(0, 1, 2, 0, 4, 5, 6, 7)) // window 3 moved: landmarks 2 and 3
