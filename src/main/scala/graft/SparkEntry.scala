@@ -94,6 +94,7 @@ object SparkEntry {
     "q_audio_dup_pairs" -> (graft.pipeline.Audio.audioDupPairs _),
     "q_audio_recall" -> (graft.pipeline.Audio.audioRecall _),
     "q_audio_band_stats" -> (graft.pipeline.Audio.audioBandStats _),
+    "q_audio_agree_sweep" -> (graft.pipeline.Audio.audioAgreeSweep _),
     "q_audio_ingest_gate" -> (graft.sources.AudioIndex.audioIngestGate _),
     "q_multimodal_frames" -> (Multimodal.frameSample _),
     // analytic extensions beyond the reference surface
@@ -367,6 +368,7 @@ object SparkEntry {
     "q_audio_dup_pairs" -> graft.pipeline.Audio.audioDupPairsSql,
     "q_audio_recall" -> graft.pipeline.Audio.audioRecallSql,
     "q_audio_band_stats" -> graft.pipeline.Audio.audioBandStatsSql,
+    "q_audio_agree_sweep" -> graft.pipeline.Audio.audioAgreeSweepSql,
     "q_audio_ingest_gate" -> graft.sources.AudioIndex.audioIngestGateSql,
     "q_multimodal_frames" -> Multimodal.frameSampleSql,
     "q_top_terms" -> AnalyticQueries.topTermsSql,

@@ -306,6 +306,94 @@ object Audio {
            CAST(sum(CASE WHEN n > $AudioBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets
     FROM buckets GROUP BY 1"""
 
+  // ---- q_audio_agree_sweep ---------------------------------------------
+
+  /** q_audio_agree_sweep: the threshold-pricing report behind
+    * [[MinLandmarkAgree]] (the `q_dedup_sweep` instrument for the
+    * audio family) — for every candidate threshold k = 1..7, the
+    * cumulative pair volume a ≥k verdict would emit: representative
+    * pairs (distinct fingerprints sharing ≥1 un-capped bucket) and
+    * member-expanded pairs (multiplicity product, plus the
+    * identical-fingerprint quadratic, which agrees on all 7). The
+    * report a curation team reads before moving the majority line.
+    *
+    * Scale: the candidate relation is the capped bucket join (scored
+    * once, map-side bit arithmetic); the per-k rollup joins a 7-row
+    * agreement histogram against a 7-row threshold relation — O(1)
+    * output at any corpus size.
+    */
+  def audioAgreeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = corpusFps(spark, sfDir)
+    val members = fp.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    val postings = members.select(col("fp"),
+        explode(sequence(lit(0), lit(6))).as("slot"))
+      .withColumn("lmv", expr("shiftright(fp, 9 * slot) % 512"))
+    val hot = postings.groupBy(col("slot"), col("lmv"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > AudioBucketCap)
+      .select(col("slot"), col("lmv"))
+    val kept = postings.join(broadcast(hot), Seq("slot", "lmv"), "left_anti")
+    val scored = kept.as("x").join(kept.as("y"), Seq("slot", "lmv"))
+      .filter(col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fpa"), col("y.fp").as("fpb"))
+      .distinct()
+      .select(col("fpa"), col("fpb"), expr(agreeSql("fpa", "fpb")).as("n_agree"))
+      .join(members.select(col("fp").as("fpa"), col("cnt").as("ca")), Seq("fpa"))
+      .join(members.select(col("fp").as("fpb"), col("cnt").as("cb")), Seq("fpb"))
+    val hist = scored.groupBy(col("n_agree")).agg(
+      count(lit(1)).as("rep_pairs"),
+      sum(col("ca") * col("cb")).as("exp_pairs"))
+    val intra = members.agg(
+      coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L)).as("intra_pairs"))
+    spark.range(1, 8).select(col("id").cast("int").as("min_agree"))
+      .join(broadcast(hist), col("n_agree") >= col("min_agree"), "left")
+      .groupBy(col("min_agree")).agg(
+        coalesce(sum(col("rep_pairs")), lit(0L)).as("n_rep_pairs"),
+        coalesce(sum(col("exp_pairs")), lit(0L)).as("n_exp_pairs"))
+      .crossJoin(broadcast(intra))
+      .select(col("min_agree"), col("n_rep_pairs"),
+        (col("n_exp_pairs") + col("intra_pairs")).as("n_pairs"))
+  }
+
+  val audioAgreeSweepSql: String =
+    s"""
+    WITH $landmarkCtesSql,
+    fpt AS (
+      SELECT asset_id,
+             CAST(list_sum([lms[w + 1] << (9 * w) for w in generate_series(0, 6)]) AS BIGINT) AS fp
+      FROM lm
+    ),
+    members AS (SELECT fp, CAST(count(*) AS BIGINT) AS cnt FROM fpt GROUP BY 1),
+    b AS (
+      SELECT fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM members CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    hot AS (SELECT slot, lmv FROM (SELECT slot, lmv, count(*) AS c FROM b GROUP BY 1, 2) WHERE c > $AudioBucketCap),
+    kept AS (SELECT * FROM b ANTI JOIN hot USING (slot, lmv)),
+    cand AS (
+      SELECT DISTINCT x.fp AS fpa, y.fp AS fpb
+      FROM kept x JOIN kept y USING (slot, lmv) WHERE x.fp < y.fp
+    ),
+    scored AS (
+      SELECT c.fpa, c.fpb,
+             CAST(list_sum([CASE WHEN (c.fpa >> (9 * w)) % 512 = (c.fpb >> (9 * w)) % 512
+                                 THEN 1 ELSE 0 END
+                            for w in generate_series(0, 6)]) AS BIGINT) AS n_agree,
+             ma.cnt AS ca, mb.cnt AS cb
+      FROM cand c JOIN members ma ON ma.fp = c.fpa JOIN members mb ON mb.fp = c.fpb
+    ),
+    hist AS (
+      SELECT n_agree, CAST(count(*) AS BIGINT) AS rep_pairs,
+             CAST(sum(ca * cb) AS BIGINT) AS exp_pairs
+      FROM scored GROUP BY 1
+    ),
+    intra AS (SELECT CAST(coalesce(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT) AS intra_pairs FROM members),
+    ks AS (SELECT CAST(k AS INT) AS min_agree FROM generate_series(1, 7) AS t(k))
+    SELECT ks.min_agree,
+           CAST(coalesce(sum(h.rep_pairs), 0) AS BIGINT) AS n_rep_pairs,
+           CAST(coalesce(sum(h.exp_pairs), 0) AS BIGINT) + (SELECT intra_pairs FROM intra) AS n_pairs
+    FROM ks LEFT JOIN hist h ON h.n_agree >= ks.min_agree
+    GROUP BY 1"""
+
   // ---- q_audio_recall --------------------------------------------------
 
   /** Probe stride for the recall eval's capped truth leg. */

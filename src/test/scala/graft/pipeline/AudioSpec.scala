@@ -83,6 +83,19 @@ class AudioSpec extends SparkSpec {
       "every slot holds one posting per distinct fingerprint")
   }
 
+  test("agreement sweep: monotone pricing; the majority row equals the pair query") {
+    val sf = "/root/testdata/sf0.001"
+    val sweep = Audio.audioAgreeSweep(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert((1 to 6).forall(k => sweep(k)._2 >= sweep(k + 1)._2),
+      s"cumulative pair volume must fall as the threshold rises: $sweep")
+    val atMajority = Audio.audioDupPairs(spark, sf).count()
+    assert(sweep(Audio.MinLandmarkAgree)._2 == atMajority,
+      s"the sweep's majority row (${sweep(Audio.MinLandmarkAgree)}) must price " +
+        s"exactly what q_audio_dup_pairs emits ($atMajority) — counted by " +
+        "multiplicity products here, by row expansion there")
+  }
+
   test("an interior damaged window kills exactly two landmarks") {
     val a = track(0 to 7)
     val mid = track(Seq(0, 1, 2, 0, 4, 5, 6, 7)) // window 3 moved: landmarks 2 and 3
