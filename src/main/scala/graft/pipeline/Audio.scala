@@ -339,19 +339,27 @@ object Audio {
       .select(col("fpa"), col("fpb"), expr(agreeSql("fpa", "fpb")).as("n_agree"))
       .join(members.select(col("fp").as("fpa"), col("cnt").as("ca")), Seq("fpa"))
       .join(members.select(col("fp").as("fpb"), col("cnt").as("cb")), Seq("fpb"))
+    // cumulative via threshold EXPLODE (a histogram row at agreement n
+    // serves every k <= n), so the rollup stays equi-join-only — a
+    // >= join over the two 7-row relations would plan a nested loop,
+    // harmless here but banned by the engine's NLJ discipline
     val hist = scored.groupBy(col("n_agree")).agg(
       count(lit(1)).as("rep_pairs"),
       sum(col("ca") * col("cb")).as("exp_pairs"))
+    val cum = hist
+      .select(explode(sequence(lit(1), col("n_agree").cast("int"))).as("min_agree"),
+        col("rep_pairs"), col("exp_pairs"))
+      .groupBy(col("min_agree")).agg(
+        sum(col("rep_pairs")).as("n_rep_pairs"),
+        sum(col("exp_pairs")).as("n_exp_pairs"))
     val intra = members.agg(
       coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L)).as("intra_pairs"))
     spark.range(1, 8).select(col("id").cast("int").as("min_agree"))
-      .join(broadcast(hist), col("n_agree") >= col("min_agree"), "left")
-      .groupBy(col("min_agree")).agg(
-        coalesce(sum(col("rep_pairs")), lit(0L)).as("n_rep_pairs"),
-        coalesce(sum(col("exp_pairs")), lit(0L)).as("n_exp_pairs"))
+      .join(broadcast(cum), Seq("min_agree"), "left")
       .crossJoin(broadcast(intra))
-      .select(col("min_agree"), col("n_rep_pairs"),
-        (col("n_exp_pairs") + col("intra_pairs")).as("n_pairs"))
+      .select(col("min_agree"),
+        coalesce(col("n_rep_pairs"), lit(0L)).as("n_rep_pairs"),
+        (coalesce(col("n_exp_pairs"), lit(0L)) + col("intra_pairs")).as("n_pairs"))
   }
 
   val audioAgreeSweepSql: String =
@@ -387,12 +395,18 @@ object Audio {
       FROM scored GROUP BY 1
     ),
     intra AS (SELECT CAST(coalesce(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT) AS intra_pairs FROM members),
+    cum AS (
+      SELECT g.min_agree,
+             CAST(sum(h.rep_pairs) AS BIGINT) AS n_rep_pairs,
+             CAST(sum(h.exp_pairs) AS BIGINT) AS n_exp_pairs
+      FROM hist h, LATERAL (SELECT unnest(generate_series(1, CAST(h.n_agree AS INT))) AS min_agree) g
+      GROUP BY 1
+    ),
     ks AS (SELECT CAST(k AS INT) AS min_agree FROM generate_series(1, 7) AS t(k))
     SELECT ks.min_agree,
-           CAST(coalesce(sum(h.rep_pairs), 0) AS BIGINT) AS n_rep_pairs,
-           CAST(coalesce(sum(h.exp_pairs), 0) AS BIGINT) + (SELECT intra_pairs FROM intra) AS n_pairs
-    FROM ks LEFT JOIN hist h ON h.n_agree >= ks.min_agree
-    GROUP BY 1"""
+           coalesce(c.n_rep_pairs, 0) AS n_rep_pairs,
+           coalesce(c.n_exp_pairs, 0) + (SELECT intra_pairs FROM intra) AS n_pairs
+    FROM ks LEFT JOIN cum c ON c.min_agree = ks.min_agree"""
 
   // ---- q_audio_recall --------------------------------------------------
 
