@@ -96,6 +96,9 @@ object SparkEntry {
     "q_audio_band_stats" -> (graft.pipeline.Audio.audioBandStats _),
     "q_audio_agree_sweep" -> (graft.pipeline.Audio.audioAgreeSweep _),
     "q_audio_ingest_gate" -> (graft.sources.AudioIndex.audioIngestGate _),
+    "q_cross_snapshot_audio" -> (graft.sources.AudioIndex.crossSnapshotAudio _),
+    "q_audio_estate_merge" -> (graft.sources.AudioIndex.audioEstateMerge _),
+    "q_audio_retention" -> (graft.sources.AudioIndex.audioRetention _),
     "q_multimodal_frames" -> (Multimodal.frameSample _),
     // analytic extensions beyond the reference surface
     "q_tumbling_stats" -> (WindowQueries.tumblingStats _),
@@ -370,6 +373,9 @@ object SparkEntry {
     "q_audio_band_stats" -> graft.pipeline.Audio.audioBandStatsSql,
     "q_audio_agree_sweep" -> graft.pipeline.Audio.audioAgreeSweepSql,
     "q_audio_ingest_gate" -> graft.sources.AudioIndex.audioIngestGateSql,
+    "q_cross_snapshot_audio" -> graft.sources.AudioIndex.crossSnapshotAudioSql,
+    "q_audio_estate_merge" -> graft.sources.AudioIndex.audioEstateMergeSql,
+    "q_audio_retention" -> graft.sources.AudioIndex.audioRetentionSql,
     "q_multimodal_frames" -> Multimodal.frameSampleSql,
     "q_top_terms" -> AnalyticQueries.topTermsSql,
     "q_distinct_users" -> AnalyticQueries.distinctUsersSql,

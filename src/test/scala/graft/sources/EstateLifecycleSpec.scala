@@ -109,6 +109,46 @@ class EstateLifecycleSpec extends SparkSpec {
       "lc_ph_e12", "lc_ph_e123", "lc_ph_e23", "lc_ph_scratch")
   }
 
+  test("audio estate: add -> sweep -> compact -> expire -> sweep == from-scratch") {
+    AudioIndex.write(crawl(c1), "lc_au_s1")
+    AudioIndex.write(crawl(c2), "lc_au_s2")
+    AudioIndex.write(crawl(c3), "lc_au_s3")
+    AudioIndex.write(crawl(probeIds), "lc_au_probe")
+    try {
+      // month 2: crawl 2 sweeps against the month-1 index — every
+      // shared-family track (identical text -> identical fingerprint,
+      // agreement 7) must dup to crawl 1's family representative
+      val sweep2 = AudioIndex.crossSnapshotMatches(spark, "lc_au_s1", "lc_au_s2")
+        .collect().map(r => r.getAs[Long]("rep") -> r.getAs[Long]("dup_of")).toMap
+      for ((rep, dupOf) <- sweep2 if rep % 5 < 2)
+        assert(dupOf == (rep % 5 match { case 0 => 5L case _ => 1L }),
+          s"crawl-2 family rep $rep must dup to crawl 1's family rep: $sweep2")
+      assert(sweep2.nonEmpty, "shared families must produce sweep verdicts")
+      // compact month over month: the second merge consumes a MERGED
+      // table (re-collapse composes)
+      AudioIndex.merge(spark, Seq("lc_au_s1", "lc_au_s2"), "lc_au_e12")
+      AudioIndex.merge(spark, Seq("lc_au_e12", "lc_au_s3"), "lc_au_e123")
+      // crawl 1 expires out of the twice-merged estate: the family
+      // fingerprints' global reps (1 and 5, both crawl-1) must REPAIR
+      // to the earliest surviving members (21 and 25) — the exact
+      // case the subtract-and-repair pass exists for
+      AudioIndex.removeSnapshot(spark, "lc_au_e123", "lc_au_s1",
+        Seq("lc_au_s2", "lc_au_s3"), "lc_au_e23")
+      AudioIndex.write(crawl(c2).unionByName(crawl(c3)), "lc_au_scratch")
+      assert(rows(spark.table("lc_au_e23")) == rows(spark.table("lc_au_scratch")),
+        "lifecycle estate must equal the from-scratch survivor index row for row")
+      val got = rows(AudioIndex.crossSnapshotMatches(spark, "lc_au_e23", "lc_au_probe"))
+      val want = rows(AudioIndex.crossSnapshotMatches(spark, "lc_au_scratch", "lc_au_probe"))
+      assert(got == want, s"probe sweep diverged:\nlifecycle=$got\nscratch=$want")
+      val dupOf = AudioIndex.crossSnapshotMatches(spark, "lc_au_e23", "lc_au_probe")
+        .collect().map(r => r.getAs[Long]("rep") -> r.getAs[Long]("dup_of")).toMap
+      for ((_, d) <- dupOf)
+        assert(d >= 21L && d <= 60L,
+          s"post-expiry best matches must come from the surviving crawls: $dupOf")
+    } finally dropAll("lc_au_s1", "lc_au_s2", "lc_au_s3", "lc_au_probe",
+      "lc_au_e12", "lc_au_e123", "lc_au_e23", "lc_au_scratch")
+  }
+
   /** id → scaled one-hot on direction id % 5 (the EmbedIndexSpec
     * geometry: cosine exactly 1.0 within a family, 0.0 across).
     */

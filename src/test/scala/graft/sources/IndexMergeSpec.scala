@@ -176,6 +176,126 @@ class IndexMergeSpec extends SparkSpec {
     } finally dropAll("ims_ph_a", "ims_ph_b", "ims_ph_full", "ims_ph_merged")
   }
 
+  test("audio merge re-collapses cross-snapshot fingerprint groups; == whole-corpus write") {
+    val sameText = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+    val otherText = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
+    // the shared track appears in BOTH snapshots: snapshot A's
+    // representative is 2, B's is 11 — the merged estate must
+    // re-collapse to the global representative 2
+    val snapA = Seq((2L, sameText), (4L, sameText), (8L, otherText))
+      .toDF("doc_id", "text")
+    val snapB = Seq((11L, sameText), (15L, otherText)).toDF("doc_id", "text")
+    AudioIndex.write(snapA, "ims_au_a")
+    AudioIndex.write(snapB, "ims_au_b")
+    AudioIndex.write(snapA.unionByName(snapB), "ims_au_full")
+    AudioIndex.merge(spark, Seq("ims_au_a", "ims_au_b"), "ims_au_merged")
+    try {
+      assert(rows(spark.table("ims_au_merged")) == rows(spark.table("ims_au_full")),
+        "merged audio index must equal the whole-corpus write row for row")
+      val sharedReps = spark.table("ims_au_merged")
+        .filter(col("slot") === 0).select(col("rep"))
+        .collect().map(_.getLong(0)).toSet
+      assert(sharedReps.contains(2L) && !sharedReps.contains(11L),
+        s"cross-snapshot fingerprint group must re-collapse to rep 2: $sharedReps")
+    } finally dropAll("ims_au_a", "ims_au_b", "ims_au_full", "ims_au_merged")
+  }
+
+  test("audio removal repairs shared fingerprints to the survivor rep; exchange-free") {
+    val tShared1 = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+    val tShared2 = (1 to 80).map(i => ('b' + (i % 13)).toChar).mkString(" ")
+    val tAOnly = (1 to 80).map(i => if (i % 3 == 0) "zz" else "a").mkString(" ")
+    val tBOnly = (1 to 80).map(i => if (i % 4 == 0) "qq" else "b").mkString(" ")
+    // shared1: B's rep (3) IS the estate rep — expiry must repair the
+    // posting rows back to A's rep 4 (the lossy-anti-join case).
+    // shared2: A's rep (6) already the global min — rows pass through.
+    val snapA = Seq((4L, tShared1), (6L, tShared2), (2L, tAOnly)).toDF("doc_id", "text")
+    val snapB = Seq((3L, tShared1), (9L, tShared2), (7L, tBOnly)).toDF("doc_id", "text")
+    AudioIndex.write(snapA, "ims_aur_a")
+    AudioIndex.write(snapB, "ims_aur_b")
+    AudioIndex.merge(spark, Seq("ims_aur_a", "ims_aur_b"), "ims_aur_est")
+    try {
+      // plan shape first: the subtract-and-repair pass with a single
+      // survivor must carry no exchange anywhere (all joins and the
+      // repair semi join ride the stored (slot, lmv) bucketing)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val keys = Seq("slot", "lmv", "fp")
+        val tomb = spark.table("ims_aur_b")
+          .select(col("slot"), col("lmv"), col("fp"), lit(true).as("tomb"))
+        val repair = spark.table("ims_aur_a")
+          .select(col("slot"), col("lmv"), col("fp"), col("rep").as("srep"))
+          .join(spark.table("ims_aur_b").select(col("slot"), col("lmv"), col("fp")),
+            keys, "left_semi")
+        val retained = spark.table("ims_aur_est")
+          .join(tomb, keys, "left")
+          .join(repair, keys, "left")
+          .filter(col("tomb").isNull || col("srep").isNotNull)
+        val plan = retained.queryExecution.executedPlan
+        val expanded = plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val ex = expanded.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+        assert(ex.isEmpty, s"audio retention must plan no exchange:\n$plan")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+      AudioIndex.removeSnapshot(spark, "ims_aur_est", "ims_aur_b", Seq("ims_aur_a"),
+        "ims_aur_out")
+      assert(rows(spark.table("ims_aur_out")) == rows(spark.table("ims_aur_a")),
+        "estate minus snapshot B must equal snapshot A's index (shared reps repaired)")
+      val reps = spark.table("ims_aur_out").filter(col("slot") === 0)
+        .select(col("rep")).collect().map(_.getLong(0)).toSet
+      assert(reps == Set(4L, 6L, 2L),
+        s"survivor reps must be exactly A's (3 repaired to 4, 7 dropped): $reps")
+    } finally dropAll("ims_aur_a", "ims_aur_b", "ims_aur_est", "ims_aur_out")
+  }
+
+  test("audio cross-snapshot sweep joins exchange-free; cap drops saturated buckets") {
+    import graft.pipeline.Audio
+    // identical texts across sides -> identical fingerprints -> the
+    // sweep must report agreement 7; the plan must carry no landmark
+    // exchange on either bucketed side
+    val shared = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+    val uniq = (i: Long) => (1 to 80).map(j => s"u${i}x${(i * 7 + j) % 29}").mkString(" ")
+    val snapA = (2L to 20L by 2).map(i => (i, if (i <= 4) shared else uniq(i)))
+      .toDF("doc_id", "text")
+    val snapB = (1L to 19L by 2).map(i => (i, if (i <= 3) shared else uniq(i)))
+      .toDF("doc_id", "text")
+    AudioIndex.write(snapA, "ims_aus_a")
+    AudioIndex.write(snapB, "ims_aus_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val sweep = AudioIndex.crossSnapshotMatches(spark, "ims_aus_a", "ims_aus_b")
+        val plan = sweep.queryExecution.executedPlan
+        val expanded = plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val lmExchanges = expanded.flatMap(_.collect {
+          case e: ShuffleExchangeExec if e.child.output.exists(_.name == "lmv") => e
+        })
+        assert(lmExchanges.isEmpty,
+          s"cross-snapshot audio sweep must plan no landmark exchange:\n$plan")
+        // incidental >=4 agreements between "unique" texts are fine
+        // (the planted corpus is tiny) — the planted identical pair
+        // must be present with full agreement
+        val verdicts = sweep.collect()
+          .map(r => r.getAs[Long]("rep") ->
+            (r.getAs[Long]("dup_of"), r.getAs[Long]("best_agree"))).toMap
+        assert(verdicts.get(1L).contains((2L, 7L)),
+          s"B's shared-track rep must dup to A's rep at agreement 7: $verdicts")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // a binding cap drops every pair reachable only through the
+      // saturated buckets (identical fps share all 7 buckets, so a cap
+      // below the bucket population kills the pair)
+      val capped = AudioIndex
+        .crossSnapshotPairsCapped(spark, "ims_aus_a", "ims_aus_b", cap = 0L).count()
+      assert(capped == 0L, s"cap 0 must drop all buckets, got $capped pairs")
+      val uncapped = AudioIndex
+        .crossSnapshotPairsCapped(spark, "ims_aus_a", "ims_aus_b",
+          cap = Audio.AudioBucketCap.toLong).count()
+      assert(uncapped >= 1L, "the production cap is non-binding on the planted corpus")
+    } finally dropAll("ims_aus_a", "ims_aus_b")
+  }
+
   test("merge tolerates an empty snapshot lane (catalog schema, not file inference)") {
     import graft.pipeline.Multimodal
     val docs = Seq((2L, (1 to 60).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
