@@ -154,23 +154,41 @@ object Bench {
     // block-manager bytes the memo estate pins at run end — the
     // bounded-LRU contract as a number in the round record
     val memoBytes = graft.core.Memo.storageBytes(spark)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound(dir)).getOrElse("0")
+    // PER-QUERY contention self-adjudication against the committed
+    // prior round record: the global canary only samples at bench
+    // start/end, so a contention window that opens MID-RUN inflates a
+    // handful of queries while both canaries read quiet (rounds 9-11
+    // each manufactured phantom "regressions" this way — q_pii_scan
+    // recorded 20x between two same-code runs). A query whose MIN —
+    // already the contention-resistant statistic — exceeds 3x the
+    // prior committed record's min (with a 0.2 s absolute floor so
+    // millisecond-scale scan noise cannot spam the list) is flagged
+    // `suspect_contended`: read its committed history before calling
+    // it a regression.
+    val priorMins = priorRecordMins(dir, round)
+    val suspects = results.collect {
+      case (k, ts) if priorMins.get(k).exists(p =>
+        ts.min > 3 * p && ts.min - p > 0.2) =>
+        "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"prior_min\":" + fmt(priorMins(k)) + "}"
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
       s""""total_min":${fmt(totalMin)},"artifacts_total":${fmt(artifactsTotal)},""" +
       s""""canary_sec":${fmt(math.min(canaryStart, canaryEnd))},""" +
       s""""canary_start_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
       s""""memo_storage_bytes":$memoBytes,""" +
       s""""artifacts":$artifacts,"queries":$qs,"queries_min":$qsMin,""" +
-      s""""contended":$contended,"queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""contended":$contended,"suspect_contended":$suspects,""" +
+      s""""queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     // Persist the full result set twice: the driver's stdout tail is
     // capped (which truncated earlier rounds' per-query breakdown), and
     // the un-suffixed latest file gets overwritten every run — so a
     // per-round copy (bench_results_r{N}.json, N inferred from the
     // committed BENCH_r*.json artifacts) is the durable record for
     // round-over-round comparison.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     writeQuiet(out, json + "\n")
-    val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
-    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(inferRound(dir)).getOrElse("0")
     // skip the per-round copy when `out` is itself round-suffixed or
     // this is a partial (BENCH_ONLY) run
     if (only.isEmpty && !out.matches(".*_r\\d+\\.json$"))
@@ -248,6 +266,40 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] round inference failed: ${e.getMessage}")
       None
+    }
+
+  /** The per-query `queries_min` map of the most recent COMMITTED prior
+    * round record (`bench_results_r{M}.json`, highest M below the
+    * current round) — the baseline for [[suspect_contended]]. The
+    * record is flat `"name":number` pairs, so a regex extraction
+    * suffices; any read/parse failure degrades to an empty baseline
+    * (no suspects), never a crash after the queries have run.
+    */
+  private def priorRecordMins(dir: java.nio.file.Path, round: String): Map[String, Double] =
+    try {
+      val cur = round.toIntOption.getOrElse(0)
+      val re = "bench_results_r(\\d+)\\.json".r
+      val stream = java.nio.file.Files.list(dir)
+      val candidates =
+        try stream.toArray.toSeq.flatMap { p =>
+          val path = p.asInstanceOf[java.nio.file.Path]
+          path.getFileName.toString match {
+            case re(n) if n.toInt < cur => Some(n.toInt -> path)
+            case _ => None
+          }
+        } finally stream.close()
+      candidates.sortBy(-_._1).headOption match {
+        case None => Map.empty
+        case Some((_, path)) =>
+          val body = java.nio.file.Files.readString(path)
+          val obj = """"queries_min"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+            .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prior-record read failed: ${e.getMessage}")
+      Map.empty
     }
 
   private def jsonSafe(s: String): String = JsonUtil.escape(s)
