@@ -180,6 +180,8 @@ object SparkEntry {
     // end-to-end curation decision record (composition of the family)
     "q_curate" -> (graft.pipeline.Curate.curate _),
     "q_keep_list" -> (graft.pipeline.Curate.keepList _),
+    "q_keep_list_estate" -> (graft.pipeline.Curate.keepListEstate _),
+    "q_dataset_card_estate" -> (graft.pipeline.DatasetCard.datasetCardEstate _),
     "q_keep_by_source" -> (graft.pipeline.Curate.keepBySource _),
     // PCA projection (frozen-components oracle, like the centroids)
     "q_pca_project" -> (Similarity.pcaProject _),
@@ -511,5 +513,7 @@ object SparkEntry {
     graft.sources.EmbedIndex.embedIngestGateOracleSql.map("q_embed_ingest_gate" -> _) ++
     graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission" -> _) ++
     graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission_stream" -> _) ++
-    graft.streaming.IngestGate.crawlAdmissionOracleSql.map("q_crawl_admission" -> _)
+    graft.streaming.IngestGate.crawlAdmissionOracleSql.map("q_crawl_admission" -> _) ++
+    graft.pipeline.Curate.keepListEstateSql.map("q_keep_list_estate" -> _) ++
+    graft.pipeline.DatasetCard.datasetCardEstateSql.map("q_dataset_card_estate" -> _)
 }

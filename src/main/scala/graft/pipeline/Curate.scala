@@ -231,6 +231,119 @@ object Curate {
   // lazy: composes curateSql, which is initialized later in this object
   lazy val keepListSql: String = keepListAssemblySql(Dedup.componentsSql)
 
+  // ---- q_keep_list_estate ------------------------------------------------
+
+  /** q_keep_list_estate: the keep list with the FULL estate authority —
+    * the nightly batch form of the composed admission verdict
+    * ([[graft.streaming.IngestGate.estateAdmission]]). The text stack
+    * adjudicates first ([[keepList]]'s rules through `near_dup`,
+    * verbatim); a document that survives it then passes the three
+    * modality gates against the estate's persisted indexes with the
+    * admission's exact best-match rules — first failure after
+    * `near_dup`: `image_dup` (lowest Hamming, lowest rep) →
+    * `audio_dup` (highest landmark agreement, lowest rep) →
+    * `semantic_dup` (highest cosine, lowest vec) — and `dup_of` names
+    * the estate member it duplicates. Gate legs judge the arriving
+    * (odd-id) crawl against the even-id estate, exactly as the live
+    * gates do, so the batch keep list and the ingest stream can never
+    * disagree on a disposition: the oracle composes the keep-list SQL
+    * with the three gate CTE bodies the admission oracle already
+    * nests, verbatim.
+    *
+    * Scale: reads the MATERIALIZED keep list plus the three gates'
+    * match relations (candidate-bounded bucket probes of the persisted
+    * indexes); the per-doc best aggregations and the three left joins
+    * shuffle only match-bounded relations — the corpus never moves
+    * beyond the keep list's own build.
+    */
+  def keepListEstate(spark: SparkSession, sfDir: String): DataFrame = {
+    val kl = keepList(spark, sfDir)
+    val imgBest = graft.sources.PhashIndex.phashIngestGate(spark, sfDir)
+      .groupBy(col("asset_id"))
+      .agg(min(struct(col("hamming"), col("corpus_rep"))).as("m"))
+      .select(col("asset_id").as("doc_id"), col("m.corpus_rep").as("image_dup_of"))
+    val audBest = graft.sources.AudioIndex.audioIngestGate(spark, sfDir)
+      .groupBy(col("asset_id"))
+      .agg(max(struct(col("n_agree"), (-col("corpus_rep")).as("neg"))).as("m"))
+      .select(col("asset_id").as("doc_id"), (-col("m.neg")).as("audio_dup_of"))
+    val embBest = graft.sources.EmbedIndex.embedIngestGate(spark, sfDir)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("corpus_vec")).as("neg"))).as("m"))
+      .select(col("vec_id").as("doc_id"), (-col("m.neg")).as("embed_dup_of"))
+    val modality = col("image_dup_of").isNotNull || col("audio_dup_of").isNotNull ||
+      col("embed_dup_of").isNotNull
+    kl.join(imgBest, Seq("doc_id"), "left")
+      .join(audBest, Seq("doc_id"), "left")
+      .join(embBest, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("keep") && !modality).as("keep_final"),
+        when(!col("keep"), col("reason"))
+          .when(col("image_dup_of").isNotNull, lit("image_dup"))
+          .when(col("audio_dup_of").isNotNull, lit("audio_dup"))
+          .when(col("embed_dup_of").isNotNull, lit("semantic_dup"))
+          .otherwise(col("reason")).as("reason"),
+        when(!col("keep"), col("dup_of"))
+          .when(col("image_dup_of").isNotNull, col("image_dup_of"))
+          .when(col("audio_dup_of").isNotNull, col("audio_dup_of"))
+          .when(col("embed_dup_of").isNotNull, col("embed_dup_of"))
+          .otherwise(col("dup_of")).as("dup_of"),
+        when(col("keep") && modality, lit(null: String))
+          .otherwise(col("split")).as("split"))
+      .withColumnRenamed("keep_final", "keep")
+  }
+
+  /** DuckDB oracle (post-fit — the embed leg needs the frozen estate
+    * codebook): [[keepListSql]] nested as a subquery beside the three
+    * gate CTE bodies shared verbatim with the admission oracle, best
+    * matches ranked identically, same precedence.
+    */
+  def keepListEstateSql: Option[String] =
+    Similarity.estateFrozen.map { centers =>
+      s"""
+    WITH kl AS (SELECT * FROM ($keepListSql)),
+    ${graft.sources.PhashIndex.phashIngestCtesSql},
+    ${graft.sources.AudioIndex.audioIngestCtesSql},
+    ${graft.sources.EmbedIndex.estateAssignCtesSql(centers)},
+    imgb AS (
+      SELECT asset_id, corpus_rep,
+             row_number() OVER (PARTITION BY asset_id
+               ORDER BY hamming ASC, corpus_rep ASC) AS irk
+      FROM pim
+    ),
+    audb AS (
+      SELECT asset_id, corpus_rep,
+             row_number() OVER (PARTITION BY asset_id
+               ORDER BY n_agree DESC, corpus_rep ASC) AS ark
+      FROM pau
+    ),
+    embb AS (
+      SELECT vec_id, corpus_vec,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, corpus_vec ASC) AS erk
+      FROM pairs
+    )
+    SELECT k.doc_id,
+           k.keep AND i.corpus_rep IS NULL AND au.corpus_rep IS NULL
+             AND eb.corpus_vec IS NULL AS keep,
+           CASE WHEN NOT k.keep THEN k.reason
+                WHEN i.corpus_rep IS NOT NULL THEN 'image_dup'
+                WHEN au.corpus_rep IS NOT NULL THEN 'audio_dup'
+                WHEN eb.corpus_vec IS NOT NULL THEN 'semantic_dup'
+                ELSE k.reason END AS reason,
+           CASE WHEN NOT k.keep THEN k.dup_of
+                WHEN i.corpus_rep IS NOT NULL THEN i.corpus_rep
+                WHEN au.corpus_rep IS NOT NULL THEN au.corpus_rep
+                WHEN eb.corpus_vec IS NOT NULL THEN eb.corpus_vec
+                ELSE k.dup_of END AS dup_of,
+           CASE WHEN k.keep AND (i.corpus_rep IS NOT NULL OR au.corpus_rep IS NOT NULL
+                  OR eb.corpus_vec IS NOT NULL) THEN NULL
+                ELSE k.split END AS split
+    FROM kl k
+    LEFT JOIN (SELECT * FROM imgb WHERE irk = 1) i ON k.doc_id = i.asset_id
+    LEFT JOIN (SELECT * FROM audb WHERE ark = 1) au ON k.doc_id = au.asset_id
+    LEFT JOIN (SELECT * FROM embb WHERE erk = 1) eb ON k.doc_id = eb.vec_id"""
+    }
+
   /** The keep-list oracle parameterized by the CLUSTER relation's SQL —
     * the batch form uses the whole-corpus pair graph
     * ([[Dedup.componentsSql]]), the incremental form the lane+bridge
