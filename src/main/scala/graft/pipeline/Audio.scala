@@ -59,6 +59,18 @@ object Audio {
     * evaluated once per row wherever the expression lands, so no
     * consumer can re-inline the 64-sample transform into the
     * per-landmark loop.
+    *
+    * ASCII-ONLY cross-engine contract (the [[Multimodal]] phash lane's
+    * documented assumption, shared): the stand-in "PCM" samples via
+    * Spark `ascii()` — the FIRST BYTE of the UTF-8 encoding, negative
+    * for multibyte characters — while the oracle samples via DuckDB
+    * `unicode()`, the codepoint. The two agree exactly on ASCII text
+    * (every gate corpus) and diverge on any multibyte character. This
+    * is deliberately not papered over with a byte-masking shim: the
+    * whole sampling chain is the container's stand-in for a real PCM
+    * decoder (see the object scaladoc), and a production deployment
+    * replaces exactly this expression — the landmark/posting/agreement
+    * machinery downstream is byte-source-agnostic.
     */
   def landmarksOf(docs: DataFrame): DataFrame =
     docs

@@ -208,7 +208,16 @@ object IncrementalProfile {
         col("max_num").as(s"max_num_$tag"))
     val a = leg(stA, "a")
     val b = leg(stB, "b")
-    val ratio = round(col("nd_kmv_b") / col("nd_kmv_a"), 6)
+    // zero-guarded ratio: a fully-null column in history has
+    // nd_kmv_a = 0.0 (the kmvEstimate coalesce), and an IEEE division
+    // there would disagree across engines (Spark NULL-or-inf vs DuckDB
+    // inf). Both-dead -> 1.0 (no cardinality drift); dead column come
+    // alive -> 0-denominator sentinel NULL with drift flagged
+    // EXPLICITLY below, so `drifted` is always a concrete boolean.
+    val ratio = when(col("nd_kmv_a") === 0.0 && col("nd_kmv_b") === 0.0, lit(1.0))
+      .when(col("nd_kmv_a") > 0.0, round(col("nd_kmv_b") / col("nd_kmv_a"), 6))
+    val ratioDrift = when(col("nd_kmv_a") === 0.0, col("nd_kmv_b") > 0.0)
+      .otherwise(ratio < 0.5 || ratio > 2.0)
     val nullShift = round(abs(col("null_rate_b") - col("null_rate_a")), 6)
     val newMin = coalesce(col("min_num_b") < col("min_num_a"), lit(false))
     val newMax = coalesce(col("max_num_b") > col("max_num_a"), lit(false))
@@ -217,7 +226,7 @@ object IncrementalProfile {
         col("null_rate_a"), col("null_rate_b"), nullShift.as("null_shift"),
         col("nd_kmv_a"), col("nd_kmv_b"), ratio.as("nd_ratio"),
         newMin.as("new_min"), newMax.as("new_max"),
-        (nullShift > 0.05 || ratio < 0.5 || ratio > 2.0 || newMin || newMax)
+        (nullShift > 0.05 || ratioDrift || newMin || newMax)
           .as("drifted"))
   }
 
@@ -289,12 +298,15 @@ object IncrementalProfile {
     SELECT a.col_name, a.null_rate_a, b.null_rate_b,
            round(abs(b.null_rate_b - a.null_rate_a), 6) AS null_shift,
            a.nd_kmv_a, b.nd_kmv_b,
-           round(b.nd_kmv_b / a.nd_kmv_a, 6) AS nd_ratio,
+           CASE WHEN a.nd_kmv_a = 0 AND b.nd_kmv_b = 0 THEN 1.0
+                WHEN a.nd_kmv_a > 0 THEN round(b.nd_kmv_b / a.nd_kmv_a, 6)
+           END AS nd_ratio,
            coalesce(b.min_num_b < a.min_num_a, false) AS new_min,
            coalesce(b.max_num_b > a.max_num_a, false) AS new_max,
            (round(abs(b.null_rate_b - a.null_rate_a), 6) > 0.05
-            OR round(b.nd_kmv_b / a.nd_kmv_a, 6) < 0.5
-            OR round(b.nd_kmv_b / a.nd_kmv_a, 6) > 2.0
+            OR (CASE WHEN a.nd_kmv_a = 0 THEN b.nd_kmv_b > 0
+                     ELSE round(b.nd_kmv_b / a.nd_kmv_a, 6) < 0.5
+                          OR round(b.nd_kmv_b / a.nd_kmv_a, 6) > 2.0 END)
             OR coalesce(b.min_num_b < a.min_num_a, false)
             OR coalesce(b.max_num_b > a.max_num_a, false)) AS drifted
     FROM leg_a a JOIN leg_b b ON a.col_name = b.col_name"""

@@ -65,11 +65,25 @@ object ProfileStateStore {
   /** RETENTION: expire a crawl from the estate. State rows are the
     * only thing deleted — every downstream number re-folds exactly
     * from the survivors. The rewrite is O(state), i.e. kilobytes.
+    *
+    * CRASH-SAFE: the survivors are written to a durable side table
+    * FIRST, and only then does the estate table drop and take the
+    * rename — so no failure window loses the estate's profile state
+    * (which by design cannot be rebuilt without re-scanning every
+    * crawl). A crash before the drop leaves the estate intact (plus a
+    * stale side table the next retention clears); a crash between the
+    * drop and the rename leaves the complete survivor set durable
+    * under `<table>__retain`, recovered by re-issuing the rename. The
+    * earlier localCheckpoint form held the only copy of the survivors
+    * in executor memory across the drop — one executor loss away from
+    * losing the estate.
     */
   def removeSnapshot(spark: SparkSession, table: String, snapshot: String): Unit = {
-    val survivors = read(spark, table).filter(col("snapshot") =!= snapshot)
-      .localCheckpoint(eager = true) // read fully before overwriting the source
+    val side = s"${table}__retain"
+    TableUtil.dropTableAndLocation(spark, side) // stale leftover from a prior crash
+    read(spark, table).filter(col("snapshot") =!= snapshot)
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(side)
     TableUtil.dropTableAndLocation(spark, table)
-    survivors.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+    spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
   }
 }

@@ -22,6 +22,25 @@ import graft.pipeline.Audio
   * agreeing in several buckets emits once per bucket (bucket states
   * are independent); consumers take DISTINCT, exactly as the batch
   * query's candidate relation does.
+  *
+  * CAP-SEMANTICS BOUNDARY (deliberate, like [[PhashState]]): streamed
+  * == batch holds exactly while no bucket saturates. At saturation the
+  * two diverge by construction — the batch pipeline drops a hot
+  * (slot, lmv) bucket ENTIRELY once it exceeds
+  * [[graft.pipeline.Audio.AudioBucketCap]] DISTINCT fingerprints
+  * (retroactively: no pair from that bucket survives), which an
+  * append-mode stream cannot mirror because its pre-saturation pairs
+  * are already emitted. And the stream's cap counts arrival-ordered
+  * MEMBERS (assets), not distinct fingerprints, so an
+  * identical-fingerprint cluster larger than the cap consumes the
+  * bucket and later distinct fingerprints go unmatched there (the
+  * `dropped` counter says so — a bucket with `dropped > 0` is exactly
+  * a bucket whose verdicts the nightly batch authority should
+  * re-adjudicate; `q_keep_list_estate` is that re-adjudication). The
+  * caps exist to bound state and candidate volume, not to agree at
+  * saturation: on any corpus where no bucket exceeds the cap — every
+  * gate corpus, by design — AudioStateSpec's streamed == batch pin is
+  * exact.
   */
 object AudioState {
 

@@ -81,6 +81,37 @@ class IncrementalProfileSpec extends SparkSpec {
     assert(d3.getAs[Boolean]("drifted") === false,
       "ratio exactly 0.5 sits ON the boundary and must not flag")
 
+    // dead column comes alive: history's props is ALL NULL (nd_kmv_a =
+    // 0 — the zero-denominator case), crawl B has values. `drifted`
+    // must be a concrete TRUE (never a NULL from IEEE division) and the
+    // undefined ratio stays NULL on both engines.
+    val deadA = ev(Seq(
+      (0L, "2026-01-01 00:00:00", 1L, "view", 1.5, null),
+      (2L, "2026-01-01 00:00:01", 2L, "click", 2.5, null),
+    ))
+    val alive = ev(Seq(
+      (1L, "2026-01-01 00:00:04", 5L, "view", 1.5, "{}"),
+      (3L, "2026-01-01 00:00:05", 6L, "click", 2.5, "{}"),
+    ))
+    val d5 = IncrementalProfile.driftOf(IncrementalProfile.stateOf(deadA),
+        IncrementalProfile.stateOf(alive))
+      .filter(col("col_name") === "props").collect().head
+    assert(!d5.isNullAt(d5.fieldIndex("drifted")) && d5.getAs[Boolean]("drifted"),
+      s"a dead column coming alive must flag with a concrete boolean: $d5")
+    assert(d5.isNullAt(d5.fieldIndex("nd_ratio")),
+      s"the 0-denominator ratio is undefined and must stay NULL: $d5")
+
+    // both dead: no cardinality signal — ratio pins to 1.0, no drift
+    val deadB = ev(Seq(
+      (1L, "2026-01-01 00:00:02", 1L, "view", 1.5, null),
+      (3L, "2026-01-01 00:00:03", 2L, "click", 2.5, null),
+    ))
+    val d6 = IncrementalProfile.driftOf(IncrementalProfile.stateOf(deadA),
+        IncrementalProfile.stateOf(deadB))
+      .filter(col("col_name") === "props").collect().head
+    assert(d6.getAs[Double]("nd_ratio") === 1.0 && !d6.getAs[Boolean]("drifted"),
+      s"two dead snapshots agree (ratio 1.0, no drift): $d6")
+
     // an in-range, same-shape crawl does not drift
     // ids stay inside history's [0, 6] range (7 would be a genuine —
     // and correctly flagged — event_id range escape)
