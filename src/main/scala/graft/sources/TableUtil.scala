@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * persists with the files — but the library must be safe under the
   * default catalog the driver contract runs with.)
   */
-private[sources] object TableUtil {
+private[graft] object TableUtil {
 
   /** Drop `table` from the catalog and delete its default warehouse
     * location if the directory exists (orphaned by a previous JVM).
