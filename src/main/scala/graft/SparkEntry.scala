@@ -265,6 +265,7 @@ object SparkEntry {
     // the composed admission verdict: all three gates joined per doc
     "q_estate_admission" -> (graft.streaming.IngestGate.estateAdmission _),
     "q_crawl_admission" -> (graft.streaming.IngestGate.crawlAdmission _),
+    "q_crawl_gate" -> (graft.streaming.IngestGate.crawlGate _),
     // the nightly keep list assembled from per-snapshot feature state
     // — no step reads text; history never re-resolves
     "q_keep_list_incremental" -> (graft.pipeline.IncrementalCurate.keepListIncremental _),
@@ -514,6 +515,7 @@ object SparkEntry {
     graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission" -> _) ++
     graft.streaming.IngestGate.estateAdmissionOracleSql.map("q_estate_admission_stream" -> _) ++
     graft.streaming.IngestGate.crawlAdmissionOracleSql.map("q_crawl_admission" -> _) ++
+    graft.streaming.IngestGate.crawlGateOracleSql.map("q_crawl_gate" -> _) ++
     graft.pipeline.Curate.keepListEstateSql.map("q_keep_list_estate" -> _) ++
     graft.pipeline.DatasetCard.datasetCardEstateSql.map("q_dataset_card_estate" -> _)
 }

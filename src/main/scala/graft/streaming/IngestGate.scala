@@ -533,6 +533,52 @@ object IngestGate {
     FROM counts"""
     }
 
+  // ---- q_crawl_gate ------------------------------------------------------
+
+  /** q_crawl_gate: THE one page an operator reads per arriving crawl —
+    * the document-side go/no-go ([[crawlAdmission]]: duplication
+    * against the 4-modality estate, extractor-garbage share) and the
+    * events-side profile regression gate
+    * ([[graft.queries.IncrementalProfile.profileDrift]]: null-rate /
+    * cardinality / range drift across the crawl's telemetry columns)
+    * joined into a single row with the composed verdict: `go` =
+    * `admit_crawl AND zero drifted columns`. Both legs are themselves
+    * oracle-gated queries; this record makes their conjunction a
+    * first-class, gated artifact.
+    *
+    * Scale: ZERO new scans — the document leg folds the admission
+    * relation (candidate-bounded everywhere) and the events leg reads
+    * two persisted 6-row profile states; the join is a cross of two
+    * one-row relations.
+    */
+  def crawlGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val adm = crawlAdmission(spark, sfDir)
+    val drift = graft.queries.IncrementalProfile.profileDrift(spark, sfDir)
+      .agg(count(lit(1)).as("n_cols"),
+        sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted"))
+    adm.crossJoin(broadcast(drift))
+      .withColumn("profile_ok", col("n_drifted") === 0)
+      .withColumn("go", col("admit_crawl") && col("n_drifted") === 0)
+  }
+
+  /** DuckDB oracle (post-fit via the admission leg): both legs' oracle
+    * SQL composed verbatim, same fold, same conjunction.
+    */
+  def crawlGateOracleSql: Option[String] =
+    crawlAdmissionOracleSql.map { admSql =>
+      s"""
+    WITH adm AS (SELECT * FROM ($admSql)),
+    dr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cols,
+             CAST(SUM(CASE WHEN drifted THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted
+      FROM (${graft.queries.IncrementalProfile.profileDriftSql})
+    )
+    SELECT adm.*, dr.n_cols, dr.n_drifted,
+           dr.n_drifted = 0 AS profile_ok,
+           (adm.admit_crawl AND dr.n_drifted = 0) AS go
+    FROM adm CROSS JOIN dr"""
+    }
+
   /** DuckDB oracle (post-fit — the embed leg needs the frozen estate
     * codebook): the three gate oracles' shared CTE bodies composed
     * verbatim (`v` / `pim` / `pairs`), best-match ranked per doc, and
