@@ -394,6 +394,104 @@ object AudioIndex {
            min(CASE WHEN rk = 1 THEN n_agree END) AS best_agree
     FROM ranked GROUP BY 1"""
 
+  // ---- q_audio_sweep_recall ------------------------------------------------
+
+  /** Sampled B representatives for the sweep recall's truth leg (the
+    * [[PhashIndex]] declared-cap contract: ≤ ~100 probes at any estate
+    * size, so the brute-force leg stays a bounded-probe broadcast
+    * NLJ).
+    */
+  private val SweepProbeMod = 10
+  private val SweepProbeMax = 1000L
+
+  /** q_audio_sweep_recall: the AUDIO sweep's recall eval, completing
+    * the every-sweep-ships-its-eval rule across all FOUR modalities
+    * (text `q_cross_snapshot_recall`, image `q_phash_sweep_recall`,
+    * vector `q_embed_sweep_recall`). For each sampled B
+    * representative, the truth leg brute-forces aligned-landmark
+    * agreement against every A representative (broadcast NLJ over the
+    * bounded probe set — the whitelisted truth-leg pattern), and the
+    * approx leg is the sweep's own capped posting-join verdicts. Any
+    * pair at ≥ [[Audio.MinLandmarkAgree]]/7 agreement shares at least
+    * one landmark bucket (4 of 7 slots agree), so the posting join is
+    * COMPLETE at the verdict threshold — recall < 1 here isolates
+    * exactly a bucket-cap effect, the number an operator reads before
+    * raising [[Audio.AudioBucketCap]].
+    */
+  def audioSweepRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, tb) = snapshotTables(spark, sfDir)
+    val probes = spark.table(tb).filter(col("slot") === 0)
+      .filter(col("rep") % SweepProbeMod === 1 && col("rep") < SweepProbeMax)
+      .select(col("rep").as("q_rep"), col("fp").as("q_fp"))
+    val aReps = spark.table(ta).filter(col("slot") === 0)
+      .select(col("rep").as("a_rep"), col("fp").as("a_fp"))
+    val truth = broadcast(probes).join(aReps)
+      .select(col("q_rep"), col("a_rep"),
+        expr(Audio.agreeSql("q_fp", "a_fp")).as("n_agree"))
+      .filter(col("n_agree") >= Audio.MinLandmarkAgree)
+    val hits = crossSnapshotPairs(spark, ta, tb)
+      .filter(col("rep") % SweepProbeMod === 1 && col("rep") < SweepProbeMax)
+      .select(col("rep").as("q_rep"), col("corpus_rep").as("a_rep"), lit(1L).as("hit"))
+    truth.join(hits, Seq("q_rep", "a_rep"), "left")
+      .groupBy(col("q_rep"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_rep"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+  }
+
+  /** DuckDB mirror: per-parity representative collapse, brute-force
+    * agreement truth over the sampled probes, capped sweep hits.
+    */
+  val audioSweepRecallSql: String =
+    s"""
+    WITH ${Audio.landmarkCtesSql},
+    $fptCteSql,
+    ga AS (SELECT fp, min(asset_id) AS rep FROM fpt WHERE asset_id % 2 = 0 GROUP BY 1),
+    gb AS (SELECT fp, min(asset_id) AS rep FROM fpt WHERE asset_id % 2 = 1 GROUP BY 1),
+    probes AS (
+      SELECT rep AS q_rep, fp AS q_fp FROM gb
+      WHERE rep % $SweepProbeMod = 1 AND rep < $SweepProbeMax
+    ),
+    truth AS (
+      SELECT p.q_rep, a.rep AS a_rep,
+             CAST(list_sum([CASE WHEN (p.q_fp >> (9 * w)) % 512 = (a.fp >> (9 * w)) % 512
+                                 THEN 1 ELSE 0 END
+                            for w in generate_series(0, 6)]) AS BIGINT) AS n_agree
+      FROM probes p CROSS JOIN ga a
+      WHERE CAST(list_sum([CASE WHEN (p.q_fp >> (9 * w)) % 512 = (a.fp >> (9 * w)) % 512
+                                THEN 1 ELSE 0 END
+                           for w in generate_series(0, 6)]) AS BIGINT) >= ${Audio.MinLandmarkAgree}
+    ),
+    ba AS (
+      SELECT rep, fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM ga CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    bb AS (
+      SELECT rep, fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM gb CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    keepb AS (
+      SELECT slot, lmv FROM ba GROUP BY 1, 2 HAVING count(*) <= ${Audio.AudioBucketCap}
+      INTERSECT
+      SELECT slot, lmv FROM bb GROUP BY 1, 2 HAVING count(*) <= ${Audio.AudioBucketCap}
+    ),
+    hits AS (
+      SELECT DISTINCT bb.rep AS q_rep, ba.rep AS a_rep
+      FROM bb JOIN ba ON bb.slot = ba.slot AND bb.lmv = ba.lmv
+      JOIN keepb k ON bb.slot = k.slot AND bb.lmv = k.lmv
+      WHERE CAST(list_sum([CASE WHEN (bb.fp >> (9 * w)) % 512 = (ba.fp >> (9 * w)) % 512
+                                THEN 1 ELSE 0 END
+                           for w in generate_series(0, 6)]) AS BIGINT) >= ${Audio.MinLandmarkAgree}
+        AND bb.rep % $SweepProbeMod = 1 AND bb.rep < $SweepProbeMax
+    )
+    SELECT t.q_rep, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN h.a_rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(SUM(CASE WHEN h.a_rep IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall
+    FROM truth t LEFT JOIN hits h ON t.q_rep = h.q_rep AND t.a_rep = h.a_rep
+    GROUP BY 1"""
+
   // ---- q_audio_estate_merge ------------------------------------------------
 
   private val estateTableMemo =

@@ -137,9 +137,13 @@ class PlanSpec extends SparkSpec {
     // every index's recall eval carries one)
     // q_audio_recall's truth leg broadcasts the bounded every-20th-id
     // probe sample against all fingerprints — the same declared capped
-    // contract (O(probes x n)) the other recall evals carry
+    // contract (O(probes x n)) the other recall evals carry;
+    // q_audio_sweep_recall's truth leg is the <= 100-probe broadcast
+    // against the A-side representatives (the q_phash_sweep_recall
+    // contract, fourth modality)
     val allowed = Set("q_ann_topk", "q_ann_pca", "q_ann_recall", "q_ann_lsh_recall",
-      "q_phash_recall", "q_embed_sweep_recall", "q_phash_sweep_recall", "q_audio_recall")
+      "q_phash_recall", "q_embed_sweep_recall", "q_phash_sweep_recall", "q_audio_recall",
+      "q_audio_sweep_recall")
     SparkEntry.queries.keys.filterNot(allowed).filterNot(_ == "q_kmeans_anomaly").foreach { name =>
       val nlj = collectAll(plan(name)) { case j: BroadcastNestedLoopJoinExec => j }
         .filterNot { j =>
