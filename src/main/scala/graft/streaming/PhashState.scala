@@ -24,6 +24,18 @@ import graft.pipeline.Multimodal
   * silently ignored. A pair agreeing in several bands emits once per
   * band (bucket states are independent; consumers take DISTINCT,
   * exactly as the batch query does internally).
+  *
+  * CAP-SEMANTICS BOUNDARY (deliberate — the [[AudioState]] note,
+  * stated once per family): streamed == batch holds exactly while no
+  * bucket saturates. At saturation the batch pipeline drops a hot
+  * (band, bv) bucket ENTIRELY (retroactively — it counts DISTINCT
+  * representative codes), which an append-mode stream cannot mirror
+  * (its pre-saturation pairs are emitted), and the stream's cap counts
+  * arrival-ordered members. A bucket with `dropped > 0` is a bucket
+  * whose verdicts the nightly batch authority re-adjudicates
+  * (`q_keep_list_estate`); on any corpus where no bucket exceeds the
+  * cap — every gate corpus, by design — the streamed == batch pin is
+  * exact.
   */
 object PhashState {
 
