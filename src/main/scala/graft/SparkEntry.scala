@@ -98,6 +98,7 @@ object SparkEntry {
     "q_audio_ingest_gate" -> (graft.sources.AudioIndex.audioIngestGate _),
     "q_cross_snapshot_audio" -> (graft.sources.AudioIndex.crossSnapshotAudio _),
     "q_audio_sweep_recall" -> (graft.sources.AudioIndex.audioSweepRecall _),
+    "q_audio_incremental" -> (graft.pipeline.Audio.audioIncremental _),
     "q_audio_estate_merge" -> (graft.sources.AudioIndex.audioEstateMerge _),
     "q_audio_retention" -> (graft.sources.AudioIndex.audioRetention _),
     "q_multimodal_frames" -> (Multimodal.frameSample _),
@@ -379,6 +380,7 @@ object SparkEntry {
     "q_audio_ingest_gate" -> graft.sources.AudioIndex.audioIngestGateSql,
     "q_cross_snapshot_audio" -> graft.sources.AudioIndex.crossSnapshotAudioSql,
     "q_audio_sweep_recall" -> graft.sources.AudioIndex.audioSweepRecallSql,
+    "q_audio_incremental" -> graft.pipeline.Audio.audioIncrementalSql,
     "q_audio_estate_merge" -> graft.sources.AudioIndex.audioEstateMergeSql,
     "q_audio_retention" -> graft.sources.AudioIndex.audioRetentionSql,
     "q_multimodal_frames" -> Multimodal.frameSampleSql,

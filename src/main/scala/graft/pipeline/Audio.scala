@@ -574,6 +574,136 @@ object Audio {
            round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
                  / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall"""
 
+  // ---- q_audio_incremental -----------------------------------------------
+
+  /** q_audio_incremental: INCREMENTAL audio-cluster maintenance — the
+    * [[Dedup.componentsIncremental]] operation on the AUDIO side
+    * through the SAME [[Dedup.quotientMerge]] helper (one merge
+    * implementation now serves all three clustered modalities).
+    * Snapshot A (even asset ids) has materialized cluster labels over
+    * its star edges (identical-fingerprint members → their snapshot
+    * representative) plus its capped landmark rep pairs, both read
+    * from the persisted [[graft.sources.AudioIndex]] posting table
+    * (the index rows ARE the band rows — no re-derivation); snapshot B
+    * (odd) arrives with its internal graph and its bridges into A (the
+    * exchange-free index-to-index landmark join, agreement-verified
+    * map-side, uncapped like the text/image bridges — an ingest check
+    * must not miss a merge through a hot bucket); the resolver runs
+    * over the QUOTIENT only (B reps + bridge-touched A roots —
+    * snapshot-sized, never estate-sized). The DuckDB oracle recomputes
+    * everything from scratch as one recursive CTE over the same five
+    * edge relations — quotient == full is a theorem the hash gate
+    * re-proves per run.
+    */
+  def audioIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    mergedStateMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      computeAudioIncremental(spark, sfDir).localCheckpoint(eager = true))
+
+  private val mergedStateMemo = new graft.core.Memo("audio_merged_state")
+  private val estateMemo = new graft.core.Memo("audio_estate_components")
+
+  private def computeAudioIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ta, tb) = graft.sources.AudioIndex.snapshotTables(spark, sfDir)
+    val bandsA = spark.table(ta).select(col("rep"), col("fp"), col("slot"), col("lmv"))
+    val bandsB = spark.table(tb).select(col("rep"), col("fp"), col("slot"), col("lmv"))
+    val fps = corpusFps(spark, sfDir)
+    // star edges of one parity lane: snapshot representative -> member
+    def stars(parity: Int): DataFrame = {
+      val side = fps.filter(col("asset_id") % 2 === parity)
+      val g = side.groupBy(col("fp")).agg(min(col("asset_id")).as("srep"))
+      side.join(g, Seq("fp")).filter(col("asset_id") =!= col("srep"))
+        .select(col("srep").as("doc_a"), col("asset_id").as("doc_b"))
+    }
+    // capped rep pairs over a persisted posting table — every step
+    // rides the table's own (slot, lmv) bucketing
+    def repPairs(bands: DataFrame): DataFrame = {
+      val keep = bands.groupBy(col("slot"), col("lmv"))
+        .agg(count(lit(1)).as("c")).filter(col("c") <= AudioBucketCap)
+        .select(col("slot"), col("lmv"))
+      val b = bands.join(keep, Seq("slot", "lmv"), "left_semi")
+      b.as("a")
+        .join(b.as("b"),
+          col("a.slot") === col("b.slot") && col("a.lmv") === col("b.lmv") &&
+            col("a.fp") < col("b.fp"))
+        .filter(expr(agreeSql("a.fp", "b.fp")) >= MinLandmarkAgree)
+        .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
+        .distinct()
+    }
+    val bridges = graft.core.Mat(bandsB.as("n")
+      .join(bandsA.select(col("slot"), col("lmv"), col("rep").as("a_rep"),
+        col("fp").as("fp_c")).as("c"), Seq("slot", "lmv"))
+      .filter(expr(agreeSql("fp", "fp_c")) >= MinLandmarkAgree)
+      .select(col("n.rep").as("b_doc"), col("a_rep").as("a_doc"))
+      .distinct())
+    val aLabels = estateMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      Dedup.componentsOfPairs(stars(0).unionAll(repPairs(bandsA)))
+        .select(col("doc_id"), col("cluster_root"))
+        .localCheckpoint(eager = true))
+    Dedup.quotientMerge(aLabels, stars(1).unionAll(repPairs(bandsB)), bridges)
+      .select(col("doc_id").as("asset_id"), col("cluster_root"), col("cluster_size"))
+  }
+
+  val audioIncrementalSql: String = {
+    def agree(a: String, b: String) =
+      s"""CAST(list_sum([CASE WHEN ($a >> (9 * w)) % 512 = ($b >> (9 * w)) % 512
+                              THEN 1 ELSE 0 END
+                         for w in generate_series(0, 6)]) AS BIGINT)"""
+    def lane(parity: Int, cSide: String, grp: String, st: String, bands0: String,
+        bandsC: String, rp: String): String =
+      s"""$cSide AS (SELECT asset_id, fp FROM fpt WHERE asset_id % 2 = $parity),
+    $grp AS (SELECT fp, min(asset_id) AS rep FROM $cSide GROUP BY 1),
+    $st AS (SELECT g.rep AS doc_a, c.asset_id AS doc_b
+            FROM $cSide c JOIN $grp g USING (fp) WHERE c.asset_id <> g.rep),
+    $bands0 AS (
+      SELECT rep, fp, s.slot, (fp >> (9 * s.slot)) % 512 AS lmv
+      FROM $grp CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
+    ),
+    $bandsC AS (SELECT b0.* FROM $bands0 b0 JOIN (
+        SELECT slot, lmv FROM (SELECT slot, lmv, count(*) AS c FROM $bands0 GROUP BY 1, 2)
+        WHERE c <= $AudioBucketCap) k USING (slot, lmv)),
+    $rp AS (
+      SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+      FROM $bandsC a JOIN $bandsC b
+        ON a.slot = b.slot AND a.lmv = b.lmv AND a.fp < b.fp
+      WHERE ${agree("a.fp", "b.fp")} >= $MinLandmarkAgree
+    )"""
+    s"""
+    WITH RECURSIVE $landmarkCtesSql,
+    fpt AS (
+      SELECT asset_id,
+             CAST(list_sum([lms[w + 1] << (9 * w) for w in generate_series(0, 6)]) AS BIGINT) AS fp
+      FROM lm
+    ),
+    ${lane(0, "cA", "gA", "stA", "bA0", "bAc", "rpA")},
+    ${lane(1, "cB", "gB", "stB", "bB0", "bBc", "rpB")},
+    br AS (
+      SELECT DISTINCT bb.rep AS doc_a, ba.rep AS doc_b
+      FROM bB0 bb JOIN bA0 ba ON bb.slot = ba.slot AND bb.lmv = ba.lmv
+      WHERE ${agree("bb.fp", "ba.fp")} >= $MinLandmarkAgree
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM stA UNION ALL SELECT doc_a, doc_b FROM stB
+      UNION ALL SELECT doc_a, doc_b FROM rpA UNION ALL SELECT doc_a, doc_b FROM rpB
+      UNION ALL SELECT doc_a, doc_b FROM br
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS asset_id, min(lab) AS cluster_root FROM reach GROUP BY 1)
+    SELECT c.asset_id, c.cluster_root, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_root, count(*) AS cluster_size FROM comp GROUP BY 1
+    ) s ON c.cluster_root = s.cluster_root"""
+  }
+
   /** The landmark derivation as oracle CTEs — one definition for every
     * audio oracle (the [[Multimodal.phashCodeCtesSql]] pattern).
     */

@@ -67,6 +67,31 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio incremental: a bridge merges the arriving rep into history's cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("aui12").toString
+    val shared = (1 to 80).map(i => ('a' + (i % 17)).toChar).mkString(" ")
+    val uniq = (tag: String) => (1 to 80).map(j => s"${tag}_${j}_zq").mkString(" ")
+    // history (even): 2 and 4 are identical tracks (star edge 2 -> 4),
+    // arriving (odd): 3 is the same track — a BRIDGE into A through
+    // the landmark join. 5 and 6 differ only per-token-tag, so their
+    // peak fingerprints agree on all 7 landmarks (texts that are
+    // "unique" as shingles are near-dups as audio — the modality gap
+    // the estate exists for): a second, solo-history bridge whose A
+    // rep had NO A-internal pair (the quotientMerge `extra` path)
+    Seq((2L, shared), (4L, shared), (6L, uniq("u6")), (3L, shared), (5L, uniq("u5")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Audio.audioIncremental(spark, dir).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("cluster_root"), r.getAs[Long]("cluster_size"))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got == Map(2L -> ((2L, 3L)), 3L -> ((2L, 3L)), 4L -> ((2L, 3L)),
+        5L -> ((5L, 2L)), 6L -> ((5L, 2L))),
+      s"bridge must merge rep 3 into {2,4}; solo-A bridge must form {5,6}: $got")
+  }
+
   test("estate card rolls up exactly the estate keep list") {
     val kl = Curate.keepListEstate(spark, sf).collect()
     val card = DatasetCard.datasetCardEstate(spark, sf).collect().head
