@@ -176,56 +176,9 @@ object Audio {
     * — a stale table would hash-mismatch every audio query.
     */
   private[graft] def corpusFps(spark: SparkSession, sfDir: String): DataFrame =
-    fpsMemo.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$sfDir", {
-      // a PATH, not a catalog table: the default catalog is in-memory,
-      // so a saveAsTable name would not survive the JVM and every
-      // bench run would re-pay the sampling pass. The signature rides
-      // in an underscore-prefixed marker file (ignored by readers).
-      val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-      val dir = warehousePath(spark).resolve(s"graft_audio_fps_$sfx")
-      val sigFile = dir.resolve("_graft_sig")
-      val sig = datasetSignature(sfDir)
-      import java.nio.file.Files
-      val fresh =
-        try Files.exists(sigFile) && Files.readString(sigFile) == sig
-        catch { case _: Throwable => false }
-      if (!fresh) {
-        packedFps(Tables.documents(spark, sfDir))
-          .write.mode(SaveMode.Overwrite).parquet(dir.toString)
-        Files.writeString(sigFile, sig)
-      }
-      spark.read.parquet(dir.toString).localCheckpoint(eager = true)
-    })
-
-  /** The session warehouse directory as a local path. */
-  private def warehousePath(spark: SparkSession): java.nio.file.Path = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    val uri = new java.net.URI(wh)
-    if (uri.getScheme == null) java.nio.file.Paths.get(wh)
-    else java.nio.file.Paths.get(uri)
-  }
-
-  /** Identity of a dataset's documents on disk (names, sizes, mtimes)
-    * — changes exactly when the driver regenerates the parquet.
-    */
-  private def datasetSignature(sfDir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(sfDir, "documents.parquet")
-    if (!Files.exists(p)) "absent"
-    else {
-      val files =
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).sortBy(_.toString).toSeq
-          finally s.close()
-        } else Seq(p)
-      val desc = files.map(f =>
-        s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-        .mkString("|")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
-  }
+    fpsMemo.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$sfDir",
+      graft.core.DatasetStore.persisted(spark, sfDir, "audio_fps")(
+        packedFps(Tables.documents(spark, sfDir))))
 
   /** Test seam: forget the memoized fingerprints. */
   private[graft] def resetMemos(): Unit = fpsMemo.clear()
@@ -596,9 +549,12 @@ object Audio {
     * re-proves per run.
     */
   def audioIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    // persisted per dataset like the text/image merged states
+    // (deterministic, oracle-hash-gated), memoized per application
     mergedStateMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
-      computeAudioIncremental(spark, sfDir).localCheckpoint(eager = true))
+      graft.core.DatasetStore.persisted(spark, sfDir, "audio_merged_state")(
+        computeAudioIncremental(spark, sfDir)))
 
   private val mergedStateMemo = new graft.core.Memo("audio_merged_state")
   private val estateMemo = new graft.core.Memo("audio_estate_components")

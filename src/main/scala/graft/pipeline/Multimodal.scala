@@ -675,11 +675,13 @@ object Multimodal {
     */
   def phashIncremental(spark: SparkSession, sfDir: String): DataFrame =
     // the merged labels ARE the image estate's post-merge state — the
-    // Dedup.componentsIncremental memoization contract (cold cost in
-    // the bench `artifacts` map, Verify re-pays and hash-gates fresh)
+    // Dedup.componentsIncremental contract: persisted per dataset
+    // (deterministic, oracle-hash-gated every Verify), memoized per
+    // application on top (cold cost in the bench `artifacts` map)
     mergedStateMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
-      computePhashIncremental(spark, sfDir).localCheckpoint(eager = true))
+      graft.core.DatasetStore.persisted(spark, sfDir, "phash_merged_state")(
+        computePhashIncremental(spark, sfDir)))
 
   private val mergedStateMemo = new graft.core.Memo("phash_merged_state")
 
