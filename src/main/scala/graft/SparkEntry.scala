@@ -183,6 +183,7 @@ object SparkEntry {
     "q_curate" -> (graft.pipeline.Curate.curate _),
     "q_keep_list" -> (graft.pipeline.Curate.keepList _),
     "q_keep_list_estate" -> (graft.pipeline.Curate.keepListEstate _),
+    "q_keep_by_source_estate" -> (graft.pipeline.Curate.keepBySourceEstate _),
     "q_dataset_card_estate" -> (graft.pipeline.DatasetCard.datasetCardEstate _),
     "q_keep_by_source" -> (graft.pipeline.Curate.keepBySource _),
     // PCA projection (frozen-components oracle, like the centroids)
@@ -521,5 +522,6 @@ object SparkEntry {
     graft.streaming.IngestGate.crawlAdmissionOracleSql.map("q_crawl_admission" -> _) ++
     graft.streaming.IngestGate.crawlGateOracleSql.map("q_crawl_gate" -> _) ++
     graft.pipeline.Curate.keepListEstateSql.map("q_keep_list_estate" -> _) ++
+    graft.pipeline.Curate.keepBySourceEstateSql.map("q_keep_by_source_estate" -> _) ++
     graft.pipeline.DatasetCard.datasetCardEstateSql.map("q_dataset_card_estate" -> _)
 }

@@ -398,10 +398,16 @@ object Curate {
     * report cells; per-source totals ride the same aggregate via a
     * window over the post-aggregation relation (dozens of rows).
     */
-  def keepBySource(spark: SparkSession, sfDir: String): DataFrame = {
+  def keepBySource(spark: SparkSession, sfDir: String): DataFrame =
+    bySourceCells(keepList(spark, sfDir), spark, sfDir)
+
+  /** The per-(source, reason) funnel aggregation over any per-doc
+    * verdict relation — shared by the text-stack and estate readouts.
+    */
+  private def bySourceCells(kl: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
-    val cells = keepList(spark, sfDir)
+    val cells = kl
       .join(src, "doc_id")
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
@@ -411,6 +417,33 @@ object Curate {
       .select(col("source"), col("reason"), col("n_docs"),
         expr("(1000000 * n_docs) div n_source").as("share_ppm"))
   }
+
+  /** q_keep_by_source_estate: the per-source funnel over the FULL
+    * 4-modality authority ([[keepListEstate]]) — the `q_keep_by_source`
+    * report with the modality gates visible per source: a source
+    * dominated by `image_dup` mirrors an image estate, one dominated by
+    * `audio_dup` re-uploads tracks, one dominated by `semantic_dup`
+    * paraphrases — each a different operator action. Same shape and
+    * cost as the text-stack readout.
+    */
+  def keepBySourceEstate(spark: SparkSession, sfDir: String): DataFrame =
+    bySourceCells(keepListEstate(spark, sfDir), spark, sfDir)
+
+  /** DuckDB mirror (post-fit — nests the estate keep list). */
+  def keepBySourceEstateSql: Option[String] =
+    keepListEstateSql.map { klSql =>
+      s"""
+    WITH kl AS (SELECT * FROM ($klSql)),
+    cells AS (
+      SELECT d.source, k.reason, CAST(count(*) AS BIGINT) AS n_docs
+      FROM kl k JOIN documents d ON k.doc_id = d.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT source, reason, n_docs,
+           (1000000 * n_docs) // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+             AS share_ppm
+    FROM cells"""
+    }
 
   lazy val keepBySourceSql: String =
     s"""
