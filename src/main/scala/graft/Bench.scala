@@ -214,9 +214,9 @@ object Bench {
           StreamBench.summaryJson(rs)
         }
         // the composed admission gate's hot path (docs/sec through all
-        // three index gates), against the snapshot tables the gated
+        // four index gates), against the snapshot tables the gated
         // queries already built this run — summary's `anomalies` field
-        // carries the rejected count, `topics` the gate count (3)
+        // carries the rejected count, `topics` the gate count (4)
         def adm3 = {
           val rs = Seq.fill(3)(
             StreamBench.admissionMeasure(spark, sfDir, 20000, 3))

@@ -121,7 +121,9 @@ object StreamBench {
     val sec = (System.nanoTime() - start) / 1e9
     val rejected = gate.filter(col("verdict") =!= "admit").count()
     val msgs = perBatch.toLong * batches
-    Result((msgs / sec).round, msgs, sec, rejected, topics = 3, bucketed = false)
+    // topics doubles as the GATE count for the admission record — four
+    // since the audio landmark gate joined the composition (round 11)
+    Result((msgs / sec).round, msgs, sec, rejected, topics = 4, bucketed = false)
   }
 
   /** Median + best + self-adjudicated contention verdict over a run
