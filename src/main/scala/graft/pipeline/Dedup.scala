@@ -1006,25 +1006,40 @@ object Dedup {
   val SimhashBands: Seq[(Int, Int)] =
     Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
 
+  /** Max documents per (band, bv) SimHash bucket. A 32-bit code's
+    * HmSearch bands are only 4-5 bits wide, so band values are
+    * LOW-CARDINALITY (16-32 buckets per band): unlike the md5-hashed
+    * MinHash bands, a bucket here grows ~n/16 with the corpus and the
+    * band self-join would go quadratic without a cap — a 32/7 layout
+    * is the demo geometry (the production form is the same pipeline
+    * with 64-bit codes and 16-bit bands: 65k values per band, the
+    * constants above). The cap is the family-standard declared
+    * semantics: a saturated bucket drops on both engines before the
+    * join. Non-binding at every gate scale (sf0.1 buckets ~312, even
+    * the 10x probe ~3.1k) and on any corpus the demo geometry suits.
+    */
+  val SimhashBucketCap = 4096L
+
   /** SimHash near-dup pairs: Hamming distance <= 6 of the 32-bit codes.
     *
     * Scale plan: candidates come from an equi self-join on banded
-    * sub-codes ([[SimhashBands]]) — a plain shuffle join on a short
-    * (band, value) key whose candidate volume is O(near-dup pairs),
-    * same shape as the MinHash LSH band join. Candidate pairs are
-    * deduped as narrow (id, id) rows before the codes are re-joined for
-    * the exact `bit_count` verify. Output is identical to the all-pairs
-    * form ([[simhashPairsAllPairs]], kept as the test-scale
-    * cross-check); the oracle SQL is unchanged.
+    * sub-codes ([[SimhashBands]]) capped at [[SimhashBucketCap]]
+    * documents per bucket (see the cap's scaladoc — the 4-5-bit band
+    * values are low-cardinality, so the cap, not band diversity, is
+    * what bounds the join here), verified by exact `bit_count` in the
+    * join's own projection, deduped once per pair by DISTINCT (a pair
+    * colliding in several kept bands emits once — the family-standard
+    * consumer contract). Output is identical to the all-pairs form
+    * ([[simhashPairsAllPairs]], the test-scale cross-check) whenever
+    * the cap is non-binding; the oracle mirrors the banded + capped
+    * pipeline exactly.
     */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // band rows carry the full code, so the Hamming verify AND the
-    // duplicate-candidate elimination both happen inside the join stage
-    // with pure integer math on the pair's XOR: band j collides iff
-    // (xor >> off_j) & mask_j == 0, and a pair is kept only from its
-    // FIRST colliding band — so each pair survives exactly once with no
-    // distinct shuffle and no re-join to gather codes. Everything stays
-    // in whole-stage codegen (shifts/ands/bit_count, no array ops).
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsCapped(spark, sfDir, SimhashBucketCap)
+
+  /** [[simhashPairs]] with an explicit cap — the spec seam. */
+  private[graft] def simhashPairsCapped(spark: SparkSession, sfDir: String,
+      cap: Long): DataFrame = {
     // Persisted because both sides of the self-join consume it (at
     // cluster scale this is the checkpointed signature table).
     val bands = simhashes(Tables.documents(spark, sfDir))
@@ -1035,19 +1050,20 @@ object Dedup {
         }: _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
       .mat
-    def firstCollidingBand(xor: Column): Column =
-      SimhashBands.zipWithIndex.foldRight(lit(-1)) { case (((off, w), i), els) =>
-        when(shiftright(xor, off).bitwiseAND(lit((1L << w) - 1)) === 0L, lit(i)).otherwise(els)
-      }
-    bands.as("a")
-      .join(bands.as("b"),
+    val hot = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > cap)
+      .select(col("band"), col("bv"))
+    val kept = bands.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .withColumn("xor", col("a.simhash").bitwiseXOR(col("b.simhash")))
-      .filter(bit_count(col("xor")) <= 6 && col("a.band") === firstCollidingBand(col("xor")))
+      .filter(bit_count(col("xor")) <= 6)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
         bit_count(col("xor")).as("hamming"))
+      .distinct()
   }
 
   // ---- q_bloom_dedup -------------------------------------------------
@@ -2200,6 +2216,8 @@ object Dedup {
 
   val simhashPairsSql: String = {
     val hsExpr = s"[${h32Sql.format("t")} for t in string_split(text, ' ')]"
+    val bandRows = SimhashBands.zipWithIndex
+      .map { case ((off, w), i) => s"($i, $off, $w)" }.mkString(", ")
     s"""
     WITH sh AS (
       SELECT doc_id,
@@ -2207,11 +2225,21 @@ object Dedup {
                                  THEN (1::BIGINT << k) ELSE 0 END
                             for k in generate_series(0, 31)]) AS BIGINT) AS simhash
       FROM documents
+    ),
+    bd AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> b.off) & ((1::BIGINT << b.w) - 1) AS bv
+      FROM sh CROSS JOIN (VALUES $bandRows) AS b(band, off, w)
+    ),
+    keepb AS (
+      SELECT band, bv FROM (SELECT band, bv, count(*) AS c FROM bd GROUP BY 1, 2)
+      WHERE c <= $SimhashBucketCap
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.simhash AS simhash_a, b.simhash AS simhash_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    JOIN keepb k ON a.band = k.band AND a.bv = k.bv
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
   }
 

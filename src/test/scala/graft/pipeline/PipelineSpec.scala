@@ -48,6 +48,18 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty, "cross-check is vacuous: no near-dup pairs at this SF")
   }
 
+  test("simhash bucket cap: a binding cap drops saturated buckets; production cap is non-binding") {
+    val sf = "/root/testdata/sf0.001"
+    // every pair lives in SOME bucket, so cap 0 must drop them all;
+    // the production cap reproduces the uncapped (= all-pairs) verdict
+    assert(Dedup.simhashPairsCapped(spark, sf, cap = 0L).count() == 0L,
+      "cap 0 must drop every bucket")
+    val capped = Dedup.simhashPairsCapped(spark, sf, Dedup.SimhashBucketCap).count()
+    val allPairs = Dedup.simhashPairsAllPairs(spark, sf).count()
+    assert(capped == allPairs,
+      s"the production cap must be non-binding at gate scale: $capped vs $allPairs")
+  }
+
   test("connected components: minimal roots, closed clusters, every pair co-clustered") {
     val sf = "/root/testdata/sf0.001"
     val comp = Dedup.components(spark, sf).collect()
