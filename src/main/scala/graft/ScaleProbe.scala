@@ -32,7 +32,7 @@ object ScaleProbe {
 
   private val Headliners = Seq(
     "q_dedup_ngram_capped", "q_dedup_minhash",
-    "q_cross_snapshot_dedup", "q_audio_dup_pairs")
+    "q_cross_snapshot_dedup", "q_audio_dup_pairs", "q_dedup_simhash")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
