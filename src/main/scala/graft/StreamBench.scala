@@ -90,7 +90,7 @@ object StreamBench {
     * AdmissionStreamSpec), one untimed warm-up batch then `batches`
     * timed ones. In the returned [[Result]], `anomalies` carries the
     * REJECTED count of the last batch (non-admit verdicts) and
-    * `topics` the gate count (3: text, image, vector).
+    * `topics` the gate count (4: text, image, audio, vector).
     */
   def admissionMeasure(spark: SparkSession, sfDir: String,
       perBatch: Int, batches: Int): Result = {

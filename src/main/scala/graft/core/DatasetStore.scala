@@ -28,25 +28,94 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object DatasetStore {
 
   /** The persisted relation `name` of dataset `sfDir`: read if the
-    * stored signature matches, else `build` + write + stamp. Returns
+    * stored signature matches, else `build` + publish + stamp. Returns
     * an eager localCheckpoint of the stored relation (the memo-entry
     * shape every consumer already expects).
+    *
+    * Publish is STAGE-AND-SWAP: the build lands in a private staging
+    * directory and moves into place only when complete, so a
+    * concurrent writer in another JVM (the cross-job sharing is the
+    * feature) can never interleave part files into the live directory
+    * and stamp the mix fresh — last swap wins with identical content,
+    * because only deterministic relations may live here. The marker
+    * file records the dataset PATH beside the signature, which lets
+    * [[gcDeadStores]] clear stores whose dataset no longer exists
+    * (tests build throwaway datasets in temp dirs; without GC their
+    * stores would accumulate in the shared warehouse forever).
     */
   def persisted(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame = {
     import java.nio.file.Files
+    val wh = warehousePath(spark)
+    if (gcPending.compareAndSet(true, false)) gcDeadStores(wh)
     val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    val dir = warehousePath(spark).resolve(s"graft_${name}_$sfx")
+    val dir = wh.resolve(s"graft_${name}_$sfx")
     val sigFile = dir.resolve("_graft_sig")
     val sig = datasetSignature(sfDir)
     val fresh =
-      try Files.exists(sigFile) && Files.readString(sigFile) == sig
+      try Files.exists(sigFile) &&
+        Files.readString(sigFile).linesIterator.nextOption().contains(sig)
       catch { case _: Throwable => false }
     if (!fresh) {
-      build.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-      Files.writeString(sigFile, sig)
+      val stage = wh.resolve(
+        s"graft_${name}_${sfx}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        Files.writeString(stage.resolve("_graft_sig"), s"$sig\n$sfDir\n")
+        deleteRecursively(dir)
+        Files.move(stage, dir)
+      } catch {
+        case e: Throwable =>
+          deleteRecursively(stage)
+          // a racing writer may have swapped its (identical) build in;
+          // only fail if no valid store materialized
+          val rescued =
+            try Files.exists(sigFile) &&
+              Files.readString(sigFile).linesIterator.nextOption().contains(sig)
+            catch { case _: Throwable => false }
+          if (!rescued) throw e
+      }
     }
     spark.read.parquet(dir.toString).localCheckpoint(eager = true)
+  }
+
+  /** One sweep per JVM: drop stores whose recorded dataset path no
+    * longer exists (line 2 of the marker; stores from before the
+    * marker carried the path are left alone), plus any staging
+    * directory orphaned by a crash.
+    */
+  private val gcPending = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+  private def gcDeadStores(wh: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      if (!Files.isDirectory(wh)) return
+      val s = Files.list(wh)
+      val entries =
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+        finally s.close()
+      entries.filter(_.getFileName.toString.startsWith("graft_")).foreach { d =>
+        val nm = d.getFileName.toString
+        val marker = d.resolve("_graft_sig")
+        if (nm.contains("__stage_")) deleteRecursively(d)
+        else if (Files.isRegularFile(marker)) {
+          val lines = Files.readString(marker).linesIterator.toList
+          if (lines.sizeIs >= 2 && !Files.exists(Paths.get(lines(1))))
+            deleteRecursively(d)
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[dataset-store] gc sweep failed: ${e.getMessage}")
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    def go(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(go)
+      f.delete()
+      ()
+    }
+    go(p.toFile)
   }
 
   /** Identity of a dataset's files on disk (top-level parquet entries:

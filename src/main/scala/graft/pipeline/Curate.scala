@@ -258,18 +258,15 @@ object Curate {
     */
   def keepListEstate(spark: SparkSession, sfDir: String): DataFrame = {
     val kl = keepList(spark, sfDir)
-    val imgBest = graft.sources.PhashIndex.phashIngestGate(spark, sfDir)
-      .groupBy(col("asset_id"))
-      .agg(min(struct(col("hamming"), col("corpus_rep"))).as("m"))
-      .select(col("asset_id").as("doc_id"), col("m.corpus_rep").as("image_dup_of"))
-    val audBest = graft.sources.AudioIndex.audioIngestGate(spark, sfDir)
-      .groupBy(col("asset_id"))
-      .agg(max(struct(col("n_agree"), (-col("corpus_rep")).as("neg"))).as("m"))
-      .select(col("asset_id").as("doc_id"), (-col("m.neg")).as("audio_dup_of"))
-    val embBest = graft.sources.EmbedIndex.embedIngestGate(spark, sfDir)
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("corpus_vec")).as("neg"))).as("m"))
-      .select(col("vec_id").as("doc_id"), (-col("m.neg")).as("embed_dup_of"))
+    // the THREE gate legs are IngestGate's own best-match builders —
+    // one implementation of every tie-break, shared with the live
+    // composed admission, so the two verdicts cannot drift
+    val imgBest = graft.streaming.IngestGate.bestImageLeg(spark, sfDir)
+      .select(col("doc_id"), col("image_dup_of"))
+    val audBest = graft.streaming.IngestGate.bestAudioLeg(spark, sfDir)
+      .select(col("doc_id"), col("audio_dup_of"))
+    val embBest = graft.streaming.IngestGate.bestEmbedLeg(spark, sfDir)
+      .select(col("doc_id"), col("embed_dup_of"))
     val modality = col("image_dup_of").isNotNull || col("audio_dup_of").isNotNull ||
       col("embed_dup_of").isNotNull
     kl.join(imgBest, Seq("doc_id"), "left")

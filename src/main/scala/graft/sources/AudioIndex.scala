@@ -142,22 +142,32 @@ object AudioIndex {
       val keys = Seq("slot", "lmv", "fp")
       val tomb = spark.table(removed)
         .select(col("slot"), col("lmv"), col("fp"), lit(true).as("tomb"))
-      val shared = survivors.map(s => spark.table(s)
-          .select(col("slot"), col("lmv"), col("fp"), col("rep"))
-          .join(spark.table(removed).select(col("slot"), col("lmv"), col("fp")),
-            keys, "left_semi"))
-        .reduce(_.unionByName(_))
-      val repair =
-        if (survivors.sizeIs == 1) shared.withColumnRenamed("rep", "srep")
-        else shared.groupBy(col("slot"), col("lmv"), col("fp"))
-          .agg(min(col("rep")).as("srep"))
-      spark.table(estate)
-        .join(tomb, keys, "left")
-        .join(repair, keys, "left")
-        .filter(col("tomb").isNull || col("srep").isNotNull)
-        .select(when(col("tomb").isNull, col("rep")).otherwise(col("srep")).as("rep"),
-          col("fp"), col("slot"), col("lmv"))
-        .write
+      // no survivors = retiring the estate's last snapshot: nothing to
+      // repair, the plain anti join (an empty index when the estate
+      // held only the removed snapshot) is exact
+      val retained =
+        if (survivors.isEmpty)
+          spark.table(estate)
+            .join(tomb.select(col("slot"), col("lmv"), col("fp")), keys, "left_anti")
+            .select(col("rep"), col("fp"), col("slot"), col("lmv"))
+        else {
+          val shared = survivors.map(s => spark.table(s)
+              .select(col("slot"), col("lmv"), col("fp"), col("rep"))
+              .join(spark.table(removed).select(col("slot"), col("lmv"), col("fp")),
+                keys, "left_semi"))
+            .reduce(_.unionByName(_))
+          val repair =
+            if (survivors.sizeIs == 1) shared.withColumnRenamed("rep", "srep")
+            else shared.groupBy(col("slot"), col("lmv"), col("fp"))
+              .agg(min(col("rep")).as("srep"))
+          spark.table(estate)
+            .join(tomb, keys, "left")
+            .join(repair, keys, "left")
+            .filter(col("tomb").isNull || col("srep").isNotNull)
+            .select(when(col("tomb").isNull, col("rep")).otherwise(col("srep")).as("rep"),
+              col("fp"), col("slot"), col("lmv"))
+        }
+      retained.write
         .mode(SaveMode.Overwrite)
         .bucketBy(buckets, "slot", "lmv")
         .sortBy("slot", "lmv")

@@ -80,7 +80,28 @@ object ProfileStateStore {
     */
   def removeSnapshot(spark: SparkSession, table: String, snapshot: String): Unit = {
     val side = s"${table}__retain"
-    TableUtil.dropTableAndLocation(spark, side) // stale leftover from a prior crash
+    // RECOVERY FIRST: a prior attempt that crashed between the drop and
+    // the rename left the survivors ONLY under the side table — the
+    // side must be promoted, never cleared, when the main is missing.
+    // Under the default in-memory catalog a fresh JVM has no catalog
+    // entry for either name, so recovery reads the side's warehouse
+    // FILES (the durable artifact) when the catalog cannot rename.
+    // After promotion the normal path below re-applies the filter,
+    // which is idempotent for a same-snapshot retry.
+    if (!spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(side)) {
+        spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
+      } else {
+        val sideDir = graft.core.DatasetStore.warehousePath(spark)
+          .resolve(side.toLowerCase(java.util.Locale.ROOT))
+        require(java.nio.file.Files.isDirectory(sideDir),
+          s"profile state lost: neither $table nor $side exists (no files at $sideDir)")
+        spark.read.parquet(sideDir.toString)
+          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+        TableUtil.deletePath(sideDir.toString)
+      }
+    }
+    TableUtil.dropTableAndLocation(spark, side) // stale leftover, main known good
     read(spark, table).filter(col("snapshot") =!= snapshot)
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(side)
     TableUtil.dropTableAndLocation(spark, table)

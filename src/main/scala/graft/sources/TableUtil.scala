@@ -51,6 +51,12 @@ private[graft] object TableUtil {
     spark.read.schema(meta.schema).parquet(meta.location.toString)
   }
 
+  /** Delete a filesystem path recursively (no catalog interaction). */
+  def deletePath(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) deleteRecursively(f)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

@@ -419,29 +419,42 @@ object IngestGate {
     * the per-doc best aggregations and the three left joins shuffle only
     * trigger-sized, match-bounded relations — the corpus never moves.
     */
-  def estateAdmission(spark: SparkSession, sfDir: String): DataFrame = {
-    val text = ingestGateQuery(spark, sfDir)
-      .select(col("doc_id"), col("verdict").as("text_verdict"),
-        col("dup_of").as("text_dup_of"))
-    val imgBest = graft.sources.PhashIndex.phashIngestGate(spark, sfDir)
+  /** The three per-doc best-match gate legs — ONE implementation of
+    * each tie-break rule (image: lowest Hamming, lowest rep; audio:
+    * highest agreement, lowest rep; vector: highest cosine, lowest
+    * vec), shared by the composed admission AND the batch estate keep
+    * list ([[graft.pipeline.Curate.keepListEstate]]), so the live and
+    * nightly verdicts can never drift on a rule.
+    */
+  private[graft] def bestImageLeg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.PhashIndex.phashIngestGate(spark, sfDir)
       .groupBy(col("asset_id"))
       .agg(min(struct(col("hamming"), col("corpus_rep"))).as("m"))
       .select(col("asset_id").as("doc_id"),
         col("m.corpus_rep").as("image_dup_of"), col("m.hamming").as("best_hamming"))
-    val audBest = graft.sources.AudioIndex.audioIngestGate(spark, sfDir)
+
+  private[graft] def bestAudioLeg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.AudioIndex.audioIngestGate(spark, sfDir)
       .groupBy(col("asset_id"))
       .agg(max(struct(col("n_agree"), (-col("corpus_rep")).as("neg"))).as("m"))
       .select(col("asset_id").as("doc_id"),
         (-col("m.neg")).as("audio_dup_of"), col("m.n_agree").as("best_agree"))
-    val embBest = graft.sources.EmbedIndex.embedIngestGate(spark, sfDir)
+
+  private[graft] def bestEmbedLeg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.EmbedIndex.embedIngestGate(spark, sfDir)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("corpus_vec")).as("neg"))).as("m"))
       .select(col("vec_id").as("doc_id"),
         (-col("m.neg")).as("embed_dup_of"), col("m.cos").as("best_cos"))
+
+  def estateAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = ingestGateQuery(spark, sfDir)
+      .select(col("doc_id"), col("verdict").as("text_verdict"),
+        col("dup_of").as("text_dup_of"))
     text
-      .join(imgBest, Seq("doc_id"), "left")
-      .join(audBest, Seq("doc_id"), "left")
-      .join(embBest, Seq("doc_id"), "left")
+      .join(bestImageLeg(spark, sfDir), Seq("doc_id"), "left")
+      .join(bestAudioLeg(spark, sfDir), Seq("doc_id"), "left")
+      .join(bestEmbedLeg(spark, sfDir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("text_verdict") =!= "keep", concat(lit("text_"), col("text_verdict")))
           .when(col("image_dup_of").isNotNull, lit("image_dup"))

@@ -247,7 +247,13 @@ class IndexMergeSpec extends SparkSpec {
         .select(col("rep")).collect().map(_.getLong(0)).toSet
       assert(reps == Set(4L, 6L, 2L),
         s"survivor reps must be exactly A's (3 repaired to 4, 7 dropped): $reps")
-    } finally dropAll("ims_aur_a", "ims_aur_b", "ims_aur_est", "ims_aur_out")
+      // retiring the LAST snapshot: no survivors, no repair — the
+      // result is the empty index, not an exception
+      AudioIndex.removeSnapshot(spark, "ims_aur_out", "ims_aur_a", Nil, "ims_aur_empty")
+      assert(spark.table("ims_aur_empty").count() == 0L,
+        "expiring the estate's only snapshot must leave an empty index")
+    } finally dropAll("ims_aur_a", "ims_aur_b", "ims_aur_est", "ims_aur_out",
+      "ims_aur_empty")
   }
 
   test("audio cross-snapshot sweep joins exchange-free; cap drops saturated buckets") {

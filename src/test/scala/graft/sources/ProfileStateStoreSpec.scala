@@ -55,6 +55,38 @@ class ProfileStateStoreSpec extends SparkSpec {
       .select("snapshot").distinct().collect().map(_.getString(0)).toSet == Set("c0", "c1"))
   }
 
+  test("retention crash windows recover: catalog rename and file-only promotion") {
+    // build a 3-crawl estate
+    ProfileStateStore.write(crawl(0), "pss_crash", "c0", mode = SaveMode.Overwrite)
+    ProfileStateStore.write(crawl(1), "pss_crash", "c1")
+    ProfileStateStore.write(crawl(2), "pss_crash", "c2")
+    val want = rows(ProfileStateStore.read(spark, "pss_crash")
+      .filter(col("snapshot") =!= "c2"))
+
+    // window 1: crash BETWEEN the main-table drop and the rename —
+    // the survivors exist only under the side table. A retry must
+    // promote the side, never clear it.
+    ProfileStateStore.read(spark, "pss_crash").filter(col("snapshot") =!= "c2")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("pss_crash__retain")
+    TableUtil.dropTableAndLocation(spark, "pss_crash")
+    ProfileStateStore.removeSnapshot(spark, "pss_crash", "c2")
+    assert(rows(ProfileStateStore.read(spark, "pss_crash")) == want,
+      "retry after a drop-window crash must recover the survivors")
+
+    // window 2: same crash seen from a FRESH JVM — the in-memory
+    // catalog has neither name, only the side table's FILES survive.
+    val sideDir = graft.core.DatasetStore.warehousePath(spark)
+      .resolve("pss_crash__retain")
+    ProfileStateStore.read(spark, "pss_crash").filter(col("snapshot") =!= "c2")
+      .write.mode(SaveMode.Overwrite).parquet(sideDir.toString)
+    spark.sql("DROP TABLE IF EXISTS pss_crash__retain") // catalog forgot, files remain
+    TableUtil.dropTableAndLocation(spark, "pss_crash")
+    ProfileStateStore.removeSnapshot(spark, "pss_crash", "c2")
+    assert(rows(ProfileStateStore.read(spark, "pss_crash")) == want,
+      "a fresh JVM must recover the survivors from the side table's files")
+    spark.sql("DROP TABLE IF EXISTS pss_crash")
+  }
+
   test("the estate profile's plan reads only the state table") {
     ProfileStateStore.write(crawl(0), "pss_plan", "c0", mode = SaveMode.Overwrite)
     ProfileStateStore.write(crawl(1), "pss_plan", "c1")
