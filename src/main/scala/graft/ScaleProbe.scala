@@ -32,7 +32,8 @@ object ScaleProbe {
 
   private val Headliners = Seq(
     "q_dedup_ngram_capped", "q_dedup_minhash",
-    "q_cross_snapshot_dedup", "q_audio_dup_pairs", "q_dedup_simhash")
+    "q_cross_snapshot_dedup", "q_audio_dup_pairs", "q_dedup_simhash",
+    "q_estate_admission")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -63,6 +64,20 @@ object ScaleProbe {
           length(col("text2")).cast("int").as("n_chars"))
       synth.repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthDocs)
       System.err.println(s"[scale] synthesized ${factor}x corpus at $synthDocs")
+    }
+    // embeddings replicate verbatim under the same id remap: identical
+    // vectors across replicas are a cross-replica semantic-dup lattice
+    // of known volume — the composed admission's embed leg at 10x
+    val synthEmb = s"$out/embeddings.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/embeddings.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(synthEmb))) {
+      val e = spark.read.parquet(s"$base/embeddings.parquet")
+      val reps = spark.range(0, factor).select(col("id").cast("int").as("rep"))
+      e.crossJoin(reps)
+        .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthEmb)
+      System.err.println(s"[scale] synthesized ${factor}x embeddings at $synthEmb")
     }
 
     def fmt(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
