@@ -61,7 +61,10 @@ object DatasetStore {
         s"graft_${name}_${sfx}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
       try {
         build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-        Files.writeString(stage.resolve("_graft_sig"), s"$sig\n$sfDir\n")
+        // record the dataset path ABSOLUTE: the GC sweep's existence
+        // check must not depend on the sweeping JVM's working dir
+        val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+        Files.writeString(stage.resolve("_graft_sig"), s"$sig\n$abs\n")
         deleteRecursively(dir)
         Files.move(stage, dir)
       } catch {
