@@ -447,7 +447,23 @@ object IngestGate {
       .select(col("vec_id").as("doc_id"),
         (-col("m.neg")).as("embed_dup_of"), col("m.cos").as("best_cos"))
 
-  def estateAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The composed admission relation materializes ONCE per
+    * (application, dataset) — three registered queries consume it
+    * (the admission itself, the crawl-level fold, and the composed
+    * crawl gate), and recomputing the four gate legs per consumer is
+    * exactly the repeated-corpus-pass the keep-list memo discipline
+    * exists to prevent. Deterministic, so memoization is
+    * observationally pure; cold cost lands in the bench `artifacts`
+    * map.
+    */
+  def estateAdmission(spark: SparkSession, sfDir: String): DataFrame =
+    admissionMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      computeEstateAdmission(spark, sfDir).localCheckpoint(eager = true))
+
+  private val admissionMemo = new graft.core.Memo("estate_admission")
+
+  private[graft] def computeEstateAdmission(spark: SparkSession, sfDir: String): DataFrame = {
     val text = ingestGateQuery(spark, sfDir)
       .select(col("doc_id"), col("verdict").as("text_verdict"),
         col("dup_of").as("text_dup_of"))

@@ -420,8 +420,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     // the composed admission verdict: the exact-dup keeper map attaches
     // as a broadcast hash join (the corpus hash index never shuffles
-    // the arriving docs for the lookup)
-    val adm = collectAll(plan("q_estate_admission")) { case j: BroadcastHashJoinExec => j }
+    // the arriving docs for the lookup). The registered query reads the
+    // per-dataset memo (a checkpoint leaf), so the shape assert runs
+    // against the COMPUTE form the memo materializes.
+    val admDf = graft.streaming.IngestGate.computeEstateAdmission(
+      spark, "/root/testdata/sf0.001")
+    val admPlan = admDf.queryExecution.executedPlan
+    val expanded = admPlan +: admPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }
+    val adm = expanded.flatMap(_.collect { case j: BroadcastHashJoinExec => j })
     assert(adm.nonEmpty, "q_estate_admission must broadcast the keeper map")
   }
 
