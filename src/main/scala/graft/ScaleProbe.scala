@@ -32,7 +32,7 @@ object ScaleProbe {
 
   private val Headliners = Seq(
     "q_dedup_ngram_capped", "q_dedup_minhash",
-    "q_cross_snapshot_dedup", "q_audio_dup_pairs", "q_dedup_simhash",
+    "q_cross_snapshot_dedup", "q_audio_dup_pairs", "q_dedup_simhash64",
     "q_estate_admission")
 
   def main(args: Array[String]): Unit = {

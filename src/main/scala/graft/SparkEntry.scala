@@ -70,7 +70,7 @@ object SparkEntry {
     "q_containment_capped" -> (Dedup.containmentCapped _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_band_stats" -> (Dedup.bandStats _),
-    "q_dedup_simhash" -> (Dedup.simhashPairs _),
+    "q_dedup_simhash64" -> (Dedup.simhash64Pairs _),
     "q_dedup_components" -> (Dedup.components _),
     "q_minhash_components" -> (Dedup.minhashComponents _),
     "q_canonical_docs" -> (Dedup.canonical _),
@@ -356,7 +356,7 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_containment" -> Dedup.containmentSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,
-    "q_dedup_simhash" -> Dedup.simhashPairsSql,
+    "q_dedup_simhash64" -> Dedup.simhash64PairsSql,
     "q_dedup_components" -> Dedup.componentsSql,
     "q_minhash_incremental" -> Dedup.minhashIncrementalSql,
     "q_minhash_components" -> Dedup.minhashComponentsSql,

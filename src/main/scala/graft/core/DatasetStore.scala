@@ -32,6 +32,14 @@ object DatasetStore {
     * an eager localCheckpoint of the stored relation (the memo-entry
     * shape every consumer already expects).
     *
+    * `version` is the DERIVATION's fingerprint — a constant the caller
+    * bumps whenever the build's code or constants change (sampling
+    * expression, bucket caps, landmark geometry, ...). It is salted
+    * into the stored signature, so a code change invalidates every
+    * store it affects automatically; without it, a store stamped by
+    * the OLD code would keep serving pre-change bytes to bench and
+    * other non-oracle consumers until a Verify run hash-mismatched.
+    *
     * Publish is STAGE-AND-SWAP: the build lands in a private staging
     * directory and moves into place only when complete, so a
     * concurrent writer in another JVM (the cross-job sharing is the
@@ -43,7 +51,8 @@ object DatasetStore {
     * (tests build throwaway datasets in temp dirs; without GC their
     * stores would accumulate in the shared warehouse forever).
     */
-  def persisted(spark: SparkSession, sfDir: String, name: String)(
+  def persisted(spark: SparkSession, sfDir: String, name: String,
+      version: String)(
       build: => DataFrame): DataFrame = {
     import java.nio.file.Files
     val wh = warehousePath(spark)
@@ -51,7 +60,7 @@ object DatasetStore {
     val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
     val dir = wh.resolve(s"graft_${name}_$sfx")
     val sigFile = dir.resolve("_graft_sig")
-    val sig = datasetSignature(sfDir)
+    val sig = s"${datasetSignature(sfDir)}#$version"
     val fresh =
       try Files.exists(sigFile) &&
         Files.readString(sigFile).linesIterator.nextOption().contains(sig)
@@ -85,9 +94,18 @@ object DatasetStore {
   /** One sweep per JVM: drop stores whose recorded dataset path no
     * longer exists (line 2 of the marker; stores from before the
     * marker carried the path are left alone), plus any staging
-    * directory orphaned by a crash.
+    * directory orphaned by a crash. A staging directory is a crash
+    * orphan only when it has stopped GROWING: a concurrent writer in
+    * another JVM stages under the same prefix (cross-JVM sharing is
+    * the feature), and deleting its part files mid-build could publish
+    * a store with missing rows under a fresh signature. mtime older
+    * than [[StageOrphanAgeMs]] is the discriminator — a live build
+    * touches its staging tree far more often than that.
     */
   private val gcPending = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+  /** Min age (dir mtime) before a `__stage_` directory is GC-able. */
+  private[core] val StageOrphanAgeMs: Long = 60L * 60 * 1000
 
   private def gcDeadStores(wh: java.nio.file.Path): Unit =
     try {
@@ -100,7 +118,13 @@ object DatasetStore {
       entries.filter(_.getFileName.toString.startsWith("graft_")).foreach { d =>
         val nm = d.getFileName.toString
         val marker = d.resolve("_graft_sig")
-        if (nm.contains("__stage_")) deleteRecursively(d)
+        if (nm.contains("__stage_")) {
+          val stale =
+            try Files.getLastModifiedTime(d).toMillis <
+              System.currentTimeMillis() - StageOrphanAgeMs
+            catch { case _: Throwable => false }
+          if (stale) deleteRecursively(d)
+        }
         else if (Files.isRegularFile(marker)) {
           val lines = Files.readString(marker).linesIterator.toList
           if (lines.sizeIs >= 2 && !Files.exists(Paths.get(lines(1))))

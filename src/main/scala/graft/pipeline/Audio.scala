@@ -53,6 +53,15 @@ object Audio {
   /** Max DISTINCT fingerprints per (slot, landmark) posting list. */
   val AudioBucketCap = 256
 
+  /** Derivation fingerprint of the audio lane's persisted artifacts —
+    * salts [[graft.core.DatasetStore]] signatures so a change to the
+    * sampling expression or the lane's constants rebuilds every store
+    * automatically. "cpsamp" marks the round-13 codepoint-stable
+    * sampling (v2 of the derivation — v1 was byte-valued `ascii()`).
+    */
+  private[graft] val DerivationVersion =
+    s"cpsamp:$Landmarks:$MinLandmarkAgree:$AudioBucketCap"
+
   /** The landmark vector of any (doc_id, text) relation — narrow ops
     * only (streaming-safe). `smp` and `pk` are LAMBDA-bound (the
     * [[Multimodal.phashCodesOf]] collapse-proof shape): each is
@@ -60,25 +69,26 @@ object Audio {
     * consumer can re-inline the 64-sample transform into the
     * per-landmark loop.
     *
-    * ASCII-ONLY cross-engine contract (the [[Multimodal]] phash lane's
-    * documented assumption, shared): the stand-in "PCM" samples via
-    * Spark `ascii()` — the FIRST BYTE of the UTF-8 encoding, negative
-    * for multibyte characters — while the oracle samples via DuckDB
-    * `unicode()`, the codepoint. The two agree exactly on ASCII text
-    * (every gate corpus) and diverge on any multibyte character. This
-    * is deliberately not papered over with a byte-masking shim: the
-    * whole sampling chain is the container's stand-in for a real PCM
-    * decoder (see the object scaladoc), and a production deployment
-    * replaces exactly this expression — the landmark/posting/agreement
-    * machinery downstream is byte-source-agnostic.
+    * Sampling is CODEPOINT-STABLE across engines: each of the 64
+    * "PCM" samples is the Unicode CODEPOINT of the character at its
+    * position ([[Dedup.sampleCodepointExprSql]] on the engine side —
+    * decoded from the UTF-8 bytes, since Spark's `ascii()` is
+    * byte-valued — and DuckDB's `unicode()` on the oracle side), so
+    * engine and oracle agree on ANY text, multilingual corpora
+    * included, and the sample stays a locality-preserving function of
+    * content (what a real decoder's samples are). The sampling chain
+    * remains the container's stand-in for a real PCM decoder (see the
+    * object scaladoc): a production deployment replaces exactly this
+    * expression — the landmark/posting/agreement machinery downstream
+    * is sample-source-agnostic.
     */
   def landmarksOf(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) > 0)
       .withColumn("lms",
-        expr("""aggregate(
+        expr(s"""aggregate(
                  array(transform(sequence(0, 63),
-                   j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 64, 1)))),
+                   j -> ${Dedup.sampleCodepointExprSql("1 + (j * (length(text) - 1)) div 64")})),
                  CAST(array() AS array<bigint>),
                  (z, smp) -> aggregate(
                    array(transform(sequence(0, 7),
@@ -177,7 +187,8 @@ object Audio {
     */
   private[graft] def corpusFps(spark: SparkSession, sfDir: String): DataFrame =
     fpsMemo.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$sfDir",
-      graft.core.DatasetStore.persisted(spark, sfDir, "audio_fps")(
+      graft.core.DatasetStore.persisted(spark, sfDir, "audio_fps",
+        version = DerivationVersion)(
         packedFps(Tables.documents(spark, sfDir))))
 
   /** Test seam: forget the memoized fingerprints. */
@@ -553,7 +564,8 @@ object Audio {
     // (deterministic, oracle-hash-gated), memoized per application
     mergedStateMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
-      graft.core.DatasetStore.persisted(spark, sfDir, "audio_merged_state")(
+      graft.core.DatasetStore.persisted(spark, sfDir, "audio_merged_state",
+        version = DerivationVersion)(
         computeAudioIncremental(spark, sfDir)))
 
   private val mergedStateMemo = new graft.core.Memo("audio_merged_state")
@@ -664,9 +676,9 @@ object Audio {
     * audio oracle (the [[Multimodal.phashCodeCtesSql]] pattern).
     */
   private[graft] lazy val landmarkCtesSql: String =
-    """smp AS (
+    s"""smp AS (
       SELECT doc_id AS asset_id,
-             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 64), 1))
+             [${Dedup.sampleCodepointDuckSql("1 + ((j * (length(text) - 1)) // 64)")}
               for j in generate_series(0, 63)] AS smp
       FROM documents WHERE length(text) > 0
     ),

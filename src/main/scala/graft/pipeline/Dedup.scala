@@ -51,6 +51,56 @@ object Dedup {
 
   val h32Sql: String = "CAST(('0x' || substr(md5(%s), 1, 8)) AS BIGINT)"
 
+  /** md5-derived 32-bit hash, SECOND half: hex digits 9-16 of md5 —
+    * independent of [[h32]] (different digest bits), so (h32, h32b)
+    * together form a 64-bit hash function. Powers the hi half of the
+    * production 64-bit SimHash ([[simhashes64]]).
+    */
+  def h32b(c: Column): Column = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  val h32bSql: String = "CAST(('0x' || substr(md5(%s), 9, 8)) AS BIGINT)"
+
+  /** Codepoint-stable character-sample value as Spark SQL TEXT (for
+    * expr-string lambdas): the UNICODE CODEPOINT of the one-character
+    * substring at 1-based position `pos` of `text`, decoded from the
+    * character's UTF-8 bytes (Spark's `ascii()` is byte-valued — the
+    * FIRST UTF-8 byte, negative for multibyte — so it diverged from
+    * the oracle's codepoint-valued `unicode()` on every multibyte
+    * character; Spark exposes no codepoint function, so this decodes
+    * the hex of `encode(ch, 'utf-8')` with the standard UTF-8 bit
+    * arithmetic, all codegen built-ins).
+    *
+    * The codepoint — not a hash of the character — is deliberate: the
+    * audio/image stand-in decoders ([[Audio.landmarksOf]],
+    * [[Multimodal.phashCodesOf]]) need sample values that are a
+    * LOCALITY-PRESERVING function of content (a real decoder's pixels
+    * are), and codepoints keep related characters close where a
+    * per-character hash would whiten every sample into noise and make
+    * the perceptual families vacuous. On ASCII text the value equals
+    * what byte sampling produced, so ASCII corpora are unaffected; on
+    * multilingual text both engines now agree. The UTF-8 decode is
+    * lambda-bound (the 1-element-array `aggregate` idiom) so the
+    * encode/hex chain evaluates once per sample.
+    */
+  def sampleCodepointExprSql(pos: String): String = {
+    def b(i: Int) = s"CAST(conv(substring(hx, ${2 * i + 1}, 2), 16, 10) AS BIGINT)"
+    s"""aggregate(array(hex(encode(substr(text, $pos, 1), 'utf-8'))),
+         CAST(0 AS BIGINT),
+         (zcp, hx) -> zcp + CASE length(hx)
+           WHEN 2 THEN ${b(0)}
+           WHEN 4 THEN (${b(0)} % 32) * 64 + ${b(1)} % 64
+           WHEN 6 THEN (${b(0)} % 16) * 4096 + (${b(1)} % 64) * 64 + ${b(2)} % 64
+           ELSE (${b(0)} % 8) * 262144 + (${b(1)} % 64) * 4096
+                + (${b(2)} % 64) * 64 + ${b(3)} % 64
+         END)"""
+  }
+
+  /** DuckDB twin of [[sampleCodepointExprSql]]: `unicode()` IS the
+    * codepoint there, so the mirror is the plain built-in.
+    */
+  def sampleCodepointDuckSql(pos: String): String =
+    s"unicode(substr(text, $pos, 1))"
+
   /** md5-derived 60-bit hash: first 15 hex digits of md5 (fits a signed
     * long; collision-free in practice). Used to shrink join keys — an
     * 8-byte shuffle key instead of a ~25-char shingle string.
@@ -1022,6 +1072,14 @@ object Dedup {
 
   /** SimHash near-dup pairs: Hamming distance <= 6 of the 32-bit codes.
     *
+    * SPEC-ONLY DEMO since round 13: 32/6 is the teaching geometry for
+    * the dense-collision machinery (cap + distinct-free once-per-pair
+    * emission) — on real text its verdict set approaches all-pairs
+    * (~10% of ALL pairs at sf0.1), so the OUTPUT, not the plan, is the
+    * quadratic term at estate scale. The registered, gated family
+    * member is [[simhash64Pairs]] (64-bit codes, 4 × 16-bit bands,
+    * radius 3 — sparse verdicts by construction).
+    *
     * Scale plan: candidates come from an equi self-join on banded
     * sub-codes ([[SimhashBands]]) capped at [[SimhashBucketCap]]
     * documents per bucket (see the cap's scaladoc — the 4-5-bit band
@@ -1098,6 +1156,158 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
         bit_count(col("xor")).as("hamming"))
+  }
+
+  // ---- q_dedup_simhash64 (the production geometry) ---------------------
+
+  /** Hamming radius of the 64-bit SimHash verdict — the production
+    * near-dup line for 64-bit codes (the 32/6 demo geometry's radius
+    * does not transfer: 6 of 64 bits is a far LOOSER similarity than
+    * 6 of 32).
+    */
+  val Simhash64Radius = 3
+
+  /** Max documents per (band, bv) bucket of the 64-bit pipeline — the
+    * same declared cap semantics as [[SimhashBucketCap]], but here the
+    * bands are 16 bits wide (65,536 values each), so buckets thin out
+    * as n/65,536 per band and the cap is a stop-pattern guard, not the
+    * only thing between the join and quadratic blowup.
+    */
+  val Simhash64BucketCap = 4096L
+
+  /** 64-bit SimHash per document as two NON-NEGATIVE 32-bit halves
+    * `(sim_hi, sim_lo)` — the production code width
+    * (the [[SimhashBucketCap]] scaladoc's named form). The token hash
+    * is the 64-bit pair ([[h32b]], [[h32]]) — md5 hex digits 9-16 and
+    * 1-8 — and each half runs through the same native one-pass
+    * [[graft.functions.SimHash32]] codegen expression, which is
+    * EXACTLY a 64-bit SimHash over the concatenated hash: SimHash is
+    * computed bit-independently, so hi||lo of the halves equals the
+    * 64-bit code. Keeping the halves as two non-negative columns (not
+    * one signed 64-bit value) makes every downstream shift/mask/
+    * bit_count engine-portable — no arithmetic-shift or sign-overflow
+    * semantics to pin between Spark and the oracle.
+    */
+  def simhashes64(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        transform(split(col("text"), " "), t => h32(t)).as("hs_lo"),
+        transform(split(col("text"), " "), t => h32b(t)).as("hs_hi"))
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.simhash32(col("hs_hi")).as("sim_hi"),
+        graft.functions.SketchFunctions.simhash32(col("hs_lo")).as("sim_lo"))
+
+  /** The 4 × 16-bit HmSearch band rows of a 64-bit code relation.
+    * With ≤ [[Simhash64Radius]] = 3 differing bits across 4 bands,
+    * pigeonhole guarantees a band where the codes agree exactly. All
+    * shifts run on the non-negative halves — no sign extension.
+    */
+  private[graft] def simhash64Bands(codes: DataFrame): DataFrame =
+    codes.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        explode(array(
+          struct(lit(0).as("band"), col("sim_lo").bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(1).as("band"),
+            shiftright(col("sim_lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(2).as("band"), col("sim_hi").bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(3).as("band"),
+            shiftright(col("sim_hi"), 16).bitwiseAND(lit(65535L)).as("bv")))).as("bd"))
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+
+  /** q_dedup_simhash64: SimHash near-dup pairs at the PRODUCTION
+    * geometry — 64-bit codes, Hamming ≤ [[Simhash64Radius]], 4 × 16-bit
+    * HmSearch bands. This is the registered, gated family member; the
+    * 32-bit form above stays as the spec-only demo of the
+    * dense-geometry machinery (its verdict set approaches all-pairs on
+    * real text — the 32/6 geometry, not the plan, was the scale limit).
+    *
+    * Scale plan: candidates come from the capped equi band self-join;
+    * hot buckets drop via a broadcast ANTI join against the
+    * (band, bv) counts over the cap (the family-standard guard — at
+    * 65k values per band a literal-bitmask hot set no longer fits an
+    * integer, and the hot relation is ~empty by construction anyway).
+    * Hamming verifies MAP-SIDE in the join's own projection as
+    * bit_count over the two half XORs. Once-per-pair lands on a
+    * DISTINCT of the VERIFIED output — unlike the 32-bit demo, no
+    * distinct-free emission is needed, because sparsity is the whole
+    * point of this geometry: verdicts are thousands, not millions, at
+    * sf0.1 (vs the demo's 1.3 M), and a pair can repeat at most 4×
+    * (once per band), so the dedup shuffle is output-sized.
+    */
+  def simhash64Pairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhash64PairsCapped(spark, sfDir, Simhash64BucketCap)
+
+  /** [[simhash64Pairs]] with an explicit cap — the spec seam. */
+  private[graft] def simhash64PairsCapped(spark: SparkSession, sfDir: String,
+      cap: Long): DataFrame =
+    simhash64PairsOfBands(
+      simhash64Bands(simhashes64(Tables.documents(spark, sfDir))).mat, cap)
+
+  /** The pair pipeline over explicit band rows (spec seam for planted
+    * hot buckets).
+    */
+  private[graft] def simhash64PairsOfBands(bands: DataFrame, cap: Long): DataFrame = {
+    val hot = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > cap)
+      .select(col("band"), col("bv"))
+    val kept = bands.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi"))) +
+          bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= Simhash64Radius)
+      .distinct()
+  }
+
+  /** All-pairs cross-check of the 64-bit verdict (spec-only, tiny SF —
+    * the declared brute-force truth leg, never registered).
+    */
+  private[graft] def simhash64PairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = simhashes64(Tables.documents(spark, sfDir)).mat
+    codes.as("a").join(codes.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi"))) +
+          bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= Simhash64Radius)
+  }
+
+  val simhash64PairsSql: String = {
+    val loExpr = s"[${h32Sql.format("t")} for t in string_split(text, ' ')]"
+    val hiExpr = s"[${h32bSql.format("t")} for t in string_split(text, ' ')]"
+    def simOf(hs: String) =
+      s"""CAST(list_sum([CASE WHEN list_sum([((h >> k) & 1) * 2 - 1 for h in $hs]) > 0
+                              THEN (1::BIGINT << k) ELSE 0 END
+                         for k in generate_series(0, 31)]) AS BIGINT)"""
+    s"""
+    WITH hs AS (
+      SELECT doc_id, $loExpr AS hlo, $hiExpr AS hhi FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, ${simOf("hhi")} AS sim_hi, ${simOf("hlo")} AS sim_lo
+      FROM hs
+    ),
+    bd AS (
+      SELECT doc_id, sim_hi, sim_lo, b.band,
+             CASE b.band WHEN 0 THEN sim_lo & 65535
+                         WHEN 1 THEN (sim_lo >> 16) & 65535
+                         WHEN 2 THEN sim_hi & 65535
+                         ELSE (sim_hi >> 16) & 65535 END AS bv
+      FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    keepb AS (
+      SELECT band, bv FROM (SELECT band, bv, count(*) AS c FROM bd GROUP BY 1, 2)
+      WHERE c <= $Simhash64BucketCap
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+    FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    JOIN keepb k ON a.band = k.band AND a.bv = k.bv
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))
+          <= $Simhash64Radius"""
   }
 
   // ---- q_bloom_dedup -------------------------------------------------
@@ -1770,7 +1980,8 @@ object Dedup {
     // on top (cold cost lands in the bench `artifacts` map)
     mergedStateMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
-      graft.core.DatasetStore.persisted(spark, sfDir, "merged_estate_state")(
+      graft.core.DatasetStore.persisted(spark, sfDir, "merged_estate_state",
+        version = s"1:$MinhashBucketCap")(
         computeComponentsIncremental(spark, sfDir)))
 
   private val mergedStateMemo = new graft.core.Memo("merged_estate_state")

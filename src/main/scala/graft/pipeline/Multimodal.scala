@@ -205,9 +205,13 @@ object Multimodal {
 
   /** 32-bit perceptual hash (aHash) per asset: sample 32 evenly spaced
     * "pixels" from the payload (deterministic stand-in for a decoded
-    * thumbnail — a real codec swaps ONLY the pixel extraction), set bit
-    * j when pixel j is above the mean (`pix·32 > sum` keeps it in
-    * integer math). Identical structure to production image aHash:
+    * thumbnail — a real codec swaps ONLY the pixel extraction; the
+    * sample value is the CODEPOINT at the position
+    * ([[Dedup.sampleCodepointExprSql]] — codepoint-stable across
+    * engines and locality-preserving, unlike the byte-valued `ascii()`
+    * it replaced, which diverged from the oracle on multibyte text),
+    * set bit j when pixel j is above the mean (`pix·32 > sum` keeps it
+    * in integer math). Identical structure to production image aHash:
     * downsample → threshold against mean → bit string. Code width is a
     * scale lever: a narrower code saturates with corpus growth (pair
     * volume grows quadratically in the per-code collision rate);
@@ -234,12 +238,12 @@ object Multimodal {
       // defense against at all. A lambda-bound value is evaluated once
       // per row by construction, wherever the expression lands.
       .withColumn("phash",
-        expr("""aggregate(
+        expr(s"""aggregate(
                  array(transform(sequence(0, 31),
-                   j -> ascii(substr(text, 1 + (j * (length(text) - 1)) div 32, 1)))),
+                   j -> ${Dedup.sampleCodepointExprSql("1 + (j * (length(text) - 1)) div 32")})),
                  CAST(0 AS BIGINT),
                  (z, pix) -> aggregate(
-                   array(aggregate(pix, 0, (a, x) -> a + x)),
+                   array(aggregate(pix, CAST(0 AS BIGINT), (a, x) -> a + x)),
                    z,
                    (z2, psum) -> aggregate(sequence(0, 31), CAST(0 AS BIGINT),
                      (acc, j) -> acc + CASE WHEN element_at(pix, j + 1) * 32 > psum
@@ -443,9 +447,9 @@ object Multimodal {
     * computation.
     */
   private[graft] val phashCodeCtesSql: String =
-    """px AS (
+    s"""px AS (
       SELECT doc_id AS asset_id,
-             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 32), 1))
+             [${Dedup.sampleCodepointDuckSql("1 + ((j * (length(text) - 1)) // 32)")}
               for j in generate_series(0, 31)] AS pix
       FROM documents WHERE length(text) > 0
     ),
@@ -680,7 +684,8 @@ object Multimodal {
     // application on top (cold cost in the bench `artifacts` map)
     mergedStateMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
-      graft.core.DatasetStore.persisted(spark, sfDir, "phash_merged_state")(
+      graft.core.DatasetStore.persisted(spark, sfDir, "phash_merged_state",
+        version = s"cpsamp:$PhashRadius:$PhashBucketCap")(
         computePhashIncremental(spark, sfDir)))
 
   private val mergedStateMemo = new graft.core.Memo("phash_merged_state")

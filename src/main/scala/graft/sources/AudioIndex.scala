@@ -290,7 +290,7 @@ object AudioIndex {
   private[graft] val audioIngestCtesSql: String =
     s"""ausmp AS (
       SELECT doc_id AS asset_id,
-             [unicode(substr(text, 1 + ((j * (length(text) - 1)) // 64), 1))
+             [${graft.pipeline.Dedup.sampleCodepointDuckSql("1 + ((j * (length(text) - 1)) // 64)")}
               for j in generate_series(0, 63)] AS smp
       FROM documents WHERE length(text) > 0
     ),

@@ -60,6 +60,41 @@ class DedupSpec extends SparkSpec {
       s"the production cap must be non-binding at gate scale: $capped vs $allPairs")
   }
 
+  test("simhash64: banded pairing equals all-pairs; binding cap drops; demo geometry is denser") {
+    val sf = "/root/testdata/sf0.001"
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 4 x 16-bit bands over 64 bits guarantee a band collision for
+    // Hamming <= 3 (pigeonhole) — the capped banded join must equal
+    // the O(n^2) truth join exactly on real data
+    val banded = keyset(Dedup.simhash64Pairs(spark, sf))
+    val allPairs = keyset(Dedup.simhash64PairsAllPairs(spark, sf))
+    assert(banded == allPairs, "banded 64-bit candidate set diverged from all-pairs")
+    assert(banded.nonEmpty, "cross-check is vacuous: no 64-bit near-dup pairs at this SF")
+    // every pair lives in SOME bucket, so cap 0 drops them all
+    assert(Dedup.simhash64PairsCapped(spark, sf, cap = 0L).count() == 0L)
+    // the production point: the 64/3 verdict is SPARSE where the 32/6
+    // demo verdict is dense — the geometry, not the plan, was the
+    // 32-bit form's scale limit
+    val demo = Dedup.simhashPairs(spark, sf).count()
+    assert(banded.size < demo,
+      s"64/3 must be sparser than 32/6 on real text: ${banded.size} vs $demo")
+  }
+
+  test("simhash64 halves concatenate to a true 64-bit simhash") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashes64(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sh(1L) == sh(2L), "identical docs share both halves")
+    assert(sh(1L) != sh(3L), "disjoint docs differ")
+    sh.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32),
+        "halves are non-negative 32-bit values (engine-portable shifts)")
+    }
+  }
+
   test("connected components: minimal roots, closed clusters, every pair co-clustered") {
     val sf = "/root/testdata/sf0.001"
     val comp = Dedup.components(spark, sf).collect()
