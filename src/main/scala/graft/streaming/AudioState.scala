@@ -12,49 +12,60 @@ import graft.pipeline.Audio
   * [[graft.pipeline.Audio.audioDupPairs]]): tracks stream in, each
   * one's 7 (slot, landmark) rows key the same inverted-index buckets
   * as the batch join, and a near-dup pair (strict-majority aligned
-  * agreement, verified by bit arithmetic on the two packed
-  * fingerprints held in state) emits the moment the LATER copy
-  * arrives — audio dedup at ingest with the batch semantics
-  * (AudioStateSpec pins streamed == batch over trigger splits).
+  * agreement, verified by bit arithmetic on the packed fingerprints
+  * held in state) emits the moment the LATER copy arrives — audio
+  * dedup at ingest with the batch semantics (AudioStateSpec pins
+  * streamed == batch over trigger splits).
   *
-  * Scale: per-bucket state is ≤ [[MaxBucketMembers]] × 16 bytes,
-  * bounded forever; overflow is counted, never silent. A pair
-  * agreeing in several buckets emits once per bucket (bucket states
-  * are independent); consumers take DISTINCT, exactly as the batch
-  * query's candidate relation does.
+  * State is GROUPED BY DISTINCT FINGERPRINT (the batch pipeline's
+  * representative-collapse, round 13): a bucket holds one [[Group]]
+  * per distinct fp — its member ids plus an overflow count — so the
+  * bucket cap counts DISTINCT fingerprints exactly like the batch
+  * [[graft.pipeline.Audio.AudioBucketCap]]. An identical-fingerprint
+  * burst of ANY size occupies one group slot and can never consume
+  * the bucket: later distinct fingerprints still match (AudioStateSpec
+  * pins the saturating-burst case streamed == batch). Member ids are
+  * held because the emitted pairs are member-level, like the batch
+  * query's expansion; [[MaxGroupMembers]] bounds that list, with
+  * overflow counted per group — a group with `droppedMembers > 0` is
+  * exactly what the nightly batch authority (`q_keep_list_estate`)
+  * re-adjudicates.
   *
-  * CAP-SEMANTICS BOUNDARY (deliberate, like [[PhashState]]): streamed
-  * == batch holds exactly while no bucket saturates. At saturation the
-  * two diverge by construction — the batch pipeline drops a hot
-  * (slot, lmv) bucket ENTIRELY once it exceeds
-  * [[graft.pipeline.Audio.AudioBucketCap]] DISTINCT fingerprints
-  * (retroactively: no pair from that bucket survives), which an
+  * Scale: per-bucket state is ≤ cap groups × [[MaxGroupMembers]] ids,
+  * bounded forever; overflow is counted, never silent. A pair agreeing
+  * in several buckets emits once per bucket (bucket states are
+  * independent); consumers take DISTINCT, exactly as the batch query's
+  * candidate relation does.
+  *
+  * The one remaining append-mode boundary (structural, shared with
+  * every streaming twin in this repo): the batch cap drops a saturated
+  * bucket RETROACTIVELY — no pair from it survives — which an
   * append-mode stream cannot mirror because its pre-saturation pairs
-  * are already emitted. And the stream's cap counts arrival-ordered
-  * MEMBERS (assets), not distinct fingerprints, so an
-  * identical-fingerprint cluster larger than the cap consumes the
-  * bucket and later distinct fingerprints go unmatched there (the
-  * `dropped` counter says so — a bucket with `dropped > 0` is exactly
-  * a bucket whose verdicts the nightly batch authority should
-  * re-adjudicate; `q_keep_list_estate` is that re-adjudication). The
-  * caps exist to bound state and candidate volume, not to agree at
-  * saturation: on any corpus where no bucket exceeds the cap — every
-  * gate corpus, by design — AudioStateSpec's streamed == batch pin is
-  * exact.
+  * are already emitted. The `dropped` counter marks exactly those
+  * buckets for the batch authority.
   */
 object AudioState {
 
-  /** Per-bucket member cap (state bound). */
+  /** Max DISTINCT fingerprints per bucket (the batch cap's unit). */
   val MaxBucketMembers = 256
+
+  /** Max held member ids per fingerprint group (state bound for the
+    * member-level pair expansion; overflow counted per group).
+    */
+  val MaxGroupMembers = 256
 
   /** One landmark posting row of an arriving track. */
   final case class LandmarkRow(slot: Int, lmv: Long, assetId: Long, fp: Long)
 
-  /** One held bucket member. */
-  final case class Member(assetId: Long, fp: Long)
+  /** One distinct-fingerprint group: held member ids (arrival order)
+    * plus the count of members dropped past [[MaxGroupMembers]].
+    */
+  final case class Group(fp: Long, members: Seq[Long], droppedMembers: Long)
 
-  /** Bucket state: members in arrival order, plus the overflow count. */
-  final case class Bucket(members: Seq[Member], dropped: Long)
+  /** Bucket state: one group per distinct fingerprint (arrival order),
+    * plus the count of DISTINCT fingerprints dropped past the cap.
+    */
+  final case class Bucket(groups: Seq[Group], dropped: Long)
 
   /** Emitted near-dup pair (a < b) with its aligned agreement. */
   final case class AudioPair(a: Long, b: Long, n_agree: Long)
@@ -71,28 +82,37 @@ object AudioState {
     n
   }
 
-  def update(cap: Int)(
+  def update(cap: Int, memberCap: Int = MaxGroupMembers)(
       key: (Int, Long), rows: Iterator[LandmarkRow], state: GroupState[Bucket],
   ): Iterator[AudioPair] = {
     val held = state.getOption.getOrElse(Bucket(Vector.empty, 0L))
-    var members = held.members.toVector
+    var groups = held.groups.toVector
     var dropped = held.dropped
     val out = Vector.newBuilder[AudioPair]
     rows.foreach { r =>
-      if (!members.exists(_.assetId == r.assetId)) {
-        members.foreach { m =>
-          val n = agreement(m.fp, r.fp)
-          if (n >= Audio.MinLandmarkAgree) {
-            val (a, b) =
-              if (m.assetId < r.assetId) (m.assetId, r.assetId) else (r.assetId, m.assetId)
+      if (!groups.exists(_.members.contains(r.assetId))) {
+        // member-level pairs against every held member of every
+        // agreeing group — identical fp at 7, near-miss verified
+        groups.foreach { g =>
+          val n = agreement(g.fp, r.fp)
+          if (n >= Audio.MinLandmarkAgree) g.members.foreach { m =>
+            val (a, b) = if (m < r.assetId) (m, r.assetId) else (r.assetId, m)
             out += AudioPair(a, b, n)
           }
         }
-        if (members.length < cap) members :+= Member(r.assetId, r.fp)
+        val gi = groups.indexWhere(_.fp == r.fp)
+        if (gi >= 0) {
+          val g = groups(gi)
+          groups =
+            if (g.members.length < memberCap)
+              groups.updated(gi, g.copy(members = g.members :+ r.assetId))
+            else groups.updated(gi, g.copy(droppedMembers = g.droppedMembers + 1L))
+        }
+        else if (groups.length < cap) groups :+= Group(r.fp, Vector(r.assetId), 0L)
         else dropped += 1L
       }
     }
-    state.update(Bucket(members, dropped))
+    state.update(Bucket(groups, dropped))
     out.result().iterator
   }
 

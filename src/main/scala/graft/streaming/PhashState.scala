@@ -17,65 +17,82 @@ import graft.pipeline.Multimodal
   * ingest with the batch semantics (PhashStateSpec pins streamed ==
   * batch over any trigger split).
   *
-  * Scale: per-key state is ≤ [[MaxBucketMembers]] × 16 bytes, bounded
-  * forever; a bucket hotter than the cap is an exact-duplicate image
-  * cluster (byte-identical payloads hash identically), which exact
-  * dedup should absorb first — overflow is counted in `dropped`, not
-  * silently ignored. A pair agreeing in several bands emits once per
-  * band (bucket states are independent; consumers take DISTINCT,
-  * exactly as the batch query does internally).
+  * State is GROUPED BY DISTINCT CODE (the batch side's
+  * representative-collapse, round 13 — the [[AudioState]] structure,
+  * stated once per family): a bucket holds one [[Group]] per distinct
+  * code, so the bucket cap counts DISTINCT codes exactly like the
+  * batch [[Multimodal.PhashBucketCap]]. A byte-identical image burst
+  * (blank thumbnails, default avatars) of ANY size occupies one group
+  * slot and can never consume the bucket; later distinct codes still
+  * match. Member ids are held for the member-level pair expansion,
+  * bounded at [[MaxGroupMembers]] with overflow counted per group — a
+  * group with `droppedMembers > 0` is what the nightly batch
+  * authority (`q_keep_list_estate`) re-adjudicates.
   *
-  * CAP-SEMANTICS BOUNDARY (deliberate — the [[AudioState]] note,
-  * stated once per family): streamed == batch holds exactly while no
-  * bucket saturates. At saturation the batch pipeline drops a hot
-  * (band, bv) bucket ENTIRELY (retroactively — it counts DISTINCT
-  * representative codes), which an append-mode stream cannot mirror
-  * (its pre-saturation pairs are emitted), and the stream's cap counts
-  * arrival-ordered members. A bucket with `dropped > 0` is a bucket
-  * whose verdicts the nightly batch authority re-adjudicates
-  * (`q_keep_list_estate`); on any corpus where no bucket exceeds the
-  * cap — every gate corpus, by design — the streamed == batch pin is
-  * exact.
+  * Scale: per-bucket state is ≤ cap groups × [[MaxGroupMembers]] ids,
+  * bounded forever; overflow is counted, never silent. A pair
+  * agreeing in several bands emits once per band (bucket states are
+  * independent; consumers take DISTINCT, exactly as the batch query
+  * does internally).
+  *
+  * The one remaining append-mode boundary (structural): the batch cap
+  * drops a saturated bucket RETROACTIVELY, which an append-mode
+  * stream cannot mirror — its pre-saturation pairs are emitted. The
+  * `dropped` counter marks those buckets for the batch authority.
   */
 object PhashState {
 
-  /** Per-bucket member cap (state bound; see scaladoc). */
+  /** Max DISTINCT codes per bucket (the batch cap's unit). */
   val MaxBucketMembers = 256
+
+  /** Max held member ids per code group (overflow counted). */
+  val MaxGroupMembers = 256
 
   /** One banded code row ([[Multimodal.phashBandRows]]'s shape). */
   final case class BandRow(band: Int, bv: Long, assetId: Long, phash: Long)
 
-  /** One held bucket member. */
-  final case class Member(assetId: Long, phash: Long)
+  /** One distinct-code group: held member ids (arrival order) plus
+    * the count of members dropped past [[MaxGroupMembers]].
+    */
+  final case class Group(phash: Long, members: Seq[Long], droppedMembers: Long)
 
-  /** Bucket state: members in arrival order, plus the overflow count. */
-  final case class Bucket(members: Seq[Member], dropped: Long)
+  /** Bucket state: one group per distinct code (arrival order), plus
+    * the count of DISTINCT codes dropped past the cap.
+    */
+  final case class Bucket(groups: Seq[Group], dropped: Long)
 
   /** Emitted near-dup pair (asset_a < asset_b), Hamming-verified. */
   final case class NearDupPair(asset_a: Long, asset_b: Long, hamming: Int)
 
-  def update(radius: Int, cap: Int)(
+  def update(radius: Int, cap: Int, memberCap: Int = MaxGroupMembers)(
       key: (Int, Long), rows: Iterator[BandRow], state: GroupState[Bucket],
   ): Iterator[NearDupPair] = {
     val held = state.getOption.getOrElse(Bucket(Vector.empty, 0L))
-    var members = held.members.toVector
+    var groups = held.groups.toVector
     var dropped = held.dropped
     val out = Vector.newBuilder[NearDupPair]
     rows.foreach { r =>
-      if (!members.exists(_.assetId == r.assetId)) {
-        members.foreach { m =>
-          val h = java.lang.Long.bitCount(m.phash ^ r.phash)
-          if (h <= radius) {
-            val (a, b) =
-              if (m.assetId < r.assetId) (m.assetId, r.assetId) else (r.assetId, m.assetId)
+      if (!groups.exists(_.members.contains(r.assetId))) {
+        groups.foreach { g =>
+          val h = java.lang.Long.bitCount(g.phash ^ r.phash)
+          if (h <= radius) g.members.foreach { m =>
+            val (a, b) = if (m < r.assetId) (m, r.assetId) else (r.assetId, m)
             out += NearDupPair(a, b, h)
           }
         }
-        if (members.size < cap) members :+= Member(r.assetId, r.phash)
+        val gi = groups.indexWhere(_.phash == r.phash)
+        if (gi >= 0) {
+          val g = groups(gi)
+          groups =
+            if (g.members.length < memberCap)
+              groups.updated(gi, g.copy(members = g.members :+ r.assetId))
+            else groups.updated(gi, g.copy(droppedMembers = g.droppedMembers + 1L))
+        }
+        else if (groups.length < cap) groups :+= Group(r.phash, Vector(r.assetId), 0L)
         else dropped += 1L
       }
     }
-    state.update(Bucket(members, dropped))
+    state.update(Bucket(groups, dropped))
     out.result().iterator
   }
 

@@ -38,31 +38,46 @@ class AudioStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a pair emits the trigger the later copy arrives; bucket cap counts overflow") {
-    // planted: x and y agree on all 7 landmarks (identical fp)
-    val fp = (0 until 7).map(w => (w * 64L + w * 8L + w + 1L) << (9 * w)).sum
-    def rowsOf(id: Long) = (0 until 7).map(w =>
-      LandmarkRow(w, (fp >> (9 * w)) % 512, id, fp))
+  test("a pair emits the trigger the later copy arrives; identical burst never saturates") {
+    // planted: the base track's 7 landmarks; a near-miss fp differing
+    // in window 4's peak (landmarks 3 and 4 move -> agreement 5)
+    def packed(q: Seq[Int]): Long = (0 until 7)
+      .map(w => (w * 64L + q(w) * 8L + q(w + 1)) << (9 * w)).sum
+    val fp = packed(0 to 7)
+    val near = packed(Seq(0, 1, 2, 3, 0, 5, 6, 7))
+    def rowsOf(id: Long, f: Long) = (0 until 7).map(w =>
+      LandmarkRow(w, (f >> (9 * w)) % 512, id, f))
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[LandmarkRow]
     val q = AudioState(mem.toDS(), cap = 2).writeStream
       .format("memory").queryName("audio_live").outputMode("append").start()
     try {
-      mem.addData(rowsOf(1L): _*)
+      mem.addData(rowsOf(1L, fp): _*)
       q.processAllAvailable()
       assert(spark.table("audio_live").count() == 0, "no pair before the later copy")
-      mem.addData(rowsOf(2L): _*)
+      mem.addData(rowsOf(2L, fp): _*)
       q.processAllAvailable()
       val got = spark.table("audio_live").as[AudioPair].collect().toSet
       assert(got == Set(AudioPair(1L, 2L, 7L)),
         s"the pair must emit once per shared bucket, DISTINCT to one: $got")
-      // a third identical track overflows the cap-2 buckets but still
-      // pairs with both held members before being dropped
-      mem.addData(rowsOf(3L): _*)
+      // a third and fourth identical track: ONE distinct fingerprint,
+      // so the cap-2 buckets are NOT saturated (the batch cap counts
+      // distinct fps) — the whole intra-burst pair set emits
+      mem.addData(rowsOf(3L, fp): _*)
+      mem.addData(rowsOf(4L, fp): _*)
       q.processAllAvailable()
       val after = spark.table("audio_live").as[AudioPair].collect().toSet
-      assert(after == Set(AudioPair(1L, 2L, 7L), AudioPair(1L, 3L, 7L), AudioPair(2L, 3L, 7L)),
-        s"got $after")
+      val intra = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield AudioPair(a, b, 7L)).toSet
+      assert(after == intra, s"got $after")
+      // a distinct near-miss fp arrives AFTER the burst: the second
+      // group slot is free (batch: 2 distinct fps <= cap), so it must
+      // match EVERY burst member — the verdict the old member-counting
+      // cap silently lost
+      mem.addData(rowsOf(9L, near): _*)
+      q.processAllAvailable()
+      val fin = spark.table("audio_live").as[AudioPair].collect().toSet
+      assert(fin == intra ++ (1L to 4L).map(i => AudioPair(i, 9L, 5L)),
+        s"got $fin")
     } finally q.stop()
   }
 }

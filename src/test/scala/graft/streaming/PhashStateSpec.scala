@@ -57,19 +57,55 @@ class PhashStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("bucket cap bounds state and counts overflow instead of dropping it silently") {
-    import org.apache.spark.sql.streaming.GroupStateTimeout
+  test("a saturating identical burst never consumes the bucket: cap counts DISTINCT codes") {
     // drive update() directly with a planted hot bucket (the LshState
-    // test seam pattern): cap 2, four identical codes arriving
-    val rows = (1L to 4L).map(i => PhashState.BandRow(0, 7L, i, 0x5555L))
+    // test seam pattern): cap 2 DISTINCT codes; four byte-identical
+    // codes arrive (a burst past the cap under the old member
+    // semantics), then a distinct near-miss code — which the batch cap
+    // (2 distinct ≤ 2) keeps, so the stream must too
+    val burst = (1L to 4L).map(i => PhashState.BandRow(0, 7L, i, 0x5555L))
     val state = new TestGroupState[PhashState.Bucket]
+    val out1 = PhashState.update(2, 2)((0, 7L), burst.iterator, state).toVector
+    assert(out1.map(p => (p.asset_a, p.asset_b)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)),
+      s"the whole intra-burst pair set must emit: $out1")
+    assert(state.got.exists(b =>
+        b.groups.map(g => (g.phash, g.members.size)) == Seq((0x5555L, 4)) &&
+          b.dropped == 0L),
+      s"one group of four members, nothing dropped: ${state.got}")
+    val out2 = PhashState.update(2, 2)(
+      (0, 7L), Iterator(PhashState.BandRow(0, 7L, 9L, 0x5554L)), state).toVector
+    assert(out2.map(p => (p.asset_a, p.asset_b, p.hamming)).toSet ==
+      (1L to 4L).map(i => (i, 9L, 1)).toSet,
+      s"the later distinct code must match every burst member (batch verdicts): $out2")
+  }
+
+  test("distinct-code cap and per-group member cap both bind counted, never silent") {
+    // cap 2 distinct codes: a third distinct code is not held (counted)
+    // but still pairs against the held groups before dropping
+    val state = new TestGroupState[PhashState.Bucket]
+    val rows = Seq(
+      PhashState.BandRow(0, 7L, 1L, 0x5555L),
+      PhashState.BandRow(0, 7L, 2L, 0x5554L),
+      PhashState.BandRow(0, 7L, 3L, 0x5557L))
     val out = PhashState.update(2, 2)((0, 7L), rows.iterator, state).toVector
-    // members 1,2 held; 3,4 overflow — pairs emit only against HELD members
     assert(out.map(p => (p.asset_a, p.asset_b)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"the capped-out code still pairs on arrival: $out")
+    assert(state.got.exists(b => b.groups.size == 2 && b.dropped == 1L),
+      s"the third DISTINCT code must count as dropped: ${state.got}")
+    // member cap 2: a 4-member identical group holds 2 ids, counts 2 —
+    // later arrivals pair only against held ids (the narrowed boundary
+    // the batch authority re-adjudicates)
+    val st2 = new TestGroupState[PhashState.Bucket]
+    val burst = (1L to 4L).map(i => PhashState.BandRow(0, 7L, i, 0x5555L))
+    val out2 = PhashState.update(2, 2, memberCap = 2)((0, 7L), burst.iterator, st2).toVector
+    assert(out2.map(p => (p.asset_a, p.asset_b)).toSet ==
       Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
-      s"pairs must verify against held members only: $out")
-    assert(state.got.exists(b => b.members.size == 2 && b.dropped == 2L),
-      s"cap must hold 2 members and count 2 overflows: ${state.got}")
+      s"past the member cap, pairs verify against held ids only: $out2")
+    assert(st2.got.exists(b =>
+        b.groups.map(g => (g.members.size, g.droppedMembers)) == Seq((2, 2L))),
+      s"member overflow must count per group: ${st2.got}")
   }
 
   /** Minimal GroupState stub for driving update() synchronously. */
