@@ -194,6 +194,9 @@ object SparkEntry {
     "q_vocab_stats" -> (TextAnalysis.vocabStats _),
     // SemDeDup: cluster-scoped semantic dedup with prototype keeper rule
     "q_semantic_dedup" -> (Similarity.semanticDedup _),
+    // incremental semantic-cluster maintenance (the vector modality's
+    // quotient-merge twin — closes the 4-modality incremental matrix)
+    "q_embed_incremental" -> (Similarity.embedIncremental _),
     // product quantization: corpus encode pass + IVF+PQ (ADC) search
     "q_pq_encode" -> (graft.pipeline.Pq.pqEncode _),
     "q_ann_ivfpq" -> (graft.pipeline.Pq.annIvfPq _),
@@ -494,6 +497,7 @@ object SparkEntry {
     Similarity.annIvfOracleSql.map("q_ann_ivf" -> _) ++
     Similarity.annRecallOracleSql.map("q_ann_recall" -> _) ++
     Similarity.semanticDedupOracleSql.map("q_semantic_dedup" -> _) ++
+    Similarity.embedIncrementalOracleSql.map("q_embed_incremental" -> _) ++
     MlAnomaly.kmeansAnomalyOracleSql.map("q_kmeans_anomaly" -> _) ++
     Similarity.pcaProjectOracleSql.map("q_pca_project" -> _) ++
     Similarity.annPcaOracleSql.map("q_ann_pca" -> _) ++

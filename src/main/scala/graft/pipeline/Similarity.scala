@@ -1184,6 +1184,157 @@ object Similarity {
     }
   }
 
+  // ---- q_embed_incremental ---------------------------------------------
+
+  /** q_embed_incremental: INCREMENTAL semantic-cluster maintenance —
+    * the [[Dedup.componentsIncremental]] operation on the VECTOR side,
+    * closing the incremental matrix (text, image, and audio already
+    * maintain clusters through [[Dedup.quotientMerge]]; the embed
+    * modality recomputed `q_semantic_dedup`'s clusters from scratch per
+    * crawl). Snapshot A (even vec ids, the estate) has materialized
+    * cluster labels over its semantic-dup edges; snapshot B (odd)
+    * arrives with its internal edges and its bridges into A; the
+    * resolver runs over the QUOTIENT only (B nodes + bridge-touched A
+    * roots — snapshot-sized, never estate-sized).
+    *
+    * Edges are the estate indexes' own candidate discipline, per leg:
+    *  - lane edges (within A, within B): the persisted
+    *    [[graft.sources.EmbedIndex]] snapshot tables self-join on the
+    *    estate CELL with the lower-ranked side capped at the cell's
+    *    prototypical core (stored `rk` ≤ [[KnnCellCap]] — the
+    *    [[semanticDedup]] keeper discipline on the stored rank), exact
+    *    cosine ≥ [[SemDedupThreshold]] verified in the join projection;
+    *  - bridges (B → A): [[graft.sources.EmbedIndex.crossSnapshotPairs]]
+    *    verbatim — the same leg the cross-snapshot sweep and the live
+    *    admission ride, so the incremental clusters can never disagree
+    *    with the gates about what matched.
+    *
+    * The DuckDB oracle recomputes everything FROM SCRATCH as one
+    * recursive CTE over the same three edge relations under the frozen
+    * estate centroids — quotient == full is a theorem the hash gate
+    * re-proves per run (the `q_profile_incremental` contract). Both
+    * snapshot indexes are cell-bucketed, so the lane self-joins and the
+    * bridge join are exchange-free; the merged labels persist per
+    * dataset ([[graft.core.DatasetStore]]) and memoize per application.
+    */
+  def embedIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    embedMergedMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      graft.core.DatasetStore.persisted(spark, sfDir, "embed_merged_state",
+        version = s"1:$KnnCellCap:$SemDedupThreshold")(
+        computeEmbedIncremental(spark, sfDir)))
+
+  private val embedMergedMemo = new graft.core.Memo("embed_merged_state")
+  private val embedEstateMemo = new graft.core.Memo("embed_estate_components")
+
+  /** Test seam: forget the memoized incremental artifacts (specs that
+    * rebuild a dataset must call this — the Memo-estate contract).
+    */
+  private[graft] def resetEmbedIncrementalMemos(): Unit = {
+    embedMergedMemo.clear()
+    embedEstateMemo.clear()
+  }
+
+  /** The three edge legs (A-lane pairs, B-lane pairs, B→A bridges) —
+    * the seam the from-scratch spec re-clusters over.
+    */
+  private[graft] def embedIncrementalEdges(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (ta, tb) = graft.sources.EmbedIndex.snapshotTables(spark, sfDir)
+    def lanePairs(t: String): DataFrame = {
+      val i = spark.table(t)
+        .select(col("cell"), col("rk"), col("vec_id"), col("embedding"), col("nsq"))
+      i.as("a").join(i.as("b"),
+          col("a.cell") === col("b.cell") && col("a.rk") < col("b.rk") &&
+            col("a.rk") <= KnnCellCap)
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+          round(dot(col("a.embedding"), col("b.embedding"))
+            / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cos"))
+        .filter(col("cos") >= SemDedupThreshold)
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val bridges = graft.sources.EmbedIndex.crossSnapshotPairs(spark, ta, tb)
+      .select(col("vec_id").as("b_doc"), col("corpus_vec").as("a_doc"))
+      .distinct()
+    (lanePairs(ta), lanePairs(tb), bridges)
+  }
+
+  private def computeEmbedIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (aPairs, bPairs, bridges) = embedIncrementalEdges(spark, sfDir)
+    val aLabels = embedEstateMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      Dedup.componentsOfPairs(aPairs)
+        .select(col("doc_id"), col("cluster_root"))
+        .localCheckpoint(eager = true))
+    Dedup.quotientMerge(aLabels, bPairs, graft.core.Mat(bridges))
+      .select(col("doc_id").as("vec_id"), col("cluster_root"), col("cluster_size"))
+  }
+
+  /** DuckDB oracle for q_embed_incremental — the from-scratch
+    * recursive-CTE re-clustering over the same three edge legs under
+    * the frozen estate centroids (post-fit, the [[estateFrozen]]
+    * contract).
+    */
+  def embedIncrementalOracleSql: Option[String] =
+    estateFrozen.map { centers =>
+      def lane(parity: Int, rk: String, p: String): String =
+        s"""$rk AS (
+      SELECT vec_id, embedding, nsq, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS rk
+      FROM asg WHERE vec_id % 2 = $parity
+    ),
+    $p AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM $rk a JOIN $rk b ON a.cell = b.cell AND a.rk < b.rk AND a.rk <= $KnnCellCap
+      WHERE round(${dotSql("a.embedding", "b.embedding")}
+                  / sqrt(a.nsq * b.nsq), 6) >= $SemDedupThreshold
+    )"""
+      s"""
+    WITH RECURSIVE cents(cell, cc, cv) AS (VALUES
+      ${centroidValuesSql(centers)}),
+    e AS (
+      SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq
+      FROM embeddings
+    ),
+    celled AS (
+      SELECT vec_id, embedding, nsq, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crk
+      FROM (
+        SELECT e.vec_id, e.embedding, e.nsq, c.cell,
+               greatest((e.nsq - CAST(2 AS DOUBLE) * ${dotCvSql("e.embedding", "c.cv")}) + c.cc,
+                        CAST(0 AS DOUBLE)) AS d2
+        FROM e CROSS JOIN cents c
+      )
+    ),
+    asg AS (SELECT vec_id, embedding, nsq, cell, d2 FROM celled WHERE crk = 1),
+    ${lane(0, "rkA", "pA")},
+    ${lane(1, "rkB", "pB")},
+    br AS (
+      SELECT b.vec_id AS doc_a, a.vec_id AS doc_b
+      FROM rkB b JOIN rkA a ON b.cell = a.cell AND a.rk <= $KnnCellCap
+      WHERE round(${dotSql("b.embedding", "a.embedding")}
+                  / sqrt(b.nsq * a.nsq), 6) >= ${graft.sources.EmbedIndex.Tau}
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM pA UNION ALL SELECT doc_a, doc_b FROM pB
+      UNION ALL SELECT doc_a, doc_b FROM br
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e2.b, r.lab FROM reach r JOIN edges e2 ON e2.a = r.node
+    ),
+    comp AS (SELECT node AS vec_id, min(lab) AS cluster_root FROM reach GROUP BY 1)
+    SELECT c.vec_id, c.cluster_root, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_root, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1
+    ) s ON c.cluster_root = s.cluster_root"""
+    }
+
   // ---- q_pca_project -------------------------------------------------
 
   /** Output dimensionality of the PCA projection. */

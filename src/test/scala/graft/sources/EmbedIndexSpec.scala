@@ -144,6 +144,44 @@ class EmbedIndexSpec extends SparkSpec {
     }
   }
 
+  test("embed incremental: quotient merge == from-scratch; families cluster whole") {
+    Similarity.resetEstateFits()
+    EmbedIndex.resetSnapshotTables()
+    Similarity.resetEmbedIncrementalMemos()
+    val dir = java.nio.file.Files.createTempDirectory("embinc13").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val got = Similarity.embedIncremental(spark, dir).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cluster_root"), r.getAs[Long]("cluster_size")))).toMap
+      // each one-hot family (12 members spanning both parities) must
+      // resolve to ONE cluster rooted at its minimum id (= the family
+      // index); the novel 61 has no edge and is absent
+      val expected = (0 until 60).map(i => i.toLong -> (((i % 5).toLong, 12L))).toMap
+      assert(got == expected, s"family clusters diverged: $got")
+      // incremental == from-scratch: one-shot components over the SAME
+      // three edge legs (the theorem the oracle re-proves per run)
+      val (pa, pb, br) = Similarity.embedIncrementalEdges(spark, dir)
+      val scratch = graft.pipeline.Dedup.componentsOfPairs(
+          pa.unionAll(pb).unionAll(
+            br.select(col("b_doc").as("doc_a"), col("a_doc").as("doc_b"))))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("cluster_root"), r.getAs[Long]("cluster_size")))).toMap
+      assert(got == scratch, s"incremental must equal from-scratch: $got vs $scratch")
+      assert(Similarity.embedIncrementalOracleSql.isDefined,
+        "the from-scratch oracle must freeze once the estate fit has run")
+    } finally {
+      Similarity.resetEstateFits()
+      EmbedIndex.resetSnapshotTables()
+      Similarity.resetEmbedIncrementalMemos()
+      spark.sql(s"DROP TABLE IF EXISTS graft_embed_snap_a_${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+      spark.sql(s"DROP TABLE IF EXISTS graft_embed_snap_b_${dir.replaceAll("[^A-Za-z0-9]+", "_")}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("streaming ingest gate flags the batch sweep's matches as vectors arrive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = java.nio.file.Files.createTempDirectory("embgate10").toString
