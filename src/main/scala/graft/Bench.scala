@@ -208,10 +208,14 @@ object Bench {
         // config that re-measures at ~45k on a quiet box), and the
         // artifact itself must show the spread so a reader can tell
         // ambient variance from a real regression without re-running
-        def med3(nTopics: Int) = {
+        // the committed prior record's per-family BEST throughput: the
+        // quiet-host signal the suspect_contended field adjudicates
+        // against (mirrors priorRecordMins for the batch queries)
+        val priorBests = priorStreamBests(dir, round)
+        def med3(nTopics: Int, family: String) = {
           val rs = Seq.fill(3)(
             StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics))
-          StreamBench.summaryJson(rs)
+          StreamBench.summaryJson(rs, priorBests.get(family))
         }
         // the composed admission gate's hot path (docs/sec through all
         // four index gates), against the snapshot tables the gated
@@ -220,9 +224,9 @@ object Bench {
         def adm3 = {
           val rs = Seq.fill(3)(
             StreamBench.admissionMeasure(spark, sfDir, 20000, 3))
-          StreamBench.summaryJson(rs)
+          StreamBench.summaryJson(rs, priorBests.get("admission_gate"))
         }
-        s"""{"topics_2":${med3(0)},"topics_100":${med3(100)},"admission_gate":$adm3}"""
+        s"""{"topics_2":${med3(0, "topics_2")},"topics_100":${med3(100, "topics_100")},"admission_gate":$adm3}"""
       } catch { case e: Throwable =>
         s"""{"err":"${jsonSafe(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
@@ -299,6 +303,43 @@ object Bench {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prior-record read failed: ${e.getMessage}")
+      Map.empty
+    }
+
+  /** The per-family `best.msgs_per_sec` of the most recent COMMITTED
+    * prior stream record (`stream_bench_r{M}.json`, highest M below the
+    * current round) — the baseline for the stream bench's
+    * `suspect_contended` field. For throughput the BEST run is the
+    * quiet-host signal (the min is for latencies): any later run far
+    * below it on unchanged code is contention until the committed
+    * history says otherwise. Read failures degrade to an empty
+    * baseline (no suspects), never a crash.
+    */
+  private def priorStreamBests(dir: java.nio.file.Path, round: String): Map[String, Long] =
+    try {
+      val cur = round.toIntOption.getOrElse(0)
+      val re = "stream_bench_r(\\d+)\\.json".r
+      val stream = java.nio.file.Files.list(dir)
+      val candidates =
+        try stream.toArray.toSeq.flatMap { p =>
+          val path = p.asInstanceOf[java.nio.file.Path]
+          path.getFileName.toString match {
+            case re(n) if n.toInt < cur => Some(n.toInt -> path)
+            case _ => None
+          }
+        } finally stream.close()
+      candidates.sortBy(-_._1).headOption match {
+        case None => Map.empty
+        case Some((_, path)) =>
+          val body = java.nio.file.Files.readString(path)
+          // Result.json objects are flat, so the family's best is the
+          // first "best":{"msgs_per_sec":N after the family key
+          """"(\w+)":\{"median":\{[^}]*\},"best":\{"msgs_per_sec":(\d+)""".r
+            .findAllMatchIn(body)
+            .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prior stream-record read failed: ${e.getMessage}")
       Map.empty
     }
 

@@ -22,23 +22,41 @@ import org.apache.spark.sql.functions._
   * identical-dup lattice (10-member clusters spanning both snapshot
   * parities) whose verdict volume is known by construction.
   *
-  * Usage: runMain graft.ScaleProbe [baseDir] [outDir] [factor]
+  * Usage: runMain graft.ScaleProbe [baseDir] [outDir] [factor] [q1,q2,...]
   * Prints one JSON line per measured dataset; each headliner runs
   * twice (cold = first run including memoized artifact builds, warm =
   * second run reading the materialized layouts) with the verdict-row
-  * count — the number that must scale ~linearly.
+  * count — the number that must scale ~linearly. The optional 4th arg
+  * restricts to a comma-separated subset of registered queries, which
+  * makes big-factor runs affordable for a single question (e.g.
+  * factor=100 with only q_profile,q_profile_approx to measure where
+  * the exact count(DISTINCT) profile goes superlinear and the KMV
+  * form becomes mandatory).
   */
 object ScaleProbe {
 
   private val Headliners = Seq(
     "q_dedup_ngram_capped", "q_dedup_minhash",
     "q_cross_snapshot_dedup", "q_audio_dup_pairs", "q_dedup_simhash64",
-    "q_estate_admission")
+    "q_estate_admission",
+    // the three most expensive round-12 queries, previously unprobed:
+    // the exact-count(DISTINCT) profile (expected SUPERLINEAR — it
+    // measures where q_profile_approx becomes mandatory), the IVF+PQ
+    // ADC search, and the capped-sweep recall eval (its truth leg is a
+    // bounded probe — the row that proves the bound holds at 10x)
+    "q_profile", "q_ann_ivfpq", "q_cross_snapshot_recall")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/scale10x"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val headliners =
+      if (args.length > 3) {
+        val qs = args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = qs.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+        qs
+      } else Headliners
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,11 +70,20 @@ object ScaleProbe {
     val synthDocs = s"$out/documents.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(synthDocs))) {
       val d = spark.read.parquet(s"$base/documents.parquet")
+      // the replica-marker separator must be absent from the base corpus
+      // or replica vocabularies are not provably disjoint (a base token
+      // 'foo~rep2' would alias replica 2's rewrite of 'foo')
+      val tildes = d.filter(col("text").contains("~")).count()
+      require(tildes == 0, s"base corpus contains '~' in $tildes docs — pick another separator")
       val reps = spark.range(0, factor).select(col("id").cast("int").as("rep"))
       val synth = d.crossJoin(reps)
         .withColumn("text2",
+          // the replica marker uses '~' — a character absent from the
+          // corpus by construction (asserted below) — so a base token
+          // that happens to end in `_N` can never collide with replica
+          // N's rewrite and plant an unplanned cross-replica near-dup
           when(col("rep") === 0 || col("doc_id") % 100 === 0, col("text"))
-            .otherwise(expr("regexp_replace(text, '(\\\\S+)', concat('$1_', rep))")))
+            .otherwise(expr("regexp_replace(text, '(\\\\S+)', concat('$1~rep', rep))")))
         .select(
           (col("doc_id") * factor + col("rep")).as("doc_id"),
           col("text2").as("text"),
@@ -79,10 +106,31 @@ object ScaleProbe {
         .repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthEmb)
       System.err.println(s"[scale] synthesized ${factor}x embeddings at $synthEmb")
     }
+    // events replicate with event_id AND user_id remapped per replica,
+    // so the profile's two high-cardinality exact-count(DISTINCT) slots
+    // grow ×factor with the rows — the realistic scale-up (more data =
+    // more users), and exactly the stress that should push q_profile
+    // superlinear and measure where q_profile_approx becomes mandatory.
+    // Low-cardinality columns (event_type, props) replicate verbatim:
+    // categorical vocabularies do not grow with corpus size.
+    val synthEvents = s"$out/events.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/events.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(synthEvents))) {
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      val reps = spark.range(0, factor).select(col("id").as("rep"))
+      ev.crossJoin(reps)
+        .select(
+          (col("event_id") * factor + col("rep")).as("event_id"),
+          col("ts"),
+          (col("user_id") * factor + col("rep")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthEvents)
+      System.err.println(s"[scale] synthesized ${factor}x events at $synthEvents")
+    }
 
     def fmt(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     def measure(dir: String, label: String): String = {
-      val parts = Headliners.map { name =>
+      val parts = headliners.map { name =>
         val fn = SparkEntry.queries(name)
         var rows = 0L
         val times = (1 to 2).map { _ =>

@@ -134,12 +134,27 @@ object StreamBench {
     * engine and the reader should trust `best` — previously every such
     * refresh discrepancy (14.5k median containing an 85.2k run, r10)
     * was re-litigated by hand.
+    *
+    * `priorBest` (the same family's `best` in the most recent COMMITTED
+    * round record) extends the batch bench's `suspect_contended`
+    * discipline to throughput: any run measuring below a third of what
+    * this code demonstrably sustained on a quiet host is flagged in
+    * `suspect_contended` (the r12 refresh recorded an 18.5 k run beside
+    * a 123 k one on identical code — exactly the spread this field
+    * adjudicates), and `suspect_all_runs` marks the case where even the
+    * BEST run is below the bar — read the committed history before
+    * calling that one a regression, but do not dismiss it unseen.
     */
-  def summaryJson(rs: Seq[Result]): String = {
+  def summaryJson(rs: Seq[Result], priorBest: Option[Long] = None): String = {
     val med = rs.sortBy(_.msgsPerSec).apply(rs.size / 2)
     val best = rs.maxBy(_.msgsPerSec)
     val contended = best.msgsPerSec > 3L * med.msgsPerSec
-    s"""{"median":${med.json},"best":${best.json},"contended":$contended,""" +
+    val suspect = priorBest.map { p =>
+      val flagged = rs.map(_.msgsPerSec).filter(_ * 3 < p)
+      s""""prior_best":$p,"suspect_contended":[${flagged.mkString(",")}],""" +
+        s""""suspect_all_runs":${flagged.size == rs.size},"""
+    }.getOrElse("")
+    s"""{"median":${med.json},"best":${best.json},"contended":$contended,$suspect""" +
       s""""runs":[${rs.map(_.json).mkString(",")}]}"""
   }
 

@@ -61,35 +61,60 @@ object DatasetStore {
     val dir = wh.resolve(s"graft_${name}_$sfx")
     val sigFile = dir.resolve("_graft_sig")
     val sig = s"${datasetSignature(sfDir)}#$version"
-    val fresh =
+    def fresh() =
       try Files.exists(sigFile) &&
         Files.readString(sigFile).linesIterator.nextOption().contains(sig)
       catch { case _: Throwable => false }
-    if (!fresh) {
-      val stage = wh.resolve(
-        s"graft_${name}_${sfx}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
-      try {
-        build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-        // record the dataset path ABSOLUTE: the GC sweep's existence
-        // check must not depend on the sweeping JVM's working dir
-        val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
-        Files.writeString(stage.resolve("_graft_sig"), s"$sig\n$abs\n")
-        deleteRecursively(dir)
-        Files.move(stage, dir)
-      } catch {
-        case e: Throwable =>
-          deleteRecursively(stage)
-          // a racing writer may have swapped its (identical) build in;
-          // only fail if no valid store materialized
-          val rescued =
-            try Files.exists(sigFile) &&
-              Files.readString(sigFile).linesIterator.nextOption().contains(sig)
-            catch { case _: Throwable => false }
-          if (!rescued) throw e
+    // one writer per store per JVM: without this, two same-JVM callers
+    // both pass the freshness check, and the second's delete-then-move
+    // swap tears part files out from under the first's in-flight read
+    // (DatasetStoreSpec's concurrent-writer case fails exactly so).
+    // Cross-JVM writers still race; the pre-swap re-check and the
+    // guarded read retry below absorb that window.
+    val lock = storeLocks.computeIfAbsent(dir.toString, _ => new Object)
+    lock.synchronized {
+      if (!fresh()) {
+        val stage = wh.resolve(
+          s"graft_${name}_${sfx}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          // record the dataset path ABSOLUTE: the GC sweep's existence
+          // check must not depend on the sweeping JVM's working dir
+          val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+          Files.writeString(stage.resolve("_graft_sig"), s"$sig\n$abs\n")
+          // re-check before the swap: a racing writer in ANOTHER JVM may
+          // have published the identical relation while we built — only
+          // deterministic relations live here, so replacing it could
+          // only tear that JVM's in-flight readers, never change bytes
+          if (fresh()) deleteRecursively(stage)
+          else {
+            deleteRecursively(dir)
+            Files.move(stage, dir)
+          }
+        } catch {
+          case e: Throwable =>
+            deleteRecursively(stage)
+            // a racing writer may have swapped its (identical) build in;
+            // only fail if no valid store materialized
+            if (!fresh()) throw e
+        }
+      }
+      def readStore() = spark.read.parquet(dir.toString).localCheckpoint(eager = true)
+      try readStore()
+      catch {
+        // a cross-JVM writer swapping the identical relation mid-read
+        // (stale→fresh upgrade in the other JVM's timeline) can tear
+        // one file listing; if the store is fresh again, one retry
+        // reads the settled layout
+        case e: Throwable if fresh() =>
+          System.err.println(s"[dataset-store] read of $dir torn mid-swap, retrying: ${e.getMessage}")
+          readStore()
       }
     }
-    spark.read.parquet(dir.toString).localCheckpoint(eager = true)
   }
+
+  /** Per-store intra-JVM writer locks (see [[persisted]]). */
+  private val storeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** One sweep per JVM: drop stores whose recorded dataset path no
     * longer exists (line 2 of the marker; stores from before the

@@ -790,8 +790,16 @@ object Multimodal {
     ) s ON c.cluster_root = s.cluster_root"""
   }
 
-  /** DuckDB mirror: same rolling checksum over the UTF-8 bytes via a
-    * left fold (documents are ASCII so code units == bytes).
+  /** DuckDB mirror: the payload is `encode(text, 'UTF-8')`, so the
+    * oracle folds the same UTF-8 BYTE sequence the engine's codec
+    * sees — each codepoint expanded to its 1-4 UTF-8 bytes in SQL
+    * (the exact inverse of the engine-side decode in
+    * [[graft.pipeline.Dedup.sampleCodepointExprSql]]'s lane). The
+    * earlier codepoint fold agreed with the engine only on ASCII
+    * text; on a multilingual corpus every multibyte character
+    * diverged in checksum, n_bytes, head_byte, and mean_luma.
+    * `MultimodalSpec` pins 1/2/3/4-byte characters against
+    * hand-computed byte folds.
     */
   val multimodalFeaturesSql: String =
     """
@@ -799,18 +807,25 @@ object Multimodal {
       SELECT doc_id AS asset_id,
              ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
              text, n_chars,
-             [unicode(substr(text, i, 1)) for i in generate_series(1, length(text))] AS chars
+             flatten([
+               CASE WHEN c < 128 THEN [c]
+                    WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+                    WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+                    ELSE [240 + c // 262144, 128 + (c // 4096) % 64, 128 + (c // 64) % 64, 128 + c % 64]
+               END
+               for c in [unicode(substr(text, i, 1)) for i in generate_series(1, length(text))]
+             ]) AS bytes
       FROM documents
     ),
     f AS (
       SELECT asset_id, media_type,
-             CAST(length(text) AS BIGINT) AS n_bytes,
-             CAST(list_reduce(list_prepend(0::BIGINT, [CAST(c AS BIGINT) for c in chars]),
+             CAST(length(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(list_prepend(0::BIGINT, [CAST(b AS BIGINT) for b in bytes]),
                   (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS checksum,
-             CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS head_byte,
+             CASE WHEN length(bytes) > 0 THEN CAST(bytes[1] AS INT) ELSE -1 END AS head_byte,
              CASE WHEN asset_id % 3 = 2 THEN greatest(1, CAST((n_chars * 25) // 40 AS INT)) ELSE 1 END AS frame_count,
-             CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(list_sum([CAST(c AS BIGINT) for c in chars]) AS DOUBLE) / length(text)
+             CASE WHEN length(bytes) = 0 THEN 0.0
+                  ELSE CAST(list_sum([CAST(b AS BIGINT) for b in bytes]) AS DOUBLE) / length(bytes)
              END AS mean_luma
       FROM t
     )

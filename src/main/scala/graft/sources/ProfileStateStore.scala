@@ -92,13 +92,29 @@ object ProfileStateStore {
       if (spark.catalog.tableExists(side)) {
         spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
       } else {
-        val sideDir = graft.core.DatasetStore.warehousePath(spark)
-          .resolve(side.toLowerCase(java.util.Locale.ROOT))
-        require(java.nio.file.Files.isDirectory(sideDir),
-          s"profile state lost: neither $table nor $side exists (no files at $sideDir)")
-        spark.read.parquet(sideDir.toString)
-          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
-        TableUtil.deletePath(sideDir.toString)
+        val wh = graft.core.DatasetStore.warehousePath(spark)
+        val mainDir = wh.resolve(table.toLowerCase(java.util.Locale.ROOT))
+        val sideDir = wh.resolve(side.toLowerCase(java.util.Locale.ROOT))
+        if (java.nio.file.Files.isDirectory(mainDir)) {
+          // The MAIN table's files are intact — a healthy estate seen
+          // from a fresh JVM (in-memory catalog forgot the entry, the
+          // warehouse did not), or a crash in the window "side written,
+          // main not yet dropped". Either way the main files are the
+          // authoritative complete estate: re-register them IN PLACE
+          // (saveAsTable would throw LOCATION_ALREADY_EXISTS over its
+          // own files). Any side files are a stale earlier attempt,
+          // cleared by the normal path below.
+          spark.sql(s"CREATE TABLE `$table` USING parquet LOCATION '${mainDir.toUri}'")
+        } else {
+          // Main files gone: only the crash window "main dropped,
+          // rename not issued" reaches here, and the survivors live
+          // solely under the side table's files — promote, never clear.
+          require(java.nio.file.Files.isDirectory(sideDir),
+            s"profile state lost: neither $table nor $side exists (no files at $sideDir)")
+          spark.read.parquet(sideDir.toString)
+            .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+          TableUtil.deletePath(sideDir.toString)
+        }
       }
     }
     TableUtil.dropTableAndLocation(spark, side) // stale leftover, main known good

@@ -21,10 +21,10 @@ import graft.queries.SketchQueries
   * per column forever; a mid-crawl trigger's emission is the live
   * "is this crawl's extractor already drifting?" probe.
   *
-  * String extrema note: the fold compares with Java's UTF-16
-  * `compareTo` while the batch min/max compare UTF-8 bytes; the two
-  * orders agree everywhere inside the BMP (this table's reprs are
-  * ASCII). The hash reprs themselves are the batch rules verbatim —
+  * String extrema compare by UTF-8 bytes ([[utf8Lt]]) — the exact
+  * order the batch min/max applies to UTF8String, so stream and batch
+  * agree on any text, supplementary-plane characters included. The
+  * hash reprs themselves are the batch rules verbatim —
   * [[observations]] is one shared derivation, so stream and batch
   * cannot drift.
   */
@@ -77,6 +77,27 @@ object ProfileState {
       case _ => a.orElse(b)
     }
 
+  /** Compare strings by their UTF-8 BYTE sequences (unsigned) — the
+    * order Spark's batch min/max applies to UTF8String. Java's
+    * `compareTo` is UTF-16 code-unit order, which diverges for
+    * supplementary-plane characters vs BMP chars in [U+E000, U+FFFF]
+    * (surrogates sort below them in UTF-16, their UTF-8 bytes above) —
+    * so a corpus holding both an emoji and a private-use char got
+    * different extrema from stream and batch.
+    */
+  private[streaming] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   def update(k: Int)(
       colName: String, rows: Iterator[Obs], state: GroupState[ColState],
   ): Iterator[ColState] = {
@@ -92,8 +113,8 @@ object ProfileState {
       o.hv.foreach { h => cnt += 1L; hvs += h }
       minNum = minOpt(minNum, o.num)(_ < _)
       maxNum = minOpt(maxNum, o.num)(_ > _)
-      minStr = minOpt(minStr, o.str)(_.compareTo(_) < 0)
-      maxStr = minOpt(maxStr, o.str)(_.compareTo(_) > 0)
+      minStr = minOpt(minStr, o.str)(utf8Lt)
+      maxStr = minOpt(maxStr, o.str)((a, b) => utf8Lt(b, a))
     }
     val next = ColState(colName, nRows, cnt, minNum, maxNum, minStr, maxStr,
       KmvState.merge(prev.top, hvs.iterator, k))

@@ -87,6 +87,41 @@ class ProfileStateStoreSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS pss_crash")
   }
 
+  test("fresh-JVM recovery prefers intact main files over the side") {
+    ProfileStateStore.write(crawl(0), "pss_fresh", "c0", mode = SaveMode.Overwrite)
+    ProfileStateStore.write(crawl(1), "pss_fresh", "c1")
+    ProfileStateStore.write(crawl(2), "pss_fresh", "c2")
+    val fullDf = ProfileStateStore.read(spark, "pss_fresh")
+    val want = rows(ProfileStateStore.read(spark, "pss_fresh")
+      .filter(col("snapshot") =!= "c2"))
+    val wh = graft.core.DatasetStore.warehousePath(spark)
+
+    // HEALTHY estate seen from a fresh JVM: the main table's warehouse
+    // FILES are intact but the in-memory catalog has no entry
+    // (simulated by writing the files without saveAsTable). Recovery
+    // must re-register the main in place — previously this misreported
+    // "profile state lost" (no side) or threw LOCATION_ALREADY_EXISTS.
+    fullDf.write.mode(SaveMode.Overwrite).parquet(wh.resolve("pss_fresh2").toString)
+    ProfileStateStore.removeSnapshot(spark, "pss_fresh2", "c2")
+    assert(rows(ProfileStateStore.read(spark, "pss_fresh2")) == want,
+      "a fresh JVM on a healthy estate must re-register the main files")
+
+    // crash window "side written, main NOT yet dropped", fresh JVM:
+    // both file sets exist, catalog has neither. The main files are the
+    // complete estate and must win; the side is a stale earlier attempt
+    // (here deliberately WRONG — missing c1 too — so trusting it would
+    // corrupt the estate).
+    fullDf.write.mode(SaveMode.Overwrite).parquet(wh.resolve("pss_fresh3").toString)
+    fullDf.filter(col("snapshot") === "c0")
+      .write.mode(SaveMode.Overwrite).parquet(wh.resolve("pss_fresh3__retain").toString)
+    ProfileStateStore.removeSnapshot(spark, "pss_fresh3", "c2")
+    assert(rows(ProfileStateStore.read(spark, "pss_fresh3")) == want,
+      "intact main files must be authoritative over a stale side")
+
+    Seq("pss_fresh", "pss_fresh2", "pss_fresh3").foreach(t =>
+      TableUtil.dropTableAndLocation(spark, t))
+  }
+
   test("the estate profile's plan reads only the state table") {
     ProfileStateStore.write(crawl(0), "pss_plan", "c0", mode = SaveMode.Overwrite)
     ProfileStateStore.write(crawl(1), "pss_plan", "c1")

@@ -71,6 +71,29 @@ class ProfileStateSpec extends SparkSpec {
     }
   }
 
+  test("string extrema agree with batch beyond the BMP (UTF-8 vs UTF-16 order)") {
+    // U+1F389 (🎉, UTF-16 surrogates D83C DF89, UTF-8 F0 9F 8E 89) vs
+    // U+E000 (private use, UTF-8 EE 80 80): UTF-16 code-unit order puts
+    // the emoji FIRST (D83C < E000), UTF-8 byte order puts it LAST
+    // (F0 > EE). Batch min/max compare UTF8String bytes, so the fold
+    // must too — Java compareTo diverged on exactly this pair.
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      ProfileStateSpecEv(1L, t0, 10L, "🎉x", 1.0, "p"),
+      ProfileStateSpecEv(2L, t0, 11L, "x", 2.0, "p"),
+      ProfileStateSpecEv(3L, t0, 12L, "mid", 3.0, "p"))
+    val got = streamed(rows, "prof_state_bmp", nTriggers = 3)
+      .filter(_.col_name == "event_type").head
+    val want = IncrementalProfile.stateOf(rows.toDF())
+      .filter(col("col_name") === "event_type").collect().head
+    assert(got.min_str.contains(want.getAs[String]("min_str")) &&
+      got.max_str.contains(want.getAs[String]("max_str")),
+      s"extrema order diverged: streamed (${got.min_str}, ${got.max_str}) vs " +
+        s"batch (${want.getAs[String]("min_str")}, ${want.getAs[String]("max_str")})")
+    assert(got.max_str.contains("🎉x"),
+      "UTF-8 byte order must rank the supplementary-plane char last")
+  }
+
   test("streamed states drive the batch drift gate directly") {
     val a = asStateDf(streamed(eventsOf(0), "prof_drift_a"))
     val b = asStateDf(streamed(eventsOf(1), "prof_drift_b"))
