@@ -47,8 +47,9 @@ object Pq {
   val K = 16
 
   /** Probed coarse cells per query, matching q_ann_ivf: a constant
-    * fraction of the auto-sized cell count (see
-    * [[Similarity.ivfProbeOf]]), never an absolute constant.
+    * fraction of the auto-sized cell count up to the absolute
+    * [[Similarity.IvfProbeMax]] ceiling that keeps probed volume
+    * sublinear (see [[Similarity.ivfProbeOf]]).
     */
   def probeOf(k: Int): Int = Similarity.ivfProbeOf(k)
   val TopK = Similarity.IvfTopK
@@ -173,21 +174,34 @@ object Pq {
           .nearestCenter(col("embedding"), 0, Dim, coarse).getField("code"))
       .select(col("vec_id") +: col("cell") +:
         (0 until M).map(m => subCode(cb(m), m).getField("code").as(s"c$m")): _*)
-    val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, probeOf(coarse.length))))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
-    val qx = col("q_emb").cast("array<double>")
-    def term(m: Int): Column = {
-      val sub = slice(qx, m * Sub + 1, Sub)
+    // Per-query ADC lookup tables (the PQ paper's precomputed-table
+    // step): for each subspace m, the K distances d(sub_m, c_j)² are
+    // computed ONCE per query row — BEFORE the cell explode and the
+    // candidate join — so per-candidate scoring is M array lookups,
+    // not M slice+cast+dot chains. The earlier per-candidate form
+    // re-evaluated ~16 subvector slices and dots on every candidate
+    // row; at 10× scale (≈1 M candidate rows) that was the dominant
+    // cost of the whole query. The table entries are the IDENTICAL
+    // expressions per (m, j) — same float ops in the same order — so
+    // the summed ADC value is bit-identical to the oracle's.
+    val qxIn = col("embedding").cast("array<double>")
+    def adcTable(m: Int): Column = {
+      val sub = slice(qxIn, m * Sub + 1, Sub)
       val snsq = Similarity.dot(sub, sub)
-      val cvs = typedLit(cb(m).map(_.toSeq))
-      val ccs = typedLit(cb(m).map(c => c.map(v => v * v).sum))
-      val idx = (col(s"c$m") + 1).cast("int")
-      greatest(
-        snsq - lit(2.0) * Similarity.dot(sub, element_at(cvs, idx)) + element_at(ccs, idx),
-        lit(0.0))
+      array(cb(m).map { c =>
+        val cc = c.map(v => v * v).sum
+        greatest(
+          snsq - lit(2.0) * Similarity.dot(sub, typedLit(c.toSeq)) + lit(cc),
+          lit(0.0))
+      }: _*)
     }
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id") +: col("embedding") +: col("nsq") +:
+        (0 until M).map(m => adcTable(m).as(s"t$m")): _*)
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, probeOf(coarse.length))))
+      .select(Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nsq").as("q_nsq"), col("probe.cell").as("cell")) ++
+        (0 until M).map(m => col(s"t$m")): _*)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
     // BROADCAST the probe side: queries are a ~1% sample (and at 100 TB
     // the query batch is always ≪ the corpus), so the cell join must be
@@ -195,9 +209,11 @@ object Pq {
     // shuffles for the candidate join.
     val shortlist = broadcast(probes).join(assigned, "cell") // cell-keyed equi join — codes only
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", round((0 until M).map(term).reduceLeft(_ + _), 6))
+      .withColumn("adc", round((0 until M).map(m =>
+        element_at(col(s"t$m"), (col(s"c$m") + 1).cast("int"))).reduceLeft(_ + _), 6))
       .withColumn("ark", row_number().over(wAdc))
       .filter(col("ark") <= Refine)
+      .drop((0 until M).map(m => s"t$m"): _*)
     // refine: exact distances on the bounded shortlist only
     val wD = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
     shortlist

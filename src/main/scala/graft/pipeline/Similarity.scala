@@ -443,18 +443,26 @@ object Similarity {
     * of one of them going linear), clamped to [[IvfCellsMin]] /
     * [[IvfCellsMax]] so degenerate corpora still fit and the
     * literal-centroid assignment expression stays bounded. The probe
-    * width is a constant FRACTION of the cells (¼, min 2) — the
-    * recall/cost dial rides the fraction, not an absolute count that
-    * silently becomes 100% of a small index or 0.1% of a large one.
+    * width is a constant FRACTION of the cells (¼, min 2) up to an
+    * absolute ceiling of [[IvfProbeMax]]: the fraction keeps a small
+    * index from being silently under- or over-probed, and the ceiling
+    * keeps the probed VOLUME sublinear — an uncapped k/4 probe reads
+    * ~¼ of the corpus per query regardless of k (probe × n/k = n/4),
+    * which the 10× ScaleProbe measured as a 38× wall-clock blowup on
+    * q_ann_ivfpq before the cap. With the ceiling, per-query
+    * candidates are ≤ IvfProbeMax · n/k ≈ 16·√n at the √n cell
+    * sizing. The cap binds only above 64 cells (> ~4 k vectors), so
+    * every gate-scale oracle output is unchanged.
     */
   val IvfCellsMin = 4
   val IvfCellsMax = 256
+  val IvfProbeMax = 16
 
   def ivfCellsOf(n: Long): Int =
     math.max(IvfCellsMin,
       math.min(IvfCellsMax, math.round(math.sqrt(n.toDouble)).toInt))
 
-  def ivfProbeOf(k: Int): Int = math.max(2, (k + 3) / 4)
+  def ivfProbeOf(k: Int): Int = math.min(IvfProbeMax, math.max(2, (k + 3) / 4))
 
   /** Re-fit trigger: accept a quantizer only if its heaviest cell holds
     * at most this multiple of the even share (1M/k ppm). A giant cell
