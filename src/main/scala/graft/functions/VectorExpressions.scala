@@ -221,6 +221,163 @@ case class NearestCenter(child: Expression, offset: Int, length: Int,
     copy(child = c)
 }
 
+/** The SORTED `p` nearest centers: `array<struct<d2, cell>>` ascending
+  * by (d2, cell) — exactly what
+  * `slice(array_sort(array(struct(greatest(snsq − 2·dot + cc, 0), k), …)), 1, p)`
+  * computes, in one generated loop whose size is INDEPENDENT of the
+  * center count (model as a reference object, like [[NearestCenter]]).
+  *
+  * This is the IVF probe-side selector. The unrolled Column form it
+  * replaces emitted K inline dot-product blocks per call site, which
+  * is what forced `Similarity.IvfCellsMax = 256` — beyond that the
+  * generated method would cross janino's 64 KB ceiling and degrade the
+  * stage to interpreted execution. With the loop form the cell count
+  * can scale as √n unbounded by codegen size; the remaining ceiling is
+  * the driver-side k-means fit and the broadcast model bytes.
+  *
+  * Bit-parity contract with the literal form (the selected CELLS must
+  * match, because only `probe.cell` survives downstream): d2 uses the
+  * same snsq/dot/cc arithmetic as [[NearestCenter]] (whose equivalence
+  * to the `nsq`-column form is already oracle-gated), the clamp
+  * normalizes to exactly 0.0, the ordering is `Double.compare` on d2
+  * (NaN sorts last and ties with NaN, matching Spark's array_sort
+  * double ordering on this value set) with ascending-cell tie-break
+  * (insertion keeps earlier cells before equal-d2 later cells, the
+  * lexicographic struct order array_sort applies).
+  */
+case class NearestCenters(child: Expression, offset: Int, length: Int,
+    centers: IndexedSeq[IndexedSeq[Double]], p: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(p > 0, "nearest_centers requires p > 0")
+  require(centers.nonEmpty, "nearest_centers requires a non-empty model")
+  require(centers.forall(_.forall(java.lang.Double.isFinite)),
+    "nearest_centers requires finite center coordinates")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cell", IntegerType, nullable = false))), containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centers expects array<float|double>, got $t")
+    }
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+
+  @transient private lazy val norms: Array[Double] =
+    matrix.map { c =>
+      var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+    }
+
+  private def outLen: Int = math.min(p, centers.length)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    def at(i: Int): Double = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+    val avail = math.max(0, math.min(length, x.numElements() - offset))
+    var snsq = 0.0
+    var i = 0
+    while (i < avail) { val v = at(offset + i); snsq += v * v; i += 1 }
+    val n = outLen
+    val dB = new Array[Double](n)
+    val cB = new Array[Int](n)
+    var filled = 0
+    var k = 0
+    while (k < matrix.length) {
+      val c = matrix(k)
+      var dot = 0.0
+      var j = 0
+      while (j < avail) { dot += at(offset + j) * c(j); j += 1 }
+      val v = snsq - 2.0 * dot + norms(k)
+      val d2 = if (v <= 0.0) 0.0 else v
+      // scanning cells ascending: equal d2 stops the shift, so earlier
+      // cells stay before later equal-d2 cells (lexicographic order)
+      if (filled < n || java.lang.Double.compare(d2, dB(n - 1)) < 0) {
+        var pos = if (filled < n) filled else n - 1
+        while (pos > 0 && java.lang.Double.compare(d2, dB(pos - 1)) < 0) {
+          dB(pos) = dB(pos - 1); cB(pos) = cB(pos - 1); pos -= 1
+        }
+        dB(pos) = d2; cB(pos) = k
+        if (filled < n) filled += 1
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](filled)(i =>
+        org.apache.spark.sql.catalyst.InternalRow(dB(i), cB(i))))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cRef = ctx.addReferenceObj("centers", matrix, "double[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val n = outLen
+    nullSafeCodeGen(ctx, ev, a => {
+      val snsq = ctx.freshName("snsq")
+      val avail = ctx.freshName("avail")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val d2 = ctx.freshName("d2")
+      val dB = ctx.freshName("dB")
+      val cB = ctx.freshName("cB")
+      val filled = ctx.freshName("filled")
+      val pos = ctx.freshName("pos")
+      val out = ctx.freshName("out")
+      s"""
+         |int $avail = java.lang.Math.max(0,
+         |  java.lang.Math.min($length, $a.numElements() - $offset));
+         |double $snsq = 0.0;
+         |for (int $i = 0; $i < $avail; $i++) {
+         |  double v = (double) $a.$get($offset + $i);
+         |  $snsq += v * v;
+         |}
+         |double[] $dB = new double[$n];
+         |int[] $cB = new int[$n];
+         |int $filled = 0;
+         |for (int $k = 0; $k < $cRef.length; $k++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $avail; $j++) {
+         |    $dot += ((double) $a.$get($offset + $j)) * $cRef[$k][$j];
+         |  }
+         |  double $d2 = $snsq - 2.0 * $dot + $nRef[$k];
+         |  if ($d2 <= 0.0) $d2 = 0.0;
+         |  if ($filled < $n || java.lang.Double.compare($d2, $dB[$n - 1]) < 0) {
+         |    int $pos = ($filled < $n) ? $filled : $n - 1;
+         |    while ($pos > 0 && java.lang.Double.compare($d2, $dB[$pos - 1]) < 0) {
+         |      $dB[$pos] = $dB[$pos - 1]; $cB[$pos] = $cB[$pos - 1]; $pos--;
+         |    }
+         |    $dB[$pos] = $d2; $cB[$pos] = $k;
+         |    if ($filled < $n) $filled++;
+         |  }
+         |}
+         |Object[] $out = new Object[$filled];
+         |for (int $i = 0; $i < $filled; $i++) {
+         |  $out[$i] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $dB[$i], $cB[$i] });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCenters =
+    copy(child = c)
+}
+
 object VectorFunctions {
   private def expr(c: Column) = ColumnBridge.expression(c)
   private def toCol(e: Expression): Column = ColumnBridge.column(e)
@@ -237,4 +394,13 @@ object VectorFunctions {
       centers: Seq[Array[Double]]): Column =
     toCol(NearestCenter(expr(v), offset, length,
       centers.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** Codegen'd sorted top-p center selection (see [[NearestCenters]]):
+    * `array<struct<d2, cell>>` of the `p` nearest centers, ascending
+    * (d2, cell) — the IVF probe-side selector.
+    */
+  def nearestCenters(v: Column, offset: Int, length: Int,
+      centers: Seq[Array[Double]], p: Int): Column =
+    toCol(NearestCenters(expr(v), offset, length,
+      centers.map(_.toIndexedSeq).toIndexedSeq, p))
 }

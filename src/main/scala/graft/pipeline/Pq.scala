@@ -147,7 +147,6 @@ object Pq {
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val coarse = Similarity.ivfCenters(spark, sfDir)
     val cb = codebooks(spark, sfDir)
-    val x = col("embedding").cast("array<double>")
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("nsq"))
@@ -157,11 +156,6 @@ object Pq {
     if (coarse.isEmpty || cb.exists(_.isEmpty))
       return emb.filter(lit(false)).select(col("vec_id").as("q_id"),
         lit(0).as("rk"), col("vec_id"), lit(0.0).as("d2"))
-    def cellDists = array(coarse.zipWithIndex.map { case (c, i) =>
-      val cc = c.map(v => v * v).sum
-      val d2 = col("nsq") - lit(2.0) * Similarity.dot(x, typedLit(c.toSeq)) + lit(cc)
-      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
-    }: _*)
     // Cell assignment + sub-codes both go through the NearestCenter
     // codegen argmin (model as a reference object): the earlier
     // unrolled literal form emitted ~150 inline dot-product blocks
@@ -198,7 +192,8 @@ object Pq {
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id") +: col("embedding") +: col("nsq") +:
         (0 until M).map(m => adcTable(m).as(s"t$m")): _*)
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, probeOf(coarse.length))))
+      .withColumn("probe", explode(graft.functions.VectorFunctions.nearestCenters(
+        col("embedding"), 0, Dim, coarse, probeOf(coarse.length))))
       .select(Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"), col("probe.cell").as("cell")) ++
         (0 until M).map(m => col(s"t$m")): _*)

@@ -441,8 +441,16 @@ object Similarity {
     * the corpus as k ≈ √n (the standard IVF sizing rule; per-cell
     * membership and per-query probe work then both grow as √n instead
     * of one of them going linear), clamped to [[IvfCellsMin]] /
-    * [[IvfCellsMax]] so degenerate corpora still fit and the
-    * literal-centroid assignment expression stays bounded. The probe
+    * [[IvfCellsMax]] so degenerate corpora still fit. The cells
+    * ceiling was 256 while probe selection unrolled one literal dot
+    * block per cell (janino's 64 KB method limit); with both the
+    * assignment argmin ([[graft.functions.NearestCenter]]) and the
+    * probe top-p ([[graft.functions.NearestCenters]]) looping over a
+    * reference-object model, the generated code no longer grows with
+    * k, and the ceiling is set by the driver-side k-means fit (Lloyd
+    * over the ≤4096-point distinct sample) and the broadcast model
+    * bytes (1024 × 64 doubles = 512 KB — well under any broadcast
+    * threshold). The probe
     * width is a constant FRACTION of the cells (¼, min 2) up to an
     * absolute ceiling of [[IvfProbeMax]]: the fraction keeps a small
     * index from being silently under- or over-probed, and the ceiling
@@ -455,7 +463,7 @@ object Similarity {
     * every gate-scale oracle output is unchanged.
     */
   val IvfCellsMin = 4
-  val IvfCellsMax = 256
+  val IvfCellsMax = 1024
   val IvfProbeMax = 16
 
   def ivfCellsOf(n: Long): Int =
@@ -625,14 +633,18 @@ object Similarity {
     * (embedding, nsq) column names — the codegen'd assignment shared by
     * [[annIvf]] and [[knnGraph]].
     */
-  private def cellDistArray(centers: IndexedSeq[Array[Double]]): Column = {
-    val x = col("embedding").cast("array<double>")
-    array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cc = c.map(v => v * v).sum
-      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
-      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
-    }: _*)
-  }
+  /** The sorted probe cells of an `embedding` column under the frozen
+    * quantizer — `array<struct<d2, cell>>`, ascending (d2, cell), via
+    * the [[graft.functions.NearestCenters]] codegen loop (model as a
+    * reference object — generated code independent of the cell count,
+    * which is what lets [[IvfCellsMax]] sit above the old 256 literal-
+    * unroll ceiling). Selection order is identical to the
+    * `slice(array_sort(array(struct(d2, cell)…)), 1, p)` literal form
+    * it replaced (NearestCentersSpec pins equality incl. ties).
+    */
+  private def probeCells(centers: IndexedSeq[Array[Double]], p: Int): Column =
+    graft.functions.VectorFunctions.nearestCenters(
+      col("embedding"), 0, centers.head.length, centers, p)
 
   /** (vec_id, cell, embedding, nsq) of every vector under the frozen
     * coarse quantizer — the Spark-side mirror of the oracle's
@@ -661,10 +673,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
     val centers = ivfCenters(spark, sfDir)
-    def cellDists = cellDistArray(centers)
     val assigned = assignedCells(spark, sfDir)
     val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, ivfProbeOf(centers.length))))
+      .withColumn("probe", explode(probeCells(centers, ivfProbeOf(centers.length))))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -1000,12 +1011,6 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
     val centers = ivfCenters(spark, sfDir)
-    val x = col("embedding").cast("array<double>")
-    def cellDists = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cc = c.map(v => v * v).sum
-      val d2 = col("nsq") - lit(2.0) * dot(x, typedLit(c.toSeq)) + lit(cc)
-      struct(greatest(d2, lit(0.0)).as("d2"), lit(i).as("cell"))
-    }: _*)
     val assigned = emb
       .withColumn("cell",
         graft.functions.VectorFunctions
@@ -1013,7 +1018,7 @@ object Similarity {
           .getField("code"))
       .select(col("vec_id"), col("label"), col("cell"), col("embedding"), col("nsq"))
     val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(slice(array_sort(cellDists), 1, ivfProbeOf(centers.length))))
+      .withColumn("probe", explode(probeCells(centers, ivfProbeOf(centers.length))))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
