@@ -247,14 +247,22 @@ object Dedup {
       finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val capI = cap.toInt
-    // self-releasing checkpoint (see ngramNovelty): read by both the
-    // per-doc sizes and the pair explode
-    val lists = shingleHashes(docs)
-      .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .groupBy(col("sh"))
-      .agg(graft.functions.KmvAggregates.kmvSketch(col("doc_id"), capI + 1).as("ds"))
-      .filter(size(col("ds")) <= capI)
-      .localCheckpoint(eager = true)
+    // the bounded posting lists are a pure function of (dataset, cap)
+    // and the single expensive leg of the whole scaffold (the full
+    // shingle scan + one aggregation) — memoized per (dataset, cap), so
+    // the several queries sharing a cap (ngram/containment/fuzzy/
+    // recall) and every re-run pay the scan ONCE per dataset. At the
+    // 100× probe scale the un-memoized form re-shingled 500 k docs on
+    // every warm run (24.6 s); everything downstream of the lists is
+    // key-bounded and stays per-query. Checkpoint read by both the
+    // per-doc sizes and the pair explode.
+    val lists = postingListsMemo.getOrElseUpdate(s"$sfDir#cap=$capI",
+      shingleHashes(docs)
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .groupBy(col("sh"))
+        .agg(graft.functions.KmvAggregates.kmvSketch(col("doc_id"), capI + 1).as("ds"))
+        .filter(size(col("ds")) <= capI)
+        .localCheckpoint(eager = true))
     val sizes = lists
       .select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -400,6 +408,11 @@ object Dedup {
   // library-caller release API
   private val clusterPairsMemo = new graft.core.Memo("cluster_pairs")
 
+  // keyed (dataset, cap): several caps are live per dataset
+  // (PairGuardFreqCap, ShingleFreqCap, ClusterShingleFreqCap), so the
+  // entry budget is wider than the usual 4
+  private val postingListsMemo = new graft.core.Memo("shingle_postings", maxEntries = 8)
+
   private val componentsMemo = new graft.core.Memo("components")
 
   /** Test seam: drop the materialized pair graphs and cluster labels
@@ -408,6 +421,7 @@ object Dedup {
     */
   private[pipeline] def resetClusterMemo(): Unit = {
     clusterPairsMemo.clear()
+    postingListsMemo.clear()
     componentsMemo.clear()
     signaturesMemo.clear()
     passageSpansMemo.clear()
