@@ -247,22 +247,23 @@ object Dedup {
       finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val capI = cap.toInt
-    // the bounded posting lists are a pure function of (dataset, cap)
-    // and the single expensive leg of the whole scaffold (the full
-    // shingle scan + one aggregation) — memoized per (dataset, cap), so
-    // the several queries sharing a cap (ngram/containment/fuzzy/
-    // recall) and every re-run pay the scan ONCE per dataset. At the
-    // 100× probe scale the un-memoized form re-shingled 500 k docs on
-    // every warm run (24.6 s); everything downstream of the lists is
-    // key-bounded and stays per-query. Checkpoint read by both the
-    // per-doc sizes and the pair explode.
+    // the bounded posting lists are a pure DETERMINISTIC function of
+    // (dataset, cap) and the single expensive leg of the whole scaffold
+    // (the full shingle scan + one aggregation) — memoized per
+    // (dataset, cap) within the JVM and persisted across JVMs via
+    // DatasetStore (the audio-fingerprint discipline: a crawl pays its
+    // shingle scan once at ingest, every later job reads the
+    // materialized lists). At the 100× probe scale the un-memoized form
+    // re-shingled 500 k docs on every warm run (24.6 s); everything
+    // downstream of the lists is key-bounded and stays per-query.
     val lists = postingListsMemo.getOrElseUpdate(s"$sfDir#cap=$capI",
-      shingleHashes(docs)
-        .select(col("doc_id"), explode(col("hs")).as("sh"))
-        .groupBy(col("sh"))
-        .agg(graft.functions.KmvAggregates.kmvSketch(col("doc_id"), capI + 1).as("ds"))
-        .filter(size(col("ds")) <= capI)
-        .localCheckpoint(eager = true))
+      graft.core.DatasetStore.persisted(spark, sfDir, s"shingle_postings_cap$capI",
+        version = s"v1-${ShingleN}gram-kmv")(
+        shingleHashes(docs)
+          .select(col("doc_id"), explode(col("hs")).as("sh"))
+          .groupBy(col("sh"))
+          .agg(graft.functions.KmvAggregates.kmvSketch(col("doc_id"), capI + 1).as("ds"))
+          .filter(size(col("ds")) <= capI)))
     val sizes = lists
       .select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
