@@ -414,6 +414,19 @@ object Dedup {
   // entry budget is wider than the usual 4
   private val postingListsMemo = new graft.core.Memo("shingle_postings", maxEntries = 8)
 
+  // The corpus's exploded 5-gram relation (doc_id, sh), checkpointed
+  // once per dataset: the UNCAPPED shingle universe read by the
+  // novelty / source-overlap / cost diagnostics, which need the hot
+  // shingles the capped posting lists deliberately drop. Each consumer
+  // previously re-shingled the whole corpus per call.
+  private val shingleExplodeMemo = new graft.core.Memo("shingle_explode")
+
+  private def shingleExplode(spark: SparkSession, sfDir: String): DataFrame =
+    shingleExplodeMemo.getOrElseUpdate(sfDir,
+      shingleHashes(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .localCheckpoint(eager = true))
+
   private val componentsMemo = new graft.core.Memo("components")
 
   /** Test seam: drop the materialized pair graphs and cluster labels
@@ -423,6 +436,7 @@ object Dedup {
   private[pipeline] def resetClusterMemo(): Unit = {
     clusterPairsMemo.clear()
     postingListsMemo.clear()
+    shingleExplodeMemo.clear()
     componentsMemo.clear()
     signaturesMemo.clear()
     passageSpansMemo.clear()
@@ -920,8 +934,7 @@ object Dedup {
     // the band relation feeds the totals aggregate AND the final
     // projection: persist so the corpus-sized shingle explode +
     // aggregation runs once (the splitBalance/epochPlan discipline)
-    val perShingle = shingleHashes(Tables.documents(spark, sfDir))
-      .select(explode(col("hs")).as("sh"))
+    val perShingle = shingleExplode(spark, sfDir)
       .groupBy(col("sh")).agg(count(lit(1)).as("n"))
       .select(expr("CAST(length(bin(n)) - 1 AS BIGINT)").as("band"),
         col("n"),
@@ -2144,15 +2157,9 @@ object Dedup {
     * unrounded (exact bigint ratio).
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    // eager localCheckpoint, not persist: the explode is computed once
-    // (df agg + scoring join both read the checkpoint) and the blocks
-    // are released by the ContextCleaner when the result is dropped —
-    // a library caller holds no CacheManager entry to forget to
-    // unpersist (the components/pagerank discipline)
-    val sh = shingleHashes(docs)
-      .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .localCheckpoint(eager = true)
+    // the memoized exploded relation: computed once per dataset, read
+    // by the df agg and the scoring join (and by source-overlap/cost)
+    val sh = shingleExplode(spark, sfDir)
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
       .groupBy(col("doc_id"))
@@ -2196,13 +2203,13 @@ object Dedup {
     */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // persisted for the plan's lifetime; released by the per-query
-    // clearCache in Verify/Bench (see ngramNovelty)
-    val ss = shingleHashes(docs)
+    // corpus scan comes from the shared memoized explode; the
+    // source-level distinct stays per-call (its own self-releasing
+    // checkpoint — read by sizes AND both self-join sides)
+    val ss = shingleExplode(spark, sfDir)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), explode(col("hs")).as("sh"))
+      .select(col("source"), col("sh"))
       .distinct()
-      // self-releasing checkpoint instead of persist — see ngramNovelty
       .localCheckpoint(eager = true)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val shared = ss.as("a")
