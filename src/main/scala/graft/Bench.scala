@@ -280,9 +280,26 @@ object Bench {
     * (no suspects), never a crash after the queries have run.
     */
   private def priorRecordMins(dir: java.nio.file.Path, round: String): Map[String, Double] =
+    latestPriorRecord(dir, round, "bench_results").map { body =>
+      val obj = """"queries_min"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    }.getOrElse(Map.empty)
+
+  /** Body of the most recent COMMITTED prior record `<prefix>_r{M}.json`
+    * (highest M strictly below the current round) — the one
+    * latest-prior-record scaffold shared by the batch and stream
+    * `suspect_contended` baselines, so round inference and the
+    * degrade-to-empty contract cannot desynchronize between them. Any
+    * IO failure degrades to None (no suspects), never a crash after
+    * the measurements have already run.
+    */
+  private def latestPriorRecord(dir: java.nio.file.Path, round: String,
+      prefix: String): Option[String] =
     try {
       val cur = round.toIntOption.getOrElse(0)
-      val re = "bench_results_r(\\d+)\\.json".r
+      val re = (java.util.regex.Pattern.quote(prefix) + "_r(\\d+)\\.json").r
       val stream = java.nio.file.Files.list(dir)
       val candidates =
         try stream.toArray.toSeq.flatMap { p =>
@@ -292,18 +309,11 @@ object Bench {
             case _ => None
           }
         } finally stream.close()
-      candidates.sortBy(-_._1).headOption match {
-        case None => Map.empty
-        case Some((_, path)) =>
-          val body = java.nio.file.Files.readString(path)
-          val obj = """"queries_min"\s*:\s*\{([^}]*)\}""".r
-            .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
-          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
-            .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
-      }
+      candidates.sortBy(-_._1).headOption
+        .map { case (_, path) => java.nio.file.Files.readString(path) }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] prior-record read failed: ${e.getMessage}")
-      Map.empty
+      System.err.println(s"[bench] prior $prefix record read failed: ${e.getMessage}")
+      None
     }
 
   /** The per-family `best.msgs_per_sec` of the most recent COMMITTED
@@ -316,32 +326,13 @@ object Bench {
     * baseline (no suspects), never a crash.
     */
   private def priorStreamBests(dir: java.nio.file.Path, round: String): Map[String, Long] =
-    try {
-      val cur = round.toIntOption.getOrElse(0)
-      val re = "stream_bench_r(\\d+)\\.json".r
-      val stream = java.nio.file.Files.list(dir)
-      val candidates =
-        try stream.toArray.toSeq.flatMap { p =>
-          val path = p.asInstanceOf[java.nio.file.Path]
-          path.getFileName.toString match {
-            case re(n) if n.toInt < cur => Some(n.toInt -> path)
-            case _ => None
-          }
-        } finally stream.close()
-      candidates.sortBy(-_._1).headOption match {
-        case None => Map.empty
-        case Some((_, path)) =>
-          val body = java.nio.file.Files.readString(path)
-          // Result.json objects are flat, so the family's best is the
-          // first "best":{"msgs_per_sec":N after the family key
-          """"(\w+)":\{"median":\{[^}]*\},"best":\{"msgs_per_sec":(\d+)""".r
-            .findAllMatchIn(body)
-            .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
-      }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] prior stream-record read failed: ${e.getMessage}")
-      Map.empty
-    }
+    latestPriorRecord(dir, round, "stream_bench").map { body =>
+      // Result.json objects are flat, so the family's best is the
+      // first "best":{"msgs_per_sec":N after the family key
+      """"(\w+)":\{"median":\{[^}]*\},"best":\{"msgs_per_sec":(\d+)""".r
+        .findAllMatchIn(body)
+        .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
+    }.getOrElse(Map.empty)
 
   private def jsonSafe(s: String): String = JsonUtil.escape(s)
 

@@ -67,6 +67,34 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Derivation version of the synthesis itself: an out dir generated
+    // by an OLDER synthesis (e.g. the pre-round-13 `_N` replica marker,
+    // whose vocabulary rewrite could alias base tokens ending in _N) is
+    // invalid input for the current probe's claims — the same staleness
+    // class DatasetStore's version salt guards, applied to the probe's
+    // own on-disk cache. Mismatch ⇒ regenerate everything.
+    val synthVersion = "v2-tilde-rep-events"
+    locally {
+      import java.nio.file.{Files, Paths}
+      val verFile = Paths.get(out, "_synth_version")
+      val ok =
+        try Files.exists(verFile) && Files.readString(verFile).trim == synthVersion
+        catch { case _: Throwable => false }
+      if (!ok) {
+        Seq("documents.parquet", "embeddings.parquet", "events.parquet").foreach { t =>
+          val p = Paths.get(out, t)
+          if (Files.exists(p)) {
+            System.err.println(s"[scale] stale synthesis at $p (version != $synthVersion) — regenerating")
+            def del(f: java.io.File): Unit = {
+              val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(); ()
+            }
+            del(p.toFile)
+          }
+        }
+        Files.createDirectories(Paths.get(out))
+        Files.writeString(verFile, synthVersion + "\n")
+      }
+    }
     val synthDocs = s"$out/documents.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(synthDocs))) {
       val d = spark.read.parquet(s"$base/documents.parquet")

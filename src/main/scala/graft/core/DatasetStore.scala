@@ -144,11 +144,22 @@ object DatasetStore {
         val nm = d.getFileName.toString
         val marker = d.resolve("_graft_sig")
         if (nm.contains("__stage_")) {
-          val stale =
-            try Files.getLastModifiedTime(d).toMillis <
-              System.currentTimeMillis() - StageOrphanAgeMs
-            catch { case _: Throwable => false }
-          if (stale) deleteRecursively(d)
+          // a live build's task output lands under _temporary subtrees
+          // WITHOUT touching the stage dir's own mtime, so the orphan
+          // discriminator must be the NEWEST mtime anywhere in the
+          // tree — a top-level-only check would let one JVM's sweep
+          // delete another JVM's >1h in-flight build mid-write
+          val newest =
+            try {
+              val w = Files.walk(d)
+              try w.mapToLong(p =>
+                try Files.getLastModifiedTime(p).toMillis
+                catch { case _: Throwable => Long.MaxValue })
+                .max().orElse(Long.MaxValue)
+              finally w.close()
+            } catch { case _: Throwable => Long.MaxValue }
+          if (newest < System.currentTimeMillis() - StageOrphanAgeMs)
+            deleteRecursively(d)
         }
         else if (Files.isRegularFile(marker)) {
           val lines = Files.readString(marker).linesIterator.toList

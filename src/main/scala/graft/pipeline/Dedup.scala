@@ -256,7 +256,8 @@ object Dedup {
     // materialized lists). At the 100× probe scale the un-memoized form
     // re-shingled 500 k docs on every warm run (24.6 s); everything
     // downstream of the lists is key-bounded and stays per-query.
-    val lists = postingListsMemo.getOrElseUpdate(s"$sfDir#cap=$capI",
+    val lists = postingListsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir#cap=$capI",
       graft.core.DatasetStore.persisted(spark, sfDir, s"shingle_postings_cap$capI",
         version = s"v1-${ShingleN}gram-kmv")(
         shingleHashes(docs)
@@ -422,7 +423,8 @@ object Dedup {
   private val shingleExplodeMemo = new graft.core.Memo("shingle_explode")
 
   private def shingleExplode(spark: SparkSession, sfDir: String): DataFrame =
-    shingleExplodeMemo.getOrElseUpdate(sfDir,
+    shingleExplodeMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
       shingleHashes(Tables.documents(spark, sfDir))
         .select(col("doc_id"), explode(col("hs")).as("sh"))
         .localCheckpoint(eager = true))
@@ -1219,8 +1221,17 @@ object Dedup {
   def simhashes64(docs: DataFrame): DataFrame =
     docs.select(
         col("doc_id"),
-        transform(split(col("text"), " "), t => h32(t)).as("hs_lo"),
-        transform(split(col("text"), " "), t => h32b(t)).as("hs_hi"))
+        // ONE md5 per token: the halves are slices of the same digest,
+        // and Catalyst's subexpression elimination does not span the
+        // two transform lambdas — the earlier h32/h32b-per-transform
+        // form hashed every token twice. The md5s alias is non-cheap
+        // and multiply-referenced, so CollapseProject keeps this
+        // projection boundary (digests computed once; plan-asserted in
+        // SimhashSpec).
+        transform(split(col("text"), " "), t => md5(t)).as("md5s"))
+      .select(col("doc_id"),
+        transform(col("md5s"), m => conv(substring(m, 1, 8), 16, 10).cast("long")).as("hs_lo"),
+        transform(col("md5s"), m => conv(substring(m, 9, 8), 16, 10).cast("long")).as("hs_hi"))
       .select(col("doc_id"),
         graft.functions.SketchFunctions.simhash32(col("hs_hi")).as("sim_hi"),
         graft.functions.SketchFunctions.simhash32(col("hs_lo")).as("sim_lo"))

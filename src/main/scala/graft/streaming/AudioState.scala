@@ -63,7 +63,12 @@ object AudioState {
   final case class Group(fp: Long, members: Seq[Long], droppedMembers: Long)
 
   /** Bucket state: one group per distinct fingerprint (arrival order),
-    * plus the count of DISTINCT fingerprints dropped past the cap.
+    * plus the count of ARRIVALS whose (new) fingerprint found no group
+    * slot past the cap. Note the unit: a single over-cap fingerprint
+    * arriving k times counts k — an arrival count is the bounded,
+    * saturation-proportional signal (a distinct count would need an
+    * unbounded dropped-fp set); read it as "assets this bucket could
+    * not group", not "distinct fingerprints lost".
     */
   final case class Bucket(groups: Seq[Group], dropped: Long)
 

@@ -57,7 +57,10 @@ object PhashState {
   final case class Group(phash: Long, members: Seq[Long], droppedMembers: Long)
 
   /** Bucket state: one group per distinct code (arrival order), plus
-    * the count of DISTINCT codes dropped past the cap.
+    * the count of ARRIVALS whose (new) code found no group slot past
+    * the cap (one over-cap code arriving k times counts k — the
+    * bounded saturation signal; a distinct count would need an
+    * unbounded dropped-code set).
     */
   final case class Bucket(groups: Seq[Group], dropped: Long)
 

@@ -93,6 +93,18 @@ class DedupSpec extends SparkSpec {
       assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32),
         "halves are non-negative 32-bit values (engine-portable shifts)")
     }
+    // one digest per token: the halves slice the SAME md5 array, and
+    // CollapseProject must keep that projection boundary — a collapsed
+    // plan would re-inline md5 into both transforms and hash every
+    // token twice (the pre-round-13 shape). Parquet-backed input: a
+    // LocalRelation constant-folds the whole pipeline away.
+    val dir = java.nio.file.Files.createTempDirectory("sh64plan").toString
+    docs.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val plan = Dedup.simhashes64(spark.read.parquet(s"$dir/docs.parquet"))
+      .queryExecution.optimizedPlan.toString
+    val md5Count = "md5\\(".r.findAllMatchIn(plan).length
+    assert(md5Count == 1,
+      s"simhashes64 must compute one md5 per token, plan has $md5Count md5 calls:\n$plan")
   }
 
   test("connected components: minimal roots, closed clusters, every pair co-clustered") {
