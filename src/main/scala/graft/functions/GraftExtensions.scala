@@ -52,6 +52,12 @@ object GraftFunctions {
         require(args.length == 1, "graft_simhash32(arrayOfTokenHashes)")
         SimHash32(args.head)
       }),
+    ("graft_codepoint",
+      new ExpressionInfo(classOf[CodepointAt].getName, "graft_codepoint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_codepoint(text, pos)")
+        CodepointAt(args(0), args(1))
+      }),
     ("graft_ngram_poly_hash",
       new ExpressionInfo(classOf[NGramPolyHash].getName, "graft_ngram_poly_hash"),
       (args: Seq[Expression]) => {

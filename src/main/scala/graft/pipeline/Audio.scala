@@ -82,7 +82,10 @@ object Audio {
     * expression — the landmark/posting/agreement machinery downstream
     * is sample-source-agnostic.
     */
-  def landmarksOf(docs: DataFrame): DataFrame =
+  def landmarksOf(docs: DataFrame): DataFrame = {
+    // graft_codepoint in the expr string needs the session registry
+    // (idempotent; same rationale as Multimodal.phashCodesOf)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(length(col("text")) > 0)
       .withColumn("lms",
@@ -99,6 +102,7 @@ object Audio {
                      w -> CAST(w * 64 + element_at(pk, w + 1) * 8
                                + element_at(pk, w + 2) AS BIGINT))))"""))
       .select(col("doc_id").as("asset_id"), col("lms"))
+  }
 
   /** q_audio_fingerprint: the per-track landmark relation — the rows
     * a production system writes into its inverted index.

@@ -78,22 +78,22 @@ object Dedup {
     * per-character hash would whiten every sample into noise and make
     * the perceptual families vacuous. On ASCII text the value equals
     * what byte sampling produced, so ASCII corpora are unaffected; on
-    * multilingual text both engines now agree. The UTF-8 decode is
-    * lambda-bound (the 1-element-array `aggregate` idiom) so the
-    * encode/hex chain evaluates once per sample.
+    * multilingual text both engines now agree.
+    *
+    * Round 14: the decode is the native codegen expression
+    * [[graft.functions.CodepointAt]] (`graft_codepoint`), bit-identical
+    * to the round-13 pure-built-in chain (`substr` → `encode` → `hex` →
+    * conv CASE) it replaces but one bounded byte walk instead of four
+    * string allocations + four string-to-long parses per sample — the
+    * chain tripled the one LIVE derivation path (`q_phash_ingest_gate`
+    * 0.78 → 2.39 s at sf0.1). Consumers parse this inside expr-string
+    * lambdas, so the function must be on the session registry —
+    * [[Multimodal.phashCodesOf]] and [[Audio.landmarksOf]] (the only
+    * two parse sites) call `GraftFunctions.register(df.sparkSession)`
+    * (idempotent) before building the expression.
     */
-  def sampleCodepointExprSql(pos: String): String = {
-    def b(i: Int) = s"CAST(conv(substring(hx, ${2 * i + 1}, 2), 16, 10) AS BIGINT)"
-    s"""aggregate(array(hex(encode(substr(text, $pos, 1), 'utf-8'))),
-         CAST(0 AS BIGINT),
-         (zcp, hx) -> zcp + CASE length(hx)
-           WHEN 2 THEN ${b(0)}
-           WHEN 4 THEN (${b(0)} % 32) * 64 + ${b(1)} % 64
-           WHEN 6 THEN (${b(0)} % 16) * 4096 + (${b(1)} % 64) * 64 + ${b(2)} % 64
-           ELSE (${b(0)} % 8) * 262144 + (${b(1)} % 64) * 4096
-                + (${b(2)} % 64) * 64 + ${b(3)} % 64
-         END)"""
-  }
+  def sampleCodepointExprSql(pos: String): String =
+    s"graft_codepoint(text, $pos)"
 
   /** DuckDB twin of [[sampleCodepointExprSql]]: `unicode()` IS the
     * codepoint there, so the mirror is the plain built-in.

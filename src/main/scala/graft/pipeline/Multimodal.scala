@@ -224,7 +224,11 @@ object Multimodal {
     * ops only, so it applies to a STREAMING DataFrame unchanged
     * ([[graft.streaming.PhashState]] consumes it at ingest).
     */
-  def phashCodesOf(docs: DataFrame): DataFrame =
+  def phashCodesOf(docs: DataFrame): DataFrame = {
+    // graft_codepoint lives in the expr string below — put it on this
+    // session's registry (idempotent) so the parse resolves under ANY
+    // session, including a caller-supplied one
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(length(col("text")) > 0)
       // ONE nested higher-order expression binding `pix` and `psum` as
@@ -250,6 +254,7 @@ object Multimodal {
                                             THEN shiftleft(CAST(1 AS BIGINT), j)
                                             ELSE CAST(0 AS BIGINT) END)))"""))
       .select(col("doc_id").as("asset_id"), col("phash"))
+  }
 
   /** The pigeonhole band explode of a code relation (11+11+10 bits) —
     * narrow, shared by the batch pair join and the streaming twin.
