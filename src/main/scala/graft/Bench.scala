@@ -165,15 +165,28 @@ object Bench {
     // recorded 20x between two same-code runs). A query whose MIN —
     // already the contention-resistant statistic — exceeds 3x the
     // prior committed record's min (with a 0.2 s absolute floor so
-    // millisecond-scale scan noise cannot spam the list) is flagged
-    // `suspect_contended`: read its committed history before calling
-    // it a regression.
+    // millisecond-scale scan noise cannot spam the list) is a suspect;
+    // [[BenchSuspects.classify]] then splits the two stories the round
+    // record previously conflated (r13: a consistent-slow trio on a
+    // quiet canary sat in `suspect_contended` until the judge re-read
+    // it by hand): wide run spread or a hot canary → the host —
+    // `suspect_contended`, read the committed history before calling
+    // it a regression; tight runs on a quiet canary → the code —
+    // `suspect_regressed`, treat as a real perf defect.
     val priorMins = priorRecordMins(dir, round)
-    val suspects = results.collect {
-      case (k, ts) if priorMins.get(k).exists(p =>
-        ts.min > 3 * p && ts.min - p > 0.2) =>
-        "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"prior_min\":" + fmt(priorMins(k)) + "}"
+    val curCanary = math.min(canaryStart, canaryEnd)
+    val canaryIsHot = priorRecordCanary(dir, round)
+      .map(p => BenchSuspects.canaryHot(curCanary, p))
+    val classified = results.flatMap { case (k, ts) =>
+      priorMins.get(k).flatMap(p =>
+        BenchSuspects.classify(ts, p, canaryIsHot).map(v => (k, ts.min, p, v)))
+    }
+    def suspectJson(kind: String): String = classified.collect {
+      case (k, mn, p, v) if v == kind =>
+        "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"prior_min\":" + fmt(p) + "}"
     }.mkString("{", ",", "}")
+    val suspects = suspectJson("contended")
+    val regressed = suspectJson("regressed")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
       s""""total_min":${fmt(totalMin)},"artifacts_total":${fmt(artifactsTotal)},""" +
       s""""canary_sec":${fmt(math.min(canaryStart, canaryEnd))},""" +
@@ -181,6 +194,7 @@ object Bench {
       s""""memo_storage_bytes":$memoBytes,""" +
       s""""artifacts":$artifacts,"queries":$qs,"queries_min":$qsMin,""" +
       s""""contended":$contended,"suspect_contended":$suspects,""" +
+      s""""suspect_regressed":$regressed,""" +
       s""""queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     // Persist the full result set twice: the driver's stdout tail is
     // capped (which truncated earlier rounds' per-query breakdown), and
@@ -212,21 +226,30 @@ object Bench {
         // quiet-host signal the suspect_contended field adjudicates
         // against (mirrors priorRecordMins for the batch queries)
         val priorBests = priorStreamBests(dir, round)
-        def med3(nTopics: Int, family: String) = {
-          val rs = Seq.fill(3)(
+        val priorMedians = priorStreamMedians(dir, round)
+        // round 14: a DISCARDED warm-up run (the first run of a family
+        // absorbs that topology's codegen + state-store spin-up: r13's
+        // 24.8 k outlier beside two ~100 k runs) followed by 5 measured
+        // runs — 3 runs with a 4.6x spread made the median a coin flip
+        // even with per-run suspects
+        def fam5(nTopics: Int, family: String) = {
+          StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics)
+          val rs = Seq.fill(5)(
             StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics))
-          StreamBench.summaryJson(rs, priorBests.get(family))
+          StreamBench.summaryJson(rs, priorBests.get(family), priorMedians.get(family))
         }
         // the composed admission gate's hot path (docs/sec through all
         // four index gates), against the snapshot tables the gated
         // queries already built this run — summary's `anomalies` field
         // carries the rejected count, `topics` the gate count (4)
-        def adm3 = {
-          val rs = Seq.fill(3)(
+        def adm5 = {
+          StreamBench.admissionMeasure(spark, sfDir, 20000, 3)
+          val rs = Seq.fill(5)(
             StreamBench.admissionMeasure(spark, sfDir, 20000, 3))
-          StreamBench.summaryJson(rs, priorBests.get("admission_gate"))
+          StreamBench.summaryJson(rs, priorBests.get("admission_gate"),
+            priorMedians.get("admission_gate"))
         }
-        s"""{"topics_2":${med3(0, "topics_2")},"topics_100":${med3(100, "topics_100")},"admission_gate":$adm3}"""
+        s"""{"topics_2":${fam5(0, "topics_2")},"topics_100":${fam5(100, "topics_100")},"admission_gate":$adm5}"""
       } catch { case e: Throwable =>
         s"""{"err":"${jsonSafe(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
@@ -287,6 +310,17 @@ object Bench {
         .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
     }.getOrElse(Map.empty)
 
+  /** The prior committed record's `canary_sec` — the quiet-host
+    * baseline for [[BenchSuspects.canaryHot]]. Missing/unparseable
+    * degrades to None (classification then stays conservative:
+    * every suspect reads as contended, the pre-round-14 behavior).
+    */
+  private def priorRecordCanary(dir: java.nio.file.Path, round: String): Option[Double] =
+    latestPriorRecord(dir, round, "bench_results").flatMap { body =>
+      """"canary_sec"\s*:\s*([0-9.eE+-]+)""".r
+        .findFirstMatchIn(body).flatMap(_.group(1).toDoubleOption)
+    }
+
   /** Body of the most recent COMMITTED prior record `<prefix>_r{M}.json`
     * (highest M strictly below the current round) — the one
     * latest-prior-record scaffold shared by the batch and stream
@@ -330,6 +364,17 @@ object Bench {
       // Result.json objects are flat, so the family's best is the
       // first "best":{"msgs_per_sec":N after the family key
       """"(\w+)":\{"median":\{[^}]*\},"best":\{"msgs_per_sec":(\d+)""".r
+        .findAllMatchIn(body)
+        .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
+    }.getOrElse(Map.empty)
+
+  /** The per-family `median.msgs_per_sec` of the prior committed stream
+    * record — carried beside `prior_best` so the round-over-round story
+    * reads central tendency and ceiling together (r13 Next #4).
+    */
+  private def priorStreamMedians(dir: java.nio.file.Path, round: String): Map[String, Long] =
+    latestPriorRecord(dir, round, "stream_bench").map { body =>
+      """"(\w+)":\{"median":\{"msgs_per_sec":(\d+)""".r
         .findAllMatchIn(body)
         .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
     }.getOrElse(Map.empty)

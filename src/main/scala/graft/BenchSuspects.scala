@@ -1,0 +1,58 @@
+package graft
+
+/** Classification of a bench query whose contention-resistant MIN
+  * exceeds 3× the committed prior round's min (the `suspect_*` fields
+  * of the round record).
+  *
+  * Round 13 exposed the gap this closes: `suspect_contended` fired on
+  * a query whose three runs were mutually consistent (2.39/2.74/2.62)
+  * on a quiet canary — the signature of a REAL regression, not a noisy
+  * host — but the mechanism only compared against the prior record, so
+  * the judge had to adjudicate by hand. The two cases separate on
+  * evidence the record already carries:
+  *
+  *  - wide run spread (median > 3× min — the same wideness marker the
+  *    `contended` list uses) means at least one run absorbed ambient
+  *    load → the min is untrustworthy → `contended`;
+  *  - a HOT canary (this round's fixed-cost scan ≫ the committed
+  *    record's) means the whole host was loaded, inflating even
+  *    consistent runs uniformly → `contended`;
+  *  - tight spread on a quiet canary leaves no contention story: the
+  *    code got slower → `regressed`.
+  *
+  * Unknown canary history degrades to `contended` (the round-12
+  * behavior — conservative, because calling something a regression
+  * without a quiet-host witness invites false alarms).
+  *
+  * Pure (no Spark, no IO) so the spec drives every branch directly.
+  */
+object BenchSuspects {
+
+  /** 3× with a 0.2 s absolute floor: millisecond-scale scan noise must
+    * not spam the suspect list (round-11 rationale, unchanged).
+    */
+  def isSuspect(runsMin: Double, priorMin: Double): Boolean =
+    runsMin > 3 * priorMin && runsMin - priorMin > 0.2
+
+  /** Canary-hot test with a 0.3 s absolute floor: quiet-host canaries
+    * have been observed anywhere in 0.20–0.57 s (scan jitter), while
+    * genuinely contended rounds push the canary well past 1 s — a
+    * 0.20 → 0.45 s pair is jitter, not evidence of load.
+    */
+  def canaryHot(currentSec: Double, priorSec: Double): Boolean =
+    currentSec > 2 * priorSec && currentSec - priorSec > 0.3
+
+  /** `Some("contended")` / `Some("regressed")` for a suspect query,
+    * `None` when the min is within 3× of the prior record.
+    * `canaryHot = None` means no prior canary to compare against.
+    */
+  def classify(runs: Seq[Double], priorMin: Double,
+      canaryHot: Option[Boolean]): Option[String] = {
+    if (runs.isEmpty || !isSuspect(runs.min, priorMin)) return None
+    val s = runs.sorted
+    val n = s.length
+    val med = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    val wideSpread = med > 3 * runs.min
+    Some(if (wideSpread || canaryHot.getOrElse(true)) "contended" else "regressed")
+  }
+}

@@ -50,8 +50,20 @@ object ScaleProbe {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/scale10x"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // `recall_sweep` as the 4th arg: instead of timing headliners, run
+    // the IVF recall eval at each probe width 1..IvfProbeMax on the
+    // synthesized corpus (plus the production width) — the instrument
+    // that prices the probe CAP in recall, which the r13 verbatim
+    // replicas made unmeasurable (every at-scale recall read 1.000)
+    val recallSweep = args.length > 3 && args(3).trim == "recall_sweep"
+    // `lifecycle` as the 4th arg: drive the four-modality estate
+    // lifecycle (add → sweep → compact → expire → probe-sweep,
+    // EstateLifecycleSpec's shape) END TO END at probe scale and
+    // record per-leg wall-clock — every leg was measured query-by-query
+    // before r14, but never the composed sequence (r13 Next #5)
+    val lifecycle = args.length > 3 && args(3).trim == "lifecycle"
     val headliners =
-      if (args.length > 3) {
+      if (args.length > 3 && !recallSweep && !lifecycle) {
         val qs = args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val unknown = qs.filterNot(SparkEntry.queries.contains)
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
@@ -73,7 +85,7 @@ object ScaleProbe {
     // invalid input for the current probe's claims — the same staleness
     // class DatasetStore's version salt guards, applied to the probe's
     // own on-disk cache. Mismatch ⇒ regenerate everything.
-    val synthVersion = "v2-tilde-rep-events"
+    val synthVersion = "v4-graded-perturbation"
     locally {
       import java.nio.file.{Files, Paths}
       val verFile = Paths.get(out, "_synth_version")
@@ -81,6 +93,12 @@ object ScaleProbe {
         try Files.exists(verFile) && Files.readString(verFile).trim == synthVersion
         catch { case _: Throwable => false }
       if (!ok) {
+        // marker comes OFF first and goes back on only after every
+        // synthesis write below completes: stamping before the writes
+        // (the pre-r14 order) meant a crash mid-synthesis left a
+        // current-version marker beside a torn parquet dir, and the
+        // next run trusted the partial data instead of self-healing
+        Files.deleteIfExists(verFile)
         Seq("documents.parquet", "embeddings.parquet", "events.parquet").foreach { t =>
           val p = Paths.get(out, t)
           if (Files.exists(p)) {
@@ -92,7 +110,6 @@ object ScaleProbe {
           }
         }
         Files.createDirectories(Paths.get(out))
-        Files.writeString(verFile, synthVersion + "\n")
       }
     }
     val synthDocs = s"$out/documents.parquet"
@@ -120,9 +137,25 @@ object ScaleProbe {
       synth.repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthDocs)
       System.err.println(s"[scale] synthesized ${factor}x corpus at $synthDocs")
     }
-    // embeddings replicate verbatim under the same id remap: identical
-    // vectors across replicas are a cross-replica semantic-dup lattice
-    // of known volume — the composed admission's embed leg at 10x
+    // embeddings replicate under the same id remap with a GRADED
+    // PER-REPLICA PERTURBATION (replica 0 verbatim; replica r adds
+    // deterministic per-component noise of amplitude 0.015·r, seeded
+    // from the remapped (vec_id, component) pair — the `~rep`
+    // vocabulary trick's vector twin). On 64-dim unit vectors the
+    // noise norm is ≈ 4.62·amplitude, so replica cosines to the base
+    // GRADE from ≈0.999 (r=1) down to ≈0.85 (r=9): every replica stays
+    // its base's genuine neighbor (organic pairs sit near cosine 0)
+    // and far above every dup threshold (SemDeDup τ = 0.4), so the
+    // planted cross-replica semantic-dup lattice — the composed
+    // admission's embed leg at 10x — survives. What CHANGES is
+    // identity: the r13 verbatim replicas made every at-scale recall
+    // read a degenerate 1.000 (true top-k were identical vectors,
+    // necessarily co-celled with the query), and a first UNIFORM ±0.01
+    // attempt measured the same (cos 0.999 keeps all nine replicas
+    // co-celled, truth never leaves the home cell). The graded
+    // amplitudes keep the top-k truth intra-clique while pushing its
+    // outer members across k-means cell boundaries — the regime where
+    // the probe cap actually prices recall.
     val synthEmb = s"$out/embeddings.parquet"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/embeddings.parquet")) &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(synthEmb))) {
@@ -130,9 +163,16 @@ object ScaleProbe {
       val reps = spark.range(0, factor).select(col("id").cast("int").as("rep"))
       e.crossJoin(reps)
         .select((col("vec_id") * factor + col("rep")).as("vec_id"),
-          col("embedding"), col("label"))
+          col("rep"), col("embedding"), col("label"))
+        .withColumn("embedding",
+          when(col("rep") === 0, col("embedding"))
+            .otherwise(expr(
+              """transform(embedding, (x, i) ->
+                 CAST(x + (0.015 * rep) * ((pmod(xxhash64(vec_id, i), 2001) - 1000) / 1000.0)
+                      AS FLOAT))""")))
+        .select(col("vec_id"), col("embedding"), col("label"))
         .repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthEmb)
-      System.err.println(s"[scale] synthesized ${factor}x embeddings at $synthEmb")
+      System.err.println(s"[scale] synthesized ${factor}x perturbed embeddings at $synthEmb")
     }
     // events replicate with event_id AND user_id remapped per replica,
     // so the profile's two high-cardinality exact-count(DISTINCT) slots
@@ -155,6 +195,15 @@ object ScaleProbe {
         .repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthEvents)
       System.err.println(s"[scale] synthesized ${factor}x events at $synthEvents")
     }
+    // all three synthesis writes are complete (or were already current):
+    // NOW the dir may carry the version stamp (see the deleteIfExists
+    // above for why the order matters)
+    locally {
+      import java.nio.file.{Files, Paths}
+      Files.createDirectories(Paths.get(out))
+      Files.writeString(Paths.get(out, "_synth_version"), synthVersion + "\n")
+      ()
+    }
 
     def fmt(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     def measure(dir: String, label: String): String = {
@@ -170,6 +219,157 @@ object ScaleProbe {
         s""""$name":{"rows":$rows,"cold_sec":${fmt(times.head)},"warm_sec":${fmt(times.last)}}"""
       }
       s"""{"dataset":"$label","dir":"$dir","queries":{${parts.mkString(",")}}}"""
+    }
+
+    if (lifecycle) {
+      import graft.sources.{AudioIndex, EmbedIndex, PhashIndex, SignatureIndex}
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        (rows, (System.nanoTime() - t0) / 1e9)
+      }
+      def drop(tables: String*): Unit =
+        tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      // three "monthly crawls" by doc_id mod 3 plus a 1% probe crawl
+      // re-identified above every synth id — the EstateLifecycleSpec
+      // sequence on the real corpus instead of a 20-doc fixture
+      def lifecycleRow(dir: String): String = {
+        val docs = graft.queries.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        def crawlN(m: Int) = docs.filter(col("doc_id") % 3 === m)
+        val probe = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000000L))
+        val emb = graft.queries.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        def embCrawlN(m: Int) = emb.filter(col("vec_id") % 3 === m)
+        val embProbe = emb.filter(col("vec_id") % 97 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000000000L))
+        val centers = graft.pipeline.Similarity.estateCenters(spark, dir)
+        def family(name: String,
+            add: () => Unit,
+            sweep: () => Long,
+            compact: () => Unit,
+            expire: () => Unit,
+            probeSweep: () => Long,
+            tables: Seq[String]): String =
+          try {
+            val (_, tAdd) = timed { add(); 0L }
+            val (sweepRows, tSweep) = timed(sweep())
+            val (_, tCompact) = timed { compact(); 0L }
+            val (_, tExpire) = timed { expire(); 0L }
+            val (probeRows, tProbe) = timed(probeSweep())
+            spark.catalog.clearCache()
+            s""""$name":{"add_sec":${fmt(tAdd)},"sweep_sec":${fmt(tSweep)},""" +
+              s""""compact_sec":${fmt(tCompact)},"expire_sec":${fmt(tExpire)},""" +
+              s""""probe_sweep_sec":${fmt(tProbe)},"sweep_rows":$sweepRows,""" +
+              s""""probe_rows":$probeRows}"""
+          } finally drop(tables: _*)
+        val sig = family("signature",
+          add = () => {
+            SignatureIndex.write(crawlN(0), "lcp_sig_s1")
+            SignatureIndex.write(crawlN(1), "lcp_sig_s2")
+            SignatureIndex.write(crawlN(2), "lcp_sig_s3")
+            SignatureIndex.write(probe, "lcp_sig_probe")
+          },
+          sweep = () => SignatureIndex.crossSnapshotMatches(spark, "lcp_sig_s1", "lcp_sig_s2").count(),
+          compact = () => {
+            SignatureIndex.merge(spark, Seq("lcp_sig_s1", "lcp_sig_s2"), "lcp_sig_e12")
+            SignatureIndex.merge(spark, Seq("lcp_sig_e12", "lcp_sig_s3"), "lcp_sig_e123")
+          },
+          expire = () => SignatureIndex.removeSnapshot(spark, "lcp_sig_e123", "lcp_sig_s1", "lcp_sig_e23"),
+          probeSweep = () => SignatureIndex.crossSnapshotMatches(spark, "lcp_sig_e23", "lcp_sig_probe").count(),
+          tables = Seq("lcp_sig_s1", "lcp_sig_s2", "lcp_sig_s3", "lcp_sig_probe",
+            "lcp_sig_e12", "lcp_sig_e123", "lcp_sig_e23"))
+        System.err.println(s"[scale] lifecycle signature done ($dir)")
+        val ph = family("phash",
+          add = () => {
+            PhashIndex.write(crawlN(0), "lcp_ph_s1")
+            PhashIndex.write(crawlN(1), "lcp_ph_s2")
+            PhashIndex.write(crawlN(2), "lcp_ph_s3")
+            PhashIndex.write(probe, "lcp_ph_probe")
+          },
+          sweep = () => PhashIndex.crossSnapshotMatches(spark, "lcp_ph_s1", "lcp_ph_s2").count(),
+          compact = () => {
+            PhashIndex.merge(spark, Seq("lcp_ph_s1", "lcp_ph_s2"), "lcp_ph_e12")
+            PhashIndex.merge(spark, Seq("lcp_ph_e12", "lcp_ph_s3"), "lcp_ph_e123")
+          },
+          // phash rows are code-group facts with no per-asset tombstone:
+          // retention re-merges the surviving snapshot lanes (the
+          // index's documented form, EstateLifecycleSpec's phash leg)
+          expire = () => PhashIndex.merge(spark, Seq("lcp_ph_s2", "lcp_ph_s3"), "lcp_ph_e23"),
+          probeSweep = () => PhashIndex.crossSnapshotMatches(spark, "lcp_ph_e23", "lcp_ph_probe").count(),
+          tables = Seq("lcp_ph_s1", "lcp_ph_s2", "lcp_ph_s3", "lcp_ph_probe",
+            "lcp_ph_e12", "lcp_ph_e123", "lcp_ph_e23"))
+        System.err.println(s"[scale] lifecycle phash done ($dir)")
+        val au = family("audio",
+          add = () => {
+            AudioIndex.write(crawlN(0), "lcp_au_s1")
+            AudioIndex.write(crawlN(1), "lcp_au_s2")
+            AudioIndex.write(crawlN(2), "lcp_au_s3")
+            AudioIndex.write(probe, "lcp_au_probe")
+          },
+          sweep = () => AudioIndex.crossSnapshotMatches(spark, "lcp_au_s1", "lcp_au_s2").count(),
+          compact = () => {
+            AudioIndex.merge(spark, Seq("lcp_au_s1", "lcp_au_s2"), "lcp_au_e12")
+            AudioIndex.merge(spark, Seq("lcp_au_e12", "lcp_au_s3"), "lcp_au_e123")
+          },
+          expire = () => AudioIndex.removeSnapshot(spark, "lcp_au_e123", "lcp_au_s1",
+            Seq("lcp_au_s2", "lcp_au_s3"), "lcp_au_e23"),
+          probeSweep = () => AudioIndex.crossSnapshotMatches(spark, "lcp_au_e23", "lcp_au_probe").count(),
+          tables = Seq("lcp_au_s1", "lcp_au_s2", "lcp_au_s3", "lcp_au_probe",
+            "lcp_au_e12", "lcp_au_e123", "lcp_au_e23"))
+        System.err.println(s"[scale] lifecycle audio done ($dir)")
+        val em = family("embed",
+          add = () => {
+            EmbedIndex.write(embCrawlN(0), "lcp_em_s1", centers)
+            EmbedIndex.write(embCrawlN(1), "lcp_em_s2", centers)
+            EmbedIndex.write(embCrawlN(2), "lcp_em_s3", centers)
+            EmbedIndex.write(embProbe, "lcp_em_probe", centers)
+          },
+          sweep = () => EmbedIndex.crossSnapshotMatches(spark, "lcp_em_s1", "lcp_em_s2").count(),
+          compact = () => {
+            EmbedIndex.merge(spark, Seq("lcp_em_s1", "lcp_em_s2"), "lcp_em_e12")
+            EmbedIndex.merge(spark, Seq("lcp_em_e12", "lcp_em_s3"), "lcp_em_e123")
+          },
+          expire = () => EmbedIndex.removeSnapshot(spark, "lcp_em_e123", "lcp_em_s1", "lcp_em_e23"),
+          probeSweep = () => EmbedIndex.crossSnapshotMatches(spark, "lcp_em_e23", "lcp_em_probe").count(),
+          tables = Seq("lcp_em_s1", "lcp_em_s2", "lcp_em_s3", "lcp_em_probe",
+            "lcp_em_e12", "lcp_em_e123", "lcp_em_e23"))
+        System.err.println(s"[scale] lifecycle embed done ($dir)")
+        s"""{"dataset":"$dir","lifecycle":{$sig,$ph,$au,$em}}"""
+      }
+      val l1 = lifecycleRow(base)
+      val lN = lifecycleRow(out)
+      try spark.stop() catch { case _: Throwable => () }
+      println(l1)
+      println(lN)
+      return
+    }
+
+    if (recallSweep) {
+      import graft.pipeline.Similarity
+      def fmt4(x: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+      // per-width mean recall@IvfTopK over the capped probe set; the
+      // exact truth leg is identical across widths, so differences are
+      // purely the probe budget's
+      def sweepRow(dir: String): String = {
+        val widths = Seq(1, 2, 4, 8, 16).map(Some(_)) :+ None
+        val rows = widths.map { p =>
+          val r = Similarity.annRecallProbe(spark, dir, p)
+            .agg(avg(col("recall")).as("m"), count(lit(1)).as("n")).head()
+          val label = p.map(_.toString).getOrElse("production")
+          spark.catalog.clearCache()
+          s"""{"nprobe":"$label","mean_recall":${fmt4(r.getDouble(0))},"queries":${r.getLong(1)}}"""
+        }
+        s"""[${rows.mkString(",")}]"""
+      }
+      val sweep1 = sweepRow(base)
+      System.err.println(s"[scale] recall sweep 1x done")
+      val sweepN = sweepRow(out)
+      try spark.stop() catch { case _: Throwable => () }
+      println(s"""{"dataset":"1x","dir":"$base","recall_vs_nprobe":$sweep1}""")
+      println(s"""{"dataset":"${factor}x","dir":"$out","recall_vs_nprobe":$sweepN}""")
+      return
     }
 
     val j1 = measure(base, "1x")

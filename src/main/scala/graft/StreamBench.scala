@@ -145,16 +145,29 @@ object StreamBench {
     * BEST run is below the bar — read the committed history before
     * calling that one a regression, but do not dismiss it unseen.
     */
-  def summaryJson(rs: Seq[Result], priorBest: Option[Long] = None): String = {
+  def summaryJson(rs: Seq[Result], priorBest: Option[Long] = None,
+      priorMedian: Option[Long] = None): String = {
     val med = rs.sortBy(_.msgsPerSec).apply(rs.size / 2)
     val best = rs.maxBy(_.msgsPerSec)
+    val worst = rs.minBy(_.msgsPerSec)
     val contended = best.msgsPerSec > 3L * med.msgsPerSec
+    // best/worst ratio: the thinness statistic the r13 record lacked (3
+    // runs spanning 24.8k–113.5k read as "median 98.7k" with the 4.6x
+    // spread visible only by eyeballing the run list)
+    val spread =
+      if (worst.msgsPerSec <= 0) 0.0
+      else best.msgsPerSec.toDouble / worst.msgsPerSec
+    val spreadS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(spread))
     val suspect = priorBest.map { p =>
       val flagged = rs.map(_.msgsPerSec).filter(_ * 3 < p)
       s""""prior_best":$p,"suspect_contended":[${flagged.mkString(",")}],""" +
         s""""suspect_all_runs":${flagged.size == rs.size},"""
     }.getOrElse("")
-    s"""{"median":${med.json},"best":${best.json},"contended":$contended,$suspect""" +
+    // carried alongside prior_best so the round-over-round comparison
+    // reads central tendency AND ceiling, not just the lucky run
+    val priorMed = priorMedian.map(p => s""""prior_median":$p,""").getOrElse("")
+    s"""{"median":${med.json},"best":${best.json},"contended":$contended,""" +
+      s""""spread":$spreadS,$suspect$priorMed""" +
       s""""runs":[${rs.map(_.json).mkString(",")}]}"""
   }
 

@@ -78,6 +78,15 @@ object DatasetStore {
           s"graft_${name}_${sfx}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
         try {
           build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          // publish-time completeness gate: the stage may only be
+          // stamped and swapped if the write provably finished — the
+          // committer's _SUCCESS marker present and no _temporary task
+          // subtree left behind. The age-threshold GC closes the likely
+          // partial-stage race; this closes the rest: under ANY
+          // unforeseen interleaving (a killed JVM mid-commit, a foreign
+          // sweep deleting task files), an incomplete stage is
+          // unpublishable rather than silently stamped fresh.
+          assertStageComplete(stage)
           // record the dataset path ABSOLUTE: the GC sweep's existence
           // check must not depend on the sweeping JVM's working dir
           val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
@@ -100,17 +109,50 @@ object DatasetStore {
         }
       }
       def readStore() = spark.read.parquet(dir.toString).localCheckpoint(eager = true)
-      try readStore()
-      catch {
-        // a cross-JVM writer swapping the identical relation mid-read
-        // (stale→fresh upgrade in the other JVM's timeline) can tear
-        // one file listing; if the store is fresh again, one retry
-        // reads the settled layout
-        case e: Throwable if fresh() =>
-          System.err.println(s"[dataset-store] read of $dir torn mid-swap, retrying: ${e.getMessage}")
-          readStore()
+      // a cross-JVM writer swapping the identical relation mid-read
+      // (stale→fresh upgrade in the other JVM's timeline) can tear a
+      // file listing; delete-then-move is not atomic across JVMs, so a
+      // SECOND tear (two foreign writers swapping in sequence, or a
+      // swap landing between the retry's listing and its task reads)
+      // was still possible under the old single retry. A small bounded
+      // loop makes the torn window negligible: each retry re-checks
+      // fresh() (content is deterministic, so any settled layout is the
+      // right one); a failure with the store NOT fresh propagates
+      // immediately — that is a real error, not a swap.
+      var attempt = 0
+      var result: org.apache.spark.sql.DataFrame = null
+      while (result == null) {
+        try result = readStore()
+        catch {
+          case e: Throwable if attempt < 3 && fresh() =>
+            attempt += 1
+            System.err.println(
+              s"[dataset-store] read of $dir torn mid-swap (attempt $attempt/3), retrying: ${e.getMessage}")
+        }
       }
+      result
     }
+  }
+
+  /** The publish-time completeness predicate (seam for the
+    * corrupt-stage spec): a stage directory is publishable iff the
+    * committer finished — `_SUCCESS` present, `_temporary` gone, and at
+    * least one part file. Throws (→ the caller's catch deletes the
+    * stage) otherwise.
+    */
+  private[core] def assertStageComplete(stage: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val success = Files.exists(stage.resolve("_SUCCESS"))
+    val temporary = Files.exists(stage.resolve("_temporary"))
+    val hasPart =
+      try {
+        val s = Files.list(stage)
+        try s.anyMatch(p => p.getFileName.toString.startsWith("part-"))
+        finally s.close()
+      } catch { case _: Throwable => false }
+    require(success && !temporary && hasPart,
+      s"staged store $stage incomplete (success=$success, temporary=$temporary, " +
+        s"parts=$hasPart) — refusing to publish")
   }
 
   /** Per-store intra-JVM writer locks (see [[persisted]]). */

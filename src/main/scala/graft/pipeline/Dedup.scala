@@ -419,8 +419,13 @@ object Dedup {
   // once per dataset: the UNCAPPED shingle universe read by the
   // novelty / source-overlap / cost diagnostics, which need the hot
   // shingles the capped posting lists deliberately drop. Each consumer
-  // previously re-shingled the whole corpus per call.
-  private val shingleExplodeMemo = new graft.core.Memo("shingle_explode")
+  // previously re-shingled the whole corpus per call. maxEntries = 1
+  // (not the default 4): this is the largest relation any memo pins
+  // (corpus-size × shingles-per-doc), only the uncapped diagnostics
+  // read it, and those run per-dataset in sequence — holding the
+  // exploded relation of up to four corpora at once would pin
+  // block-manager storage for nothing (r13 advisory).
+  private val shingleExplodeMemo = new graft.core.Memo("shingle_explode", maxEntries = 1)
 
   private def shingleExplode(spark: SparkSession, sfDir: String): DataFrame =
     shingleExplodeMemo.getOrElseUpdate(

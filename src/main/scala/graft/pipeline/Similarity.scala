@@ -668,14 +668,27 @@ object Similarity {
         col("best.d2").as("d2"), col("embedding"), col("nsq"))
   }
 
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfProbe(spark, sfDir, None)
+
+  /** Probe-width-parameterized IVF search — the recall-vs-nprobe
+    * instrument ([[graft.ScaleProbe]]'s `recall_sweep` mode). The
+    * registered `q_ann_ivf` always runs the production width
+    * ([[ivfProbeOf]]); the override exists so the probe CAP's recall
+    * cost is measurable at scale instead of asserted (the r13 10×
+    * record read a degenerate 1.000 because verbatim replicas were
+    * necessarily co-celled with their queries).
+    */
+  private[graft] def annIvfProbe(spark: SparkSession, sfDir: String,
+      nprobe: Option[Int]): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"))
     val centers = ivfCenters(spark, sfDir)
     val assigned = assignedCells(spark, sfDir)
     val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(probeCells(centers, ivfProbeOf(centers.length))))
+      .withColumn("probe", explode(probeCells(centers,
+        nprobe.getOrElse(ivfProbeOf(centers.length)))))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -749,9 +762,16 @@ object Similarity {
     * probes·k rows — constant-size work after the legs. Probes are
     * [[annTopk]]'s capped set (the IVF leg's extras drop in the join).
     */
-  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallProbe(spark, sfDir, None)
+
+  /** Probe-width-parameterized recall (None = production width) — see
+    * [[annIvfProbe]].
+    */
+  private[graft] def annRecallProbe(spark: SparkSession, sfDir: String,
+      nprobe: Option[Int]): DataFrame = {
     val exact = annTopk(spark, sfDir).select(col("q_id"), col("vec_id"))
-    val approx = annIvf(spark, sfDir)
+    val approx = annIvfProbe(spark, sfDir, nprobe)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))

@@ -37,6 +37,24 @@ class StreamBenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""contended":false"""))
   }
 
+  test("spread carries the best/worst ratio the r13 record only showed by eyeball") {
+    val s = StreamBench.summaryJson(Seq(r(24800), r(98700), r(113500)),
+      priorBest = Some(123067))
+    // 113500 / 24800 = 4.58 — the thin-record signature, now a field
+    assert(s.contains(""""spread":4.58"""))
+    val tight = StreamBench.summaryJson(Seq(r(100000), r(105000), r(110000)))
+    assert(tight.contains(""""spread":1.10"""))
+  }
+
+  test("prior_median rides beside prior_best when supplied") {
+    val s = StreamBench.summaryJson(Seq(r(90000), r(95000), r(100000)),
+      priorBest = Some(123067), priorMedian = Some(98700))
+    assert(s.contains(""""prior_best":123067"""))
+    assert(s.contains(""""prior_median":98700"""))
+    val without = StreamBench.summaryJson(Seq(r(90000)), priorBest = Some(123067))
+    assert(!without.contains("prior_median"))
+  }
+
   test("quiet runs near the committed best produce an empty suspect list") {
     val s = StreamBench.summaryJson(Seq(r(60000), r(65000), r(70000)),
       priorBest = Some(123067))

@@ -142,4 +142,47 @@ class DatasetStoreSpec extends SparkSpec {
     }
     assert(rowsOf(after) == expected)
   }
+
+  test("a corrupt stage is unpublishable: missing _SUCCESS, lingering _temporary, no parts") {
+    import java.nio.file.{Files, Paths}
+    // complete stage: _SUCCESS + a part file, no _temporary → publishable
+    val ok = Files.createTempDirectory("stage_ok")
+    Files.writeString(ok.resolve("_SUCCESS"), "")
+    Files.writeString(ok.resolve("part-00000-abc.snappy.parquet"), "x")
+    DatasetStore.assertStageComplete(ok)
+    // a killed JVM mid-commit: task output present, no _SUCCESS
+    val noSuccess = Files.createTempDirectory("stage_nosuccess")
+    Files.writeString(noSuccess.resolve("part-00000-abc.snappy.parquet"), "x")
+    intercept[IllegalArgumentException](DatasetStore.assertStageComplete(noSuccess))
+    // commit half-done: _SUCCESS racing a lingering _temporary subtree
+    val lingering = Files.createTempDirectory("stage_temp")
+    Files.writeString(lingering.resolve("_SUCCESS"), "")
+    Files.writeString(lingering.resolve("part-00000-abc.snappy.parquet"), "x")
+    Files.createDirectory(lingering.resolve("_temporary"))
+    intercept[IllegalArgumentException](DatasetStore.assertStageComplete(lingering))
+    // a foreign sweep deleted the task files: marker present, no parts
+    val noParts = Files.createTempDirectory("stage_noparts")
+    Files.writeString(noParts.resolve("_SUCCESS"), "")
+    intercept[IllegalArgumentException](DatasetStore.assertStageComplete(noParts))
+    // a nonexistent stage dir never publishes
+    intercept[IllegalArgumentException](
+      DatasetStore.assertStageComplete(Paths.get("/nonexistent/stage")))
+  }
+
+  test("an empty relation still publishes (Spark writes a schema-bearing empty part file)") {
+    // the completeness gate's hasPart test must not reject a
+    // legitimately empty deterministic relation (e.g. a dup-pair store
+    // on a dup-free corpus)
+    val ds = freshDataset("empty")
+    val df = DatasetStore.persisted(spark, ds, "spec_empty", "v1") {
+      spark.read.parquet(s"$ds/base.parquet")
+        .filter(col("id") < 0).select(col("id"), (col("id") * 3).as("w"))
+    }
+    assert(df.count() == 0)
+    // and the published store satisfies a later reader without a rebuild
+    val again = DatasetStore.persisted(spark, ds, "spec_empty", "v1") {
+      fail("empty store must be fresh, not rebuilt")
+    }
+    assert(again.count() == 0)
+  }
 }

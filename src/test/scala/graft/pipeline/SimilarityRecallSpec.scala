@@ -59,4 +59,27 @@ class IvfRecallSpec extends SparkSpec {
     val perQuery = Similarity.annIvf(spark, sf).groupBy(col("q_id")).count().collect()
     assert(perQuery.forall(_.getLong(1) == Similarity.IvfTopK.toLong))
   }
+
+  test("recall is monotone in nprobe and the production width matches its override") {
+    // probe sets are NESTED (top-p of the same sorted cell ranking), so
+    // widening the probe budget can only add candidates — mean recall
+    // must be non-decreasing in nprobe. This is the contract the
+    // ScaleProbe recall_sweep instrument reads at 10x; pinning it here
+    // keeps the parameterized path honest at gate scale too.
+    val sf = "/root/testdata/sf0.001"
+    def meanRecall(p: Option[Int]): Double =
+      Similarity.annRecallProbe(spark, sf, p)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val byWidth = Seq(1, 2, 4, 8).map(p => meanRecall(Some(p)))
+    byWidth.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo <= hi + 1e-9, s"recall must be monotone in nprobe: $byWidth")
+    }
+    // the default path IS the production width — same number both ways
+    val prod = meanRecall(None)
+    val cells = Similarity.ivfCellsOf(
+      Tables.embeddings(spark, sf).count())
+    val explicit = meanRecall(Some(Similarity.ivfProbeOf(cells)))
+    assert(prod == explicit,
+      s"production-width recall must equal its explicit override: $prod vs $explicit")
+  }
 }
