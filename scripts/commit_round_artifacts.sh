@@ -28,9 +28,12 @@ if [ ${#paths[@]} -eq 0 ]; then
 fi
 
 git add -- "${paths[@]}"
-if git diff --cached --quiet; then
+if git diff --cached --quiet -- "${paths[@]}"; then
   echo "round artifacts already committed" >&2
   exit 0
 fi
 
-git commit -m "round${round:+ ${round}}: driver artifacts (bench/correctness/leakcheck)"
+# pathspec-scoped commit: anything ELSE the user had staged stays
+# staged and is NOT swept into the artifact commit
+git commit -m "round${round:+ ${round}}: driver artifacts (bench/correctness/leakcheck)" \
+  -- "${paths[@]}"

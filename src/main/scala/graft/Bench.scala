@@ -173,10 +173,15 @@ object Bench {
     // `suspect_contended`, read the committed history before calling
     // it a regression; tight runs on a quiet canary → the code —
     // `suspect_regressed`, treat as a real perf defect.
-    val priorMins = priorRecordMins(dir, round)
-    val curCanary = math.min(canaryStart, canaryEnd)
-    val canaryIsHot = priorRecordCanary(dir, round)
-      .map(p => BenchSuspects.canaryHot(curCanary, p))
+    val priorBatchBody = latestPriorRecord(dir, round, "bench_results")
+    val priorMins = priorRecordMins(priorBatchBody)
+    // the HOT test reads the max of the two canaries: mid-run load
+    // shows only in the end canary, and the min (the number the record
+    // reports as canary_sec — closest to contention-free) would read a
+    // half-hot host as quiet and misfile its uniform slowdowns as
+    // regressions
+    val canaryIsHot = priorRecordCanary(priorBatchBody)
+      .map(p => BenchSuspects.canaryHot(math.max(canaryStart, canaryEnd), p))
     val classified = results.flatMap { case (k, ts) =>
       priorMins.get(k).flatMap(p =>
         BenchSuspects.classify(ts, p, canaryIsHot).map(v => (k, ts.min, p, v)))
@@ -209,24 +214,28 @@ object Bench {
       writeQuiet(dir.resolve(s"bench_results_r$round.json").toString, json + "\n")
 
     // streaming hot-path throughput into the official per-round record
-    // (2-topic narrow and 100-topic wide DSL; ~20 s total) — previously
-    // these numbers lived only in SCALE.md prose, so a regression could
-    // hide until someone re-measured by hand. Runs before the contract
-    // line is printed: the driver parses Bench's ONE stdout JSON line,
-    // which must stay last. Opt out with SPARK_GRAFT_STREAM_BENCH=0.
+    // (2-topic narrow and 100-topic wide DSL; ~40 s total at 6 runs per
+    // family) — previously these numbers lived only in SCALE.md prose,
+    // so a regression could hide until someone re-measured by hand.
+    // Runs before the contract line is printed: the driver parses
+    // Bench's ONE stdout JSON line, which must stay last. Opt out with
+    // SPARK_GRAFT_STREAM_BENCH=0.
     if (only.isEmpty && !sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
       val sJson = try {
-        // median-of-3 like the query timers, with every run RECORDED:
-        // a single contended run must not become the round's official
-        // throughput record (one r6 tail recorded 13.6k msg/s on a
-        // config that re-measures at ~45k on a quiet box), and the
-        // artifact itself must show the spread so a reader can tell
-        // ambient variance from a real regression without re-running
+        // a discarded warm-up then the MEDIAN of 5 recorded runs per
+        // family (r14 — 3 runs with a 4.6x spread made the median a
+        // coin flip): a single contended run must not become the
+        // round's official throughput record (one r6 tail recorded
+        // 13.6k msg/s on a config that re-measures at ~45k on a quiet
+        // box), and the artifact itself must show the spread so a
+        // reader can tell ambient variance from a real regression
+        // without re-running
         // the committed prior record's per-family BEST throughput: the
         // quiet-host signal the suspect_contended field adjudicates
         // against (mirrors priorRecordMins for the batch queries)
-        val priorBests = priorStreamBests(dir, round)
-        val priorMedians = priorStreamMedians(dir, round)
+        val priorStreamBody = latestPriorRecord(dir, round, "stream_bench")
+        val priorBests = priorStreamBests(priorStreamBody)
+        val priorMedians = priorStreamMedians(priorStreamBody)
         // round 14: a DISCARDED warm-up run (the first run of a family
         // absorbs that topology's codegen + state-store spin-up: r13's
         // 24.8 k outlier beside two ~100 k runs) followed by 5 measured
@@ -302,10 +311,10 @@ object Bench {
     * suffices; any read/parse failure degrades to an empty baseline
     * (no suspects), never a crash after the queries have run.
     */
-  private def priorRecordMins(dir: java.nio.file.Path, round: String): Map[String, Double] =
-    latestPriorRecord(dir, round, "bench_results").map { body =>
+  private def priorRecordMins(body: Option[String]): Map[String, Double] =
+    body.map { b =>
       val obj = """"queries_min"\s*:\s*\{([^}]*)\}""".r
-        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+        .findFirstMatchIn(b).map(_.group(1)).getOrElse("")
       """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
         .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
     }.getOrElse(Map.empty)
@@ -314,11 +323,14 @@ object Bench {
     * baseline for [[BenchSuspects.canaryHot]]. Missing/unparseable
     * degrades to None (classification then stays conservative:
     * every suspect reads as contended, the pre-round-14 behavior).
+    * Takes the already-read record body (shared with
+    * [[priorRecordMins]]) so both parses are guaranteed to see the
+    * SAME record and the file is listed + read once.
     */
-  private def priorRecordCanary(dir: java.nio.file.Path, round: String): Option[Double] =
-    latestPriorRecord(dir, round, "bench_results").flatMap { body =>
+  private def priorRecordCanary(body: Option[String]): Option[Double] =
+    body.flatMap { b =>
       """"canary_sec"\s*:\s*([0-9.eE+-]+)""".r
-        .findFirstMatchIn(body).flatMap(_.group(1).toDoubleOption)
+        .findFirstMatchIn(b).flatMap(_.group(1).toDoubleOption)
     }
 
   /** Body of the most recent COMMITTED prior record `<prefix>_r{M}.json`
@@ -359,12 +371,12 @@ object Bench {
     * history says otherwise. Read failures degrade to an empty
     * baseline (no suspects), never a crash.
     */
-  private def priorStreamBests(dir: java.nio.file.Path, round: String): Map[String, Long] =
-    latestPriorRecord(dir, round, "stream_bench").map { body =>
+  private def priorStreamBests(body: Option[String]): Map[String, Long] =
+    body.map { b =>
       // Result.json objects are flat, so the family's best is the
       // first "best":{"msgs_per_sec":N after the family key
       """"(\w+)":\{"median":\{[^}]*\},"best":\{"msgs_per_sec":(\d+)""".r
-        .findAllMatchIn(body)
+        .findAllMatchIn(b)
         .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
     }.getOrElse(Map.empty)
 
@@ -372,10 +384,10 @@ object Bench {
     * record — carried beside `prior_best` so the round-over-round story
     * reads central tendency and ceiling together (r13 Next #4).
     */
-  private def priorStreamMedians(dir: java.nio.file.Path, round: String): Map[String, Long] =
-    latestPriorRecord(dir, round, "stream_bench").map { body =>
+  private def priorStreamMedians(body: Option[String]): Map[String, Long] =
+    body.map { b =>
       """"(\w+)":\{"median":\{"msgs_per_sec":(\d+)""".r
-        .findAllMatchIn(body)
+        .findAllMatchIn(b)
         .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
     }.getOrElse(Map.empty)
 

@@ -34,13 +34,19 @@ object BenchSuspects {
   def isSuspect(runsMin: Double, priorMin: Double): Boolean =
     runsMin > 3 * priorMin && runsMin - priorMin > 0.2
 
-  /** Canary-hot test with a 0.3 s absolute floor: quiet-host canaries
-    * have been observed anywhere in 0.20–0.57 s (scan jitter), while
-    * genuinely contended rounds push the canary well past 1 s — a
-    * 0.20 → 0.45 s pair is jitter, not evidence of load.
+  /** Canary-hot test with a 0.45 s absolute floor: quiet-host canaries
+    * have been observed anywhere in 0.20–0.57 s (scan jitter) — so the
+    * floor must cover the full 0.37 s width of that envelope or an
+    * all-quiet 0.20 → 0.57 pair reads hot and a real code regression
+    * gets misfiled as contention (the exact r13 gap this class
+    * closes). Genuinely contended rounds push the canary well past
+    * 1 s, comfortably over both the ratio and the floor. The CALLER
+    * must pass the MAX of its start/end canaries: load that arrives
+    * mid-run shows only in the end canary, and feeding the min would
+    * read a half-hot host as quiet.
     */
   def canaryHot(currentSec: Double, priorSec: Double): Boolean =
-    currentSec > 2 * priorSec && currentSec - priorSec > 0.3
+    currentSec > 2 * priorSec && currentSec - priorSec > 0.45
 
   /** `Some("contended")` / `Some("regressed")` for a suspect query,
     * `None` when the min is within 3× of the prior record.

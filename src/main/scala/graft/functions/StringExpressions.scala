@@ -15,10 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * position allocated a 1-char UTF8String copy, a byte-array encode, a
   * hex string, and four `conv` string-to-long parses. This expression
   * does one bounded byte walk per sample — no intermediate strings —
-  * and produces BIT-IDENTICAL values (same UTF-8 arithmetic, same
-  * clamped-tail behavior on malformed input, NULL on the same inputs),
-  * so the DatasetStore-memoized phash/audio codes and every hash gate
-  * stay valid without a derivation-version bump.
+  * and produces BIT-IDENTICAL values on every well-defined input (all
+  * valid UTF-8, and every malformed shape except a truncated tail —
+  * see [[CodepointAtHelper]] for why that one case was an
+  * out-of-bounds read in the old chain and is deliberately not
+  * preserved). Every hash gate stays green; the phash/audio
+  * derivation versions are bumped once (`cpsamp3`) so pre-swap stores
+  * rebuild rather than relying on parity that malformed corpora
+  * cannot guarantee.
   */
 
 /** The Unicode CODEPOINT of the character at 1-based CHARACTER position
@@ -81,6 +85,34 @@ case class CodepointAt(text: Expression, pos: Expression)
 /** Shared interpreted/codegen kernel (static forwarder — janino calls
   * it as a plain static method). Returns -1 for out-of-range, which the
   * expression maps to NULL (-1 is unreachable as a real codepoint).
+  *
+  * Bit-parity contract with the old chain, INCLUDING malformed UTF-8
+  * (parquet does not validate string bytes, so a corpus CAN carry
+  * invalid sequences): the old chain's `encode(substr(...), 'utf-8')`
+  * round-tripped the character slot's raw bytes through a java
+  * String, so an invalid sequence became U+FFFD replacement char(s)
+  * BEFORE the arithmetic (e.g. a lone 0xC3 lead byte decoded to
+  * 0xFFFD, not 195). Strictly valid sequences (the entirety of real
+  * text) take the allocation-free fast path, whose raw decode equals
+  * the round-trip by construction; anything invalid — wrong
+  * continuation bytes, overlong encoding, surrogate range, beyond
+  * U+10FFFF, legacy 5/6-byte lead — falls back to the old chain's
+  * exact semantics: round-trip the slot's bytes through String and
+  * apply the same CASE-by-encoded-length arithmetic
+  * (CodepointMalformedSpec pins parity stream by stream against the
+  * retired chain run verbatim).
+  *
+  * ONE deliberate divergence: a multi-byte lead TRUNCATED at the end
+  * of the string. There `UTF8String.substring`'s byte walk oversteps
+  * `numBytes` and copies the lead's full claimed width — i.e. the old
+  * chain read bytes PAST the string into adjacent buffer memory
+  * (reproducibly a 0x00 for heap-backed literals, arbitrary for
+  * arena-backed parquet pages). That is an out-of-bounds read, not a
+  * semantic to preserve; this expression clamps to the available
+  * bytes (a truncated tail decodes like the other malformed shapes,
+  * typically to 0xFFFD). Because of exactly this case the phash/audio
+  * derivation versions were bumped (`cpsamp` → `cpsamp3`) instead of
+  * claiming store-level bit-identity on malformed corpora.
   */
 object CodepointAtHelper {
   def eval(s: UTF8String, pos: Long): Long = {
@@ -96,14 +128,37 @@ object CodepointAtHelper {
     val b0 = s.getByte(i) & 0xFF
     val width = UTF8String.numBytesForFirstByte(s.getByte(i))
     val avail = math.min(width, n - i)
-    // the exact CASE-by-encoded-length arithmetic of the old SQL chain:
-    // lead-byte modulus by width, continuation bytes mod 64
-    def cont(k: Int): Long = (s.getByte(i + k) & 0xFF) % 64
-    avail match {
-      case 1 => b0.toLong
-      case 2 => (b0 % 32).toLong * 64L + cont(1)
-      case 3 => (b0 % 16).toLong * 4096L + cont(1) * 64L + cont(2)
-      case _ => (b0 % 8).toLong * 262144L + cont(1) * 4096L + cont(2) * 64L + cont(3)
+    def cont(k: Int): Boolean = (s.getByte(i + k) & 0xC0) == 0x80
+    def b(k: Int): Long = (s.getByte(i + k) & 0xFF) % 64
+    // strict validity ⇒ raw decode == the round-trip decode
+    if (width == 1 && b0 < 0x80) return b0.toLong
+    if (avail == width) width match {
+      case 2 if b0 >= 0xC2 && b0 <= 0xDF && cont(1) =>
+        return (b0 % 32).toLong * 64L + b(1)
+      case 3 if cont(1) && cont(2) =>
+        val cp = (b0 % 16).toLong * 4096L + b(1) * 64L + b(2)
+        // reject overlong (< U+0800) and the surrogate range
+        if (cp >= 0x800L && !(cp >= 0xD800L && cp <= 0xDFFFL)) return cp
+      case 4 if cont(1) && cont(2) && cont(3) =>
+        val cp = (b0 % 8).toLong * 262144L + b(1) * 4096L + b(2) * 64L + b(3)
+        if (cp >= 0x10000L && cp <= 0x10FFFFL) return cp
+      case _ => ()
+    }
+    // malformed: the old chain's exact path — String round-trip, then
+    // the CASE-by-encoded-byte-length arithmetic (ELSE arm reads the
+    // first 4 bytes whatever the length)
+    val raw = new Array[Byte](avail)
+    var k = 0
+    while (k < avail) { raw(k) = s.getByte(i + k); k += 1 }
+    val enc = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def e(k: Int): Long = (enc(k) & 0xFF) % 64
+    enc.length match {
+      case 0 => -1L // conv('') is NULL in the old chain
+      case 1 => (enc(0) & 0xFF).toLong
+      case 2 => ((enc(0) & 0xFF) % 32).toLong * 64L + e(1)
+      case 3 => ((enc(0) & 0xFF) % 16).toLong * 4096L + e(1) * 64L + e(2)
+      case _ => ((enc(0) & 0xFF) % 8).toLong * 262144L + e(1) * 4096L + e(2) * 64L + e(3)
     }
   }
 }

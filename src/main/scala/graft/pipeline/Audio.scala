@@ -56,11 +56,18 @@ object Audio {
   /** Derivation fingerprint of the audio lane's persisted artifacts —
     * salts [[graft.core.DatasetStore]] signatures so a change to the
     * sampling expression or the lane's constants rebuilds every store
-    * automatically. "cpsamp" marks the round-13 codepoint-stable
-    * sampling (v2 of the derivation — v1 was byte-valued `ascii()`).
+    * automatically. "cpsamp3" marks the round-14 native
+    * [[graft.functions.CodepointAt]] sampler (v3 — v2 was the
+    * encode/hex/conv SQL chain, v1 byte-valued `ascii()`): values are
+    * identical on all VALID UTF-8, but on a string whose last
+    * character is a truncated multi-byte sequence the old chain's
+    * `substr` read past the buffer (adjacent-memory bytes entered the
+    * decode) where the native sampler clamps — so stores stamped by v2
+    * on a malformed corpus must rebuild rather than be trusted as
+    * value-identical.
     */
   private[graft] val DerivationVersion =
-    s"cpsamp:$Landmarks:$MinLandmarkAgree:$AudioBucketCap"
+    s"cpsamp3:$Landmarks:$MinLandmarkAgree:$AudioBucketCap"
 
   /** The landmark vector of any (doc_id, text) relation — narrow ops
     * only (streaming-safe). `smp` and `pk` are LAMBDA-bound (the

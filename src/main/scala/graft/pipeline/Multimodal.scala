@@ -690,7 +690,9 @@ object Multimodal {
     mergedStateMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
       graft.core.DatasetStore.persisted(spark, sfDir, "phash_merged_state",
-        version = s"cpsamp:$PhashRadius:$PhashBucketCap")(
+        // cpsamp3 = the round-14 native CodepointAt sampler (see
+        // Audio.DerivationVersion for the truncated-tail rationale)
+        version = s"cpsamp3:$PhashRadius:$PhashBucketCap")(
         computePhashIncremental(spark, sfDir)))
 
   private val mergedStateMemo = new graft.core.Memo("phash_merged_state")

@@ -13,7 +13,8 @@ import graft.SparkSpec
   * codegen path (column args), codepoint-counted positions across a
   * surrogate pair, int and bigint position types, and NULL on
   * out-of-range / NULL inputs — each matching what the old chain
-  * produced, so memoized codes need no derivation-version bump.
+  * produced on valid input (malformed-byte parity and its one
+  * documented divergence live in CodepointMalformedSpec).
   */
 class CodepointAtSpec extends SparkSpec {
   import spark.implicits._
