@@ -85,7 +85,7 @@ object ScaleProbe {
     // invalid input for the current probe's claims — the same staleness
     // class DatasetStore's version salt guards, applied to the probe's
     // own on-disk cache. Mismatch ⇒ regenerate everything.
-    val synthVersion = "v4-graded-perturbation"
+    val synthVersion = "v5-cycled-perturbation"
     locally {
       import java.nio.file.{Files, Paths}
       val verFile = Paths.get(out, "_synth_version")
@@ -139,11 +139,13 @@ object ScaleProbe {
     }
     // embeddings replicate under the same id remap with a GRADED
     // PER-REPLICA PERTURBATION (replica 0 verbatim; replica r adds
-    // deterministic per-component noise of amplitude 0.015·r, seeded
-    // from the remapped (vec_id, component) pair — the `~rep`
-    // vocabulary trick's vector twin). On 64-dim unit vectors the
-    // noise norm is ≈ 4.62·amplitude, so replica cosines to the base
-    // GRADE from ≈0.999 (r=1) down to ≈0.85 (r=9): every replica stays
+    // deterministic per-component noise of amplitude
+    // 0.015·(1 + (r−1) mod 9) — cycling so the schedule is factor-safe,
+    // see the expression comment below — seeded from the remapped
+    // (vec_id, component) pair, the `~rep` vocabulary trick's vector
+    // twin). On 64-dim unit vectors the noise norm is ≈ 4.62·amplitude,
+    // so replica cosines to the base GRADE from ≈0.999 down to ≈0.85
+    // within each 9-replica cycle: every replica stays
     // its base's genuine neighbor (organic pairs sit near cosine 0)
     // and far above every dup threshold (SemDeDup τ = 0.4), so the
     // planted cross-replica semantic-dup lattice — the composed
@@ -166,9 +168,23 @@ object ScaleProbe {
           col("rep"), col("embedding"), col("label"))
         .withColumn("embedding",
           when(col("rep") === 0, col("embedding"))
+            // amplitude CYCLES 0.015..0.135 (1 + (rep−1) mod 9): the
+            // schedule saturates at the factor-10 grading whatever the
+            // factor. The first form (0.015·rep unbounded) was a
+            // factor-10 design silently inherited by factor 100, where
+            // rep 99 carried per-component noise ±1.49 — norm ≈ 7 on
+            // unit vectors, i.e. 90% of the corpus was far-flung NOISE,
+            // not near-dup replicas: the planted dup lattice dissolved
+            // (cos < τ beyond rep ≈ 20) and the IVF fit collapsed to a
+            // 98%-share cell (196,485 of 200,000 vectors in cell 0 —
+            // measured), turning q_ann_ivfpq's candidate join into a
+            // ~4×10⁸-row sort that ran for an hour. At factor ≤ 10 the
+            // cycled form is IDENTICAL to the graded form, so the 10×
+            // recall table stands unchanged.
             .otherwise(expr(
               """transform(embedding, (x, i) ->
-                 CAST(x + (0.015 * rep) * ((pmod(xxhash64(vec_id, i), 2001) - 1000) / 1000.0)
+                 CAST(x + (0.015 * (1 + pmod(rep - 1, 9)))
+                        * ((pmod(xxhash64(vec_id, i), 2001) - 1000) / 1000.0)
                       AS FLOAT))""")))
         .select(col("vec_id"), col("embedding"), col("label"))
         .repartition(cpus.toInt).write.mode(SaveMode.Overwrite).parquet(synthEmb)
