@@ -92,20 +92,42 @@ object Similarity {
 
   // ---- q_ann_lsh -----------------------------------------------------
 
-  /** Structured-sign LSH code, 32 bits from two orthogonal contrast
-    * families — deterministic "hyperplanes" needing no stored random
-    * planes (and no transcendentals, keeping both engines
-    * bit-identical):
-    *   bit j      (0..15): sign of v[j] - v[j+16] + v[j+32] - v[j+48]
-    *   bit j+16   (0..15): sign of v[j] + v[j+16] - v[j+32] - v[j+48]
-    * 8 bands x 4 bits. Sign-LSH recall depends on similarity
-    * (P(bit agrees) = 1 - angle/pi); at cos >= 0.45 this configuration
-    * reaches ~0.9 recall while candidates stay a modest fraction of
-    * all pairs (see SimilarityRecallSpec).
+  /** Structured-sign LSH code, 64 bits from the FOUR orthogonal
+    * quarter-Hadamard contrast families over the vector's quarters
+    * (a, b, c, d) = (v[j], v[j+16], v[j+32], v[j+48]) — deterministic
+    * "hyperplanes" needing no stored random planes (and no
+    * transcendentals, keeping both engines bit-identical). Stored as
+    * two NON-NEGATIVE 32-bit halves (the `simhashes64` precedent,
+    * Dedup.scala) so every downstream shift/mask/bit_count is
+    * engine-portable — no arithmetic-shift or sign-overflow semantics
+    * to pin:
+    *   lo bit j    (0..15): sign of a - b + c - d   (Hadamard row +-+-)
+    *   lo bit j+16 (0..15): sign of a + b - c - d   (Hadamard row ++--)
+    *   hi bit j    (0..15): sign of a - b - c + d   (Hadamard row +--+)
+    *   hi bit j+16 (0..15): sign of a + b + c + d   (Hadamard row ++++)
+    * All 64 planes are mutually orthogonal (disjoint supports across
+    * j; orthogonal Hadamard rows within a j). The lo half IS the
+    * pre-round-15 32-bit code — width GREW, no bit moved, so every
+    * recall measurement on the old code remains a lower-bound anchor.
+    *
+    * Sign-LSH recall depends on similarity (P(bit agrees) =
+    * 1 - angle/pi); band width sets the selectivity and is chosen
+    * per-corpus by [[signBandWidthOf]] — see the scaladoc there for
+    * the width-grows-with-the-corpus policy that replaced the fixed
+    * 4-bit nibbles (whose organic buckets held n/16 vectors, a
+    * measured n²/32 candidate knee at 200 k vectors, SCALE.md r14).
     */
-  val CodeBits = 32
+  val SignCodeBits = 64
   val Bands = 8
 
+  /** Band b's first bit: bands anchor every 8 bits of the 64-bit code
+    * and WIDEN in place as [[signBandWidthOf]] grows, so the band set
+    * at width r+1 strictly refines the band set at width r (candidate
+    * sets shrink monotonically with corpus growth, never jump).
+    */
+  val SignBandStride = 8
+
+  /** The lo 32 bits (families +-+- and ++--). */
   def signCode(v: Column): Column =
     (0 until 32).map { j =>
       val b = j % 16
@@ -119,6 +141,20 @@ object Similarity {
       when(contrast > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The hi 32 bits (families +--+ and ++++). */
+  def signCodeHi(v: Column): Column =
+    (0 until 32).map { j =>
+      val b = j % 16
+      val contrast =
+        if (j < 16)
+          element_at(v, b + 1).cast("double") - element_at(v, b + 17).cast("double") -
+            element_at(v, b + 33).cast("double") + element_at(v, b + 49).cast("double")
+        else
+          element_at(v, b + 1).cast("double") + element_at(v, b + 17).cast("double") +
+            element_at(v, b + 33).cast("double") + element_at(v, b + 49).cast("double")
+      when(contrast > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   val signCodeSql: String =
     """CAST(list_sum([
          CASE WHEN CAST(v[(j % 16) + 1] AS DOUBLE)
@@ -128,41 +164,162 @@ object Similarity {
               THEN (1::BIGINT << j) ELSE 0 END
          for j in generate_series(0, 31)]) AS BIGINT)"""
 
-  /** The 8-band × 4-bit explode of a `code` column — ONE definition
-    * (the `phashBandRows` pattern) consumed by the LSH index
-    * ([[annLsh]]), the cell-scoped dedup ([[semanticDedup]]), and the
-    * index's recall eval ([[annLshRecall]]), so a drifting shift or
-    * modulus can never silently desynchronize an index from its eval.
+  val signCodeHiSql: String =
+    """CAST(list_sum([
+         CASE WHEN CAST(v[(j % 16) + 1] AS DOUBLE)
+                   + (CASE WHEN j < 16 THEN -1.0 ELSE 1.0 END) * CAST(v[(j % 16) + 17] AS DOUBLE)
+                   + (CASE WHEN j < 16 THEN -1.0 ELSE 1.0 END) * CAST(v[(j % 16) + 33] AS DOUBLE)
+                   + CAST(v[(j % 16) + 49] AS DOUBLE) > 0
+              THEN (1::BIGINT << j) ELSE 0 END
+         for j in generate_series(0, 31)]) AS BIGINT)"""
+
+  /** Expected organic bucket occupancy the band-width policy holds:
+    * [[signBandWidthOf]] returns the smallest width r with
+    * ceil(n / 2^r) <= this target.
+    */
+  val SignBucketTarget = 128L
+
+  /** Width at the small end — the pre-round-15 selectivity (n/16 per
+    * bucket at sf0.1), which is where the measured 0.74 top-5 recall
+    * floor on organic geometry lives.
+    */
+  val SignBandWidthFloor = 4
+
+  /** Width ceiling: 16-bit bands, the `simhash64Bands` geometry. */
+  val SignBandWidthCeil = 16
+
+  /** CODE WIDTH GROWS WITH THE CORPUS — the scale lever
+    * `q_dedup_simhash64` proved for text, applied to the sign lane:
+    * the band width r(n) is the smallest width keeping the EXPECTED
+    * organic bucket at or under [[SignBucketTarget]] vectors, so the
+    * per-band candidate volume stays ~ n·target/2 instead of the fixed
+    * geometry's n²/2^r. At sf0.1 (n = 2,000) this is the floor width 4
+    * (today's recall, bit-for-bit candidate superset); at the measured
+    * 200 k-vector knee it is 11 (organic buckets ~98, candidate volume
+    * ~1.1×10⁸ — measured 100× down from the fixed-nibble 10¹⁰); at 2 M
+    * it is 14. The recall price on LOW-cosine organic pairs is the
+    * honest LSH tradeoff and is priced in SCALE.md (planted near-dup
+    * cliques — the at-scale dup geometry, cos ≥ 0.85 — keep ≥ 0.74
+    * pair recall at width 11; organic cos-0.3 tail recall decays by
+    * design, with IVF/PQ as the shipped at-scale alternatives).
+    * Integer ladder, no floating log — [[signWidthCteSql]] is the
+    * oracle's EXACT mirror.
+    */
+  def signBandWidthOf(n: Long): Int = {
+    var r = SignBandWidthFloor
+    while (r < SignBandWidthCeil && n > (SignBucketTarget << r)) r += 1
+    r
+  }
+
+  /** One-row CTE body computing the band width from the corpus count —
+    * the DuckDB mirror of [[signBandWidthOf]] as an exact integer
+    * CASE ladder (no float log2 at either engine).
+    */
+  val signWidthCteSql: String = {
+    val ladder = (SignBandWidthFloor until SignBandWidthCeil)
+      .map(r => s"WHEN c <= ${SignBucketTarget << r} THEN $r").mkString(" ")
+    s"SELECT CASE $ladder ELSE $SignBandWidthCeil END AS r FROM (SELECT count(*) AS c FROM embeddings)"
+  }
+
+  /** Bit k (0..63) of the conceptual 64-bit code hi||lo, as a 0/1
+    * column — shifts only ever touch the non-negative halves.
+    */
+  private def signBitAt(hi: Column, lo: Column, k: Int): Column =
+    (if (k < 32) shiftright(lo, k) else shiftright(hi, k - 32)).bitwiseAND(lit(1L))
+
+  /** Band b's value at width r: bits [8b, 8b+r) of hi||lo, wrapping
+    * past bit 63 (band 7 at widths over 8).
+    */
+  private def signBandVal(hi: Column, lo: Column, b: Int, r: Int): Column =
+    (0 until r).map { i =>
+      signBitAt(hi, lo, (SignBandStride * b + i) % SignCodeBits) * lit(1L << i)
+    }.reduce(_ + _)
+
+  /** The 8-band explode of a (code_hi, code_lo) relation at width `r` —
+    * ONE definition (the `phashBandRows` pattern) consumed by the LSH
+    * index ([[annLsh]]), the cell-scoped dedup ([[semanticDedup]]), and
+    * the index's recall eval ([[annLshRecall]]), so a drifting shift or
+    * width can never silently desynchronize an index from its eval.
     * `keep` carries the caller's narrow payload columns through the
     * explode.
     */
-  private[pipeline] def signBandRows(df: DataFrame, keep: Seq[String]): DataFrame =
+  private[pipeline] def signBandRows(df: DataFrame, keep: Seq[String], r: Int): DataFrame =
     df.select(
       keep.map(col) :+
         explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band"), (shiftright(col("code"), 4 * b) % lit(16L)).as("nib"))
+          struct(lit(b).as("band"),
+            signBandVal(col("code_hi"), col("code_lo"), b, r).as("bv"))
         }: _*)).as("bd"): _*)
-      .select(keep.map(col) :+ col("bd.band").as("band") :+ col("bd.nib").as("nib"): _*)
+      .select(keep.map(col) :+ col("bd.band").as("band") :+ col("bd.bv").as("bv"): _*)
 
-  /** LSH-bucketed similar pairs: the 32-bit sign code is split into 8
-    * bands of 4 bits; pairs sharing any band are candidates (equi join
-    * on (band, nibble) — no cross join), refined with exact cosine
-    * >= 0.3 and deduplicated. Output also reports code Hamming distance.
+  /** DuckDB mirror of [[signBandVal]] — `band` is a column reference,
+    * the width comes from the joined one-row `w` CTE
+    * ([[signWidthCteSql]]); the series is fixed 0..15 with an `i < w.r`
+    * gate so no engine needs a dynamic series bound.
+    */
+  private def signBandValSql(hi: String, lo: String, band: String): String =
+    s"""list_sum([CASE WHEN i < w.r THEN
+             ((CASE WHEN ($SignBandStride * $band + i) % $SignCodeBits < 32
+                    THEN ($lo >> (($SignBandStride * $band + i) % $SignCodeBits))
+                    ELSE ($hi >> (($SignBandStride * $band + i) % $SignCodeBits - 32)) END) % 2)
+             * (1::BIGINT << i) ELSE 0 END
+           for i in generate_series(0, 15)])"""
+
+  /** Max vectors per (band, bv) bucket — the same stop-loss semantics
+    * as `Simhash64BucketCap`: with width-scaled bands the ORGANIC
+    * bucket is ~[[SignBucketTarget]] and a planted near-dup clique is
+    * output-sized, so this guard is ~never binding on real geometry;
+    * it exists so a degenerate corpus (e.g. all-zero vectors sharing
+    * code 0) drops its pathological buckets instead of going
+    * quadratic. Hot buckets drop via broadcast ANTI join on both
+    * engines.
+    */
+  val SignBucketCap = 4096L
+
+  /** The band rows of the PAIR lane after the hot-bucket stop-loss —
+    * materialized, because the caller's self-join reads it from both
+    * sides and the hot aggregate must run once, not per side. The rows
+    * are narrow (id, band, bv): ~24 bytes x n x [[Bands]].
+    */
+  private def signKeptBands(banded: DataFrame): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > SignBucketCap)
+      .select(col("band"), col("bv"))
+    banded.join(broadcast(hot), Seq("band", "bv"), "left_anti").mat
+  }
+
+  /** LSH-bucketed similar pairs: the 64-bit sign code is split into 8
+    * bands of [[signBandWidthOf]] bits; pairs sharing any band are
+    * candidates (equi join on (band, bv) — no cross join), refined with
+    * exact cosine >= 0.3 and deduplicated. Output also reports the
+    * 64-bit code Hamming distance.
+    *
+    * Scale: the one knob that matters is the band width — fixed 4-bit
+    * nibbles held n/16 vectors per organic bucket (a measured n²/32
+    * candidate knee, > 900 s at 200 k vectors, SCALE.md r14); the
+    * width policy keeps organic buckets at ~[[SignBucketTarget]] so
+    * candidates grow ~ n·target·[[Bands]]/2 (measured 1.1×10⁸ at
+    * 200 k, width 11). [[SignBucketCap]] is the degenerate-corpus
+    * stop-loss on top.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // codes/norms are consumed three times (band explode + two gather
-    // joins); persist so signCode/norm lambdas run once per vector
+    // joins); persist so signCode/norm lambdas run once per vector.
+    // The count() that sizes the band width reads the same cache.
     val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
+      .select(col("vec_id"), col("embedding"),
+        signCodeHi(col("embedding")).as("code_hi"),
+        signCode(col("embedding")).as("code_lo"),
         dot(col("embedding"), col("embedding")).as("nsq"))
       .mat
-    val banded = signBandRows(emb, Seq("vec_id", "embedding", "code", "nsq"))
-    // dedupe candidate PAIRS as narrow (id, id) rows — a pair hit in k
-    // bands must not shuffle its 64-float payload k times — then gather
-    // the vectors back with two joins against the narrow base relation.
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+    val r = signBandWidthOf(emb.count())
+    // band legs are NARROW (id, band, bv) rows — a pair hit in k bands
+    // must not shuffle its 64-float payload k times; vectors gather
+    // back by id after the candidate distinct.
+    val kept = signKeptBands(signBandRows(emb, Seq("vec_id"), r))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
@@ -172,33 +329,57 @@ object Similarity {
       .withColumn("cos",
         round(dot(col("ea.embedding"), col("eb.embedding")) / sqrt(col("ea.nsq") * col("eb.nsq")), 6))
       .filter(col("cos") >= 0.3)
-      .withColumn("hamming", bit_count(col("ea.code").bitwiseXOR(col("eb.code"))))
+      .withColumn("hamming",
+        bit_count(col("ea.code_hi").bitwiseXOR(col("eb.code_hi"))) +
+          bit_count(col("ea.code_lo").bitwiseXOR(col("eb.code_lo"))))
       .select(col("id_a"), col("id_b"), col("cos"), col("hamming"))
   }
 
-  val annLshSql: String =
+  /** Shared oracle CTE chain e -> banded -> kept -> cand for the two
+    * pair queries — the exact SQL mirror of [[annLsh]]'s candidate
+    * path (width ladder, band values, hot-bucket anti join, pair
+    * distinct).
+    */
+  private def signPairCteSql: String =
     s"""
-    WITH e AS (
+    WITH w AS ($signWidthCteSql),
+    e AS (
       SELECT vec_id, embedding,
-             ${signCodeSql.replace("v[", "embedding[")} AS code
+             ${signCodeHiSql.replace("v[", "embedding[")} AS code_hi,
+             ${signCodeSql.replace("v[", "embedding[")} AS code_lo
       FROM embeddings
     ),
     banded AS (
-      SELECT vec_id, embedding, code, b.band, (code >> (4 * b.band)) % 16 AS nib
-      FROM e CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
+      SELECT vec_id, b.band,
+             ${signBandValSql("code_hi", "code_lo", "b.band")} AS bv
+      FROM e CROSS JOIN w
+             CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
+    ),
+    hot AS (
+      SELECT band, bv FROM banded GROUP BY band, bv HAVING count(*) > $SignBucketCap
+    ),
+    kept AS (
+      SELECT banded.* FROM banded
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = banded.band AND h.bv = banded.bv)
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-             a.embedding AS emb_a, b.embedding AS emb_b,
-             a.code AS code_a, b.code AS code_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b,
-           round(${cosineSql("emb_a", "emb_b")}, 6) AS cos,
-           bit_count(xor(code_a, code_b)) AS hamming
-    FROM cand
-    WHERE round(${cosineSql("emb_a", "emb_b")}, 6) >= 0.3"""
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )"""
+
+  val annLshSql: String =
+    s"""
+    $signPairCteSql
+    SELECT c.id_a, c.id_b,
+           round(${cosineSql("ea.embedding", "eb.embedding")}, 6) AS cos,
+           bit_count(xor(ea.code_hi, eb.code_hi))
+             + bit_count(xor(ea.code_lo, eb.code_lo)) AS hamming
+    FROM cand c
+    JOIN e ea ON c.id_a = ea.vec_id
+    JOIN e eb ON c.id_b = eb.vec_id
+    WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6) >= 0.3"""
 
   // ---- q_dedup_embed -------------------------------------------------
 
@@ -211,24 +392,13 @@ object Similarity {
 
   val embedDedupSql: String =
     s"""
-    WITH e AS (
-      SELECT vec_id, embedding,
-             ${signCodeSql.replace("v[", "embedding[")} AS code
-      FROM embeddings
-    ),
-    banded AS (
-      SELECT vec_id, embedding, code, b.band, (code >> (4 * b.band)) % 16 AS nib
-      FROM e CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-             a.embedding AS emb_a, b.embedding AS emb_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, round(${cosineSql("emb_a", "emb_b")}, 6) AS cos
-    FROM cand
-    WHERE round(${cosineSql("emb_a", "emb_b")}, 6) >= 0.4"""
+    $signPairCteSql
+    SELECT c.id_a, c.id_b,
+           round(${cosineSql("ea.embedding", "eb.embedding")}, 6) AS cos
+    FROM cand c
+    JOIN e ea ON c.id_a = ea.vec_id
+    JOIN e eb ON c.id_b = eb.vec_id
+    WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6) >= 0.4"""
 
   // ---- q_embed_centroid ----------------------------------------------
 
@@ -809,22 +979,26 @@ object Similarity {
     * is closed-form — no frozen fit).
     *
     * Scale: the probe side is ≤ 100 rows broadcast into the banded
-    * corpus (narrow (id, band, nib) rows — no vector payloads move for
+    * corpus (narrow (id, band, bv) rows — no vector payloads move for
     * candidate generation); payloads gather by id afterwards for the
     * bounded candidate set only; the truth leg is the declared capped
     * brute-force baseline.
     */
   def annLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
+      .select(col("vec_id"), col("embedding"),
+        signCodeHi(col("embedding")).as("code_hi"),
+        signCode(col("embedding")).as("code_lo"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-    def bandsOf(df: DataFrame): DataFrame = signBandRows(df, Seq("vec_id"))
+      .mat
+    val r = signBandWidthOf(emb.count())
+    def bandsOf(df: DataFrame): DataFrame = signBandRows(df, Seq("vec_id"), r)
     val banded = bandsOf(emb)
     val probeBands = bandsOf(
       emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap))
-      .select(col("vec_id").as("q_id"), col("band"), col("nib"))
+      .select(col("vec_id").as("q_id"), col("band"), col("bv"))
     val cand = broadcast(probeBands).join(banded,
-        Seq("band", "nib"))
+        Seq("band", "bv"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
@@ -848,23 +1022,27 @@ object Similarity {
 
   val annLshRecallSql: String =
     s"""
-    WITH e AS (
+    WITH w AS ($signWidthCteSql),
+    e AS (
       SELECT vec_id, embedding,
-             ${signCodeSql.replace("v[", "embedding[")} AS code,
+             ${signCodeHiSql.replace("v[", "embedding[")} AS code_hi,
+             ${signCodeSql.replace("v[", "embedding[")} AS code_lo,
              ${dotSql("embedding", "embedding")} AS nsq
       FROM embeddings
     ),
     banded AS (
-      SELECT vec_id, b.band, (code >> (4 * b.band)) % 16 AS nib
-      FROM e CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
+      SELECT vec_id, b.band,
+             ${signBandValSql("code_hi", "code_lo", "b.band")} AS bv
+      FROM e CROSS JOIN w
+             CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
     ),
     pb AS (
-      SELECT vec_id AS q_id, band, nib FROM banded
+      SELECT vec_id AS q_id, band, bv FROM banded
       WHERE vec_id % 100 = 0 AND vec_id < $TopkQueryCap
     ),
     cand AS (
       SELECT DISTINCT p.q_id, c.vec_id
-      FROM pb p JOIN banded c ON p.band = c.band AND p.nib = c.nib
+      FROM pb p JOIN banded c ON p.band = c.band AND p.bv = c.bv
       WHERE c.vec_id <> p.q_id
     ),
     scored AS (
@@ -1114,7 +1292,7 @@ object Similarity {
     * Scale: the quadratic danger in SemDeDup is the within-cluster
     * all-pairs compare. This implementation never forms it — candidate
     * pairs come from the SAME sign-LSH band buckets as [[annLsh]]
-    * (equi join on (band, nibble, cell)) with the keeper side capped
+    * (equi join on (band, bv, cell)) with the keeper side capped
     * at the cell's prototypical core (rk ≤ [[KnnCellCap]] — a skewed
     * giant cell stays |cell|·cap, never |cell|²), deduplicated as
     * narrow (id, id) rows BEFORE the 64-float payload gather, then
@@ -1129,20 +1307,23 @@ object Similarity {
     // gathers; persist so signCode runs once per vector (annLsh's
     // discipline). Self-releasing Mat boundary, no harness discipline.
     val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), signCode(col("embedding")).as("code"),
+      .select(col("vec_id"), col("embedding"),
+        signCodeHi(col("embedding")).as("code_hi"),
+        signCode(col("embedding")).as("code_lo"),
         dot(col("embedding"), col("embedding")).as("nsq"))
     val w = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
     val ranked = emb
       .withColumn("best",
         graft.functions.VectorFunctions
           .nearestCenter(col("embedding"), 0, centers.head.length, centers))
-      .select(col("vec_id"), col("embedding"), col("code"), col("nsq"),
+      .select(col("vec_id"), col("embedding"), col("code_hi"), col("code_lo"), col("nsq"),
         col("best.code").as("cell"), col("best.d2").as("d2"))
       .withColumn("rk", row_number().over(w))
       .mat
-    // narrow (band, nib, cell)-keyed self-join; pairs dedup'd as ids
+    val r = signBandWidthOf(ranked.count())
+    // narrow (band, bv, cell)-keyed self-join; pairs dedup'd as ids
     // before the payload gather, exactly like annLsh
-    val bandedTagged = signBandRows(ranked, Seq("vec_id", "cell", "rk"))
+    val bandedTagged = signBandRows(ranked, Seq("vec_id", "cell", "rk"), r)
     // keeper side capped at the cell's prototypical core (rk ≤
     // KnnCellCap): a giant skewed cell generates |cell|·cap candidates
     // per band bucket instead of |cell|² — dup groups resolve toward
@@ -1150,7 +1331,7 @@ object Similarity {
     // keepers live (SemDeDup's keeper rule, made skew-safe)
     val cand = bandedTagged.as("a")
       .join(bandedTagged.as("b"),
-        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.cell") === col("b.cell") && col("a.rk") < col("b.rk") &&
           col("a.rk") <= KnnCellCap)
       .select(col("a.vec_id").as("id_keep"), col("b.vec_id").as("id_dup"))
@@ -1176,36 +1357,40 @@ object Similarity {
       s"""
     WITH cents(cell, cc, cv) AS (VALUES
       ${centroidValuesSql(centers)}),
+    w AS ($signWidthCteSql),
     e AS (
       SELECT vec_id, embedding,
-             ${signCodeSql.replace("v[", "embedding[")} AS code,
+             ${signCodeHiSql.replace("v[", "embedding[")} AS code_hi,
+             ${signCodeSql.replace("v[", "embedding[")} AS code_lo,
              ${dotSql("embedding", "embedding")} AS nsq
       FROM embeddings
     ),
     celled AS (
-      SELECT vec_id, embedding, code, nsq, cell, d2,
+      SELECT vec_id, embedding, code_hi, code_lo, nsq, cell, d2,
              row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crk
       FROM (
-        SELECT e.vec_id, e.embedding, e.code, e.nsq, c.cell,
+        SELECT e.vec_id, e.embedding, e.code_hi, e.code_lo, e.nsq, c.cell,
                greatest((e.nsq - CAST(2 AS DOUBLE) * ${dotCvSql("e.embedding", "c.cv")}) + c.cc,
                         CAST(0 AS DOUBLE)) AS d2
         FROM e CROSS JOIN cents c
       )
     ),
     ranked AS (
-      SELECT vec_id, embedding, code, nsq, cell, d2,
+      SELECT vec_id, embedding, code_hi, code_lo, nsq, cell, d2,
              row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS rk
       FROM celled WHERE crk = 1
     ),
     banded AS (
-      SELECT vec_id, cell, rk, embedding, nsq, b.band, (code >> (4 * b.band)) % 16 AS nib
-      FROM ranked CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
+      SELECT vec_id, cell, rk, embedding, nsq, b.band,
+             ${signBandValSql("code_hi", "code_lo", "b.band")} AS bv
+      FROM ranked CROSS JOIN w
+             CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_keep, b.vec_id AS id_dup,
              a.embedding AS emb_a, b.embedding AS emb_b, a.nsq AS na, b.nsq AS nb
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.nib = b.nib AND a.cell = b.cell AND a.rk < b.rk
+        ON a.band = b.band AND a.bv = b.bv AND a.cell = b.cell AND a.rk < b.rk
            AND a.rk <= $KnnCellCap
     ),
     dropped AS (

@@ -167,12 +167,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("sign code is deterministic and within 32 bits") {
+  test("sign code halves are deterministic, non-negative, within 32 bits each") {
     val v = (0 until 64).map(i => (i % 7 - 3).toFloat).toArray
     val df = Seq(Tuple1(v), Tuple1(v)).toDF("embedding")
-    val codes = df.select(Similarity.signCode(col("embedding"))).collect().map(_.getLong(0))
+    val codes = df.select(Similarity.signCode(col("embedding")),
+        Similarity.signCodeHi(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
     assert(codes(0) == codes(1))
-    assert(codes(0) >= 0 && codes(0) < (1L << Similarity.CodeBits))
+    codes.foreach { case (lo, hi) =>
+      assert(lo >= 0 && lo < (1L << 32), s"lo half out of range: $lo")
+      assert(hi >= 0 && hi < (1L << 32), s"hi half out of range: $hi")
+    }
   }
 }
 
