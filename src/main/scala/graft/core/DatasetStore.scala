@@ -86,7 +86,9 @@ object DatasetStore {
           // unforeseen interleaving (a killed JVM mid-commit, a foreign
           // sweep deleting task files), an incomplete stage is
           // unpublishable rather than silently stamped fresh.
-          assertStageComplete(stage)
+          assertStageComplete(stage,
+            requireSuccessMarker = spark.sparkContext.hadoopConfiguration
+              .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true))
           // record the dataset path ABSOLUTE: the GC sweep's existence
           // check must not depend on the sweeping JVM's working dir
           val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
@@ -119,12 +121,15 @@ object DatasetStore {
       // fresh() (content is deterministic, so any settled layout is the
       // right one); a failure with the store NOT fresh propagates
       // immediately — that is a real error, not a swap.
+      // NonFatal only: an OutOfMemoryError (or any fatal JVM error)
+      // during the read is not a swap tear and must propagate instead
+      // of re-running the read under memory pressure.
       var attempt = 0
       var result: org.apache.spark.sql.DataFrame = null
       while (result == null) {
         try result = readStore()
         catch {
-          case e: Throwable if attempt < 3 && fresh() =>
+          case scala.util.control.NonFatal(e) if attempt < 3 && fresh() =>
             attempt += 1
             System.err.println(
               s"[dataset-store] read of $dir torn mid-swap (attempt $attempt/3), retrying: ${e.getMessage}")
@@ -139,8 +144,16 @@ object DatasetStore {
     * committer finished — `_SUCCESS` present, `_temporary` gone, and at
     * least one part file. Throws (→ the caller's catch deletes the
     * stage) otherwise.
+    *
+    * `requireSuccessMarker` is false when the session's Hadoop conf
+    * disables the marker (`mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs=false`, common in production Spark configs) —
+    * there the absence of `_SUCCESS` is expected, so the marker check
+    * degrades to a warning while the `_temporary` and part-file checks
+    * stay hard.
     */
-  private[core] def assertStageComplete(stage: java.nio.file.Path): Unit = {
+  private[core] def assertStageComplete(stage: java.nio.file.Path,
+      requireSuccessMarker: Boolean = true): Unit = {
     import java.nio.file.Files
     val success = Files.exists(stage.resolve("_SUCCESS"))
     val temporary = Files.exists(stage.resolve("_temporary"))
@@ -150,7 +163,11 @@ object DatasetStore {
         try s.anyMatch(p => p.getFileName.toString.startsWith("part-"))
         finally s.close()
       } catch { case _: Throwable => false }
-    require(success && !temporary && hasPart,
+    if (!success && !requireSuccessMarker)
+      System.err.println(
+        s"[dataset-store] $stage has no _SUCCESS marker (marksuccessfuljobs=false); " +
+          "publishing on the _temporary/part checks alone")
+    require((success || !requireSuccessMarker) && !temporary && hasPart,
       s"staged store $stage incomplete (success=$success, temporary=$temporary, " +
         s"parts=$hasPart) — refusing to publish")
   }

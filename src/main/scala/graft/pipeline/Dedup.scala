@@ -419,13 +419,18 @@ object Dedup {
   // once per dataset: the UNCAPPED shingle universe read by the
   // novelty / source-overlap / cost diagnostics, which need the hot
   // shingles the capped posting lists deliberately drop. Each consumer
-  // previously re-shingled the whole corpus per call. maxEntries = 1
+  // previously re-shingled the whole corpus per call. maxEntries = 2
   // (not the default 4): this is the largest relation any memo pins
-  // (corpus-size × shingles-per-doc), only the uncapped diagnostics
-  // read it, and those run per-dataset in sequence — holding the
-  // exploded relation of up to four corpora at once would pin
-  // block-manager storage for nothing (r13 advisory).
-  private val shingleExplodeMemo = new graft.core.Memo("shingle_explode", maxEntries = 1)
+  // (corpus-size × shingles-per-doc) and only the uncapped diagnostics
+  // read it, so four corpora at once would pin block-manager storage
+  // for nothing (r13 advisory) — but eviction UNPERSISTS the evicted
+  // localCheckpoint's blocks, whose truncated lineage cannot rebuild,
+  // so a consumer holding the returned relation across ONE interleaved
+  // fetch of a second dataset (the cross-corpus diagnostics' natural
+  // shape) must not have its blocks pulled mid-action. Two entries
+  // cover the pairwise pattern; strictly-sequential single-dataset
+  // consumers never notice (r14 advisory).
+  private val shingleExplodeMemo = new graft.core.Memo("shingle_explode", maxEntries = 2)
 
   private def shingleExplode(spark: SparkSession, sfDir: String): DataFrame =
     shingleExplodeMemo.getOrElseUpdate(

@@ -169,6 +169,23 @@ class DatasetStoreSpec extends SparkSpec {
       DatasetStore.assertStageComplete(Paths.get("/nonexistent/stage")))
   }
 
+  test("marksuccessfuljobs=false: missing _SUCCESS degrades to a warning, other checks stay hard") {
+    import java.nio.file.Files
+    // no marker, but the conf disables it → publishable on parts alone
+    val noSuccess = Files.createTempDirectory("stage_nosuccess_ok")
+    Files.writeString(noSuccess.resolve("part-00000-abc.snappy.parquet"), "x")
+    DatasetStore.assertStageComplete(noSuccess, requireSuccessMarker = false)
+    // the _temporary and part-file checks do NOT degrade with it
+    val lingering = Files.createTempDirectory("stage_temp_nomarker")
+    Files.writeString(lingering.resolve("part-00000-abc.snappy.parquet"), "x")
+    Files.createDirectory(lingering.resolve("_temporary"))
+    intercept[IllegalArgumentException](
+      DatasetStore.assertStageComplete(lingering, requireSuccessMarker = false))
+    val noParts = Files.createTempDirectory("stage_noparts_nomarker")
+    intercept[IllegalArgumentException](
+      DatasetStore.assertStageComplete(noParts, requireSuccessMarker = false))
+  }
+
   test("an empty relation still publishes (Spark writes a schema-bearing empty part file)") {
     // the completeness gate's hasPart test must not reject a
     // legitimately empty deterministic relation (e.g. a dup-pair store
