@@ -75,6 +75,14 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
+    // the start canary feeds the max-of-canaries HOT test, so it must
+    // measure host load, not JVM warm-up: the generic warm-up above
+    // does not compile the canary's own plan (sum aggregate), and a
+    // warm-up-inflated start (r14: 0.62 s start vs 0.27 s end on a
+    // quiet host) can clear the hot thresholds and misfile a real code
+    // regression as contention. One discarded run of the exact canary
+    // plan first; the measured run then reflects the host alone.
+    canary()
     val canaryStart = canary()
 
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
@@ -173,8 +181,13 @@ object Bench {
     // `suspect_contended`, read the committed history before calling
     // it a regression; tight runs on a quiet canary → the code —
     // `suspect_regressed`, treat as a real perf defect.
-    val priorBatchBody = latestPriorRecord(dir, round, "bench_results")
+    val priorBatchBodies = latestPriorRecords(dir, round, "bench_results", 2)
+    val priorBatchBody = priorBatchBodies.headOption
     val priorMins = priorRecordMins(priorBatchBody)
+    // the round-before-prior mins feed the two-round cumulative-drift
+    // flag: sub-3x creep that grew both rounds surfaces itself instead
+    // of waiting for a judge to read two records by hand (r14 Next #5)
+    val prior2Mins = priorRecordMins(priorBatchBodies.drop(1).headOption)
     // the HOT test reads the max of the two canaries: mid-run load
     // shows only in the end canary, and the min (the number the record
     // reports as canary_sec — closest to contention-free) would read a
@@ -192,6 +205,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val suspects = suspectJson("contended")
     val regressed = suspectJson("regressed")
+    val drift = results.toSeq.flatMap { case (k, ts) =>
+      for {
+        p1 <- priorMins.get(k)
+        p2 <- prior2Mins.get(k)
+        if BenchSuspects.isDrifting(ts.min, p1, p2)
+      } yield "\"" + k + "\":{\"min\":" + fmt(ts.min) +
+        ",\"prior_min\":" + fmt(p1) + ",\"prior2_min\":" + fmt(p2) + "}"
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
       s""""total_min":${fmt(totalMin)},"artifacts_total":${fmt(artifactsTotal)},""" +
       s""""canary_sec":${fmt(math.min(canaryStart, canaryEnd))},""" +
@@ -199,7 +220,7 @@ object Bench {
       s""""memo_storage_bytes":$memoBytes,""" +
       s""""artifacts":$artifacts,"queries":$qs,"queries_min":$qsMin,""" +
       s""""contended":$contended,"suspect_contended":$suspects,""" +
-      s""""suspect_regressed":$regressed,""" +
+      s""""suspect_regressed":$regressed,"suspect_drift":$drift,""" +
       s""""queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     // Persist the full result set twice: the driver's stdout tail is
     // capped (which truncated earlier rounds' per-query breakdown), and
@@ -240,11 +261,28 @@ object Bench {
         // absorbs that topology's codegen + state-store spin-up: r13's
         // 24.8 k outlier beside two ~100 k runs) followed by 5 measured
         // runs — 3 runs with a 4.6x spread made the median a coin flip
-        // even with per-run suspects
+        // even with per-run suspects.
+        // round 15: discard-until-STABLE — one warm-up run proved not
+        // enough for the 2-topic family (r14: a 22.6 k first measured
+        // run beside ~99 k siblings; topics_100 was already tight at
+        // 1.15), so warm-ups repeat until two consecutive discarded
+        // runs agree within 1.5x, capped at 3, and measurement starts
+        // on a JVM that has demonstrated it settled
+        def stableWarm(run: () => StreamBench.Result): Unit = {
+          var prev = run().msgsPerSec.toDouble
+          var tries = 1
+          var ratio = Double.MaxValue
+          while (tries < 3 && ratio > 1.5) {
+            val cur = run().msgsPerSec.toDouble
+            ratio = math.max(prev, cur) / math.max(1.0, math.min(prev, cur))
+            prev = cur
+            tries += 1
+          }
+        }
         def fam5(nTopics: Int, family: String) = {
-          StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics)
-          val rs = Seq.fill(5)(
-            StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics))
+          def one() = StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics)
+          stableWarm(() => one())
+          val rs = Seq.fill(5)(one())
           StreamBench.summaryJson(rs, priorBests.get(family), priorMedians.get(family))
         }
         // the composed admission gate's hot path (docs/sec through all
@@ -252,9 +290,9 @@ object Bench {
         // queries already built this run — summary's `anomalies` field
         // carries the rejected count, `topics` the gate count (4)
         def adm5 = {
-          StreamBench.admissionMeasure(spark, sfDir, 20000, 3)
-          val rs = Seq.fill(5)(
-            StreamBench.admissionMeasure(spark, sfDir, 20000, 3))
+          def one() = StreamBench.admissionMeasure(spark, sfDir, 20000, 3)
+          stableWarm(() => one())
+          val rs = Seq.fill(5)(one())
           StreamBench.summaryJson(rs, priorBests.get("admission_gate"),
             priorMedians.get("admission_gate"))
         }
@@ -343,6 +381,14 @@ object Bench {
     */
   private def latestPriorRecord(dir: java.nio.file.Path, round: String,
       prefix: String): Option[String] =
+    latestPriorRecords(dir, round, prefix, 1).headOption
+
+  /** The `k` most recent committed prior record bodies, newest first —
+    * the two-round window the cumulative-drift flag reads (the single-
+    * record form above stays the baseline for everything else).
+    */
+  private def latestPriorRecords(dir: java.nio.file.Path, round: String,
+      prefix: String, k: Int): Seq[String] =
     try {
       val cur = round.toIntOption.getOrElse(0)
       val re = (java.util.regex.Pattern.quote(prefix) + "_r(\\d+)\\.json").r
@@ -355,11 +401,11 @@ object Bench {
             case _ => None
           }
         } finally stream.close()
-      candidates.sortBy(-_._1).headOption
+      candidates.sortBy(-_._1).take(k)
         .map { case (_, path) => java.nio.file.Files.readString(path) }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prior $prefix record read failed: ${e.getMessage}")
-      None
+      Seq.empty
     }
 
   /** The per-family `best.msgs_per_sec` of the most recent COMMITTED

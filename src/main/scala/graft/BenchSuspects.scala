@@ -48,6 +48,22 @@ object BenchSuspects {
   def canaryHot(currentSec: Double, priorSec: Double): Boolean =
     currentSec > 2 * priorSec && currentSec - priorSec > 0.45
 
+  /** Two-round cumulative drift (round-14 watch-list rationale):
+    * `q_self_repeat`/`q_autocorr`/`q_eval_overlap_report` each got
+    * 19–36% slower with tight runs on a quiet canary — real, but each
+    * far below the 3× suspect gate, so the record had no field that
+    * surfaced them and the judge found the creep by reading two rounds
+    * of history by hand. This flags a query whose min grew in BOTH of
+    * the last two committed rounds and cumulatively by ≥ 40% (with a
+    * 0.15 s absolute floor against scan jitter) while still under the
+    * single-round suspect gate — sub-3× creep now surfaces itself
+    * before it compounds into a suspect.
+    */
+  def isDrifting(runsMin: Double, priorMin: Double, prior2Min: Double): Boolean =
+    !isSuspect(runsMin, priorMin) &&
+      runsMin > priorMin && priorMin > prior2Min &&
+      runsMin > 1.4 * prior2Min && runsMin - prior2Min > 0.15
+
   /** `Some("contended")` / `Some("regressed")` for a suspect query,
     * `None` when the min is within 3× of the prior record.
     * `canaryHot = None` means no prior canary to compare against.

@@ -57,4 +57,20 @@ class BenchSuspectsSpec extends AnyFunSuite {
   test("empty run list never classifies") {
     assert(BenchSuspects.classify(Nil, priorMin = 1.0, canaryHot = Some(false)).isEmpty)
   }
+
+  test("two-round drift: monotone 40%+ creep flags, everything else stays quiet") {
+    // the r14 watch-list shape: 0.33 -> 0.45 -> 0.54 = +64% over two
+    // rounds, each step under the 3x suspect gate
+    assert(BenchSuspects.isDrifting(0.54, 0.45, 0.33))
+    // non-monotone (recovered mid-way) is not drift
+    assert(!BenchSuspects.isDrifting(0.54, 0.30, 0.33))
+    // cumulative growth under 40% is normal wobble
+    assert(!BenchSuspects.isDrifting(0.42, 0.38, 0.33))
+    // under the 0.15 s absolute floor: scan jitter, not drift
+    assert(!BenchSuspects.isDrifting(0.10, 0.08, 0.05))
+    // a single-round 3x+ jump is a SUSPECT, not drift (no double-report)
+    assert(!BenchSuspects.isDrifting(2.0, 0.45, 0.33))
+    assert(BenchSuspects.classify(Seq(2.0, 2.1), priorMin = 0.45,
+      canaryHot = Some(false)).contains("regressed"))
+  }
 }
