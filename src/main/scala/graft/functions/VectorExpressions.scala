@@ -378,9 +378,113 @@ case class NearestCenters(child: Expression, offset: Int, length: Int,
     copy(child = c)
 }
 
+/** One 32-bit half of the 64-bit structured-sign LSH code (round 15) —
+  * the native form of the two 16-term quarter-Hadamard contrast
+  * families over (a, b, c, d) = (v[j], v[j+16], v[j+32], v[j+48]):
+  *
+  *   lo (hiHalf = false): bit j = sign(a - b + c - d),
+  *                        bit j+16 = sign(a + b - c - d)
+  *   hi (hiHalf = true):  bit j = sign(a - b - c + d),
+  *                        bit j+16 = sign(a + b + c + d)
+  *
+  * This replaces a Column form of 32 chained `when` terms x 4
+  * `element_at` casts, whose generated code was benign alone but a
+  * JIT-CLIFF BOMB when composed: spliced into one projection with the
+  * other sign half + dot + NearestCenter (the semanticDedup shape),
+  * the whole-stage method exceeded HotSpot's huge-method compile limit
+  * (8,000 bytecode) and ran INTERPRETED with no plan-visible symptom —
+  * janino compiled fine (no "ERROR CodeGenerator"), the plan read
+  * WholeStageCodegen, and the stage ground at ~76 ms/row instead of
+  * ~60 µs (measured: the 200 k-vector checkpoint fell from > 400 s to
+  * 3.9 s with codegen disabled — the interpreter was the whole cost).
+  * As a 30-line generated loop the projection stays far under the JIT
+  * limit. Bit-parity with the Column form is pinned by
+  * SignCodeParitySpec (same float→double casts, same left-associated
+  * contrast order, same NULL/short-array → bit-0 semantics as
+  * `element_at` under the oracle's CASE).
+  */
+case class SignCodeHalf(child: Expression, hiHalf: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_code expects array<float|double>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val isF = elemIsFloat
+    def at(i: Int): Double = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+    val n = x.numElements()
+    var code = 0L
+    var j = 0
+    while (j < 16) {
+      // element_at past the end (or a NULL element) makes the contrast
+      // NULL -> bit 0 in the Column form and the oracle's CASE alike
+      if (j + 48 < n && !x.isNullAt(j) && !x.isNullAt(j + 16) &&
+          !x.isNullAt(j + 32) && !x.isNullAt(j + 48)) {
+        val a0 = at(j); val b0 = at(j + 16); val c0 = at(j + 32); val d0 = at(j + 48)
+        val c1 = if (hiHalf) a0 - b0 - c0 + d0 else a0 - b0 + c0 - d0
+        val c2 = if (hiHalf) a0 + b0 + c0 + d0 else a0 + b0 - c0 - d0
+        if (c1 > 0.0) code |= (1L << j)
+        if (c2 > 0.0) code |= (1L << (j + 16))
+      }
+      j += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val c1Expr = if (hiHalf) "((va - vb) - vc) + vd" else "((va - vb) + vc) - vd"
+    val c2Expr = if (hiHalf) "((va + vb) + vc) + vd" else "((va + vb) - vc) - vd"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val code = ctx.freshName("code")
+      s"""
+         |int $n = $a.numElements();
+         |long $code = 0L;
+         |for (int $j = 0; $j < 16; $j++) {
+         |  if ($j + 48 < $n && !$a.isNullAt($j) && !$a.isNullAt($j + 16)
+         |      && !$a.isNullAt($j + 32) && !$a.isNullAt($j + 48)) {
+         |    double va = (double) $a.$get($j);
+         |    double vb = (double) $a.$get($j + 16);
+         |    double vc = (double) $a.$get($j + 32);
+         |    double vd = (double) $a.$get($j + 48);
+         |    double c1 = $c1Expr;
+         |    double c2 = $c2Expr;
+         |    if (c1 > 0.0) $code |= (1L << $j);
+         |    if (c2 > 0.0) $code |= (1L << ($j + 16));
+         |  }
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignCodeHalf =
+    copy(child = c)
+}
+
 object VectorFunctions {
   private def expr(c: Column) = ColumnBridge.expression(c)
   private def toCol(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Codegen'd sign-code half (see [[SignCodeHalf]]). */
+  def signCodeHalf(v: Column, hiHalf: Boolean): Column =
+    toCol(SignCodeHalf(expr(v), hiHalf))
 
   /** Codegen'd dot product; summation order identical to a left fold. */
   def dotProduct(a: Column, b: Column): Column =

@@ -127,33 +127,18 @@ object Similarity {
     */
   val SignBandStride = 8
 
-  /** The lo 32 bits (families +-+- and ++--). */
+  /** The lo 32 bits (families +-+- and ++--) — the native
+    * [[graft.functions.SignCodeHalf]] loop. The 32-term `when`-chain
+    * Column form this replaces was a silent JIT cliff when composed
+    * with the other half + NearestCenter in one projection (see the
+    * expression's scaladoc); SignCodeParitySpec pins bit-parity.
+    */
   def signCode(v: Column): Column =
-    (0 until 32).map { j =>
-      val b = j % 16
-      val contrast =
-        if (j < 16)
-          element_at(v, b + 1).cast("double") - element_at(v, b + 17).cast("double") +
-            element_at(v, b + 33).cast("double") - element_at(v, b + 49).cast("double")
-        else
-          element_at(v, b + 1).cast("double") + element_at(v, b + 17).cast("double") -
-            element_at(v, b + 33).cast("double") - element_at(v, b + 49).cast("double")
-      when(contrast > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.signCodeHalf(v, hiHalf = false)
 
-  /** The hi 32 bits (families +--+ and ++++). */
+  /** The hi 32 bits (families +--+ and ++++) — see [[signCode]]. */
   def signCodeHi(v: Column): Column =
-    (0 until 32).map { j =>
-      val b = j % 16
-      val contrast =
-        if (j < 16)
-          element_at(v, b + 1).cast("double") - element_at(v, b + 17).cast("double") -
-            element_at(v, b + 33).cast("double") + element_at(v, b + 49).cast("double")
-        else
-          element_at(v, b + 1).cast("double") + element_at(v, b + 17).cast("double") +
-            element_at(v, b + 33).cast("double") + element_at(v, b + 49).cast("double")
-      when(contrast > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.signCodeHalf(v, hiHalf = true)
 
   val signCodeSql: String =
     """CAST(list_sum([
@@ -276,15 +261,37 @@ object Similarity {
     */
   val SignBucketCap = 4096L
 
+  /** Fail-fast ceiling on the PAIR lane's post-cap candidate volume —
+    * ~36x the measured 1.1×10⁸ at the 200 k-vector decade, far under
+    * the ~10¹⁰ that broke the 900 s budget pre-redesign. The width
+    * policy + bucket cap make exceeding this ~impossible on real
+    * geometry; the guard turns "someone mis-tuned a cap and the join
+    * hangs for 15 minutes" into an immediate named
+    * [[graft.core.PairVolumeExceeded]] abort.
+    */
+  val SignPairVolumeBudget = 4000000000L
+
   /** The band rows of the PAIR lane after the hot-bucket stop-loss —
     * materialized, because the caller's self-join reads it from both
     * sides and the hot aggregate must run once, not per side. The rows
     * are narrow (id, band, bv): ~24 bytes x n x [[Bands]].
+    *
+    * The bucket histogram the stop-loss already computes also prices
+    * the join BEFORE it runs: post-cap pair volume (sum of
+    * C(min(count, cap), 2)) over `budget` is the named
+    * [[graft.core.PairVolumeExceeded]] abort, not a hung join.
     */
-  private def signKeptBands(banded: DataFrame): DataFrame = {
-    val hot = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > SignBucketCap)
-      .select(col("band"), col("bv"))
+  private[pipeline] def signKeptBands(banded: DataFrame,
+      lane: String, budget: Long = SignPairVolumeBudget): DataFrame = {
+    val counts = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("c")).mat
+    val capped = least(col("c"), lit(SignBucketCap))
+    // shiftright keeps the arithmetic in LONG space (`/` would promote
+    // to double and lose exactness past 2^53 pairs)
+    val volRow = counts.agg(sum(shiftright(capped * (capped - lit(1L)), 1))).head()
+    val vol = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
+    if (vol > budget) throw new graft.core.PairVolumeExceeded(lane, vol, budget)
+    val hot = counts.filter(col("c") > SignBucketCap).select(col("band"), col("bv"))
     banded.join(broadcast(hot), Seq("band", "bv"), "left_anti").mat
   }
 
@@ -316,7 +323,7 @@ object Similarity {
     // band legs are NARROW (id, band, bv) rows — a pair hit in k bands
     // must not shuffle its 64-float payload k times; vectors gather
     // back by id after the candidate distinct.
-    val kept = signKeptBands(signBandRows(emb, Seq("vec_id"), r))
+    val kept = signKeptBands(signBandRows(emb, Seq("vec_id"), r), "q_ann_lsh/q_dedup_embed")
     val cand = kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -642,6 +649,73 @@ object Similarity {
 
   def ivfProbeOf(k: Int): Int = math.min(IvfProbeMax, math.max(2, (k + 3) / 4))
 
+  /** The declared recall floor the CALIBRATED probe width targets:
+    * the production IVF search runs the narrowest width whose measured
+    * recall@[[IvfTopK]] on the capped probe set clears this, and the
+    * ceiling ([[ivfProbeOf]]) when no width can (see
+    * [[ivfCalibratedWidth]]). 0.9 is the sweep table's knee on
+    * clustered geometry (nprobe 1 already reads 0.904 there) and
+    * unreachable on organic sf0.1 geometry even at the ceiling (0.69)
+    * — so the knob picks width 1 where the data allows it and the
+    * widest affordable search where it does not.
+    */
+  val IvfRecallTarget = 0.9
+
+  /** The candidate widths the calibration tries, narrowest first —
+    * doubling steps bound the calibration at ≤ 5 recall evaluations
+    * (each an IVF pass over the ≤ 100-probe capped set plus the shared
+    * exact baseline), and the final entry is always the [[ivfProbeOf]]
+    * ceiling so an uncalibratable corpus runs the widest search the
+    * candidate budget allows.
+    */
+  private def ivfWidthLadder(k: Int): Seq[Int] =
+    (Seq(1, 2, 4, 8).filter(_ < ivfProbeOf(k)) :+ ivfProbeOf(k)).distinct
+
+  /** One calibration decision (test/observability seam). */
+  case class IvfCalibration(width: Int, recall: Double, targetMet: Boolean)
+
+  private val ivfCalibrations =
+    scala.collection.concurrent.TrieMap.empty[String, IvfCalibration]
+
+  private[pipeline] def ivfCalibrationInfo(sfDir: String): Option[IvfCalibration] =
+    ivfCalibrations.get(sfDir)
+
+  /** The RECALL-CALIBRATED production probe width — the policy that
+    * replaced the fixed [[ivfProbeOf]]-width probe (which paid the
+    * ceiling cost on every geometry and still read only 0.63 recall@5
+    * on organic sf0.1 vectors, SCALE.md r14). A width policy derived
+    * from quantizer geometry alone CANNOT work here — measured: the
+    * per-query d2/d2min profiles of organic sf0.1 (medians 1.09–1.24
+    * across ranks) and clustered 10× (1.13–1.32) are statistically
+    * indistinguishable, because planted truth co-cells with its query
+    * without the centroid distances showing it. The signal that does
+    * exist is the engine's own recall instrument: calibrate on the
+    * capped probe set (≤ 100 probes — the same bounded sample every
+    * recall eval uses) against the exact baseline, walking
+    * [[ivfWidthLadder]] narrowest-first and stopping at the first
+    * width whose mean recall@[[IvfTopK]] clears [[IvfRecallTarget]];
+    * if none does, the ceiling runs and the decision records
+    * `targetMet = false` (the organic-geometry outcome — the user sees
+    * the miss in `q_ann_recall` instead of inheriting 0.63 silently).
+    * Memoized per dataset like the quantizer fit itself; the exact
+    * baseline it reads is annTopk's declared O(probes · n) bounded
+    * scan, paid once per corpus snapshot — the same amortization class
+    * as the k-means sample fit.
+    */
+  private[pipeline] def ivfCalibratedWidth(spark: SparkSession, sfDir: String): Int =
+    ivfCalibrations.getOrElseUpdate(sfDir, {
+      val k = ivfCenters(spark, sfDir).length
+      val ladder = ivfWidthLadder(k)
+      def recallAt(w: Int): Double =
+        annRecallProbe(spark, sfDir, Some(w))
+          .agg(avg(col("recall"))).head().getDouble(0)
+      // LazyList memoizes: the no-hit fallback reuses the ceiling's
+      // already-measured recall instead of re-running it
+      val walked = ladder.to(LazyList).map(w => (w, recallAt(w)))
+      val (w, r) = walked.find(_._2 >= IvfRecallTarget).getOrElse(walked.last)
+      IvfCalibration(w, r, r >= IvfRecallTarget)
+    }).width
+
   /** Re-fit trigger: accept a quantizer only if its heaviest cell holds
     * at most this multiple of the even share (1M/k ppm). A giant cell
     * is exactly the hazard `q_ivf_stats` reports and [[KnnCellCap]]
@@ -705,12 +779,18 @@ object Similarity {
     assigned AS (SELECT vec_id, embedding, nsq, cell, d2 FROM ranked WHERE crk = 1)"""
 
   def annIvfOracleSql: Option[String] = {
-    ivfFrozen.map { centers =>
+    // the calibrated width freezes into the oracle as a literal, the
+    // same contract as the centroids: the fit/calibration is not the
+    // oracle's to re-run, the search AT that width is
+    for {
+      centers <- ivfFrozen
+      cal <- FrozenFit.single(ivfCalibrations, "IVF probe calibration")
+    } yield
     s"""
     WITH ${ivfAssignCtesSql(centers)},
     probes AS (
       SELECT vec_id AS q_id, embedding AS q_emb, nsq AS q_nsq, cell
-      FROM ranked WHERE vec_id % 100 = 0 AND crk <= ${ivfProbeOf(centers.length)}
+      FROM ranked WHERE vec_id % 100 = 0 AND crk <= ${cal.width}
     ),
     scored AS (
       SELECT p.q_id, a.vec_id,
@@ -722,7 +802,6 @@ object Similarity {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
       FROM scored
     ) WHERE rk <= $IvfTopK"""
-    }
   }
 
   /** IVF (inverted-file) ANN — the second scale path beside LSH: a
@@ -856,9 +935,14 @@ object Similarity {
         dot(col("embedding"), col("embedding")).as("nsq"))
     val centers = ivfCenters(spark, sfDir)
     val assigned = assignedCells(spark, sfDir)
+    // production path (nprobe = None): the recall-CALIBRATED width —
+    // the narrowest width whose measured probe-set recall clears
+    // [[IvfRecallTarget]] ([[ivfCalibratedWidth]]). An explicit nprobe
+    // (the recall_sweep instrument) stays EXACTLY that fixed width, so
+    // the sweep prices pure widths.
+    val width = nprobe.getOrElse(ivfCalibratedWidth(spark, sfDir))
     val probes = emb.filter(col("vec_id") % 100 === 0)
-      .withColumn("probe", explode(probeCells(centers,
-        nprobe.getOrElse(ivfProbeOf(centers.length)))))
+      .withColumn("probe", explode(probeCells(centers, width)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -1574,7 +1658,27 @@ object Similarity {
   private[pipeline] def resetPcaFits(): Unit = pcaFits.clear()
 
   /** Test seam: drop all frozen IVF fits (same contract). */
-  private[pipeline] def resetIvfFits(): Unit = ivfFits.clear()
+  private[pipeline] def resetIvfFits(): Unit = {
+    ivfFits.clear()
+    ivfCalibrations.clear()
+  }
+
+  /** Dev instrument (spec-only): per probe, the sorted-cell d2/d2min
+    * ratio at each rank — the raw signal the [[IvfProbeSlackSq]] gate
+    * reads, surfaced so the slack constant is CHOSEN from measured
+    * geometry, not guessed.
+    */
+  private[pipeline] def ivfD2Ratios(spark: SparkSession, sfDir: String): DataFrame = {
+    val centers = ivfCenters(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 100 === 0)
+      .withColumn("probes", probeCells(centers, ivfProbeOf(centers.length)))
+      .withColumn("d2min", element_at(col("probes"), 1).getField("d2"))
+      .select(col("vec_id"), col("d2min"),
+        posexplode(col("probes")).as(Seq("pp", "probe")))
+      .select(col("vec_id"), col("pp"),
+        (col("probe.d2") / greatest(col("d2min"), lit(1e-12))).as("ratio"))
+  }
 
   /** The ESTATE quantizer: the [[ivfCenters]] fit computed over the
     * EVEN-vec_id half only — the codebook a 100 TB embedding estate

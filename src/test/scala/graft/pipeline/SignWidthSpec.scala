@@ -65,6 +65,21 @@ class SignWidthSpec extends SparkSpec {
     }
   }
 
+  test("pair-volume guard: a pathological bucket histogram aborts with the named error") {
+    // a planted bucket of 1000 (under the 4096 stop-loss cap, so it is
+    // NOT dropped) against a budget of 100k pairs: C(1000,2) ~ 500k
+    // must abort BEFORE any pair forms, naming lane/volume/budget
+    val rows = (0 until 1000).map(i => (i.toLong, 0, 7L)) :+ (1000L, 1, 3L)
+    val banded = rows.toDF("vec_id", "band", "bv")
+    val e = intercept[graft.core.PairVolumeExceeded] {
+      Similarity.signKeptBands(banded, "spec_lane", budget = 100000L)
+    }
+    assert(e.lane == "spec_lane")
+    assert(e.pairs == 1000L * 999 / 2 && e.budget == 100000L, s"${e.pairs}/${e.budget}")
+    // the same histogram under a roomy budget passes and keeps all rows
+    assert(Similarity.signKeptBands(banded, "spec_lane", budget = 1000000L).count() == 1001)
+  }
+
   test("hot-bucket stop-loss: a degenerate all-identical clique drops, normal pairs survive") {
     val dir = java.nio.file.Files.createTempDirectory("signcap").toString
     val clique = (Similarity.SignBucketCap + 1).toInt

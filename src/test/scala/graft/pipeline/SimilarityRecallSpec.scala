@@ -74,12 +74,50 @@ class IvfRecallSpec extends SparkSpec {
     byWidth.sliding(2).foreach { case Seq(lo, hi) =>
       assert(lo <= hi + 1e-9, s"recall must be monotone in nprobe: $byWidth")
     }
-    // the default path IS the production width — same number both ways
+    // the default path is the recall-CALIBRATED width: the narrowest
+    // ladder width whose probe-set recall clears IvfRecallTarget, the
+    // ivfProbeOf ceiling when none does. This corpus is ORGANIC
+    // (near-uniform angles — recall can't reach 0.9 at any affordable
+    // width), so the calibration must land on the ceiling with
+    // targetMet = false, and the production recall must EQUAL the
+    // ceiling width's — the policy never silently gives up recall the
+    // fixed width had.
     val prod = meanRecall(None)
+    val cal = Similarity.ivfCalibrationInfo(sf).get
     val cells = Similarity.ivfCellsOf(
       Tables.embeddings(spark, sf).count())
-    val explicit = meanRecall(Some(Similarity.ivfProbeOf(cells)))
-    assert(prod == explicit,
-      s"production-width recall must equal its explicit override: $prod vs $explicit")
+    assert(cal.width == Similarity.ivfProbeOf(cells) && !cal.targetMet,
+      s"organic geometry must calibrate to the ceiling with the target missed: $cal")
+    val ceilRecall = meanRecall(Some(Similarity.ivfProbeOf(cells)))
+    assert(prod == ceilRecall,
+      s"calibrated-width recall must equal its width's explicit override: " +
+        s"$prod vs $ceilRecall")
+    assert(prod == cal.recall, s"calibration must record the recall it measured: $cal vs $prod")
+  }
+
+  test("calibration picks the narrowest width on geometry that clears the target") {
+    // a corpus of tight planted cliques: every probe's true top-5 are
+    // its own clique-mates, co-celled by construction — recall@5 at
+    // nprobe = 1 is already 1.0, so the calibrated width must be 1
+    Similarity.resetIvfFits()
+    import spark.implicits._
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("ivfcal").toString
+      val rnd = new scala.util.Random(7)
+      val rows = for (g <- 0 until 40; j <- 0 until 8) yield {
+        val base = Array.fill(64)(0f)
+        base(g % 64) = 1.0f
+        // tiny deterministic jitter keeps clique members distinct
+        (g * 100L + j,
+          base.toIndexedSeq.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f),
+          s"g$g")
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Similarity.annIvf(spark, dir).count()
+      val cal = Similarity.ivfCalibrationInfo(dir).get
+      assert(cal.targetMet, s"clustered geometry must clear the target: $cal")
+      assert(cal.width == 1, s"co-celled truth must calibrate to width 1: $cal")
+    } finally Similarity.resetIvfFits()
   }
 }
