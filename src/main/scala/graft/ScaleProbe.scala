@@ -62,8 +62,12 @@ object ScaleProbe {
     // record per-leg wall-clock — every leg was measured query-by-query
     // before r14, but never the composed sequence (r13 Next #5)
     val lifecycle = args.length > 3 && args(3).trim == "lifecycle"
+    // `stream_gates` as the 4th arg: time the composed admission
+    // stream (StreamBench.admissionMeasure) against the 1x and Nx
+    // persisted estates — the streaming twins' first at-scale record
+    val streamGates = args.length > 3 && args(3).trim == "stream_gates"
     val headliners =
-      if (args.length > 3 && !recallSweep && !lifecycle) {
+      if (args.length > 3 && !recallSweep && !lifecycle && !streamGates) {
         val qs = args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val unknown = qs.filterNot(SparkEntry.queries.contains)
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
@@ -359,6 +363,35 @@ object ScaleProbe {
       try spark.stop() catch { case _: Throwable => () }
       println(l1)
       println(lN)
+      return
+    }
+
+    if (streamGates) {
+      // stream twins at probe scale (r14 Next stretch): the batch
+      // surface has three measured decades, the composed ADMISSION
+      // STREAM (all four index gates per trigger) had only sf0.1
+      // records. Drive it against the 1x and Nx estates — per-trigger
+      // wall-clock vs estate size is the number that must stay ~flat
+      // if the gates really read only matching bucket files. Two
+      // measured passes per estate (cold builds the persisted indexes
+      // once via the memoized stores; warm times the gate alone — the
+      // ScaleProbe cold/warm convention).
+      def fmt3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+      def gateRow(dir: String): String = {
+        def run() = StreamBench.admissionMeasure(spark, dir, 20000, 3)
+        val cold = run()
+        val warm = run()
+        spark.catalog.clearCache()
+        s"""{"docs_per_sec_cold":${cold.msgsPerSec},"docs_per_sec_warm":${warm.msgsPerSec},""" +
+          s""""sec_per_trigger_warm":${fmt3(warm.seconds / 3)},""" +
+          s""""rejected_warm":${warm.anomalies},"docs":${warm.messages}}"""
+      }
+      val g1 = gateRow(base)
+      System.err.println(s"[scale] stream gates 1x done")
+      val gN = gateRow(out)
+      try spark.stop() catch { case _: Throwable => () }
+      println(s"""{"dataset":"1x","dir":"$base","admission_stream":$g1}""")
+      println(s"""{"dataset":"${factor}x","dir":"$out","admission_stream":$gN}""")
       return
     }
 
