@@ -226,6 +226,7 @@ object SparkEntry {
     // ANN index-quality eval: per-probe recall of IVF vs exact truth
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_ivf_stats" -> (Similarity.ivfStats _),
+    "q_ivf_calibration" -> (Similarity.ivfCalibrationReport _),
     // distributed BPE tokenizer TRAINING (full-vocab merge trajectory)
     "q_bpe_train" -> (graft.pipeline.Bpe.bpeTrain _),
     // measured LSH s-curve: banded-candidate recall per Jaccard bucket
@@ -512,6 +513,7 @@ object SparkEntry {
     graft.pipeline.Bpe.bpeTrainOracleSql.map("q_bpe_train" -> _) ++
     Similarity.knnGraphOracleSql.map("q_knn_graph" -> _) ++
     Similarity.ivfStatsOracleSql.map("q_ivf_stats" -> _) ++
+    Similarity.ivfCalibrationReportOracleSql.map("q_ivf_calibration" -> _) ++
     graft.pipeline.QualityClassifier.qualityCalibrationOracleSql
       .map("q_quality_calibration" -> _) ++
     graft.pipeline.Bpe.bpeVocabOracleSql.map("q_bpe_vocab" -> _) ++

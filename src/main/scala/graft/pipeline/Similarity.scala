@@ -283,16 +283,27 @@ object Similarity {
     */
   private[pipeline] def signKeptBands(banded: DataFrame,
       lane: String, budget: Long = SignPairVolumeBudget): DataFrame = {
+    // NOT materialized: the common (all-thin) path reads this once for
+    // the volume/hot aggregate below and never again; only the rare
+    // hot path re-derives it for the drop keys
     val counts = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("c")).mat
+      .agg(count(lit(1)).as("c"))
     val capped = least(col("c"), lit(SignBucketCap))
     // shiftright keeps the arithmetic in LONG space (`/` would promote
-    // to double and lose exactness past 2^53 pairs)
-    val volRow = counts.agg(sum(shiftright(capped * (capped - lit(1L)), 1))).head()
+    // to double and lose exactness past 2^53 pairs); the same pass
+    // counts the hot buckets, so the common all-thin case learns it
+    // needs NO anti-join from the one aggregate it already ran
+    val volRow = counts.agg(
+      sum(shiftright(capped * (capped - lit(1L)), 1)),
+      sum(when(col("c") > SignBucketCap, 1L).otherwise(0L))).head()
     val vol = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
+    val hotCount = if (volRow.isNullAt(1)) 0L else volRow.getLong(1)
     if (vol > budget) throw new graft.core.PairVolumeExceeded(lane, vol, budget)
-    val hot = counts.filter(col("c") > SignBucketCap).select(col("band"), col("bv"))
-    banded.join(broadcast(hot), Seq("band", "bv"), "left_anti").mat
+    if (hotCount == 0L) banded // nothing to drop: skip the join AND its checkpoint
+    else {
+      val hot = counts.filter(col("c") > SignBucketCap).select(col("band"), col("bv"))
+      banded.join(broadcast(hot), Seq("band", "bv"), "left_anti").mat
+    }
   }
 
   /** LSH-bucketed similar pairs: the 64-bit sign code is split into 8
@@ -309,7 +320,23 @@ object Similarity {
     * 200 k, width 11). [[SignBucketCap]] is the degenerate-corpus
     * stop-loss on top.
     */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    signPairsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      annLshBuild(spark, sfDir).localCheckpoint(eager = true))
+
+  // bounded + timed + releasable (graft.core.Memo): q_dedup_embed IS
+  // annLsh filtered — one LSH pair build per corpus snapshot, read by
+  // both registered queries and by repeat bench runs; the cold build
+  // cost lands in the bench `artifacts` map per the memo convention
+  private val signPairsMemo = new graft.core.Memo("sign_lsh_pairs")
+
+  /** Test seam (the resetIvfFits contract): specs that rewrite a
+    * dataset dir in place must drop the memoized pair relation.
+    */
+  private[pipeline] def resetSignPairs(): Unit = signPairsMemo.clear()
+
+  private def annLshBuild(spark: SparkSession, sfDir: String): DataFrame = {
     // codes/norms are consumed three times (band explode + two gather
     // joins); persist so signCode/norm lambdas run once per vector.
     // The count() that sizes the band width reads the same cache.
@@ -661,6 +688,13 @@ object Similarity {
     */
   val IvfRecallTarget = 0.9
 
+  /** [[IvfRecallTarget]] in exact parts-per-million — the calibration
+    * decides in INTEGER space (1e6·hits ≥ ppm·topK·queries) so the
+    * decision, the report row, and the DuckDB oracle can never diverge
+    * by a floating-point mean's last bit at the exact boundary.
+    */
+  val IvfRecallTargetPpm: Long = math.round(IvfRecallTarget * 1000000)
+
   /** The candidate widths the calibration tries, narrowest first —
     * doubling steps bound the calibration at ≤ 5 recall evaluations
     * (each an IVF pass over the ≤ 100-probe capped set plus the shared
@@ -671,8 +705,14 @@ object Similarity {
   private def ivfWidthLadder(k: Int): Seq[Int] =
     (Seq(1, 2, 4, 8).filter(_ < ivfProbeOf(k)) :+ ivfProbeOf(k)).distinct
 
-  /** One calibration decision (test/observability seam). */
-  case class IvfCalibration(width: Int, recall: Double, targetMet: Boolean)
+  /** One calibration decision (test/observability seam; integer
+    * evidence — `recall` is the derived display form).
+    */
+  case class IvfCalibration(width: Int, nQueries: Long, totalHits: Long,
+      targetMet: Boolean) {
+    def recall: Double =
+      if (nQueries == 0) 0.0 else totalHits.toDouble / (IvfTopK.toDouble * nQueries)
+  }
 
   private val ivfCalibrations =
     scala.collection.concurrent.TrieMap.empty[String, IvfCalibration]
@@ -706,15 +746,69 @@ object Similarity {
     ivfCalibrations.getOrElseUpdate(sfDir, {
       val k = ivfCenters(spark, sfDir).length
       val ladder = ivfWidthLadder(k)
-      def recallAt(w: Int): Double =
-        annRecallProbe(spark, sfDir, Some(w))
-          .agg(avg(col("recall"))).head().getDouble(0)
+      // integer evidence: (queries, total hits) — exact at any engine
+      def hitsAt(w: Int): (Long, Long) = {
+        val row = annRecallProbe(spark, sfDir, Some(w))
+          .agg(count(lit(1)), sum(col("n_hits"))).head()
+        (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
+      def meets(n: Long, hits: Long): Boolean =
+        n > 0 && 1000000L * hits >= IvfRecallTargetPpm * IvfTopK * n
       // LazyList memoizes: the no-hit fallback reuses the ceiling's
-      // already-measured recall instead of re-running it
-      val walked = ladder.to(LazyList).map(w => (w, recallAt(w)))
-      val (w, r) = walked.find(_._2 >= IvfRecallTarget).getOrElse(walked.last)
-      IvfCalibration(w, r, r >= IvfRecallTarget)
+      // already-measured evidence instead of re-running it
+      val walked = ladder.to(LazyList).map { w => val (n, h) = hitsAt(w); (w, n, h) }
+      val (w, n, h) = walked.find { case (_, n, h) => meets(n, h) }.getOrElse(walked.last)
+      IvfCalibration(w, n, h, meets(n, h))
     }).width
+
+  /** q_ivf_calibration: the calibration DECISION as a first-class
+    * relation (the `q_ivf_stats` discipline applied to the probe
+    * policy) — one row: the chosen width, the probe-set evidence
+    * (queries, total top-[[IvfTopK]] hits), the recall in exact ppm,
+    * and whether [[IvfRecallTarget]] was met. The monitoring row a
+    * 100 TB pipeline reads before trusting `q_ann_ivf`'s narrow probe:
+    * a clustered corpus shows (width 1-2, target_met true); an organic
+    * corpus shows (ceiling, false) — the 0.63-recall case surfaced
+    * instead of inherited. The oracle RECOMPUTES the evidence from the
+    * frozen centroids + frozen width (integer arithmetic end to end),
+    * so the recorded measurement — not just the echo of it — is
+    * hash-gated.
+    */
+  def ivfCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    ivfCalibratedWidth(spark, sfDir)
+    val c = ivfCalibrations(sfDir)
+    import spark.implicits._
+    Seq((c.width, c.nQueries, c.totalHits,
+        if (c.nQueries == 0) 0L else 1000000L * c.totalHits / (IvfTopK * c.nQueries),
+        c.targetMet))
+      .toDF("width", "n_queries", "total_hits", "recall_ppm", "target_met")
+  }
+
+  /** DuckDB oracle for q_ivf_calibration (post-fit; None → rows-only):
+    * the frozen width's recall evidence re-derived from the frozen
+    * centroids by the oracle's own IVF pipeline.
+    */
+  def ivfCalibrationReportOracleSql: Option[String] =
+    annIvfOracleSql.flatMap { ivfSql =>
+      FrozenFit.single(ivfCalibrations, "IVF probe calibration").map { cal =>
+        s"""
+    WITH ex AS (SELECT q_id, vec_id FROM ($annTopkSql)),
+    ap AS (SELECT q_id, vec_id FROM ($ivfSql)),
+    per AS (
+      SELECT ex.q_id,
+             CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+      GROUP BY 1
+    )
+    SELECT ${cal.width} AS width,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           (1000000 * CAST(SUM(n_hits) AS BIGINT)) // ($IvfTopK * CAST(count(*) AS BIGINT)) AS recall_ppm,
+           (count(*) > 0 AND 1000000 * CAST(SUM(n_hits) AS BIGINT)
+              >= $IvfRecallTargetPpm * $IvfTopK * CAST(count(*) AS BIGINT)) AS target_met
+    FROM per"""
+      }
+    }
 
   /** Re-fit trigger: accept a quantizer only if its heaviest cell holds
     * at most this multiple of the even share (1M/k ppm). A giant cell

@@ -19,11 +19,17 @@ class EntryContractSpec extends AnyFunSuite {
       "q_pca_project", "q_ann_pca", "q_ann_recall",
       "q_pq_encode", "q_ann_ivfpq", "q_quality_classifier",
       "q_hard_negatives", "q_bpe_train", "q_knn_graph", "q_quality_calibration",
-      "q_bpe_vocab", "q_ivf_stats",
+      "q_bpe_vocab", "q_ivf_stats", "q_ivf_calibration",
       // estate-codebook (post-fit) oracles, the same frozen-fit contract
       "q_cross_snapshot_embed", "q_embed_sweep_recall", "q_embed_index_stats",
       "q_embed_retention", "q_embed_ingest_gate", "q_estate_admission",
-      "q_estate_admission_stream", "q_crawl_admission")),
+      "q_estate_admission_stream", "q_crawl_admission",
+      // these five are post-fit too (estate codebook / keep-list fits);
+      // they were missing from this list and the suite only passed when
+      // OTHER suites' fits had populated them first — running this spec
+      // alone exposed the order-dependence (r15)
+      "q_keep_list_estate", "q_keep_by_source_estate", "q_dataset_card_estate",
+      "q_crawl_gate", "q_embed_incremental")),
       s"registered queries without oracle SQL: ${missing.mkString(", ")}")
   }
 
@@ -33,7 +39,7 @@ class EntryContractSpec extends AnyFunSuite {
     // static oracle accidentally demoted to the post-fit path, where
     // the driver would silently lose its gate whenever the fit never
     // runs in the dumping JVM
-    val postFit = 27
+    val postFit = 33
     assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - postFit,
       s"${SparkEntry.queries.size - SparkEntry.oracleSql.size} queries lack a static oracle " +
         s"(> $postFit post-fit allowance)")

@@ -92,7 +92,10 @@ class IvfRecallSpec extends SparkSpec {
     assert(prod == ceilRecall,
       s"calibrated-width recall must equal its width's explicit override: " +
         s"$prod vs $ceilRecall")
-    assert(prod == cal.recall, s"calibration must record the recall it measured: $cal vs $prod")
+    // cal.recall derives from the integer evidence (hits / (topK·n));
+    // prod is a float mean of per-query ratios — equal up to FP order
+    assert(math.abs(prod - cal.recall) < 1e-9,
+      s"calibration must record the recall it measured: $cal vs $prod")
   }
 
   test("calibration picks the narrowest width on geometry that clears the target") {
