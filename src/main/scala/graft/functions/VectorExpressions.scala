@@ -437,8 +437,12 @@ case class SignCodeHalf(child: Expression, hiHalf: Boolean)
         val a0 = at(j); val b0 = at(j + 16); val c0 = at(j + 32); val d0 = at(j + 48)
         val c1 = if (hiHalf) a0 - b0 - c0 + d0 else a0 - b0 + c0 - d0
         val c2 = if (hiHalf) a0 + b0 + c0 + d0 else a0 + b0 - c0 - d0
-        if (c1 > 0.0) code |= (1L << j)
-        if (c2 > 0.0) code |= (1L << (j + 16))
+        // NaN sets the bit: Spark's GreaterThan and DuckDB both order
+        // NaN above every number, so `contrast > 0` is TRUE there (a
+        // NaN contrast arises from a NaN element or an Inf - Inf);
+        // plain Java `>` would silently leave the bit 0 and diverge
+        if (c1 > 0.0 || java.lang.Double.isNaN(c1)) code |= (1L << j)
+        if (c2 > 0.0 || java.lang.Double.isNaN(c2)) code |= (1L << (j + 16))
       }
       j += 1
     }
@@ -465,8 +469,8 @@ case class SignCodeHalf(child: Expression, hiHalf: Boolean)
          |    double vd = (double) $a.$get($j + 48);
          |    double c1 = $c1Expr;
          |    double c2 = $c2Expr;
-         |    if (c1 > 0.0) $code |= (1L << $j);
-         |    if (c2 > 0.0) $code |= (1L << ($j + 16));
+         |    if (c1 > 0.0 || Double.isNaN(c1)) $code |= (1L << $j);
+         |    if (c2 > 0.0 || Double.isNaN(c2)) $code |= (1L << ($j + 16));
          |  }
          |}
          |${ev.value} = $code;

@@ -56,7 +56,32 @@ object Similarity {
     * corpus size); top 5 neighbors by (rounded cosine desc, vec_id asc).
     * This is the declared exact baseline that anchors LSH/IVF recall.
     */
-  def annTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Memoized-materialization helper shared by the similarity lanes:
+    * one eager checkpoint per (application, dataset), EXCEPT inside
+    * [[graft.core.Mat.withTransparent]] — the plan-inspection seam must
+    * see the full operator tree, and a transparently-built plan must
+    * never be cached where a later production call would read it
+    * un-materialized.
+    */
+  private def memoized(memo: graft.core.Memo, spark: SparkSession, sfDir: String)(
+      build: => DataFrame): DataFrame =
+    if (graft.core.Mat.isTransparent) build
+    else memo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      build.localCheckpoint(eager = true))
+
+  def annTopk(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(annTopkMemo, spark, sfDir)(annTopkBuild(spark, sfDir))
+
+  // the exact-truth leg is read by q_ann_topk, three recall evals, AND
+  // the probe-width calibration's ladder walk — one O(probes · n) scan
+  // per corpus snapshot, not one per consumer (the memo convention;
+  // the tiny probes×k result is what checkpoints). maxEntries = 2: the
+  // shingle-memo eviction rationale — an evicted localCheckpoint
+  // cannot rebuild, so the pairwise cross-corpus pattern must fit.
+  private val annTopkMemo = new graft.core.Memo("ann_topk_truth", maxEntries = 2)
+
+  private def annTopkBuild(spark: SparkSession, sfDir: String): DataFrame = {
     // norms are precomputed per vector BEFORE the pairwise join — at
     // scale this halves the per-pair flops and keeps the join payload
     // narrow; the arithmetic (sqrt of the norm product) is unchanged.
@@ -107,8 +132,11 @@ object Similarity {
     *   hi bit j+16 (0..15): sign of a + b + c + d   (Hadamard row ++++)
     * All 64 planes are mutually orthogonal (disjoint supports across
     * j; orthogonal Hadamard rows within a j). The lo half IS the
-    * pre-round-15 32-bit code — width GREW, no bit moved, so every
-    * recall measurement on the old code remains a lower-bound anchor.
+    * pre-round-15 32-bit code — width grew, no bit of the CODE moved.
+    * (The BAND layout did move: stride-8 anchors draw half their bits
+    * from each half, so floor-width candidates are statistically
+    * equivalent to the old 8×4-nibble layout — recall re-measured
+    * equal at 0.740/0.696 on sf0.1 — not bit-for-bit identical.)
     *
     * Sign-LSH recall depends on similarity (P(bit agrees) =
     * 1 - angle/pi); band width sets the selectivity and is chosen
@@ -179,7 +207,7 @@ object Similarity {
     * organic bucket at or under [[SignBucketTarget]] vectors, so the
     * per-band candidate volume stays ~ n·target/2 instead of the fixed
     * geometry's n²/2^r. At sf0.1 (n = 2,000) this is the floor width 4
-    * (today's recall, bit-for-bit candidate superset); at the measured
+    * (the pre-r15 selectivity; recall re-measured equal); at the measured
     * 200 k-vector knee it is 11 (organic buckets ~98, candidate volume
     * ~1.1×10⁸ — measured 100× down from the fixed-nibble 10¹⁰); at 2 M
     * it is 14. The recall price on LOW-cosine organic pairs is the
@@ -321,15 +349,17 @@ object Similarity {
     * stop-loss on top.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame =
-    signPairsMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}|$sfDir",
-      annLshBuild(spark, sfDir).localCheckpoint(eager = true))
+    memoized(signPairsMemo, spark, sfDir)(annLshBuild(spark, sfDir))
 
   // bounded + timed + releasable (graft.core.Memo): q_dedup_embed IS
   // annLsh filtered — one LSH pair build per corpus snapshot, read by
   // both registered queries and by repeat bench runs; the cold build
-  // cost lands in the bench `artifacts` map per the memo convention
-  private val signPairsMemo = new graft.core.Memo("sign_lsh_pairs")
+  // cost lands in the bench `artifacts` map per the memo convention.
+  // maxEntries = 2, the shingle-memo eviction rationale: an evicted
+  // localCheckpoint's truncated lineage cannot rebuild, so a consumer
+  // holding the relation across ONE interleaved second-dataset fetch
+  // must keep its blocks.
+  private val signPairsMemo = new graft.core.Memo("sign_lsh_pairs", maxEntries = 2)
 
   /** Test seam (the resetIvfFits contract): specs that rewrite a
     * dataset dir in place must drop the memoized pair relation.
@@ -802,9 +832,12 @@ object Similarity {
     )
     SELECT ${cal.width} AS width,
            CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
-           (1000000 * CAST(SUM(n_hits) AS BIGINT)) // ($IvfTopK * CAST(count(*) AS BIGINT)) AS recall_ppm,
-           (count(*) > 0 AND 1000000 * CAST(SUM(n_hits) AS BIGINT)
+           CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS total_hits,
+           -- NULLIF/COALESCE: an empty probe set must read (0, 0, 0,
+           -- false) like the Spark side, not divide by zero
+           COALESCE((1000000 * CAST(SUM(n_hits) AS BIGINT))
+             // NULLIF($IvfTopK * CAST(count(*) AS BIGINT), 0), 0) AS recall_ppm,
+           (count(*) > 0 AND 1000000 * CAST(COALESCE(SUM(n_hits), 0) AS BIGINT)
               >= $IvfRecallTargetPpm * $IvfTopK * CAST(count(*) AS BIGINT)) AS target_met
     FROM per"""
       }
@@ -994,7 +1027,17 @@ object Similarity {
     * cents/ranked/assigned prefix, shared by [[annIvf]] and
     * [[knnGraph]] so the assignment cannot drift between them.
     */
-  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
+  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(assignedCellsMemo, spark, sfDir)(assignedCellsBuild(spark, sfDir))
+
+  // the corpus-side assignment (the IVF index itself) is read by
+  // q_ann_ivf, q_ivf_stats, the recall evals, and every width of the
+  // calibration ladder — one full-corpus nearest-center pass per
+  // snapshot, consumers read the layout. maxEntries = 2 (see
+  // annTopkMemo).
+  private val assignedCellsMemo = new graft.core.Memo("ivf_assigned", maxEntries = 2)
+
+  private def assignedCellsBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val centers = ivfCenters(spark, sfDir)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
@@ -1171,7 +1214,12 @@ object Similarity {
       .mat
     val r = signBandWidthOf(emb.count())
     def bandsOf(df: DataFrame): DataFrame = signBandRows(df, Seq("vec_id"), r)
-    val banded = bandsOf(emb)
+    // the eval must search the index AS SHIPPED: the corpus side gets
+    // the same hot-bucket stop-loss the pair lane applies (a probe
+    // whose bucket the index drops finds no candidates there). The
+    // pair-volume budget does not apply — the probe join is bounded by
+    // the probe count, not C(bucket, 2) — so it is disabled here.
+    val banded = signKeptBands(bandsOf(emb), "q_ann_lsh_recall", budget = Long.MaxValue)
     val probeBands = bandsOf(
       emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap))
       .select(col("vec_id").as("q_id"), col("band"), col("bv"))
@@ -1214,13 +1262,21 @@ object Similarity {
       FROM e CROSS JOIN w
              CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
     ),
+    hot AS (
+      SELECT band, bv FROM banded GROUP BY band, bv HAVING count(*) > $SignBucketCap
+    ),
+    kept AS (
+      SELECT banded.* FROM banded
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = banded.band AND h.bv = banded.bv)
+    ),
     pb AS (
       SELECT vec_id AS q_id, band, bv FROM banded
       WHERE vec_id % 100 = 0 AND vec_id < $TopkQueryCap
     ),
     cand AS (
       SELECT DISTINCT p.q_id, c.vec_id
-      FROM pb p JOIN banded c ON p.band = c.band AND p.bv = c.bv
+      FROM pb p JOIN kept c ON p.band = c.band AND p.bv = c.bv
       WHERE c.vec_id <> p.q_id
     ),
     scored AS (
@@ -1755,6 +1811,12 @@ object Similarity {
   private[pipeline] def resetIvfFits(): Unit = {
     ivfFits.clear()
     ivfCalibrations.clear()
+    // derived-from-the-fit materializations must fall with the fit:
+    // a spec that rewrites a dataset dir in place would otherwise read
+    // a stale assignment/truth checkpoint against fresh centroids
+    assignedCellsMemo.clear()
+    annTopkMemo.clear()
+    signPairsMemo.clear()
   }
 
   /** Dev instrument (spec-only): per probe, the sorted-cell d2/d2min

@@ -40,7 +40,17 @@ class SignCodeParitySpec extends SparkSpec {
         Seq(IndexedSeq.fill(64)(0.0f)) ++
         // one-hot and all-equal structure
         (0 until 64 by 7).map(i => IndexedSeq.tabulate(64)(k => if (k == i) 1.0f else 0.0f)) ++
-        Seq(IndexedSeq.fill(64)(0.5f), IndexedSeq.fill(64)(-0.5f))
+        Seq(IndexedSeq.fill(64)(0.5f), IndexedSeq.fill(64)(-0.5f)) ++
+        // NaN / Inf shapes: Spark's GreaterThan and DuckDB order NaN
+        // above every number (`NaN > 0` is TRUE), and Inf - Inf inside
+        // a contrast makes one — the native loop must agree
+        Seq(
+          IndexedSeq.tabulate(64)(k => if (k == 3) Float.NaN else 0.1f),
+          IndexedSeq.tabulate(64)(k =>
+            if (k == 5) Float.PositiveInfinity
+            else if (k == 21) Float.PositiveInfinity else -0.2f),
+          IndexedSeq.tabulate(64)(k =>
+            if (k % 16 == 7) Float.NegativeInfinity else 0.3f))
     val df = vecs.map(Tuple1(_)).toDF("v")
     val rows = df.select(
       Similarity.signCode(col("v")).as("lo"),
