@@ -451,26 +451,32 @@ case class SignCodeHalf(child: Expression, hiHalf: Boolean)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (elemIsFloat) "getFloat" else "getDouble"
-    val c1Expr = if (hiHalf) "((va - vb) - vc) + vd" else "((va - vb) + vc) - vd"
-    val c2Expr = if (hiHalf) "((va + vb) + vc) + vd" else "((va + vb) - vc) - vd"
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
       val code = ctx.freshName("code")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val vc = ctx.freshName("vc")
+      val vd = ctx.freshName("vd")
+      val c1 = ctx.freshName("c1")
+      val c2 = ctx.freshName("c2")
+      val c1Expr = if (hiHalf) s"(($va - $vb) - $vc) + $vd" else s"(($va - $vb) + $vc) - $vd"
+      val c2Expr = if (hiHalf) s"(($va + $vb) + $vc) + $vd" else s"(($va + $vb) - $vc) - $vd"
       s"""
          |int $n = $a.numElements();
          |long $code = 0L;
          |for (int $j = 0; $j < 16; $j++) {
          |  if ($j + 48 < $n && !$a.isNullAt($j) && !$a.isNullAt($j + 16)
          |      && !$a.isNullAt($j + 32) && !$a.isNullAt($j + 48)) {
-         |    double va = (double) $a.$get($j);
-         |    double vb = (double) $a.$get($j + 16);
-         |    double vc = (double) $a.$get($j + 32);
-         |    double vd = (double) $a.$get($j + 48);
-         |    double c1 = $c1Expr;
-         |    double c2 = $c2Expr;
-         |    if (c1 > 0.0 || Double.isNaN(c1)) $code |= (1L << $j);
-         |    if (c2 > 0.0 || Double.isNaN(c2)) $code |= (1L << ($j + 16));
+         |    double $va = (double) $a.$get($j);
+         |    double $vb = (double) $a.$get($j + 16);
+         |    double $vc = (double) $a.$get($j + 32);
+         |    double $vd = (double) $a.$get($j + 48);
+         |    double $c1 = $c1Expr;
+         |    double $c2 = $c2Expr;
+         |    if ($c1 > 0.0 || Double.isNaN($c1)) $code |= (1L << $j);
+         |    if ($c2 > 0.0 || Double.isNaN($c2)) $code |= (1L << ($j + 16));
          |  }
          |}
          |${ev.value} = $code;

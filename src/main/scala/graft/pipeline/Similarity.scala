@@ -305,8 +305,9 @@ object Similarity {
     * are narrow (id, band, bv): ~24 bytes x n x [[Bands]].
     *
     * The bucket histogram the stop-loss already computes also prices
-    * the join BEFORE it runs: post-cap pair volume (sum of
-    * C(min(count, cap), 2)) over `budget` is the named
+    * the join BEFORE it runs: post-drop pair volume (sum of C(count, 2)
+    * over the buckets the anti-join KEEPS — hot buckets are dropped
+    * whole, so they price at zero) over `budget` is the named
     * [[graft.core.PairVolumeExceeded]] abort, not a hung join.
     */
   private[pipeline] def signKeptBands(banded: DataFrame,
@@ -316,13 +317,18 @@ object Similarity {
     // hot path re-derives it for the drop keys
     val counts = banded.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("c"))
-    val capped = least(col("c"), lit(SignBucketCap))
+    // buckets over the cap are DROPPED by the anti-join below, not
+    // truncated to the cap — they contribute zero pairs to the join
+    // that actually runs, so they must contribute zero to its price
+    // (a C(cap,2) term per hot bucket would add ~8.4M phantom pairs
+    // each and could abort a corpus whose join is actually cheap)
+    val kept = when(col("c") > SignBucketCap, lit(0L)).otherwise(col("c"))
     // shiftright keeps the arithmetic in LONG space (`/` would promote
     // to double and lose exactness past 2^53 pairs); the same pass
     // counts the hot buckets, so the common all-thin case learns it
     // needs NO anti-join from the one aggregate it already ran
     val volRow = counts.agg(
-      sum(shiftright(capped * (capped - lit(1L)), 1)),
+      sum(shiftright(kept * (kept - lit(1L)), 1)),
       sum(when(col("c") > SignBucketCap, 1L).otherwise(0L))).head()
     val vol = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
     val hotCount = if (volRow.isNullAt(1)) 0L else volRow.getLong(1)
@@ -905,13 +911,39 @@ object Similarity {
     ),
     assigned AS (SELECT vec_id, embedding, nsq, cell, d2 FROM ranked WHERE crk = 1)"""
 
+  /** The frozen probe calibration, DERIVED on demand when the centers
+    * are frozen but no calibrated-width query ran this JVM (e.g. a
+    * session that only ran `q_ivf_stats` or explicit-nprobe sweeps) —
+    * without the derivation the q_ann_ivf/q_ann_recall oracle gates
+    * that predate the calibrated-width policy would silently degrade
+    * to rows-only. Needs a live session to walk the ladder; if none is
+    * active at dump time the degradation is at least NAMED on stderr
+    * instead of silent.
+    */
+  private def frozenOrDerivedCalibration: Option[IvfCalibration] =
+    FrozenFit.single(ivfCalibrations, "IVF probe calibration").orElse {
+      val fittedDirs = ivfFits.readOnlySnapshot().keys.toSeq
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      (fittedDirs, session) match {
+        case (Seq(dir), Some(spark)) =>
+          ivfCalibratedWidth(spark, dir)
+          FrozenFit.single(ivfCalibrations, "IVF probe calibration")
+        case _ =>
+          System.err.println(
+            "[graft] IVF centers are frozen but no probe calibration exists and no " +
+              "active session can derive one — q_ann_ivf oracle degrades to rows-only")
+          None
+      }
+    }
+
   def annIvfOracleSql: Option[String] = {
     // the calibrated width freezes into the oracle as a literal, the
     // same contract as the centroids: the fit/calibration is not the
     // oracle's to re-run, the search AT that width is
     for {
       centers <- ivfFrozen
-      cal <- FrozenFit.single(ivfCalibrations, "IVF probe calibration")
+      cal <- frozenOrDerivedCalibration
     } yield
     s"""
     WITH ${ivfAssignCtesSql(centers)},

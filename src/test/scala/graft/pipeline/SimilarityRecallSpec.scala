@@ -123,4 +123,23 @@ class IvfRecallSpec extends SparkSpec {
       assert(cal.width == 1, s"co-celled truth must calibrate to width 1: $cal")
     } finally Similarity.resetIvfFits()
   }
+
+  test("oracle derives the calibration on demand when only explicit-nprobe paths ran") {
+    // a session that froze the IVF fit WITHOUT the calibrated-width
+    // path (e.g. only explicit-nprobe sweeps) must not silently lose
+    // the q_ann_ivf oracle gate — annIvfOracleSql derives the missing
+    // calibration from the frozen centroids via the active session
+    val sf = "/root/testdata/sf0.001"
+    Similarity.resetIvfFits()
+    try {
+      Similarity.annRecallProbe(spark, sf, Some(2)).count() // fits centers, no calibration
+      assert(Similarity.ivfCalibrationInfo(sf).isEmpty,
+        "explicit-nprobe path must not have calibrated")
+      val sql = Similarity.annIvfOracleSql
+      assert(sql.isDefined, "oracle gate lost: calibration was not derived on demand")
+      val cal = Similarity.ivfCalibrationInfo(sf).get
+      assert(sql.get.contains(s"crk <= ${cal.width}"),
+        "derived calibration width must be frozen into the oracle SQL")
+    } finally Similarity.resetIvfFits()
+  }
 }
