@@ -100,13 +100,16 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
+      // output row count (the count() the timing body already pays) —
+      // feeds the per-row cliff detector below; stable across runs
+      var rows = -1L
       // contention auto-escalation: a median/min spread over 3x means
       // at least one run absorbed ambient host load; two extra runs
       // tighten the median so the artifact adjudicates itself
       var target = runs
       while (i < target && !failed) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { rows = fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             failed = true
             errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -128,14 +131,14 @@ object Bench {
             median(times.toSeq) > 3 * times.min)
           target = runs + 2
       }
-      if (failed) None else Some(name -> times.toSeq)
+      if (failed) None else Some((name, times.toSeq, rows))
     }
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts)) }
+    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, ts) =>
+    val detail = results.map { case (k, ts, rows) =>
       "\"" + k + "\":{\"median\":" + fmt(median(ts)) + ",\"min\":" + fmt(ts.min) +
-        ",\"runs\":[" + ts.map(fmt).mkString(",") + "]}"
+        ",\"rows\":" + rows + ",\"runs\":[" + ts.map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) =>
       "\"" + k + "\":\"" + jsonSafe(m) + "\""
@@ -143,13 +146,13 @@ object Bench {
     // min = closest to contention-free; contended = escalated queries
     // (median stayed > 3x min even after the extra runs) — the reader
     // should trust `queries_min` over `queries` for those
-    val qsMin = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min) }
+    val qsMin = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(ts.min) }
       .mkString("{", ",", "}")
     val contended = results.collect {
-      case (k, ts) if median(ts) > 3 * ts.min => "\"" + k + "\""
+      case (k, ts, _) if median(ts) > 3 * ts.min => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    val total = results.map { case (_, ts) => median(ts) }.sum
-    val totalMin = results.map { case (_, ts) => ts.min }.sum
+    val total = results.map { case (_, ts, _) => median(ts) }.sum
+    val totalMin = results.map { case (_, ts, _) => ts.min }.sum
     // cold construction cost of every per-dataset memoized artifact
     // built during this bench (seconds at first materialization): warm
     // per-query medians + this map = the full corpus-pass story, and
@@ -195,7 +198,7 @@ object Bench {
     // regressions
     val canaryIsHot = priorRecordCanary(priorBatchBody)
       .map(p => BenchSuspects.canaryHot(math.max(canaryStart, canaryEnd), p))
-    val classified = results.flatMap { case (k, ts) =>
+    val classified = results.flatMap { case (k, ts, _) =>
       priorMins.get(k).flatMap(p =>
         BenchSuspects.classify(ts, p, canaryIsHot).map(v => (k, ts.min, p, v)))
     }
@@ -205,7 +208,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val suspects = suspectJson("contended")
     val regressed = suspectJson("regressed")
-    val drift = results.toSeq.flatMap { case (k, ts) =>
+    val drift = results.toSeq.flatMap { case (k, ts, _) =>
       for {
         p1 <- priorMins.get(k)
         p2 <- prior2Mins.get(k)
@@ -213,14 +216,34 @@ object Bench {
       } yield "\"" + k + "\":{\"min\":" + fmt(ts.min) +
         ",\"prior_min\":" + fmt(p1) + ",\"prior2_min\":" + fmt(p2) + "}"
     }.mkString("{", ",", "}")
+    // per-row cost cliff (the round-15 silent-JIT-cliff lesson as a
+    // detector): a query whose cost per OUTPUT row exploded ≥10× with
+    // TIGHT runs is the interpreted-stage signature — janino compiles,
+    // the plan reads WholeStageCodegen, and only µs/row arithmetic
+    // tells (see [[BenchSuspects.perRowCliff]]). Prior rows come from
+    // the committed record's `queries_rows` map (first emitted this
+    // round, so the detector arms one round after a query first lands).
+    val priorRowsMap = priorRecordRows(priorBatchBody)
+    val qsRows = results.map { case (k, _, rows) => "\"" + k + "\":" + rows }
+      .mkString("{", ",", "}")
+    val perrow = results.flatMap { case (k, ts, rows) =>
+      for {
+        p <- priorMins.get(k)
+        pr <- priorRowsMap.get(k)
+        if median(ts) <= 3 * ts.min && BenchSuspects.perRowCliff(ts.min, rows, p, pr)
+      } yield "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"rows\":" + rows +
+        ",\"prior_min\":" + fmt(p) + ",\"prior_rows\":" + pr + "}"
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,""" +
       s""""total_min":${fmt(totalMin)},"artifacts_total":${fmt(artifactsTotal)},""" +
       s""""canary_sec":${fmt(math.min(canaryStart, canaryEnd))},""" +
       s""""canary_start_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
       s""""memo_storage_bytes":$memoBytes,""" +
       s""""artifacts":$artifacts,"queries":$qs,"queries_min":$qsMin,""" +
+      s""""queries_rows":$qsRows,""" +
       s""""contended":$contended,"suspect_contended":$suspects,""" +
       s""""suspect_regressed":$regressed,"suspect_drift":$drift,""" +
+      s""""suspect_perrow":$perrow,""" +
       s""""queries_detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     // Persist the full result set twice: the driver's stdout tail is
     // capped (which truncated earlier rounds' per-query breakdown), and
@@ -279,7 +302,30 @@ object Bench {
             tries += 1
           }
         }
-        def fam5(nTopics: Int, family: String) = {
+        // round 16: CANARY-BRACKETED families — the r15 round-end
+        // refresh ran in a loaded epoch that slowed every run
+        // uniformly, so the per-run 3x flags caught only the worst run
+        // and a degraded median shipped as the record. Each family now
+        // times the fixed-cost canary immediately before and after; a
+        // bracket hot against the committed batch canary (or against
+        // this bench's own quiet start) marks the WHOLE family
+        // `suspect_epoch` — the reader adjudicates the median against
+        // the committed history instead of trusting a loaded epoch.
+        val priorCanary = priorRecordCanary(priorBatchBody)
+        val quietFloor = math.min(canaryStart, canaryEnd)
+        def bracket(body: => String): String = {
+          val pre = canary()
+          val json = body
+          val post = canary()
+          val hot = math.max(pre, post)
+          val epochHot =
+            priorCanary.exists(p => BenchSuspects.canaryHot(hot, p)) ||
+              BenchSuspects.canaryHot(hot, quietFloor)
+          json.stripSuffix("}") +
+            s""","canary_pre":${fmt(pre)},"canary_post":${fmt(post)},""" +
+            s""""suspect_epoch":$epochHot}"""
+        }
+        def fam5(nTopics: Int, family: String) = bracket {
           def one() = StreamBench.measure(spark, 100000, 3, bucketed = false, nTopics = nTopics)
           stableWarm(() => one())
           val rs = Seq.fill(5)(one())
@@ -289,7 +335,7 @@ object Bench {
         // four index gates), against the snapshot tables the gated
         // queries already built this run — summary's `anomalies` field
         // carries the rejected count, `topics` the gate count (4)
-        def adm5 = {
+        def adm5 = bracket {
           def one() = StreamBench.admissionMeasure(spark, sfDir, 20000, 3)
           stableWarm(() => one())
           val rs = Seq.fill(5)(one())
@@ -355,6 +401,18 @@ object Bench {
         .findFirstMatchIn(b).map(_.group(1)).getOrElse("")
       """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
         .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    }.getOrElse(Map.empty)
+
+  /** The prior committed record's `queries_rows` map — output row
+    * counts feeding [[BenchSuspects.perRowCliff]]. Records before
+    * round 16 lack the field and degrade to an empty baseline.
+    */
+  private def priorRecordRows(body: Option[String]): Map[String, Long] =
+    body.map { b =>
+      val obj = """"queries_rows"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(b).map(_.group(1)).getOrElse("")
+      """"([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(obj)
+        .flatMap(m => m.group(2).toLongOption.map(m.group(1) -> _)).toMap
     }.getOrElse(Map.empty)
 
   /** The prior committed record's `canary_sec` — the quiet-host

@@ -64,6 +64,28 @@ object BenchSuspects {
       runsMin > priorMin && priorMin > prior2Min &&
       runsMin > 1.4 * prior2Min && runsMin - prior2Min > 0.15
 
+  /** Per-row cost cliff (round-15's silent-JIT-cliff lesson made a
+    * detector): a stage that falls off HotSpot's huge-method compile
+    * limit runs INTERPRETED at 100–1000× per row with every green
+    * signal still green (janino compiles, the plan reads
+    * WholeStageCodegen, threads pin) — the ONLY cheap witness is
+    * per-row cost arithmetic. Fires when a query's cost per OUTPUT row
+    * (its contention-resistant min over the rows the bench's own
+    * `count()` already returns) exceeds 10× its committed prior-round
+    * value with a 0.5 s absolute floor (per-row normalization keeps
+    * the test meaningful when the dataset's row count shifts; the
+    * floor keeps sub-second queries from spamming the list; the 10×
+    * ratio sits far above the 25–40% host-epoch envelope and well
+    * below the ≥100× cliff signature). The CALLER must additionally
+    * require tight runs (median ≤ 3× min) — a wide spread is the
+    * contended story, not the cliff story.
+    */
+  def perRowCliff(minSec: Double, rows: Long,
+      priorMinSec: Double, priorRows: Long): Boolean =
+    rows > 0 && priorRows > 0 && priorMinSec > 0 &&
+      minSec / rows > 10 * (priorMinSec / priorRows) &&
+      minSec - priorMinSec > 0.5
+
   /** `Some("contended")` / `Some("regressed")` for a suspect query,
     * `None` when the min is within 3× of the prior record.
     * `canaryHot = None` means no prior canary to compare against.

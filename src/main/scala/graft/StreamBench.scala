@@ -160,8 +160,19 @@ object StreamBench {
     val spreadS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(spread))
     val suspect = priorBest.map { p =>
       val flagged = rs.map(_.msgsPerSec).filter(_ * 3 < p)
+      // uniformly-degraded family (the r15 round-end failure mode: a
+      // loaded epoch slowed EVERY run so the per-run 3x flag caught
+      // only the worst one and a 55.7k median shipped as the record
+      // beside a committed 110.2k best): a median under TWO-THIRDS of
+      // the committed prior best marks the whole family suspect —
+      // either the epoch was loaded (adjudicate against the canary
+      // bracket in the round record) or the code regressed (which the
+      // batch suspects would corroborate). Healthy medians have run
+      // 0.8–0.95x the committed best; the r15 failure read 0.505.
+      val epochSlow = 3L * med.msgsPerSec < 2L * p
       s""""prior_best":$p,"suspect_contended":[${flagged.mkString(",")}],""" +
-        s""""suspect_all_runs":${flagged.size == rs.size},"""
+        s""""suspect_all_runs":${flagged.size == rs.size},""" +
+        s""""suspect_epoch_slow":$epochSlow,"""
     }.getOrElse("")
     // carried alongside prior_best so the round-over-round comparison
     // reads central tendency AND ceiling, not just the lucky run

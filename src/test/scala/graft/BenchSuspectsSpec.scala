@@ -73,4 +73,23 @@ class BenchSuspectsSpec extends AnyFunSuite {
     assert(BenchSuspects.classify(Seq(2.0, 2.1), priorMin = 0.45,
       canaryHot = Some(false)).contains("regressed"))
   }
+
+  test("per-row cliff: the r15 interpreted-stage signature fires, epoch wobble does not") {
+    // the semanticDedup cliff shape at sf0.1 scale: same output rows,
+    // per-row cost exploded ~150x (ms/row instead of µs/row)
+    assert(BenchSuspects.perRowCliff(45.0, 6000, priorMinSec = 0.30, priorRows = 6000))
+    // a 40% host-epoch slowdown — far under the 10x per-row gate
+    assert(!BenchSuspects.perRowCliff(0.42, 6000, priorMinSec = 0.30, priorRows = 6000))
+    // per-row NORMALIZATION: rows grew 10x and wall time with them —
+    // per-row cost is flat, a bigger dataset is not a cliff
+    assert(!BenchSuspects.perRowCliff(3.0, 60000, priorMinSec = 0.30, priorRows = 6000))
+    // conversely a cliff still shows through a row-count change
+    assert(BenchSuspects.perRowCliff(90.0, 12000, priorMinSec = 0.30, priorRows = 6000))
+    // the 0.5 s absolute floor: a 20x per-row jump on a 10 ms query is
+    // scan jitter, not an interpreted stage
+    assert(!BenchSuspects.perRowCliff(0.2, 100, priorMinSec = 0.01, priorRows = 100))
+    // unknown row counts (failed count, missing prior) never fire
+    assert(!BenchSuspects.perRowCliff(45.0, -1, priorMinSec = 0.30, priorRows = 6000))
+    assert(!BenchSuspects.perRowCliff(45.0, 6000, priorMinSec = 0.30, priorRows = 0))
+  }
 }

@@ -61,4 +61,24 @@ class StreamBenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""suspect_contended":[]"""))
     assert(s.contains(""""suspect_all_runs":false"""))
   }
+
+  test("a uniformly degraded family flags suspect_epoch_slow (the r15 round-end shape)") {
+    // the r15 round-end failure: every run ~half the committed best,
+    // tight enough that the per-run 3x flags stayed silent — the
+    // median shipped as the record with nothing marking the family
+    val s = StreamBench.summaryJson(Seq(r(50000), r(55700), r(64000)),
+      priorBest = Some(110200))
+    assert(s.contains(""""suspect_epoch_slow":true"""))
+    assert(s.contains(""""suspect_contended":[]"""), "per-run flags miss this shape")
+    // healthy family: median comfortably over two-thirds of the best
+    val ok = StreamBench.summaryJson(Seq(r(90000), r(100000), r(110000)),
+      priorBest = Some(110200))
+    assert(ok.contains(""""suspect_epoch_slow":false"""))
+    // ordinary wobble just under the best stays quiet too
+    val wobble = StreamBench.summaryJson(Seq(r(78000), r(85000), r(92000)),
+      priorBest = Some(110200))
+    assert(wobble.contains(""""suspect_epoch_slow":false"""))
+    // no prior record: the field is absent like its siblings
+    assert(!StreamBench.summaryJson(Seq(r(50000))).contains("suspect_epoch_slow"))
+  }
 }
