@@ -227,6 +227,9 @@ object SparkEntry {
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_ivf_stats" -> (Similarity.ivfStats _),
     "q_ivf_calibration" -> (Similarity.ivfCalibrationReport _),
+    // sign-LSH width decision as a monitoring row (the IVF-calibration
+    // discipline applied to the pair lane; fully oracle-recomputed)
+    "q_lsh_calibration" -> (Similarity.lshCalibrationReport _),
     // distributed BPE tokenizer TRAINING (full-vocab merge trajectory)
     "q_bpe_train" -> (graft.pipeline.Bpe.bpeTrain _),
     // measured LSH s-curve: banded-candidate recall per Jaccard bucket
@@ -458,6 +461,7 @@ object SparkEntry {
     "q_embed_outliers" -> Similarity.embedOutliersSql,
     "q_embed_stats" -> Similarity.embedStatsSql,
     "q_ann_lsh_recall" -> Similarity.annLshRecallSql,
+    "q_lsh_calibration" -> Similarity.lshCalibrationReportSql,
     "q_dataset_card" -> graft.pipeline.DatasetCard.datasetCardSql,
     "q_dataset_card_incremental" -> graft.pipeline.IncrementalCurate.datasetCardIncrementalSql,
     "q_lsh_recall" -> Dedup.lshRecallSql,

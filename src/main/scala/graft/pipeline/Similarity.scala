@@ -1332,6 +1332,181 @@ object Similarity {
     FROM ex LEFT JOIN top t ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
     GROUP BY ex.q_id"""
 
+  // ---- q_lsh_calibration -----------------------------------------------
+
+  /** The planted-truth bar for the sign lane's pair recall evidence —
+    * the cos ≥ 0.42 near-dup regime SimilarityRecallSpec pins at a
+    * 0.8 floor on sf0.001 (the regime the lane EXISTS for; the
+    * organic cos-0.3 tail decays by design at grown widths, which is
+    * exactly what this report surfaces).
+    */
+  val LshTruthBar = 0.42
+
+  /** Pair-recall target at [[LshTruthBar]] — between the measured
+    * near-dup floors (0.74 clique recall at width 11, 0.8 at sf0.001's
+    * width 4). A corpus whose geometry misses it still runs — the row
+    * records `target_met = false`, the `q_ivf_calibration` discipline.
+    */
+  val LshPairRecallTargetPpm = 700000L
+
+  /** q_lsh_calibration: the sign lane's width DECISION as a first-class
+    * relation — the `q_ivf_calibration` discipline applied to the LSH
+    * lane (r15 Next #4). One row: corpus n, the ladder width r(n), the
+    * bucket histogram's p95 occupancy, the hot-bucket drop count, the
+    * post-drop pair volume against [[SignPairVolumeBudget]], and the
+    * measured pair recall at the [[LshTruthBar]] planted-truth bar on
+    * the [[TopkQueryCap]]-bounded probe set. The monitoring row a
+    * 100 TB pipeline reads before trusting `q_ann_lsh`'s candidates:
+    * the width policy's organic low-cosine tail decay (p^r) is
+    * SURFACED here per corpus instead of inherited as a default.
+    * Unlike the IVF twin nothing needs freezing — the sign code is
+    * deterministic, so the oracle RECOMPUTES every column from the
+    * parquet (width ladder, histogram, volume pricing, probe-set
+    * recall) with exact integer arithmetic end to end.
+    *
+    * Scale: the histogram legs aggregate the already-narrow band rows;
+    * the p95 window runs over the histogram OF BUCKET SIZES (≤ max
+    * bucket distinct values, not one row per bucket), so the single-
+    * partition window is metadata-sized at any n. The truth leg is the
+    * same declared O(probes · n) bounded scan as [[annTopk]]; the
+    * driver-side reads are three single-row aggregates (the
+    * adjudicated bounded-collect class).
+    */
+  def lshCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        signCodeHi(col("embedding")).as("code_hi"),
+        signCode(col("embedding")).as("code_lo"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+      .mat
+    val n = emb.count()
+    val r = signBandWidthOf(n)
+    val banded = signBandRows(emb, Seq("vec_id"), r)
+    val counts = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("c"))
+    // post-drop pricing, the signKeptBands convention: hot buckets are
+    // dropped whole by the lane, so they price at zero, not C(cap, 2)
+    val keptC = when(col("c") > SignBucketCap, lit(0L)).otherwise(col("c"))
+    val volRow = counts.agg(
+      coalesce(sum(shiftright(keptC * (keptC - lit(1L)), 1)), lit(0L)).as("pair_volume"),
+      coalesce(sum(when(col("c") > SignBucketCap, 1L).otherwise(0L)), lit(0L)).as("n_hot"),
+      count(lit(1)).as("n_buckets")).head()
+    val pairVolume = volRow.getLong(0)
+    val nHot = volRow.getLong(1)
+    val nBuckets = volRow.getLong(2)
+    // exact p95 occupancy: smallest size s with ≥ ceil(0.95·buckets)
+    // buckets at or under s — integer threshold (19m+19)/20, no float
+    val k95 = (19L * nBuckets + 19L) / 20L
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val p95 = hist
+      .withColumn("cum", sum(col("k")).over(Window.orderBy(col("c"))))
+      .filter(col("cum") >= k95)
+      .agg(min(col("c"))).head().getLong(0)
+    // recall evidence at the planted-truth bar: search the index AS
+    // SHIPPED (stop-loss applied; volume budget is the PAIR lane's,
+    // probe joins are probe-bounded — disabled, the annLshRecall rule)
+    val kept = signKeptBands(banded, "q_lsh_calibration", budget = Long.MaxValue)
+    val probes = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap)
+    val probeBands = signBandRows(probes, Seq("vec_id"), r)
+      .select(col("vec_id").as("q_id"), col("band"), col("bv"))
+    val cand = broadcast(probeBands).join(kept, Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val truth = broadcast(probes.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq")))
+      .join(emb, col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("embedding")) / sqrt(col("q_nsq") * col("nsq")), 6))
+      .filter(col("cos") >= LshTruthBar)
+      .select(col("q_id"), col("vec_id"))
+      .mat
+    val nTruth = truth.count()
+    val nHit = truth.join(cand, Seq("q_id", "vec_id")).count()
+    val recallPpm = if (nTruth == 0) 0L else 1000000L * nHit / nTruth
+    val targetMet = nTruth > 0 && 1000000L * nHit >= LshPairRecallTargetPpm * nTruth
+    import spark.implicits._
+    Seq((n, r.toLong, nBuckets, p95, nHot, pairVolume, SignPairVolumeBudget,
+        pairVolume <= SignPairVolumeBudget, nTruth, nHit, recallPpm, targetMet))
+      .toDF("n", "width", "n_buckets", "p95_bucket", "n_hot", "pair_volume",
+        "budget", "volume_ok", "n_truth_pairs", "n_hit_pairs", "recall_ppm",
+        "target_met")
+  }
+
+  /** DuckDB oracle for q_lsh_calibration — recomputes the full
+    * evidence chain (ladder width, bucket histogram, p95, post-drop
+    * volume, probe-set pair recall) from the parquet; integer
+    * arithmetic end to end.
+    */
+  val lshCalibrationReportSql: String =
+    s"""
+    WITH w AS ($signWidthCteSql),
+    e AS (
+      SELECT vec_id, embedding,
+             ${signCodeHiSql.replace("v[", "embedding[")} AS code_hi,
+             ${signCodeSql.replace("v[", "embedding[")} AS code_lo,
+             ${dotSql("embedding", "embedding")} AS nsq
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, b.band,
+             ${signBandValSql("code_hi", "code_lo", "b.band")} AS bv
+      FROM e CROSS JOIN w
+             CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band)
+    ),
+    counts AS (SELECT band, bv, count(*) AS c FROM banded GROUP BY 1, 2),
+    vol AS (
+      SELECT CAST(COALESCE(sum(CASE WHEN c > $SignBucketCap THEN 0
+                                    ELSE (c * (c - 1)) // 2 END), 0) AS BIGINT) AS pair_volume,
+             CAST(COALESCE(sum(CASE WHEN c > $SignBucketCap THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hot,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM counts
+    ),
+    p95 AS (
+      SELECT CAST(min(c) AS BIGINT) AS p95_bucket FROM (
+        SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM
+          (SELECT c, count(*) AS k FROM counts GROUP BY c)
+      ) WHERE cum >= (SELECT (19 * count(*) + 19) // 20 FROM counts)
+    ),
+    hot AS (
+      SELECT band, bv FROM counts WHERE c > $SignBucketCap
+    ),
+    kept AS (
+      SELECT banded.* FROM banded
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = banded.band AND h.bv = banded.bv)
+    ),
+    pb AS (
+      SELECT vec_id AS q_id, band, bv FROM banded
+      WHERE vec_id % 100 = 0 AND vec_id < $TopkQueryCap
+    ),
+    cand AS (
+      SELECT DISTINCT p.q_id, c.vec_id
+      FROM pb p JOIN kept c ON p.band = c.band AND p.bv = c.bv
+      WHERE c.vec_id <> p.q_id
+    ),
+    truth AS (
+      SELECT q.vec_id AS q_id, v.vec_id
+      FROM e q JOIN e v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < $TopkQueryCap
+        AND round(${dotSql("q.embedding", "v.embedding")} / sqrt(q.nsq * v.nsq), 6)
+              >= $LshTruthBar
+    ),
+    ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(COALESCE(sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+      FROM truth t LEFT JOIN cand c ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+           CAST(w.r AS BIGINT) AS width,
+           vol.n_buckets, p95.p95_bucket, vol.n_hot, vol.pair_volume,
+           CAST($SignPairVolumeBudget AS BIGINT) AS budget,
+           vol.pair_volume <= $SignPairVolumeBudget AS volume_ok,
+           ev.n_truth AS n_truth_pairs, ev.n_hit AS n_hit_pairs,
+           CAST(CASE WHEN ev.n_truth = 0 THEN 0
+                     ELSE (1000000 * ev.n_hit) // ev.n_truth END AS BIGINT) AS recall_ppm,
+           ev.n_truth > 0 AND 1000000 * ev.n_hit >= $LshPairRecallTargetPpm * ev.n_truth AS target_met
+    FROM w, vol, p95, ev"""
+
   // ---- q_knn_graph ---------------------------------------------------
 
   /** Neighbors per node in the kNN graph. */
