@@ -116,8 +116,17 @@ object ScaleProbe {
         Files.createDirectories(Paths.get(out))
       }
     }
+    // SPARK_GRAFT_SCALE_TABLES limits which tables synthesize (default
+    // all three): a vectors-only probe (e.g. the width-ladder check at
+    // factor 1000) must not pay a 5M-document text rewrite it never
+    // reads. Queries over an unsynthesized table fail loudly on the
+    // missing path — never silently read the base.
+    val wantedTables = sys.env.getOrElse("SPARK_GRAFT_SCALE_TABLES",
+        "documents,embeddings,events")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val synthDocs = s"$out/documents.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(synthDocs))) {
+    if (wantedTables("documents") &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(synthDocs))) {
       val d = spark.read.parquet(s"$base/documents.parquet")
       // the replica-marker separator must be absent from the base corpus
       // or replica vocabularies are not provably disjoint (a base token
@@ -163,7 +172,8 @@ object ScaleProbe {
     // outer members across k-means cell boundaries — the regime where
     // the probe cap actually prices recall.
     val synthEmb = s"$out/embeddings.parquet"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/embeddings.parquet")) &&
+    if (wantedTables("embeddings") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/embeddings.parquet")) &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(synthEmb))) {
       val e = spark.read.parquet(s"$base/embeddings.parquet")
       val reps = spark.range(0, factor).select(col("id").cast("int").as("rep"))
@@ -202,7 +212,8 @@ object ScaleProbe {
     // Low-cardinality columns (event_type, props) replicate verbatim:
     // categorical vocabularies do not grow with corpus size.
     val synthEvents = s"$out/events.parquet"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/events.parquet")) &&
+    if (wantedTables("events") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/events.parquet")) &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(synthEvents))) {
       val ev = spark.read.parquet(s"$base/events.parquet")
       val reps = spark.range(0, factor).select(col("id").as("rep"))

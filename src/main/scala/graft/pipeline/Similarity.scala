@@ -813,11 +813,31 @@ object Similarity {
   def ivfCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
     ivfCalibratedWidth(spark, sfDir)
     val c = ivfCalibrations(sfDir)
+    // r15 stretch: a target_met=false row must also DECIDE — measure
+    // the shipped alternative lane (sign-LSH, the same bounded probe
+    // set and exact truth) and recommend the better of it and the
+    // ceiling the calibration already fell back to, so the monitoring
+    // row carries the next action, not just the miss. The comparison
+    // is exact cross-multiplied integer evidence (no ppm rounding);
+    // the extra eval runs ONLY on the miss path — a clustered corpus
+    // whose narrow probe cleared the target pays nothing.
+    val (recommended, altPpm): (String, Option[Long]) =
+      if (c.targetMet) ("ivf", None)
+      else {
+        val row = annLshRecall(spark, sfDir)
+          .agg(count(lit(1)), sum(col("n_hits"))).head()
+        val ln = row.getLong(0)
+        val lh = if (row.isNullAt(1)) 0L else row.getLong(1)
+        val lshPpm = if (ln == 0) 0L else 1000000L * lh / (IvfTopK * ln)
+        val lshBetter = lh * c.nQueries > c.totalHits * ln
+        (if (lshBetter) "sign_lsh" else "ivf_ceiling", Some(lshPpm))
+      }
     import spark.implicits._
     Seq((c.width, c.nQueries, c.totalHits,
         if (c.nQueries == 0) 0L else 1000000L * c.totalHits / (IvfTopK * c.nQueries),
-        c.targetMet))
-      .toDF("width", "n_queries", "total_hits", "recall_ppm", "target_met")
+        c.targetMet, recommended, altPpm))
+      .toDF("width", "n_queries", "total_hits", "recall_ppm", "target_met",
+        "recommended_lane", "alt_recall_ppm")
   }
 
   /** DuckDB oracle for q_ivf_calibration (post-fit; None → rows-only):
@@ -835,17 +855,35 @@ object Similarity {
              CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
       FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
       GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS total_hits,
+             -- NULLIF/COALESCE: an empty probe set must read (0, 0, 0,
+             -- false) like the Spark side, not divide by zero
+             COALESCE((1000000 * CAST(SUM(n_hits) AS BIGINT))
+               // NULLIF($IvfTopK * CAST(count(*) AS BIGINT), 0), 0) AS recall_ppm,
+             (count(*) > 0 AND 1000000 * CAST(COALESCE(SUM(n_hits), 0) AS BIGINT)
+                >= $IvfRecallTargetPpm * $IvfTopK * CAST(count(*) AS BIGINT)) AS target_met
+      FROM per
+    ),
+    -- the alternative lane's evidence (sign-LSH over the same probe
+    -- set and exact truth), recomputed unconditionally here; the final
+    -- CASE nulls it on the target-met path exactly like the Spark side
+    lsh AS (
+      SELECT CAST(count(*) AS BIGINT) AS ln,
+             CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS lh
+      FROM ($annLshRecallSql)
     )
-    SELECT ${cal.width} AS width,
-           CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS total_hits,
-           -- NULLIF/COALESCE: an empty probe set must read (0, 0, 0,
-           -- false) like the Spark side, not divide by zero
-           COALESCE((1000000 * CAST(SUM(n_hits) AS BIGINT))
-             // NULLIF($IvfTopK * CAST(count(*) AS BIGINT), 0), 0) AS recall_ppm,
-           (count(*) > 0 AND 1000000 * CAST(COALESCE(SUM(n_hits), 0) AS BIGINT)
-              >= $IvfRecallTargetPpm * $IvfTopK * CAST(count(*) AS BIGINT)) AS target_met
-    FROM per"""
+    SELECT ${cal.width} AS width, agg.n_queries, agg.total_hits,
+           agg.recall_ppm, agg.target_met,
+           CASE WHEN agg.target_met THEN 'ivf'
+                WHEN lsh.lh * agg.n_queries > agg.total_hits * lsh.ln THEN 'sign_lsh'
+                ELSE 'ivf_ceiling' END AS recommended_lane,
+           CAST(CASE WHEN agg.target_met THEN NULL
+                     ELSE COALESCE((1000000 * lsh.lh) // NULLIF($IvfTopK * lsh.ln, 0), 0)
+                END AS BIGINT) AS alt_recall_ppm
+    FROM agg, lsh"""
       }
     }
 

@@ -96,6 +96,28 @@ class IvfRecallSpec extends SparkSpec {
     // prod is a float mean of per-query ratios — equal up to FP order
     assert(math.abs(prod - cal.recall) < 1e-9,
       s"calibration must record the recall it measured: $cal vs $prod")
+    // target missed ⇒ the row RECOMMENDS: the better of the measured
+    // sign-LSH lane and the ceiling, with the alternative's measured
+    // evidence carried in the row (r15 stretch #7)
+    val rep = Similarity.ivfCalibrationReport(spark, sf).head()
+    val lane = rep.getAs[String]("recommended_lane")
+    assert(Set("sign_lsh", "ivf_ceiling")(lane),
+      s"miss path must recommend a lane: $lane")
+    assert(!rep.isNullAt(rep.fieldIndex("alt_recall_ppm")),
+      "miss path must carry the alternative's measured recall")
+    val altPpm = rep.getAs[Long]("alt_recall_ppm")
+    val lshRow = Similarity.annLshRecall(spark, sf)
+      .agg(count(lit(1)), sum(col("n_hits"))).head()
+    val expectPpm =
+      if (lshRow.getLong(0) == 0) 0L
+      else 1000000L * lshRow.getLong(1) / (Similarity.IvfTopK * lshRow.getLong(0))
+    assert(altPpm == expectPpm,
+      s"alt evidence must be the sign lane's measured recall: $altPpm vs $expectPpm")
+    val expectLane =
+      if (lshRow.getLong(1) * cal.nQueries > cal.totalHits * lshRow.getLong(0)) "sign_lsh"
+      else "ivf_ceiling"
+    assert(lane == expectLane, s"recommendation must follow the exact evidence: " +
+      s"$lane vs $expectLane")
   }
 
   test("calibration picks the narrowest width on geometry that clears the target") {
@@ -121,6 +143,12 @@ class IvfRecallSpec extends SparkSpec {
       val cal = Similarity.ivfCalibrationInfo(dir).get
       assert(cal.targetMet, s"clustered geometry must clear the target: $cal")
       assert(cal.width == 1, s"co-celled truth must calibrate to width 1: $cal")
+      // target met ⇒ the row recommends the calibrated probe itself and
+      // pays for no alternative eval (alt column NULL)
+      val rep = Similarity.ivfCalibrationReport(spark, dir).head()
+      assert(rep.getAs[String]("recommended_lane") == "ivf")
+      assert(rep.isNullAt(rep.fieldIndex("alt_recall_ppm")),
+        "met path must not carry alternative evidence")
     } finally Similarity.resetIvfFits()
   }
 
