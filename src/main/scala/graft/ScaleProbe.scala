@@ -295,7 +295,7 @@ object ScaleProbe {
               s""""probe_sweep_sec":${fmt(tProbe)},"sweep_rows":$sweepRows,""" +
               s""""probe_rows":$probeRows}"""
           } finally drop(tables: _*)
-        val sig = family("signature",
+        def sigF() = family("signature",
           add = () => {
             SignatureIndex.write(crawlN(0), "lcp_sig_s1")
             SignatureIndex.write(crawlN(1), "lcp_sig_s2")
@@ -311,8 +311,7 @@ object ScaleProbe {
           probeSweep = () => SignatureIndex.crossSnapshotMatches(spark, "lcp_sig_e23", "lcp_sig_probe").count(),
           tables = Seq("lcp_sig_s1", "lcp_sig_s2", "lcp_sig_s3", "lcp_sig_probe",
             "lcp_sig_e12", "lcp_sig_e123", "lcp_sig_e23"))
-        System.err.println(s"[scale] lifecycle signature done ($dir)")
-        val ph = family("phash",
+        def phF() = family("phash",
           add = () => {
             PhashIndex.write(crawlN(0), "lcp_ph_s1")
             PhashIndex.write(crawlN(1), "lcp_ph_s2")
@@ -331,8 +330,7 @@ object ScaleProbe {
           probeSweep = () => PhashIndex.crossSnapshotMatches(spark, "lcp_ph_e23", "lcp_ph_probe").count(),
           tables = Seq("lcp_ph_s1", "lcp_ph_s2", "lcp_ph_s3", "lcp_ph_probe",
             "lcp_ph_e12", "lcp_ph_e123", "lcp_ph_e23"))
-        System.err.println(s"[scale] lifecycle phash done ($dir)")
-        val au = family("audio",
+        def auF() = family("audio",
           add = () => {
             AudioIndex.write(crawlN(0), "lcp_au_s1")
             AudioIndex.write(crawlN(1), "lcp_au_s2")
@@ -349,8 +347,7 @@ object ScaleProbe {
           probeSweep = () => AudioIndex.crossSnapshotMatches(spark, "lcp_au_e23", "lcp_au_probe").count(),
           tables = Seq("lcp_au_s1", "lcp_au_s2", "lcp_au_s3", "lcp_au_probe",
             "lcp_au_e12", "lcp_au_e123", "lcp_au_e23"))
-        System.err.println(s"[scale] lifecycle audio done ($dir)")
-        val em = family("embed",
+        def emF() = family("embed",
           add = () => {
             EmbedIndex.write(embCrawlN(0), "lcp_em_s1", centers)
             EmbedIndex.write(embCrawlN(1), "lcp_em_s2", centers)
@@ -366,14 +363,32 @@ object ScaleProbe {
           probeSweep = () => EmbedIndex.crossSnapshotMatches(spark, "lcp_em_e23", "lcp_em_probe").count(),
           tables = Seq("lcp_em_s1", "lcp_em_s2", "lcp_em_s3", "lcp_em_probe",
             "lcp_em_e12", "lcp_em_e123", "lcp_em_e23"))
-        System.err.println(s"[scale] lifecycle embed done ($dir)")
-        s"""{"dataset":"$dir","lifecycle":{$sig,$ph,$au,$em}}"""
+        // SPARK_GRAFT_LIFECYCLE_FAMILIES selects which families run
+        // (default all four): the adjudication workflow re-times ONE
+        // suspect family under changed provisioning (heap, cpus)
+        // without paying the other three — e.g. the 1000x phash add
+        // leg's heap-pressure A/B. Unknown names fail loudly.
+        val all = Seq("signature" -> (() => sigF()), "phash" -> (() => phF()),
+          "audio" -> (() => auF()), "embed" -> (() => emF()))
+        val wantedFams = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE_FAMILIES",
+            all.map(_._1).mkString(","))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknownFams = wantedFams -- all.map(_._1).toSet
+        require(unknownFams.isEmpty, s"unknown lifecycle families: $unknownFams")
+        val parts = all.collect { case (name, f) if wantedFams(name) =>
+          val json = f()
+          System.err.println(s"[scale] lifecycle $name done ($dir)")
+          json
+        }
+        s"""{"dataset":"$dir","lifecycle":{${parts.mkString(",")}}}"""
       }
+      // base == out runs the row ONCE (the adjudication form: re-time
+      // the Nx corpus alone without paying the 1x reference pass)
       val l1 = lifecycleRow(base)
-      val lN = lifecycleRow(out)
+      val lN = if (out == base) None else Some(lifecycleRow(out))
       try spark.stop() catch { case _: Throwable => () }
       println(l1)
-      println(lN)
+      lN.foreach(println)
       return
     }
 
