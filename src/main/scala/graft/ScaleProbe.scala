@@ -412,12 +412,15 @@ object ScaleProbe {
           s""""sec_per_trigger_warm":${fmt3(warm.seconds / 3)},""" +
           s""""rejected_warm":${warm.anomalies},"docs":${warm.messages}}"""
       }
+      // base == out: one estate, one row (the lifecycle convention —
+      // re-measure the Nx gate alone without paying the 1x pass)
       val g1 = gateRow(base)
-      System.err.println(s"[scale] stream gates 1x done")
-      val gN = gateRow(out)
+      System.err.println(s"[scale] stream gates first estate done")
+      val gN = if (out == base) None else Some(gateRow(out))
       try spark.stop() catch { case _: Throwable => () }
       println(s"""{"dataset":"1x","dir":"$base","admission_stream":$g1}""")
-      println(s"""{"dataset":"${factor}x","dir":"$out","admission_stream":$gN}""")
+      gN.foreach(g =>
+        println(s"""{"dataset":"${factor}x","dir":"$out","admission_stream":$g}"""))
       return
     }
 
