@@ -403,8 +403,16 @@ object ScaleProbe {
       // once via the memoized stores; warm times the gate alone — the
       // ScaleProbe cold/warm convention).
       def fmt3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+      // SPARK_GRAFT_STREAM_PER_TRIGGER sizes the synthetic trigger
+      // (default 20k docs — the committed decade table's shape). The
+      // 1000x adjudication showed per-trigger cost is dominated by one
+      // columnar scan of the index estate, i.e. per TRIGGER, not per
+      // doc — this knob is how that claim gets measured instead of
+      // asserted (a 10x trigger should read ~the same seconds).
+      val perTrigger = sys.env.get("SPARK_GRAFT_STREAM_PER_TRIGGER")
+        .map(_.toInt).getOrElse(20000)
       def gateRow(dir: String): String = {
-        def run() = StreamBench.admissionMeasure(spark, dir, 20000, 3)
+        def run() = StreamBench.admissionMeasure(spark, dir, perTrigger, 3)
         val cold = run()
         val warm = run()
         spark.catalog.clearCache()

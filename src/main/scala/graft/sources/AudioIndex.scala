@@ -263,9 +263,18 @@ object AudioIndex {
     * stream-static join). Emits one row per matching bucket; batch
     * consumers take DISTINCT, the streaming collapse keys by doc.
     */
-  def ingestStream(docs: DataFrame, indexTable: String): DataFrame = {
+  def ingestStream(docs: DataFrame, indexTable: String,
+      bucketCap: Long = Audio.AudioBucketCap): DataFrame = {
     val spark = docs.sparkSession
-    val idx = spark.table(indexTable)
+    // hot-bucket stop-loss on the index side, the crossSnapshotPairs
+    // convention extended to the gate (see IngestGate.scoredRows for
+    // the estate-scale rationale): posting buckets over the cap are
+    // dropped whole. Oracle mirror: auhot in audioIngestCtesSql.
+    val rawIdx = spark.table(indexTable)
+    val hot = rawIdx.groupBy(col("slot"), col("lmv")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > bucketCap).select(col("slot"), col("lmv"))
+    val idx = rawIdx
+      .join(broadcast(hot), Seq("slot", "lmv"), "left_anti")
       .select(col("slot"), col("lmv"), col("rep").as("corpus_rep"), col("fp").as("fp_c"))
     Audio.postingRows(docs)
       .join(idx, Seq("slot", "lmv"))
@@ -317,6 +326,11 @@ object AudioIndex {
       FROM aufp CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS s(slot)
       WHERE asset_id % 2 = 1
     ),
+    auhot AS (
+      -- the gate's index-side hot-bucket stop-loss (ingestStream)
+      SELECT slot, lmv FROM auba
+      GROUP BY 1, 2 HAVING count(*) > ${Audio.AudioBucketCap}
+    ),
     pau AS (
       SELECT DISTINCT n.asset_id, a.rep AS corpus_rep,
              CAST(list_sum([CASE WHEN (n.fp >> (9 * w)) % 512 = (a.fp >> (9 * w)) % 512
@@ -326,6 +340,8 @@ object AudioIndex {
       WHERE CAST(list_sum([CASE WHEN (n.fp >> (9 * w)) % 512 = (a.fp >> (9 * w)) % 512
                                 THEN 1 ELSE 0 END
                            for w in generate_series(0, 6)]) AS BIGINT) >= ${Audio.MinLandmarkAgree}
+        AND NOT EXISTS (SELECT 1 FROM auhot h
+                        WHERE h.slot = a.slot AND h.lmv = a.lmv)
     )"""
 
   /** DuckDB mirror of [[audioIngestGate]]. */

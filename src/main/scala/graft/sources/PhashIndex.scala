@@ -170,9 +170,19 @@ object PhashIndex {
     * emits once per band; consumers take DISTINCT, as with the batch
     * verdicts.
     */
-  def ingestStream(docs: DataFrame, indexTable: String): DataFrame = {
+  def ingestStream(docs: DataFrame, indexTable: String,
+      bucketCap: Long = Multimodal.PhashBucketCap): DataFrame = {
     val spark = docs.sparkSession
-    val idx = spark.table(indexTable)
+    // hot-bucket stop-loss on the index side, the crossSnapshotPairs
+    // convention extended to the gate (see IngestGate.scoredRows for
+    // the estate-scale rationale): buckets whose REPRESENTATIVE count
+    // exceeds the cap are dropped whole. Oracle mirror: imghot in
+    // phashIngestCtesSql.
+    val rawIdx = spark.table(indexTable)
+    val hot = rawIdx.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > bucketCap).select(col("band"), col("bv"))
+    val idx = rawIdx
+      .join(broadcast(hot), Seq("band", "bv"), "left_anti")
       .select(col("band"), col("bv"), col("rep").as("corpus_rep"), col("phash").as("phash_c"))
     Multimodal.phashBandRows(Multimodal.phashCodesOf(docs))
       .join(idx, Seq("band", "bv"))
@@ -450,11 +460,18 @@ object PhashIndex {
       FROM code CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
       WHERE asset_id % 2 = 1
     ),
+    imghot AS (
+      -- the gate's index-side hot-bucket stop-loss (ingestStream)
+      SELECT band, bv FROM ba
+      GROUP BY 1, 2 HAVING count(*) > ${Multimodal.PhashBucketCap}
+    ),
     pim AS (
       SELECT DISTINCT nb.asset_id, ba.rep AS corpus_rep,
              CAST(bit_count(xor(nb.phash, ba.phash)) AS INT) AS hamming
       FROM nb JOIN ba ON nb.band = ba.band AND nb.bv = ba.bv
       WHERE bit_count(xor(nb.phash, ba.phash)) <= ${Multimodal.PhashRadius}
+        AND NOT EXISTS (SELECT 1 FROM imghot h
+                        WHERE h.band = ba.band AND h.bv = ba.bv)
     )"""
 
   /** DuckDB mirror of [[phashIngestGate]]. */

@@ -89,12 +89,13 @@ object IngestGate {
     * map gates exact duplicates; `indexTable` is its persisted
     * [[graft.sources.SignatureIndex]] band table.
     */
-  def verdicts(docs: DataFrame, corpus: DataFrame, indexTable: String): Dataset[Verdict] = {
+  def verdicts(docs: DataFrame, corpus: DataFrame, indexTable: String,
+      bucketCap: Long = graft.pipeline.Dedup.MinhashBucketCap): Dataset[Verdict] = {
     implicit val gateEnc = Encoders.product[GateRow]
     implicit val verdictEnc = Encoders.product[Verdict]
     implicit val stateEnc = Encoders.scalaInt
     implicit val keyEnc = Encoders.scalaLong
-    scoredRows(docs, corpus, indexTable).as[GateRow]
+    scoredRows(docs, corpus, indexTable, bucketCap).as[GateRow]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(update _)
   }
@@ -103,7 +104,8 @@ object IngestGate {
     * the shared leg [[verdicts]] consumes alone and [[admissionStream]]
     * unions with the image/audio/vector legs.
     */
-  private def scoredRows(docs: DataFrame, corpus: DataFrame, indexTable: String): DataFrame = {
+  private def scoredRows(docs: DataFrame, corpus: DataFrame, indexTable: String,
+      bucketCap: Long = graft.pipeline.Dedup.MinhashBucketCap): DataFrame = {
     import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
     val spark = docs.sparkSession
     // the materialized exact-dedup verdict of the corpus (Dedup.exact's
@@ -111,7 +113,20 @@ object IngestGate {
     // index every ingest pipeline already maintains
     val keepers = broadcast(
       corpus.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("keeper")))
-    val idx = spark.table(indexTable)
+    // hot-bucket stop-loss on the gate's index side — the
+    // crossSnapshotPairsCapped convention extended to the ADMISSION
+    // path (the batch sweeps have carried it since round 12, but the
+    // gate joined the raw index: at estate scale one boilerplate
+    // (band, bh) key with 10^6 resident rows would multiply every
+    // matching arriving doc by 10^6 and stall the trigger). Buckets
+    // over the cap are dropped WHOLE, the sweep semantics; the hot set
+    // is bounded by rows/cap, so the anti-join build side stays small
+    // by construction. Oracle mirror: sighot in ingestGateCtesSql.
+    val rawIdx = spark.table(indexTable)
+    val hot = rawIdx.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > bucketCap).select(col("band"), col("bh"))
+    val idx = rawIdx
+      .join(broadcast(hot), Seq("band", "bh"), "left_anti")
       .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"),
         col("sig").as("sig_c"))
     val toks = TextAnalysis.tokens(col("text"))
@@ -181,11 +196,19 @@ object IngestGate {
              md5(array_to_string(sig[4 * b.band + 1 : 4 * b.band + 4], ',')) AS bh
       FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
     ),
+    sighot AS (
+      -- the gate's index-side hot-bucket stop-loss (scoredRows):
+      -- corpus buckets over the cap are dropped whole
+      SELECT band, bh FROM bands WHERE doc_id % 2 = 0
+      GROUP BY 1, 2 HAVING count(*) > ${graft.pipeline.Dedup.MinhashBucketCap}
+    ),
     matches AS (
       SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc,
              round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) AS est
       FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
       WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        AND NOT EXISTS (SELECT 1 FROM sighot h
+                        WHERE h.band = c.band AND h.bh = c.bh)
         AND round(CAST(len([i for i in generate_series(1, 16) if n.sig[i] = c.sig[i]]) AS DOUBLE) / 16.0, 6) >= $NearDupMinEst
     ),
     best AS (
