@@ -270,10 +270,8 @@ object AudioIndex {
     // convention extended to the gate (see IngestGate.scoredRows for
     // the estate-scale rationale): posting buckets over the cap are
     // dropped whole. Oracle mirror: auhot in audioIngestCtesSql.
-    val rawIdx = spark.table(indexTable)
-    val hot = rawIdx.groupBy(col("slot"), col("lmv")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > bucketCap).select(col("slot"), col("lmv"))
-    val idx = rawIdx
+    val hot = TableUtil.hotBuckets(spark, indexTable, Seq("slot", "lmv"), bucketCap)
+    val idx = spark.table(indexTable)
       .join(broadcast(hot), Seq("slot", "lmv"), "left_anti")
       .select(col("slot"), col("lmv"), col("rep").as("corpus_rep"), col("fp").as("fp_c"))
     Audio.postingRows(docs)

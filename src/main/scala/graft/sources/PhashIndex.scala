@@ -178,10 +178,8 @@ object PhashIndex {
     // the estate-scale rationale): buckets whose REPRESENTATIVE count
     // exceeds the cap are dropped whole. Oracle mirror: imghot in
     // phashIngestCtesSql.
-    val rawIdx = spark.table(indexTable)
-    val hot = rawIdx.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > bucketCap).select(col("band"), col("bv"))
-    val idx = rawIdx
+    val hot = TableUtil.hotBuckets(spark, indexTable, Seq("band", "bv"), bucketCap)
+    val idx = spark.table(indexTable)
       .join(broadcast(hot), Seq("band", "bv"), "left_anti")
       .select(col("band"), col("bv"), col("rep").as("corpus_rep"), col("phash").as("phash_c"))
     Multimodal.phashBandRows(Multimodal.phashCodesOf(docs))

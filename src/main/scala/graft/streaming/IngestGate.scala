@@ -122,10 +122,9 @@ object IngestGate {
     // over the cap are dropped WHOLE, the sweep semantics; the hot set
     // is bounded by rows/cap, so the anti-join build side stays small
     // by construction. Oracle mirror: sighot in ingestGateCtesSql.
-    val rawIdx = spark.table(indexTable)
-    val hot = rawIdx.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > bucketCap).select(col("band"), col("bh"))
-    val idx = rawIdx
+    val hot = graft.sources.TableUtil.hotBuckets(
+      spark, indexTable, Seq("band", "bh"), bucketCap)
+    val idx = spark.table(indexTable)
       .join(broadcast(hot), Seq("band", "bh"), "left_anti")
       .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"),
         col("sig").as("sig_c"))
