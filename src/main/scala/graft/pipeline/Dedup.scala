@@ -1289,8 +1289,11 @@ object Dedup {
   /** [[simhash64Pairs]] with an explicit cap — the spec seam. */
   private[graft] def simhash64PairsCapped(spark: SparkSession, sfDir: String,
       cap: Long): DataFrame =
+    // spread: the per-token md5 + simhash fold is per-row-heavy and the
+    // single-split scan would run it on one core (Tables.spread)
     simhash64PairsOfBands(
-      simhash64Bands(simhashes64(Tables.documents(spark, sfDir))).mat, cap)
+      simhash64Bands(simhashes64(
+        Tables.spread(Tables.documents(spark, sfDir), col("doc_id")))).mat, cap)
 
   /** The pair pipeline over explicit band rows (spec seam for planted
     * hot buckets).
@@ -2291,8 +2294,10 @@ object Dedup {
     */
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // self-releasing checkpoint instead of persist — see ngramNovelty
-    val sh = shingleHashes(docs, BoilerN, keep = Seq("source"))
+    // self-releasing checkpoint instead of persist — see ngramNovelty;
+    // spread: the bigram build is per-row-heavy and the single-split
+    // scan would run it on one core (Tables.spread)
+    val sh = shingleHashes(Tables.spread(docs, col("doc_id")), BoilerN, keep = Seq("source"))
       .select(col("doc_id"), col("source"), explode(col("hs")).as("sh"))
       .localCheckpoint(eager = true)
     val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -2608,7 +2613,9 @@ object Dedup {
 
   private def passageAnchorsOf(docs: DataFrame,
       anchorCap: Long = PassageAnchorFreqCap): (DataFrame, DataFrame) = {
-    val toks = docs
+    // spread: tokenize + positioned anchor hashing is per-row-heavy and
+    // a single-split scan would run it on one core (Tables.spread)
+    val toks = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= PassageK)
       .mat // anchor explode + anchor verify + passage gathers read it

@@ -37,10 +37,14 @@ object CoreQueries {
     lit(t)
   }
 
-  /** The two tracked fields of the events table in long format. */
+  /** The two tracked fields of the events table in long format.
+    * The input is spread first (Tables.spread): extraction JSON-parses
+    * every row, and the single-split scan would otherwise run it — and
+    * every downstream stats aggregate — on one core.
+    */
   def eventSamples(events: DataFrame, carryId: Boolean = false): DataFrame =
     Extraction.longFormat(
-      events,
+      Tables.spread(events, col("event_id")),
       topic = col("event_type"),
       ts = col("ts"),
       fields = Seq(
@@ -235,7 +239,8 @@ object CoreQueries {
     val now = nowOf(ev)
     // project exactly the discovered paths, per topic
     val samples = Extraction.fromJsonMessages(
-      ev.select(col("event_type").as("topic"), col("props").as("value"), col("ts")),
+      Tables.spread(ev, col("event_id"))
+        .select(col("event_type").as("topic"), col("props").as("value"), col("ts")),
       col("topic"), col("value"), col("ts"),
       dsl.topics.flatMap(_.fields.map(_.path)).distinct)
     val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
@@ -399,7 +404,7 @@ object CoreQueries {
     val ev = Tables.events(spark, sfDir)
     val now = nowOf(ev)
     val samples = Extraction.longFormat(
-      ev,
+      Tables.spread(ev, col("event_id")),
       topic = col("event_type"),
       ts = col("ts"),
       fields = Seq(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data profiling / validation — the pre-training sanity report
@@ -13,36 +13,66 @@ object ProfileQueries {
     * nulls, distincts, numeric min/max, string min/max — plus the two
     * standard derived constraints (`is_complete`, `is_unique`).
     *
-    * Scale: ONE scan computes every metric for every column (a single
-    * wide aggregation with map-side partials: 6 columns × ~5 metrics =
-    * one 30-slot aggregate row); the per-column report rows are then a
-    * driver-side reshape of that single row. Never one pass per column
-    * — the naive loop would scan 100 TB six times. `count(DISTINCT)`
-    * slots expand internally, the costliest part of the pass — at scale
-    * use [[profileApprox]] (q_profile_approx), which swaps them for
-    * bounded KMV sketches; the exact form stays as calibration.
+    * Scale (round-16 restructure, measured): the non-distinct metrics
+    * stay ONE wide single-scan aggregation with map-side partials —
+    * never one pass per column. The six exact `count(DISTINCT)` slots
+    * used to ride the same aggregate, which Spark plans as an Expand
+    * (×7 row fan-out) where EVERY expanded row carries the full
+    * 25-slot aggregation buffer through the partial agg and shuffle —
+    * measured 2.6 s of the old 2.7 s wall at sf0.1, ~25 µs/row. They
+    * are now a second pass: one typed explode into narrow
+    * (col, v_long, v_dbl, v_str) keys and a two-level aggregate
+    * (map-side partial DEDUP, then count per column) — the shuffle
+    * moves one narrow row per locally-distinct value, no wide buffers.
+    * Distinct semantics are identical: values group as their NATIVE
+    * types, so Spark's float normalization (-0.0 = 0.0, one NaN class)
+    * applies exactly as in count(DISTINCT). Two scans for the exact
+    * form mirrors [[profileApprox]]'s adjudicated shape (base pass +
+    * sketch pass); at 100 TB the approx form remains the production
+    * path and this stays the calibration row.
     */
   def profile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val evRaw = Tables.events(spark, sfDir).withColumn("ts_us", expr("unix_micros(ts)"))
     val numeric = Seq("event_id", "user_id", "value", "ts_us")
     val strings = Seq("event_type", "props")
     val aggs = (numeric ++ strings).flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}__cnt"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-      ) ++ (if (numeric.contains(c))
+      Seq(count(col(c)).as(s"${c}__cnt")) ++ (if (numeric.contains(c))
         Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"))
       else
         Seq(min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")))
     }
-    val row = ev.agg(count(lit(1)).as("n_rows"), aggs: _*).collect().head
+    // the base-metric partial aggregate collapses inside the scan task
+    // (one narrow output row), so it reads the UNSPREAD scan; only the
+    // distinct leg — whose partial rows are one per distinct value —
+    // pays the spread. The two legs are independent jobs, so they run
+    // concurrently (guide §2.6) and the wall is max, not sum.
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def tag(c: String, vl: Column, vd: Column, vs: Column) =
+      struct(lit(c).as("c"), vl.as("vl"), vd.as("vd"), vs.as("vs"))
+    val tagged = Tables.spread(evRaw, col("event_id")).select(explode(array(
+      tag("event_id", col("event_id"), nullD, nullS),
+      tag("user_id", col("user_id"), nullD, nullS),
+      tag("ts_us", col("ts_us"), nullD, nullS),
+      tag("value", nullL, col("value"), nullS),
+      tag("event_type", nullL, nullD, col("event_type")),
+      tag("props", nullL, nullD, col("props")),
+    )).as("p")).select(col("p.c").as("c"), col("p.vl").as("vl"),
+      col("p.vd").as("vd"), col("p.vs").as("vs"))
+    val (row, ndMap) = graft.core.Jobs.concurrently(spark,
+      evRaw.agg(count(lit(1)).as("n_rows"), aggs: _*).collect().head,
+      tagged
+        .filter(col("vl").isNotNull || col("vd").isNotNull || col("vs").isNotNull)
+        .groupBy(col("c"), col("vl"), col("vd"), col("vs")).agg(count(lit(1)))
+        .groupBy(col("c")).agg(count(lit(1)).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     val n = row.getAs[Long]("n_rows")
     val out = (numeric ++ strings).map { c =>
       val cnt = row.getAs[Long](s"${c}__cnt")
-      val nd = row.getAs[Long](s"${c}__nd")
+      val nd = ndMap.getOrElse(c, 0L)
       def numAt(f: String): Option[Double] = {
         val i = row.fieldIndex(f)
         if (row.isNullAt(i)) None else Some(row.getDouble(i)) // all-null column -> null min/max
@@ -128,7 +158,7 @@ object ProfileQueries {
     */
   def profileApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.spread(Tables.events(spark, sfDir), col("event_id"))
       .withColumn("ts_us", expr("unix_micros(ts)"))
     val numeric = Seq("event_id", "user_id", "value", "ts_us")
     val strings = Seq("event_type", "props")
@@ -281,7 +311,7 @@ object ProfileQueries {
     * only the interpolated p99 is rounded.
     */
   def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.spread(Tables.events(spark, sfDir), col("event_id"))
     val pairs = ev.select(explode(map(
       lit("user_id"), coalesce(col("user_id").cast("string"), lit("<null>")),
       lit("event_type"), coalesce(col("event_type"), lit("<null>")),

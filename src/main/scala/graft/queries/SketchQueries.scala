@@ -489,7 +489,9 @@ object SketchQueries {
     */
   def shingleCardinality(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = graft.pipeline.Dedup
-      .shingleHashes(Tables.documents(spark, sfDir), keep = Seq("source"))
+      .shingleHashes(
+        Tables.spread(Tables.documents(spark, sfDir), col("doc_id")),
+        keep = Seq("source"))
       .select(col("source"), explode(col("hs")).as("sh"))
     val hv = conv(substring(md5(concat(lit("hll|"), col("sh").cast("string"))), 1, 15), 16, 10)
       .cast("long")

@@ -45,6 +45,35 @@ object Tables {
     timestampCols.getOrElse(name, Nil).foldLeft(df)(normalizeTimestamp)
   }
 
+  /** Scale-adaptive map-side parallelism for per-row-HEAVY subplans
+    * (JSON extraction, tokenization, shingling, wide aggregation).
+    *
+    * The driver's tables are single-file, single-row-group parquet, so
+    * a scan is ONE unsplittable task regardless of `maxPartitionBytes`
+    * — on local[32] every downstream per-row stage runs on 1 of 32
+    * cores until the first exchange (measured: q_profile's partial
+    * aggregate spent 1.76 s in a 1-task stage, 2.6 s of its 2.7 s
+    * total). At production scale a 100 TB input arrives as many
+    * splits, so this helper is a NO-OP there: it redistributes only
+    * when the scan yields fewer partitions than the session's cores
+    * (`defaultParallelism`), i.e. exactly the small-input case where
+    * one shuffle of the (tiny) table buys full-width compute. Guide
+    * §2: derive partitioning from input size, never a constant.
+    *
+    * With `keys` the redistribution is hash partitioning on those
+    * columns (no pre-shuffle sort, deterministic under retries);
+    * without, deterministic round-robin (Spark sorts each input
+    * partition first — SPARK-23207 — so retried tasks reproduce the
+    * same assignment). Only for order-insensitive consumers
+    * (aggregation, join, explode-then-aggregate).
+    */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
