@@ -78,13 +78,18 @@ object OptProbe {
           val times = (1 to runs).map { i =>
             spark.sparkContext.setJobDescription(s"$name count run$i")
             val t0 = System.nanoTime()
-            val n = fn(spark, sfDir).count()
+            val df = fn(spark, sfDir)
+            val tBuild = (System.nanoTime() - t0) / 1e9
+            df.queryExecution.executedPlan // force analysis+optimization+physical planning
+            val tPlan = (System.nanoTime() - t0) / 1e9 - tBuild
+            val n = df.count()
             val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             if (i < runs) log.rows.clear() // keep only the last run's stages
-            (dt, n)
+            (dt, n, tBuild, tPlan)
           }
           println(f"count():  ${times.map(_._1).map(t => f"$t%.3f").mkString(" ")} s   rows=${times.head._2}")
+          println(f"build:    ${times.map(_._3).map(t => f"$t%.3f").mkString(" ")} s   plan: ${times.map(_._4).map(t => f"$t%.3f").mkString(" ")} s")
           log.dumpAndClear()
           if (doNoop) {
             val nt = (1 to runs).map { i =>

@@ -50,21 +50,23 @@ object GraphOps {
     val raw = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-    // every loop-invariant relation is built ONCE: degrees are joined
-    // into the edge list up front (the old shape re-joined edges⋈deg —
-    // and recomputed deg's aggregation — inside every iteration), and
-    // the result is hash-partitioned by src before caching so each
-    // iteration's rank join shuffles only the narrow rank relation,
-    // never the edges
+    // every loop-invariant relation is built ONCE — but by EXCHANGE
+    // REUSE, not by persist/checkpoint barriers (round-16 measurement:
+    // the old persist + two eager checkpoints + unpersist cost 3 extra
+    // job submissions and pinned 32-partition layouts that AQE could
+    // not coalesce; 26 stages for a 5-iteration loop). The edges and
+    // nodes subplans below are canonically identical in every
+    // iteration, so physical planning dedups their shuffles
+    // (ReusedExchange / AQE stage reuse): the edge relation is built
+    // and shuffled exactly once per action, each iteration's rank join
+    // shuffles only the narrow rank relation, and the whole loop is
+    // ONE compiled plan — zero driver barriers, AQE free to right-size
+    // every stage.
     val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edges = raw.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src"))
-      .persist()
     val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(eager = true)
     var rank = nodes.withColumn("rank_micro", lit(PrUnit))
-      .localCheckpoint(eager = true)
     for (i <- 1 to PrIterations) {
       val contrib = edges
         .join(rank, edges("src") === rank("node"))
@@ -74,20 +76,12 @@ object GraphOps {
         .select(col("node"),
           expr("CAST(150000 + (850 * coalesce(s, CAST(0 AS BIGINT))) div 1000 AS BIGINT)")
             .as("rank_micro"))
-      // truncate lineage every sixth round: each barrier is a full job
-      // submission, and at the FIXED 5 iterations the whole chain fits
-      // one compiled plan (15 shuffles, constant depth) — so the loop
-      // body pays zero barriers and only the final materialization
-      // below runs a job. If PrIterations grows past ~6, this resumes
-      // chunking so plan depth stays bounded (the scale requirement).
+      // plan-depth bound for LONG loops: at the fixed 5 iterations the
+      // chain fits one compiled plan (15 reusable shuffles, constant
+      // depth); past ~6 rounds an eager checkpoint resumes chunking so
+      // planning time stays bounded (the scale requirement).
       if (i % 6 == 0) rank = rank.localCheckpoint(eager = true)
     }
-    // materialize the tail iterations BEFORE dropping the edge cache:
-    // the returned plan is lazy, so an un-checkpointed final rank would
-    // recompute the raw->degree->join edge pipeline uncached at every
-    // downstream action
-    if (PrIterations % 6 != 0) rank = rank.localCheckpoint(eager = true)
-    edges.unpersist()
     rank.select(
       col("node").as("doc_id"),
       col("rank_micro"),

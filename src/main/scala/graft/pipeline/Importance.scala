@@ -90,6 +90,28 @@ object Importance {
       .select(transform(sequence(lit(0), lit(Buckets - 1)),
         b => coalesce(element_at(col("m"), b), lit(0L))).as(name))
 
+  /** The MATERIALIZED scored relation, memoized per (application,
+    * dataset) — the keep-list discipline applied to the DSIR scoring
+    * pass: q_curate, q_dataset_card, q_importance_weight and
+    * q_importance_resample all read these weights, and each used to
+    * pay its own eager checkpoint of the full scoring subplan per
+    * CALL (round-16 measurement: ~0.5-1.1 s of every consumer's build
+    * phase was re-scoring + re-checkpointing this relation). One
+    * corpus snapshot scores once; every report reads the layout. Cold
+    * cost lands in the bench `artifacts` map like every memo build.
+    */
+  def scoredWeightsMat(spark: SparkSession, sfDir: String): DataFrame =
+    scoredMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      scoredWeights(spark, sfDir).localCheckpoint(eager = true))
+
+  private val scoredMemo = new graft.core.Memo("dsir_scored")
+
+  /** Test seam (datasets rewritten in place must reset, the
+    * resetKeepListMemo contract).
+    */
+  private[pipeline] def resetScoredMemo(): Unit = scoredMemo.clear()
+
   /** The boundary-free scored relation (doc_id, source, tk,
     * dsir_weight) — exposed so composers (q_curate) that need only the
     * weights don't drag the keep-boundary percentile pass along.
@@ -126,7 +148,7 @@ object Importance {
   }
 
   def importanceWeight(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = scoredWeights(spark, sfDir)
+    val scored = scoredWeightsMat(spark, sfDir)
     val bnd = scored.agg(
       round(expr(s"percentile(dsir_weight, $KeepQuantile)"), 6).as("keep_bnd"))
     scored
@@ -201,14 +223,11 @@ object Importance {
     * stateless per-row predicate. Nothing corpus-sized shuffles.
     */
   def importanceResample(spark: SparkSession, sfDir: String): DataFrame = {
-    // narrow (id, source, weight) rows behind a self-releasing Mat
-    // boundary: referenced twice (the max aggregate and the output) —
-    // without it the whole DSIR scoring subplan, model aggregations
-    // included, runs once per reference (the q_curate discipline).
-    // ~30 bytes/doc at any corpus size, no text, no tokens.
-    val scored = scoredWeights(spark, sfDir)
+    // reads the per-dataset memoized scored layout (scoredWeightsMat):
+    // referenced twice (the max aggregate and the output), scored once
+    // per corpus snapshot instead of once per call.
+    val scored = scoredWeightsMat(spark, sfDir)
       .select(col("doc_id"), col("source"), col("dsir_weight"))
-      .mat
     val m = scored.agg(max(col("dsir_weight")).as("w_max"))
     scored.crossJoin(broadcast(m))
       .withColumn("u",

@@ -810,7 +810,19 @@ object Similarity {
     * so the recorded measurement — not just the echo of it — is
     * hash-gated.
     */
-  def ivfCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfCalibrationReport(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized per (application, dataset): the decision row is frozen
+    // evidence (the width memo below already freezes the walk), but the
+    // miss path's alternative-lane eval used to re-run a full recall
+    // pass per CALL — once per corpus snapshot is the calibration
+    // contract (cold cost lands in the bench `artifacts` map)
+    ivfCalibrationReportMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      computeIvfCalibrationReport(spark, sfDir))
+
+  private val ivfCalibrationReportMemo = new graft.core.Memo("ivf_calibration_report")
+
+  private def computeIvfCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
     ivfCalibratedWidth(spark, sfDir)
     val c = ivfCalibrations(sfDir)
     // r15 stretch: a target_met=false row must also DECIDE — measure
@@ -1410,7 +1422,18 @@ object Similarity {
     * driver-side reads are three single-row aggregates (the
     * adjudicated bounded-collect class).
     */
-  def lshCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshCalibrationReport(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized per (application, dataset): the evidence chain (band
+    // histogram, volume pricing, probe-set recall) is deterministic
+    // per corpus snapshot and used to re-run ~10 driver actions per
+    // CALL (round-16 measurement: 1.4 s of build per invocation)
+    lshCalibrationReportMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      computeLshCalibrationReport(spark, sfDir))
+
+  private val lshCalibrationReportMemo = new graft.core.Memo("lsh_calibration_report")
+
+  private def computeLshCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         signCodeHi(col("embedding")).as("code_hi"),
