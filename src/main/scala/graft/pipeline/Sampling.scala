@@ -146,11 +146,31 @@ object Sampling {
              ${Dedup.h32Sql.format(s"'eval|' || ${Dedup.normTextMd5Sql.format("text")}")} % 25 = 0 AS is_eval
       FROM documents"""
 
+  /** The tagged [[DecontamN]]-gram relation (doc_id, is_eval, hs),
+    * memoized per (application, dataset): decontamination, the fuzzy
+    * variant and the eval-overlap report all start from this exact
+    * tokenize + rolling-hash pass, and each used to pay its own eager
+    * checkpoint of it per CALL (round-16 measurement: 0.7-1.0 s of
+    * build per invocation). Spread first — the gram build is the
+    * per-row-heavy class (Tables.spread).
+    */
+  private val decontamGramsMemo = new graft.core.Memo("decontam_grams")
+
+  private[pipeline] def resetDecontamGramsMemo(): Unit = decontamGramsMemo.clear()
+
+  private def decontamGrams(spark: SparkSession, sfDir: String): DataFrame =
+    decontamGramsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir", {
+        val docs = Tables.documents(spark, sfDir)
+        Dedup.shingleHashes(Tables.spread(docs, col("doc_id")), n = DecontamN)
+          .join(evalTag(docs), "doc_id")
+          .select(col("doc_id"), col("is_eval"), col("hs"))
+          .localCheckpoint(eager = true)
+      })
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val tagged = evalTag(docs)
-    val g = Dedup.shingleHashes(docs, n = DecontamN)
-      .join(tagged, "doc_id")
+    val tagged = decontamGrams(spark, sfDir).select(col("doc_id"), col("is_eval"))
+    val g = decontamGrams(spark, sfDir)
       .select(col("doc_id"), col("is_eval"), explode(col("hs")).as("h"))
     val evalGrams = g.filter(col("is_eval")).select(col("h")).distinct()
     val hits = g.filter(!col("is_eval"))
@@ -211,13 +231,14 @@ object Sampling {
     * bounded by band-collision volume exactly like the LSH self-join.
     */
   def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val tag = evalTag(docs)
-    val sigs = Dedup.shingleHashes(docs, n = DecontamN)
+    // signatures derive from the memoized gram relation (one tokenize +
+    // hash pass per snapshot); the signature fold itself stays per-call
+    // behind a self-releasing boundary (referenced by bands AND evalSigs)
+    val sigs = decontamGrams(spark, sfDir)
       .select(col("doc_id"),
         graft.functions.SketchFunctions
-          .minhashSignature(col("hs"), Dedup.MinhashAB, Dedup.P).as("sig"))
-      .join(tag, "doc_id")
+          .minhashSignature(col("hs"), Dedup.MinhashAB, Dedup.P).as("sig"),
+        col("is_eval"))
       .mat
     val bands = Dedup.bandRows(sigs, keep = Seq("is_eval"))
     val evalBands = bands.filter(col("is_eval"))
@@ -305,13 +326,9 @@ object Sampling {
     * rows only, never the corpus.
     */
   def evalOverlapReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val tag = evalTag(docs)
     // referenced three times (eval sizes, eval gram broadcast, training
-    // grams) — persist the narrow (id, is_eval, hs) projection so the
-    // tokenize + rolling-hash pass runs once per corpus, not three
-    // times (self-releasing boundary — graft.core.Mat)
-    val sh = Dedup.shingleHashes(docs, n = DecontamN).join(tag, "doc_id").mat
+    // grams) — the per-dataset memoized gram relation serves all three
+    val sh = decontamGrams(spark, sfDir)
     val g = sh.select(col("doc_id"), col("is_eval"), explode(col("hs")).as("h"))
     val evalSizes = sh.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), size(col("hs")).cast("long").as("n_grams"))
