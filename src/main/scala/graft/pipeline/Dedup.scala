@@ -1394,7 +1394,19 @@ object Dedup {
     * at 100 TB it turns a full batch shuffle into a shuffle of the
     * ~duplicate subset.
     */
-  def bloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def bloomDedup(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized per (application, dataset): the query already REQUIRES
+    // eager materialization (the broadcast Bloom filter is destroyed on
+    // exit), and the driver-side filter build (corpus count + collect
+    // of the filter bits) re-ran per call — once per snapshot is the
+    // batch-dedup contract, like every memoized dedup artifact
+    bloomDedupMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      computeBloomDedup(spark, sfDir))
+
+  private val bloomDedupMemo = new graft.core.Memo("bloom_dedup")
+
+  private def computeBloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val chunks = TextAnalysis.chunk(spark, sfDir)
     val corpus = chunks.filter(col("doc_id") % 5 =!= 0)
       .groupBy(col("chunk_md5"))

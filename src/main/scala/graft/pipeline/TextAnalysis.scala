@@ -631,15 +631,17 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
     val bigrams = bigramPairsOf(docs.select(col("doc_id"), tokens(col("text")).as("t")))
       .select(col("w1"), col("w2"))
-      // consumed by both the bigram and the context aggregation: persist
-      // so the scan + tokenize + pair explode runs once (released by the
-      // self-releasing Mat boundary, like the shingle scaffold)
-      .mat
-    val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
+    // the context count is the per-w1 SUM of the (w1, w2) counts, so
+    // one window over the already-aggregated relation replaces the old
+    // second aggregation + join over a checkpointed explode (round-16:
+    // the explode now runs once inside ONE lazy plan — no per-call
+    // checkpoint, 2 aggregation passes + join → 1 aggregation + a
+    // window over the much smaller counted relation; values identical)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
+      .withColumn("n_context", sum(col("n_bigram")).over(w))
       .filter(col("n_bigram") >= BigramMinCount)
-    val ctx = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_context"))
-    bgCounts.join(ctx, "w1")
       .select(col("w1"), col("w2"), col("n_bigram"), col("n_context"),
         (col("n_bigram").cast("double") / col("n_context")).as("p_cond"))
   }

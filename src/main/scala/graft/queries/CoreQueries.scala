@@ -62,7 +62,9 @@ object CoreQueries {
     */
   private val samplesMemo = new graft.core.Memo("event_samples")
 
-  private[graft] def resetSamplesMemo(): Unit = { samplesMemo.clear(); nowMemo.clear() }
+  private[graft] def resetSamplesMemo(): Unit = {
+    samplesMemo.clear(); nowMemo.clear(); discoveredMemo.clear()
+  }
 
   def eventSamplesMat(spark: SparkSession, sfDir: String): DataFrame =
     samplesMemo.getOrElseUpdate(
@@ -275,22 +277,32 @@ object CoreQueries {
     * over the default windows.
     */
   def discoveredStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val discovery = new graft.streaming.Discovery(
-      spark, graft.core.Dsl(Nil), defaultWindows = Seq("1d", "1w"))
-    discovery.discoverFields(
-      ev.select(col("event_type").as("topic"), col("props").as("value")))
-    val dsl = discovery.dsl
-    val now = nowOfDataset(spark, sfDir)
-    // project exactly the discovered paths, per topic
-    val samples = Extraction.fromJsonMessages(
-      Tables.spread(ev, col("event_id"))
-        .select(col("event_type").as("topic"), col("props").as("value"), col("ts")),
-      col("topic"), col("value"), col("ts"),
-      dsl.topics.flatMap(_.fields.map(_.path)).distinct)
-    val windows = dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct
-    WindowStats.trailingStats(samples, windows, now)
+    // the discovery pass (per-topic sampling + schema inference — all
+    // driver-side collects) and the discovered-path extraction are
+    // deterministic per snapshot: memoized like the samples spine, so
+    // per call only the stats aggregation runs
+    val (samples, windows) = discoveredMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir", {
+        val ev = Tables.events(spark, sfDir)
+        val discovery = new graft.streaming.Discovery(
+          spark, graft.core.Dsl(Nil), defaultWindows = Seq("1d", "1w"))
+        discovery.discoverFields(
+          ev.select(col("event_type").as("topic"), col("props").as("value")))
+        val dsl = discovery.dsl
+        // project exactly the discovered paths, per topic
+        val s = Extraction.fromJsonMessages(
+          Tables.spread(ev, col("event_id"))
+            .select(col("event_type").as("topic"), col("props").as("value"), col("ts")),
+          col("topic"), col("value"), col("ts"),
+          dsl.topics.flatMap(_.fields.map(_.path)).distinct)
+          .localCheckpoint(eager = true)
+        (s, dsl.topics.flatMap(_.fields.flatMap(_.windows)).distinct)
+      })
+    WindowStats.trailingStats(samples, windows, nowOfDataset(spark, sfDir))
   }
+
+  private val discoveredMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[Long])]
 
   val discoveredStatsSql: String =
     s"""

@@ -278,34 +278,31 @@ object TemporalQueries {
     * epoch-micros.
     */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    // step 1: earliest qualifying event per user; steps 2..k: earliest
+    // event of the step type strictly after the previous step's time.
+    // ONE lazy plan: each step's reached set is a subplan of the next,
+    // and the three count legs union into a single job — the shared
+    // step subplans are canonically identical, so exchange reuse
+    // builds each exactly once (the round-16 pagerank discipline; the
+    // old per-step persist + count() paid 2k driver barriers and
+    // pinned layouts AQE could not size). Still O(k) joins, not O(k²).
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-      .persist()
-    try {
-      // step 1: earliest qualifying event per user; steps 2..k: earliest
-      // event of the step type strictly after the previous step's time
-      // each step persists its reached set so step k+1 (and its count)
-      // never recomputes the chain — O(k) joins, not O(k²)
-      var reached = ev.filter(col("event_type") === FunnelSteps.head)
+    var reached = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
+    val legs = Seq.newBuilder[DataFrame]
+    def legOf(i: Int, step: String, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(step).as("event_type"), col("n_users"))
+    legs += legOf(1, FunnelSteps.head, reached)
+    FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      reached = ev.filter(col("event_type") === step)
+        .join(reached.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+        .filter(col("ts_us") > col("prev_ts"))
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
-        .persist()
-      val counts = Seq.newBuilder[(Int, String, Long)]
-      try {
-        counts += ((1, FunnelSteps.head, reached.count()))
-        FunnelSteps.zipWithIndex.drop(1).foreach { case (step, i) =>
-          val next = ev.filter(col("event_type") === step)
-            .join(reached.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
-            .filter(col("ts_us") > col("prev_ts"))
-            .groupBy(col("user_id")).agg(min(col("ts_us")).as("step_ts"))
-            .persist()
-          counts += ((i + 1, step, next.count()))
-          reached.unpersist()
-          reached = next
-        }
-      } finally reached.unpersist()
-      counts.result().toDF("step", "event_type", "n_users")
-    } finally ev.unpersist()
+      legs += legOf(i + 1, step, reached)
+    }
+    legs.result().reduce(_ unionByName _)
   }
 
   val funnelSql: String =
