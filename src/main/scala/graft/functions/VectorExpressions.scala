@@ -378,6 +378,123 @@ case class NearestCenters(child: Expression, offset: Int, length: Int,
     copy(child = c)
 }
 
+/** ALL K clamped squared distances of `child[offset, offset+length)`
+  * against a FROZEN center matrix, as `array<double>` indexed by center
+  * — the PQ paper's per-query ADC lookup table in ONE generated loop.
+  *
+  * The Column form it replaces (round 16) built K literal entries of
+  * `greatest(snsq − 2·dot(slice, lit(center)) + cc, 0.0)` PER SUBSPACE
+  * — M·K = 128 expression subtrees whose construction and analysis
+  * cost ~0.5 s of every q_ann_ivfpq call before a single row moved,
+  * and whose fused codegen grows with K (the janino/JIT ceiling class
+  * [[NearestCenter]] exists for). Here the model rides a reference
+  * object; generated code is independent of K.
+  *
+  * Bit-parity contract with the literal form (oracle-hash-gated
+  * through q_ann_ivfpq's summed, rounded ADC): center norms pre-folded
+  * in ascending index order (the `c.map(v·v).sum` the literal form
+  * used), snsq and dot in left-to-right element order over the
+  * available prefix (slice-truncation semantics), d2 = snsq − 2.0·dot
+  * + cc clamped at 0 exactly like [[NearestCenter]] (whose clamp
+  * equivalence to `greatest(_, 0.0)` is already gated); NaN inputs
+  * propagate NaN entries just as the literal arithmetic did.
+  * CenterDistancesParitySpec pins the table against the literal form
+  * on random / float / short / NaN inputs.
+  */
+case class CenterDistances(child: Expression, offset: Int, length: Int,
+    centers: IndexedSeq[IndexedSeq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centers.nonEmpty, "center_distances requires a non-empty model")
+  require(centers.forall(_.forall(java.lang.Double.isFinite)),
+    "center_distances requires finite center coordinates")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"center_distances expects array<float|double>, got $t")
+    }
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+
+  @transient private lazy val norms: Array[Double] =
+    matrix.map { c =>
+      var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    def at(i: Int): Double = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+    val avail = math.max(0, math.min(length, x.numElements() - offset))
+    var snsq = 0.0
+    var i = 0
+    while (i < avail) { val v = at(offset + i); snsq += v * v; i += 1 }
+    val out = new Array[Double](matrix.length)
+    var k = 0
+    while (k < matrix.length) {
+      val c = matrix(k)
+      var dot = 0.0
+      var j = 0
+      while (j < avail) { dot += at(offset + j) * c(j); j += 1 }
+      val v = snsq - 2.0 * dot + norms(k)
+      out(k) = if (v <= 0.0) 0.0 else v
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cRef = ctx.addReferenceObj("centers", matrix, "double[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val snsq = ctx.freshName("snsq")
+      val avail = ctx.freshName("avail")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val d2 = ctx.freshName("d2")
+      val out = ctx.freshName("out")
+      s"""
+         |int $avail = java.lang.Math.max(0,
+         |  java.lang.Math.min($length, $a.numElements() - $offset));
+         |double $snsq = 0.0;
+         |for (int $i = 0; $i < $avail; $i++) {
+         |  double v = (double) $a.$get($offset + $i);
+         |  $snsq += v * v;
+         |}
+         |double[] $out = new double[$cRef.length];
+         |for (int $k = 0; $k < $cRef.length; $k++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $avail; $j++) {
+         |    $dot += ((double) $a.$get($offset + $j)) * $cRef[$k][$j];
+         |  }
+         |  double $d2 = $snsq - 2.0 * $dot + $nRef[$k];
+         |  if ($d2 <= 0.0) $d2 = 0.0;
+         |  $out[$k] = $d2;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): CenterDistances =
+    copy(child = c)
+}
+
 /** One 32-bit half of the 64-bit structured-sign LSH code (round 15) —
   * the native form of the two 16-term quarter-Hadamard contrast
   * families over (a, b, c, d) = (v[j], v[j+16], v[j+32], v[j+48]):
@@ -517,4 +634,13 @@ object VectorFunctions {
       centers: Seq[Array[Double]], p: Int): Column =
     toCol(NearestCenters(expr(v), offset, length,
       centers.map(_.toIndexedSeq).toIndexedSeq, p))
+
+  /** Codegen'd full distance table (see [[CenterDistances]]):
+    * `array<double>` of all K clamped d2 values, indexed by center —
+    * the PQ ADC lookup table.
+    */
+  def centerDistances(v: Column, offset: Int, length: Int,
+      centers: Seq[Array[Double]]): Column =
+    toCol(CenterDistances(expr(v), offset, length,
+      centers.map(_.toIndexedSeq).toIndexedSeq))
 }

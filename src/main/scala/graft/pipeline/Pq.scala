@@ -178,17 +178,11 @@ object Pq {
     // cost of the whole query. The table entries are the IDENTICAL
     // expressions per (m, j) — same float ops in the same order — so
     // the summed ADC value is bit-identical to the oracle's.
-    val qxIn = col("embedding").cast("array<double>")
-    def adcTable(m: Int): Column = {
-      val sub = slice(qxIn, m * Sub + 1, Sub)
-      val snsq = Similarity.dot(sub, sub)
-      array(cb(m).map { c =>
-        val cc = c.map(v => v * v).sum
-        greatest(
-          snsq - lit(2.0) * Similarity.dot(sub, typedLit(c.toSeq)) + lit(cc),
-          lit(0.0))
-      }: _*)
-    }
+    // one generated loop per subspace instead of K literal subtrees —
+    // construction/analysis cost no longer grows with K, arithmetic
+    // bit-identical (CenterDistancesParitySpec)
+    def adcTable(m: Int): Column =
+      graft.functions.VectorFunctions.centerDistances(col("embedding"), m * Sub, Sub, cb(m))
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id") +: col("embedding") +: col("nsq") +:
         (0 until M).map(m => adcTable(m).as(s"t$m")): _*)
