@@ -179,6 +179,20 @@ object Audio {
       .select(col("asset_id"), col("p.fp").as("fp"),
         col("p.slot").as("slot"), col("p.lmv").as("lmv"))
 
+  /** [[postingRows]] from an already-packed (asset_id, fp) relation —
+    * the seam that lets a BATCH consumer whose arrivals are a
+    * deterministic snapshot half ride the persisted corpus
+    * fingerprints ([[corpusFps]]) instead of re-running the 64-substr
+    * sampling chain per call. Slot/lmv arithmetic is identical to the
+    * in-flight form (shiftright(fp, 9·slot) % 512 — the same derivation
+    * [[audioFingerprint]] uses from a packed fp).
+    */
+  private[graft] def postingRowsFromFps(fps: DataFrame): DataFrame =
+    fps
+      .select(col("asset_id"), col("fp"), explode(sequence(lit(0), lit(6))).as("slot"))
+      .select(col("asset_id"), col("fp"), col("slot"),
+        expr("shiftright(fp, 9 * slot) % 512").as("lmv"))
+
   private val fpsMemo = new graft.core.Memo("audio_fps")
 
   /** The corpus fingerprint relation — memoized per (application,
@@ -203,7 +217,7 @@ object Audio {
         packedFps(Tables.documents(spark, sfDir))))
 
   /** Test seam: forget the memoized fingerprints. */
-  private[graft] def resetMemos(): Unit = fpsMemo.clear()
+  private[graft] def resetMemos(): Unit = { fpsMemo.clear(); dupPairsMemo.clear() }
 
   /** q_audio_dup_pairs: near-duplicate track pairs at ≥
     * [[MinLandmarkAgree]]/7 aligned-landmark agreement, with the
@@ -212,7 +226,16 @@ object Audio {
     * fingerprints in the candidate join's own projection.
     */
   def audioDupPairs(spark: SparkSession, sfDir: String): DataFrame =
-    audioDupPairsFromFp(corpusFps(spark, sfDir))
+    if (graft.core.Mat.isTransparent) audioDupPairsFromFp(corpusFps(spark, sfDir))
+    else dupPairsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      audioDupPairsFromFp(corpusFps(spark, sfDir)).localCheckpoint(eager = true))
+
+  // the verified member-pair relation is output-sized and read by TWO
+  // registered consumers (the pair query itself and the recall eval's
+  // candidate leg) — one posting self-join per snapshot, not one per
+  // consumer (the phash_rep_pairs convention, audio modality)
+  private val dupPairsMemo = new graft.core.Memo("audio_dup_pairs")
 
   /** The pair pipeline over any (doc_id, text) relation (spec seam). */
   private[graft] def audioDupPairsOf(docs: DataFrame): DataFrame =
@@ -469,22 +492,32 @@ object Audio {
     * trusting the capped posting lists.
     */
   def audioRecall(spark: SparkSession, sfDir: String): DataFrame =
-    audioRecallFromFp(corpusFps(spark, sfDir))
+    // the candidate leg reads the memoized pair relation (shared with
+    // q_audio_dup_pairs) instead of re-running the posting self-join
+    audioRecallFrom(corpusFps(spark, sfDir), audioDupPairs(spark, sfDir))
 
   /** The recall eval over any (doc_id, text) relation (spec seam). */
-  private[graft] def audioRecallOf(docs: DataFrame): DataFrame =
-    audioRecallFromFp(graft.core.Mat(packedFps(docs)))
+  private[graft] def audioRecallOf(docs: DataFrame): DataFrame = {
+    val fp = graft.core.Mat(packedFps(docs))
+    audioRecallFrom(fp, audioDupPairsFromFp(fp))
+  }
 
-  private def audioRecallFromFp(fp: DataFrame): DataFrame = {
+  private def audioRecallFrom(fp: DataFrame, pairs: DataFrame): DataFrame = {
     val probes = fp.filter(col("asset_id") % RecallProbeStride === 0)
       .select(col("asset_id").as("pid"), col("fp").as("pfp"))
-    val truth = probes.join(fp, col("pid") =!= col("asset_id"))
+    // spread: the truth NLJ's corpus side is a checkpointed relation
+    // whose few partitions serialized the declared O(probes·n) scan on
+    // one core (measured 0.3 s single-task); at real input-split
+    // counts this is a no-op (guide §2.6 stragglers)
+    val truth = probes
+      .join(graft.queries.Tables.spread(fp, col("asset_id")),
+        col("pid") =!= col("asset_id"))
       .select(least(col("pid"), col("asset_id")).as("a"),
         greatest(col("pid"), col("asset_id")).as("b"),
         expr(agreeSql("pfp", "fp")).as("n_agree"))
       .filter(col("n_agree") >= MinLandmarkAgree)
       .select(col("a"), col("b")).distinct()
-    val got = audioDupPairsFromFp(fp)
+    val got = pairs
       .filter(col("a") % RecallProbeStride === 0 || col("b") % RecallProbeStride === 0)
       .select(col("a"), col("b")).distinct()
     val hit = truth.join(got, Seq("a", "b"), "left_semi")

@@ -586,6 +586,10 @@ object Multimodal {
     */
   def phashRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // round-16 probe record: a 32-way spread of the membership-derived
+    // reps was tried and REVERTED — wall flat, total CPU 4× (per-task
+    // fixed costs dwarf the 0.06 MB of data). The capped truth NLJ's
+    // serial ~0.5 s is this eval's sf0.1 floor.
     val reps = phashMembership(spark, sfDir)
       .filter(col("asset_id") === col("rep"))
       .select(col("asset_id"), col("phash"))

@@ -99,10 +99,15 @@ object TableOps {
       // negative ids); the oracle mirrors with ((x % m) + m) % m
       .withColumn("ux", pmod(col("user_id"), lit(256)))
       .withColumn("tx", pmod(expr("unix_micros(ts) div 3600000000"), lit(256)))
+      // UNROLLED bit interleave: the higher-order `aggregate` form is
+      // interpreted per row (HOFs don't codegen — guide step 4, the
+      // agreeSql lesson); eight literal shift/mask terms compile into
+      // the stage's generated code. Arithmetic identical.
       .withColumn("zval",
-        expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT),
-                 (acc, i) -> acc + shiftleft(shiftright(ux, i) & 1, 2 * i)
-                               + shiftleft(shiftright(tx, i) & 1, 2 * i + 1))"""))
+        expr((0 to 7).map(i =>
+          s"shiftleft(shiftright(ux, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright(tx, $i) & 1, ${2 * i + 1})")
+          .mkString("CAST(", " + ", " AS BIGINT)")))
     z.groupBy(shiftright(col("zval"), 10).as("zcluster"))
       .agg(
         count(lit(1)).as("n"),

@@ -321,6 +321,13 @@ object TextAnalysis {
     */
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // round-16 probe record: both a 32-way spread of the explode leg
+    // and a window-sum n_toks (replacing the aggregation + join) were
+    // tried and REVERTED — wall was flat while total CPU inflated 8×
+    // (per-task fixed costs on a 0.85 MB shuffle; the unordered-frame
+    // window buffers every row). The serial sub-second chain is this
+    // query's floor at sf0.1; at real input sizes the scan splits
+    // provide the parallelism.
     val docs = Tables.documents(spark, sfDir)
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

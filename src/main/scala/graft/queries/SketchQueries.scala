@@ -549,6 +549,9 @@ object SketchQueries {
     * at 100 TB you run just the sample leg.
     */
   def quantileSample(spark: SparkSession, sfDir: String): DataFrame = {
+    // round-16 probe record: a 32-way spread of this scan was tried and
+    // REVERTED — wall flat, total CPU 6× (the salted window's partial
+    // leg pays per-task buffering on a 1.3 MB shuffle)
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type").isNotNull && col("value").isNotNull)
     val hv = conv(substring(md5(concat(lit("qs|"), col("event_id").cast("string"))), 1, 15),

@@ -264,8 +264,20 @@ object AudioIndex {
     * consumers take DISTINCT, the streaming collapse keys by doc.
     */
   def ingestStream(docs: DataFrame, indexTable: String,
+      bucketCap: Long = Audio.AudioBucketCap): DataFrame =
+    ingestStreamFromPostings(Audio.postingRows(docs), indexTable, bucketCap)
+
+  /** [[ingestStream]] body over already-derived posting rows — the
+    * seam that lets a BATCH consumer whose arrivals are a deterministic
+    * snapshot half ride the persisted corpus fingerprints
+    * ([[Audio.postingRowsFromFps]]) instead of re-running the
+    * 64-substr sampling chain per call. The streaming twin keeps
+    * fingerprinting in-flight via [[ingestStream]]; the join/verify
+    * structure is identical.
+    */
+  private[graft] def ingestStreamFromPostings(postings: DataFrame, indexTable: String,
       bucketCap: Long = Audio.AudioBucketCap): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = postings.sparkSession
     // hot-bucket stop-loss on the index side, the crossSnapshotPairs
     // convention extended to the gate (see IngestGate.scoredRows for
     // the estate-scale rationale): posting buckets over the cap are
@@ -274,7 +286,7 @@ object AudioIndex {
     val idx = spark.table(indexTable)
       .join(broadcast(hot), Seq("slot", "lmv"), "left_anti")
       .select(col("slot"), col("lmv"), col("rep").as("corpus_rep"), col("fp").as("fp_c"))
-    Audio.postingRows(docs)
+    postings
       .join(idx, Seq("slot", "lmv"))
       .select(col("asset_id"), col("corpus_rep"),
         expr(Audio.agreeSql("fp", "fp_c")).as("n_agree"))
@@ -283,11 +295,16 @@ object AudioIndex {
 
   /** q_audio_ingest_gate: the gate's batch execution — odd-id tracks
     * arrive against the even-id corpus's persisted landmark index.
+    * The arriving half's fingerprints come from the persisted corpus
+    * relation (one sampling pass per dataset ever, [[Audio.corpusFps]])
+    * — identical rows to fingerprinting the odd docs in-flight, and
+    * the measured 0.6 s/call single-task sampling stage disappears.
     */
   def audioIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
     val (ta, _) = snapshotTables(spark, sfDir)
-    val arriving = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
-    ingestStream(arriving, ta).distinct()
+    val arriving = Audio.postingRowsFromFps(
+      Audio.corpusFps(spark, sfDir).filter(col("asset_id") % 2 === 1))
+    ingestStreamFromPostings(arriving, ta).distinct()
   }
 
   /** The gate oracle's CTE body (ending at the match relation `pau`)

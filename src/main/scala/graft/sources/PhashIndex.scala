@@ -171,8 +171,20 @@ object PhashIndex {
     * verdicts.
     */
   def ingestStream(docs: DataFrame, indexTable: String,
+      bucketCap: Long = Multimodal.PhashBucketCap): DataFrame =
+    ingestStreamCoded(Multimodal.phashCodesOf(docs), indexTable, bucketCap)
+
+  /** [[ingestStream]] body over an already-coded (asset_id, phash)
+    * relation — the seam that lets a BATCH consumer whose arrivals are
+    * a deterministic snapshot half ride the memoized membership codes
+    * ([[Multimodal.phashMembership]] — one payload decode per dataset
+    * EVER) instead of re-deriving the 32-sample pixel fold per call.
+    * The streaming twin keeps computing codes in-flight via
+    * [[ingestStream]]; the join/verify structure is char-identical.
+    */
+  private[graft] def ingestStreamCoded(codes: DataFrame, indexTable: String,
       bucketCap: Long = Multimodal.PhashBucketCap): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = codes.sparkSession
     // hot-bucket stop-loss on the index side, the crossSnapshotPairs
     // convention extended to the gate (see IngestGate.scoredRows for
     // the estate-scale rationale): buckets whose REPRESENTATIVE count
@@ -182,7 +194,7 @@ object PhashIndex {
     val idx = spark.table(indexTable)
       .join(broadcast(hot), Seq("band", "bv"), "left_anti")
       .select(col("band"), col("bv"), col("rep").as("corpus_rep"), col("phash").as("phash_c"))
-    Multimodal.phashBandRows(Multimodal.phashCodesOf(docs))
+    Multimodal.phashBandRows(codes)
       .join(idx, Seq("band", "bv"))
       .select(col("asset_id"), col("corpus_rep"),
         bit_count(col("phash").bitwiseXOR(col("phash_c"))).cast("int").as("hamming"))
@@ -434,9 +446,15 @@ object PhashIndex {
     */
   def phashIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
     val (ta, _) = snapshotTables(spark, sfDir)
-    val arriving = graft.queries.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 2 === 1)
-    ingestStream(arriving, ta).distinct()
+    // the arriving half's codes come from the memoized membership
+    // relation (one corpus decode per dataset, shared with every other
+    // phash consumer) — identical rows to phashCodesOf(odd docs), and
+    // the measured 0.5 s/call single-task pixel-fold stage disappears
+    // (guide §1.2: don't recompute what an earlier pass already holds)
+    val arriving = Multimodal.phashMembership(spark, sfDir)
+      .filter(col("asset_id") % 2 === 1)
+      .select(col("asset_id"), col("phash"))
+    ingestStreamCoded(arriving, ta).distinct()
   }
 
   /** The gate oracle's CTE body (ending at the match relation `pim`)
