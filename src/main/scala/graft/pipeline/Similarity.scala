@@ -1288,13 +1288,17 @@ object Similarity {
     * brute-force baseline.
     */
   def annLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // round-16: the eager .mat + the count it forced cost ~0.45 s of
+    // driver-synchronous build per call. The sign-code/nsq projection
+    // is one generated loop per row (SignCodeHalf) — cheap enough to
+    // inline into each consumer branch — and the width count reads the
+    // parquet metadata directly instead of materializing the codes.
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         signCodeHi(col("embedding")).as("code_hi"),
         signCode(col("embedding")).as("code_lo"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-      .mat
-    val r = signBandWidthOf(emb.count())
+    val r = signBandWidthOf(Tables.embeddings(spark, sfDir).count())
     def bandsOf(df: DataFrame): DataFrame = signBandRows(df, Seq("vec_id"), r)
     // the eval must search the index AS SHIPPED: the corpus side gets
     // the same hot-bucket stop-loss the pair lane applies (a probe

@@ -694,17 +694,18 @@ object TextAnalysis {
     * before the joins.
     */
   def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    // round-16: the two eager .mat checkpoints here cost ~0.65 s of
+    // driver-synchronous build per call — more than the tokenize +
+    // explode they saved (the subplans are cheap narrow projections,
+    // and the uni/bg branches need DIFFERENT exchanges anyway). Lazy
+    // relations let the whole report compile into one plan; the
+    // duplicated tokenize is pennies next to the removed barriers.
     val toked = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      // consumed by the unigram and bigram branches: persist so the
-      // scan + tokenize runs once (self-releasing Mat boundary)
-      .mat
     val uni = toked.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
-    // pair relation read by the total and the per-pair aggregation:
-    // persist it too, like bigramLm's two-consumer shape
-    val bg = bigramPairsOf(toked).select(col("w1"), col("w2")).mat
+    val bg = bigramPairsOf(toked).select(col("w1"), col("w2"))
     val nb = bg.agg(count(lit(1)).as("n_bigrams"))
     bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CollocMinPair)

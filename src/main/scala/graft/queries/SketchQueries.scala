@@ -49,6 +49,11 @@ object SketchQueries {
     * would move every distinct value of a topic to one task.
     */
   def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    // round-16 probe record: a 32-way spread of this scan was tried
+    // and REVERTED — the (topic, hv) dedup stage's CPU grew ~8× (the
+    // 2 MB shuffle from 32 map tasks pays per-task fixed costs far
+    // exceeding the serialized md5 it saved). Serial sub-second is
+    // this query's sf0.1 floor; real input splits parallelize the scan.
     val ev = Tables.events(spark, sfDir).filter(col("event_type").isNotNull)
     val day = expr("unix_micros(ts) div 86400000000")
     val hv = conv(
@@ -190,7 +195,18 @@ object SketchQueries {
     * of silently dropping a heavy hitter.
     */
   def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+    // all three legs (sketch build, candidate grid, exact survivors)
+    // read ONLY user_id — one narrow projection, spread so the 4·n md5
+    // cell computations stop running on the single unsplittable scan
+    // task (measured 0.67 s of the wall; guide §2.6). The identical
+    // subplan in all three legs lets exchange reuse pay the
+    // repartition once. (The round-15 attempt spread each leg
+    // separately — three repartitions — and measured worse; the shared
+    // base is what makes it pay.)
+    val ev = Tables.spread(
+      Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+        .select(col("user_id")),
+      col("user_id"))
     val rows = (0 until CmsDepth).map(lit(_))
     def cellOf(r: Column, key: Column): Column = cmsCell(r, key)
     // build: one pass, explode each event into its depth coordinates
