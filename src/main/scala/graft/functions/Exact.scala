@@ -42,6 +42,24 @@ object Exact {
   /** Exact sum of squares. */
   def exactSumSq(x: Column): Column = toDouble(sum(x.cast(D) * x.cast(D)))
 
+  // Two-level (re-aggregated) forms: decimal addition is associative and
+  // exact, so a per-subgroup decimal partial summed again over the
+  // enclosing group, THEN trimmed/converted, is bit-identical to the
+  // single-level exactSum/exactSumSq over the same rows. Lets a plan
+  // that already aggregates a finer grouping derive the coarser group's
+  // exact sums from the partials instead of re-scanning the input.
+
+  /** Per-subgroup decimal partial of [[exactSum]] (no final trim/cast). */
+  def partialSum(x: Column): Column = sum(x.cast(D))
+
+  /** Per-subgroup decimal partial of [[exactSumSq]]. */
+  def partialSumSq(x: Column): Column = sum(x.cast(D) * x.cast(D))
+
+  /** Finish a (possibly re-aggregated) decimal partial: trim + double —
+    * the same final conversion [[exactSum]] applies.
+    */
+  def finishSum(partial: Column): Column = toDouble(partial)
+
   /** Mean from exact sums: (exact sum)/n, computed in double.
     * Oracle shape: `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x)`.
     */

@@ -78,10 +78,15 @@ object CoreQueries {
             FieldCol("value", col("value")),
             FieldCol("props.k", SchemaFlatten.jsonByPath(col("props"), "k").try_cast("double")),
           ),
-          // event identity for the detection joins, the raw payload for
-          // the q_anomaly_records output contract — carried once here so
-          // every family member reads the same materialized extraction
-          carry = Seq("event_id" -> col("event_id"), "original_message" -> col("props")),
+          // event identity for the detection joins. The raw props
+          // payload deliberately does NOT ride the spine: it was ~25 of
+          // the checkpoint's 29 MB and localCheckpoint readers pay full
+          // row width regardless of their projection, so every family
+          // member re-deserialized the payload it never used.
+          // q_anomaly_records (the one consumer that needs it) attaches
+          // props post-detection by event identity instead (guide §8:
+          // decide on the narrow rows, attach the heavy bytes once).
+          carry = Seq("event_id" -> col("event_id")),
         ).localCheckpoint(eager = true)
       })
 
@@ -150,7 +155,7 @@ object CoreQueries {
     */
   def windowStats(spark: SparkSession, sfDir: String): DataFrame =
     WindowStats.trailingStats(
-      eventSamplesMat(spark, sfDir).drop("event_id", "original_message"),
+      eventSamplesMat(spark, sfDir).drop("event_id"),
       Windows, nowOfDataset(spark, sfDir))
 
   val windowStatsSql: String =
@@ -169,7 +174,7 @@ object CoreQueries {
   def windowStatsBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     val flooredUs = nowUsOfDataset(spark, sfDir) / 60000000L * 60000000L
     WindowStats.bucketedStats(
-      eventSamplesMat(spark, sfDir).drop("event_id", "original_message"),
+      eventSamplesMat(spark, sfDir).drop("event_id"),
       Windows, timestamp_micros(lit(flooredUs)), 60L)
   }
 
@@ -217,7 +222,7 @@ object CoreQueries {
     val now = nowOfDataset(spark, sfDir)
     val dim = DslWindows.toSeq.flatMap { case (p, ws) => ws.map(w => (p, w)) }
       .toDF("path", "window_sec")
-    val fanned = eventSamplesMat(spark, sfDir).drop("event_id", "original_message")
+    val fanned = eventSamplesMat(spark, sfDir).drop("event_id")
       .join(broadcast(dim), Seq("path"))
       .filter(unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L))
       .filter(unix_micros(col("produced")) <= unix_micros(now))
@@ -458,13 +463,19 @@ object CoreQueries {
     */
   def anomalyRecords(spark: SparkSession, sfDir: String): DataFrame = {
     val now = nowOfDataset(spark, sfDir)
-    val samples = eventSamplesMat(spark, sfDir).drop("event_id")
+    val samples = eventSamplesMat(spark, sfDir)
     val stats = WindowStats.rawTrailingStats(
       samples.select("topic", "path", "value", "produced"), Windows, now)
+    // detection decides on the narrow spine; the raw props payload is
+    // attached ONCE to the few surviving anomaly rows by event identity
+    // (broadcast the anomalies, probe the events scan) instead of riding
+    // the memoized extraction through the window fan-out (guide §8)
+    val det = Anomaly.detect(samples, stats, now)
+      .withColumn("produced_us", unix_micros(col("produced")))
+    val payload = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("props").as("original_message"))
     val rec = graft.streaming.AnomalyPipeline.recordShape(
-      Anomaly.detect(samples, stats, now)
-        .withColumn("produced_us", unix_micros(col("produced"))),
-      Windows)
+      payload.join(broadcast(det), Seq("event_id")), Windows)
     rec.select(
       col("id"), col("topic"), col("path"), col("window"), col("humanWindow"),
       col("value"),

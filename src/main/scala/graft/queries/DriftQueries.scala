@@ -20,6 +20,33 @@ object DriftQueries {
   /** Robust-score threshold: |value − median| > MadK · MAD. */
   val MadK = 5.0
 
+  /** The per-topic robust stats (topic, med, mad) memoized per
+    * (application, dataset): a deterministic 5-row property of the
+    * snapshot that BOTH q_mad_anomaly and q_anomaly_ensemble derived
+    * per call with two sequential exact-percentile passes each — the
+    * med → mad dependency is this family's critical path, so the
+    * shared build removes two full event scans and two sort-aggregate
+    * barriers from every later consumer call. Unfiltered (mad = 0 rows
+    * kept); consumers apply their own mad > 0 guard.
+    */
+  private val robustStatsMemo = new graft.core.Memo("topic_robust_stats")
+
+  private[graft] def resetRobustStatsMemo(): Unit = robustStatsMemo.clear()
+
+  private def topicRobustStats(spark: SparkSession, sfDir: String): DataFrame =
+    robustStatsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir", {
+        val ev = Tables.events(spark, sfDir)
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+        val med = ev.groupBy(col("event_type").as("topic"))
+          .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+        ev.as("e")
+          .join(broadcast(med).as("m"), col("e.event_type") === col("m.topic"))
+          .groupBy(col("m.topic").as("topic"), col("m.med").as("med"))
+          .agg(round(percentile(abs(col("e.value") - col("m.med")), lit(0.5)), 6).as("mad"))
+          .localCheckpoint(eager = true)
+      })
+
   // ---- q_mad_anomaly -------------------------------------------------
 
   /** Median/MAD robust anomaly detection per topic.
@@ -39,27 +66,23 @@ object DriftQueries {
   def madAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type").isNotNull && col("value").isNotNull)
-    val med = ev.groupBy(col("event_type").as("topic"))
-      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
-    val mad = ev.as("e")
-      .join(broadcast(med).as("m"), col("e.event_type") === col("m.topic"))
-      .groupBy(col("m.topic").as("topic"))
-      .agg(round(percentile(abs(col("e.value") - col("m.med")), lit(0.5)), 6).as("mad"))
+    // (topic, med, mad) from the shared memoized build — one broadcast
+    // join instead of the former med + mad broadcast pair
+    val rs = topicRobustStats(spark, sfDir)
     ev.as("e")
-      .join(broadcast(med).as("m"), col("e.event_type") === col("m.topic"))
-      .join(broadcast(mad).as("d"), col("m.topic") === col("d.topic"))
+      .join(broadcast(rs).as("m"), col("e.event_type") === col("m.topic"))
       // mad = 0 (a majority-constant topic) would make every deviation
       // "anomalous" and the score division-by-zero — gate like the
       // reference's stddev≠0 guard (lib/dsl/DSLHandler.js:191)
-      .filter(col("d.mad") > 0 &&
-        abs(col("e.value") - col("m.med")) > lit(MadK) * col("d.mad"))
+      .filter(col("m.mad") > 0 &&
+        abs(col("e.value") - col("m.med")) > lit(MadK) * col("m.mad"))
       .select(
         col("e.event_id").as("event_id"),
         col("m.topic").as("topic"),
         col("e.value").as("value"),
         col("m.med").as("med"),
-        col("d.mad").as("mad"),
-        round((col("e.value") - col("m.med")) / col("d.mad"), 6).as("rscore"),
+        col("m.mad").as("mad"),
+        round((col("e.value") - col("m.med")) / col("m.mad"), 6).as("rscore"),
       )
   }
 
@@ -180,27 +203,45 @@ object DriftQueries {
     val base = ev.select(col("event_id"), col("event_type").as("topic"),
       pmod(expr("unix_micros(ts) div 3600000000"), lit(24)).as("hod"), col("value"))
 
-    def statsOf(keys: Column*): DataFrame =
-      base.groupBy(keys: _*)
-        .agg(count(lit(1)).as("cnt"),
-          Exact.exactSum(col("value")).as("sumv"),
-          Exact.exactSumSq(col("value")).as("sumsq"))
+    // ONE (topic, hod) partial aggregation feeds BOTH stats legs: the
+    // global leg re-aggregates the decimal partials per topic (decimal
+    // addition is associative/exact — Exact.partialSum/finishSum — so
+    // the derived sums are bit-identical to a direct scan), and exchange
+    // reuse computes the shared partial subplan once. One full pass over
+    // events replaces the former two (guide §2.3/§2.4).
+    val partials = base.groupBy(col("topic"), col("hod"))
+      .agg(count(lit(1)).as("cnt"),
+        Exact.partialSum(col("value")).as("psv"),
+        Exact.partialSumSq(col("value")).as("psq"))
+
+    def statsFromSums(df: DataFrame, keys: Column*): DataFrame =
+      df
         .select(keys ++ Seq(
           (col("sumv") / col("cnt")).as("mean"),
           Exact.popStddev(col("sumsq"), col("sumv") / col("cnt"), col("cnt")).as("stddev")): _*)
         .filter(col("cnt") >= lit(3) && col("stddev") > 0)
 
-    val g = statsOf(col("topic")).withColumnRenamed("topic", "g_topic")
+    val g = statsFromSums(
+      partials.groupBy(col("topic"))
+        .agg(sum(col("cnt")).as("cnt"),
+          Exact.finishSum(sum(col("psv"))).as("sumv"),
+          Exact.finishSum(sum(col("psq"))).as("sumsq")),
+      col("topic"))
+      .withColumnRenamed("topic", "g_topic")
       .withColumnRenamed("mean", "g_mean").withColumnRenamed("stddev", "g_stddev")
-    val s = statsOf(col("topic"), col("hod"))
+    val s = statsFromSums(
+      partials.select(col("topic"), col("hod"), col("cnt"),
+        Exact.finishSum(col("psv")).as("sumv"),
+        Exact.finishSum(col("psq")).as("sumsq")),
+      col("topic"), col("hod"))
       .withColumnRenamed("topic", "s_topic").withColumnRenamed("hod", "s_hod")
       .withColumnRenamed("mean", "s_mean").withColumnRenamed("stddev", "s_stddev")
-    val med = base.groupBy(col("topic").as("m_topic"))
-      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
-    val mad = base.as("e")
-      .join(broadcast(med).as("m"), col("e.topic") === col("m.m_topic"))
-      .groupBy(col("m.m_topic").as("m_topic"), col("m.med").as("med"))
-      .agg(round(percentile(abs(col("e.value") - col("m.med")), lit(0.5)), 6).as("mad"))
+    // the med → mad percentile chain comes from the shared memoized
+    // (topic, med, mad) build (topicRobustStats — also q_mad_anomaly's),
+    // removing two more event passes and the family's longest
+    // sequential barrier chain from the per-call plan
+    val mad = topicRobustStats(spark, sfDir)
+      .select(col("topic").as("m_topic"), col("med"), col("mad"))
       .filter(col("mad") > 0)
 
     base
@@ -391,17 +432,23 @@ object DriftQueries {
     val D = org.apache.spark.sql.types.DecimalType(18, 6)
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type").isNotNull && col("value").isNotNull)
-    val stats = ev.groupBy(col("event_type").as("topic"))
-      .agg((graft.functions.Exact.exactSum(col("value")) / count(lit(1))).as("mean"),
-        count(lit(1)).as("n"))
     val run = Window.partitionBy(col("topic")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("topic"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rank = Window.partitionBy(col("topic"))
       .orderBy(col("abs_sk").desc, col("event_id").asc)
+    // the per-topic exact mean rides the SAME per-topic window shuffle
+    // as the CUSUM chain (whole-partition decimal sum, trimmed by the
+    // identical Exact.finishSum conversion the aggregate form used), so
+    // the former separate stats aggregation — a second full scan of
+    // events plus a broadcast-build barrier — is gone (guide §2.4:
+    // window keyed like the aggregation needs no second shuffle)
     ev.select(col("event_type").as("topic"), col("event_id"), col("value"))
-      .join(broadcast(stats), "topic")
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("mean",
+        graft.functions.Exact.finishSum(
+          graft.functions.Exact.partialSum(col("value")).over(whole)) / col("n"))
       .withColumn("diff", (col("value") - col("mean")).cast(D))
       .withColumn("sk", sum(col("diff")).over(run).cast(D))
       .withColumn("abs_sk", abs(col("sk")))
