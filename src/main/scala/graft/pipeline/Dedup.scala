@@ -2213,11 +2213,14 @@ object Dedup {
     * unrounded (exact bigint ratio).
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the memoized exploded relation: computed once per dataset, read
-    // by the df agg and the scoring join (and by source-overlap/cost)
+    // by the scoring pass (and by source-overlap/cost). Document
+    // frequency per shingle is a count WINDOW over the same (sh)
+    // partitioning the former aggregate + re-join needed twice — one
+    // exchange fewer, no join (the q_boilerplate window-form pattern)
     val sh = shingleExplode(spark, sfDir)
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_sh"),

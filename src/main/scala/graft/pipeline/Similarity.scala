@@ -224,6 +224,28 @@ object Similarity {
     r
   }
 
+  /** The embeddings row count, memoized per (application, dataset): a
+    * deterministic scalar property of the snapshot (it sizes the band
+    * width), and the per-call lanes ran the count job on every call.
+    */
+  private val embCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[pipeline] def embeddingsCount(spark: SparkSession, sfDir: String): Long =
+    embCountMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      Tables.embeddings(spark, sfDir).count())
+
+  /** Test seam beside [[resetSignBandStats]]. */
+  private[pipeline] def resetEmbeddingsCount(): Unit = embCountMemo.clear()
+
+  /** The band-stats memo key for the full-corpus banded relation at
+    * width r — shared by the pair lane, the recall eval, and the
+    * calibration report (all three band the identical relation).
+    */
+  private def signStatsKey(spark: SparkSession, sfDir: String, r: Int): String =
+    s"${spark.sparkContext.applicationId}|$sfDir|$r"
+
   /** One-row CTE body computing the band width from the corpus count —
     * the DuckDB mirror of [[signBandWidthOf]] as an exact integer
     * CASE ladder (no float log2 at either engine).
@@ -311,17 +333,46 @@ object Similarity {
     * [[graft.core.PairVolumeExceeded]] abort, not a hung join.
     */
   private[pipeline] def signKeptBands(banded: DataFrame,
-      lane: String, budget: Long = SignPairVolumeBudget): DataFrame = {
+      lane: String, budget: Long = SignPairVolumeBudget,
+      statsKey: Option[String] = None): DataFrame = {
+    // the histogram readout (volume + hot set) is a deterministic
+    // property of the banded corpus snapshot: with `statsKey` it is
+    // memoized per (application, dataset, width) so the per-call lanes
+    // (the recall eval ran it as a driver-synchronous job on EVERY
+    // call) pay it once; each lane still applies its OWN budget to the
+    // memoized volume, so PairVolumeExceeded semantics are unchanged
+    val (vol, hotCount, hot) = statsKey match {
+      case Some(k) => signBandStatsMemo.synchronized {
+        signBandStatsMemo.getOrElseUpdate(k,
+          graft.core.Memo.timed("sign_band_stats", k)(signBandStats(banded)))
+      }
+      case None => signBandStats(banded)
+    }
+    if (vol > budget) throw new graft.core.PairVolumeExceeded(lane, vol, budget)
+    if (hotCount == 0L) banded // nothing to drop: skip the join entirely
+    else banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+  }
+
+  // (pair volume, hot-bucket count, checkpointed hot keys) per banded
+  // corpus — tiny by construction (≤ rows/cap keys, usually empty)
+  private val signBandStatsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, DataFrame)]
+
+  /** Test seam (the resetSignPairs contract). */
+  private[pipeline] def resetSignBandStats(): Unit =
+    signBandStatsMemo.synchronized(signBandStatsMemo.clear())
+
+  private def signBandStats(banded: DataFrame): (Long, Long, DataFrame) = {
     // NOT materialized: the common (all-thin) path reads this once for
     // the volume/hot aggregate below and never again; only the rare
     // hot path re-derives it for the drop keys
     val counts = banded.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("c"))
-    // buckets over the cap are DROPPED by the anti-join below, not
-    // truncated to the cap — they contribute zero pairs to the join
-    // that actually runs, so they must contribute zero to its price
-    // (a C(cap,2) term per hot bucket would add ~8.4M phantom pairs
-    // each and could abort a corpus whose join is actually cheap)
+    // buckets over the cap are DROPPED by the anti-join, not truncated
+    // to the cap — they contribute zero pairs to the join that actually
+    // runs, so they must contribute zero to its price (a C(cap,2) term
+    // per hot bucket would add ~8.4M phantom pairs each and could
+    // abort a corpus whose join is actually cheap)
     val kept = when(col("c") > SignBucketCap, lit(0L)).otherwise(col("c"))
     // shiftright keeps the arithmetic in LONG space (`/` would promote
     // to double and lose exactness past 2^53 pairs); the same pass
@@ -332,12 +383,11 @@ object Similarity {
       sum(when(col("c") > SignBucketCap, 1L).otherwise(0L))).head()
     val vol = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
     val hotCount = if (volRow.isNullAt(1)) 0L else volRow.getLong(1)
-    if (vol > budget) throw new graft.core.PairVolumeExceeded(lane, vol, budget)
-    if (hotCount == 0L) banded // nothing to drop: skip the join AND its checkpoint
-    else {
-      val hot = counts.filter(col("c") > SignBucketCap).select(col("band"), col("bv"))
-      banded.join(broadcast(hot), Seq("band", "bv"), "left_anti").mat
-    }
+    val hot =
+      if (hotCount == 0L) null
+      else counts.filter(col("c") > SignBucketCap)
+        .select(col("band"), col("bv")).localCheckpoint(true)
+    (vol, hotCount, hot)
   }
 
   /** LSH-bucketed similar pairs: the 64-bit sign code is split into 8
@@ -368,9 +418,14 @@ object Similarity {
   private val signPairsMemo = new graft.core.Memo("sign_lsh_pairs", maxEntries = 2)
 
   /** Test seam (the resetIvfFits contract): specs that rewrite a
-    * dataset dir in place must drop the memoized pair relation.
+    * dataset dir in place must drop the memoized pair relation — and
+    * with it the banded-corpus stats and count scalars it derives from.
     */
-  private[pipeline] def resetSignPairs(): Unit = signPairsMemo.clear()
+  private[pipeline] def resetSignPairs(): Unit = {
+    signPairsMemo.clear()
+    resetSignBandStats()
+    resetEmbeddingsCount()
+  }
 
   private def annLshBuild(spark: SparkSession, sfDir: String): DataFrame = {
     // codes/norms are consumed three times (band explode + two gather
@@ -386,7 +441,8 @@ object Similarity {
     // band legs are NARROW (id, band, bv) rows — a pair hit in k bands
     // must not shuffle its 64-float payload k times; vectors gather
     // back by id after the candidate distinct.
-    val kept = signKeptBands(signBandRows(emb, Seq("vec_id"), r), "q_ann_lsh/q_dedup_embed")
+    val kept = signKeptBands(signBandRows(emb, Seq("vec_id"), r),
+      "q_ann_lsh/q_dedup_embed", statsKey = Some(signStatsKey(spark, sfDir, r)))
     val cand = kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -1298,14 +1354,15 @@ object Similarity {
         signCodeHi(col("embedding")).as("code_hi"),
         signCode(col("embedding")).as("code_lo"),
         dot(col("embedding"), col("embedding")).as("nsq"))
-    val r = signBandWidthOf(Tables.embeddings(spark, sfDir).count())
+    val r = signBandWidthOf(embeddingsCount(spark, sfDir))
     def bandsOf(df: DataFrame): DataFrame = signBandRows(df, Seq("vec_id"), r)
     // the eval must search the index AS SHIPPED: the corpus side gets
     // the same hot-bucket stop-loss the pair lane applies (a probe
     // whose bucket the index drops finds no candidates there). The
     // pair-volume budget does not apply — the probe join is bounded by
     // the probe count, not C(bucket, 2) — so it is disabled here.
-    val banded = signKeptBands(bandsOf(emb), "q_ann_lsh_recall", budget = Long.MaxValue)
+    val banded = signKeptBands(bandsOf(emb), "q_ann_lsh_recall",
+      budget = Long.MaxValue, statsKey = Some(signStatsKey(spark, sfDir, r)))
     val probeBands = bandsOf(
       emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap))
       .select(col("vec_id").as("q_id"), col("band"), col("bv"))
@@ -1469,7 +1526,8 @@ object Similarity {
     // recall evidence at the planted-truth bar: search the index AS
     // SHIPPED (stop-loss applied; volume budget is the PAIR lane's,
     // probe joins are probe-bounded — disabled, the annLshRecall rule)
-    val kept = signKeptBands(banded, "q_lsh_calibration", budget = Long.MaxValue)
+    val kept = signKeptBands(banded, "q_lsh_calibration",
+      budget = Long.MaxValue, statsKey = Some(signStatsKey(spark, sfDir, r)))
     val probes = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < TopkQueryCap)
     val probeBands = signBandRows(probes, Seq("vec_id"), r)
       .select(col("vec_id").as("q_id"), col("band"), col("bv"))
@@ -1826,7 +1884,10 @@ object Similarity {
         col("best.code").as("cell"), col("best.d2").as("d2"))
       .withColumn("rk", row_number().over(w))
       .mat
-    val r = signBandWidthOf(ranked.count())
+    // ranked is row-1:1 with embeddings (no filter above the window),
+    // so the width sizes from the memoized corpus count — the per-call
+    // count job over the checkpoint is gone
+    val r = signBandWidthOf(embeddingsCount(spark, sfDir))
     // narrow (band, bv, cell)-keyed self-join; pairs dedup'd as ids
     // before the payload gather, exactly like annLsh
     val bandedTagged = signBandRows(ranked, Seq("vec_id", "cell", "rk"), r)

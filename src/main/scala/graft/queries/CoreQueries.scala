@@ -52,6 +52,14 @@ object CoreQueries {
   private def nowOfDataset(spark: SparkSession, sfDir: String): Column =
     timestamp_micros(lit(nowUsOfDataset(spark, sfDir)))
 
+  /** min(ts) twin of [[nowUsOfDataset]] (q_set_diff's anchor). */
+  private val minUsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def minUsOfDataset(spark: SparkSession, sfDir: String): Long =
+    minUsMemo.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$sfDir",
+      Tables.events(spark, sfDir).agg(min(unix_micros(col("ts")))).head().getLong(0))
+
   /** The long-format samples relation WITH event identity, memoized
     * per (application, dataset) — the keep-list discipline applied to
     * the engine's spine: extraction (JSON parse of every payload) is
@@ -63,7 +71,7 @@ object CoreQueries {
   private val samplesMemo = new graft.core.Memo("event_samples")
 
   private[graft] def resetSamplesMemo(): Unit = {
-    samplesMemo.clear(); nowMemo.clear(); discoveredMemo.clear()
+    samplesMemo.clear(); nowMemo.clear(); minUsMemo.clear(); discoveredMemo.clear()
   }
 
   def eventSamplesMat(spark: SparkSession, sfDir: String): DataFrame =
@@ -563,7 +571,7 @@ object CoreQueries {
     */
   def setDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val mnUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val mnUs = minUsOfDataset(spark, sfDir)
     val h12 = 43200000000L
     val first = ev
       .filter(unix_micros(col("ts")) < lit(mnUs + h12))
