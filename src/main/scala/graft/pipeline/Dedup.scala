@@ -944,8 +944,10 @@ object Dedup {
     */
   def dedupCost(spark: SparkSession, sfDir: String): DataFrame = {
     // the band relation feeds the totals aggregate AND the final
-    // projection: persist so the corpus-sized shingle explode +
-    // aggregation runs once (the splitBalance/epochPlan discipline)
+    // projection; both consumers sit above the IDENTICAL (band)
+    // aggregation exchange, so exchange reuse runs the corpus-sized
+    // shingle aggregation once — the former per-call eager checkpoint
+    // (a driver-synchronous barrier) saved nothing it didn't cost
     val perShingle = shingleExplode(spark, sfDir)
       .groupBy(col("sh")).agg(count(lit(1)).as("n"))
       .select(expr("CAST(length(bin(n)) - 1 AS BIGINT)").as("band"),
@@ -956,7 +958,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("n")).as("n_postings"),
         sum(col("pairs")).as("candidate_pairs"))
-      .mat
     val totals = perShingle.agg(sum(col("candidate_pairs")).as("total_pairs"))
     perShingle.crossJoin(broadcast(totals))
       .select(col("band"),

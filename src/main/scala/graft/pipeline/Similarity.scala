@@ -1713,7 +1713,6 @@ object Similarity {
         col("a.in_core").as("src_in_core"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
-      .mat
     edges.as("e")
       .join(edges.select(col("src").as("r_src"), col("dst").as("r_dst")).as("r"),
         col("e.src") === col("r.r_dst") && col("e.dst") === col("r.r_src"), "left")

@@ -834,12 +834,22 @@ object TextAnalysis {
     // bigramLm here would re-derive the pair relation without doc_id
     // and tokenize the corpus twice
     val docBigrams = bigramPairsOf(
-      docs.select(col("doc_id"), tokens(col("text")).as("t"))).mat
-    val bgCounts = docBigrams.groupBy(col("w1"), col("w2"))
+      docs.select(col("doc_id"), tokens(col("text")).as("t")))
+    // round 16, the q_bigram_lm window form (75de339) applied here too:
+    // the context total is the per-w1 sum of the (w1, w2) counts, so a
+    // window over the counted relation replaces the second aggregation
+    // pass over the pair explode AND the (w1) join; the min-count
+    // filter applies AFTER the window so pruned pairs still count
+    // toward their context (unchanged semantics). With the ctx pass
+    // gone, the pair explode has two consumers both keyed (w1, w2) —
+    // exchange reuse dedups it, so the per-call eager checkpoint (a
+    // driver-synchronous barrier) is dropped.
+    val lm = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
+      .withColumn("n_context",
+        sum(col("n_bigram")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
       .filter(col("n_bigram") >= BigramMinCount)
-    val ctx = docBigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_context"))
-    val lm = bgCounts.join(ctx, "w1")
       .select(col("w1"), col("w2"),
         (col("n_bigram").cast("double") / col("n_context")).as("p_cond"))
     docBigrams

@@ -120,11 +120,18 @@ object AnalyticQueries {
     * differ numerically between engines).
     */
   def corr(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val k = SchemaFlatten.jsonByPath(col("props"), "k").try_cast("double")
-    val base = ev
-      .filter(col("event_type").isNotNull && col("value").isNotNull && k.isNotNull)
-      .select(col("event_type").as("topic"), col("value").cast(D).as("x"), k.cast(D).as("y"))
+    // round 16: the per-call JSON parse of every props payload is gone —
+    // both tracked fields already sit, parsed once per snapshot, in the
+    // memoized extraction spine (eventSamplesMat). corr joins the two
+    // path legs by event identity; a spread of the raw scan was tried
+    // first and REVERTED (the parse projection collapses below the
+    // repartition, so the parse stayed single-task).
+    val s = graft.queries.CoreQueries.eventSamplesMat(spark, sfDir)
+    val xs = s.filter(col("path") === "value")
+      .select(col("event_id"), col("topic"), col("value").cast(D).as("x"))
+    val ys = s.filter(col("path") === "props.k")
+      .select(col("event_id"), col("value").cast(D).as("y"))
+    val base = xs.join(ys, "event_id")
     base.groupBy(col("topic"))
       .agg(
         count(lit(1)).as("n"),
