@@ -137,7 +137,6 @@ object IngestGate {
     */
   private def scoredRows(docs: DataFrame, corpus: DataFrame, indexTable: String,
       bucketCap: Long = graft.pipeline.Dedup.MinhashBucketCap): DataFrame = {
-    import TextAnalysis.{Blocklist, BlocklistThreshold, FunnelMinDistinctRatio, FunnelMinTokens}
     val spark = docs.sparkSession
     // the materialized exact-dedup verdict of the corpus (Dedup.exact's
     // keeper rule), memoized per snapshot and broadcast — at estate
