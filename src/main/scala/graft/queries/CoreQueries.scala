@@ -52,6 +52,24 @@ object CoreQueries {
   private def nowOfDataset(spark: SparkSession, sfDir: String): Column =
     timestamp_micros(lit(nowUsOfDataset(spark, sfDir)))
 
+  /** The trailing-window stats relation (topic, path, window_sec, cnt,
+    * mean, stddev_pop — full precision, validity-gated), memoized per
+    * (application, dataset): FOUR registered queries (q_anomaly,
+    * q_anomaly_cooldown, q_anomaly_records, q_window_stats) derived the
+    * identical ~40-row relation per call with a full spine aggregation
+    * pass each. This is the batch analog of the reference's ST2 stats
+    * cache (the streaming pipeline already keeps one); cold cost lands
+    * in the bench `artifacts` map.
+    */
+  private val statsMemo = new graft.core.Memo("trailing_stats")
+
+  private def rawStatsOfDataset(spark: SparkSession, sfDir: String): DataFrame =
+    statsMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|$sfDir",
+      WindowStats.rawTrailingStats(
+        eventSamplesMat(spark, sfDir).select("topic", "path", "value", "produced"),
+        Windows, nowOfDataset(spark, sfDir)).localCheckpoint(eager = true))
+
   /** min(ts) twin of [[nowUsOfDataset]] (q_set_diff's anchor). */
   private val minUsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -71,7 +89,7 @@ object CoreQueries {
   private val samplesMemo = new graft.core.Memo("event_samples")
 
   private[graft] def resetSamplesMemo(): Unit = {
-    samplesMemo.clear(); nowMemo.clear(); minUsMemo.clear(); discoveredMemo.clear()
+    samplesMemo.clear(); nowMemo.clear(); minUsMemo.clear(); statsMemo.clear(); discoveredMemo.clear()
   }
 
   def eventSamplesMat(spark: SparkSession, sfDir: String): DataFrame =
@@ -162,9 +180,11 @@ object CoreQueries {
     * (topic, path, window).
     */
   def windowStats(spark: SparkSession, sfDir: String): DataFrame =
-    WindowStats.trailingStats(
-      eventSamplesMat(spark, sfDir).drop("event_id"),
-      Windows, nowOfDataset(spark, sfDir))
+    // the memoized ST2-style stats cache, rounded for the hash gate —
+    // identical arithmetic to the former per-call trailingStats pass
+    rawStatsOfDataset(spark, sfDir)
+      .select(col("topic"), col("path"), col("window_sec"), col("cnt"),
+        round(col("mean"), 6).as("mean"), round(col("stddev_pop"), 6).as("stddev_pop"))
 
   val windowStatsSql: String =
     s"""$oracleStatsCte
@@ -388,7 +408,7 @@ object CoreQueries {
     // the per-dataset memoized extraction (json parsing runs once per
     // snapshot, not once per call)
     val samples = eventSamplesMat(spark, sfDir)
-    val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
+    val stats = rawStatsOfDataset(spark, sfDir)
     Anomaly
       .detect(samples, stats, now)
       .select(
@@ -426,7 +446,7 @@ object CoreQueries {
   def anomalyCooldown(spark: SparkSession, sfDir: String): DataFrame = {
     val now = nowOfDataset(spark, sfDir)
     val samples = eventSamplesMat(spark, sfDir)
-    val stats = WindowStats.rawTrailingStats(samples.drop("event_id"), Windows, now)
+    val stats = rawStatsOfDataset(spark, sfDir)
     val anomalies = Anomaly.detect(samples, stats, now)
     Cooldown
       .applyBatch(anomalies.select(
@@ -472,8 +492,7 @@ object CoreQueries {
   def anomalyRecords(spark: SparkSession, sfDir: String): DataFrame = {
     val now = nowOfDataset(spark, sfDir)
     val samples = eventSamplesMat(spark, sfDir)
-    val stats = WindowStats.rawTrailingStats(
-      samples.select("topic", "path", "value", "produced"), Windows, now)
+    val stats = rawStatsOfDataset(spark, sfDir)
     // detection decides on the narrow spine; the raw props payload is
     // attached ONCE to the few surviving anomaly rows by event identity
     // (broadcast the anomalies, probe the events scan) instead of riding

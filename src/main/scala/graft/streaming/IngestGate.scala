@@ -97,7 +97,7 @@ object IngestGate {
     * streaming/batch [[verdicts]] and the persisted-band batch seam
     * ([[ingestGateQuery]]).
     */
-  private def collapseVerdicts(scored: DataFrame): Dataset[Verdict] = {
+  private[streaming] def collapseVerdicts(scored: DataFrame): Dataset[Verdict] = {
     implicit val gateEnc = Encoders.product[GateRow]
     implicit val verdictEnc = Encoders.product[Verdict]
     implicit val stateEnc = Encoders.scalaInt
@@ -106,6 +106,37 @@ object IngestGate {
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(update _)
   }
+
+  /** [[collapse]] as a NATIVE aggregation over the scored band rows —
+    * the batch seam's collapse (codegen partial aggregation instead of
+    * the stateful object-path operator, which the STREAM keeps). Rule
+    * mirror, pinned by the oracle and by GateCollapseParitySpec
+    * (agg form == collapse() on adversarial band-row sets): a doc's band rows
+    * all carry the same pre_verdict/keeper (carried through the band
+    * explode), so max() selects them; the best near-dup is the max
+    * (est, −corpus_doc) struct over rows at est ≥ [[NearDupMinEst]]
+    * (highest estimate, lowest doc tie-break), and est values are
+    * k/16 so the 6-decimal round is exact in both forms.
+    */
+  private[streaming] def collapseVerdictsAgg(scored: DataFrame): DataFrame =
+    scored.groupBy(col("doc_id"))
+      .agg(
+        max(col("pre_verdict")).as("pre"),
+        max(col("keeper")).as("keeper"),
+        max(when(col("est") >= NearDupMinEst,
+          struct(col("est"), (-col("corpus_doc")).as("neg")))).as("m"))
+      .select(
+        col("doc_id"),
+        when(col("pre").isNotNull, col("pre"))
+          .when(col("keeper").isNotNull, lit("exact_dup"))
+          .when(col("m").isNotNull, lit("near_dup"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("pre").isNotNull, lit(null).cast("bigint"))
+          .when(col("keeper").isNotNull, col("keeper"))
+          .when(col("m").isNotNull, -col("m.neg")).as("dup_of"),
+        when(col("pre").isNotNull, lit(null).cast("double"))
+          .when(col("keeper").isNotNull, lit(1.0))
+          .when(col("m").isNotNull, round(col("m.est"), 6)).as("est_jaccard"))
 
   /** The corpus keeper map (content md5 → lowest doc_id), memoized per
     * (application, index table) and checkpointed — the
@@ -250,7 +281,7 @@ object IngestGate {
       .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"),
         col("sig").as("sig_c"))
     val bands = spark.table(arriveIdx).join(broadcast(flagged), Seq("doc_id"))
-    collapseVerdicts(scoreBands(bands, idx)).toDF()
+    collapseVerdictsAgg(scoreBands(bands, idx))
   }
 
   /** The gate oracle's CTE body (ending at the per-doc verdict
