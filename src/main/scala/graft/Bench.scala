@@ -93,6 +93,17 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
 
+    // SPARK_GRAFT_MEMO=0: memo-off mode (round-17, VERDICT r16 Next #2b)
+    // — every materialized per-(application, dataset) memo is released
+    // before EVERY timed run, so each run pays the full construction of
+    // whatever artifacts its query composes. The driver can compare
+    // memo-on and memo-off records to see exactly what the memo
+    // discipline is worth; `memo_mode` in the JSON says which this is.
+    // (Scalar snapshot anchors — max/min ts, row counts — are TrieMap
+    // singletons outside the Memo registry and stay; they are one-row
+    // collect jobs, not materialized relations.)
+    val memoOff = sys.env.get("SPARK_GRAFT_MEMO").contains("0")
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -108,6 +119,7 @@ object Bench {
       // tighten the median so the artifact adjudicates itself
       var target = runs
       while (i < target && !failed) {
+        if (memoOff) graft.core.Memo.releaseAll()
         val t0 = System.nanoTime()
         try { rows = fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -147,6 +159,12 @@ object Bench {
     // (median stayed > 3x min even after the extra runs) — the reader
     // should trust `queries_min` over `queries` for those
     val qsMin = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(ts.min) }
+      .mkString("{", ",", "}")
+    // run-1 wall per query: the run that pays whatever cold memo builds
+    // the query composes (in memo-off mode every run does) — beside the
+    // warm median, the reader sees both sides of the memo discipline
+    // without a second bench invocation (VERDICT r16 Next #2b)
+    val qsCold = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(ts.head) }
       .mkString("{", ",", "}")
     val contended = results.collect {
       case (k, ts, _) if median(ts) > 3 * ts.min => "\"" + k + "\""
@@ -239,8 +257,9 @@ object Bench {
       s""""canary_sec":${fmt(math.min(canaryStart, canaryEnd))},""" +
       s""""canary_start_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
       s""""memo_storage_bytes":$memoBytes,""" +
+      s""""memo_mode":"${if (memoOff) "off" else "on"}",""" +
       s""""artifacts":$artifacts,"queries":$qs,"queries_min":$qsMin,""" +
-      s""""queries_rows":$qsRows,""" +
+      s""""queries_cold":$qsCold,"queries_rows":$qsRows,""" +
       s""""contended":$contended,"suspect_contended":$suspects,""" +
       s""""suspect_regressed":$regressed,"suspect_drift":$drift,""" +
       s""""suspect_perrow":$perrow,""" +
@@ -254,7 +273,9 @@ object Bench {
     writeQuiet(out, json + "\n")
     // skip the per-round copy when `out` is itself round-suffixed or
     // this is a partial (BENCH_ONLY) run
-    if (only.isEmpty && !out.matches(".*_r\\d+\\.json$"))
+    // memo-off is a diagnostic mode: never overwrite the official
+    // per-round record with it
+    if (only.isEmpty && !memoOff && !out.matches(".*_r\\d+\\.json$"))
       writeQuiet(dir.resolve(s"bench_results_r$round.json").toString, json + "\n")
 
     // streaming hot-path throughput into the official per-round record
@@ -264,7 +285,7 @@ object Bench {
     // Runs before the contract line is printed: the driver parses
     // Bench's ONE stdout JSON line, which must stay last. Opt out with
     // SPARK_GRAFT_STREAM_BENCH=0.
-    if (only.isEmpty && !sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
+    if (only.isEmpty && !memoOff && !sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
       val sJson = try {
         // a discarded warm-up then the MEDIAN of 5 recorded runs per
         // family (r14 — 3 runs with a 4.6x spread made the median a

@@ -40,14 +40,25 @@ object Curate {
   /** Documents below this importance-weight quantile are dropped. */
   val LowImportanceQuantile = 0.1
 
-  /** Memoized per (application, dataset) like [[keepList]]: the per-doc
-    * decision record is a once-per-snapshot artifact read by q_curate,
-    * the keep list, the dataset card and the funnel readouts — each
-    * used to rebuild the flag scan + keeper aggregate + decontamination
-    * + decile gate per CALL (round-16 measurement: ~1 s of build per
-    * invocation). Cold cost lands in the bench `artifacts` map.
+  /** The registered q_curate — computed per call (round-17: a
+    * registered query must execute its plan per invocation; r16
+    * memoized this query's own decision record and the bench median
+    * timed a checkpoint readout). The flag scan is materialized per
+    * CALL so the keeper aggregate and the verdict join share one
+    * tokenize pass; the shared-input memos it composes (decontam
+    * grams, scored importance weights) stay, as does [[curateMat]]
+    * for the composite consumers this record is an INPUT to.
     */
   def curate(spark: SparkSession, sfDir: String): DataFrame =
+    computeCurate(spark, sfDir)
+
+  /** The decision record as a per-(application, dataset) artifact —
+    * the INPUT side for the keep list, the dataset card and the
+    * incremental-curate state (a corpus run materializes its decision
+    * record once and every downstream report reads the layout). Cold
+    * cost lands in the bench `artifacts` map.
+    */
+  private[pipeline] def curateMat(spark: SparkSession, sfDir: String): DataFrame =
     curateMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
       computeCurate(spark, sfDir).localCheckpoint(eager = true))
@@ -61,13 +72,15 @@ object Curate {
     val docs = Tables.documents(spark, sfDir)
     val toks = TextAnalysis.tokens(col("text"))
     val lex = array(Blocklist.map(lit(_)): _*)
-    val flagged = docs.select(
+    // read twice (keeper aggregate + verdict join) — per-call
+    // materialization so the tokenize scan runs once per invocation
+    val flagged = graft.core.Mat(docs.select(
       col("doc_id"),
       md5(col("text")).as("h"),
       Dedup.normTextMd5(col("text")).as("g"),
       size(toks).as("nt"),
       size(array_distinct(toks)).as("ndt"),
-      size(filter(toks, w => array_contains(lex, w))).as("n_blk"))
+      size(filter(toks, w => array_contains(lex, w))).as("n_blk")))
     val keepers = flagged.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val contam = Sampling.decontaminate(spark, sfDir)
       .select(col("doc_id"), col("contaminated"))
@@ -194,7 +207,7 @@ object Curate {
         // curate materializes via its own per-dataset memo — the future
         // exists to run that materialization concurrently with the
         // components leg, not to add a second checkpoint on top
-        val curF = leg { curate(spark, sfDir) }
+        val curF = leg { curateMat(spark, sfDir) }
         val compF = leg {
           // Dedup.components materializes via its own per-dataset memo —
           // the future exists to run that materialization concurrently

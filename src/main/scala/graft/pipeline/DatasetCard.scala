@@ -26,7 +26,7 @@ object DatasetCard {
     val totals = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-    totals.crossJoin(broadcast(decisionsOf(Curate.curate(spark, sfDir))))
+    totals.crossJoin(broadcast(decisionsOf(Curate.curateMat(spark, sfDir))))
   }
 
   /** The card's decision counts over a per-doc verdict relation —

@@ -1958,20 +1958,28 @@ object Dedup {
     * one equi join + one agg per round, O(cluster diameter) rounds.
     */
   def minhashComponents(spark: SparkSession, sfDir: String): DataFrame =
-    // the LABELS materialize once per (application, dataset), exactly
-    // like the exact-pair [[components]] memo: a dedup pass resolves
-    // its clusters once, and the iterative propagation (driver-looped
-    // joins) must not re-run per report / per bench run
-    minhashComponentsMemo.getOrElseUpdate(
+    // computed per call (round-17: a registered query must execute its
+    // plan per invocation — r16 memoized this query's own LABEL
+    // relation and the bench median timed a checkpoint readout). The
+    // banded PAIR graph stays a memoized shared intermediate (the
+    // [[clusterPairs]] class: signature explode + band join + verify,
+    // deterministic per snapshot); the iterative label propagation —
+    // this query's own result — runs here.
+    componentsOfPairs(minhashPairsMat(spark, sfDir))
+
+  /** The signature-verified banded pair graph, memoized per
+    * (application, dataset) — the MinHash twin of [[clusterPairs]].
+    */
+  private def minhashPairsMat(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsMemo.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}|$sfDir",
-      componentsOfPairs(
-        minhashLshPairs(spark, sfDir, Some(MinhashBucketCap))
-          .select(col("doc_a"), col("doc_b")))
+      minhashLshPairs(spark, sfDir, Some(MinhashBucketCap))
+        .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(eager = true))
 
-  private val minhashComponentsMemo = new graft.core.Memo("minhash_components")
+  private val minhashPairsMemo = new graft.core.Memo("minhash_pairs")
 
-  private[pipeline] def resetMinhashComponentsMemo(): Unit = minhashComponentsMemo.clear()
+  private[pipeline] def resetMinhashComponentsMemo(): Unit = minhashPairsMemo.clear()
 
   val minhashComponentsSql: String =
     s"""
@@ -2662,24 +2670,38 @@ object Dedup {
   private def passageAnchorsOf(docs: DataFrame,
       anchorCap: Long = PassageAnchorFreqCap): (DataFrame, DataFrame) = {
     // spread: tokenize + positioned anchor hashing is per-row-heavy and
-    // a single-split scan would run it on one core (Tables.spread)
+    // a single-split scan would run it on one core (Tables.spread).
+    // toks is deliberately NOT materialized (round-17): the token-array
+    // checkpoint cost more to write and re-read (~25 MB at sf0.1) than
+    // the split() it saves — every consumer re-derives the split from
+    // the one REUSED spread exchange instead (scan runs once; the split
+    // is a cheap map).
     val toks = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= PassageK)
-      .mat // anchor explode + anchor verify + passage gathers read it
     val tokHashes = transform(col("t"), tk => h32(tk) % lit(P))
     val raw = toks
       .select(col("doc_id"),
         posexplode(graft.functions.SketchFunctions.ngramPolyHash(tokHashes, PassageK, PolyB, P)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
-    // count+semi-join rather than the posting-list trick of
-    // cappedPairScaffold: pair generation here needs (doc, pos) payloads
-    // per anchor, and the count relation is vocabulary-keyed (8-byte) —
-    // the join output, not this filter, was the scale hazard
-    val keep = raw.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= anchorCap).select(col("g"))
-    val kg = raw.join(keep, Seq("g"), "left_semi")
-      .mat // both sides of the anchor self-join
+    // frequency cap as ONE count window over the (g) shuffle the pair
+    // join needs anyway (round-17, guide §2.4 — the q_boilerplate
+    // window form): the former count-aggregate + left-semi join put TWO
+    // differently-projected exchanges over `raw`, so the expensive
+    // positioned poly-hash explode ran twice per scaffold build
+    // (measured: 4.2 s of the 9 s task CPU at sf0.1 was the duplicated
+    // explode). Same filter semantics: positions of grams with corpus
+    // frequency ≤ anchorCap survive.
+    val kg = {
+      import org.apache.spark.sql.expressions.Window
+      raw.withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("c") <= anchorCap)
+        .select(col("doc_id"), col("pos"), col("g"))
+        .mat // both sides of the anchor self-join (measured: dropping
+             // this for exchange reuse re-ran the window twice and read
+             // 1.16 -> 1.34 s per q_self_repeat call — the checkpoint
+             // barrier is cheaper than the duplicated window here)
+    }
     (toks, kg)
   }
 
@@ -2883,17 +2905,13 @@ object Dedup {
         .otherwise(col("text")).as("text"))
 
   def selfRepeat(spark: SparkSession, sfDir: String): DataFrame =
-    // resolved spans memoized per (application, dataset) — the
-    // passage_spans discipline applied to the within-doc form: the
-    // planted scaffold (two eager checkpoints) and the anchor self-join
-    // used to re-run per call (round-16 measurement: ~1 s build +
-    // ~0.4 s join per invocation, deterministic per snapshot)
-    selfRepeatMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}|$sfDir",
-      selfRepeatOn(plantedSelfRepeatDocs(Tables.documents(spark, sfDir)))
-        .localCheckpoint(eager = true))
-
-  private val selfRepeatMemo = new graft.core.Memo("self_repeat_spans")
+    // computed per call (round-17: a registered query must execute its
+    // plan per invocation — r16 memoized this query's own resolved
+    // spans and the bench median timed a checkpoint readout). The
+    // planted scaffold's per-call materializations (inside
+    // [[passageAnchorsOf]]) are per-INVOCATION boundaries, not
+    // cross-call caches.
+    selfRepeatOn(plantedSelfRepeatDocs(Tables.documents(spark, sfDir)))
 
   /** The pure operator over any (doc_id, text) relation — library
     * callers run THIS on real corpora; the registered gate wraps it

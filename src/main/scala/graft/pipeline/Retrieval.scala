@@ -54,7 +54,7 @@ object Retrieval {
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
     // lexical leg: BM25 top-50 (already TakeOrdered by (score desc, id))
     val lex = rankOf(
-      TextAnalysis.bm25(spark, sfDir)
+      TextAnalysis.bm25Topn(spark, sfDir)
         .select((-col("score")).as("ns"), col("doc_id").as("id")),
       "lex_rank")
     // dense leg: cosine of every vector against the single probe row

@@ -867,16 +867,14 @@ object Similarity {
     * hash-gated.
     */
   def ivfCalibrationReport(spark: SparkSession, sfDir: String): DataFrame =
-    // memoized per (application, dataset): the decision row is frozen
-    // evidence (the width memo below already freezes the walk), but the
-    // miss path's alternative-lane eval used to re-run a full recall
-    // pass per CALL — once per corpus snapshot is the calibration
-    // contract (cold cost lands in the bench `artifacts` map)
-    ivfCalibrationReportMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}|$sfDir",
-      computeIvfCalibrationReport(spark, sfDir))
-
-  private val ivfCalibrationReportMemo = new graft.core.Memo("ivf_calibration_report")
+    // computed per call (round-17: a registered query must execute its
+    // plan per invocation — r16 memoized this query's own decision row
+    // and the bench median timed a cached readout). The frozen fits it
+    // reads (the width-walk evidence in [[ivfCalibrations]], the
+    // k-means centers, the exact top-k truth memo) stay — the
+    // quantizer-fit precedent; the miss-path alternative-lane eval —
+    // this query's own measurement — runs here.
+    computeIvfCalibrationReport(spark, sfDir)
 
   private def computeIvfCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
     ivfCalibratedWidth(spark, sfDir)
@@ -1484,15 +1482,12 @@ object Similarity {
     * adjudicated bounded-collect class).
     */
   def lshCalibrationReport(spark: SparkSession, sfDir: String): DataFrame =
-    // memoized per (application, dataset): the evidence chain (band
-    // histogram, volume pricing, probe-set recall) is deterministic
-    // per corpus snapshot and used to re-run ~10 driver actions per
-    // CALL (round-16 measurement: 1.4 s of build per invocation)
-    lshCalibrationReportMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}|$sfDir",
-      computeLshCalibrationReport(spark, sfDir))
-
-  private val lshCalibrationReportMemo = new graft.core.Memo("lsh_calibration_report")
+    // computed per call (round-17: a registered query must execute its
+    // plan per invocation — r16 memoized this query's own evidence row
+    // and the bench median timed a cached readout). The shared
+    // snapshot-stat memos the chain reads (sign band stats, the kept
+    // bucket sets) stay; the evidence actions themselves run here.
+    computeLshCalibrationReport(spark, sfDir)
 
   private def computeLshCalibrationReport(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -1501,28 +1496,39 @@ object Similarity {
         signCode(col("embedding")).as("code_lo"),
         dot(col("embedding"), col("embedding")).as("nsq"))
       .mat
-    val n = emb.count()
+    // the corpus size is the memoized snapshot scalar every sign lane
+    // reads (the annLshRecall convention) — not a per-call count job
+    val n = embeddingsCount(spark, sfDir)
     val r = signBandWidthOf(n)
     val banded = signBandRows(emb, Seq("vec_id"), r)
     val counts = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("c"))
     // post-drop pricing, the signKeptBands convention: hot buckets are
     // dropped whole by the lane, so they price at zero, not C(cap, 2)
     val keptC = when(col("c") > SignBucketCap, lit(0L)).otherwise(col("c"))
-    val volRow = counts.agg(
+    // ONE driver action for the whole histogram evidence (round-17: the
+    // report's wall was ~7 sequential single-row actions over ~150 ms
+    // of actual compute): volume pricing and the exact p95 occupancy —
+    // smallest size s with ≥ ceil(0.95·buckets) buckets at or under s,
+    // integer threshold (19m+19) DIV 20 exactly as before — ride the
+    // same plan via a broadcast of the single volume row.
+    val volAgg = counts.agg(
       coalesce(sum(shiftright(keptC * (keptC - lit(1L)), 1)), lit(0L)).as("pair_volume"),
       coalesce(sum(when(col("c") > SignBucketCap, 1L).otherwise(0L)), lit(0L)).as("n_hot"),
-      count(lit(1)).as("n_buckets")).head()
-    val pairVolume = volRow.getLong(0)
-    val nHot = volRow.getLong(1)
-    val nBuckets = volRow.getLong(2)
-    // exact p95 occupancy: smallest size s with ≥ ceil(0.95·buckets)
-    // buckets at or under s — integer threshold (19m+19)/20, no float
-    val k95 = (19L * nBuckets + 19L) / 20L
+      count(lit(1)).as("n_buckets"))
     val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
-    val p95 = hist
+    val histRow = hist
       .withColumn("cum", sum(col("k")).over(Window.orderBy(col("c"))))
-      .filter(col("cum") >= k95)
-      .agg(min(col("c"))).head().getLong(0)
+      .crossJoin(broadcast(volAgg))
+      .filter(col("cum") >= expr("(19 * n_buckets + 19) DIV 20"))
+      .agg(first(col("pair_volume")).as("pair_volume"),
+        first(col("n_hot")).as("n_hot"),
+        first(col("n_buckets")).as("n_buckets"),
+        min(col("c")).as("p95"))
+      .head()
+    val pairVolume = histRow.getLong(0)
+    val nHot = histRow.getLong(1)
+    val nBuckets = histRow.getLong(2)
+    val p95 = histRow.getLong(3)
     // recall evidence at the planted-truth bar: search the index AS
     // SHIPPED (stop-loss applied; volume budget is the PAIR lane's,
     // probe joins are probe-bounded — disabled, the annLshRecall rule)
@@ -1542,9 +1548,17 @@ object Similarity {
         round(dot(col("q_emb"), col("embedding")) / sqrt(col("q_nsq") * col("nsq")), 6))
       .filter(col("cos") >= LshTruthBar)
       .select(col("q_id"), col("vec_id"))
-      .mat
-    val nTruth = truth.count()
-    val nHit = truth.join(cand, Seq("q_id", "vec_id")).count()
+    // ONE driver action for the recall evidence: truth count and hit
+    // count from the same left join (a hit is a truth pair the kept
+    // candidate set also produced)
+    val recallRow = truth.as("t")
+      .join(cand.as("h"),
+        col("t.q_id") === col("h.q_id") && col("t.vec_id") === col("h.vec_id"),
+        "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("h.q_id")).as("n_hit"))
+      .head()
+    val nTruth = recallRow.getLong(0)
+    val nHit = recallRow.getLong(1)
     val recallPpm = if (nTruth == 0) 0L else 1000000L * nHit / nTruth
     val targetMet = nTruth > 0 && 1000000L * nHit >= LshPairRecallTargetPpm * nTruth
     import spark.implicits._

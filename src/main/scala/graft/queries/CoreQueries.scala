@@ -180,9 +180,14 @@ object CoreQueries {
     * (topic, path, window).
     */
   def windowStats(spark: SparkSession, sfDir: String): DataFrame =
-    // the memoized ST2-style stats cache, rounded for the hash gate —
-    // identical arithmetic to the former per-call trailingStats pass
-    rawStatsOfDataset(spark, sfDir)
+    // computed per call (round-17: a registered query must execute its
+    // plan per invocation — the r16 ride on the memoized trailing_stats
+    // relation made the bench time a checkpoint readout). The shared
+    // INTERMEDIATE spine (eventSamplesMat) stays memoized; the stats
+    // aggregation itself — this query's own result — runs here.
+    WindowStats.rawTrailingStats(
+      eventSamplesMat(spark, sfDir).select("topic", "path", "value", "produced"),
+      Windows, nowOfDataset(spark, sfDir))
       .select(col("topic"), col("path"), col("window_sec"), col("cnt"),
         round(col("mean"), 6).as("mean"), round(col("stddev_pop"), 6).as("stddev_pop"))
 
