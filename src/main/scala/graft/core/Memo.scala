@@ -50,7 +50,12 @@ final class Memo(val name: String, val maxEntries: Int = 4) {
         df
       case None =>
         val t0 = System.nanoTime()
-        val df = build
+        // size-derived storage layout for checkpointed entries: a small
+        // artifact built 32-wide must not pin one scan task per build
+        // core for every later consumer (Mat.rightSizeStored — a no-op
+        // for non-checkpoint entries and for genuinely large layouts);
+        // the re-layout pass is part of the timed cold build
+        val df = Mat.rightSizeStored(build)
         Memo.logBuild(name, key, (System.nanoTime() - t0) / 1e9)
         entries.put(key, df)
         while (entries.size > maxEntries) {

@@ -28,22 +28,53 @@ object WindowStats {
     * Output: topic, path, window_sec, cnt, mean, stddev_pop (mean/stddev
     * rounded to 6 decimals for hash-stable comparison).
     */
-  def trailingStats(samples: DataFrame, windows: Seq[Long], now: Column): DataFrame = {
-    val fanned = samples
-      .withColumn("window_sec", explode(array(windows.map(lit): _*)))
-      .filter(
-        unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L)
+  def trailingStats(samples: DataFrame, windows: Seq[Long], now: Column): DataFrame =
+    finishStats(nestedTrailingAgg(samples, windows, now))
+
+  /** The trailing-window aggregation, restructured around the windows
+    * being NESTED (all anchored at `now`, so w < w' ⇒ [now−w, now] ⊂
+    * [now−w', now]): each sample belongs to exactly one SMALLEST
+    * containing window (a when-chain over its age — no explode), the
+    * exact-decimal partials aggregate once per sample, and each
+    * window's totals re-aggregate the ≤ |windows| partial rows it
+    * covers. The former explode-per-window form paid the per-row
+    * decimal cast + decimal multiply |windows| times per sample
+    * (round-17 measurement: the decimal ops were ~5 s of task CPU per
+    * spine pass at sf0.1, the dominant cost of the whole stats
+    * family). Bit-identical by the [[graft.functions.Exact]] partial
+    * contract: decimal addition is associative and exact, and the
+    * trim + double conversion happens once, after the merge, exactly
+    * as before.
+    */
+  private def nestedTrailingAgg(samples: DataFrame, windows: Seq[Long], now: Column): DataFrame = {
+    val ws = windows.distinct.sorted
+    val age = unix_micros(now) - unix_micros(col("produced"))
+    // smallest containing window: age in [0, w·1e6] ⇔ the old pair of
+    // produced-bounds filters for window w
+    val sw = ws.init.foldRight(lit(ws.last): Column)((w, acc) =>
+      when(age <= lit(w * 1000000L), lit(w)).otherwise(acc))
+    val partials = samples
+      .filter(age >= 0L && age <= lit(ws.max * 1000000L))
+      .withColumn("sw", sw)
+      // one explicit decimal conversion per row (the double→decimal
+      // cast allocates via BigDecimal.valueOf — don't rely on
+      // subexpression elimination inside the aggregate)
+      .withColumn("vd", col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy(col("topic"), col("path"), col("sw"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("vd")).as("p_sum"),
+        sum(col("vd") * col("vd")).as("p_sumsq"),
       )
-      .filter(unix_micros(col("produced")) <= unix_micros(now))
-    finishStats(
-      fanned
-        .groupBy(col("topic"), col("path"), col("window_sec"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          exactSum(col("value")).as("sumv"),
-          exactSumSq(col("value")).as("sumsq"),
-        )
-    )
+    partials
+      .withColumn("window_sec", explode(array(ws.map(lit): _*)))
+      .filter(col("window_sec") >= col("sw"))
+      .groupBy(col("topic"), col("path"), col("window_sec"))
+      .agg(
+        coalesce(sum(col("p_cnt")), lit(0L)).as("cnt"),
+        finishSum(sum(col("p_sum"))).as("sumv"),
+        finishSum(sum(col("p_sumsq"))).as("sumsq"),
+      )
   }
 
   /** Scale path: two-level aggregation. Samples are first reduced to
@@ -89,14 +120,13 @@ object WindowStats {
     samples
       .withColumn("bucket_us",
         (unix_micros(col("produced")) / lit(bucketSec * 1000000L)) * lit(bucketSec * 1000000L))
+      // one explicit decimal conversion per row (see nestedTrailingAgg)
+      .withColumn("vd", col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
       .groupBy(col("topic"), col("path"), col("bucket_us"))
       .agg(
         count(lit(1)).as("p_cnt"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("p_sum"),
-        sum(
-          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
-            col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
-        ).as("p_sumsq"),
+        sum(col("vd")).as("p_sum"),
+        sum(col("vd") * col("vd")).as("p_sumsq"),
       )
 
   /** Window merge over bucket partials: `bucket_us in [now - w, now)`
@@ -150,17 +180,5 @@ object WindowStats {
     * join, where the z-score must be computed from full-precision values.
     */
   def rawTrailingStats(samples: DataFrame, windows: Seq[Long], now: Column): DataFrame =
-    rawFinish(
-      samples
-        .withColumn("window_sec", explode(array(windows.map(lit): _*)))
-        .filter(
-          unix_micros(col("produced")) >= unix_micros(now) - col("window_sec") * lit(1000000L)
-        )
-        .filter(unix_micros(col("produced")) <= unix_micros(now))
-        .groupBy(col("topic"), col("path"), col("window_sec"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          exactSum(col("value")).as("sumv"),
-          exactSumSq(col("value")).as("sumsq"),
-        ))
+    rawFinish(nestedTrailingAgg(samples, windows, now))
 }
