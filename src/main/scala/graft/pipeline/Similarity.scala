@@ -1516,7 +1516,7 @@ object Similarity {
       coalesce(sum(when(col("c") > SignBucketCap, 1L).otherwise(0L)), lit(0L)).as("n_hot"),
       count(lit(1)).as("n_buckets"))
     val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
-    val histRow = hist
+    val histPlan = hist
       .withColumn("cum", sum(col("k")).over(Window.orderBy(col("c"))))
       .crossJoin(broadcast(volAgg))
       .filter(col("cum") >= expr("(19 * n_buckets + 19) DIV 20"))
@@ -1524,11 +1524,6 @@ object Similarity {
         first(col("n_hot")).as("n_hot"),
         first(col("n_buckets")).as("n_buckets"),
         min(col("c")).as("p95"))
-      .head()
-    val pairVolume = histRow.getLong(0)
-    val nHot = histRow.getLong(1)
-    val nBuckets = histRow.getLong(2)
-    val p95 = histRow.getLong(3)
     // recall evidence at the planted-truth bar: search the index AS
     // SHIPPED (stop-loss applied; volume budget is the PAIR lane's,
     // probe joins are probe-bounded — disabled, the annLshRecall rule)
@@ -1550,13 +1545,20 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     // ONE driver action for the recall evidence: truth count and hit
     // count from the same left join (a hit is a truth pair the kept
-    // candidate set also produced)
-    val recallRow = truth.as("t")
+    // candidate set also produced); the two evidence actions are
+    // independent, so they run as concurrent jobs (guide §2.6) — wall
+    // is max(leg), not sum
+    val recallPlan = truth.as("t")
       .join(cand.as("h"),
         col("t.q_id") === col("h.q_id") && col("t.vec_id") === col("h.vec_id"),
         "left")
       .agg(count(lit(1)).as("n_truth"), count(col("h.q_id")).as("n_hit"))
-      .head()
+    val (histRow, recallRow) =
+      graft.core.Jobs.concurrently(spark, histPlan.head(), recallPlan.head())
+    val pairVolume = histRow.getLong(0)
+    val nHot = histRow.getLong(1)
+    val nBuckets = histRow.getLong(2)
+    val p95 = histRow.getLong(3)
     val nTruth = recallRow.getLong(0)
     val nHit = recallRow.getLong(1)
     val recallPpm = if (nTruth == 0) 0L else 1000000L * nHit / nTruth
